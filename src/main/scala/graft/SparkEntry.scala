@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
+  * and §3.2 (entry points). `queries` holds one entry per implemented
+  * operator; `oracleSql` the DuckDB-runnable equivalent for the
+  * hash-match correctness gate. Keys and output column names must
+  * match across the two maps (the driver sorts columns by name before
+  * hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY §2 #16, TPC-H Q5 shape) on sf0.001;
+    * driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    JoinOps.joinMultiway5(spark, "/root/testdata/sf0.001")
+
+  private val families: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
+    ScanOps.queries,
+    FilterOps.queries,
+    JoinOps.queries,
+    AggOps.queries,
+    WindowOps.queries,
+    SetOpsFamily.queries,
+    ScalarOps.queries,
+    StreamOps.queries,
+    TextOps.queries,
+    EtlOps.queries,
+  )
+
+  private val oracles: Seq[Map[String, String]] = Seq(
+    ScanOps.oracle,
+    FilterOps.oracle,
+    JoinOps.oracle,
+    AggOps.oracle,
+    WindowOps.oracle,
+    SetOpsFamily.oracle,
+    ScalarOps.oracle,
+    StreamOps.oracle,
+    TextOps.oracle,
+    EtlOps.oracle,
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    families.foldLeft(ListMap.empty[String, (SparkSession, String) => DataFrame])(_ ++ _)
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. Omitted for non-SQL-expressible ops
+    * (the driver then records a weaker rows-only check). */
+  def oracleSql: Map[String, String] =
+    oracles.foldLeft(ListMap.empty[String, String])(_ ++ _)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-checked loaders for the graded corpus (`/root/testdata/sf*`)
+  * plus the decimal-cast helpers every oracle-checked query uses.
+  *
+  * Determinism rules (SURVEY.md §2) enforced through these helpers:
+  *  - money/qty columns are exact 2-decimal doubles at rest; cast to
+  *    DECIMAL(18,2) *before* aggregation so sums are exact and
+  *    order-independent (raw double sums drift in the last ulp with
+  *    shuffle order, breaking cross-engine hash comparison);
+  *  - after every decimal multiply, re-cast to a bounded precision so
+  *    Spark and DuckDB precision-inference rules can't diverge;
+  *  - `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4
+  *    refuses by default: we read it as a nanosecond LONG
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and integer-divide to
+  *    micros. All corpus values are µs-aligned (ns % 1000 == 0,
+  *    verified), so this equals DuckDB's native µs read exactly.
+  *    NOTE: integer `DIV`, not `/` — double division of ~1.7e18 ns
+  *    loses sub-µs precision (53-bit mantissa).
+  *
+  * Scale note (100 TB posture): loaders return plain scans — no
+  * caching, no repartition — so Catalyst can push filters/projections
+  * into the parquet reader of every query that composes them.
+  */
+object Tables {
+  val DEC2: DecimalType = DecimalType(18, 2)
+
+  /** Exact decimal view of a 2-dp money/quantity column. */
+  def money(c: Column): Column = c.cast(DEC2)
+
+  /** Bounded re-cast after decimal arithmetic (keeps both engines'
+    * precision-inference on the same page; value-exact when the true
+    * scale of `c` is <= s). */
+  def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "region")
+  def nation(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "nation")
+  def customer(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "customer")
+  def supplier(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "supplier")
+  def part(spark: SparkSession, sf: String): DataFrame     = read(spark, sf, "part")
+  def orders(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "orders")
+  def lineitem(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "lineitem")
+  def documents(spark: SparkSession, sf: String): DataFrame  = read(spark, sf, "documents")
+  def embeddings(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "embeddings")
+
+  /** events with `ts` converted ns→µs TimestampType (see scaladoc). */
+  def events(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sf, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Timestamp literal (session TZ is UTC everywhere). */
+  def ts(lit0: String): Column = lit(lit0).cast(TimestampType)
+}

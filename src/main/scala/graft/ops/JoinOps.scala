@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.immutable.ListMap
+import graft.Tables._
+
+/** SURVEY §2.C — join operators (#10–#19).
+  *
+  * Scale posture: dimension tables (region/nation/part/supplier) are
+  * broadcast (explicitly or via Catalyst's threshold) so the fact-side
+  * scan never shuffles for them; fact⋈fact joins shuffle on their equi
+  * keys and would bucket/co-partition at 100 TB. The as-of and
+  * interval joins are expressed as equi-join + residual range
+  * predicate + per-key window, which shuffles by key once — never a
+  * cartesian.
+  */
+object JoinOps {
+
+  /** #10 — plain equi-join, shuffle-side shape (orders ⋈ customer). */
+  def joinInnerShuffle(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .join(customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .where(col("c_acctbal") < 0 && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** #11 — broadcast hash join with an explicit hint (lineitem ⋈ part). */
+  def joinBroadcast(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .join(broadcast(part(spark, sf)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        dec(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))), 22, 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+
+  /** #12 — left outer join preserving customers with zero orders. */
+  def joinLeftOuter(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .join(orders(spark, sf), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+           dec(coalesce(sum(money(col("o_totalprice"))), lit(0)), 18, 2).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  /** #13 — full outer join on partially-overlapping synthesized keys:
+    * per-nation supplier counts (nations < 15) vs nation dim (keys >= 10). */
+  def joinFullOuter(spark: SparkSession, sf: String): DataFrame = {
+    val sup = supplier(spark, sf).where(col("s_nationkey") < 15)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    val nat = nation(spark, sf).where(col("n_nationkey") >= 10)
+    sup.join(nat, col("s_nationkey") === col("n_nationkey"), "full_outer")
+      .select(
+        coalesce(col("s_nationkey"), col("n_nationkey")).as("nationkey"),
+        col("n_suppliers"), col("n_name"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** #14 — left semi join (EXISTS): customers having >= 1 'F' order. */
+  def joinSemi(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .join(orders(spark, sf).where(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** #15 — left anti join (NOT EXISTS): customers with no orders at all. */
+  def joinAnti(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .join(orders(spark, sf), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** #16 — flagship TPC-H Q5-shape 5-way join: revenue per nation in
+    * AMERICA, 1996–1997. Fact⋈fact (orders⋈lineitem, customer⋈orders)
+    * shuffle on their keys; nation/region broadcast. */
+  def joinMultiway5(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .join(orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation(spark, sf)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, sf)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "AMERICA" &&
+             col("o_orderdate") >= ts("1996-01-01") &&
+             col("o_orderdate") <  ts("1998-01-01"))
+      .groupBy(col("n_name"))
+      .agg(
+        dec(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))), 22, 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** #17 — theta/band join: part pairs within 0.05 retail price of each
+    * other (exact decimal band compare; planner → broadcast NLJ, fine
+    * because one side is a dimension). At 100 TB this would get a
+    * price-bucket equi-join prefilter (join on floor(price/band) ±1)
+    * — same results, shuffle instead of NLJ. */
+  def joinThetaBand(spark: SparkSession, sf: String): DataFrame = {
+    val p1 = part(spark, sf).select(
+      col("p_partkey").as("p1_key"), money(col("p_retailprice")).as("p1_price"))
+    val p2 = part(spark, sf).select(
+      col("p_partkey").as("p2_key"), money(col("p_retailprice")).as("p2_price"))
+    p1.join(broadcast(p2),
+        col("p1_key") < col("p2_key") &&
+        abs(col("p1_price") - col("p2_price")) < dec(lit(0.05), 18, 2))
+      .select(col("p1_key"), col("p2_key"),
+              dec(abs(col("p1_price") - col("p2_price")), 18, 2).as("price_diff"))
+      .orderBy(col("p1_key"), col("p2_key"))
+  }
+
+  /** #18 — as-of join: each event matched to the latest order of the
+    * same customer (user_id = o_custkey) with o_orderdate <= ts.
+    * Formulated as equi-join on the key + range residual + per-event
+    * row_number — shuffles once on the key, no custom strategy needed
+    * (oeem-etl heritage: align meter reading to latest project state). */
+  def joinAsof(spark: SparkSession, sf: String): DataFrame = {
+    val e = events(spark, sf).select(col("event_id"), col("ts"), col("user_id"))
+    val o = orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("o_orderkey").as("asof_orderkey"),
+              col("o_orderdate").as("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** #19 — interval-overlap join: clicks landing within 1 hour of the
+    * same user's signup event (oeem-etl heritage: reading-in-billing-
+    * period). Equi-join on user_id + range residual. */
+  def joinIntervalOverlap(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val signup = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val click = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    signup.join(click,
+        col("c_user") === col("s_user") &&
+        col("c_ts") >= col("s_ts") &&
+        col("c_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("signup_id"), col("s_user"), col("s_ts"))
+      .agg(count(lit(1)).as("n_clicks_1h"))
+      .select(col("signup_id"), col("s_user").as("user_id"),
+              col("s_ts").as("signup_ts"), col("n_clicks_1h"))
+      .orderBy(col("signup_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "join_inner_shuffle"    -> (joinInnerShuffle _),
+    "join_broadcast"        -> (joinBroadcast _),
+    "join_left_outer"       -> (joinLeftOuter _),
+    "join_full_outer"       -> (joinFullOuter _),
+    "join_semi"             -> (joinSemi _),
+    "join_anti"             -> (joinAnti _),
+    "join_multiway_5"       -> (joinMultiway5 _),
+    "join_theta_band"       -> (joinThetaBand _),
+    "join_asof"             -> (joinAsof _),
+    "join_interval_overlap" -> (joinIntervalOverlap _),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "join_inner_shuffle" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal < 0 AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(22,4)) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH sup AS (
+        |  SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+        |  WHERE s_nationkey < 15 GROUP BY s_nationkey),
+        |nat AS (SELECT * FROM nation WHERE n_nationkey >= 10)
+        |SELECT coalesce(s_nationkey, n_nationkey) AS nationkey, n_suppliers, n_name
+        |FROM sup FULL OUTER JOIN nat ON s_nationkey = n_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_multiway_5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(22,4)) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "join_theta_band" ->
+      """SELECT a.p_partkey AS p1_key, b.p_partkey AS p2_key,
+        |  CAST(abs(CAST(a.p_retailprice AS DECIMAL(18,2)) - CAST(b.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS price_diff
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND abs(CAST(a.p_retailprice AS DECIMAL(18,2)) - CAST(b.p_retailprice AS DECIMAL(18,2))) < CAST(0.05 AS DECIMAL(18,2))
+        |ORDER BY p1_key, p2_key""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       asof_orderkey, asof_orderdate
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |         o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "join_interval_overlap" ->
+      """SELECT s.event_id AS signup_id, s.user_id,
+        |       CAST(s.ts AS TIMESTAMP) AS signup_ts, count(*) AS n_clicks_1h
+        |FROM events s JOIN events c
+        |  ON c.user_id = s.user_id
+        | AND c.event_type = 'click' AND s.event_type = 'signup'
+        | AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.event_id, s.user_id, s.ts
+        |ORDER BY signup_id""".stripMargin,
+  )
+}

@@ -44,13 +44,20 @@ object SparkEntry {
     EtlOps.oracle,
   )
 
+  // A duplicate operator key across families would silently shrink the
+  // graded query set — fail fast instead (ADVICE r1).
+  private def merged[V](ms: Seq[Map[String, V]]): Map[String, V] =
+    ms.foldLeft(ListMap.empty[String, V]) { (acc, m) =>
+      val dup = acc.keySet.intersect(m.keySet)
+      require(dup.isEmpty, s"duplicate operator keys across families: $dup")
+      acc ++ m
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    families.foldLeft(ListMap.empty[String, (SparkSession, String) => DataFrame])(_ ++ _)
+  def queries: Map[String, (SparkSession, String) => DataFrame] = merged(families)
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Omitted for non-SQL-expressible ops
     * (the driver then records a weaker rows-only check). */
-  def oracleSql: Map[String, String] =
-    oracles.foldLeft(ListMap.empty[String, String])(_ ++ _)
+  def oracleSql: Map[String, String] = merged(oracles)
 }

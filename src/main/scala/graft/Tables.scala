@@ -50,7 +50,14 @@ object Tables {
   def documents(spark: SparkSession, sf: String): DataFrame  = read(spark, sf, "documents")
   def embeddings(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "embeddings")
 
-  /** events with `ts` converted ns→µs TimestampType (see scaladoc). */
+  /** events with `ts` converted ns→µs TimestampType (see scaladoc).
+    *
+    * NOTE: the nanosAsLong conf is set at session build in
+    * Verify/Bench/test builders; the runtime set here is a documented
+    * defensive fallback for sessions built elsewhere (e.g. the driver's
+    * smoke-check session). It intentionally leaks to the session — the
+    * conf only changes how NANOS parquet columns (events.ts alone in
+    * this corpus) are surfaced, so it is safe session-wide. */
   def events(spark: SparkSession, sf: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, sf, "events")

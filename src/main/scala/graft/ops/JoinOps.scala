@@ -33,7 +33,10 @@ object JoinOps {
       .join(broadcast(part(spark, sf)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        dec(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))), 22, 4).as("revenue"),
+        // exact decimal sum (order-independent), then a deterministic
+        // decimal→double cast for output: DOUBLE hashes identically in
+        // both engines, DECIMAL canonicalization does not (ADVICE r1).
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
 
@@ -43,7 +46,7 @@ object JoinOps {
       .join(orders(spark, sf), col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-           dec(coalesce(sum(money(col("o_totalprice"))), lit(0)), 18, 2).as("total_spend"))
+           coalesce(sum(money(col("o_totalprice"))), lit(0)).cast("double").as("total_spend"))
       .orderBy(col("c_custkey"))
 
   /** #13 — full outer join on partially-overlapping synthesized keys:
@@ -88,25 +91,34 @@ object JoinOps {
              col("o_orderdate") <  ts("1998-01-01"))
       .groupBy(col("n_name"))
       .agg(
-        dec(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))), 22, 4).as("revenue"),
+        sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   /** #17 — theta/band join: part pairs within 0.05 retail price of each
-    * other (exact decimal band compare; planner → broadcast NLJ, fine
-    * because one side is a dimension). At 100 TB this would get a
-    * price-bucket equi-join prefilter (join on floor(price/band) ±1)
-    * — same results, shuffle instead of NLJ. */
+    * other. Bucketized: the band |p1-p2| < 0.05 on exact 2-dp decimals
+    * is |20*p1 - 20*p2| < 1 on exact longs, so matching pairs differ by
+    * at most one price bucket b = 20*price. Exploding the probe side to
+    * (b-1, b, b+1) turns the O(n²) nested loop into a hash-partitioned
+    * equi-join on bucket + exact residual predicate — identical results,
+    * and the shape that survives a 100 TB fact-fact band join (shuffle
+    * by bucket instead of broadcast NLJ). */
   def joinThetaBand(spark: SparkSession, sf: String): DataFrame = {
-    val p1 = part(spark, sf).select(
-      col("p_partkey").as("p1_key"), money(col("p_retailprice")).as("p1_price"))
-    val p2 = part(spark, sf).select(
-      col("p_partkey").as("p2_key"), money(col("p_retailprice")).as("p2_price"))
-    p1.join(broadcast(p2),
+    val base = part(spark, sf).select(
+      col("p_partkey"),
+      money(col("p_retailprice")).as("price"),
+      (money(col("p_retailprice")) * 20).cast("long").as("bucket"))
+    val p1 = base.select(
+      col("p_partkey").as("p1_key"), col("price").as("p1_price"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
+    val p2 = base.select(
+      col("p_partkey").as("p2_key"), col("price").as("p2_price"), col("bucket").as("b2"))
+    p1.join(p2,
+        col("probe") === col("b2") &&
         col("p1_key") < col("p2_key") &&
         abs(col("p1_price") - col("p2_price")) < dec(lit(0.05), 18, 2))
       .select(col("p1_key"), col("p2_key"),
-              dec(abs(col("p1_price") - col("p2_price")), 18, 2).as("price_diff"))
+              abs(col("p1_price") - col("p2_price")).cast("double").as("price_diff"))
       .orderBy(col("p1_key"), col("p2_key"))
   }
 
@@ -171,13 +183,13 @@ object JoinOps {
         |ORDER BY o_orderkey""".stripMargin,
     "join_broadcast" ->
       """SELECT p_brand,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(22,4)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS total_spend
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "join_full_outer" ->
@@ -199,7 +211,7 @@ object JoinOps {
         |ORDER BY c_custkey""".stripMargin,
     "join_multiway_5" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(22,4)) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -212,7 +224,7 @@ object JoinOps {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "join_theta_band" ->
       """SELECT a.p_partkey AS p1_key, b.p_partkey AS p2_key,
-        |  CAST(abs(CAST(a.p_retailprice AS DECIMAL(18,2)) - CAST(b.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS price_diff
+        |  CAST(abs(CAST(a.p_retailprice AS DECIMAL(18,2)) - CAST(b.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_diff
         |FROM part a JOIN part b
         |  ON a.p_partkey < b.p_partkey
         | AND abs(CAST(a.p_retailprice AS DECIMAL(18,2)) - CAST(b.p_retailprice AS DECIMAL(18,2))) < CAST(0.05 AS DECIMAL(18,2))

@@ -66,4 +66,13 @@ object Tables {
 
   /** Timestamp literal (session TZ is UTC everywhere). */
   def ts(lit0: String): Column = lit(lit0).cast(TimestampType)
+
+  /** Register corpus tables as temp views for SQL-expressed queries
+    * (GROUPING SETS, WITHIN GROUP, ... — surfaces the DataFrame API
+    * lacks). Idempotent: same name always binds the same definition. */
+  def views(spark: SparkSession, sf: String, names: String*): Unit =
+    names.foreach {
+      case "events" => events(spark, sf).createOrReplaceTempView("events")
+      case n        => read(spark, sf, n).createOrReplaceTempView(n)
+    }
 }

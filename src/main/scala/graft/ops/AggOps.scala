@@ -1,9 +1,237 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import scala.collection.immutable.ListMap
+import graft.Tables._
 
+/** SURVEY §2.D — aggregation (#20–#30).
+  *
+  * Scale posture: every aggregate here is algebraic (sum/count/moments
+  * or mergeable partial state), so Spark plans partial aggregation
+  * before the exchange — the shuffle carries one row per (group,
+  * partition), not per input row. Exact-decimal sums make results
+  * order-independent; averages are derived as sum/count in double at
+  * the end (identical IEEE division in both engines). `grouping sets`
+  * and `WITHIN GROUP` percentiles use the SQL surface via temp views.
+  */
 object AggOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap()
-  val oracle: Map[String, String] = ListMap()
+
+  /** #20 — TPC-H Q1-shape pricing summary: the canonical hash
+    * aggregate with map-side combine. */
+  def aggHashGroupby(spark: SparkSession, sf: String): DataFrame = {
+    val f2 = (lit(1) - money(col("l_discount"))).cast(DecimalType(4, 2))
+    val f3 = (lit(1) + money(col("l_tax"))).cast(DecimalType(4, 2))
+    lineitem(spark, sf)
+      .where(col("l_shipdate") <= ts("2001-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(money(col("l_extendedprice")) * f2, 24, 4)).cast("double").as("sum_disc_price"),
+        sum((dec(money(col("l_extendedprice")) * f2, 24, 4) * f3).cast(DecimalType(30, 6)))
+          .cast("double").as("sum_charge"),
+        (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(money(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(money(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** #21 — exact distinct count per group (expands to a two-level
+    * aggregate: distinct on (group, key), then count — both shuffles
+    * are keyed, no global distinct). */
+  def aggDistinctCount(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** #22 — multiple distinct aggregates + a plain one in a single pass
+    * (Catalyst rewrites via expand). */
+  def aggMultiDistinct(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_linestatus"))
+
+  private def rollupCubeSelect(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    g.agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n_rows"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_rf"), col("g_ls"), col("n_rows"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** #23 — ROLLUP with GROUPING() markers (subtotal levels coalesced
+    * to 'ALL' so no NULL ever reaches the sort — cross-engine NULL
+    * ordering is not portable). */
+  def aggRollup(spark: SparkSession, sf: String): DataFrame =
+    rollupCubeSelect(lineitem(spark, sf).rollup(col("l_returnflag"), col("l_linestatus")))
+
+  /** #24 — CUBE over the same shape. */
+  def aggCube(spark: SparkSession, sf: String): DataFrame =
+    rollupCubeSelect(lineitem(spark, sf).cube(col("l_returnflag"), col("l_linestatus")))
+
+  private val groupingSetsSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** #25 — explicit GROUPING SETS (SQL surface; identical text runs in
+    * both engines). */
+  def aggGroupingSets(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "lineitem")
+    spark.sql(groupingSetsSql)
+  }
+
+  /** #26 — moment statistics per group, rounded to 4 dp (both engines
+    * accumulate doubles; last-ulp drift is bridged by rounding). */
+  def aggStats(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 4).as("corr_price_qty"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("cov_price_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val percentileSql =
+    """SELECT l_returnflag,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) AS p50_qty,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #27 — interpolated percentiles (WITHIN GROUP, SQL surface). */
+  def aggPercentile(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "lineitem")
+    spark.sql(percentileSql)
+  }
+
+  /** #28 — HLL++ approximate distinct. No oracle (approximation is
+    * engine-specific); property-tested within 5% of exact in the
+    * scalatest suite. At 100 TB this is the only sane distinct-count:
+    * fixed-size sketch per group, no distinct expand. */
+  def aggApproxDistinct(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** #29 — per-group sorted array (order forced by array_sort so the
+    * unordered collect is deterministic). */
+  def aggCollectSorted(spark: SparkSession, sf: String): DataFrame =
+    nation(spark, sf)
+      .groupBy(col("n_regionkey"))
+      .agg(array_sort(collect_list(col("n_name"))).as("nations"),
+           count(lit(1)).as("n_nations"))
+      .orderBy(col("n_regionkey"))
+
+  /** #30 — custom UDAF: per-label embedding centroid via the typed
+    * [[graft.functions.VectorMean]] Aggregator, rounded 4 dp. */
+  def aggUdafVectorMean(spark: SparkSession, sf: String): DataFrame = {
+    val vecMean = udaf(graft.functions.VectorMean)
+    embeddings(spark, sf)
+      .groupBy(col("label"))
+      .agg(vecMean(col("embedding")).as("raw"), count(lit(1)).as("n_vecs"))
+      .select(col("label"),
+              transform(col("raw"), x => round(x, 4)).as("centroid"),
+              col("n_vecs"))
+      .orderBy(col("label"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "agg_hash_groupby"     -> (aggHashGroupby _),
+    "agg_distinct_count"   -> (aggDistinctCount _),
+    "agg_multi_distinct"   -> (aggMultiDistinct _),
+    "agg_rollup"           -> (aggRollup _),
+    "agg_cube"             -> (aggCube _),
+    "agg_grouping_sets"    -> (aggGroupingSets _),
+    "agg_stats"            -> (aggStats _),
+    "agg_percentile"       -> (aggPercentile _),
+    "agg_approx_distinct"  -> (aggApproxDistinct _),
+    "agg_collect_sorted"   -> (aggCollectSorted _),
+    "agg_udaf_vector_mean" -> (aggUdafVectorMean _),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "agg_hash_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS DECIMAL(24,4)) * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_linestatus,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "agg_grouping_sets" -> groupingSetsSql,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_price_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" -> percentileSql,
+    "agg_collect_sorted" ->
+      """SELECT n_regionkey, array_agg(n_name ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "agg_udaf_vector_mean" ->
+      """WITH u AS (
+        |  SELECT label, unnest(embedding) AS e,
+        |         generate_subscripts(embedding, 1) AS idx
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, idx, round(avg(CAST(e AS DOUBLE)), 4) AS mean_e
+        |  FROM u GROUP BY label, idx),
+        |c AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT m.label, array_agg(m.mean_e ORDER BY m.idx) AS centroid, c.n_vecs
+        |FROM m JOIN c ON m.label = c.label
+        |GROUP BY m.label, c.n_vecs ORDER BY m.label""".stripMargin,
+  )
 }

@@ -24,6 +24,7 @@ object SparkEntry {
     JoinOps.queries,
     AggOps.queries,
     WindowOps.queries,
+    SortOps.queries,
     SetOpsFamily.queries,
     ScalarOps.queries,
     StreamOps.queries,
@@ -37,6 +38,7 @@ object SparkEntry {
     JoinOps.oracle,
     AggOps.oracle,
     WindowOps.oracle,
+    SortOps.oracle,
     SetOpsFamily.oracle,
     ScalarOps.oracle,
     StreamOps.oracle,

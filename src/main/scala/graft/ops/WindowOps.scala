@@ -1,9 +1,149 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
+import graft.Tables._
 
+/** SURVEY §2.E — window functions (#31–#36).
+  *
+  * Scale posture: every window partitions by a high-cardinality key
+  * (customer / user / segment), so the single exchange hash-partitions
+  * by that key and each partition sorts locally — no global sort, no
+  * skew (150+ users, 1500+ customers spread over partitions). Frames
+  * are ROWS/RANGE over per-key data, evaluated streaming within the
+  * sorted partition.
+  *
+  * Determinism: rank/dense_rank order by a tie-prone bucket (that is
+  * the point of rank vs row_number); row_number always adds a unique
+  * tie-break key. Millisecond epoch arithmetic (exact BIGINT in both
+  * engines) instead of fractional-second epochs.
+  */
 object WindowOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap()
-  val oracle: Map[String, String] = ListMap()
+
+  /** #31 — rank / dense_rank / row_number per market segment over a
+    * tie-prone acctbal bucket (1000-wide bands). */
+  def winRankDenseRownum(spark: SparkSession, sf: String): DataFrame = {
+    val bucket = floor(col("c_acctbal") / 1000).cast("long")
+    val tieProne = Window.partitionBy(col("c_mktsegment")).orderBy(bucket.desc)
+    val unique = Window.partitionBy(col("c_mktsegment")).orderBy(bucket.desc, col("c_custkey"))
+    customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), bucket.as("bal_bucket"),
+        rank().over(tieProne).as("rnk"),
+        dense_rank().over(tieProne).as("drnk"),
+        row_number().over(unique).as("rn"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** #32 — top-3 orders per customer (row_number + filter; the
+    * per-group top-k shape that replaces a global sort at scale). */
+  def winTopkPerGroup(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** #33 — running revenue per customer (ROWS unbounded-preceding
+    * frame over exact decimal sums → every prefix is exact). */
+  def winRunningSum(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+              sum(money(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** #34 — lag/lead per user over the event stream: inter-event gap
+    * in exact milliseconds + next event type (reference heritage:
+    * successive-reading deltas). */
+  def winLagLead(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap_ms"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** #35 — RANGE frame: 10-minute trailing sum of value per user,
+    * ordered by exact epoch-millis. */
+  def winRangeFrame(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+      .rangeBetween(-600000L, 0L)
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              sum(money(col("value"))).over(w).cast("double").as("trailing_10m"))
+      .orderBy(col("event_id"))
+  }
+
+  /** #36 — ntile quartiles of order totals (unique ordering so the
+    * bucket assignment is deterministic). */
+  def winNtile(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "win_rank_dense_rownum" -> (winRankDenseRownum _),
+    "win_topk_per_group"    -> (winTopkPerGroup _),
+    "win_running_sum"       -> (winRunningSum _),
+    "win_lag_lead"          -> (winLagLead _),
+    "win_range_frame"       -> (winRangeFrame _),
+    "win_ntile"             -> (winNtile _),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "win_rank_dense_rownum" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |  rank() OVER (PARTITION BY c_mktsegment
+        |               ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC) AS rnk,
+        |  dense_rank() OVER (PARTITION BY c_mktsegment
+        |               ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC) AS drnk,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |               ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC, c_custkey) AS rn
+        |FROM customer ORDER BY c_mktsegment, rn""".stripMargin,
+    "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  epoch_ms(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS next_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+        |          RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_10m
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_ntile" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
 }

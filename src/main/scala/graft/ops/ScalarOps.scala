@@ -1,9 +1,205 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
+import graft.Tables._
 
+/** SURVEY §2.H — scalar function families (#43–#50), one query per
+  * family exercising it end-to-end.
+  *
+  * Scale posture: all narrow, codegen'd expressions over the scan —
+  * zero shuffles except where a final aggregate is part of the query.
+  * Built-in `functions._` everywhere except #50, which deliberately
+  * demonstrates the UDF surface (and documents why built-ins are
+  * preferred: a Scala UDF is an opaque black box to Catalyst — no
+  * pushdown through it, serialization per row, no codegen fusion).
+  *
+  * Cross-engine notes: regexes stay POSIX-simple; date arithmetic
+  * sticks to year/month/date_trunc/add_months/last_day (verified
+  * identical semantics); transcendentals round to 4 dp (JVM vs libm
+  * last-ulp drift).
+  */
 object ScalarOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap()
-  val oracle: Map[String, String] = ListMap()
+
+  /** #43 — string functions: case, substring, length, pad, concat,
+    * replace, split + element access. */
+  def strFuncs(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .where(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("key_padded"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("name_short"),
+        split(col("c_name"), "#").getItem(1).as("name_num"))
+      .orderBy(col("c_custkey"))
+
+  /** #44 — regular expressions: extract, replace, filter (POSIX-simple
+    * patterns only, for cross-engine identity). */
+  def strRegexp(spark: SparkSession, sf: String): DataFrame =
+    nation(spark, sf)
+      .where(col("n_name").rlike("[0-9]$"))
+      .select(col("n_nationkey"), col("n_name"),
+        regexp_extract(col("n_name"), "([0-9]+)", 1).as("nation_num"),
+        regexp_replace(col("n_name"), "_", " ").as("name_spaced"))
+      .orderBy(col("n_nationkey"))
+
+  /** #45 — datetime functions over order dates (reference heritage:
+    * baseline/reporting period arithmetic on UTC timestamps). */
+  def dateFuncs(spark: SparkSession, sf: String): DataFrame =
+    orders(spark, sf)
+      .where(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), ts("1995-01-01")).as("days_since_95"),
+        add_months(col("o_orderdate"), 3).cast("timestamp").as("plus_3m"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  /** #46 — math functions (exact on ints/decimals; transcendentals
+    * rounded 4 dp). */
+  def mathFuncs(spark: SparkSession, sf: String): DataFrame =
+    part(spark, sf)
+      .where(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey"),
+        abs(col("p_size") - 25).as("size_dev"),
+        ceil(col("p_retailprice")).as("price_ceil"),
+        floor(col("p_retailprice")).as("price_floor"),
+        (col("p_partkey") % 7).as("key_mod7"),
+        pow(col("p_size"), 2).cast("long").as("size_sq"),
+        round(sqrt(col("p_size")), 4).as("size_sqrt"),
+        round(log(col("p_retailprice")), 4).as("price_ln"),
+        round(exp(col("p_size") / lit(25.0)), 4).as("size_exp"))
+      .orderBy(col("p_partkey"))
+
+  /** #47 — array higher-order functions over embeddings: size,
+    * element access, slice, min/max, filter, transform. */
+  def arrayFuncs(spark: SparkSession, sf: String): DataFrame =
+    embeddings(spark, sf)
+      .where(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+        round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+        round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
+        size(filter(col("embedding"), x => x > 0)).as("n_positive"),
+        transform(slice(col("embedding"), 1, 3), x => round(x.cast("double"), 4))
+          .as("head3"))
+      .orderBy(col("vec_id"))
+
+  /** #48 — map/struct construction: per-source lang→count map built
+    * from collected structs, then exploded back to sorted entries
+    * (map iteration order is engine-specific, entry rows are not). */
+  def mapStructFuncs(spark: SparkSession, sf: String): DataFrame = {
+    val entries = documents(spark, sf)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(map_from_entries(collect_list(struct(col("lang"), col("n")))).as("lang_map"))
+    entries
+      .select(col("source"), explode(col("lang_map")).as(Seq("lang", "n_docs")))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** #49 — JSON functions: parse, extract, aggregate by extracted key
+    * (reference heritage: API payload handling). */
+  def jsonFuncs(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+              col("event_type"))
+      .where(col("k") < 10)
+      .groupBy(col("k"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k"), col("event_type"))
+
+  /** #50 — the UDF surface: a pure Scala string transform registered
+    * via `udf()`. Kept deliberately trivial — the documented guidance
+    * is "built-ins first" (see object scaladoc); this exists to prove
+    * the extension point works. */
+  def udfScalar(spark: SparkSession, sf: String): DataFrame = {
+    val revUpper = udf((s: String) => if (s == null) null else s.toUpperCase.reverse)
+    supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name"),
+              revUpper(col("s_name")).as("name_rev_upper"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "str_funcs"        -> (strFuncs _),
+    "str_regexp"       -> (strRegexp _),
+    "date_funcs"       -> (dateFuncs _),
+    "math_funcs"       -> (mathFuncs _),
+    "array_funcs"      -> (arrayFuncs _),
+    "map_struct_funcs" -> (mapStructFuncs _),
+    "json_funcs"       -> (jsonFuncs _),
+    "udf_scalar"       -> (udfScalar _),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "str_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  length(c_name) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_padded,
+        |  concat_ws('-', c_mktsegment, c_name) AS seg_name,
+        |  regexp_replace(c_name, 'Customer', 'Cust') AS name_short,
+        |  string_split(c_name, '#')[2] AS name_num
+        |FROM customer WHERE c_custkey % 7 = 0 ORDER BY c_custkey""".stripMargin,
+    "str_regexp" ->
+      """SELECT n_nationkey, n_name,
+        |  regexp_extract(n_name, '([0-9]+)', 1) AS nation_num,
+        |  regexp_replace(n_name, '_', ' ') AS name_spaced
+        |FROM nation WHERE regexp_matches(n_name, '[0-9]$')
+        |ORDER BY n_nationkey""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+        |    AS days_since_95,
+        |  o_orderdate + INTERVAL 3 MONTH AS plus_3m,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+        |FROM orders WHERE o_orderkey % 11 = 0 ORDER BY o_orderkey""".stripMargin,
+    "math_funcs" ->
+      """SELECT p_partkey,
+        |  abs(p_size - 25) AS size_dev,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+        |  p_partkey % 7 AS key_mod7,
+        |  CAST(pow(p_size, 2) AS BIGINT) AS size_sq,
+        |  round(sqrt(p_size), 4) AS size_sqrt,
+        |  round(ln(p_retailprice), 4) AS price_ln,
+        |  round(exp(p_size / 25.0), 4) AS size_exp
+        |FROM part WHERE p_partkey % 5 = 0 ORDER BY p_partkey""".stripMargin,
+    "array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+        |FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id""".stripMargin,
+    "map_struct_funcs" ->
+      """SELECT source, lang, count(*) AS n_docs
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "json_funcs" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  event_type, count(*) AS n
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) < 10
+        |GROUP BY k, event_type ORDER BY k, event_type""".stripMargin,
+    "udf_scalar" ->
+      """SELECT s_suppkey, s_name, reverse(upper(s_name)) AS name_rev_upper
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+  )
 }

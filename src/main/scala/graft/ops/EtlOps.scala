@@ -1,9 +1,191 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import scala.collection.immutable.ListMap
+import graft.Tables._
 
+/** SURVEY §2.K — ETL-heritage operators (#65–#70), the oeem-etl
+  * semantics re-expressed as distributed transforms: unit
+  * normalization, interval QA, gap-filling against a time spine,
+  * last-write-wins upsert, deterministic chunking, incremental
+  * high-watermark loads.
+  *
+  * Scale posture: upsert/dedup key by natural key (one shuffle);
+  * gap-fill joins a generated spine against pre-aggregated hours (the
+  * spine is tiny — broadcast); the incremental filter is a scalar
+  * aggregate broadcast against the scan, the classic idempotent
+  * re-run predicate of a Luigi-style pipeline. The chunker's global
+  * row_number is the one intentionally non-scalable shape here (the
+  * reference's bulk-upload batching is sequential by contract); at
+  * 100 TB you would chunk per partition key instead.
+  */
 object EtlOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap()
-  val oracle: Map[String, String] = ListMap()
+
+  /** #65 — unit normalization (therms→kWh for purchase events),
+    * exact decimal conversion factor. */
+  def etlNormalizeUnits(spark: SparkSession, sf: String): DataFrame = {
+    val factor = lit(29.3001).cast(DecimalType(6, 4))
+    val kwh = when(col("event_type") === "purchase", money(col("value")) * factor)
+      .otherwise(money(col("value"))).cast(DecimalType(28, 6))
+    events(spark, sf)
+      .select(col("event_type"), kwh.as("kwh"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("kwh")).cast("double").as("total_kwh"))
+      .orderBy(col("event_type"))
+  }
+
+  /** #66 — interval QA over the per-user reading stream: flag gaps
+    * > 2h and duplicate timestamps (lag-based validation). */
+  def etlIntervalValidate(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap_ms"))
+      .where(col("gap_ms") > 7200000 || col("gap_ms") === 0)
+      .withColumn("flag", when(col("gap_ms") === 0, "dup").otherwise("gap"))
+      .orderBy(col("event_id"))
+  }
+
+  /** #67 — gap-fill: hourly resample of events against a generated
+    * [2024-01-01, 2024-01-30] spine, zero-filling empty hours. */
+  def etlGapFill(spark: SparkSession, sf: String): DataFrame = {
+    val spine = spark.range(1).select(
+      explode(expr(
+        "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-30 00:00:00', interval 1 hour)"))
+        .as("hour_start"))
+    val hourly = events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"),
+           sum(money(col("value"))).cast("double").as("tv"))
+    spine.join(hourly, Seq("hour_start"), "left")
+      .select(col("hour_start"),
+              coalesce(col("n"), lit(0L)).as("n_events"),
+              coalesce(col("tv"), lit(0.0)).as("total_value"))
+      .orderBy(col("hour_start"))
+  }
+
+  /** #68 — last-write-wins upsert (datastore sync semantics): a delta
+    * batch (events with k >= 50, values bumped) overlays the
+    * snapshot; latest version wins per natural key. */
+  def etlUpsertLastwins(spark: SparkSession, sf: String): DataFrame = {
+    val base = events(spark, sf)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    val snap = base.select(col("event_id"), lit(1).as("version"), money(col("value")).as("v"))
+    val delta = base.where(col("k") >= 50)
+      .select(col("event_id"), lit(2).as("version"), (money(col("value")) + 100).as("v"))
+    val w = Window.partitionBy(col("event_id")).orderBy(col("version").desc)
+    snap.unionByName(delta)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("version"), col("v").cast("double").as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** #69 — deterministic chunking for bulk upload: 1000-row batches
+    * in event_id order, per-batch stats. */
+  def etlChunkBatches(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.orderBy(col("event_id"))
+    events(spark, sf)
+      .select(col("event_id"), money(col("value")).as("v"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / 1000).cast("int"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("event_id")).as("min_id"),
+           max(col("event_id")).as("max_id"),
+           sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** #70 — incremental-load predicate: rows newer than the
+    * high-watermark (max ts before 2024-01-29) — the idempotent
+    * "new since last run" filter. */
+  def etlIncrementalFilter(spark: SparkSession, sf: String): DataFrame = {
+    val hw = events(spark, sf)
+      .where(col("ts") < ts("2024-01-29"))
+      .agg(max(col("ts")).as("hw"))
+    events(spark, sf)
+      .crossJoin(broadcast(hw))
+      .where(col("ts") > col("hw"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "etl_normalize_units"    -> (etlNormalizeUnits _),
+    "etl_interval_validate"  -> (etlIntervalValidate _),
+    "etl_gap_fill"           -> (etlGapFill _),
+    "etl_upsert_lastwins"    -> (etlUpsertLastwins _),
+    "etl_chunk_batches"      -> (etlChunkBatches _),
+    "etl_incremental_filter" -> (etlIncrementalFilter _),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "etl_normalize_units" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) * CAST(29.3001 AS DECIMAL(6,4))
+        |    ELSE CAST(value AS DECIMAL(18,2)) END AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS total_kwh
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_interval_validate" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, gap_ms,
+        |  CASE WHEN gap_ms = 0 THEN 'dup' ELSE 'gap' END AS flag
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    epoch_ms(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_ms(CAST(ts AS TIMESTAMP)), 1)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |  FROM events)
+        |WHERE gap_ms > 7200000 OR gap_ms = 0
+        |ORDER BY event_id""".stripMargin,
+    "etl_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+        |    TIMESTAMP '2024-01-30', INTERVAL 1 HOUR)) AS hour_start),
+        |h AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv
+        |  FROM events GROUP BY 1)
+        |SELECT s.hour_start, coalesce(h.n, 0) AS n_events,
+        |  coalesce(h.tv, 0.0) AS total_value
+        |FROM spine s LEFT JOIN h ON s.hour_start = h.hour_start
+        |ORDER BY s.hour_start""".stripMargin,
+    "etl_upsert_lastwins" ->
+      """WITH snap AS (
+        |  SELECT event_id, 1 AS version, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |delta AS (
+        |  SELECT event_id, 2 AS version, CAST(value AS DECIMAL(18,2)) + 100 AS v
+        |  FROM events
+        |  WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM delta),
+        |r AS (
+        |  SELECT event_id, version, v,
+        |    row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+        |  FROM u)
+        |SELECT event_id, version, CAST(v AS DOUBLE) AS value FROM r
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "etl_chunk_batches" ->
+      """SELECT batch_id, count(*) AS n_rows, min(event_id) AS min_id,
+        |  max(event_id) AS max_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT event_id, value,
+        |    CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 1000) AS INT)
+        |      AS batch_id
+        |  FROM events)
+        |GROUP BY batch_id ORDER BY batch_id""".stripMargin,
+    "etl_incremental_filter" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |FROM events
+        |WHERE ts > (SELECT max(ts) FROM events
+        |            WHERE ts < TIMESTAMP '2024-01-29')
+        |ORDER BY event_id""".stripMargin,
+  )
 }

@@ -1,9 +1,145 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
+import graft.Tables._
 
+/** SURVEY §2.I — streaming-shaped queries (#51–#55) over the events
+  * table.
+  *
+  * Structured Streaming's unified model means these transforms are
+  * defined once and run identically over a batch DataFrame or a
+  * `readStream` source; the driver-graded entries here execute in
+  * batch mode (deterministic, oracle-checkable), and the same
+  * transforms run under MemoryStream with watermarks/output modes in
+  * the scalatest streaming suite (graft.streaming.StreamingSpec).
+  *
+  * Scale posture: tumbling/sliding/session windows group by (window,
+  * key) — one keyed shuffle; session windows additionally merge state
+  * per key. In true streaming these become incremental stateful
+  * operators with watermark-bounded state, which is exactly how a
+  * 100 TB/day event feed must be processed: state is bounded by
+  * (keys × open windows), never by history.
+  */
 object StreamOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap()
-  val oracle: Map[String, String] = ListMap()
+
+  /** #51 — tumbling 1-hour window × event_type: counts + exact sums. */
+  def streamTumblingWindow(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(money(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+              col("n_events"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** #52 — sliding window: 1 hour long, sliding every 30 minutes
+    * (each event lands in exactly 2 windows). */
+  def streamSlidingWindow(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(money(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("w_start"), col("n_events"), col("total_value"))
+      .orderBy(col("w_start"))
+
+  /** #53 — session windows per user with a 30-minute inactivity gap
+    * (a new session starts when the gap is >= 30 min; session end =
+    * last event + gap, Spark's session_window semantics). */
+  def streamSessionWindow(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(money(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** #54 — streaming dropDuplicates semantics: keep the earliest event
+    * per (user, type) key — in batch form, row_number over event time. */
+  def streamDedupKeys(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** #55 — the accumulation mapGroupsWithState would maintain: running
+    * per-user event count at every event. */
+  def streamStatefulCounts(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              count(lit(1)).over(w).as("running_count"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "stream_tumbling_window" -> (streamTumblingWindow _),
+    "stream_sliding_window"  -> (streamSlidingWindow _),
+    "stream_session_window"  -> (streamSessionWindow _),
+    "stream_dedup_keys"      -> (streamDedupKeys _),
+    "stream_stateful_counts" -> (streamStatefulCounts _),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "stream_tumbling_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "stream_sliding_window" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP)) AS b,
+        |         value
+        |  FROM events),
+        |x AS (
+        |  SELECT unnest([b, b - INTERVAL 30 MINUTES]) AS w_start, value FROM e)
+        |SELECT w_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "stream_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              IS NULL THEN 1
+        |         WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |              - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) AS TIMESTAMP)) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |y AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTES AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM y GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_dedup_keys" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "stream_stateful_counts" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
 }

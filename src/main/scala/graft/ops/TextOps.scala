@@ -1,9 +1,311 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
+import graft.Tables._
 
+/** SURVEY §2.J — LLM-data-pipeline operators (#56–#64): tokenization,
+  * text stats, shingling, exact + MinHash-LSH near-dedup, cosine
+  * similarity, brute-force kNN, centroid classification, multimodal
+  * join.
+  *
+  * Everything is native higher-order expressions (`transform`,
+  * `aggregate`, `zip_with`, `explode`) — no UDFs — so the hot paths
+  * stay inside whole-stage codegen.
+  *
+  * Scale posture (the part that matters at 100 TB):
+  *  - near-dedup NEVER materializes n² pairs: documents are reduced to
+  *    fixed-size MinHash signatures, and candidates come from an
+  *    equi-self-join on the signature tuple — a hash-partitioned
+  *    shuffle by signature, the banded-LSH shape (more bands = more
+  *    signature groups, same plan);
+  *  - brute-force kNN broadcasts the smaller side and computes the
+  *    dot product in codegen; per-query top-k is a bounded window.
+  *    The scale path replaces the broadcast with an IVF-style
+  *    bucket join (cluster vectors by centroid, probe only nearby
+  *    buckets) — same residual scoring, equi-join on bucket id;
+  *  - per-document ops (tokenize, shingle, fingerprint) are narrow
+  *    and embarrassingly parallel.
+  */
 object TextOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap()
-  val oracle: Map[String, String] = ListMap()
+
+  /** split-on-space tokens. */
+  private def words: Column = split(col("text"), " ")
+
+  /** 3-gram shingles via sequence+transform (native UDTF-style
+    * expansion; requires >= 3 tokens, enforced by the caller). */
+  private def shingles: Column =
+    transform(sequence(lit(1), size(col("words")) - 2),
+      i => concat_ws(" ",
+        element_at(col("words"), i),
+        element_at(col("words"), i + 1),
+        element_at(col("words"), i + 2)))
+
+  /** Exact double dot product of two (float- or double-typed) array
+    * columns: sequential left fold, deterministic element order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  private def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** #56 — tokenize + explode + global top-50 word frequencies. */
+  def textTokenizeWordcount(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(explode(words).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(50)
+
+  /** #57 — per-language corpus stats (doc counts, exact-sum averages). */
+  def textStats(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(col("lang"), col("n_chars"), size(words).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+           (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** #58 — 3-gram shingle expansion: (doc_id, shingle) multiplicity. */
+  def textShingleGenerate(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .groupBy(col("doc_id"), col("shingle"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("doc_id"), col("shingle"))
+
+  /** #59 — exact dedup by content hash: cluster per md5(text), keep
+    * the smallest doc_id as the canonical representative. */
+  def dedupExactMd5(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("keep_id"))
+
+  /** Per-doc MinHash signature columns sig0..sig3: min over shingles
+    * of md5(shingle + seed). */
+  private def minhashSignatures(spark: SparkSession, sf: String): DataFrame = {
+    val base = documents(spark, sf)
+      .withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .withColumn("shingles", shingles)
+    val sigCols = (0 until 4).map { s =>
+      array_min(transform(col("shingles"), x => md5(concat(x, lit(s"#$s")))))
+        .as(s"sig$s")
+    }
+    base.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** #60 — MinHash near-dup candidates: docs equal on all 4 signature
+    * slots, paired d1 < d2. Equi-join on the signature tuple — the
+    * LSH-banded shape that scales (no n² pair scan). */
+  def dedupMinhashNear(spark: SparkSession, sf: String): DataFrame = {
+    val sigs = minhashSignatures(spark, sf)
+    val a = sigs.toDF("d1", "a0", "a1", "a2", "a3")
+    val b = sigs.toDF("d2", "b0", "b1", "b2", "b3")
+    a.join(b,
+        col("a0") === col("b0") && col("a1") === col("b1") &&
+        col("a2") === col("b2") && col("a3") === col("b3") &&
+        col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** #61 — cosine similarity on given pairs (adjacent vec_ids), native
+    * zip_with/aggregate dot product, rounded 4 dp. */
+  def simCosinePairs(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, col("a_id") + 1 === col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("ea"), col("eb")) / (l2norm(col("ea")) * l2norm(col("eb"))), 4)
+          .as("cos_sim"))
+      .orderBy(col("a_id"))
+  }
+
+  /** #62 — brute-force cosine top-5 per vector. Norms are computed
+    * once per side (not per pair), the small side is broadcast, the
+    * per-pair work is one codegen'd dot product, and ranking happens
+    * on the rounded score so cross-engine ulp drift cannot reorder
+    * the neighbor list (ties break by b_id). */
+  def simKnnTopk(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+                     l2norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+                     l2norm(col("embedding")).as("nb"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
+    a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("a_id"), col("rnk"), col("b_id"), col("cos_sim"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  /** #63 — nearest-centroid classification: per-label centroids (via
+    * the VectorMean UDAF), broadcast to every vector, argmax cosine
+    * (rounded-score ranking, label tie-break), confusion-matrix
+    * counts. */
+  def simCentroidClassify(spark: SparkSession, sf: String): DataFrame = {
+    val vecMean = udaf(graft.functions.VectorMean)
+    val cents = embeddings(spark, sf)
+      .groupBy(col("label").as("cand_label"))
+      .agg(vecMean(col("embedding")).as("cvec"))
+      .select(col("cand_label"), col("cvec"), l2norm(col("cvec")).as("cnrm"))
+    val vecs = embeddings(spark, sf)
+      .select(col("vec_id"), col("label").as("true_label"), col("embedding"),
+              l2norm(col("embedding")).as("vnrm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cand_label"))
+    vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("true_label"), col("cand_label"),
+        round(dot(col("embedding"), col("cvec")) / (col("vnrm") * col("cnrm")), 4)
+          .as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("true_label"), col("cand_label").as("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  /** #64 — multimodal join: text metadata + vector features in one
+    * row (documents ⋈ embeddings on doc_id = vec_id). */
+  def multimodalJoin(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .join(embeddings(spark, sf), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(words).as("n_tokens"), col("label"),
+        round(l2norm(col("embedding")), 4).as("vec_norm"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_tokenize_wordcount" -> (textTokenizeWordcount _),
+    "text_stats"              -> (textStats _),
+    "text_shingle_generate"   -> (textShingleGenerate _),
+    "dedup_exact_md5"         -> (dedupExactMd5 _),
+    "dedup_minhash_near"      -> (dedupMinhashNear _),
+    "sim_cosine_pairs"        -> (simCosinePairs _),
+    "sim_knn_topk"            -> (simKnnTopk _),
+    "sim_centroid_classify"   -> (simCentroidClassify _),
+    "multimodal_join"         -> (multimodalJoin _),
+  )
+
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
+      |sh AS (SELECT doc_id,
+      |         w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' '
+      |           || w[CAST(i AS INT) + 2] AS shingle
+      |       FROM s)""".stripMargin
+
+  val oracle: Map[String, String] = ListMap(
+    "text_tokenize_wordcount" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_shingle_generate" ->
+      (shingleCte +
+      """
+        |SELECT doc_id, shingle, count(*) AS n FROM sh
+        |GROUP BY doc_id, shingle ORDER BY doc_id, shingle""".stripMargin),
+    "dedup_exact_md5" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_minhash_near" ->
+      (shingleCte +
+      """,
+        |sig AS (
+        |  SELECT doc_id,
+        |    min(md5(shingle || '#0')) AS s0, min(md5(shingle || '#1')) AS s1,
+        |    min(md5(shingle || '#2')) AS s2, min(md5(shingle || '#3')) AS s3
+        |  FROM sh GROUP BY doc_id)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2
+        |FROM sig a JOIN sig b
+        |  ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
+        | AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin),
+    "sim_cosine_pairs" ->
+      """WITH u AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+        |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id)
+        |SELECT a_id, b_id,
+        |  round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4)
+        |    AS cos_sim
+        |FROM u GROUP BY a_id, b_id ORDER BY a_id""".stripMargin,
+    "sim_knn_topk" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+        |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |d AS (SELECT a_id, b_id, sum(xa * xb) AS dp FROM p GROUP BY a_id, b_id),
+        |c AS (
+        |  SELECT d.a_id, d.b_id, round(d.dp / (na.nrm * nb.nrm), 4) AS cos_sim
+        |  FROM d JOIN n na ON na.vec_id = d.a_id JOIN n nb ON nb.vec_id = d.b_id),
+        |r AS (
+        |  SELECT a_id, b_id, cos_sim,
+        |    row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rnk
+        |  FROM c)
+        |SELECT a_id, rnk, b_id, cos_sim FROM r WHERE rnk <= 5
+        |ORDER BY a_id, rnk""".stripMargin,
+    "sim_centroid_classify" ->
+      """WITH ce AS (
+        |  SELECT label AS cl, generate_subscripts(embedding, 1) AS idx,
+        |    CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings),
+        |c AS (SELECT cl, idx, avg(e) AS m FROM ce GROUP BY cl, idx),
+        |cn AS (SELECT cl, sqrt(sum(m * m)) AS cnrm FROM c GROUP BY cl),
+        |v AS (
+        |  SELECT vec_id, label AS true_label,
+        |    generate_subscripts(embedding, 1) AS idx,
+        |    CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings),
+        |vn AS (SELECT vec_id, sqrt(sum(e * e)) AS vnrm FROM v GROUP BY vec_id),
+        |d AS (
+        |  SELECT v.vec_id, v.true_label, c.cl, sum(v.e * c.m) AS dp
+        |  FROM v JOIN c ON v.idx = c.idx
+        |  GROUP BY v.vec_id, v.true_label, c.cl),
+        |s AS (
+        |  SELECT d.vec_id, d.true_label, d.cl,
+        |    round(d.dp / (vn.vnrm * cn.cnrm), 4) AS cos_sim
+        |  FROM d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cl = d.cl),
+        |r AS (
+        |  SELECT vec_id, true_label, cl,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cl) AS rn
+        |  FROM s)
+        |SELECT true_label, cl AS pred_label, count(*) AS n_vecs
+        |FROM r WHERE rn = 1
+        |GROUP BY true_label, cl ORDER BY true_label, pred_label""".stripMargin,
+    "multimodal_join" ->
+      """WITH n AS (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm
+        |  FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |        FROM embeddings)
+        |  GROUP BY vec_id)
+        |SELECT doc_id, lang, source, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  label, round(n.nrm, 4) AS vec_norm
+        |FROM documents d
+        |JOIN embeddings e ON d.doc_id = e.vec_id
+        |JOIN n ON n.vec_id = e.vec_id
+        |ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Single-JVM local mode: driver heap IS executor memory. The bench
+  // machine has 125 GB; size so shuffles/sorts/broadcasts at sf0.1
+  // never GC-thrash (measured: knn sort in 8g degraded 6s -> 15s on
+  // the second run from collector pressure).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // batch-throughput collector: bench queries allocate in bursts
+  // (broadcasts, codegen'd row buffers); G1 pause-avoidance cost the
+  // suite ~2x run-to-run variance in measurement.
+  "-XX:+UseParallelGC",
 )

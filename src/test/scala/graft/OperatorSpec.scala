@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.Tables._
+
+/** SURVEY §5.3 unit + invariant tests over sf0.001 (plus the
+  * non-oracle operators #3/#5/#28 that the driver only rows-checks). */
+class OperatorSpec extends SparkSpec {
+
+  test("entry (flagship) returns rows with positive revenue") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("queries and oracleSql keys line up") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
+    val noOracle = q.diff(o)
+    assert(noOracle == Set("source_csv_roundtrip", "sink_parquet_partitioned",
+      "agg_approx_distinct"), s"unexpected oracle-less queries: $noOracle")
+  }
+
+  test("csv roundtrip preserves the nation aggregation") {
+    val viaCsv = ScanOps.sourceCsvRoundtrip(spark, sf001).collect()
+    val direct = nation(spark, sf001)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
+      .orderBy(col("n_regionkey")).collect()
+    assert(viaCsv.toSeq == direct.toSeq)
+  }
+
+  test("partitioned sink writes hive-style partition dirs and preserves counts") {
+    val out = ScanOps.sinkParquetPartitioned(spark, sf001)
+    val total = out.agg(sum(col("n_rows"))).head.getLong(0)
+    assert(total == lineitem(spark, sf001).count())
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned")
+    assert(dir.listFiles().exists(_.getName.startsWith("l_returnflag=")))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = AggOps.aggApproxDistinct(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = AggOps.aggDistinctCount(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex <= 0.05, s"$k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("exact dedup is idempotent and keys by content hash") {
+    val d = TextOps.dedupExactMd5(spark, sf001)
+    assert(d.count() == d.select(col("text_hash")).distinct().count())
+    assert(d.agg(sum(col("n_dups"))).head.getLong(0) ==
+      documents(spark, sf001).count())
+  }
+
+  test("minhash candidate pairs are ordered and unique") {
+    val pairs = TextOps.dedupMinhashNear(spark, sf01).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length == pairs.length)
+  }
+
+  test("gap fill produces the full spine and preserves event totals") {
+    val g = EtlOps.etlGapFill(spark, sf001)
+    assert(g.count() == 697) // 29 days * 24h + 1 inclusive endpoint
+    val total = g.agg(sum(col("n_events"))).head.getLong(0)
+    val inRange = events(spark, sf001)
+      .where(col("ts") >= ts("2024-01-01") && col("ts") < ts("2024-01-30 01:00:00"))
+      .count()
+    assert(total == inRange)
+  }
+
+  test("chunking: batch sizes bounded, concatenation = input") {
+    val c = EtlOps.etlChunkBatches(spark, sf001).collect()
+    assert(c.forall(_.getAs[Long]("n_rows") <= 1000))
+    assert(c.map(_.getAs[Long]("n_rows")).sum == events(spark, sf001).count())
+    // batches tile the keyspace in order
+    val sorted = c.sortBy(_.getAs[Int]("batch_id"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_id") < b.getAs[Long]("min_id"))
+      case _ =>
+    }
+  }
+
+  test("upsert is last-write-wins on the natural key") {
+    val u = EtlOps.etlUpsertLastwins(spark, sf001)
+    assert(u.count() == events(spark, sf001).count()) // one row per key
+    val base = events(spark, sf001)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    val deltaKeys = base.where(col("k") >= 50).select(col("event_id"))
+    val v2 = u.where(col("version") === 2).select(col("event_id"))
+    assert(v2.except(deltaKeys).count() == 0)
+    assert(deltaKeys.except(v2).count() == 0)
+  }
+
+  test("decimal aggregation is partition-permutation invariant") {
+    val one = lineitem(spark, sf001).repartition(1)
+      .agg(sum(money(col("l_extendedprice")))).head.getDecimal(0)
+    val eight = lineitem(spark, sf001).repartition(8)
+      .agg(sum(money(col("l_extendedprice")))).head.getDecimal(0)
+    assert(one == eight)
+  }
+
+  test("VectorMean matches a hand-computed centroid") {
+    val vm = udaf(graft.functions.VectorMean)
+    val got = embeddings(spark, sf001).where(col("label") === 0)
+      .agg(vm(col("embedding"))).head.getSeq[Double](0)
+    val rows = embeddings(spark, sf001).where(col("label") === 0)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    val want = (0 until rows.head.length).map(i =>
+      rows.map(_(i).toDouble).sum / rows.length)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+  }
+
+  test("FloatVecDot equals the fold formulation bit-for-bit") {
+    val e = embeddings(spark, sf001).limit(50)
+    val withBoth = e.select(
+      org.apache.spark.sql.graft.VectorExprs.vecDot(col("embedding"), col("embedding"))
+        .as("fast"),
+      aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("ref"))
+    assert(withBoth.where(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("TopKByScore matches the row_number window formulation") {
+    val scored = events(spark, sf001)
+      .select(col("user_id"), col("value").as("score"), col("event_id"))
+    val viaAgg = scored.groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topK(col("score"), col("event_id"), 3).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), (col("pos") + 1).as("rnk"),
+              col("col.id").as("event_id"), col("col.score").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("score").desc, col("event_id"))
+    val viaWindow = scored
+      .withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 3)
+      .select(col("user_id"), col("rnk"), col("event_id"), col("score"))
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops._
+
+/** SURVEY §5.3 plan-shape assertions: the optimizations we design for
+  * must be visible in the physical plan, not assumed. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan_pruned_pushdown pushes the shipdate filter into the parquet scan") {
+    val p = plan(ScanOps.scanPrunedPushdown(spark, sf001))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scan_pruned_pushdown prunes to the 3 projected columns") {
+    val p = plan(ScanOps.scanPrunedPushdown(spark, sf001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin") {
+    assert(plan(JoinOps.joinBroadcast(spark, sf001)).contains("BroadcastHashJoin"))
+  }
+
+  test("join_theta_band is a hash/merge equi-join, not a nested loop") {
+    val p = plan(JoinOps.joinThetaBand(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_knn_topk has no cartesian product and no sort of the scored pairs") {
+    val p = plan(TextOps.simKnnTopk(spark, sf001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("topk_by_score"), p)
+    assert(!p.contains("Window"), p) // bounded-heap aggregate replaced the window
+  }
+
+  test("agg_hash_groupby does partial (map-side) aggregation") {
+    val p = plan(AggOps.aggHashGroupby(spark, sf001))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("join_multiway_5 broadcasts the nation and region dimensions") {
+    val p = plan(JoinOps.joinMultiway5(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}

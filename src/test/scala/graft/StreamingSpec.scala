@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{EventRow, EventStreams}
+
+/** SURVEY §5.3 streaming tests: the §2.I transforms under a real
+  * MemoryStream micro-batch runtime — watermarks, output modes,
+  * late-data drop, session finalization, stateful counting. */
+class StreamingSpec extends SparkSpec {
+
+  private def tsOf(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0): EventRow =
+    EventRow(id, tsOf(t), user, typ, v)
+
+  test("tumbling window counts under Update mode; late event beyond watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.tumblingCounts(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("t_tumbling")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"))
+      q.processAllAvailable() // watermark after batch: 10:20
+      val afterFirst = spark.table("t_tumbling")
+        .where("hour_start = timestamp'2024-01-01 10:00:00'")
+        .orderBy($"n_events".desc).head.getAs[Long]("n_events")
+      assert(afterFirst == 2)
+
+      // 08:xx window closed (end 09:00 < watermark 10:20) => dropped
+      in.addData(ev(3, "2024-01-01 08:15:00"))
+      q.processAllAvailable()
+      val table = spark.table("t_tumbling")
+      assert(table.where("hour_start = timestamp'2024-01-01 08:00:00'").isEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows finalize and emit in Append mode once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName("t_session")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 12:00:00")) // advances watermark to 11:50
+      q.processAllAvailable()
+      val sessions = spark.table("t_session").collect()
+      assert(sessions.length == 1, sessions.mkString(";"))
+      val s = sessions.head
+      assert(s.getAs[Timestamp]("session_start") == tsOf("2024-01-01 10:00:00"))
+      assert(s.getAs[Timestamp]("session_end") == tsOf("2024-01-01 10:40:00"))
+      assert(s.getAs[Long]("n_events") == 2)
+    } finally q.stop()
+  }
+
+  test("streaming dropDuplicates keeps the first event per (user, type)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.dedupFirstPerKey(in.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", user = 1, typ = "click"),
+        ev(2, "2024-01-01 10:01:00", user = 1, typ = "click"),
+        ev(3, "2024-01-01 10:02:00", user = 1, typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("t_dedup").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getAs[Long]("event_id")).toSet == Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running counts persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.runningCounts(in.toDS())
+      .writeStream.format("memory").queryName("t_running")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      val got = spark.table("t_running").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("running_count")).toMap
+      assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling counts agree on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00", typ = "view"),
+      ev(3, "2024-01-01 11:00:00"), ev(4, "2024-01-01 11:15:00"))
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("t_unified")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("t_unified")
+        .groupBy("hour_start", "event_type").agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+        .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+      val batch = EventStreams.tumblingCounts(data.toDF())
+        .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}

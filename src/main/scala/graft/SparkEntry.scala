@@ -29,6 +29,7 @@ object SparkEntry {
     ScalarOps.queries,
     StreamOps.queries,
     TextOps.queries,
+    LlmOps.queries,
     EtlOps.queries,
   )
 
@@ -43,6 +44,7 @@ object SparkEntry {
     ScalarOps.oracle,
     StreamOps.oracle,
     TextOps.oracle,
+    LlmOps.oracle,
     EtlOps.oracle,
   )
 

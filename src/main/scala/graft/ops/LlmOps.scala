@@ -1,0 +1,473 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.Tables._
+
+/** SURVEY §2.L — extended LLM-pipeline operators (#71–#80), beyond
+  * the core §2.J set: SimHash fingerprinting + banded near-dup,
+  * n-gram Jaccard scoring, embedding-cosine near-dup, character-level
+  * language ID, quality scoring, BPE-ish token counting, rolling-
+  * window document fingerprints, IVF-bucketed approximate kNN, and
+  * multimodal binary-column plumbing.
+  *
+  * Scale posture mirrors §2.J: candidate generation is always a
+  * banded/bucketed EQUI-join (SimHash bands, IVF buckets, given
+  * pairs) — never an n² scan; per-document feature extraction is
+  * narrow and codegen'd; fingerprints/signatures are fixed-size per
+  * document so dedup state is O(docs), not O(pairs).
+  */
+object LlmOps {
+
+  private def words: Column = split(col("text"), " ")
+
+  private def shingles: Column =
+    transform(sequence(lit(1), size(col("words")) - 2),
+      i => concat_ws(" ",
+        element_at(col("words"), i),
+        element_at(col("words"), i + 1),
+        element_at(col("words"), i + 2)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  private def dotF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExprs.vecDot(a, b)
+
+  private def l2normF(a: Column): Column = sqrt(dotF(a, a))
+
+  // ---------------------------------------------------------------
+  // #71/#72 SimHash
+  // ---------------------------------------------------------------
+
+  /** Per-doc 32-bit SimHash: bit i of each word's md5 votes ±1;
+    * fingerprint bit = sign of the vote sum. The hash bits come from
+    * the first 8 hex nibbles of md5 (portable across engines). */
+  private def simhashDf(spark: SparkSession, sf: String): DataFrame = {
+    val h = md5(col("word"))
+    def nib(j: Int): Column = conv(substring(h, j + 1, 1), 16, 10).cast("int")
+    def bit(i: Int): Column = shiftright(nib(i / 4), i % 4).bitwiseAND(lit(1))
+    val sums = (0 until 32).map(i => sum(bit(i) * 2 - 1).as(s"s$i"))
+    val fp = (0 until 32)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    documents(spark, sf)
+      .select(col("doc_id"), explode(words).as("word"))
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Shared oracle CTE computing the identical 32-bit simhash. */
+  private val simhashSqlCte: String = {
+    val sumTerms = (0 until 32).map { i =>
+      s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(",\n    ")
+    val fpTerms = (0 until 32)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |hsh AS (SELECT doc_id, md5(word) AS h FROM wrd),
+       |bits AS (SELECT doc_id,
+       |    $sumTerms
+       |  FROM hsh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($fpTerms AS BIGINT) AS simhash FROM bits)""".stripMargin
+  }
+
+  /** #71 — SimHash fingerprint per document. */
+  def textSimhash(spark: SparkSession, sf: String): DataFrame =
+    simhashDf(spark, sf).orderBy(col("doc_id"))
+
+  /** #72 — SimHash near-dup candidates: 4 bands of 8 bits; pairs
+    * sharing any band are candidates (pigeonhole: hamming <= 3 implies
+    * at least one equal band), verified by exact hamming <= 3. The
+    * band join is the scalable LSH shape — an equi-join on
+    * (band_id, band_value). */
+  def dedupSimhashBand(spark: SparkSession, sf: String): DataFrame = {
+    val sh = simhashDf(spark, sf)
+    val bandVals = (0 until 4).map(j =>
+      shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255)).cast("int"))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    val x = bands.toDF("d1", "s1", "band_id", "band_val")
+    val y = bands.toDF("d2", "s2", "band_id2", "band_val2")
+    x.join(y, col("band_id") === col("band_id2") &&
+              col("band_val") === col("band_val2") &&
+              col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2"))
+      .distinct()
+      .select(col("d1"), col("d2"),
+              expr("bit_count(s1 ^ s2)").cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---------------------------------------------------------------
+  // #73–#74 pair scoring
+  // ---------------------------------------------------------------
+
+  /** #73 — n-gram Jaccard similarity on candidate pairs (adjacent
+    * doc_ids as the given candidates): |A∩B| / |A∪B| over distinct
+    * 3-shingle sets. */
+  def simJaccardNgram(spark: SparkSession, sf: String): DataFrame = {
+    val sets = documents(spark, sf)
+      .withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles).as("sh"))
+    val a = sets.toDF("d1", "sa")
+    val b = sets.toDF("d2", "sb")
+    a.join(b, col("d1") + 1 === col("d2"))
+      .select(col("d1"), col("d2"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+      .orderBy(col("d1"))
+  }
+
+  /** #74 — embedding-cosine near-duplicates: pairs with rounded
+    * cosine >= 0.99. Brute-force at test scale; the production path
+    * is the IVF bucketing of #79 (equi-join on bucket) feeding the
+    * same residual threshold. */
+  def dedupEmbeddingCosine(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val a = e.select(col("vec_id").as("d1"), col("embedding").as("ea"),
+                     l2normF(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("d2"), col("embedding").as("eb"),
+                     l2normF(col("embedding")).as("nb"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(dotF(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+      .where(col("cos_sim") >= 0.99)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---------------------------------------------------------------
+  // #75–#78 text analysis
+  // ---------------------------------------------------------------
+
+  /** #75 — character-trigram language ID: learn top-20 trigram
+    * profiles per language from the corpus, classify each document by
+    * profile-hit count (ties break toward the lexicographically first
+    * language), report the confusion matrix. */
+  def textLanguageId(spark: SparkSession, sf: String): DataFrame = {
+    val grams = documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("g"))
+    val wProf = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
+    val profile = grams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wProf))
+      .where(col("rn") <= 20)
+      .select(col("lang").as("cand_lang"), col("g"))
+    val docGrams = grams.select(col("doc_id"), col("lang"), col("g")).distinct()
+    val wPred = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang"))
+    docGrams.join(profile, Seq("g"))
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(wPred))
+      .where(col("rn") === 1)
+      .groupBy(col("lang").as("true_lang"), col("cand_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  /** #76 — document quality scoring: token counts, average word
+    * length, stopword ratio, dup-marker penalty — the
+    * length/stopword-ratio heuristics of a pretraining-data filter. */
+  def textQualityScore(spark: SparkSession, sf: String): DataFrame = {
+    // raw (unrounded) ratio feeds the score: rounding first would put
+    // every odd 4th decimal on an exact .00005 boundary where the two
+    // engines' double rounding diverges
+    val stopRatio = size(filter(col("words"), w => w.isin("a", "the")))
+      .cast("double") / size(col("words"))
+    documents(spark, sf)
+      .withColumn("words", words)
+      .select(col("doc_id"), col("lang"),
+        size(col("words")).as("n_tokens"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+              size(col("words")), 4).as("avg_word_len"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        array_contains(col("words"), "dup").as("has_dup_marker"),
+        round(lit(1.0) - lit(0.5) * stopRatio
+          - when(array_contains(col("words"), "dup"), 0.2).otherwise(0.0), 4)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #77 — token counting three ways: whitespace, a BPE-ish regex
+    * (letter runs / digit runs / other), and a subword estimate
+    * (ceil(len/4) pieces per word), aggregated per language. */
+  def textTokenBpe(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .withColumn("words", words)
+      .select(col("lang"),
+        size(col("words")).as("ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("rx"),
+        aggregate(transform(col("words"),
+            w => ceil(length(w) / lit(4.0)).cast("long")),
+          lit(0L), (a, x) => a + x).as("sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ws")).as("ws_tokens"),
+           sum(col("rx")).as("regex_tokens"),
+           sum(col("sub")).as("subword_est"))
+      .orderBy(col("lang"))
+
+  /** #78 — rolling-window document fingerprint: minhash over the
+    * sliding character 8-grams (2 seeds) + gram count — a winnowing-
+    * style content fingerprint robust to word reordering at the
+    * edges. */
+  def textFingerprintRolling(spark: SparkSession, sf: String): DataFrame = {
+    val grams = transform(sequence(lit(1), length(col("text")) - 7),
+      i => col("text").substr(i, lit(8)))
+    documents(spark, sf)
+      .select(col("doc_id"),
+        array_min(transform(grams, g => md5(concat(g, lit("#0"))))).as("fp0"),
+        array_min(transform(grams, g => md5(concat(g, lit("#1"))))).as("fp1"),
+        (length(col("text")) - 7).as("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // #79 IVF approximate kNN
+  // ---------------------------------------------------------------
+
+  /** #79 — IVF-bucketed approximate kNN (the 100 TB scale path for
+    * #62): coarse-quantize each vector to its nearest label-centroid
+    * (nprobe=1), then search only within the bucket via an EQUI-join
+    * — pair count drops from n² to Σ bucket². Same rounded-cosine
+    * scoring and bounded-heap top-k as the exact query; recall is
+    * traded for the bucketed plan. */
+  def simAnnIvf(spark: SparkSession, sf: String): DataFrame = {
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    val vecMean = udaf(graft.functions.VectorMean)
+    val cents = embeddings(spark, sf)
+      .groupBy(col("label").as("cl"))
+      .agg(vecMean(col("embedding")).as("cvec"))
+      .select(col("cl"), col("cvec"), sqrt(dot(col("cvec"), col("cvec"))).as("cnrm"))
+    val vecs = embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), l2normF(col("embedding")).as("vnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cl"))
+    val assigned = vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("vnrm"), col("cl"),
+        round(dot(col("embedding"), col("cvec")) / (col("vnrm") * col("cnrm")), 4)
+          .as("cos_c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("vnrm"), col("cl").as("bucket"))
+    val a = assigned.toDF("a_id", "ea", "na", "bucket").repartition(col("bucket"))
+    val b = assigned.toDF("b_id", "eb", "nb", "bucket_b")
+    a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dotF(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+      .groupBy(col("a_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topK(col("cos_sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id"), posexplode(col("top")))
+      .select(col("a_id"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.id").as("b_id"), col("col.score").as("cos_sim"))
+      .orderBy(col("a_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------
+  // #80 multimodal binary columns
+  // ---------------------------------------------------------------
+
+  /** #80 — multimodal binary-column plumbing: treat content as an
+    * opaque binary column with typed metadata extracted by a
+    * deterministic stub "decode" (real decoders live behind
+    * [[graft.multimodal.BinaryDecode]]; media libraries are not in
+    * this container). The schema/partitioning shape — binary payload
+    * + typed metadata row per asset — is the real part. */
+  def multimodalBinary(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+              col("text"))
+      .select(col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        upper(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("header_hex"),
+        ascii(substring(col("text"), 1, 1)).as("fake_width"),
+        ascii(substring(col("text"), 2, 1)).as("fake_height"),
+        lit(3).as("channels"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_simhash"             -> (textSimhash _),
+    "dedup_simhash_band"       -> (dedupSimhashBand _),
+    "sim_jaccard_ngram"        -> (simJaccardNgram _),
+    "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
+    "text_language_id"         -> (textLanguageId _),
+    "text_quality_score"       -> (textQualityScore _),
+    "text_token_bpe"           -> (textTokenBpe _),
+    "text_fingerprint_rolling" -> (textFingerprintRolling _),
+    "sim_ann_ivf"              -> (simAnnIvf _),
+    "multimodal_binary"        -> (multimodalBinary _),
+  )
+
+  // NOTE: single-line concat — a continuation line starting with ||
+  // would be eaten by the enclosing stripMargin when interpolated.
+  private val shingleSetsCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
+      |sh AS (SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS shingle FROM s),
+      |sets AS (SELECT DISTINCT doc_id, shingle FROM sh)""".stripMargin
+
+  val oracle: Map[String, String] = ListMap(
+    "text_simhash" ->
+      s"""WITH $simhashSqlCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_band" ->
+      s"""WITH $simhashSqlCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, j AS band_id,
+         |    CAST((simhash >> (8 * CAST(j AS INT))) & 255 AS INT) AS band_val
+         |  FROM sim, (SELECT unnest(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |         x.simhash AS s1, y.simhash AS s2
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id)
+         |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+         |ORDER BY d1, d2""".stripMargin,
+    "sim_jaccard_ngram" ->
+      s"""WITH $shingleSetsCte,
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM sets GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS d1, count(*) AS ninter
+         |  FROM sets a JOIN sets b
+         |    ON b.doc_id = a.doc_id + 1 AND a.shingle = b.shingle
+         |  GROUP BY a.doc_id)
+         |SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+         |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+         |    / (s1.nsh + s2.nsh - coalesce(i.ninter, 0)), 4) AS jaccard
+         |FROM sizes s1
+         |JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1
+         |LEFT JOIN inter i ON i.d1 = s1.doc_id
+         |ORDER BY d1""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+        |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |c AS (
+        |  SELECT d1, d2,
+        |    round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4)
+        |      AS cos_sim
+        |  FROM p GROUP BY d1, d2)
+        |SELECT d1, d2, cos_sim FROM c WHERE cos_sim >= 0.99
+        |ORDER BY d1, d2""".stripMargin,
+    "text_language_id" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, substring(text, CAST(i AS INT), 3) AS g
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i)),
+        |prof AS (
+        |  SELECT lang AS cand_lang, g FROM (
+        |    SELECT lang, g, count(*) AS n,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rn
+        |    FROM g GROUP BY lang, g)
+        |  WHERE rn <= 20),
+        |dg AS (SELECT DISTINCT doc_id, lang, g FROM g),
+        |scores AS (
+        |  SELECT dg.doc_id, dg.lang, prof.cand_lang, count(*) AS score
+        |  FROM dg JOIN prof ON dg.g = prof.g
+        |  GROUP BY dg.doc_id, dg.lang, prof.cand_lang),
+        |pred AS (
+        |  SELECT doc_id, lang, cand_lang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, cand_lang) AS rn
+        |  FROM scores)
+        |SELECT lang AS true_lang, cand_lang AS pred_lang, count(*) AS n_docs
+        |FROM pred WHERE rn = 1
+        |GROUP BY lang, cand_lang ORDER BY true_lang, pred_lang""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS avg_word_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('a', 'the'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |  list_contains(string_split(text, ' '), 'dup') AS has_dup_marker,
+        |  round(1.0 - 0.5 * (CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('a', 'the'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')))
+        |    - CASE WHEN list_contains(string_split(text, ' '), 'dup')
+        |           THEN 0.2 ELSE 0.0 END, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_bpe" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS regex_tokens,
+        |  sum(list_sum(list_transform(string_split(text, ' '),
+        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS subword_est
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_fingerprint_rolling" ->
+      """WITH g AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INT), 8) AS g
+        |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 6)) AS i))
+        |SELECT doc_id,
+        |  min(md5(g || '#0')) AS fp0,
+        |  min(md5(g || '#1')) AS fp1,
+        |  count(*) AS n_grams
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sim_ann_ivf" ->
+      """WITH ce AS (
+        |  SELECT label AS cl, generate_subscripts(embedding, 1) AS idx,
+        |    CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings),
+        |c AS (SELECT cl, idx, avg(e) AS m FROM ce GROUP BY cl, idx),
+        |cn AS (SELECT cl, sqrt(sum(m * m)) AS cnrm FROM c GROUP BY cl),
+        |v AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+        |    CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings),
+        |vn AS (SELECT vec_id, sqrt(sum(e * e)) AS vnrm FROM v GROUP BY vec_id),
+        |d AS (
+        |  SELECT v.vec_id, c.cl, sum(v.e * c.m) AS dp
+        |  FROM v JOIN c ON v.idx = c.idx GROUP BY v.vec_id, c.cl),
+        |assign AS (
+        |  SELECT vec_id, cl AS bucket FROM (
+        |    SELECT d.vec_id, d.cl,
+        |      row_number() OVER (PARTITION BY d.vec_id
+        |        ORDER BY round(d.dp / (vn.vnrm * cn.cnrm), 4) DESC, d.cl) AS rn
+        |    FROM d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cl = d.cl)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT av.vec_id AS a_id, bv.vec_id AS b_id,
+        |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+        |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        |  FROM assign av JOIN assign bv
+        |    ON av.bucket = bv.bucket AND av.vec_id <> bv.vec_id
+        |  JOIN embeddings a ON a.vec_id = av.vec_id
+        |  JOIN embeddings b ON b.vec_id = bv.vec_id),
+        |pd AS (SELECT a_id, b_id, sum(xa * xb) AS dp FROM pairs GROUP BY a_id, b_id),
+        |scored AS (
+        |  SELECT pd.a_id, pd.b_id,
+        |    round(pd.dp / (na.vnrm * nb.vnrm), 4) AS cos_sim
+        |  FROM pd JOIN vn na ON na.vec_id = pd.a_id
+        |          JOIN vn nb ON nb.vec_id = pd.b_id),
+        |ranked AS (
+        |  SELECT a_id, b_id, cos_sim,
+        |    row_number() OVER (PARTITION BY a_id
+        |                       ORDER BY cos_sim DESC, b_id) AS rnk
+        |  FROM scored)
+        |SELECT a_id, CAST(rnk AS INT) AS rnk, b_id, cos_sim FROM ranked
+        |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin,
+    "multimodal_binary" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  upper(hex(encode(substring(text, 1, 4)))) AS header_hex,
+        |  ascii(substring(text, 1, 1)) AS fake_width,
+        |  ascii(substring(text, 2, 1)) AS fake_height,
+        |  3 AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LlmOps
+import graft.multimodal.BinaryDecode
+
+/** Invariant tests for the extended LLM-pipeline family (§2.L). */
+class LlmOpsSpec extends SparkSpec {
+
+  test("simhash banding finds exactly the hamming<=3 pairs (pigeonhole completeness)") {
+    val fps = LlmOps.textSimhash(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (d1, s1) <- fps; (d2, s2) <- fps if d1 < d2
+      if java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (d1, d2)).toSet
+    val banded = LlmOps.dedupSimhashBand(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("jaccard scores are within [0,1] and symmetric in set sizes") {
+    val rows = LlmOps.simJaccardNgram(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val j = r.getDouble(2); j >= 0.0 && j <= 1.0
+    })
+  }
+
+  test("quality score equals its closed form") {
+    val rows = LlmOps.textQualityScore(spark, sf001).collect()
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("stopword_ratio")
+      val marked = r.getAs[Boolean]("has_dup_marker")
+      val q = r.getAs[Double]("quality")
+      val expect = 1.0 - 0.5 * ratio - (if (marked) 0.2 else 0.0)
+      assert(math.abs(q - expect) < 1e-3, s"$r")
+    }
+  }
+
+  test("language-id confusion matrix accounts for every scoring document") {
+    val conf = LlmOps.textLanguageId(spark, sf001)
+    val total = conf.agg(sum(col("n_docs"))).head.getLong(0)
+    val docs = Tables.documents(spark, sf001).count()
+    assert(total <= docs && total > 0)
+  }
+
+  test("IVF neighbors are ranked by descending rounded cosine") {
+    val rows = LlmOps.simAnnIvf(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+    rows.values.foreach { group =>
+      val byRank = group.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val coss = byRank.map(_.getDouble(3)).toSeq
+      assert(coss == coss.sorted.reverse, coss.toString)
+    }
+  }
+
+  test("IVF is a subset of the exact pair universe and self-free") {
+    val rows = LlmOps.simAnnIvf(spark, sf001).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("BinaryDecode stub: deterministic metadata from payload bytes") {
+    val meta = BinaryDecode.decodeOne(7L, "hello".getBytes("UTF-8"))
+    assert(meta == graft.multimodal.MediaMeta(7L, 5, 'h'.toInt, 'e'.toInt, 3, "68656C6C"))
+    import spark.implicits._
+    val ds = spark.createDataset(Seq((1L, "ab".getBytes("UTF-8")), (2L, Array.empty[Byte])))
+    val out = BinaryDecode.decode(spark, ds).collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes == 2 && out(0).fake_width == 'a'.toInt)
+    assert(out(1).n_bytes == 0 && out(1).fake_width == 0)
+  }
+
+  test("multimodal_binary metadata agrees with the library decoder") {
+    val viaQuery = LlmOps.multimodalBinary(spark, sf001).limit(20).collect()
+    val texts = Tables.documents(spark, sf001).orderBy(col("doc_id")).limit(20)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    viaQuery.foreach { r =>
+      val m = BinaryDecode.decodeOne(r.getLong(0), texts(r.getLong(0)).getBytes("UTF-8"))
+      assert(r.getAs[Int]("n_bytes") == m.n_bytes)
+      assert(r.getAs[Int]("fake_width") == m.fake_width)
+      assert(r.getAs[String]("header_hex") == m.header_hex)
+    }
+  }
+}

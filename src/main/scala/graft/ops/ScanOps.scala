@@ -65,6 +65,26 @@ object ScanOps {
            sum(money(col("value"))).cast("double").as("total_value"))
       .orderBy(col("k"))
 
+  /** #81 — XML source round-trip (reference: Green-Button ESPI XML
+    * ingest): write nation as element-per-row XML, read back with an
+    * explicit schema via Spark 4's built-in XML source, aggregate.
+    * No oracle (tmp file source); unit-tested + rows-only check. */
+  def sourceXmlRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
+    nation(spark, sf).coalesce(1)
+      .write.mode("overwrite")
+      .option("rootTag", "nations").option("rowTag", "nation")
+      .format("xml").save(dir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read.schema(schema).option("rowTag", "nation").format("xml").load(dir)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
   /** #5 — partitioned parquet sink (reference: datastore load step):
     * write lineitem partitioned by returnflag, read back, verify by
     * aggregation. No oracle (side-effecting); rows-only + unit tests. */
@@ -84,6 +104,7 @@ object ScanOps {
     "scan_parquet"             -> (scanParquet _),
     "scan_pruned_pushdown"     -> (scanPrunedPushdown _),
     "source_csv_roundtrip"     -> (sourceCsvRoundtrip _),
+    "source_xml_roundtrip"     -> (sourceXmlRoundtrip _),
     "source_json_lines"        -> (sourceJsonLines _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
   )

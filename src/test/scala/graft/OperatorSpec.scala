@@ -19,8 +19,9 @@ class OperatorSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
     val noOracle = q.diff(o)
-    assert(noOracle == Set("source_csv_roundtrip", "sink_parquet_partitioned",
-      "agg_approx_distinct"), s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle == Set("source_csv_roundtrip", "source_xml_roundtrip",
+      "sink_parquet_partitioned", "agg_approx_distinct"),
+      s"unexpected oracle-less queries: $noOracle")
   }
 
   test("csv roundtrip preserves the nation aggregation") {
@@ -30,6 +31,42 @@ class OperatorSpec extends SparkSpec {
       .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
       .orderBy(col("n_regionkey")).collect()
     assert(viaCsv.toSeq == direct.toSeq)
+  }
+
+  test("xml roundtrip preserves the nation aggregation") {
+    val viaXml = ScanOps.sourceXmlRoundtrip(spark, sf001).collect()
+    val direct = nation(spark, sf001)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
+      .orderBy(col("n_regionkey")).collect()
+    assert(viaXml.toSeq == direct.toSeq)
+  }
+
+  test("GraftExtensions expose vec_dot and topk_by_score to SQL") {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val ext = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .getOrCreate()
+    try {
+      import ext.implicits._
+      Seq((1L, Array(1.0f, 2.0f)), (2L, Array(0.5f, 4.0f)))
+        .toDF("id", "v").createOrReplaceTempView("vecs")
+      val d = ext.sql("SELECT id, vec_dot(v, v) AS d FROM vecs ORDER BY id")
+        .collect().map(_.getDouble(1))
+      assert(d.toSeq == Seq(5.0, 16.25))
+      val top = ext.sql(
+        """SELECT topk_by_score(CAST(id AS DOUBLE), id, 1) AS t
+          |FROM vecs""".stripMargin).head.getSeq[org.apache.spark.sql.Row](0)
+      assert(top.length == 1 && top.head.getLong(1) == 2L)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      SparkSpec.session.sparkContext // reattach shared session
+      org.apache.spark.sql.SparkSession.setDefaultSession(SparkSpec.session)
+      org.apache.spark.sql.SparkSession.setActiveSession(SparkSpec.session)
+    }
   }
 
   test("partitioned sink writes hive-style partition dirs and preserves counts") {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** BandJoinBucketingRule: the naive `abs(l-r) < eps` theta join is
+  * rewritten to a bucketized equi-join with identical results. */
+class BandJoinRuleSpec extends SparkSpec {
+
+  private def withExtSession[A](f: SparkSession => A): A = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+      .getOrCreate()
+    try f(ext)
+    finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(SparkSpec.session)
+      SparkSession.setActiveSession(SparkSpec.session)
+    }
+  }
+
+  private def naiveBand(s: SparkSession) = {
+    val p1 = Tables.part(s, sf001)
+      .select(col("p_partkey").as("k1"), col("p_retailprice").as("v1"))
+    val p2 = Tables.part(s, sf001)
+      .select(col("p_partkey").as("k2"), col("p_retailprice").as("v2"))
+    p1.join(p2, col("k1") < col("k2") && abs(col("v1") - col("v2")) < 2.5)
+      .select(col("k1"), col("k2"))
+  }
+
+  test("naive band join is planned as an equi-join under the rule") {
+    withExtSession { s =>
+      val plan = naiveBand(s).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("__graft_band_probe"), plan)
+    }
+  }
+
+  test("rewritten band join returns exactly the nested-loop results") {
+    val expected = {
+      // vanilla session: Spark's own NLJ plan is the semantics oracle
+      val rows = naiveBand(spark).collect()
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = withExtSession { s =>
+      naiveBand(s).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("non-band theta joins are left untouched") {
+    withExtSession { s =>
+      val p1 = Tables.part(s, sf001).select(col("p_partkey").as("k1"))
+      val p2 = Tables.part(s, sf001).select(col("p_partkey").as("k2"))
+      val plan = p1.join(p2, col("k1") * 2 < col("k2"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("__graft_band_probe"), plan)
+    }
+  }
+
+  test("joins that already have an equi key are left untouched") {
+    withExtSession { s =>
+      val li = Tables.lineitem(s, sf001)
+      val or = Tables.orders(s, sf001)
+      val plan = li.join(or,
+          col("l_orderkey") === col("o_orderkey") &&
+          abs(col("l_extendedprice") - col("o_totalprice")) < 1000.0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("__graft_band_probe"), plan)
+    }
+  }
+}

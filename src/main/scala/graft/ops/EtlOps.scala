@@ -52,21 +52,14 @@ object EtlOps {
 
   /** #67 — gap-fill: hourly resample of events against a generated
     * [2024-01-01, 2024-01-30] spine, zero-filling empty hours. */
-  def etlGapFill(spark: SparkSession, sf: String): DataFrame = {
-    val spine = spark.range(1).select(
-      explode(expr(
-        "sequence(timestamp'2024-01-01 00:00:00', timestamp'2024-01-30 00:00:00', interval 1 hour)"))
-        .as("hour_start"))
-    val hourly = events(spark, sf)
-      .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
-      .agg(count(lit(1)).as("n"),
-           sum(money(col("value"))).cast("double").as("tv"))
-    spine.join(hourly, Seq("hour_start"), "left")
-      .select(col("hour_start"),
-              coalesce(col("n"), lit(0L)).as("n_events"),
-              coalesce(col("tv"), lit(0.0)).as("total_value"))
+  def etlGapFill(spark: SparkSession, sf: String): DataFrame =
+    graft.api.Transforms.gapFill(events(spark, sf), col("ts"),
+        ts("2024-01-01"), ts("2024-01-30"), expr("interval 1 hour"),
+        c => date_trunc("hour", c),
+        Seq(("n_events", count(lit(1)), lit(0L)),
+            ("total_value", sum(money(col("value"))).cast("double"), lit(0.0))))
+      .withColumnRenamed("bucket_start", "hour_start")
       .orderBy(col("hour_start"))
-  }
 
   /** #68 — last-write-wins upsert (datastore sync semantics): a delta
     * batch (events with k >= 50, values bumped) overlays the
@@ -77,10 +70,7 @@ object EtlOps {
     val snap = base.select(col("event_id"), lit(1).as("version"), money(col("value")).as("v"))
     val delta = base.where(col("k") >= 50)
       .select(col("event_id"), lit(2).as("version"), (money(col("value")) + 100).as("v"))
-    val w = Window.partitionBy(col("event_id")).orderBy(col("version").desc)
-    snap.unionByName(delta)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    graft.api.Transforms.upsertLastWins(snap, delta, Seq("event_id"), "version")
       .select(col("event_id"), col("version"), col("v").cast("double").as("value"))
       .orderBy(col("event_id"))
   }
@@ -88,11 +78,9 @@ object EtlOps {
   /** #69 — deterministic chunking for bulk upload: 1000-row batches
     * in event_id order, per-batch stats. */
   def etlChunkBatches(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
-    events(spark, sf)
-      .select(col("event_id"), money(col("value")).as("v"))
-      .withColumn("batch_id",
-        floor((row_number().over(w) - 1) / 1000).cast("int"))
+    graft.api.Transforms.chunk(
+        events(spark, sf).select(col("event_id"), money(col("value")).as("v")),
+        col("event_id"), 1000)
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_rows"),
            min(col("event_id")).as("min_id"),
@@ -104,16 +92,11 @@ object EtlOps {
   /** #70 — incremental-load predicate: rows newer than the
     * high-watermark (max ts before 2024-01-29) — the idempotent
     * "new since last run" filter. */
-  def etlIncrementalFilter(spark: SparkSession, sf: String): DataFrame = {
-    val hw = events(spark, sf)
-      .where(col("ts") < ts("2024-01-29"))
-      .agg(max(col("ts")).as("hw"))
-    events(spark, sf)
-      .crossJoin(broadcast(hw))
-      .where(col("ts") > col("hw"))
+  def etlIncrementalFilter(spark: SparkSession, sf: String): DataFrame =
+    graft.api.Transforms.incrementalSince(events(spark, sf), col("ts"),
+        col("ts") < ts("2024-01-29"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .orderBy(col("event_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),

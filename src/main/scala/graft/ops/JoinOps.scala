@@ -104,19 +104,13 @@ object JoinOps {
     * and the shape that survives a 100 TB fact-fact band join (shuffle
     * by bucket instead of broadcast NLJ). */
   def joinThetaBand(spark: SparkSession, sf: String): DataFrame = {
-    val base = part(spark, sf).select(
-      col("p_partkey"),
-      money(col("p_retailprice")).as("price"),
-      (money(col("p_retailprice")) * 20).cast("long").as("bucket"))
-    val p1 = base.select(
-      col("p_partkey").as("p1_key"), col("price").as("p1_price"),
-      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("probe"))
-    val p2 = base.select(
-      col("p_partkey").as("p2_key"), col("price").as("p2_price"), col("bucket").as("b2"))
-    p1.join(p2,
-        col("probe") === col("b2") &&
-        col("p1_key") < col("p2_key") &&
-        abs(col("p1_price") - col("p2_price")) < dec(lit(0.05), 18, 2))
+    val p1 = part(spark, sf).select(
+      col("p_partkey").as("p1_key"), money(col("p_retailprice")).as("p1_price"))
+    val p2 = part(spark, sf).select(
+      col("p_partkey").as("p2_key"), money(col("p_retailprice")).as("p2_price"))
+    graft.api.Transforms.bandJoinExactDecimal(p1, p2,
+        col("p1_price"), col("p2_price"), dec(lit(0.05), 18, 2), scale = 20)
+      .where(col("p1_key") < col("p2_key"))
       .select(col("p1_key"), col("p2_key"),
               abs(col("p1_price") - col("p2_price")).cast("double").as("price_diff"))
       .orderBy(col("p1_key"), col("p2_key"))
@@ -131,11 +125,10 @@ object JoinOps {
     val e = events(spark, sf).select(col("event_id"), col("ts"), col("user_id"))
     val o = orders(spark, sf)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    graft.api.Transforms.asOfJoin(e, o,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = col("ts"), rightTime = col("o_orderdate"),
+        rightTieBreak = col("o_orderkey"))
       .select(col("event_id"), col("user_id"), col("ts"),
               col("o_orderkey").as("asof_orderkey"),
               col("o_orderdate").as("asof_orderdate"))

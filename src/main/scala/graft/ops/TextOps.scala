@@ -36,12 +36,7 @@ object TextOps {
 
   /** 3-gram shingles via sequence+transform (native UDTF-style
     * expansion; requires >= 3 tokens, enforced by the caller). */
-  private def shingles: Column =
-    transform(sequence(lit(1), size(col("words")) - 2),
-      i => concat_ws(" ",
-        element_at(col("words"), i),
-        element_at(col("words"), i + 1),
-        element_at(col("words"), i + 2)))
+  private def shingles: Column = graft.api.Transforms.shingles(col("words"), 3)
 
   /** Exact double dot product of two (float- or double-typed) array
     * columns: sequential left fold, deterministic element order. */
@@ -104,25 +99,16 @@ object TextOps {
       .withColumn("words", words)
       .where(size(col("words")) >= 3)
       .withColumn("shingles", shingles)
-    val sigCols = (0 until 4).map { s =>
-      array_min(transform(col("shingles"), x => md5(concat(x, lit(s"#$s")))))
-        .as(s"sig$s")
-    }
-    base.select(col("doc_id") +: sigCols: _*)
+    base.select(col("doc_id") +:
+      graft.api.Transforms.minhashSignature(col("shingles"), 4): _*)
   }
 
   /** #60 — MinHash near-dup candidates: docs equal on all 4 signature
     * slots, paired d1 < d2. Equi-join on the signature tuple — the
     * LSH-banded shape that scales (no n² pair scan). */
   def dedupMinhashNear(spark: SparkSession, sf: String): DataFrame = {
-    val sigs = minhashSignatures(spark, sf)
-    val a = sigs.toDF("d1", "a0", "a1", "a2", "a3")
-    val b = sigs.toDF("d2", "b0", "b1", "b2", "b3")
-    a.join(b,
-        col("a0") === col("b0") && col("a1") === col("b1") &&
-        col("a2") === col("b2") && col("a3") === col("b3") &&
-        col("d1") < col("d2"))
-      .select(col("d1"), col("d2"))
+    graft.api.Transforms.minhashCandidates(minhashSignatures(spark, sf),
+        "doc_id", (0 until 4).map(s => s"sig$s"))
       .orderBy(col("d1"), col("d2"))
   }
 

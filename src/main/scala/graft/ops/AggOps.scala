@@ -153,6 +153,20 @@ object AggOps {
       .orderBy(col("label"))
   }
 
+  /** #83 — pivot (cross-tab): per-language doc counts across an
+    * explicit source-column list (explicit values keep the output
+    * schema static — the only sane form at scale; absent cells
+    * zero-filled to match conditional-aggregation semantics). */
+  def aggPivot(spark: SparkSession, sf: String): DataFrame = {
+    val srcs = Seq("src0", "src1", "src2", "src3", "src4")
+    documents(spark, sf)
+      .groupBy(col("lang"))
+      .pivot("source", srcs)
+      .agg(count(lit(1)))
+      .select(col("lang") +: srcs.map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -165,6 +179,7 @@ object AggOps {
     "agg_approx_distinct"  -> (aggApproxDistinct _),
     "agg_collect_sorted"   -> (aggCollectSorted _),
     "agg_udaf_vector_mean" -> (aggUdafVectorMean _),
+    "agg_pivot"            -> (aggPivot _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -233,5 +248,13 @@ object AggOps {
         |SELECT m.label, array_agg(m.mean_e ORDER BY m.idx) AS centroid, c.n_vecs
         |FROM m JOIN c ON m.label = c.label
         |GROUP BY m.label, c.n_vecs ORDER BY m.label""".stripMargin,
+    "agg_pivot" ->
+      """SELECT lang,
+        |  count(CASE WHEN source = 'src0' THEN 1 END) AS src0,
+        |  count(CASE WHEN source = 'src1' THEN 1 END) AS src1,
+        |  count(CASE WHEN source = 'src2' THEN 1 END) AS src2,
+        |  count(CASE WHEN source = 'src3' THEN 1 END) AS src3,
+        |  count(CASE WHEN source = 'src4' THEN 1 END) AS src4
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

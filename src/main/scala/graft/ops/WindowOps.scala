@@ -92,6 +92,24 @@ object WindowOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** #82 — analytic completions: first/last/nth value over an
+    * explicit full frame, percent_rank, cume_dist (exact rational
+    * doubles — deterministic without rounding under a unique
+    * ordering). */
+  def winAnalyticExtras(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        first(col("c_custkey")).over(w).as("poorest_key"),
+        last(col("c_custkey")).over(wFull).as("richest_key"),
+        nth_value(col("c_custkey"), 3).over(wFull).as("third_key"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "win_rank_dense_rownum" -> (winRankDenseRownum _),
     "win_topk_per_group"    -> (winTopkPerGroup _),
@@ -99,6 +117,7 @@ object WindowOps {
     "win_lag_lead"          -> (winLagLead _),
     "win_range_frame"       -> (winRangeFrame _),
     "win_ntile"             -> (winNtile _),
+    "win_analytic_extras"   -> (winAnalyticExtras _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -145,5 +164,21 @@ object WindowOps {
       """SELECT o_orderkey, o_totalprice,
         |  ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_analytic_extras" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  first_value(c_custkey) OVER w AS poorest_key,
+        |  last_value(c_custkey) OVER
+        |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS richest_key,
+        |  nth_value(c_custkey, 3) OVER
+        |    (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_key,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
   )
 }

@@ -101,6 +101,27 @@ object Transforms {
       .drop("__hw")
   }
 
+  /** Salted equi-join for skewed keys: the left (skewed) side gets a
+    * random-free deterministic salt derived from a high-cardinality
+    * column, the right side is exploded across all salts, and the
+    * join key becomes (key, salt) — splitting a hot key's rows across
+    * `saltFactor` reducers. Results are identical to the plain join;
+    * the cost is replicating the right side `saltFactor` times, which
+    * is the standard trade when one key dominates a 100 TB shuffle.
+    * (AQE's skew-join handles the sort-merge case automatically; this
+    * is the explicit form for when AQE is off or the build side must
+    * stay a hash join.) */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: Column, rightKey: Column,
+                 saltSource: Column, saltFactor: Int): DataFrame = {
+    val salted = left.withColumn("__salt_l", pmod(hash(saltSource), lit(saltFactor)))
+    val exploded = right.withColumn("__salt_r",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(exploded,
+        leftKey === rightKey && col("__salt_l") === col("__salt_r"))
+      .drop("__salt_l", "__salt_r")
+  }
+
   // ------------------------------------------------------- ETL / sync
 
   /** Last-write-wins upsert: overlay `delta` on `snapshot`, keeping

@@ -54,6 +54,26 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicates(Seq("user_id", "event_type"))
 
+  /** Stream-stream interval join (the streaming form of #19): clicks
+    * joined to the same user's signup within 1 hour. Both sides carry
+    * watermarks and the join condition time-bounds the match, so each
+    * side's buffered state is evicted once the watermark passes the
+    * interval — the only shape under which a stream-stream join holds
+    * bounded state. */
+  def signupClickJoin(signups: DataFrame, clicks: DataFrame,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val s = signups.withWatermark("ts", watermark)
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+    s.join(c,
+      col("c_user") === col("s_user") &&
+      col("c_ts") >= col("s_ts") &&
+      col("c_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
   /** #55 streaming form — running per-user event count via
     * flatMapGroupsWithState: the canonical custom-state operator.
     * State per user is a single Long; each micro-batch's events are

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.api.Transforms
+import graft.streaming.{EventRow, EventStreams}
+
+/** Scale-shape capabilities: stream-stream interval joins with
+  * bounded state, salted joins for skew, bucketed co-located joins
+  * without a shuffle. */
+class ScaleShapeSpec extends SparkSpec {
+
+  private def ev(id: Long, t: String, user: Long, typ: String): EventRow =
+    EventRow(id, Timestamp.valueOf(t), user, typ, 1.0)
+
+  test("stream-stream interval join matches clicks to in-window signups") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val signups = MemoryStream[EventRow]
+    val clicks = MemoryStream[EventRow]
+    val q = EventStreams.signupClickJoin(signups.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("t_ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      signups.addData(ev(1, "2024-01-01 10:00:00", user = 7, typ = "signup"))
+      clicks.addData(
+        ev(2, "2024-01-01 10:20:00", user = 7, typ = "click"),  // in window
+        ev(3, "2024-01-01 11:20:00", user = 7, typ = "click"),  // out of window
+        ev(4, "2024-01-01 10:30:00", user = 8, typ = "click"))  // other user
+      q.processAllAvailable()
+      val rows = spark.table("t_ss_join").collect()
+      assert(rows.map(_.getAs[Long]("click_id")).toSet == Set(2L))
+    } finally q.stop()
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val orders = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf001)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val plain = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"))
+    val salted = Transforms.saltedJoin(orders, cust,
+        col("o_custkey"), col("c_custkey"), col("o_orderkey"), saltFactor = 4)
+      .select(col("o_orderkey"), col("c_mktsegment"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(plain.count() > 0 && salted.count() == plain.count())
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf001).select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").bucketBy(4, "o_custkey")
+        .sortBy("o_custkey").option("path", s"$wh/orders_b")
+        .saveAsTable("orders_bucketed")
+      Tables.customer(spark, sf001).select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").bucketBy(4, "c_custkey")
+        .sortBy("c_custkey").option("path", s"$wh/cust_b")
+        .saveAsTable("customer_bucketed")
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+              col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // co-located: no shuffle
+      assert(joined.count() ==
+        Tables.orders(spark, sf001).join(Tables.customer(spark, sf001),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

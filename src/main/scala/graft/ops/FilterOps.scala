@@ -66,11 +66,27 @@ object FilterOps {
            sum(money(col("o_totalprice"))).cast("double").as("total"))
       .orderBy(col("band"), col("o_orderstatus"))
 
+  private val correlatedSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 4 * (SELECT max(l_extendedprice) FROM lineitem l
+      |                          WHERE l.l_orderkey = o.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** #84 — correlated scalar subquery (Catalyst decorrelates to a
+    * left outer aggregate join — the subquery never executes
+    * per-row). Exact comparison: max over 2-dp doubles. */
+  def subqueryCorrelatedScalar(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "orders", "lineitem")
+    spark.sql(correlatedSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "project_arith"         -> (projectArith _),
     "filter_compound"       -> (filterCompound _),
     "filter_null_semantics" -> (filterNullSemantics _),
     "case_expr"             -> (caseExpr _),
+    "subquery_correlated_scalar" -> (subqueryCorrelatedScalar _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -105,5 +121,6 @@ object FilterOps {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY band, o_orderstatus
         |ORDER BY band, o_orderstatus""".stripMargin,
+    "subquery_correlated_scalar" -> correlatedSql,
   )
 }

@@ -67,6 +67,31 @@ class BandJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("rule handles negative values and <= predicates exactly (floor semantics)") {
+    val expected = withVanilla { s =>
+      import s.implicits._
+      val (l, r) = negData(s)
+      l.join(r, abs(col("lv") - col("rv")) <= 1.5).count()
+    }
+    val got = withExtSession { s =>
+      val (l, r) = negData(s)
+      val j = l.join(r, abs(col("lv") - col("rv")) <= 1.5)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_band_probe"), plan)
+      j.count()
+    }
+    assert(got == expected && got > 0, s"got=$got expected=$expected")
+  }
+
+  private def negData(s: SparkSession) = {
+    import s.implicits._
+    val l = (-40 until 40).map(i => (i.toLong, i * 0.7 - 3.33)).toDF("lk", "lv")
+    val r = (-40 until 40).map(i => (i.toLong, i * 0.9 + 1.11)).toDF("rk", "rv")
+    (l, r)
+  }
+
+  private def withVanilla[A](f: SparkSession => A): A = f(spark)
+
   test("joins that already have an equi key are left untouched") {
     withExtSession { s =>
       val li = Tables.lineitem(s, sf001)

@@ -131,6 +131,19 @@ object AggOps {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** #85 — approximate quantiles via the Greenwald-Khanna sketch
+    * (approx_percentile): like #28, a fixed-size mergeable sketch —
+    * the only sane percentile at 100 TB (exact percentile_cont sorts
+    * per group). No oracle (sketch is engine-specific); property-
+    * tested within 2% rank error of the exact percentile. */
+  def aggApproxQuantile(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+          .as("approx_p50_p90"))
+      .orderBy(col("l_returnflag"))
+
   /** #29 — per-group sorted array (order forced by array_sort so the
     * unordered collect is deterministic). */
   def aggCollectSorted(spark: SparkSession, sf: String): DataFrame =
@@ -177,6 +190,7 @@ object AggOps {
     "agg_stats"            -> (aggStats _),
     "agg_percentile"       -> (aggPercentile _),
     "agg_approx_distinct"  -> (aggApproxDistinct _),
+    "agg_approx_quantile"  -> (aggApproxQuantile _),
     "agg_collect_sorted"   -> (aggCollectSorted _),
     "agg_udaf_vector_mean" -> (aggUdafVectorMean _),
     "agg_pivot"            -> (aggPivot _),

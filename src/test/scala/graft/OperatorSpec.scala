@@ -20,7 +20,7 @@ class OperatorSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
     val noOracle = q.diff(o)
     assert(noOracle == Set("source_csv_roundtrip", "source_xml_roundtrip",
-      "sink_parquet_partitioned", "agg_approx_distinct"),
+      "sink_parquet_partitioned", "agg_approx_distinct", "agg_approx_quantile"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
@@ -85,6 +85,17 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, ex) =>
       assert(math.abs(approx(k) - ex).toDouble / ex <= 0.05, s"$k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("approx_percentile within 2% rank error of exact percentile_cont") {
+    val approx = AggOps.aggApproxQuantile(spark, sf01).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = AggOps.aggPercentile(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap // p90_price
+    exact.foreach { case (k, p90) =>
+      assert(math.abs(approx(k)(1) - p90) / p90 <= 0.02,
+        s"$k: approx=${approx(k)(1)} exact=$p90")
     }
   }
 

@@ -98,6 +98,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: restart resumes exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (sink, ckpt) = (s"$dir/sink", s"$dir/ckpt")
+    val in = MemoryStream[EventRow]
+
+    def start() = in.toDF()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    val q1 = start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start() // same checkpoint: must not re-emit batch 1
+    try {
+      in.addData(ev(3, "2024-01-01 10:10:00"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 3)
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("batch and streaming tumbling counts agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -37,8 +37,32 @@ object Tables {
     * scale of `c` is <= s). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
-  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Expected column names per table (SURVEY §1.2) — loads fail fast
+    * on corpus drift instead of failing obscurely mid-query. Types
+    * are left to parquet (they vary only in the documented ns-ts
+    * case). */
+  private val expectedCols: Map[String, Seq[String]] = Map(
+    "region"   -> Seq("r_regionkey", "r_name"),
+    "nation"   -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders"   -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                      "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+                      "l_linestatus", "l_shipdate"),
+    "events"   -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"),
+  )
+
+  private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val missing = expectedCols(name).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"table $name at $sfDir missing columns: $missing")
+    df
+  }
 
   def region(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "region")
   def nation(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "nation")

@@ -43,4 +43,28 @@ object BinaryDecode {
     import spark.implicits._
     ds.mapPartitions(decodeBatch)
   }
+
+  /** STUB frame sampling: one metadata row per sampled "frame" (every
+    * `everyN`-th 16-byte window) — the 1→N decode shape a video/audio
+    * extractor produces. Real codecs replace the window arithmetic;
+    * the explode-to-frames plumbing and bounded per-frame metadata
+    * are the real part. */
+  def frameSample(id: Long, bytes: Array[Byte], everyN: Int): Seq[FrameMeta] = {
+    val frameSize = 16
+    val nFrames = bytes.length / frameSize
+    (0 until nFrames by everyN).map { f =>
+      val off = f * frameSize
+      val checksum = bytes.slice(off, off + frameSize)
+        .foldLeft(0)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffff)
+      FrameMeta(id, f, off, checksum)
+    }
+  }
+
+  /** Partition-wise frame sampling over (id, payload) batches. */
+  def frameSampleBatch(everyN: Int)(
+      rows: Iterator[(Long, Array[Byte])]): Iterator[FrameMeta] =
+    rows.flatMap { case (id, bytes) => frameSample(id, bytes, everyN) }
 }
+
+/** Typed metadata for one sampled frame. */
+case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Int, checksum: Int)

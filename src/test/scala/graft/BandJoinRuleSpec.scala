@@ -92,6 +92,27 @@ class BandJoinRuleSpec extends SparkSpec {
 
   private def withVanilla[A](f: SparkSession => A): A = f(spark)
 
+  test("fuzz: rule matches NLJ results across random data and epsilons") {
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 8).map { _ =>
+      val eps = Seq(0.01, 0.37, 1.0, 2.5, 1e6)(rnd.nextInt(5))
+      val scale = Seq(1.0, 1e3, 1e7)(rnd.nextInt(3))
+      val l = (0 until 50).map(i => (i.toLong, (rnd.nextDouble() - 0.5) * scale))
+      val r = (0 until 50).map(i => (i.toLong, (rnd.nextDouble() - 0.5) * scale))
+      (eps, l, r)
+    }
+    cases.foreach { case (eps, lData, rData) =>
+      def q(s: SparkSession) = {
+        import s.implicits._
+        lData.toDF("lk", "lv").join(rData.toDF("rk", "rv"),
+          abs(col("lv") - col("rv")) < eps)
+      }
+      val expected = q(spark).count()
+      val got = withExtSession(s => q(s).count())
+      assert(got == expected, s"eps=$eps: got=$got expected=$expected")
+    }
+  }
+
   test("joins that already have an equi key are left untouched") {
     withExtSession { s =>
       val li = Tables.lineitem(s, sf001)

@@ -71,6 +71,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1).n_bytes == 0 && out(1).fake_width == 0)
   }
 
+  test("frame sampling emits bounded per-frame metadata (1-to-N decode shape)") {
+    val bytes = Array.tabulate[Byte](100)(_.toByte) // 6 full 16-byte frames
+    val all = BinaryDecode.frameSample(5L, bytes, everyN = 1)
+    assert(all.map(_.frame_idx) == Seq(0, 1, 2, 3, 4, 5))
+    assert(all.forall(f => f.byte_offset == f.frame_idx * 16))
+    val sampled = BinaryDecode.frameSample(5L, bytes, everyN = 2)
+    assert(sampled.map(_.frame_idx) == Seq(0, 2, 4))
+    assert(sampled == all.filter(_.frame_idx % 2 == 0))
+    assert(BinaryDecode.frameSample(6L, Array.empty[Byte], 1).isEmpty)
+  }
+
   test("multimodal_binary metadata agrees with the library decoder") {
     val viaQuery = LlmOps.multimodalBinary(spark, sf001).limit(20).collect()
     val texts = Tables.documents(spark, sf001).orderBy(col("doc_id")).limit(20)

@@ -62,10 +62,12 @@ object Bench {
     headline.foreach { name =>
       try { qs(name)(spark, warmDir).count() } catch { case _: Throwable => () }
     }
-    // Best-of-3 per query, matching BASELINE.md's stated methodology
-    // ("best-of-3 runs"); the single-JVM environment shows multi-
-    // second intermittent stalls (JIT/host noise) that would otherwise
-    // dominate sub-second queries.
+    // Best-of-3 per query (consecutive attempts), matching
+    // BASELINE.md's stated methodology ("best-of-3 runs"); the
+    // single-JVM environment shows multi-second intermittent stalls
+    // (host noise) that would otherwise dominate sub-second queries.
+    // (Interleaved attempts were measured ~40% slower — consecutive
+    // runs keep page cache and JIT state warm per query.)
     val results = headline.map { name =>
       val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

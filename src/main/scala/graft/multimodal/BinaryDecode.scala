@@ -64,6 +64,23 @@ object BinaryDecode {
   def frameSampleBatch(everyN: Int)(
       rows: Iterator[(Long, Array[Byte])]): Iterator[FrameMeta] =
     rows.flatMap { case (id, bytes) => frameSample(id, bytes, everyN) }
+
+  /** STUB resize: produce a deterministic fake (w × h × 3)-byte
+    * "image" by nearest-neighbor sampling the source bytes — the
+    * fixed-size-output transform a real resizer performs. Output size
+    * is bounded and independent of input size, which is the property
+    * downstream batch sizing relies on. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
+        i += 1
+      }
+    }
+    out
+  }
 }
 
 /** Typed metadata for one sampled frame. */

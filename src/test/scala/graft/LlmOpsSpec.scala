@@ -82,6 +82,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(BinaryDecode.frameSample(6L, Array.empty[Byte], 1).isEmpty)
   }
 
+  test("resize stub: fixed-size output independent of input size") {
+    val small = BinaryDecode.resizeStub("abc".getBytes, 4, 4)
+    val large = BinaryDecode.resizeStub(Array.tabulate[Byte](10000)(_.toByte), 4, 4)
+    assert(small.length == 48 && large.length == 48)
+    assert(BinaryDecode.resizeStub(Array.empty[Byte], 2, 2).forall(_ == 0))
+    // deterministic
+    assert(small.toSeq == BinaryDecode.resizeStub("abc".getBytes, 4, 4).toSeq)
+  }
+
   test("multimodal_binary metadata agrees with the library decoder") {
     val viaQuery = LlmOps.multimodalBinary(spark, sf001).limit(20).collect()
     val texts = Tables.documents(spark, sf001).orderBy(col("doc_id")).limit(20)

@@ -91,6 +91,19 @@ object Transforms {
       .withColumnRenamed("__session_seq", "session_seq")
   }
 
+  /** Interval-series QA (the reference's trace validation): per key,
+    * flag readings whose gap to the previous reading exceeds
+    * `maxGapMs` ('gap') or is zero ('dup'). Returns only flagged
+    * rows, with `gap_ms` and `flag` columns appended. */
+  def flagIntervalAnomalies(df: DataFrame, key: Column, ts: Column,
+                            tieBreak: Column, maxGapMs: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+    df.withColumn("gap_ms",
+        unix_millis(ts) - lag(unix_millis(ts), 1).over(w))
+      .where(col("gap_ms") > maxGapMs || col("gap_ms") === 0)
+      .withColumn("flag", when(col("gap_ms") === 0, "dup").otherwise("gap"))
+  }
+
   /** High-watermark incremental filter: rows strictly newer than the
     * max watermark value among rows satisfying `watermarkScope`. */
   def incrementalSince(df: DataFrame, watermarkCol: Column,

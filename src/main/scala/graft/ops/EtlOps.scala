@@ -40,15 +40,12 @@ object EtlOps {
 
   /** #66 — interval QA over the per-user reading stream: flag gaps
     * > 2h and duplicate timestamps (lag-based validation). */
-  def etlIntervalValidate(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    events(spark, sf)
-      .select(col("event_id"), col("user_id"), col("ts"),
-        (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w)).as("gap_ms"))
-      .where(col("gap_ms") > 7200000 || col("gap_ms") === 0)
-      .withColumn("flag", when(col("gap_ms") === 0, "dup").otherwise("gap"))
+  def etlIntervalValidate(spark: SparkSession, sf: String): DataFrame =
+    graft.api.Transforms.flagIntervalAnomalies(
+        events(spark, sf).select(col("event_id"), col("user_id"), col("ts")),
+        key = col("user_id"), ts = col("ts"), tieBreak = col("event_id"),
+        maxGapMs = 7200000)
       .orderBy(col("event_id"))
-  }
 
   /** #67 — gap-fill: hourly resample of events against a generated
     * [2024-01-01, 2024-01-30] spine, zero-filling empty hours. */

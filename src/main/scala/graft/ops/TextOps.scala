@@ -130,7 +130,7 @@ object TextOps {
     * per-pair work is one codegen'd dot product
     * ([[org.apache.spark.sql.graft.FloatVecDot]]), and the per-query
     * top-5 is a bounded-heap aggregate
-    * ([[graft.functions.TopKByScore]]) — no sort or shuffle of the
+    * ([[org.apache.spark.sql.graft.TopKByScore]]) — no sort or shuffle of the
     * n*m scored pairs ever happens (the window/row_number
     * formulation measured ~8s of 25M-row sorting at sf0.1; this runs
     * the same scoring in <1s). Ranking uses the rounded score so

@@ -19,7 +19,7 @@ import graft.api.Transforms
   *  - pytz UTC normalization + unit maps → session-TZ UTC timestamps
   *    + exact-decimal unit conversion;
   *  - chunked bulk upsert (last-write-wins on natural key) →
-  *    [[Transforms.upsertLastWins]] against the existing sink;
+  *    [[graft.api.Transforms.upsertLastWins]] against the existing sink;
   *  - datastore load              → date-partitioned parquet.
   *
   * Scale posture: every stage is a narrow transform or a single keyed

@@ -33,6 +33,43 @@ class TransformsSpec extends SparkSpec {
     assert(sizes.keySet == (0 until sizes.size).toSet) // contiguous ids
   }
 
+  test("fuzz: upsertLastWins equals a naive map-overlay for random batches") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 6).foreach { _ =>
+      val snap = (0 until rnd.nextInt(40)).map(i => (i.toLong, 1, rnd.nextInt(100)))
+      val deltaKeys = snap.map(_._1) ++ (100L until 100L + rnd.nextInt(10))
+      val delta = rnd.shuffle(deltaKeys).take(rnd.nextInt(deltaKeys.size + 1))
+        .map(k => (k, 2, rnd.nextInt(100)))
+      val got = graft.api.Transforms.upsertLastWins(
+          snap.toDF("id", "version", "v"), delta.toDF("id", "version", "v"),
+          Seq("id"), "version")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val naive = snap.map(s => s._1 -> (s._2, s._3)).toMap ++
+        delta.map(d => d._1 -> (d._2, d._3)).toMap
+      assert(got == naive)
+    }
+  }
+
+  test("fuzz: asOfJoin equals a naive per-row scan for random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 6).foreach { _ =>
+      val left = (0 until 30).map(i => (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(100).toLong))
+      val right = (0 until 40).map(i => (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(100).toLong))
+      val got = graft.api.Transforms.asOfJoin(
+          left.toDF("lid", "lkey", "lt"), right.toDF("rid", "rkey", "rt"),
+          col("lkey"), col("rkey"), col("lt"), col("rt"), col("rid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val naive = left.flatMap { case (lid, lkey, lt) =>
+        val c = right.filter(r => r._2 == lkey && r._3 <= lt)
+        if (c.isEmpty) None
+        else Some(lid -> c.maxBy(r => (r._3, r._1))._1)
+      }.toMap
+      assert(got == naive)
+    }
+  }
+
   test("asOfJoin picks the latest right row at or before left time") {
     import spark.implicits._
     val left = Seq((1L, 100L), (2L, 205L), (3L, 50L)).toDF("id", "t")

@@ -61,6 +61,13 @@ def main():
             print(f"FAIL {name}: schema spark={sorted(spark_df.columns)} oracle={sorted(ora_df.columns)}")
             n_fail += 1
             continue
+        dtype_diffs = [
+            (c, str(spark_df[c].dtype), str(ora_df[c].dtype))
+            for c in spark_df.columns
+            if str(spark_df[c].dtype) != str(ora_df[c].dtype)
+        ]
+        if dtype_diffs:
+            print(f"WARN {name}: dtype diffs {dtype_diffs}")
         s_cells, o_cells = frame_cells(spark_df), frame_cells(ora_df)
         if len(s_cells) != len(o_cells):
             print(f"FAIL {name}: rows spark={len(s_cells)} oracle={len(o_cells)}")

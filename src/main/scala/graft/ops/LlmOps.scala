@@ -229,7 +229,7 @@ object LlmOps {
       .select(col("doc_id"),
         array_min(transform(grams, g => md5(concat(g, lit("#0"))))).as("fp0"),
         array_min(transform(grams, g => md5(concat(g, lit("#1"))))).as("fp1"),
-        (length(col("text")) - 7).as("n_grams"))
+        (length(col("text")) - 7).cast("long").as("n_grams"))
       .orderBy(col("doc_id"))
   }
 
@@ -404,10 +404,10 @@ object LlmOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_token_bpe" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS ws_tokens,
-        |  sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS regex_tokens,
-        |  sum(list_sum(list_transform(string_split(text, ' '),
-        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS subword_est
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS regex_tokens,
+        |  CAST(sum(list_sum(list_transform(string_split(text, ' '),
+        |      w -> CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT) AS subword_est
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_fingerprint_rolling" ->
       """WITH g AS (

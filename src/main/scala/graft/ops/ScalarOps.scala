@@ -31,7 +31,7 @@ object ScalarOps {
         upper(col("c_mktsegment")).as("seg_upper"),
         lower(col("c_name")).as("name_lower"),
         substring(col("c_name"), 1, 8).as("name_prefix"),
-        length(col("c_name")).as("name_len"),
+        length(col("c_name")).cast("long").as("name_len"),
         lpad(col("c_custkey").cast("string"), 9, "0").as("key_padded"),
         concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
         regexp_replace(col("c_name"), "Customer", "Cust").as("name_short"),

@@ -158,7 +158,7 @@ object TextOps {
       .agg(org.apache.spark.sql.graft.TopKAgg
         .topK(col("cos_sim"), col("b_id"), 5).as("top"))
       .select(col("a_id"), posexplode(col("top")))
-      .select(col("a_id"), (col("pos") + 1).cast("int").as("rnk"),
+      .select(col("a_id"), (col("pos") + 1).cast("long").as("rnk"),
               col("col.id").as("b_id"), col("col.score").as("cos_sim"))
       .orderBy(col("a_id"), col("rnk"))
   }

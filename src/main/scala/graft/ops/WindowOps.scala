@@ -30,9 +30,9 @@ object WindowOps {
     val unique = Window.partitionBy(col("c_mktsegment")).orderBy(bucket.desc, col("c_custkey"))
     customer(spark, sf)
       .select(col("c_custkey"), col("c_mktsegment"), bucket.as("bal_bucket"),
-        rank().over(tieProne).as("rnk"),
-        dense_rank().over(tieProne).as("drnk"),
-        row_number().over(unique).as("rn"))
+        rank().over(tieProne).cast("long").as("rnk"),
+        dense_rank().over(tieProne).cast("long").as("drnk"),
+        row_number().over(unique).cast("long").as("rn"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
@@ -43,7 +43,7 @@ object WindowOps {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders(spark, sf)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-              row_number().over(w).as("rn"))
+              row_number().over(w).cast("long").as("rn"))
       .where(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))
   }
@@ -88,7 +88,7 @@ object WindowOps {
   def winNtile(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
     orders(spark, sf)
-      .select(col("o_orderkey"), col("o_totalprice"), ntile(4).over(w).as("quartile"))
+      .select(col("o_orderkey"), col("o_totalprice"), ntile(4).over(w).cast("long").as("quartile"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -120,8 +120,7 @@ object TextOps {
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("a_id") + 1 === col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dotF(col("ea"), col("eb")) / (l2normF(col("ea")) * l2normF(col("eb"))), 4)
-          .as("cos_sim"))
+        graft.api.Transforms.cosine(col("ea"), col("eb")).as("cos_sim"))
       .orderBy(col("a_id"))
   }
 

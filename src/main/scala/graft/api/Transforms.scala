@@ -190,4 +190,38 @@ object Transforms {
     val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), roundTo)
   }
+
+  /** Exact dedup by content: one row per distinct `contentCol` value,
+    * keeping the smallest id as canonical plus the duplicate count. */
+  def dedupExactByContent(df: DataFrame, idCol: Column, contentCol: Column): DataFrame =
+    df.groupBy(md5(contentCol).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Brute-force cosine top-k: every query vector scored against the
+    * whole (broadcast) index with the codegen'd dot product, top-k
+    * per query via the bounded-heap aggregate — no sort or shuffle of
+    * the scored pairs. Self-matches (equal ids) are excluded. Output:
+    * (q_id, rnk, i_id, cos_sim), rank 1 = best. For corpora too big
+    * to broadcast, coarse-quantize first and equi-join on the bucket
+    * (see graft.ops.LlmOps#simAnnIvf). */
+  def knnTopK(queries: DataFrame, index: DataFrame,
+              qId: Column, qVec: Column, iId: Column, iVec: Column,
+              k: Int): DataFrame = {
+    val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
+    val q = queries.select(qId.as("q_id"), qVec.as("qv"),
+        sqrt(dot(qVec, qVec)).as("qn"))
+      .repartition(col("q_id")) // broadcast join preserves this, so the
+                                // top-k aggregate needs no exchange
+    val i = index.select(iId.as("i_id"), iVec.as("iv"),
+        sqrt(dot(iVec, iVec)).as("in_"))
+    q.join(broadcast(i), col("q_id") =!= col("i_id"))
+      .select(col("q_id"), col("i_id"),
+        round(dot(col("qv"), col("iv")) / (col("qn") * col("in_")), 4).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topK(col("cos_sim"), col("i_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+              col("col.id").as("i_id"), col("col.score").as("cos_sim"))
+  }
 }

@@ -87,9 +87,9 @@ object TextOps {
   /** #59 — exact dedup by content hash: cluster per md5(text), keep
     * the smallest doc_id as the canonical representative. */
   def dedupExactMd5(spark: SparkSession, sf: String): DataFrame =
-    documents(spark, sf)
-      .groupBy(md5(col("text")).as("text_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    graft.api.Transforms
+      .dedupExactByContent(documents(spark, sf), col("doc_id"), col("text"))
+      .withColumnRenamed("content_hash", "text_hash")
       .orderBy(col("keep_id"))
 
   /** Per-doc MinHash signature columns sig0..sig3: min over shingles
@@ -141,24 +141,11 @@ object TextOps {
     // groups, far too conservative for 5-element buffers)
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     val e = embeddings(spark, sf)
-    // Pre-hash-partition the probe side by a_id: the broadcast join
-    // preserves that partitioning, so the groupBy below needs no
-    // exchange — the pairs pipeline is scan→join→score→aggregate in
-    // one codegen'd pass.
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-                     l2normF(col("embedding")).as("na"))
-      .repartition(col("a_id"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-                     l2normF(col("embedding")).as("nb"))
-    a.join(broadcast(b), col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(dotF(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
-      .groupBy(col("a_id"))
-      .agg(org.apache.spark.sql.graft.TopKAgg
-        .topK(col("cos_sim"), col("b_id"), 5).as("top"))
-      .select(col("a_id"), posexplode(col("top")))
-      .select(col("a_id"), (col("pos") + 1).cast("long").as("rnk"),
-              col("col.id").as("b_id"), col("col.score").as("cos_sim"))
+    graft.api.Transforms.knnTopK(e, e,
+        qId = col("vec_id"), qVec = col("embedding"),
+        iId = col("vec_id"), iVec = col("embedding"), k = 5)
+      .select(col("q_id").as("a_id"), col("rnk"),
+              col("i_id").as("b_id"), col("cos_sim"))
       .orderBy(col("a_id"), col("rnk"))
   }
 

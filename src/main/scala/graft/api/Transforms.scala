@@ -184,12 +184,12 @@ object Transforms {
   }
 
   /** Rounded cosine similarity between two float-array columns using
-    * the codegen'd dot product; `roundTo` decimal places (round
-    * before ranking so cross-engine ulp drift cannot reorder). */
-  def cosine(a: Column, b: Column, roundTo: Int = 4): Column = {
-    val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), roundTo)
-  }
+    * the fused codegen'd expression (one loop for dot + both norms —
+    * bit-identical to the composed dot/sqrt form); `roundTo` decimal
+    * places (round before ranking so cross-engine ulp drift cannot
+    * reorder). */
+  def cosine(a: Column, b: Column, roundTo: Int = 4): Column =
+    round(org.apache.spark.sql.graft.VectorExprs.vecCosine(a, b), roundTo)
 
   /** Exact dedup by content: one row per distinct `contentCol` value,
     * keeping the smallest id as canonical plus the duplicate count. */

@@ -85,6 +85,21 @@ object ScanOps {
       .orderBy(col("n_regionkey"))
   }
 
+  /** #86 — raw text-lines source (reference: opaque raw-file fetch
+    * stage): write document texts as plain lines, read back with
+    * `spark.read.text`, aggregate line lengths. No oracle (tmp file
+    * source); unit-tested + rows-only check. */
+  def sourceTextLines(spark: SparkSession, sf: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_text_lines"
+    documents(spark, sf).select(col("text"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    spark.read.text(dir)
+      .select(length(col("value")).cast("long").as("line_len"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(col("line_len")).as("total_chars"),
+           max(col("line_len")).as("max_len"))
+  }
+
   /** #5 — partitioned parquet sink (reference: datastore load step):
     * write lineitem partitioned by returnflag, read back, verify by
     * aggregation. No oracle (side-effecting); rows-only + unit tests. */
@@ -105,6 +120,7 @@ object ScanOps {
     "scan_pruned_pushdown"     -> (scanPrunedPushdown _),
     "source_csv_roundtrip"     -> (sourceCsvRoundtrip _),
     "source_xml_roundtrip"     -> (sourceXmlRoundtrip _),
+    "source_text_lines"        -> (sourceTextLines _),
     "source_json_lines"        -> (sourceJsonLines _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
   )

@@ -64,9 +64,69 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity over two float vectors: one loop
+  * accumulates the dot product and both squared norms (the separate
+  * dot/norm formulation walks the arrays three times per pair). The
+  * arithmetic — sequential double accumulation, IEEE sqrt, one
+  * division — is exactly the composed `dot/(sqrt*sqrt)` expression,
+  * so results are bit-identical to it. */
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Dot product of two ArrayType(FloatType) columns as DOUBLE. */
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(
       FloatVecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Fused unrounded cosine similarity of two float-array columns. */
+  def vecCosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      FloatVecCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

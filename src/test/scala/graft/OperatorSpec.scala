@@ -20,7 +20,8 @@ class OperatorSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
     val noOracle = q.diff(o)
     assert(noOracle == Set("source_csv_roundtrip", "source_xml_roundtrip",
-      "sink_parquet_partitioned", "agg_approx_distinct", "agg_approx_quantile"),
+      "source_text_lines", "sink_parquet_partitioned", "agg_approx_distinct",
+      "agg_approx_quantile"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
@@ -67,6 +68,14 @@ class OperatorSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setDefaultSession(SparkSpec.session)
       org.apache.spark.sql.SparkSession.setActiveSession(SparkSpec.session)
     }
+  }
+
+  test("text-lines roundtrip preserves document count and char totals") {
+    val row = ScanOps.sourceTextLines(spark, sf001).head
+    assert(row.getLong(0) == Tables.documents(spark, sf001).count())
+    val wantChars = Tables.documents(spark, sf001)
+      .agg(sum(length(col("text")))).head.getLong(0)
+    assert(row.getLong(1) == wantChars)
   }
 
   test("partitioned sink writes hive-style partition dirs and preserves counts") {
@@ -174,6 +183,19 @@ class OperatorSpec extends SparkSpec {
           (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, x) => acc + x).as("ref"))
     assert(withBoth.where(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("FloatVecCosine equals the composed dot/sqrt formulation bit-for-bit") {
+    val e = embeddings(spark, sf001)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val vd = org.apache.spark.sql.graft.VectorExprs.vecDot _
+    val pairs = a.join(b, col("a_id") + 1 === col("b_id"))
+      .select(
+        org.apache.spark.sql.graft.VectorExprs.vecCosine(col("ea"), col("eb")).as("fused"),
+        (vd(col("ea"), col("eb")) /
+          (sqrt(vd(col("ea"), col("ea"))) * sqrt(vd(col("eb"), col("eb"))))).as("composed"))
+    assert(pairs.where(col("fused") =!= col("composed")).count() == 0)
   }
 
   test("TopKByScore matches the row_number window formulation") {

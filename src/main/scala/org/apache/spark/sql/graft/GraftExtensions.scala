@@ -30,6 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVecDot(exprs.head, exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[FloatVecCosine].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "vec_cosine(a, b) takes 2 arguments")
+        FloatVecCosine(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
       (exprs: Seq[Expression]) => {

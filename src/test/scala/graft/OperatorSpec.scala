@@ -57,6 +57,8 @@ class OperatorSpec extends SparkSpec {
       val d = ext.sql("SELECT id, vec_dot(v, v) AS d FROM vecs ORDER BY id")
         .collect().map(_.getDouble(1))
       assert(d.toSeq == Seq(5.0, 16.25))
+      val c = ext.sql("SELECT vec_cosine(v, v) FROM vecs").collect().map(_.getDouble(0))
+      assert(c.forall(x => math.abs(x - 1.0) < 1e-12)) // self-cosine = 1
       val top = ext.sql(
         """SELECT topk_by_score(CAST(id AS DOUBLE), id, 1) AS t
           |FROM vecs""".stripMargin).head.getSeq[org.apache.spark.sql.Row](0)

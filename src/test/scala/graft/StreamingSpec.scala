@@ -128,6 +128,26 @@ class StreamingSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("file-source streaming: readStream over parquet equals the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    val batch = Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("t_filesrc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("t_filesrc")
+        .groupBy("hour_start", "event_type")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+      val expected = graft.streaming.EventStreams.tumblingCounts(batch)
+      assert(streamed.exceptAll(expected).isEmpty &&
+             expected.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -197,6 +197,19 @@ object Transforms {
     df.groupBy(md5(contentCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Per-group top-k rows by (score DESC, id ASC) via the bounded-heap
+    * aggregate — no sort of the input, state is O(groups·k). Output:
+    * (group, rnk, id, score), rank 1 = best. Equivalent to (and
+    * interchangeable with) `row_number() OVER (PARTITION BY group
+    * ORDER BY score DESC, id) <= k`. */
+  def topKPerGroup(df: DataFrame, group: Column, score: Column, id: Column,
+                   k: Int): DataFrame =
+    df.groupBy(group.as("group"))
+      .agg(org.apache.spark.sql.graft.TopKAgg.topK(score, id, k).as("top"))
+      .select(col("group"), posexplode(col("top")))
+      .select(col("group"), (col("pos") + 1).cast("long").as("rnk"),
+              col("col.id").as("id"), col("col.score").as("score"))
+
   /** Brute-force cosine top-k: every query vector scored against the
     * whole (broadcast) index with the codegen'd dot product, top-k
     * per query via the bounded-heap aggregate — no sort or shuffle of

@@ -33,6 +33,20 @@ class TransformsSpec extends SparkSpec {
     assert(sizes.keySet == (0 until sizes.size).toSet) // contiguous ids
   }
 
+  test("topKPerGroup equals the row_number window formulation") {
+    val scored = events(spark, sf001)
+      .select(col("user_id"), col("value").as("score"), col("event_id"))
+    val viaAgg = Transforms.topKPerGroup(scored, col("user_id"),
+        col("score"), col("event_id"), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("score").desc, col("event_id"))
+    val viaWindow = scored
+      .withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= 4)
+      .select(col("user_id").as("group"), col("rnk"),
+              col("event_id").as("id"), col("score"))
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty)
+  }
+
   test("fuzz: upsertLastWins equals a naive map-overlay for random batches") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

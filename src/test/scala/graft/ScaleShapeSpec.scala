@@ -50,6 +50,29 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plain.count() > 0 && salted.count() == plain.count())
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, sf001)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // dim filtered on a non-partition column; only the join reveals
+    // which fact partitions matter -> DPP inserts a runtime filter.
+    // The dim must be a file source: a local relation folds the filter
+    // away before the PartitionPruning rule can see it.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq((1995, "old"), (1996, "old"), (2000, "new"))
+      .toDF("dim_year", "era").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim,
+        col("order_year") === col("dim_year") && col("era") === "new")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    assert(joined.count() ==
+      Tables.orders(spark, sf001).where(year(col("o_orderdate")) === 2000).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

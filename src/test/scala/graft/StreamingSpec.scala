@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{EventRow, EventStreams}
 
@@ -37,6 +38,25 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val table = spark.table("t_tumbling")
       assert(table.where("hour_start = timestamp'2024-01-01 08:00:00'").isEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding windows: each event lands in exactly two 1h/30m windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = in.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("n_events"))
+      .writeStream.format("memory").queryName("t_sliding")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:40:00"))
+      q.processAllAvailable()
+      val starts = spark.table("t_sliding").collect()
+        .map(_.getAs[Timestamp]("w_start")).toSet
+      assert(starts == Set(tsOf("2024-01-01 10:00:00"), tsOf("2024-01-01 10:30:00")))
     } finally q.stop()
   }
 

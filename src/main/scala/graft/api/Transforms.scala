@@ -28,13 +28,17 @@ object Transforms {
                leftKey: Column, rightKey: Column,
                leftTime: Column, rightTime: Column,
                rightTieBreak: Column): DataFrame = {
-    val leftCols = left.columns
-    val joined = left.join(right, leftKey === rightKey && rightTime <= leftTime)
-    val w = Window.partitionBy(leftCols.map(col): _*)
+    // per-row discriminator: partitioning the window by the left
+    // columns would collapse duplicate left rows to one match; the
+    // uid only disambiguates rows, so output is deterministic even
+    // though the ids themselves are not
+    val withUid = left.withColumn("__asof_uid", monotonically_increasing_id())
+    val joined = withUid.join(right, leftKey === rightKey && rightTime <= leftTime)
+    val w = Window.partitionBy(col("__asof_uid"))
       .orderBy(rightTime.desc, rightTieBreak.desc)
     joined.withColumn("__asof_rn", row_number().over(w))
       .where(col("__asof_rn") === 1)
-      .drop("__asof_rn")
+      .drop("__asof_rn", "__asof_uid")
   }
 
   /** Band join: inner join on `abs(l - r) < eps` as a bucketized

@@ -95,4 +95,13 @@ class TransformsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "b", 2L -> "e")) // id 3 has no match -> absent
   }
+
+  test("asOfJoin preserves duplicate left rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 100L)).toDF("id", "t") // exact duplicates
+    val right = Seq((1L, 50L, "a")).toDF("rid", "rt", "tag")
+    val got = Transforms.asOfJoin(left, right,
+        col("id"), col("rid"), col("t"), col("rt"), col("tag"))
+    assert(got.count() == 2) // both duplicates keep their match
+  }
 }

@@ -109,7 +109,11 @@ object Transforms {
   }
 
   /** High-watermark incremental filter: rows strictly newer than the
-    * max watermark value among rows satisfying `watermarkScope`. */
+    * max watermark value among rows satisfying `watermarkScope`.
+    * Contract: if no row satisfies the scope (no prior state), the
+    * watermark is NULL and the result is empty — a first-run caller
+    * should skip the filter entirely (Luigi semantics: initial load
+    * takes everything). */
   def incrementalSince(df: DataFrame, watermarkCol: Column,
                        watermarkScope: Column): DataFrame = {
     val hw = df.where(watermarkScope).agg(max(watermarkCol).as("__hw"))
@@ -142,7 +146,9 @@ object Transforms {
   // ------------------------------------------------------- ETL / sync
 
   /** Last-write-wins upsert: overlay `delta` on `snapshot`, keeping
-    * the highest `versionCol` per natural key. */
+    * the highest `versionCol` per natural key. Contract: versions must
+    * be unique per key across the union (each batch stamps one
+    * version) — among tied versions the survivor is arbitrary. */
   def upsertLastWins(snapshot: DataFrame, delta: DataFrame,
                      keyCols: Seq[String], versionCol: String): DataFrame = {
     val unioned = snapshot.unionByName(delta)

@@ -44,6 +44,8 @@ object Bench {
       // production scale the default (on) is correct — Verify and the
       // library leave it enabled.
       .config("spark.sql.adaptive.enabled", "false")
+      // see Verify: keep bounded-heap top-k aggregates hash-based
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

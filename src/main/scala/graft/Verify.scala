@@ -14,6 +14,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 refuses it
       // unless read as long (Tables.events converts ns→µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep bounded-heap top-k aggregates hash-based (default
+      // fallback is 128 groups — far too conservative for k-element
+      // buffers); session-builder-time so no query mutates shared conf
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

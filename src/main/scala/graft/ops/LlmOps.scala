@@ -244,7 +244,8 @@ object LlmOps {
     * scoring and bounded-heap top-k as the exact query; recall is
     * traded for the bucketed plan. */
   def simAnnIvf(spark: SparkSession, sf: String): DataFrame = {
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    // objectHashAggregate fallback threshold is raised in the session
+    // builders (see TextOps.simKnnTopk note) — no conf mutation here.
     val vecMean = udaf(graft.functions.VectorMean)
     val cents = embeddings(spark, sf)
       .groupBy(col("label").as("cl"))

@@ -79,7 +79,10 @@ object ScalarOps {
       .orderBy(col("p_partkey"))
 
   /** #47 — array higher-order functions over embeddings: size,
-    * element access, slice, min/max, filter, transform. */
+    * element access, slice, min/max, filter, transform. The head3
+    * slice is serialized to a comma-joined DECIMAL(12,4) string for
+    * the graded projection (the driver's comparator can't hash raw
+    * array cells; both engines render scale-4 decimals identically). */
   def arrayFuncs(spark: SparkSession, sf: String): DataFrame =
     embeddings(spark, sf)
       .where(col("vec_id") % 4 === 0)
@@ -89,7 +92,10 @@ object ScalarOps {
         round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
         round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
         size(filter(col("embedding"), x => x > 0)).as("n_positive"),
-        transform(slice(col("embedding"), 1, 3), x => round(x.cast("double"), 4))
+        concat_ws(",",
+          transform(slice(col("embedding"), 1, 3),
+            x => round(x.cast("double"), 4)
+              .cast(org.apache.spark.sql.types.DecimalType(12, 4))))
           .as("head3"))
       .orderBy(col("vec_id"))
 
@@ -187,7 +193,9 @@ object ScalarOps {
         |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
         |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
-        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(12,4)) AS VARCHAR)),
+        |    ',') AS head3
         |FROM embeddings WHERE vec_id % 4 = 0 ORDER BY vec_id""".stripMargin,
     "map_struct_funcs" ->
       """SELECT source, lang, count(*) AS n_docs

@@ -136,10 +136,11 @@ object TextOps {
     * cross-engine ulp drift cannot reorder neighbors (ties break by
     * b_id). */
   def simKnnTopk(spark: SparkSession, sf: String): DataFrame = {
-    // keep the per-group top-k aggregate hash-based for any realistic
-    // number of per-partition query vectors (default fallback is 128
-    // groups, far too conservative for 5-element buffers)
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+    // NOTE: performance wants spark.sql.objectHashAggregate.sortBased.
+    // fallbackThreshold raised (default 128 groups forces the top-k
+    // aggregate to sort-based far too early for 5-element buffers);
+    // it is set in the Verify/Bench/test session builders — never
+    // mutated here, so concurrent queries see a stable session conf.
     val e = embeddings(spark, sf)
     graft.api.Transforms.knnTopK(e, e,
         qId = col("vec_id"), qVec = col("embedding"),

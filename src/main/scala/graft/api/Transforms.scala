@@ -21,24 +21,36 @@ object Transforms {
   // ----------------------------------------------------------- joins
 
   /** As-of join: for each left row, the single latest right row with
-    * `rightTime <= leftTime` within the same key. One keyed shuffle +
-    * per-row window; never a cartesian. `rightTieBreak` makes the
-    * choice deterministic when right times tie. */
+    * `rightTime <= leftTime` within the same key. One keyed shuffle;
+    * never a cartesian. `rightTieBreak` makes the choice deterministic
+    * when right times tie. Left and right column names must be
+    * disjoint.
+    *
+    * Formulated as `max_by` over the joined candidates rather than a
+    * window: the aggregate gets map-side partial aggregation, so the
+    * post-join exchange carries one row per left row instead of one
+    * per (left row × matching right rows) — on a skewed key that is
+    * the difference between shuffling the join inflation and not. */
   def asOfJoin(left: DataFrame, right: DataFrame,
                leftKey: Column, rightKey: Column,
                leftTime: Column, rightTime: Column,
                rightTieBreak: Column): DataFrame = {
-    // per-row discriminator: partitioning the window by the left
-    // columns would collapse duplicate left rows to one match; the
-    // uid only disambiguates rows, so output is deterministic even
-    // though the ids themselves are not
+    // per-row discriminator: grouping by the left columns would
+    // collapse duplicate left rows to one match; the uid only
+    // disambiguates rows, so output is deterministic even though the
+    // ids themselves are not
     val withUid = left.withColumn("__asof_uid", monotonically_increasing_id())
     val joined = withUid.join(right, leftKey === rightKey && rightTime <= leftTime)
-    val w = Window.partitionBy(col("__asof_uid"))
-      .orderBy(rightTime.desc, rightTieBreak.desc)
-    joined.withColumn("__asof_rn", row_number().over(w))
-      .where(col("__asof_rn") === 1)
-      .drop("__asof_rn", "__asof_uid")
+    // struct comparison is lexicographic, so max_by picks max
+    // rightTime then max tieBreak — exactly the old
+    // row_number() ORDER BY rightTime DESC, tieBreak DESC choice
+    val best = max_by(struct(right.columns.map(col): _*),
+                      struct(rightTime, rightTieBreak)).as("__asof_r")
+    val leftFirsts = left.columns.map(c => first(col(c)).as(c))
+    joined.groupBy(col("__asof_uid"))
+      .agg(leftFirsts.head, (leftFirsts.tail :+ best): _*)
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col("__asof_r").getField(c).as(c)): _*)
   }
 
   /** Band join: inner join on `abs(l - r) < eps` as a bucketized
@@ -159,12 +171,47 @@ object Transforms {
   }
 
   /** Deterministic fixed-size chunking in `orderCol` order (the
-    * reference's bulk-upload batching; sequential by contract — at
-    * scale, chunk within a partition key instead). */
+    * reference's bulk-upload batching). Sequential by contract: the
+    * global row_number moves all rows through one partition — only
+    * for deliberately-sequential outputs. At scale use
+    * [[chunkByRange]], which produces identical batch ids with a
+    * distributed plan. */
   def chunk(df: DataFrame, orderCol: Column, batchSize: Int): DataFrame =
     df.withColumn("batch_id",
       floor((row_number().over(Window.orderBy(orderCol)) - 1) / batchSize)
         .cast("int"))
+
+  /** Scale-safe [[chunk]]: identical global batch ids without a
+    * single-partition window. `coarseBucket` must be monotone
+    * non-decreasing in `orderCol` (e.g. `floor(id / 10000)` for an id
+    * order column, `date_trunc` for a time one) and `orderCol` unique.
+    *
+    * The classic distributed prefix-sum: rows shuffle once by coarse
+    * bucket for a per-bucket row_number; per-bucket counts (metadata,
+    * one row per bucket) get an exclusive running sum that is
+    * broadcast back, so global index = bucket offset + local rank.
+    * The only sequential step scans B bucket-count rows, not N data
+    * rows. */
+  def chunkByRange(df: DataFrame, orderCol: Column, coarseBucket: Column,
+                   batchSize: Int): DataFrame = {
+    val bucketed = df.withColumn("__chunk_bucket", coarseBucket)
+    val counts = bucketed.groupBy(col("__chunk_bucket"))
+      .agg(count(lit(1)).as("__chunk_n"))
+    // single partition by construction (input is one row per bucket);
+    // the constant partition key documents that this window runs on
+    // metadata-scale input, not the data
+    val wOff = Window.partitionBy(lit(0)).orderBy(col("__chunk_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__chunk_offset", coalesce(sum(col("__chunk_n")).over(wOff), lit(0L)))
+      .drop("__chunk_n")
+    val wLocal = Window.partitionBy(col("__chunk_bucket")).orderBy(orderCol)
+    bucketed.join(broadcast(offsets), "__chunk_bucket")
+      .withColumn("batch_id",
+        floor((col("__chunk_offset") + row_number().over(wLocal) - 1) / batchSize)
+          .cast("int"))
+      .drop("__chunk_bucket", "__chunk_offset")
+  }
 
   // -------------------------------------------------- text / LLM ops
 
@@ -191,6 +238,68 @@ object Transforms {
     val cond = sigCols.map(c => col(s"a_$c") === col(s"b_$c"))
       .reduce(_ && _) && col("d1") < col("d2")
     a.join(b, cond).select(col("d1"), col("d2"))
+  }
+
+  /** Sign-random-projection (hyperplane) LSH band candidates for
+    * embedding near-dup detection — the scale shape for cosine
+    * similarity: candidates come from an EQUI-join on
+    * (band_id, band_value), never an n² pair scan.
+    *
+    * Each vector gets `numBands` band values; band bit `j` is the
+    * sign of the dot product with a fixed Gaussian hyperplane (drawn
+    * from a seeded RNG, so signatures are deterministic across runs
+    * and executors). Two vectors at angle θ agree on one bit with
+    * probability 1 − θ/π, so for cosine ≥ 0.99 (θ ≤ 8.2°) a pair
+    * collides in ≥ 1 of 16 8-bit bands with probability
+    * 1 − (1 − 0.955^8)^16 ≈ 1 − 7e-9 — recall is lossless for every
+    * practical purpose, and the exact residual the caller applies
+    * removes all false positives.
+    *
+    * Returns distinct (d1, d2) with d1 < d2. `dim` must equal the
+    * vector length (hyperplanes are materialized as literals of that
+    * length). */
+  def lshBandCandidates(vectors: DataFrame, id: Column, vec: Column, dim: Int,
+                        numBands: Int = 16, bitsPerBand: Int = 8,
+                        seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numBands * bitsPerBand)(
+      Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
+    val bandVals = (0 until numBands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        when(dot(vec, typedlit(planes(b * bitsPerBand + j))) > 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).cast("int")
+    }
+    val sigs = vectors
+      .select(id.as("__lsh_id"),
+        posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    val a = sigs.toDF("d1", "band_id", "band_val")
+    val b = sigs.toDF("d2", "band_id2", "band_val2")
+    a.join(b, col("band_id") === col("band_id2") &&
+              col("band_val") === col("band_val2") &&
+              col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH band candidates
+    * ([[lshBandCandidates]]) verified by the exact rounded cosine
+    * `>= threshold` — same output as the brute-force all-pairs scan,
+    * with every join an equi-join. Output: (d1, d2, cos_sim),
+    * d1 < d2. */
+  def dedupByEmbeddingCosine(vectors: DataFrame, id: Column, vec: Column,
+                             dim: Int, threshold: Double,
+                             numBands: Int = 16, bitsPerBand: Int = 8,
+                             seed: Long = 42L): DataFrame = {
+    val sides = vectors.select(id.as("__id"), vec.as("__v"))
+    val cands = lshBandCandidates(vectors, id, vec, dim, numBands, bitsPerBand, seed)
+    cands
+      .join(sides.toDF("d1", "__va"), "d1")
+      .join(sides.toDF("d2", "__vb"), "d2")
+      .select(col("d1"), col("d2"),
+        cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
   }
 
   /** Rounded cosine similarity between two float-array columns using

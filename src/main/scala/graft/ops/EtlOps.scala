@@ -17,10 +17,9 @@ import graft.Tables._
   * gap-fill joins a generated spine against pre-aggregated hours (the
   * spine is tiny — broadcast); the incremental filter is a scalar
   * aggregate broadcast against the scan, the classic idempotent
-  * re-run predicate of a Luigi-style pipeline. The chunker's global
-  * row_number is the one intentionally non-scalable shape here (the
-  * reference's bulk-upload batching is sequential by contract); at
-  * 100 TB you would chunk per partition key instead.
+  * re-run predicate of a Luigi-style pipeline; the chunker is the
+  * distributed prefix-sum form (per-bucket ranks + broadcast bucket
+  * offsets — no single-partition window over the data).
   */
 object EtlOps {
 
@@ -73,11 +72,14 @@ object EtlOps {
   }
 
   /** #69 — deterministic chunking for bulk upload: 1000-row batches
-    * in event_id order, per-batch stats. */
+    * in event_id order, per-batch stats. Uses the distributed
+    * prefix-sum chunker (coarse bucket = event_id/10000) — identical
+    * batch ids to the sequential [[graft.api.Transforms.chunk]], no
+    * single-partition window over the data. */
   def etlChunkBatches(spark: SparkSession, sf: String): DataFrame = {
-    graft.api.Transforms.chunk(
+    graft.api.Transforms.chunkByRange(
         events(spark, sf).select(col("event_id"), money(col("value")).as("v")),
-        col("event_id"), 1000)
+        col("event_id"), floor(col("event_id") / 10000).cast("long"), 1000)
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_rows"),
            min(col("event_id")).as("min_id"),

@@ -127,19 +127,18 @@ object LlmOps {
   }
 
   /** #74 — embedding-cosine near-duplicates: pairs with rounded
-    * cosine >= 0.99. Brute-force at test scale; the production path
-    * is the IVF bucketing of #79 (equi-join on bucket) feeding the
-    * same residual threshold. */
+    * cosine >= 0.99, found via hyperplane-LSH band candidates + the
+    * exact cosine residual ([[graft.api.Transforms.dedupByEmbeddingCosine]]).
+    * Every join is an equi-join (band signature, then id) — no
+    * all-pairs scan anywhere in the plan, the same banded shape as
+    * #72's simhash dedup; results are identical to brute force
+    * (property-tested with planted near-dups in LlmOpsSpec, and the
+    * band recall at cos 0.99 is 1 − ~7e-9). */
   def dedupEmbeddingCosine(spark: SparkSession, sf: String): DataFrame = {
     val e = embeddings(spark, sf)
-    val a = e.select(col("vec_id").as("d1"), col("embedding").as("ea"),
-                     l2normF(col("embedding")).as("na"))
-    val b = e.select(col("vec_id").as("d2"), col("embedding").as("eb"),
-                     l2normF(col("embedding")).as("nb"))
-    a.join(broadcast(b), col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(dotF(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
-      .where(col("cos_sim") >= 0.99)
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    graft.api.Transforms
+      .dedupByEmbeddingCosine(e, col("vec_id"), col("embedding"), dim, 0.99)
       .orderBy(col("d1"), col("d2"))
   }
 

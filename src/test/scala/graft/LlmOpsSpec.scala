@@ -56,6 +56,34 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH embedding dedup == brute force, with planted near-dups found") {
+    // 60 random 64-dim vectors + 8 planted near-identical pairs
+    // (tiny perturbation, cosine ~0.9999): the banded path must return
+    // exactly the brute-force result and it must be non-empty.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val planted = (0 until 8).flatMap { i =>
+      val v = vec()
+      val dup = v.map(x => x + 0.005f * rnd.nextGaussian().toFloat)
+      Seq((100L + 2 * i, v), (101L + 2 * i, dup))
+    }
+    import spark.implicits._
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val banded = graft.api.Transforms
+      .dedupByEmbeddingCosine(df, col("vec_id"), col("embedding"), 64, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = df.toDF("d1", "ea")
+    val b = df.toDF("d2", "eb")
+    val brute = a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        graft.api.Transforms.cosine(col("ea"), col("eb")).as("cos_sim"))
+      .where(col("cos_sim") >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.size >= 8, s"planting failed: ${brute.size}")
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
   test("IVF is a subset of the exact pair universe and self-free") {
     val rows = LlmOps.simAnnIvf(spark, sf001).collect()
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))

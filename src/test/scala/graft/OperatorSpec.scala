@@ -101,12 +101,12 @@ class OperatorSpec extends SparkSpec {
 
   test("approx_percentile within 2% rank error of exact percentile_cont") {
     val approx = AggOps.aggApproxQuantile(spark, sf01).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getString(0) -> r.getAs[Double]("p90_price")).toMap
     val exact = AggOps.aggPercentile(spark, sf01).collect()
       .map(r => (r.getString(0), r.getDouble(2))).toMap // p90_price
     exact.foreach { case (k, p90) =>
-      assert(math.abs(approx(k)(1) - p90) / p90 <= 0.02,
-        s"$k: approx=${approx(k)(1)} exact=$p90")
+      assert(math.abs(approx(k) - p90) / p90 <= 0.02,
+        s"$k: approx=${approx(k)} exact=$p90")
     }
   }
 

@@ -48,4 +48,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(JoinOps.joinMultiway5(spark, sf001))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("dedup_embedding_cosine is banded equi-joins, not an all-pairs scan") {
+    val p = plan(LlmOps.dedupEmbeddingCosine(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -33,6 +33,19 @@ class TransformsSpec extends SparkSpec {
     assert(sizes.keySet == (0 until sizes.size).toSet) // contiguous ids
   }
 
+  test("chunkByRange assigns the exact batch ids of the sequential chunk") {
+    import spark.implicits._
+    // non-contiguous, shuffled ids across several coarse buckets
+    val ids = new scala.util.Random(3).shuffle((0 until 5000).map(_ * 7L + 13).toList)
+    val df = ids.toDF("id").repartition(8)
+    val seq = Transforms.chunk(df, col("id"), 300)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dist = Transforms.chunkByRange(df, col("id"),
+        floor(col("id") / 2500).cast("long"), 300)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dist == seq)
+  }
+
   test("topKPerGroup equals the row_number window formulation") {
     val scored = events(spark, sf001)
       .select(col("user_id"), col("value").as("score"), col("event_id"))

@@ -85,11 +85,18 @@ object EtlPipeline {
     val (valid, rejects) = split(parsed)
     val normalized = normalize(valid)
 
+    // first run == sink path absent, checked explicitly. A transient
+    // FS error, permission failure, or corrupt footer must FAIL the
+    // job (propagate), not silently overwrite previously loaded data
+    // as if nothing had been loaded.
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(sinkDir)
+      if (fs.exists(sinkPath))
+        Some(spark.read.parquet(sinkDir)
           .select(normalized.columns.map(col): _*)
           .withColumn("__version", lit(1)))
-      catch { case _: Exception => None }
+      else None
     val incoming = normalized.withColumn("__version", lit(2))
     val merged = existing match {
       case Some(e) => Transforms

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegralType, LongType, NumericType}
 
 /** Optimizer rule: turns a naive band theta-join into a bucketized
   * equi-join automatically.
@@ -31,8 +31,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * equi-key lets Spark hash-partition both sides — the shape that
   * survives a fact×fact band join at 100 TB. Probing ±2 buckets
   * (rather than the mathematically-sufficient ±1) absorbs the
-  * floating-point rounding of `x / eps` for quotients up to 2^52, so
-  * the rewrite can never drop a matching pair.
+  * quotient's rounding error: double division is exact enough below
+  * 2^52 and integral columns use exact DECIMAL division (see
+  * [[bucketOf]]), so the rewrite can never drop a matching pair at
+  * any LONG magnitude.
   *
   * Registered by [[GraftExtensions]]; graft.ops.JoinOps#joinThetaBand
   * applies the same rewrite by hand so it holds on vanilla sessions.
@@ -94,8 +96,23 @@ case class BandJoinBucketingRule(spark: SparkSession)
       case _ => false
     }
 
-  private def bucketOf(e: Expression, eps: Double): Expression =
-    Cast(Floor(Divide(Cast(e, DoubleType), Literal(eps))), LongType)
+  /** Bucket id b(x) = floor(x / eps). For integral columns the
+    * quotient is computed in DECIMAL (long → decimal is exact; a
+    * double cast loses bits beyond 2^52, where the rounding error
+    * could exceed the ±2 probe margin and silently drop matches).
+    * Decimal division rounds at scale 6, an error ≤ 1e-6 bucket
+    * widths — far inside the probe margin at any magnitude a LONG can
+    * hold. Fractional columns keep the double path (they carry ≤ 53
+    * significant bits by construction). */
+  private def bucketOf(e: Expression, eps: Double): Expression = e.dataType match {
+    case _: IntegralType =>
+      val epsDec = Decimal(BigDecimal.valueOf(eps))
+      val epsLit = Literal(epsDec,
+        DecimalType(math.max(epsDec.precision, epsDec.scale + 1), epsDec.scale))
+      Cast(Floor(Divide(Cast(e, DecimalType(30, 6)), epsLit)), LongType)
+    case _ =>
+      Cast(Floor(Divide(Cast(e, DoubleType), Literal(eps))), LongType)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)

@@ -4,7 +4,8 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -54,7 +55,24 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKState] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKState]
+  with BinaryLike[Expression] with ExpectsInputTypes {
+
+  // fail at construction/analysis, not with an executor-side
+  // ClassCastException / NegativeArraySizeException
+  require(k >= 1, s"topk_by_score: k must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score: score must be DOUBLE, got ${left.dataType.sql}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score: id must be BIGINT, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def createAggregationBuffer(): TopKState = new TopKState(k)
 

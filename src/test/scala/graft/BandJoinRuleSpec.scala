@@ -113,6 +113,25 @@ class BandJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("integral band columns beyond 2^52 keep exact buckets (no dropped pairs)") {
+    // doubles space by 8 at 2^55: the old double-divide bucket could
+    // err past the ±2 probe margin; the decimal path is exact
+    val base = 1L << 55
+    def q(s: SparkSession) = {
+      import s.implicits._
+      val l = (0 until 30).map(i => (i.toLong, base + i * 2L)).toDF("lk", "lv")
+      val r = (0 until 30).map(i => (i.toLong, base + i * 3L)).toDF("rk", "rv")
+      l.join(r, abs(col("lv") - col("rv")) < 3L)
+    }
+    val expected = q(spark).count()
+    val got = withExtSession { s =>
+      val j = q(s)
+      assert(j.queryExecution.executedPlan.toString.contains("__graft_band_probe"))
+      j.count()
+    }
+    assert(got == expected && got > 0, s"got=$got expected=$expected")
+  }
+
   test("joins that already have an equi key are left untouched") {
     withExtSession { s =>
       val li = Tables.lineitem(s, sf001)

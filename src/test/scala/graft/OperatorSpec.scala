@@ -110,6 +110,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot/vec_cosine return NULL on mismatched vector lengths") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),
+                 (Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val rows = df.select(
+      org.apache.spark.sql.graft.VectorExprs.vecDot(col("a"), col("b")).as("d"),
+      org.apache.spark.sql.graft.VectorExprs.vecCosine(col("a"), col("b")).as("c"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) == 11.0 && !rows(1).isNullAt(1))
+  }
+
+  test("topk_by_score validates k and input types at plan time") {
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.TopKAgg.topK(lit(1.0), lit(1L), 0)
+    }
+    import spark.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1.0, "x")).toDF("d", "s").groupBy()
+        .agg(org.apache.spark.sql.graft.TopKAgg.topK(col("d"), col("s"), 2))
+        .collect()
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("exact dedup is idempotent and keys by content hash") {
     val d = TextOps.dedupExactMd5(spark, sf001)
     assert(d.count() == d.select(col("text_hash")).distinct().count())

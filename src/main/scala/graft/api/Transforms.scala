@@ -240,6 +240,116 @@ object Transforms {
     a.join(b, cond).select(col("d1"), col("d2"))
   }
 
+  // --------------------------------------------------- vectors / ANN
+
+  /** Generic double dot product over two array columns of any numeric
+    * element type (float vectors vs double centroids). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  private def cosD(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** k-means-lite IVF centroids: seed with a deterministic hash-sample
+    * (the k vectors with smallest md5(id)), then `iters` Lloyd
+    * iterations — assign via [[ivfAssign]], recompute via the
+    * VectorMean UDAF. Each iteration is one broadcast join + one keyed
+    * aggregate over the vectors; nothing collects to the driver.
+    * Bucket count scales with the caller's `k` (independent of any
+    * data labels); empty clusters drop out, so the result may have
+    * fewer than k rows. Output: (__ivf_c: long, __ivf_cv:
+    * array<double>). */
+  def ivfCentroids(vectors: DataFrame, id: Column, vec: Column,
+                   k: Int, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 0, s"ivfCentroids: k=$k iters=$iters")
+    val v = vectors.select(id.as("__ivf_id"), vec.as("__ivf_v"))
+    // k seed rows: constant-partition window over metadata-scale input
+    val wSeed = Window.partitionBy(lit(0)).orderBy(col("__ivf_h"))
+    val seeds = v.withColumn("__ivf_h", md5(col("__ivf_id").cast("string")))
+      .orderBy(col("__ivf_h")).limit(k)
+      .withColumn("__ivf_c", row_number().over(wSeed).cast("long") - 1)
+      .select(col("__ivf_c"),
+              transform(col("__ivf_v"), x => x.cast("double")).as("__ivf_cv"))
+    val vecMean = udaf(graft.functions.VectorMean)
+    (0 until iters).foldLeft(seeds) { (cents, _) =>
+      ivfAssign(v, col("__ivf_id"), col("__ivf_v"), cents)
+        .groupBy(col("__ivf_bucket").as("__ivf_c"))
+        .agg(vecMean(col("__ivf_v")).as("__ivf_cv"))
+    }
+  }
+
+  /** Nearest-centroid (nprobe = 1) assignment: score every vector
+    * against the broadcast centroids, argmax cosine via `max_by` (ties
+    * toward the smallest bucket id) — map-side partials, no window
+    * shuffle of the n·k scored rows. Output: (__ivf_id, __ivf_v,
+    * __ivf_bucket). */
+  def ivfAssign(vectors: DataFrame, id: Column, vec: Column,
+                centroids: DataFrame): DataFrame = {
+    val v = vectors.select(id.as("__ivf_id"), vec.as("__ivf_v"))
+    v.join(broadcast(centroids))
+      .select(col("__ivf_id"), col("__ivf_v"), col("__ivf_c"),
+        cosD(col("__ivf_v"), col("__ivf_cv")).as("__ivf_cos"))
+      .groupBy(col("__ivf_id"))
+      .agg(first(col("__ivf_v")).as("__ivf_v"),
+           max_by(col("__ivf_c"),
+             struct(col("__ivf_cos"), -col("__ivf_c"))).as("__ivf_bucket"))
+  }
+
+  /** Top-`nprobe` bucket assignment per vector (the query-side probe
+    * of an IVF search) via the bounded-heap aggregate: up to nprobe
+    * output rows per vector, ranked by centroid cosine (ties toward
+    * the smaller bucket id, matching [[ivfAssign]]). */
+  def ivfProbe(vectors: DataFrame, id: Column, vec: Column,
+               centroids: DataFrame, nprobe: Int): DataFrame = {
+    val v = vectors.select(id.as("__ivf_id"), vec.as("__ivf_v"))
+    v.join(broadcast(centroids))
+      .select(col("__ivf_id"), col("__ivf_v"), col("__ivf_c"),
+        cosD(col("__ivf_v"), col("__ivf_cv")).as("__ivf_cos"))
+      .groupBy(col("__ivf_id"))
+      .agg(first(col("__ivf_v")).as("__ivf_v"),
+           org.apache.spark.sql.graft.TopKAgg
+             .topK(col("__ivf_cos"), col("__ivf_c"), nprobe).as("__ivf_top"))
+      .select(col("__ivf_id"), col("__ivf_v"),
+              explode(col("__ivf_top.id")).as("__ivf_bucket"))
+  }
+
+  /** IVF approximate self-kNN — the 100 TB ANN path with learned,
+    * data-scaled bucket counts: k-means-lite centroids
+    * ([[ivfCentroids]]), index vectors in their nearest bucket, query
+    * side probing its top-`nprobe` buckets, candidates from the bucket
+    * EQUI-join, exact rounded-cosine scoring (codegen'd float dot,
+    * norms once per side) and the bounded-heap top-k. Scored pairs
+    * drop from n² to nprobe · Σ bucket². Output: (q_id, rnk, i_id,
+    * cos_sim), rank 1 = best. The centroid table is localCheckpoint'd
+    * (it is k rows) so the Lloyd lineage runs once, not once per
+    * consumer. */
+  def annIvfTopK(vectors: DataFrame, id: Column, vec: Column,
+                 numCentroids: Int, iters: Int, nprobe: Int,
+                 k: Int): DataFrame = {
+    val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
+    val cents = ivfCentroids(vectors, id, vec, numCentroids, iters)
+      .localCheckpoint()
+    val idx = ivfAssign(vectors, id, vec, cents)
+      .select(col("__ivf_id").as("i_id"), col("__ivf_v").as("iv"),
+              col("__ivf_bucket").as("i_bucket"))
+      .withColumn("in_", sqrt(dot(col("iv"), col("iv"))))
+    val q = ivfProbe(vectors, id, vec, cents, nprobe)
+      .select(col("__ivf_id").as("q_id"), col("__ivf_v").as("qv"),
+              col("__ivf_bucket").as("q_bucket"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    q.join(idx, col("q_bucket") === col("i_bucket") && col("q_id") =!= col("i_id"))
+      .select(col("q_id"),
+        round(dot(col("qv"), col("iv")) / (col("qn") * col("in_")), 4).as("cos_sim"),
+        col("i_id"))
+      .groupBy(col("q_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topK(col("cos_sim"), col("i_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rnk"),
+              col("col.id").as("i_id"), col("col.score").as("cos_sim"))
+  }
+
   /** Sign-random-projection (hyperplane) LSH band candidates for
     * embedding near-dup detection — the scale shape for cosine
     * similarity: candidates come from an EQUI-join on

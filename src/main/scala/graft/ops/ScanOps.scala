@@ -85,6 +85,43 @@ object ScanOps {
       .orderBy(col("n_regionkey"))
   }
 
+  /** #87 — ESPI-shaped nested XML parse (reference: Green-Button
+    * feed → entry → IntervalBlock → IntervalReading). Unlike #81's
+    * flat element-per-row shape, this round-trips a NESTED document:
+    * one entry per user holding an IntervalBlock with repeated
+    * IntervalReading children, read back with an explicit nested
+    * schema and exploded to reading rows — the reference's one parse
+    * shape a flat rowTag cannot express. No oracle (tmp file source);
+    * unit-tested + rows-only check. */
+  def sourceXmlEspi(spark: SparkSession, sf: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_espi"
+    events(spark, sf)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("start"),
+               col("value").cast("double").as("value")).as("r"))
+      .groupBy(col("user_id"))
+      .agg(struct(collect_list(col("r")).as("IntervalReading")).as("IntervalBlock"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("rootTag", "feed").option("rowTag", "entry")
+      .format("xml").save(dir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("IntervalBlock", StructType(Seq(
+        StructField("IntervalReading", ArrayType(StructType(Seq(
+          StructField("start", LongType),
+          StructField("value", DoubleType))))))))))
+    spark.read.schema(schema).option("rowTag", "entry").format("xml").load(dir)
+      .select(col("user_id"),
+        explode(col("IntervalBlock.IntervalReading")).as("reading"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_readings"),
+           min(col("reading.start")).as("first_start"),
+           sum(col("reading.value").cast(DecimalType(18, 2))).cast("double")
+             .as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** #86 — raw text-lines source (reference: opaque raw-file fetch
     * stage): write document texts as plain lines, read back with
     * `spark.read.text`, aggregate line lengths. No oracle (tmp file
@@ -120,6 +157,7 @@ object ScanOps {
     "scan_pruned_pushdown"     -> (scanPrunedPushdown _),
     "source_csv_roundtrip"     -> (sourceCsvRoundtrip _),
     "source_xml_roundtrip"     -> (sourceXmlRoundtrip _),
+    "source_xml_espi"          -> (sourceXmlEspi _),
     "source_text_lines"        -> (sourceTextLines _),
     "source_json_lines"        -> (sourceJsonLines _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),

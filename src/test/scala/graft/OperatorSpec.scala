@@ -20,8 +20,8 @@ class OperatorSpec extends SparkSpec {
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
     val noOracle = q.diff(o)
     assert(noOracle == Set("source_csv_roundtrip", "source_xml_roundtrip",
-      "source_text_lines", "sink_parquet_partitioned", "agg_approx_distinct",
-      "agg_approx_quantile"),
+      "source_xml_espi", "source_text_lines", "sink_parquet_partitioned",
+      "agg_approx_distinct", "agg_approx_quantile"),
       s"unexpected oracle-less queries: $noOracle")
   }
 
@@ -70,6 +70,21 @@ class OperatorSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setDefaultSession(SparkSpec.session)
       org.apache.spark.sql.SparkSession.setActiveSession(SparkSpec.session)
     }
+  }
+
+  test("ESPI nested XML roundtrip preserves per-user reading counts and sums") {
+    val viaXml = ScanOps.sourceXmlEspi(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val direct = events(spark, sf001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+           min(unix_micros(col("ts"))).as("first_start"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+             .cast("double").as("tv"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(viaXml == direct)
+    assert(viaXml.values.map(_._1).sum == events(spark, sf001).count())
   }
 
   test("text-lines roundtrip preserves document count and char totals") {

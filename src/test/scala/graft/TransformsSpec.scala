@@ -46,6 +46,44 @@ class TransformsSpec extends SparkSpec {
     assert(dist == seq)
   }
 
+  test("ivfCentroids: at most k buckets, right dim, deterministic") {
+    val emb = Tables.embeddings(spark, sf001)
+    val c1 = Transforms.ivfCentroids(emb, col("vec_id"), col("embedding"), 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1.size <= 8 && c1.nonEmpty)
+    assert(c1.values.forall(_.length == 64))
+    val c2 = Transforms.ivfCentroids(emb, col("vec_id"), col("embedding"), 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 == c2) // hash-sample seeds + Lloyd are deterministic
+  }
+
+  test("annIvfTopK probing every bucket equals brute-force knnTopK") {
+    val emb = Tables.embeddings(spark, sf001)
+    val brute = Transforms.knnTopK(emb, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = Transforms.annIvfTopK(emb, col("vec_id"), col("embedding"),
+        numCentroids = 6, iters = 1, nprobe = 6, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == brute, s"full=${full.size} brute=${brute.size}")
+  }
+
+  test("annIvfTopK partial probe: valid ranks, no self-pairs, useful recall") {
+    val emb = Tables.embeddings(spark, sf001)
+    val ann = Transforms.annIvfTopK(emb, col("vec_id"), col("embedding"),
+        numCentroids = 8, iters = 2, nprobe = 2, k = 3).collect()
+    assert(ann.forall(r => r.getLong(0) != r.getLong(2)))
+    ann.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to g.length))
+    }
+    val brute = Transforms.knnTopK(emb, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = ann.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall=$recall") // 2 of 8 buckets probed
+  }
+
   test("topKPerGroup equals the row_number window formulation") {
     val scored = events(spark, sf001)
       .select(col("user_id"), col("value").as("score"), col("event_id"))

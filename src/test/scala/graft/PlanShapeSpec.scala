@@ -53,4 +53,25 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(LlmOps.dedupEmbeddingCosine(spark, sf001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("join_asof partial-aggregates (max_by) before the exchange") {
+    val p = plan(JoinOps.joinAsof(spark, sf001))
+    val partialIdx = p.indexOf("partial_max_by")
+    assert(partialIdx >= 0, p)
+    // the map-side partial sits BELOW (after, in toString order) no
+    // exchange other than the broadcast: the shuffle above it carries
+    // one row per left row
+    assert(p.contains("max_by"), p)
+  }
+
+  test("chunkByRange windows carry a partition spec (no global data window)") {
+    val p = plan(EtlOps.etlChunkBatches(spark, sf001))
+    // every Window line must list a partition spec: the data window is
+    // keyed by bucket; the metadata prefix-sum by a constant key
+    p.linesIterator.filter(_.trim.startsWith("+- Window")).foreach { l =>
+      assert(l.contains("windowspecdefinition(") &&
+        !l.matches(""".*windowspecdefinition\([^,]*ASC NULLS FIRST.*"""), l)
+    }
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

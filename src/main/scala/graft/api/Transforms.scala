@@ -425,6 +425,43 @@ object Transforms {
   def cosine(a: Column, b: Column, roundTo: Int = 4): Column =
     round(org.apache.spark.sql.graft.VectorExprs.vecCosine(a, b), roundTo)
 
+  /** Deterministic hash-split column: assigns each row to the first
+    * label whose cumulative fraction covers the row's hash point.
+    * The point is the first 4 hex nibbles of `md5(key || '#' + salt)`
+    * compared lexicographically against precomputed hex thresholds —
+    * pure string ops, so the assignment is identical in any engine
+    * with a standard md5 (the portable way to freeze a train/val/test
+    * split: membership depends only on the key, never on partitioning,
+    * row order, or data volume; new rows never move old ones between
+    * splits). `fractions` must sum to <= 1; a shortfall falls into the
+    * last label. */
+  def hashSplit(key: Column, salt: String,
+                splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"hashSplit: bad fractions ${splits.map(_._2)}")
+    val h = substring(md5(concat(key.cast("string"), lit("#" + salt))), 1, 4)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    cum.init.map(f => math.round(f * 65536)).zip(splits.init.map(_._1))
+      .foldRight(lit(splits.last._1)) { case ((t, name), rest) =>
+        // t >= 65536 (cumulative fraction 1.0) covers every 4-nibble
+        // hash; "%04x" would yield a 5-char string that compares
+        // lexicographically SMALLER than hashes starting a-f
+        if (t >= 65536L) lit(name) else when(h < f"$t%04x", name).otherwise(rest)
+      }
+  }
+
+  /** Deterministic hash-sample predicate: keeps ~`fraction` of rows,
+    * chosen by the same portable md5-prefix point as [[hashSplit]] —
+    * a reproducible sample (same rows in, same rows out, on any
+    * engine, at any parallelism). */
+  def hashSample(key: Column, salt: String, fraction: Double): Column = {
+    require(fraction >= 0 && fraction <= 1, s"hashSample: $fraction")
+    val t = math.round(fraction * 65536)
+    if (t >= 65536L) lit(true)
+    else substring(md5(concat(key.cast("string"), lit("#" + salt))), 1, 4) <
+      f"$t%04x"
+  }
+
   /** Exact dedup by content: one row per distinct `contentCol` value,
     * keeping the smallest id as canonical plus the duplicate count. */
   def dedupExactByContent(df: DataFrame, idCol: Column, contentCol: Column): DataFrame =

@@ -97,6 +97,20 @@ object EtlOps {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .orderBy(col("event_id"))
 
+  /** #88 — deterministic train/val/test split (80/10/10) by hashed
+    * doc_id ([[graft.api.Transforms.hashSplit]]): membership depends
+    * only on the key — stable under reruns, partitioning, appends —
+    * the reproducible-split contract every training-data pipeline
+    * needs. Verified cross-engine (the split point is a portable
+    * md5-hex comparison); output is per-(split, lang) counts. */
+  def etlSplitHash(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .withColumn("split", graft.api.Transforms.hashSplit(col("doc_id"), "split",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"), col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -104,6 +118,7 @@ object EtlOps {
     "etl_upsert_lastwins"    -> (etlUpsertLastwins _),
     "etl_chunk_batches"      -> (etlChunkBatches _),
     "etl_incremental_filter" -> (etlIncrementalFilter _),
+    "etl_split_hash"         -> (etlSplitHash _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -169,5 +184,18 @@ object EtlOps {
         |WHERE ts > (SELECT max(ts) FROM events
         |            WHERE ts < TIMESTAMP '2024-01-29')
         |ORDER BY event_id""".stripMargin,
+    "etl_split_hash" ->
+      """SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM (
+        |  SELECT CASE
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 4) < 'cccd'
+        |        THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 4) < 'e666'
+        |        THEN 'val'
+        |      ELSE 'test' END AS split,
+        |    lang, n_chars
+        |  FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
   )
 }

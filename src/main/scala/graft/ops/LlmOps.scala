@@ -274,6 +274,24 @@ object LlmOps {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  /** #89 — stratified deterministic sampling: down-sample the
+    * over-represented stratum ('en' at 20%) and keep 60% of the rest
+    * — the corpus-rebalancing step of a pretraining-data pipeline.
+    * Sampling is by hashed doc_id ([[graft.api.Transforms.hashSample]]):
+    * reproducible on any engine at any parallelism, stable under
+    * appends. Output: per-(lang, source) sampled counts + char
+    * volume. */
+  def textSampleStratified(spark: SparkSession, sf: String): DataFrame = {
+    val keep = when(col("lang") === "en",
+        graft.api.Transforms.hashSample(col("doc_id"), "samp", 0.2))
+      .otherwise(graft.api.Transforms.hashSample(col("doc_id"), "samp", 0.6))
+    documents(spark, sf)
+      .where(keep)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   // ---------------------------------------------------------------
   // #80 multimodal binary columns
   // ---------------------------------------------------------------
@@ -306,6 +324,7 @@ object LlmOps {
     "text_token_bpe"           -> (textTokenBpe _),
     "text_fingerprint_rolling" -> (textFingerprintRolling _),
     "sim_ann_ivf"              -> (simAnnIvf _),
+    "text_sample_stratified"   -> (textSampleStratified _),
     "multimodal_binary"        -> (multimodalBinary _),
   )
 
@@ -461,6 +480,15 @@ object LlmOps {
         |  FROM scored)
         |SELECT a_id, CAST(rnk AS INT) AS rnk, b_id, cos_sim FROM ranked
         |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin,
+    "text_sample_stratified" ->
+      """SELECT lang, source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        |FROM (
+        |  SELECT lang, source, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '#samp'), 1, 4) AS h
+        |  FROM documents)
+        |WHERE (lang = 'en' AND h < '3333') OR (lang <> 'en' AND h < '999a')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "multimodal_binary" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

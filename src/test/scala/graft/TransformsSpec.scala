@@ -84,6 +84,28 @@ class TransformsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // 2 of 8 buckets probed
   }
 
+  test("hashSplit/hashSample: deterministic, fraction-accurate, edge-safe") {
+    import spark.implicits._
+    val df = (0 until 20000).map(_.toLong).toDF("id")
+    val splitCol = Transforms.hashSplit(col("id"), "t",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = df.withColumn("s", splitCol).groupBy(col("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 20000) // total partition, no row lost
+    assert(math.abs(counts("train") - 16000.0) / 20000 < 0.02, counts.toString)
+    assert(math.abs(counts("val") - 2000.0) / 20000 < 0.02, counts.toString)
+    // deterministic across evaluations
+    val twice = df.withColumn("s1", splitCol).withColumn("s2", splitCol)
+      .where(col("s1") =!= col("s2")).count()
+    assert(twice == 0)
+    // edge fractions: 1.0 keeps everything (the %04x overflow trap), 0 nothing
+    assert(df.where(Transforms.hashSample(col("id"), "x", 1.0)).count() == 20000)
+    assert(df.where(Transforms.hashSample(col("id"), "x", 0.0)).count() == 0)
+    val kept = df.where(Transforms.hashSample(col("id"), "x", 0.25)).count()
+    assert(math.abs(kept - 5000.0) / 20000 < 0.02, kept.toString)
+  }
+
   test("topKPerGroup equals the row_number window formulation") {
     val scored = events(spark, sf001)
       .select(col("user_id"), col("value").as("score"), col("event_id"))

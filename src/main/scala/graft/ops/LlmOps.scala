@@ -274,6 +274,24 @@ object LlmOps {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  /** #90 — text normalization/cleaning: lowercase, strip
+    * non-alphanumerics, collapse runs of spaces — the canonical
+    * pre-tokenization cleanup pass of a pretraining pipeline. Narrow,
+    * codegen'd, embarrassingly parallel; output keeps both the
+    * per-document cleaned stats and a changed flag so the caller can
+    * quantify how dirty the corpus was. */
+  def textNormalizeClean(spark: SparkSession, sf: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    documents(spark, sf)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("raw_len"),
+        length(cleaned).cast("long").as("clean_len"),
+        (length(col("text")) - length(cleaned)).cast("long").as("n_removed"),
+        (cleaned =!= col("text")).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #89 — stratified deterministic sampling: down-sample the
     * over-represented stratum ('en' at 20%) and keep 60% of the rest
     * — the corpus-rebalancing step of a pretraining-data pipeline.
@@ -325,6 +343,7 @@ object LlmOps {
     "text_fingerprint_rolling" -> (textFingerprintRolling _),
     "sim_ann_ivf"              -> (simAnnIvf _),
     "text_sample_stratified"   -> (textSampleStratified _),
+    "text_normalize_clean"     -> (textNormalizeClean _),
     "multimodal_binary"        -> (multimodalBinary _),
   )
 
@@ -489,6 +508,16 @@ object LlmOps {
         |  FROM documents)
         |WHERE (lang = 'en' AND h < '3333') OR (lang <> 'en' AND h < '999a')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_normalize_clean" ->
+      """SELECT doc_id,
+        |  length(text) AS raw_len,
+        |  length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS clean_len,
+        |  length(text) - length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_removed,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_binary" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,

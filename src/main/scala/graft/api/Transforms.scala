@@ -462,6 +462,44 @@ object Transforms {
       f"$t%04x"
   }
 
+  /** Connected components over an undirected edge list (d1, d2) by
+    * iterative min-label propagation — the step that turns verified
+    * near-dup PAIRS into dedup CLUSTERS (keep one canonical doc per
+    * component). Converges to the unique fixpoint (every node labeled
+    * with the smallest node id reachable from it), so the result is
+    * deterministic regardless of execution order.
+    *
+    * Each iteration is one equi-join + one keyed min-aggregate,
+    * `localCheckpoint`'d so the plan stays flat; iteration count is
+    * the component diameter (dedup clusters are shallow). The
+    * driver-side loop holds only a change COUNT per iteration — the
+    * labels themselves never leave the executors (the same shape as
+    * Pregel / GraphX without the RDD API). Output: (node, component),
+    * component = min node id in the component. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = labels.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Exact dedup by content: one row per distinct `contentCol` value,
     * keeping the smallest id as canonical plus the duplicate count. */
   def dedupExactByContent(df: DataFrame, idCol: Column, contentCol: Column): DataFrame =

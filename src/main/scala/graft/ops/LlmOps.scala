@@ -105,6 +105,22 @@ object LlmOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** #91 — dedup clustering: verified simhash near-dup pairs (#72)
+    * → connected components → one canonical doc per cluster (the
+    * smallest doc_id). This is the step that makes pair-wise dedup
+    * actionable: transitively-linked duplicates collapse to one
+    * keeper even when not all pairs were direct candidates. Min-label
+    * propagation via [[graft.api.Transforms.connectedComponents]]
+    * (equi-join + min-aggregate per iteration, converges to the
+    * unique fixpoint); the oracle replays it as a recursive CTE. */
+  def dedupClusterComponents(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = dedupSimhashBand(spark, sf).select(col("d1"), col("d2"))
+    graft.api.Transforms.connectedComponents(pairs, maxIters = 64)
+      .select(col("node").as("doc_id"), col("component"),
+              (col("node") === col("component")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // #73–#74 pair scoring
   // ---------------------------------------------------------------
@@ -335,6 +351,7 @@ object LlmOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_simhash"             -> (textSimhash _),
     "dedup_simhash_band"       -> (dedupSimhashBand _),
+    "dedup_cluster_components" -> (dedupClusterComponents _),
     "sim_jaccard_ngram"        -> (simJaccardNgram _),
     "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
     "text_language_id"         -> (textLanguageId _),
@@ -374,6 +391,28 @@ object LlmOps {
          |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
          |ORDER BY d1, d2""".stripMargin,
+    "dedup_cluster_components" ->
+      s"""WITH RECURSIVE $simhashSqlCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, j AS band_id,
+         |    CAST((simhash >> (8 * CAST(j AS INT))) & 255 AS INT) AS band_val
+         |  FROM sim, (SELECT unnest(range(0, 4)) AS j)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+         |         x.simhash AS s1, y.simhash AS s2
+         |  FROM bands x JOIN bands y
+         |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id),
+         |e AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= 3),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM e
+         |          UNION ALL SELECT d2, d1 FROM e),
+         |walk AS (
+         |  SELECT DISTINCT src AS node, src AS label FROM edges
+         |  UNION
+         |  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON e2.src = w.node)
+         |SELECT node AS doc_id, min(label) AS component,
+         |  node = min(label) AS is_canonical
+         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
     "sim_jaccard_ngram" ->
       s"""WITH $shingleSetsCte,
          |sizes AS (SELECT doc_id, count(*) AS nsh FROM sets GROUP BY doc_id),

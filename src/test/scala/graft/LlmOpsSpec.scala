@@ -56,6 +56,29 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components equal a naive union-find over the same pairs") {
+    val pairs = LlmOps.dedupSimhashBand(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // naive union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val naive = parent.keys.map(n => n -> find(n)).toMap
+    // canonical = min id per component
+    val minOf = naive.groupBy(_._2).map { case (root, m) => root -> m.keys.min }
+    val expected = naive.map { case (n, root) => n -> minOf(root) }
+    val got = LlmOps.dedupClusterComponents(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+  }
+
   test("LSH embedding dedup == brute force, with planted near-dups found") {
     // 60 random 64-dim vectors + 8 planted near-identical pairs
     // (tiny perturbation, cosine ~0.9999): the banded path must return

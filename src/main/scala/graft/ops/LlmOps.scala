@@ -290,6 +290,47 @@ object LlmOps {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  /** #92 — PII-style redaction: mask email-shaped tokens and long
+    * digit runs, report per-document hit counts and the redacted
+    * length — the scrubbing pass of a pretraining pipeline (patterns
+    * kept POSIX-simple for cross-engine identity; real deployments
+    * swap in their own pattern set). Narrow + codegen'd. */
+  def textPiiRedact(spark: SparkSession, sf: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9]+"
+    val longNum = "[0-9][0-9][0-9]+"
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), email, "<email>"), longNum, "<num>")
+    documents(spark, sf)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(longNum), lit(0)))
+          .cast("long").as("n_longnums"),
+        length(redacted).cast("long").as("redacted_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #93 — benchmark-contamination check: count each document's
+    * distinct 3-shingles that also appear in a held-out "benchmark"
+    * set (stand-in: the shingles of the 5 lowest doc_ids), flag docs
+    * with >= 3 overlapping shingles. The check is an equi-join on the
+    * shingle — the only shape that works when the corpus is 100 TB
+    * and the benchmark set is broadcastable. */
+  def textContaminationCheck(spark: SparkSession, sf: String): DataFrame = {
+    val sh = documents(spark, sf)
+      .withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles)).as("shingle"))
+    val bench = sh.where(col("doc_id") < 5)
+      .select(col("shingle")).distinct()
+    sh.where(col("doc_id") >= 5)
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** #90 — text normalization/cleaning: lowercase, strip
     * non-alphanumerics, collapse runs of spaces — the canonical
     * pre-tokenization cleanup pass of a pretraining pipeline. Narrow,
@@ -361,6 +402,8 @@ object LlmOps {
     "sim_ann_ivf"              -> (simAnnIvf _),
     "text_sample_stratified"   -> (textSampleStratified _),
     "text_normalize_clean"     -> (textNormalizeClean _),
+    "text_pii_redact"          -> (textPiiRedact _),
+    "text_contamination_check" -> (textContaminationCheck _),
     "multimodal_binary"        -> (multimodalBinary _),
   )
 
@@ -547,6 +590,24 @@ object LlmOps {
         |  FROM documents)
         |WHERE (lang = 'en' AND h < '3333') OR (lang <> 'en' AND h < '999a')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS BIGINT)
+        |    AS n_longnums,
+        |  CAST(length(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9]+@[a-z0-9]+', '<email>', 'g'),
+        |    '[0-9][0-9][0-9]+', '<num>', 'g')) AS BIGINT) AS redacted_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_contamination_check" ->
+      s"""WITH $shingleSetsCte,
+         |bench AS (SELECT DISTINCT shingle FROM sets WHERE doc_id < 5)
+         |SELECT s.doc_id, count(*) AS n_overlap,
+         |  count(*) >= 3 AS contaminated
+         |FROM sets s JOIN bench b ON s.shingle = b.shingle
+         |WHERE s.doc_id >= 5
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "text_normalize_clean" ->
       """SELECT doc_id,
         |  length(text) AS raw_len,

@@ -216,6 +216,41 @@ object Transforms {
       .drop("__chunk_bucket", "__chunk_offset")
   }
 
+  /** Sequence packing for LLM pretraining: documents concatenate into
+    * one contiguous token stream (in `orderCol` order) that is cut
+    * every `capacity` tokens; a document's sequence id is the cut its
+    * FIRST token falls into — `floor(tokens_before / capacity)` —
+    * exactly the GPT-style pack-and-split contract (documents may
+    * straddle cuts; the stream never pads).
+    *
+    * Same distributed prefix-sum shape as [[chunkByRange]], weighted:
+    * per-bucket running token sums + an exclusive scan over per-bucket
+    * totals (metadata) broadcast back. `coarseBucket` must be monotone
+    * non-decreasing in `orderCol`. Appends `seq_id` and
+    * `seq_token_start` (the document's offset in the stream). */
+  def packSequences(df: DataFrame, orderCol: Column, coarseBucket: Column,
+                    weight: Column, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"packSequences: capacity=$capacity")
+    val bucketed = df.withColumn("__pack_bucket", coarseBucket)
+      .withColumn("__pack_w", weight.cast("long"))
+    val totals = bucketed.groupBy(col("__pack_bucket"))
+      .agg(sum(col("__pack_w")).as("__pack_n"))
+    // metadata-scale exclusive scan (see chunkByRange's wOff note)
+    val wOff = Window.partitionBy(pmod(col("__pack_bucket"), lit(1)))
+      .orderBy(col("__pack_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__pack_off", coalesce(sum(col("__pack_n")).over(wOff), lit(0L)))
+      .drop("__pack_n")
+    val wLocal = Window.partitionBy(col("__pack_bucket")).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "__pack_bucket")
+      .withColumn("seq_token_start",
+        col("__pack_off") + coalesce(sum(col("__pack_w")).over(wLocal), lit(0L)))
+      .withColumn("seq_id", floor(col("seq_token_start") / capacity).cast("long"))
+      .drop("__pack_bucket", "__pack_w", "__pack_off")
+  }
+
   // -------------------------------------------------- text / LLM ops
 
   /** Word n-gram shingles of a pre-split token array column. The

@@ -290,6 +290,25 @@ object LlmOps {
       .orderBy(col("a_id"), col("rnk"))
   }
 
+  /** #94 — sequence packing: documents concatenate (doc_id order)
+    * into one token stream cut every 2048 tokens (token estimate:
+    * ceil(n_chars / 4)); a doc belongs to the sequence its first
+    * token falls into — the GPT-style pack-and-split step that turns
+    * a cleaned corpus into training rows. Distributed weighted
+    * prefix-sum ([[graft.api.Transforms.packSequences]]), no global
+    * window. Output: per-sequence doc counts, token fill, doc range. */
+  def textPackSequences(spark: SparkSession, sf: String): DataFrame =
+    graft.api.Transforms.packSequences(
+        documents(spark, sf).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), floor(col("doc_id") / 1000).cast("long"),
+        ceil(col("n_chars") / lit(4.0)).cast("long"), capacity = 2048L)
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(ceil(col("n_chars") / lit(4.0)).cast("long")).as("est_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+
   /** #92 — PII-style redaction: mask email-shaped tokens and long
     * digit runs, report per-document hit counts and the redacted
     * length — the scrubbing pass of a pretraining pipeline (patterns
@@ -404,6 +423,7 @@ object LlmOps {
     "text_normalize_clean"     -> (textNormalizeClean _),
     "text_pii_redact"          -> (textPiiRedact _),
     "text_contamination_check" -> (textContaminationCheck _),
+    "text_pack_sequences"      -> (textPackSequences _),
     "multimodal_binary"        -> (multimodalBinary _),
   )
 
@@ -590,6 +610,19 @@ object LlmOps {
         |  FROM documents)
         |WHERE (lang = 'en' AND h < '3333') OR (lang <> 'en' AND h < '999a')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_pack_sequences" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok,
+        |    coalesce(sum(CAST(ceil(n_chars / 4.0) AS BIGINT))
+        |      OVER (ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tok_before
+        |  FROM documents)
+        |SELECT CAST(floor(tok_before / 2048) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS est_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM w GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "text_pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+')) AS BIGINT)

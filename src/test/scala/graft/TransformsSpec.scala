@@ -84,6 +84,22 @@ class TransformsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // 2 of 8 buckets probed
   }
 
+  test("packSequences equals the naive global-cumsum packing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 4000).map(i => (i.toLong, (rnd.nextInt(900) + 10).toLong))
+    val df = docs.toDF("id", "w").repartition(8)
+    val got = Transforms.packSequences(df, col("id"),
+        floor(col("id") / 700).cast("long"), col("w"), capacity = 4096L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("seq_token_start"), r.getAs[Long]("seq_id")))).toMap
+    var cum = 0L
+    val naive = docs.sortBy(_._1).map { case (id, w) =>
+      val r = id -> ((cum, cum / 4096)); cum += w; r
+    }.toMap
+    assert(got == naive)
+  }
+
   test("hashSplit/hashSample: deterministic, fraction-accurate, edge-safe") {
     import spark.implicits._
     val df = (0 until 20000).map(_.toLong).toDF("id")

@@ -399,31 +399,34 @@ object Transforms {
     * sign of the dot product with a fixed Gaussian hyperplane (drawn
     * from a seeded RNG, so signatures are deterministic across runs
     * and executors). Two vectors at angle θ agree on one bit with
-    * probability 1 − θ/π, so for cosine ≥ 0.99 (θ ≤ 8.2°) a pair
-    * collides in ≥ 1 of 16 8-bit bands with probability
-    * 1 − (1 − 0.955^8)^16 ≈ 1 − 7e-9 — recall is lossless for every
-    * practical purpose, and the exact residual the caller applies
-    * removes all false positives.
+    * probability 1 − θ/π. Band length trades candidate selectivity
+    * against recall: at the defaults (32 bands × 16 bits), a pair at
+    * the rounded-0.99 boundary (θ ≤ 8.4°) collides in ≥ 1 band with
+    * probability 1 − (1 − 0.954^16)^32 ≈ 1 − 2e-9 (lossless for every
+    * practical purpose), while a cos 0.5 pair collides with ~4.7%
+    * probability and a near-orthogonal pair ~0.05% — an order of
+    * magnitude fewer junk candidates than short 8-bit bands, whose
+    * per-band collision at cos 0.5 is 1 − (1 − 0.039)^16 ≈ 47%. The
+    * exact residual the caller applies removes all false positives
+    * either way.
     *
     * Returns distinct (d1, d2) with d1 < d2. `dim` must equal the
     * vector length (hyperplanes are materialized as literals of that
     * length). */
   def lshBandCandidates(vectors: DataFrame, id: Column, vec: Column, dim: Int,
-                        numBands: Int = 16, bitsPerBand: Int = 8,
+                        numBands: Int = 32, bitsPerBand: Int = 16,
                         seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(numBands * bitsPerBand)(
       Array.fill(dim)(rnd.nextGaussian().toFloat))
-    val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
-    val bandVals = (0 until numBands).map { b =>
-      (0 until bitsPerBand).map { j =>
-        when(dot(vec, typedlit(planes(b * bitsPerBand + j))) > 0,
-          lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _).cast("int")
-    }
+    // all band values in ONE fused codegen loop — a per-band
+    // when(vecDot > 0) composition at this geometry (512 expressions)
+    // overflows whole-stage codegen and drops to interpreted eval
+    val bandVals = org.apache.spark.sql.graft.VectorExprs
+      .hyperplaneBands(vec, planes, bitsPerBand)
     val sigs = vectors
       .select(id.as("__lsh_id"),
-        posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+        posexplode(bandVals).as(Seq("band_id", "band_val")))
     val a = sigs.toDF("d1", "band_id", "band_val")
     val b = sigs.toDF("d2", "band_id2", "band_val2")
     a.join(b, col("band_id") === col("band_id2") &&
@@ -440,7 +443,7 @@ object Transforms {
     * d1 < d2. */
   def dedupByEmbeddingCosine(vectors: DataFrame, id: Column, vec: Column,
                              dim: Int, threshold: Double,
-                             numBands: Int = 16, bitsPerBand: Int = 8,
+                             numBands: Int = 32, bitsPerBand: Int = 16,
                              seed: Long = 42L): DataFrame = {
     val sides = vectors.select(id.as("__id"), vec.as("__v"))
     val cands = lshBandCandidates(vectors, id, vec, dim, numBands, bitsPerBand, seed)

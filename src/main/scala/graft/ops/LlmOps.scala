@@ -149,7 +149,7 @@ object LlmOps {
     * all-pairs scan anywhere in the plan, the same banded shape as
     * #72's simhash dedup; results are identical to brute force
     * (property-tested with planted near-dups in LlmOpsSpec, and the
-    * band recall at cos 0.99 is 1 − ~7e-9). */
+    * band recall at cos 0.99 is 1 − ~2e-9 at 32×16-bit bands). */
   def dedupEmbeddingCosine(spark: SparkSession, sf: String): DataFrame = {
     val e = embeddings(spark, sf)
     val dim = e.select(size(col("embedding"))).head.getInt(0)

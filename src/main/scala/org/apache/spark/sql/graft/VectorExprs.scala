@@ -1,11 +1,11 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression for the float-vector dot product.
   *
@@ -134,7 +134,103 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All sign-random-projection LSH band values of a float vector in ONE
+  * fused loop: band `b`'s bit `j` is the sign of the dot product with
+  * hyperplane `planes(b * bitsPerBand + j)`.
+  *
+  * Why native: composing this from `bands × bits` separate
+  * [[FloatVecDot]]+`when` expressions works, but at 32×16 bands the
+  * 512-expression projection exceeds the whole-stage-codegen method
+  * budget and falls back to interpreted evaluation — measured ~2.5 ms
+  * per row (per-expression dispatch), versus ~20 µs for this single
+  * expression's tight loop. The hyperplane matrix rides along as a
+  * codegen reference object, not 512 literals, so the plan stays
+  * small. NULL on a vector whose length differs from the planes'
+  * (mirrors [[FloatVecDot]]). */
+case class HyperplaneBands(child: Expression,
+                           planes: Array[Array[Float]],
+                           bitsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes.nonEmpty && bitsPerBand >= 1 && bitsPerBand <= 31 &&
+    planes.length % bitsPerBand == 0,
+    s"hyperplane_bands: ${planes.length} planes not divisible into $bitsPerBand-bit bands")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "hyperplane_bands"
+
+  private def numBands: Int = planes.length / bitsPerBand
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = planes(0).length
+    if (x.numElements() != dim) return null
+    val out = new Array[Int](numBands)
+    var k = 0
+    var b = 0
+    while (b < numBands) {
+      var bits = 0
+      var j = 0
+      while (j < bitsPerBand) {
+        val p = planes(k)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += x.getFloat(i).toDouble * p(i); i += 1 }
+        if (s > 0) bits |= (1 << j)
+        j += 1; k += 1
+      }
+      out(b) = bits
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (b, j, i, k, s, bits, out, dim, pl) = (
+        ctx.freshName("b"), ctx.freshName("j"), ctx.freshName("i"),
+        ctx.freshName("k"), ctx.freshName("s"), ctx.freshName("bits"),
+        ctx.freshName("out"), ctx.freshName("dim"), ctx.freshName("pl"))
+      s"""
+         |int $dim = $pRef[0].length;
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$numBands];
+         |  int $k = 0;
+         |  for (int $b = 0; $b < $numBands; $b++) {
+         |    int $bits = 0;
+         |    for (int $j = 0; $j < $bitsPerBand; $j++, $k++) {
+         |      float[] $pl = $pRef[$k];
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $s += ((double) $v.getFloat($i)) * $pl[$i];
+         |      }
+         |      if ($s > 0) $bits |= (1 << $j);
+         |    }
+         |    $out[$b] = $bits;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
 object VectorExprs {
+  /** LSH band values (array<int>, one per band) of a float-vector
+    * column against a fixed hyperplane matrix. */
+  def hyperplaneBands(vec: Column, planes: Array[Array[Float]],
+                      bitsPerBand: Int): Column =
+    ExpressionUtils.column(
+      HyperplaneBands(ExpressionUtils.expression(vec), planes, bitsPerBand))
+
   /** Dot product of two ArrayType(FloatType) columns as DOUBLE. */
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(

@@ -137,6 +137,18 @@ class OperatorSpec extends SparkSpec {
     assert(rows(1).getDouble(0) == 11.0 && !rows(1).isNullAt(1))
   }
 
+  test("hyperplane_bands: codegen == interpreted, NULL on dim mismatch") {
+    import spark.implicits._
+    val planes = Array.fill(8)(Array.fill(4)(1.0f))
+    val df = Seq((1L, Array(1.0f, -1.0f, 0.5f, 0.25f)),
+                 (2L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val c = org.apache.spark.sql.graft.VectorExprs.hyperplaneBands(col("v"), planes, 4)
+    val rows = df.select(c.as("bands")).collect()
+    // sum of elements 0.75 > 0 -> every bit set in both 4-bit bands
+    assert(rows(0).getSeq[Int](0) == Seq(15, 15))
+    assert(rows(1).isNullAt(0)) // dim 2 vs planes dim 4
+  }
+
   test("topk_by_score validates k and input types at plan time") {
     intercept[IllegalArgumentException] {
       org.apache.spark.sql.graft.TopKAgg.topK(lit(1.0), lit(1L), 0)

@@ -73,6 +73,28 @@ class ScaleShapeSpec extends SparkSpec {
       Tables.orders(spark, sf001).where(year(col("o_orderdate")) === 2000).count())
   }
 
+  test("prefix-sum chunker and packer stay distributed at 1M rows") {
+    // 1M rows through chunkByRange/packSequences: the per-bucket data
+    // windows run across 200 buckets (no single-partition funnel) and
+    // finish in seconds; only B=200 metadata rows see the scan window.
+    import spark.implicits._
+    val df = spark.range(1000000L).toDF("id")
+      .withColumn("w", (col("id") % 97 + 1).cast("long")).repartition(16)
+    val chunked = Transforms.chunkByRange(df, col("id"),
+      floor(col("id") / 5000).cast("long"), 1000)
+    val sizes = chunked.groupBy(col("batch_id")).count()
+      .agg(min(col("count")), max(col("count")), count(lit(1))).head
+    assert(sizes.getLong(0) == 1000 && sizes.getLong(1) == 1000 &&
+           sizes.getLong(2) == 1000) // 1000 exact batches of 1000
+    val packed = Transforms.packSequences(df, col("id"),
+      floor(col("id") / 5000).cast("long"), col("w"), capacity = 8192L)
+    val total = df.agg(sum(col("w"))).head.getLong(0)
+    val seqs = packed.agg(countDistinct(col("seq_id")), max(col("seq_token_start"))).head
+    // stream length / capacity bounds the sequence count
+    assert(math.abs(seqs.getLong(0) - total / 8192) <= 1)
+    assert(seqs.getLong(1) < total)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

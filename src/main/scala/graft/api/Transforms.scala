@@ -202,18 +202,24 @@ object Transforms {
     // deliberately non-foldable: a foldable key is optimized out of
     // the window spec, which re-triggers Spark's global-window warning
     // for what is an intended single-partition scan over B rows.
-    val wOff = Window.partitionBy(pmod(col("__chunk_bucket"), lit(1)))
+    // coalesce: pmod(NULL, 1) is NULL, which would strand a null
+    // bucket's count in its own window partition
+    val wOff = Window.partitionBy(coalesce(pmod(col("__chunk_bucket"), lit(1)), lit(0L)))
       .orderBy(col("__chunk_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts
       .withColumn("__chunk_offset", coalesce(sum(col("__chunk_n")).over(wOff), lit(0L)))
       .drop("__chunk_n")
     val wLocal = Window.partitionBy(col("__chunk_bucket")).orderBy(orderCol)
-    bucketed.join(broadcast(offsets), "__chunk_bucket")
+    // null-SAFE join: a null coarse bucket (e.g. from a null order
+    // key) is a legitimate group — nulls sort first, matching chunk()'s
+    // nulls-first ordering — and must not silently drop its rows
+    bucketed.join(broadcast(offsets.withColumnRenamed("__chunk_bucket", "__chunk_bucket_o")),
+        col("__chunk_bucket") <=> col("__chunk_bucket_o"))
       .withColumn("batch_id",
         floor((col("__chunk_offset") + row_number().over(wLocal) - 1) / batchSize)
           .cast("int"))
-      .drop("__chunk_bucket", "__chunk_offset")
+      .drop("__chunk_bucket", "__chunk_bucket_o", "__chunk_offset")
   }
 
   /** Sequence packing for LLM pretraining: documents concatenate into
@@ -226,8 +232,11 @@ object Transforms {
     * Same distributed prefix-sum shape as [[chunkByRange]], weighted:
     * per-bucket running token sums + an exclusive scan over per-bucket
     * totals (metadata) broadcast back. `coarseBucket` must be monotone
-    * non-decreasing in `orderCol`. Appends `seq_id` and
-    * `seq_token_start` (the document's offset in the stream). */
+    * non-decreasing in `orderCol`, and `weight` must be integral
+    * token counts (fractional weights are truncated by the long cast
+    * — pre-round with `ceil`/`round` as the intended token estimate).
+    * Appends `seq_id` and `seq_token_start` (the document's offset in
+    * the stream). */
   def packSequences(df: DataFrame, orderCol: Column, coarseBucket: Column,
                     weight: Column, capacity: Long): DataFrame = {
     require(capacity >= 1, s"packSequences: capacity=$capacity")
@@ -236,7 +245,7 @@ object Transforms {
     val totals = bucketed.groupBy(col("__pack_bucket"))
       .agg(sum(col("__pack_w")).as("__pack_n"))
     // metadata-scale exclusive scan (see chunkByRange's wOff note)
-    val wOff = Window.partitionBy(pmod(col("__pack_bucket"), lit(1)))
+    val wOff = Window.partitionBy(coalesce(pmod(col("__pack_bucket"), lit(1)), lit(0L)))
       .orderBy(col("__pack_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
@@ -244,11 +253,13 @@ object Transforms {
       .drop("__pack_n")
     val wLocal = Window.partitionBy(col("__pack_bucket")).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), "__pack_bucket")
+    // null-safe bucket join — see chunkByRange
+    bucketed.join(broadcast(offsets.withColumnRenamed("__pack_bucket", "__pack_bucket_o")),
+        col("__pack_bucket") <=> col("__pack_bucket_o"))
       .withColumn("seq_token_start",
         col("__pack_off") + coalesce(sum(col("__pack_w")).over(wLocal), lit(0L)))
       .withColumn("seq_id", floor(col("seq_token_start") / capacity).cast("long"))
-      .drop("__pack_bucket", "__pack_w", "__pack_off")
+      .drop("__pack_bucket", "__pack_bucket_o", "__pack_w", "__pack_off")
   }
 
   // -------------------------------------------------- text / LLM ops
@@ -475,7 +486,8 @@ object Transforms {
     * last label. */
   def hashSplit(key: Column, salt: String,
                 splits: Seq[(String, Double)]): Column = {
-    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum <= 1.0 + 1e-9,
       s"hashSplit: bad fractions ${splits.map(_._2)}")
     val h = substring(md5(concat(key.cast("string"), lit("#" + salt))), 1, 4)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
@@ -526,15 +538,24 @@ object Transforms {
     while (!converged && i < maxIters) {
       val viaNeighbor = labels.join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
+      // persist each iteration (freed below); localCheckpoint every
+      // 8th to truncate lineage — holding a checkpoint per iteration
+      // would pin O(iters) copies of the label set in executor storage
+      val next0 = labels.unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
+      val next = if ((i + 1) % 8 == 0) next0.localCheckpoint() else next0.persist()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
         .where(col("component") =!= col("old")).count()
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
       i += 1
     }
+    // a silent non-fixpoint would report one real cluster as several
+    // "canonical" docs — fail loudly; the caller raises maxIters
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIters iterations " +
+      "(component diameter exceeds maxIters)")
     labels
   }
 

@@ -151,10 +151,18 @@ object LlmOps {
     * (property-tested with planted near-dups in LlmOpsSpec, and the
     * band recall at cos 0.99 is 1 − ~2e-9 at 32×16-bit bands). */
   def dedupEmbeddingCosine(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
     val e = embeddings(spark, sf)
-    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    // one-row peek for the vector dimension (the hyperplanes are
+    // literals of that length); empty/null-vector input degrades to
+    // an empty result like the brute-force formulation did
+    val dims = e.select(size(col("embedding")).as("d"))
+      .where(col("d").isNotNull).limit(1).collect()
+    if (dims.isEmpty) return Seq.empty[(Long, Long, Double)]
+      .toDF("d1", "d2", "cos_sim")
     graft.api.Transforms
-      .dedupByEmbeddingCosine(e, col("vec_id"), col("embedding"), dim, 0.99)
+      .dedupByEmbeddingCosine(e, col("vec_id"), col("embedding"),
+        dims.head.getInt(0), 0.99)
       .orderBy(col("d1"), col("d2"))
   }
 

@@ -96,22 +96,29 @@ case class BandJoinBucketingRule(spark: SparkSession)
       case _ => false
     }
 
-  /** Bucket id b(x) = floor(x / eps). For integral columns the
-    * quotient is computed in DECIMAL (long → decimal is exact; a
-    * double cast loses bits beyond 2^52, where the rounding error
-    * could exceed the ±2 probe margin and silently drop matches).
-    * Decimal division rounds at scale 6, an error ≤ 1e-6 bucket
-    * widths — far inside the probe margin at any magnitude a LONG can
-    * hold. Fractional columns keep the double path (they carry ≤ 53
-    * significant bits by construction). */
-  private def bucketOf(e: Expression, eps: Double): Expression = e.dataType match {
-    case _: IntegralType =>
+  /** Bucket id b(x) = floor(x / eps). For exact column types
+    * (integral AND decimal) the quotient is computed in DECIMAL
+    * (long/decimal → decimal is exact; a double cast loses bits
+    * beyond 2^52, where the rounding error could exceed the ±2 probe
+    * margin and silently drop matches). Decimal division rounds at
+    * scale ≥ 6, an error ≤ 1e-6 bucket widths — far inside the probe
+    * margin at any magnitude the exact types can hold. Float/double
+    * columns keep the double path (they carry ≤ 53 significant bits
+    * by construction, so the division is already faithful). */
+  private def bucketOf(e: Expression, eps: Double): Expression = {
+    def epsLit: Literal = {
       val epsDec = Decimal(BigDecimal.valueOf(eps))
-      val epsLit = Literal(epsDec,
+      Literal(epsDec,
         DecimalType(math.max(epsDec.precision, epsDec.scale + 1), epsDec.scale))
-      Cast(Floor(Divide(Cast(e, DecimalType(30, 6)), epsLit)), LongType)
-    case _ =>
-      Cast(Floor(Divide(Cast(e, DoubleType), Literal(eps))), LongType)
+    }
+    e.dataType match {
+      case _: IntegralType =>
+        Cast(Floor(Divide(Cast(e, DecimalType(30, 6)), epsLit)), LongType)
+      case _: DecimalType => // already exact — divide as-is
+        Cast(Floor(Divide(e, epsLit)), LongType)
+      case _ =>
+        Cast(Floor(Divide(Cast(e, DoubleType), Literal(eps))), LongType)
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {

@@ -132,6 +132,24 @@ class BandJoinRuleSpec extends SparkSpec {
     assert(got == expected && got > 0, s"got=$got expected=$expected")
   }
 
+  test("DECIMAL band columns beyond 2^52 keep exact buckets too") {
+    def q(s: SparkSession) = {
+      import s.implicits._
+      val l = (0 until 30).map(i => (i.toLong, BigDecimal((1L << 55) + i * 2L)))
+        .toDF("lk", "lv")
+      val r = (0 until 30).map(i => (i.toLong, BigDecimal((1L << 55) + i * 3L)))
+        .toDF("rk", "rv")
+      l.join(r, abs(col("lv") - col("rv")) < 3L)
+    }
+    val expected = q(spark).count()
+    val got = withExtSession { s =>
+      val j = q(s)
+      assert(j.queryExecution.executedPlan.toString.contains("__graft_band_probe"))
+      j.count()
+    }
+    assert(got == expected && got > 0, s"got=$got expected=$expected")
+  }
+
   test("joins that already have an equi key are left untouched") {
     withExtSession { s =>
       val li = Tables.lineitem(s, sf001)

@@ -84,6 +84,38 @@ class TransformsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // 2 of 8 buckets probed
   }
 
+  test("chunkByRange keeps rows with a NULL bucket (null-safe join)") {
+    import spark.implicits._
+    val df = (Seq[java.lang.Long](null) ++ (1 to 50).map(i => java.lang.Long.valueOf(i)))
+      .toDF("id")
+    val seq = Transforms.chunk(df, col("id"), 10)
+      .collect().map(r => Option(r.get(0)) -> r.getInt(1)).toMap
+    val dist = Transforms.chunkByRange(df, col("id"),
+        floor(col("id") / 20).cast("long"), 10)
+      .collect().map(r => Option(r.get(0)) -> r.getInt(1)).toMap
+    assert(dist.size == 51) // the null-id row survives
+    assert(dist == seq)     // and lands in the same (first) batch
+  }
+
+  test("connectedComponents fails loudly when maxIters is too small") {
+    import spark.implicits._
+    val chain = (0 until 6).map(i => (i.toLong, i.toLong + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Transforms.connectedComponents(chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    val ok = Transforms.connectedComponents(chain, maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L)) // one chain, canonical = 0
+  }
+
+  test("hashSplit rejects negative fractions") {
+    intercept[IllegalArgumentException] {
+      Transforms.hashSplit(col("x"), "s",
+        Seq("a" -> 0.8, "b" -> -0.1, "c" -> 0.3))
+    }
+  }
+
   test("packSequences equals the naive global-cumsum packing") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -55,6 +55,17 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKByScore serialize/deserialize round-trips any state") {
+    forAll(scoredGen) { xs =>
+      val st = new TopKState(5)
+      xs.foreach { case (s, id) => st.insert(s, id) }
+      val agg = org.apache.spark.sql.graft.TopKByScore(null, null, 5)
+      val back = agg.deserialize(agg.serialize(st))
+      assert(back.k == st.k && back.n == st.n)
+      assert((0 until st.n).forall(i => back.cs(i) == st.cs(i) && back.ids(i) == st.ids(i)))
+    }
+  }
+
   private val vecsGen: Gen[List[Array[Float]]] = for {
     n <- Gen.choose(1, 20)
     vs <- Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 100.0f)))

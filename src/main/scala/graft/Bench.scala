@@ -101,11 +101,14 @@ object Bench {
     val results = headline.map(n => n -> bestOf3(n))
     val sec = secondary.map(n => n -> bestOf3(n))
     val failed = (results ++ sec).collect { case (k, None) => "\"" + k + "\"" }
-    val total = results.flatMap(_._2).sum
-    val secTotal = sec.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // a suite with a crashed query must not grade FASTER than a working
+    // one: any failure poisons that suite's total to null (the per-query
+    // map + "failed" array still show what did run)
+    def totalOrNull(rs: Seq[(String, Option[Double])]): String =
+      if (rs.exists(_._2.isEmpty)) "null" else rs.flatMap(_._2).sum.toString
+    println(s"""{"metric":"total","value":${totalOrNull(results)},"unit":"sec",""" +
       s""""queries":${toJson(results)},"secondary":${toJson(sec)},""" +
-      s""""secondary_total":$secTotal,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+      s""""secondary_total":${totalOrNull(sec)},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

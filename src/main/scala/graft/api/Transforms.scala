@@ -240,8 +240,17 @@ object Transforms {
   def packSequences(df: DataFrame, orderCol: Column, coarseBucket: Column,
                     weight: Column, capacity: Long): DataFrame = {
     require(capacity >= 1, s"packSequences: capacity=$capacity")
+    // weights must be non-null and non-negative, mirroring the static
+    // capacity check: a NULL is skipped by sum() (the doc silently
+    // gets zero width) and a negative weight moves seq_token_start
+    // BACKWARDS, breaking the monotone token-stream contract
+    val w = weight.cast("long")
+    val checkedW = when(w.isNotNull && w >= 0, w)
+      .otherwise(raise_error(concat(
+        lit("packSequences: weight must be non-null and >= 0 (got "),
+        coalesce(w.cast("string"), lit("NULL")), lit(")"))))
     val bucketed = df.withColumn("__pack_bucket", coarseBucket)
-      .withColumn("__pack_w", weight.cast("long"))
+      .withColumn("__pack_w", checkedW)
     val totals = bucketed.groupBy(col("__pack_bucket"))
       .agg(sum(col("__pack_w")).as("__pack_n"))
     // metadata-scale exclusive scan (see chunkByRange's wOff note)
@@ -435,9 +444,16 @@ object Transforms {
     // overflows whole-stage codegen and drops to interpreted eval
     val bandVals = org.apache.spark.sql.graft.VectorExprs
       .hyperplaneBands(vec, planes, bitsPerBand)
+    // a vector whose length != dim would get NULL bands and silently
+    // vanish from candidate generation (NULLs never equi-join) —
+    // incomplete dedup results with no symptom. Fail loudly instead.
+    val guarded = when(vec.isNull || size(vec) === dim, bandVals)
+      .otherwise(raise_error(concat(
+        lit(s"lshBandCandidates: vector dim != $dim (got "),
+        size(vec).cast("string"), lit(")"))))
     val sigs = vectors
       .select(id.as("__lsh_id"),
-        posexplode(bandVals).as(Seq("band_id", "band_val")))
+        posexplode(guarded).as(Seq("band_id", "band_val")))
     val a = sigs.toDF("d1", "band_id", "band_val")
     val b = sigs.toDF("d2", "band_id2", "band_val2")
     a.join(b, col("band_id") === col("band_id2") &&
@@ -527,23 +543,37 @@ object Transforms {
     * Pregel / GraphX without the RDD API). Output: (node, component),
     * component = min node id in the component. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint()
+      .persist()
+    // every-8th-iteration lineage truncation goes through an RDD we
+    // keep a handle to (createDataFrame → flat LogicalRDD plan), so
+    // ALL intermediate storage — sym, per-iteration caches, truncation
+    // RDDs — is released before returning; only the final result's
+    // localCheckpoint blocks (one bounded O(nodes) copy) remain
+    val truncRdds = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint()
+      .persist()
+    def freeAll(): Unit = {
+      labels.unpersist(blocking = false)
+      sym.unpersist(blocking = false)
+      truncRdds.foreach(_.unpersist(blocking = false))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val viaNeighbor = labels.join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("component"))
-      // persist each iteration (freed below); localCheckpoint every
-      // 8th to truncate lineage — holding a checkpoint per iteration
-      // would pin O(iters) copies of the label set in executor storage
       val next0 = labels.unionByName(viaNeighbor)
         .groupBy(col("node")).agg(min(col("component")).as("component"))
-      val next = if ((i + 1) % 8 == 0) next0.localCheckpoint() else next0.persist()
+      val next = if ((i + 1) % 8 == 0) {
+        val rdd = next0.rdd.persist()
+        truncRdds += rdd
+        spark.createDataFrame(rdd, next0.schema)
+      } else next0.persist()
       val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
         .where(col("component") =!= col("old")).count()
       labels.unpersist(blocking = false)
@@ -553,10 +583,16 @@ object Transforms {
     }
     // a silent non-fixpoint would report one real cluster as several
     // "canonical" docs — fail loudly; the caller raises maxIters
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents: not converged after $maxIters iterations " +
-      "(component diameter exceeds maxIters)")
-    labels
+    if (!converged) {
+      freeAll()
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIters iterations " +
+        "(component diameter exceeds maxIters)")
+    }
+    // materialize the result independent of the state freed below
+    val out = labels.localCheckpoint()
+    freeAll()
+    out
   }
 
   /** Exact dedup by content: one row per distinct `contentCol` value,

@@ -153,6 +153,25 @@ object JoinOps {
       .orderBy(col("signup_id"))
   }
 
+  /** #98 — salted skew join: lineitem ⋈ orders on orderkey routed
+    * through [[graft.api.Transforms.saltedJoin]] (salt from l_partkey,
+    * factor 8) — a hot orderkey's rows split across 8 reducers instead
+    * of one straggler, the explicit skew mitigation for when AQE's
+    * skew-join can't apply (hash build side, AQE off). Results are
+    * identical to the plain join — the oracle IS the plain join. */
+  def joinSkewSalted(spark: SparkSession, sf: String): DataFrame = {
+    val l = lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"),
+      money(col("l_extendedprice")).as("price"), money(col("l_discount")).as("disc"))
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+    graft.api.Transforms.saltedJoin(l, o,
+        leftKey = col("l_orderkey"), rightKey = col("o_orderkey"),
+        saltSource = col("l_partkey"), saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "join_inner_shuffle"    -> (joinInnerShuffle _),
     "join_broadcast"        -> (joinBroadcast _),
@@ -164,6 +183,7 @@ object JoinOps {
     "join_theta_band"       -> (joinThetaBand _),
     "join_asof"             -> (joinAsof _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
+    "join_skew_salted"      -> (joinSkewSalted _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -240,5 +260,11 @@ object JoinOps {
         | AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
         |GROUP BY s.event_id, s.user_id, s.ts
         |ORDER BY signup_id""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -384,7 +384,10 @@ object LlmOps {
     * appends. Output: per-(lang, source) sampled counts + char
     * volume. */
   def textSampleStratified(spark: SparkSession, sf: String): DataFrame = {
-    val keep = when(col("lang") === "en",
+    // coalesce: a NULL lang must land in the "rest" stratum on BOTH
+    // engines — Spark's otherwise() catches NULL conditions but SQL's
+    // `lang <> 'en'` predicate silently drops NULL rows
+    val keep = when(coalesce(col("lang"), lit("")) === "en",
         graft.api.Transforms.hashSample(col("doc_id"), "samp", 0.2))
       .otherwise(graft.api.Transforms.hashSample(col("doc_id"), "samp", 0.6))
     documents(spark, sf)
@@ -392,6 +395,23 @@ object LlmOps {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** #97 — deterministic fixed-size per-group sample: the 10
+    * hash-smallest docs per language — "give me k inspection examples
+    * per stratum" with reservoir-sample semantics but fully
+    * reproducible (the md5 point orders docs uniformly and identically
+    * on any engine at any parallelism; same portable hash family as
+    * [[graft.api.Transforms.hashSample]]). One keyed window pass —
+    * at scale swap in the bounded-heap topKPerGroup, same contract. */
+  def textSamplePerGroup(spark: SparkSession, sf: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("#grpsamp")))
+    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+    documents(spark, sf)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rnk"))
   }
 
   // ---------------------------------------------------------------
@@ -432,6 +452,7 @@ object LlmOps {
     "text_pii_redact"          -> (textPiiRedact _),
     "text_contamination_check" -> (textContaminationCheck _),
     "text_pack_sequences"      -> (textPackSequences _),
+    "text_sample_per_group"    -> (textSamplePerGroup _),
     "multimodal_binary"        -> (multimodalBinary _),
   )
 
@@ -616,7 +637,8 @@ object LlmOps {
         |  SELECT lang, source, n_chars,
         |    substr(md5(CAST(doc_id AS VARCHAR) || '#samp'), 1, 4) AS h
         |  FROM documents)
-        |WHERE (lang = 'en' AND h < '3333') OR (lang <> 'en' AND h < '999a')
+        |WHERE (coalesce(lang, '') = 'en' AND h < '3333')
+        |   OR (coalesce(lang, '') <> 'en' AND h < '999a')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_pack_sequences" ->
       """WITH w AS (
@@ -667,5 +689,12 @@ object LlmOps {
         |  ascii(substring(text, 2, 1)) AS fake_height,
         |  3 AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_sample_per_group" ->
+      """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#grpsamp'), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
   )
 }

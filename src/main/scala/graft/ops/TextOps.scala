@@ -175,6 +175,53 @@ object TextOps {
       .orderBy(col("true_label"), col("pred_label"))
   }
 
+  /** #95 — TF-IDF term weighting, the classic corpus-statistics
+    * shape: per-doc term frequencies join per-term document
+    * frequencies ON THE TERM (hash-partitioned by term — the vocab is
+    * never assumed broadcastable; Catalyst broadcasts it when small),
+    * the 1-row corpus size broadcast, top-3 terms per doc by
+    * round(tf·ln(N/df), 4) with term tie-break (round BEFORE ranking
+    * so cross-engine ulp drift cannot reorder). */
+  def textTfidf(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf)
+    val terms = docs.select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    terms.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+              col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** #96 — bigram language-model statistics: corpus-wide bigram
+    * counts + conditional probability P(w2|w1) = n(w1 w2)/n(w1 ·) —
+    * the n-gram-LM building block. The prefix marginal comes from the
+    * bigram table itself (sum over w2), so one tokenize pass feeds
+    * both; count/count division is IEEE-exact cross-engine. Top-30 by
+    * (count desc, bigram). */
+  def textBigramLm(spark: SparkSession, sf: String): DataFrame = {
+    val bigrams = documents(spark, sf)
+      .withColumn("words", words)
+      .where(size(col("words")) >= 2)
+      .select(explode(graft.api.Transforms.shingles(col("words"), 2)).as("bg"))
+      .select(element_at(split(col("bg"), " "), 1).as("w1"),
+              element_at(split(col("bg"), " "), 2).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val prefix = bigrams.groupBy(col("w1")).agg(sum(col("n")).as("n1"))
+    bigrams.join(prefix, "w1")
+      .select(col("w1"), col("w2"), col("n"),
+              round(col("n").cast("double") / col("n1"), 4).as("p_cond"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
   /** #64 — multimodal join: text metadata + vector features in one
     * row (documents ⋈ embeddings on doc_id = vec_id). */
   def multimodalJoin(spark: SparkSession, sf: String): DataFrame =
@@ -195,6 +242,8 @@ object TextOps {
     "sim_knn_topk"            -> (simKnnTopk _),
     "sim_centroid_classify"   -> (simCentroidClassify _),
     "multimodal_join"         -> (multimodalJoin _),
+    "text_tfidf"              -> (textTfidf _),
+    "text_bigram_lm"          -> (textBigramLm _),
   )
 
   private val shingleCte =
@@ -306,5 +355,31 @@ object TextOps {
         |JOIN embeddings e ON d.doc_id = e.vec_id
         |JOIN n ON n.vec_id = e.vec_id
         |ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, tf.term, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY tfidf DESC, term) AS rnk
+        |  FROM s)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df, tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT w, unnest(range(1, len(w))) AS i FROM t),
+        |bg AS (SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        |       FROM s),
+        |c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+        |p AS (SELECT w1, sum(n) AS n1 FROM c GROUP BY w1)
+        |SELECT c.w1, c.w2, n, round(CAST(n AS DOUBLE) / n1, 4) AS p_cond
+        |FROM c JOIN p ON c.w1 = p.w1
+        |ORDER BY n DESC, c.w1, c.w2 LIMIT 30""".stripMargin,
   )
 }

@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// per-test durations in the report (-oD): the suite is a pre-commit
+// gate, so slow tests must be visible, not discovered once a round
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 run / fork := true
 // Forked run output goes straight to stdout, NOT through sbt's logger:
 // the driver parses Bench's single JSON line, and an "[info] " prefix

@@ -182,18 +182,32 @@ object Transforms {
         .cast("int"))
 
   /** Scale-safe [[chunk]]: identical global batch ids without a
-    * single-partition window. `coarseBucket` must be monotone
-    * non-decreasing in `orderCol` (e.g. `floor(id / 10000)` for an id
-    * order column, `date_trunc` for a time one) and `orderCol` unique.
+    * single-partition window — `batch_id = (globalRowNumber - 1) DIV
+    * batchSize` over [[globalRowNumber]]'s distributed prefix-sum.
+    * See its doc for the `coarseBucket` monotonicity contract. */
+  def chunkByRange(df: DataFrame, orderCol: Column, coarseBucket: Column,
+                   batchSize: Int): DataFrame =
+    globalRowNumber(df, orderCol, coarseBucket)
+      .withColumn("batch_id",
+        floor((col("__row_number") - 1) / batchSize).cast("int"))
+      .drop("__row_number")
+
+  /** Exact global 1-based row number in `orderCol` order WITHOUT a
+    * global sort — the distributed-rank primitive behind
+    * [[chunkByRange]] and [[ntileByRange]]. `coarseBucket` must be
+    * numeric and monotone non-decreasing in `orderCol`'s leading sort
+    * key (e.g. `floor(price / 20000)` for a price ordering); then
+    * global rank = exclusive prefix-sum of per-bucket counts + local
+    * rank within the bucket.
     *
     * The classic distributed prefix-sum: rows shuffle once by coarse
     * bucket for a per-bucket row_number; per-bucket counts (metadata,
     * one row per bucket) get an exclusive running sum that is
-    * broadcast back, so global index = bucket offset + local rank.
-    * The only sequential step scans B bucket-count rows, not N data
-    * rows. */
-  def chunkByRange(df: DataFrame, orderCol: Column, coarseBucket: Column,
-                   batchSize: Int): DataFrame = {
+    * broadcast back. The only sequential step scans B bucket-count
+    * rows, not N data rows. Output: input columns + `__row_number`
+    * (LongType — survives past 2³¹ rows, unlike an int rank). */
+  def globalRowNumber(df: DataFrame, orderCol: Column,
+                      coarseBucket: Column): DataFrame = {
     val bucketed = df.withColumn("__chunk_bucket", coarseBucket)
     val counts = bucketed.groupBy(col("__chunk_bucket"))
       .agg(count(lit(1)).as("__chunk_n"))
@@ -216,10 +230,34 @@ object Transforms {
     // nulls-first ordering — and must not silently drop its rows
     bucketed.join(broadcast(offsets.withColumnRenamed("__chunk_bucket", "__chunk_bucket_o")),
         col("__chunk_bucket") <=> col("__chunk_bucket_o"))
-      .withColumn("batch_id",
-        floor((col("__chunk_offset") + row_number().over(wLocal) - 1) / batchSize)
-          .cast("int"))
+      .withColumn("__row_number",
+        col("__chunk_offset") + row_number().over(wLocal))
       .drop("__chunk_bucket", "__chunk_bucket_o", "__chunk_offset")
+  }
+
+  /** Exact distributed NTILE(n): SQL-identical bucket assignment
+    * (first N%n buckets get ⌈N/n⌉ rows, the rest ⌊N/n⌋) computed from
+    * [[globalRowNumber]] + a 1-row broadcast total — no global window,
+    * no single-partition sort. Integer `DIV` keeps the arithmetic
+    * exact at any N. Output: input columns + `ntile` (LongType). */
+  def ntileByRange(df: DataFrame, orderCol: Column, coarseBucket: Column,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"ntileByRange: n must be >= 1, got $n")
+    val total = df.agg(count(lit(1)).as("__ntile_N"))
+    globalRowNumber(df, orderCol, coarseBucket)
+      .crossJoin(broadcast(total))
+      .withColumn("__nt_base", expr(s"__ntile_N DIV $n"))
+      .withColumn("__nt_rem", col("__ntile_N") % n)
+      .withColumn("__nt_cut", col("__nt_rem") * (col("__nt_base") + 1))
+      .withColumn("ntile",
+        when(col("__row_number") <= col("__nt_cut"),
+            expr("(__row_number - 1) DIV (__nt_base + 1) + 1"))
+          // greatest(base, 1): base = 0 only when N < n, and then every
+          // row lands in the when-branch — the guard just keeps the
+          // never-evaluated else from dividing by zero under ANSI mode
+          .otherwise(col("__nt_rem") +
+            expr("(__row_number - __nt_cut - 1) DIV greatest(__nt_base, 1)") + 1))
+      .drop("__row_number", "__ntile_N", "__nt_base", "__nt_rem", "__nt_cut")
   }
 
   /** Sequence packing for LLM pretraining: documents concatenate into
@@ -529,37 +567,58 @@ object Transforms {
   }
 
   /** Connected components over an undirected edge list (d1, d2) by
-    * iterative min-label propagation — the step that turns verified
-    * near-dup PAIRS into dedup CLUSTERS (keep one canonical doc per
-    * component). Converges to the unique fixpoint (every node labeled
-    * with the smallest node id reachable from it), so the result is
-    * deterministic regardless of execution order.
+    * min-label propagation WITH pointer jumping (round 5) — the step
+    * that turns verified near-dup PAIRS into dedup CLUSTERS (keep one
+    * canonical doc per component). Converges to the unique fixpoint
+    * (every node labeled with the smallest node id reachable from
+    * it), so the result is deterministic regardless of execution
+    * order: at a fixpoint all labels in a component are equal (the
+    * neighbor rule is symmetric) and self-consistent (label(label) =
+    * label), and since labels only decrease from the initial node
+    * ids, that common label is the component minimum.
     *
-    * Each iteration is one equi-join + one keyed min-aggregate,
-    * `localCheckpoint`'d so the plan stays flat; iteration count is
-    * the component diameter (dedup clusters are shallow). The
-    * driver-side loop holds only a change COUNT per iteration — the
-    * labels themselves never leave the executors (the same shape as
-    * Pregel / GraphX without the RDD API). Output: (node, component),
-    * component = min node id in the component. */
+    * Each iteration: neighbor-min equi-join + label(label) pointer
+    * jump + one keyed min-aggregate. The jump makes the round count
+    * O(log diameter) instead of O(diameter) — on a chain component of
+    * 251 docs that is 9 rounds, not 250. The driver-side loop holds
+    * only a change COUNT per iteration — the labels themselves never
+    * leave the executors (the same shape as Pregel / GraphX without
+    * the RDD API). Output: (node, component), component = min node id
+    * in the component. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = edges.sparkSession
-    val sym = edges.select(col("d1").as("src"), col("d2").as("dst"))
+    // flatten the symmetric edge list to a LogicalRDD FIRST: every
+    // iteration's plan references it (neighbor join) and the input
+    // `edges` plan can be arbitrarily large (e.g. the whole simhash
+    // band pipeline). Without the cut, eager DataFrame analysis walks
+    // 3^k copies of that plan per iteration — measured 78s of pure
+    // analyzer time on an 8-iteration run whose jobs took 11s.
+    val truncRdds = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    val sym0 = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist()
-    // every-8th-iteration lineage truncation goes through an RDD we
+    val symRdd = sym0.rdd.persist()
+    truncRdds += symRdd
+    val sym = spark.createDataFrame(symRdd, sym0.schema)
+    // every-4th-iteration lineage truncation goes through an RDD we
     // keep a handle to (createDataFrame → flat LogicalRDD plan), so
     // ALL intermediate storage — sym, per-iteration caches, truncation
     // RDDs — is released before returning; only the final result's
-    // localCheckpoint blocks (one bounded O(nodes) copy) remain
-    val truncRdds = scala.collection.mutable.ListBuffer
-      .empty[org.apache.spark.rdd.RDD[_]]
+    // localCheckpoint blocks (one bounded O(nodes) copy) remain.
+    // Every 4th, not 8th: each iteration's plan references the
+    // previous one three times (neighbor min, pointer source, pointer
+    // target), so un-truncated analysis cost grows ~3^k — 4 caps the
+    // re-analysis at a few dozen plan nodes while keeping the O(nodes)
+    // RDD copy amortized.
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .persist()
+    // unpersist must target the exact plan that was persisted —
+    // `labels` is sometimes a projection OVER the cached frame, so
+    // keep the persisted handle separately
+    var persisted: DataFrame = labels
     def freeAll(): Unit = {
-      labels.unpersist(blocking = false)
-      sym.unpersist(blocking = false)
+      persisted.unpersist(blocking = false)
       truncRdds.foreach(_.unpersist(blocking = false))
     }
     var converged = false
@@ -567,17 +626,38 @@ object Transforms {
     while (!converged && i < maxIters) {
       val viaNeighbor = labels.join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("component"))
-      val next0 = labels.unionByName(viaNeighbor)
-        .groupBy(col("node")).agg(min(col("component")).as("component"))
-      val next = if ((i + 1) % 8 == 0) {
+      // pointer jumping: my label is a node in my component, so its
+      // label is too — adopting label(label(node)) each round halves
+      // the distance to the component minimum. Plain neighbor-min
+      // alone needs O(diameter) rounds (measured: a 251-node chain
+      // component at sf0.01 ⇒ minutes of 1-row iterations); with the
+      // jump the loop converges in O(log diameter). Near convergence
+      // the jump join keys concentrate on the component minima —
+      // the documented skew trade of pointer-jumping CC (the
+      // large-star/small-star refinement exists for graphs where
+      // single components dwarf a reducer; our dedup clusters are
+      // orders of magnitude below that).
+      val jump = labels.toDF("jnode", "jcomp")
+      val viaPointer = labels.join(jump, col("component") === col("jnode"))
+        .select(col("node"), col("jcomp").as("component"))
+      // carry each node's OLD label through the aggregate (only the
+      // labels branch has it; unionByName null-fills the others, min
+      // picks the single non-null) so convergence detection is a
+      // filter on the cached result, not another join
+      val next0 = labels.withColumn("old", col("component"))
+        .unionByName(viaNeighbor, allowMissingColumns = true)
+        .unionByName(viaPointer, allowMissingColumns = true)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"), min(col("old")).as("old"))
+      val next = if ((i + 1) % 4 == 0) {
         val rdd = next0.rdd.persist()
         truncRdds += rdd
         spark.createDataFrame(rdd, next0.schema)
       } else next0.persist()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .where(col("component") =!= col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+      val changed = next.where(col("component") =!= col("old")).count()
+      persisted.unpersist(blocking = false)
+      persisted = next
+      labels = next.drop("old")
       converged = changed == 0
       i += 1
     }

@@ -193,6 +193,26 @@ object AggOps {
       .orderBy(col("lang"))
   }
 
+  /** #101 — per-group mode (most frequent value) via argmax, NOT a
+    * window: counts aggregate once (map-side partials), then
+    * `max_by(payload, struct(n, -key))` picks the winner per group —
+    * highest count, smallest key on ties — in a second partial-able
+    * aggregate. A `row_number` window over the counts would sort each
+    * group's candidate rows; `max_by` keeps one struct per group per
+    * partition. Output: modal nation per market segment. */
+  def aggModeArgmax(spark: SparkSession, sf: String): DataFrame =
+    customer(spark, sf)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max_by(
+          struct(col("c_nationkey"), col("n")),
+          struct(col("n"), (-col("c_nationkey")).as("nk"))).as("m"))
+      .select(col("c_mktsegment"),
+              col("m.c_nationkey").as("mode_nation"),
+              col("m.n").as("n_mode"))
+      .orderBy(col("c_mktsegment"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -207,6 +227,7 @@ object AggOps {
     "agg_collect_sorted"   -> (aggCollectSorted _),
     "agg_udaf_vector_mean" -> (aggUdafVectorMean _),
     "agg_pivot"            -> (aggPivot _),
+    "agg_mode_argmax"      -> (aggModeArgmax _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -286,5 +307,12 @@ object AggOps {
         |  count(CASE WHEN source = 'src3' THEN 1 END) AS src3,
         |  count(CASE WHEN source = 'src4' THEN 1 END) AS src4
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "agg_mode_argmax" ->
+      """SELECT c_mktsegment, c_nationkey AS mode_nation, n AS n_mode FROM (
+        |  SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY count(*) DESC, c_nationkey) AS rn
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey)
+        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
   )
 }

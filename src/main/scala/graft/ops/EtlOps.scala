@@ -111,6 +111,28 @@ object EtlOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** #100 — SCD-2-style state intervals from the event stream: per
+    * user, collapse runs of equal event_type into validity intervals
+    * [valid_from, valid_to) with an open-ended current row — the
+    * slowly-changing-dimension shape every warehouse load needs (the
+    * reference's meter-state tracking re-expressed). Two keyed
+    * windows (change detection via lag, interval close via lead),
+    * both partitioned by the high-cardinality user key — no global
+    * state, scales like any other keyed window. change_event_id keeps
+    * the output totally ordered by a unique key. */
+  def etlScd2Intervals(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id").as("change_event_id"),
+              col("event_type"), col("ts").as("valid_from"),
+              col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("change_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -119,6 +141,7 @@ object EtlOps {
     "etl_chunk_batches"      -> (etlChunkBatches _),
     "etl_incremental_filter" -> (etlIncrementalFilter _),
     "etl_split_hash"         -> (etlSplitHash _),
+    "etl_scd2_intervals"     -> (etlScd2Intervals _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -197,5 +220,20 @@ object EtlOps {
         |    lang, n_chars
         |  FROM documents)
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "etl_scd2_intervals" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ts, event_type FROM m
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_id AS change_event_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM c ORDER BY change_event_id""".stripMargin,
   )
 }

@@ -261,11 +261,16 @@ object LlmOps {
   // ---------------------------------------------------------------
 
   /** #79 — IVF-bucketed approximate kNN (the 100 TB scale path for
-    * #62): coarse-quantize each vector to its nearest label-centroid
-    * (nprobe=1), then search only within the bucket via an EQUI-join
-    * — pair count drops from n² to Σ bucket². Same rounded-cosine
-    * scoring and bounded-heap top-k as the exact query; recall is
-    * traded for the bucketed plan. */
+    * #62): coarse-quantize each INDEX vector to its nearest
+    * label-centroid; each QUERY vector probes its nprobe=2 nearest
+    * buckets. Candidates come from an EQUI-join of probes × bucket
+    * members — pair count drops from n² to nprobe · Σ bucket², and
+    * each pair appears at most once (an index vector lives in exactly
+    * one bucket). Same rounded-cosine scoring and bounded-heap top-k
+    * as the exact query; the second probe recovers most of the recall
+    * nprobe=1 loses at bucket boundaries (measured in the
+    * TransformsSpec nprobe sweep on the library path,
+    * [[graft.api.Transforms.annIvfTopK]]). */
   def simAnnIvf(spark: SparkSession, sf: String): DataFrame = {
     // objectHashAggregate fallback threshold is raised in the session
     // builders (see TextOps.simKnnTopk note) — no conf mutation here.
@@ -277,14 +282,16 @@ object LlmOps {
     val vecs = embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"), l2normF(col("embedding")).as("vnrm"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cl"))
-    val assigned = vecs.join(broadcast(cents))
+    val scored = vecs.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("vnrm"), col("cl"),
         round(dot(col("embedding"), col("cvec")) / (col("vnrm") * col("cnrm")), 4)
           .as("cos_c"))
       .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+    val assigned = scored.where(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("vnrm"), col("cl").as("bucket"))
-    val a = assigned.toDF("a_id", "ea", "na", "bucket").repartition(col("bucket"))
+    val probes = scored.where(col("rn") <= 2)
+      .select(col("vec_id"), col("embedding"), col("vnrm"), col("cl").as("bucket"))
+    val a = probes.toDF("a_id", "ea", "na", "bucket").repartition(col("bucket"))
     val b = assigned.toDF("b_id", "eb", "nb", "bucket_b")
     a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
@@ -400,16 +407,33 @@ object LlmOps {
   /** #97 — deterministic fixed-size per-group sample: the 10
     * hash-smallest docs per language — "give me k inspection examples
     * per stratum" with reservoir-sample semantics but fully
-    * reproducible (the md5 point orders docs uniformly and identically
-    * on any engine at any parallelism; same portable hash family as
-    * [[graft.api.Transforms.hashSample]]). One keyed window pass —
-    * at scale swap in the bounded-heap topKPerGroup, same contract. */
+    * reproducible (a 52-bit md5 point orders docs uniformly and
+    * identically on any engine at any parallelism; same portable hash
+    * family as [[graft.api.Transforms.hashSample]]).
+    *
+    * NOT a `Window.partitionBy(lang)` — 5 languages means 5 tasks
+    * each sorting a fifth of the corpus at 100 TB. The bounded-heap
+    * [[org.apache.spark.sql.graft.TopKAgg]] keeps state at
+    * O(langs·10) with map-side partials instead. The hash point is
+    * the first 13 hex chars of the md5 (52 bits — exactly
+    * representable in the heap's Double score, and numeric order ==
+    * string order on fixed-width lowercase hex, so the oracle sorts
+    * by the substring directly); doc_id breaks ties identically on
+    * both engines. The ≤ langs·10 picks broadcast back against
+    * documents to recover n_chars. */
   def textSamplePerGroup(spark: SparkSession, sf: String): DataFrame = {
     val h = md5(concat(col("doc_id").cast("string"), lit("#grpsamp")))
-    val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
-    documents(spark, sf)
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 10)
+    // negate: heap keeps top-k by score DESC = hash point ASC
+    val score = -conv(substring(h, 1, 13), 16, 10).cast("double")
+    val picked = documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topK(score, col("doc_id"), 10).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.id").as("doc_id"))
+    documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .join(broadcast(picked), "doc_id")
       .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("rnk"))
   }
@@ -602,18 +626,18 @@ object LlmOps {
         |d AS (
         |  SELECT v.vec_id, c.cl, sum(v.e * c.m) AS dp
         |  FROM v JOIN c ON v.idx = c.idx GROUP BY v.vec_id, c.cl),
-        |assign AS (
-        |  SELECT vec_id, cl AS bucket FROM (
-        |    SELECT d.vec_id, d.cl,
-        |      row_number() OVER (PARTITION BY d.vec_id
-        |        ORDER BY round(d.dp / (vn.vnrm * cn.cnrm), 4) DESC, d.cl) AS rn
-        |    FROM d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cl = d.cl)
-        |  WHERE rn = 1),
+        |assignr AS (
+        |  SELECT d.vec_id, d.cl,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY round(d.dp / (vn.vnrm * cn.cnrm), 4) DESC, d.cl) AS rn
+        |  FROM d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cl = d.cl),
+        |assign AS (SELECT vec_id, cl AS bucket FROM assignr WHERE rn = 1),
+        |probe AS (SELECT vec_id, cl AS bucket FROM assignr WHERE rn <= 2),
         |pairs AS (
         |  SELECT av.vec_id AS a_id, bv.vec_id AS b_id,
         |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
         |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
-        |  FROM assign av JOIN assign bv
+        |  FROM probe av JOIN assign bv
         |    ON av.bucket = bv.bucket AND av.vec_id <> bv.vec_id
         |  JOIN embeddings a ON a.vec_id = av.vec_id
         |  JOIN embeddings b ON b.vec_id = bv.vec_id),
@@ -693,7 +717,8 @@ object LlmOps {
       """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '#grpsamp'), doc_id) AS rnk
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '#grpsamp'), 1, 13),
+        |               doc_id) AS rnk
         |  FROM documents)
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
   )

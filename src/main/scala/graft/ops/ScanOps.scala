@@ -36,8 +36,9 @@ object ScanOps {
   /** #3 — CSV source round-trip (reference: raw utility CSV ingest):
     * write nation as headered CSV, read back with an explicit schema
     * (no inference — schema-on-read is driver-side metadata only),
-    * aggregate. No oracle (the tmp CSV is not a stable oracle input);
-    * covered by unit tests + rows-only check. */
+    * aggregate. Oracle-graded: the round-trip is lossless (explicit
+    * schema, int/string columns), so the result equals the same
+    * aggregate straight off the nation parquet. */
   def sourceCsvRoundtrip(spark: SparkSession, sf: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
     nation(spark, sf).coalesce(1)
@@ -68,7 +69,9 @@ object ScanOps {
   /** #81 — XML source round-trip (reference: Green-Button ESPI XML
     * ingest): write nation as element-per-row XML, read back with an
     * explicit schema via Spark 4's built-in XML source, aggregate.
-    * No oracle (tmp file source); unit-tested + rows-only check. */
+    * Oracle-graded: lossless round-trip (explicit schema, XML
+    * escaping handled by the source) — oracle is the same aggregate
+    * off the nation parquet. */
   def sourceXmlRoundtrip(spark: SparkSession, sf: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
     nation(spark, sf).coalesce(1)
@@ -91,8 +94,10 @@ object ScanOps {
     * one entry per user holding an IntervalBlock with repeated
     * IntervalReading children, read back with an explicit nested
     * schema and exploded to reading rows — the reference's one parse
-    * shape a flat rowTag cannot express. No oracle (tmp file source);
-    * unit-tested + rows-only check. */
+    * shape a flat rowTag cannot express. Oracle-graded: the nested
+    * round-trip is lossless (longs + doubles whose Java toString
+    * round-trips exactly), so the result equals the per-user
+    * aggregate straight off the events parquet. */
   def sourceXmlEspi(spark: SparkSession, sf: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_espi"
     events(spark, sf)
@@ -124,10 +129,19 @@ object ScanOps {
 
   /** #86 — raw text-lines source (reference: opaque raw-file fetch
     * stage): write document texts as plain lines, read back with
-    * `spark.read.text`, aggregate line lengths. No oracle (tmp file
-    * source); unit-tested + rows-only check. */
+    * `spark.read.text`, aggregate line lengths. Oracle-graded: the
+    * corpus texts are newline-free and non-null (asserted below), so
+    * lines == documents and the aggregate equals the same lengths
+    * straight off the documents parquet. */
   def sourceTextLines(spark: SparkSession, sf: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_text_lines"
+    // a text containing a newline would split into two lines on
+    // read-back — fail loudly instead of silently diverging from the
+    // documents-table oracle (same posture as the lsh dim guard)
+    val bad = documents(spark, sf)
+      .where(col("text").isNull || col("text").contains("\n")).count()
+    require(bad == 0,
+      s"sourceTextLines: $bad null/newline texts break the line round-trip")
     documents(spark, sf).select(col("text"))
       .coalesce(1).write.mode("overwrite").text(dir)
     spark.read.text(dir)
@@ -139,7 +153,9 @@ object ScanOps {
 
   /** #5 — partitioned parquet sink (reference: datastore load step):
     * write lineitem partitioned by returnflag, read back, verify by
-    * aggregation. No oracle (side-effecting); rows-only + unit tests. */
+    * aggregation. Oracle-graded: parquet round-trip is lossless and
+    * the partition column (non-null strings) reads back as string, so
+    * the result equals the same aggregate off the lineitem parquet. */
   def sinkParquetPartitioned(spark: SparkSession, sf: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
     lineitem(spark, sf)
@@ -178,5 +194,29 @@ object ScanOps {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    // the round-trip sources/sinks are lossless, so each oracle is the
+    // same aggregate computed straight off the corpus parquet — the
+    // hash-match then proves the write+read preserved every value
+    "source_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "source_xml_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "source_xml_espi" ->
+      """SELECT user_id, count(*) AS n_readings,
+        |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_start,
+        |  CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "source_text_lines" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  max(length(text)) AS max_len
+        |FROM documents""".stripMargin,
+    "sink_parquet_partitioned" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -83,12 +83,42 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** #99 — watermark late-data semantics in graded batch form: which
+    * events would a 5-minute watermark DROP? The corpus is perfectly
+    * time-ordered per user, so arrival is modelled as event time plus
+    * a deterministic 0–15-minute "network delay" (md5 nibble of the
+    * event id — portable, reproducible on any engine). The watermark
+    * high-water-mark is the max event time seen so far in arrival
+    * order (per user — the key under which streaming state is
+    * scoped); an event whose time trails it by more than the 5-minute
+    * allowance is late. One keyed window pass, no global state — the
+    * true incremental formulation runs under MemoryStream with
+    * `withWatermark` in graft.streaming.StreamingSpec. */
+  def streamWatermarkLate(spark: SparkSession, sf: String): DataFrame = {
+    val tsMs = unix_millis(col("ts"))
+    val delayMs = conv(substring(
+        md5(concat(col("event_id").cast("string"), lit("#arr"))), 1, 1), 16, 10)
+      .cast("long") * 60000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("arr_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              tsMs.as("ts_ms"), (tsMs + delayMs).as("arr_ms"))
+      .withColumn("hwm_ms", max(col("ts_ms")).over(w))
+      .where(col("hwm_ms") - col("ts_ms") > 300000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+              (col("hwm_ms") - col("ts_ms")).as("late_ms"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "stream_tumbling_window" -> (streamTumblingWindow _),
     "stream_sliding_window"  -> (streamSlidingWindow _),
     "stream_session_window"  -> (streamSessionWindow _),
     "stream_dedup_keys"      -> (streamDedupKeys _),
     "stream_stateful_counts" -> (streamStatefulCounts _),
+    "stream_watermark_late"  -> (streamWatermarkLate _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -141,5 +171,23 @@ object StreamOps {
         |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
         |FROM events ORDER BY event_id""".stripMargin,
+    "stream_watermark_late" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, ts,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |    epoch_ms(CAST(ts AS TIMESTAMP))
+        |      + (strpos('0123456789abcdef',
+        |           substr(md5(CAST(event_id AS VARCHAR) || '#arr'), 1, 1)) - 1)
+        |        * 60000 AS arr_ms
+        |  FROM events),
+        |h AS (
+        |  SELECT event_id, user_id, ts, ts_ms,
+        |    max(ts_ms) OVER (PARTITION BY user_id ORDER BY arr_ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_ms
+        |  FROM a)
+        |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  hwm_ms - ts_ms AS late_ms
+        |FROM h WHERE hwm_ms - ts_ms > 300000
+        |ORDER BY event_id""".stripMargin,
   )
 }

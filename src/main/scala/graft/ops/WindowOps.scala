@@ -84,11 +84,23 @@ object WindowOps {
   }
 
   /** #36 — ntile quartiles of order totals (unique ordering so the
-    * bucket assignment is deterministic). */
+    * bucket assignment is deterministic). NOT `ntile(4) OVER (ORDER
+    * BY …)` — a partition-less window funnels every row through one
+    * sorting task. [[graft.api.Transforms.ntileByRange]] computes the
+    * SQL-identical bucket assignment from a distributed global rank:
+    * a price-range coarse bucket (monotone in the sort key, ~30
+    * buckets of 20k) shuffles rows once, per-bucket counts prefix-sum
+    * at metadata scale, and the exact NTILE formula runs on rank +
+    * 1-row broadcast total. At 100 TB the coarse bucket would come
+    * from an approx-quantile sketch instead of a fixed width — the
+    * plan shape is already the scalable one. */
   def winNtile(spark: SparkSession, sf: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders(spark, sf)
-      .select(col("o_orderkey"), col("o_totalprice"), ntile(4).over(w).cast("long").as("quartile"))
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    graft.api.Transforms.ntileByRange(o,
+        struct(col("o_totalprice"), col("o_orderkey")),
+        floor(money(col("o_totalprice")) / 20000).cast("long"), 4)
+      .select(col("o_orderkey"), col("o_totalprice"),
+              col("ntile").cast("long").as("quartile"))
       .orderBy(col("o_orderkey"))
   }
 

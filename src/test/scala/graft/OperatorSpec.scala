@@ -19,9 +19,10 @@ class OperatorSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle-only keys: ${o.diff(q)}")
     val noOracle = q.diff(o)
-    assert(noOracle == Set("source_csv_roundtrip", "source_xml_roundtrip",
-      "source_xml_espi", "source_text_lines", "sink_parquet_partitioned",
-      "agg_approx_distinct", "agg_approx_quantile"),
+    // round 5: the file round-trips are oracle-graded (lossless, so
+    // the oracle is the same aggregate off the corpus parquet); only
+    // the two approx sketches remain un-oracle-able by design
+    assert(noOracle == Set("agg_approx_distinct", "agg_approx_quantile"),
       s"unexpected oracle-less queries: $noOracle")
   }
 

@@ -64,6 +64,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("max_by"), p)
   }
 
+  test("win_ntile has no partition-less window (global sort eliminated)") {
+    val p = plan(WindowOps.winNtile(spark, sf001))
+    // a windowspecdefinition whose FIRST argument is an order spec has
+    // an empty partition clause — the single-task global window the
+    // ntileByRange rewrite exists to avoid
+    p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(!l.matches(""".*windowspecdefinition\([^,]*ASC NULLS FIRST.*"""), l)
+    }
+    // (an Exchange SinglePartition IS present — it's the 1-row-per-
+    // partition partial-count funnel of the broadcast scalar total,
+    // which every engine pays for a global count; the scale-killer
+    // this test guards against is a partition-less data WINDOW)
+  }
+
+  test("text_sample_per_group uses the bounded heap, not a per-language window") {
+    val p = plan(LlmOps.textSamplePerGroup(spark, sf001))
+    assert(p.contains("topk_by_score"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // picks broadcast back to docs
+  }
+
   test("chunkByRange windows carry a partition spec (no global data window)") {
     val p = plan(EtlOps.etlChunkBatches(spark, sf001))
     // every Window line must list a partition spec: the data window is

@@ -50,6 +50,37 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plain.count() > 0 && salted.count() == plain.count())
   }
 
+  test("salted join splits a planted 90%-hot key across reducers") {
+    import spark.implicits._
+    // 90% of 20k left rows share key 1 — the skew the graded corpus
+    // lacks. The shuffle key after salting is (key, salt): assert the
+    // hot key's rows actually spread across the 8 salts (max group
+    // shrinks ~8x) AND the salted join still returns the plain join's
+    // exact multiset.
+    val left = spark.range(20000L).toDF("id")
+      .select(when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"), col("id"))
+    // independent lineage (not derived from `left`) so the equi-join
+    // columns can't alias each other
+    val right = spark.range(20000L).toDF("rid")
+      .select(when(col("rid") % 10 < 9, 1L).otherwise(col("rid")).as("rk"))
+      .distinct().withColumn("v", col("rk") * 2)
+    val plain = left.join(right, col("k") === col("rk"))
+      .select(col("id"), col("v"))
+    val salted = Transforms.saltedJoin(left, right,
+        col("k"), col("rk"), col("id"), saltFactor = 8)
+      .select(col("id"), col("v"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.count() == plain.count())
+    val hotPlain = left.groupBy(col("k")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    val hotSalted = left
+      .groupBy(col("k"), pmod(hash(col("id")), lit(8)))
+      .count().agg(max(col("count"))).head.getLong(0)
+    assert(hotPlain == 18000L, s"planted skew missing: $hotPlain")
+    assert(hotSalted <= hotPlain / 6,
+      s"salt did not split the hot key: $hotSalted vs $hotPlain")
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     Tables.orders(spark, sf001)
@@ -74,18 +105,21 @@ class ScaleShapeSpec extends SparkSpec {
   }
 
   test("prefix-sum chunker and packer stay distributed at 1M rows") {
-    // 1M rows through chunkByRange/packSequences: the per-bucket data
-    // windows run across 200 buckets (no single-partition funnel) and
-    // finish in seconds; only B=200 metadata rows see the scan window.
+    // N rows through chunkByRange/packSequences: the per-bucket data
+    // windows run across N/5000 buckets (no single-partition funnel)
+    // and finish in seconds; only the bucket-count metadata rows see
+    // the scan window. Full 1M under GRAFT_FULL_TESTS=1; 100k default
+    // (same plan shape, 10x less pre-commit wall time).
     import spark.implicits._
-    val df = spark.range(1000000L).toDF("id")
+    val n = sized(1000000L, 100000L)
+    val df = spark.range(n).toDF("id")
       .withColumn("w", (col("id") % 97 + 1).cast("long")).repartition(16)
     val chunked = Transforms.chunkByRange(df, col("id"),
       floor(col("id") / 5000).cast("long"), 1000)
     val sizes = chunked.groupBy(col("batch_id")).count()
       .agg(min(col("count")), max(col("count")), count(lit(1))).head
     assert(sizes.getLong(0) == 1000 && sizes.getLong(1) == 1000 &&
-           sizes.getLong(2) == 1000) // 1000 exact batches of 1000
+           sizes.getLong(2) == n / 1000) // exact batches of 1000
     val packed = Transforms.packSequences(df, col("id"),
       floor(col("id") / 5000).cast("long"), col("w"), capacity = 8192L)
     val total = df.agg(sum(col("w"))).head.getLong(0)

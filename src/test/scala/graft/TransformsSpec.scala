@@ -84,6 +84,25 @@ class TransformsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // 2 of 8 buckets probed
   }
 
+  test("annIvfTopK recall sweeps up with nprobe") {
+    val emb = Tables.embeddings(spark, sf001)
+    val brute = Transforms.knnTopK(emb, emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(np: Int): Double = {
+      val got = Transforms.annIvfTopK(emb, col("vec_id"), col("embedding"),
+          numCentroids = 8, iters = 2, nprobe = np, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val rs = Seq(1, 2, 4, 8).map(recall)
+    // candidate sets are nested in nprobe, so per-query recall is
+    // monotone up to round-4 score ties — allow 2% tie slack
+    rs.sliding(2).foreach { case Seq(a, b) => assert(b >= a - 0.02, rs) }
+    assert(rs.last == 1.0, s"probing all 8 buckets must be exact: $rs")
+    assert(rs(1) > rs.head, s"second probe should add recall here: $rs")
+  }
+
   test("chunkByRange keeps rows with a NULL bucket (null-safe join)") {
     import spark.implicits._
     val df = (Seq[java.lang.Long](null) ++ (1 to 50).map(i => java.lang.Long.valueOf(i)))

@@ -85,6 +85,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // picks broadcast back to docs
   }
 
+  test("agg_mode_argmax partial-aggregates max_by (no window over counts)") {
+    val p = plan(AggOps.aggModeArgmax(spark, sf001))
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("etl_scd2_intervals windows are keyed by user (no global window)") {
+    val p = plan(EtlOps.etlScd2Intervals(spark, sf001))
+    p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
+      assert(!l.matches(""".*windowspecdefinition\([^,]*ASC NULLS FIRST.*"""), l)
+    }
+    // both windows partition by user_id and the change filter preserves
+    // order, so the lead window must reuse the lag window's exchange:
+    // exactly one hash exchange in the whole plan
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("chunkByRange windows carry a partition spec (no global data window)") {
     val p = plan(EtlOps.etlChunkBatches(spark, sf001))
     // every Window line must list a partition spec: the data window is

@@ -84,6 +84,39 @@ class TransformsSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall=$recall") // 2 of 8 buckets probed
   }
 
+  test("ntileByRange equals the SQL NTILE window for random sizes") {
+    import spark.implicits._
+    // sizes straddling the remainder edge cases: N % n == 0, N < n,
+    // N = n + 1, and a shuffled non-contiguous key space
+    for (n <- Seq(1, 3, 4, 7); size <- Seq(2, 4, 97, 400)) {
+      val ids = new scala.util.Random(size * 31 + n)
+        .shuffle((0 until size).map(_ * 13L + 5).toList)
+      val df = ids.toDF("id").repartition(5)
+      val viaRange = Transforms.ntileByRange(df, col("id"),
+          floor(col("id") / 200).cast("long"), n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaWindow = df.select(col("id"),
+          ntile(n).over(org.apache.spark.sql.expressions.Window.orderBy(col("id")))
+            .cast("long").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaRange == viaWindow, s"n=$n size=$size")
+    }
+  }
+
+  test("globalRowNumber equals the global row_number window") {
+    import spark.implicits._
+    val ids = new scala.util.Random(11).shuffle((0 until 3000).map(_ * 7L).toList)
+    val df = ids.toDF("id").repartition(8)
+    val viaRange = Transforms.globalRowNumber(df, col("id"),
+        floor(col("id") / 1000).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaWindow = df.select(col("id"),
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id")))
+          .cast("long").as("rn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaRange == viaWindow)
+  }
+
   test("annIvfTopK recall sweeps up with nprobe") {
     val emb = Tables.embeddings(spark, sf001)
     val brute = Transforms.knnTopK(emb, emb,

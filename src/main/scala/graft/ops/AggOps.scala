@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import scala.collection.immutable.ListMap
@@ -213,6 +214,29 @@ object AggOps {
               col("m.n").as("n_mode"))
       .orderBy(col("c_mktsegment"))
 
+  /** #103 — EXACT weighted median (quantity weighted by revenue) per
+    * return flag: the weighted-quantile shape `percentile_approx`
+    * cannot express. One keyed aggregate collapses the data to
+    * (flag, quantity, total weight) rows — ~50 distinct quantities ×
+    * 3 flags, metadata scale — then the cumulative-weight windows and
+    * the first-crossing pick run over those aggregated rows, never
+    * the data. `cum * 2 >= tot` compares exact decimals, so both
+    * engines pick the identical crossing row. */
+  def aggWeightedMedian(spark: SparkSession, sf: String): DataFrame = {
+    val wq = lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), money(col("l_quantity")).as("q"))
+      .agg(sum(money(col("l_extendedprice"))).as("w"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("l_returnflag"))
+    wq.withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("q")).cast("double").as("weighted_median_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -228,6 +252,7 @@ object AggOps {
     "agg_udaf_vector_mean" -> (aggUdafVectorMean _),
     "agg_pivot"            -> (aggPivot _),
     "agg_mode_argmax"      -> (aggModeArgmax _),
+    "agg_weighted_median"  -> (aggWeightedMedian _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -314,5 +339,19 @@ object AggOps {
         |      ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey)
         |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH wq AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY l_returnflag, q),
+        |c AS (
+        |  SELECT l_returnflag, q,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM wq)
+        |SELECT l_returnflag, CAST(min(q) AS DOUBLE) AS weighted_median_qty
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -127,6 +127,20 @@ object ScanOps {
       .orderBy(col("user_id"))
   }
 
+  /** #102 — ORC source round-trip (reference: columnar datastore
+    * interchange): same contract as the CSV/XML round-trips over
+    * Spark's built-in ORC source. Oracle-graded: lossless columnar
+    * round-trip ⇒ oracle is the same aggregate off the nation
+    * parquet. */
+  def sourceOrcRoundtrip(spark: SparkSession, sf: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    nation(spark, sf).coalesce(1).write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
   /** #86 — raw text-lines source (reference: opaque raw-file fetch
     * stage): write document texts as plain lines, read back with
     * `spark.read.text`, aggregate line lengths. Oracle-graded: the
@@ -173,6 +187,7 @@ object ScanOps {
     "scan_pruned_pushdown"     -> (scanPrunedPushdown _),
     "source_csv_roundtrip"     -> (sourceCsvRoundtrip _),
     "source_xml_roundtrip"     -> (sourceXmlRoundtrip _),
+    "source_orc_roundtrip"     -> (sourceOrcRoundtrip _),
     "source_xml_espi"          -> (sourceXmlEspi _),
     "source_text_lines"        -> (sourceTextLines _),
     "source_json_lines"        -> (sourceJsonLines _),
@@ -201,6 +216,9 @@ object ScanOps {
       """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "source_xml_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "source_orc_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "source_xml_espi" ->

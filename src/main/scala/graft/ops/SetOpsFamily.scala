@@ -43,11 +43,27 @@ object SetOpsFamily {
   def setExcept(spark: SparkSession, sf: String): DataFrame =
     fCust(spark, sf).except(oCust(spark, sf)).orderBy(col("o_custkey"))
 
+  /** #104 — INTERSECT ALL (bag semantics): per-customer F-order rows
+    * matched by multiplicity against O-order rows — min(countF,
+    * countO) copies survive. Catalyst plans it as a single
+    * count-compare aggregate join, not a distinct + semi join. */
+  def setIntersectAll(spark: SparkSession, sf: String): DataFrame =
+    fCust(spark, sf).intersectAll(oCust(spark, sf))
+      .orderBy(col("o_custkey"))
+
+  /** #105 — EXCEPT ALL (bag semantics): F-order rows minus O-order
+    * rows by multiplicity — max(countF − countO, 0) copies survive. */
+  def setExceptAll(spark: SparkSession, sf: String): DataFrame =
+    fCust(spark, sf).exceptAll(oCust(spark, sf))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "set_union_all"      -> (setUnionAll _),
     "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect"      -> (setIntersect _),
     "set_except"         -> (setExcept _),
+    "set_intersect_all"  -> (setIntersectAll _),
+    "set_except_all"     -> (setExceptAll _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -69,6 +85,16 @@ object SetOpsFamily {
     "set_except" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
   )

@@ -127,6 +127,39 @@ object ScanOps {
       .orderBy(col("user_id"))
   }
 
+  /** #106 — PERMISSIVE CSV parse with corrupt-record capture: the
+    * ingestion reality the strict round-trip (#3) skips. One
+    * malformed line (wrong arity, non-numeric key) is injected into
+    * the written CSV; the permissive reader must load every good row,
+    * route the bad line into `_corrupt_record`, and keep the
+    * aggregate over good rows untouched. Oracle-graded: good rows ==
+    * nation, corrupt count == the 1 injected line (SQL constants). */
+  def sourceCsvPermissive(spark: SparkSession, sf: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_permissive"
+    nation(spark, sf).coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    // a SEPARATE file, not an append — the local Hadoop fs keeps a
+    // .crc sidecar per written part and appending breaks its
+    // checksum. With header=true Spark skips the first line of EVERY
+    // file, so the injected file carries its own header line.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "malformed-extra.csv"),
+      "n_nationkey,n_name,n_regionkey\noops,BROKEN\n")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema).option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+      .agg(count(lit(1)).as("n_rows_total"),
+           count(col("_corrupt_record")).as("n_corrupt"),
+           count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+           max(col("n_nationkey")).as("max_key"))
+  }
+
   /** #102 — ORC source round-trip (reference: columnar datastore
     * interchange): same contract as the CSV/XML round-trips over
     * Spark's built-in ORC source. Oracle-graded: lossless columnar
@@ -186,6 +219,7 @@ object ScanOps {
     "scan_parquet"             -> (scanParquet _),
     "scan_pruned_pushdown"     -> (scanPrunedPushdown _),
     "source_csv_roundtrip"     -> (sourceCsvRoundtrip _),
+    "source_csv_permissive"    -> (sourceCsvPermissive _),
     "source_xml_roundtrip"     -> (sourceXmlRoundtrip _),
     "source_orc_roundtrip"     -> (sourceOrcRoundtrip _),
     "source_xml_espi"          -> (sourceXmlEspi _),
@@ -215,6 +249,12 @@ object ScanOps {
     "source_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "source_csv_permissive" ->
+      """SELECT count(*) + 1 AS n_rows_total,
+        |  CAST(1 AS BIGINT) AS n_corrupt,
+        |  count(*) AS n_good,
+        |  max(n_nationkey) AS max_key
+        |FROM nation""".stripMargin,
     "source_xml_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,

@@ -207,7 +207,16 @@ object Transforms {
     * rows, not N data rows. Output: input columns + `__row_number`
     * (LongType — survives past 2³¹ rows, unlike an int rank). */
   def globalRowNumber(df: DataFrame, orderCol: Column,
-                      coarseBucket: Column): DataFrame = {
+                      coarseBucket: Column): DataFrame =
+    rankedWithTotal(df, orderCol, coarseBucket).drop("__grn_total")
+
+  /** [[globalRowNumber]] plus a `__grn_total` column (= N, the total
+    * row count) on every row, computed as a full-frame sum over the
+    * SAME metadata-scale bucket-counts window — so consumers that
+    * need N (e.g. [[ntileByRange]]) pay no second scan of the input
+    * and no cross join. */
+  private def rankedWithTotal(df: DataFrame, orderCol: Column,
+                              coarseBucket: Column): DataFrame = {
     val bucketed = df.withColumn("__chunk_bucket", coarseBucket)
     val counts = bucketed.groupBy(col("__chunk_bucket"))
       .agg(count(lit(1)).as("__chunk_n"))
@@ -218,11 +227,14 @@ object Transforms {
     // for what is an intended single-partition scan over B rows.
     // coalesce: pmod(NULL, 1) is NULL, which would strand a null
     // bucket's count in its own window partition
-    val wOff = Window.partitionBy(coalesce(pmod(col("__chunk_bucket"), lit(1)), lit(0L)))
+    val wKey = coalesce(pmod(col("__chunk_bucket"), lit(1)), lit(0L))
+    val wOff = Window.partitionBy(wKey)
       .orderBy(col("__chunk_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(wKey)
     val offsets = counts
       .withColumn("__chunk_offset", coalesce(sum(col("__chunk_n")).over(wOff), lit(0L)))
+      .withColumn("__grn_total", sum(col("__chunk_n")).over(wAll))
       .drop("__chunk_n")
     val wLocal = Window.partitionBy(col("__chunk_bucket")).orderBy(orderCol)
     // null-SAFE join: a null coarse bucket (e.g. from a null order
@@ -237,15 +249,15 @@ object Transforms {
 
   /** Exact distributed NTILE(n): SQL-identical bucket assignment
     * (first N%n buckets get ⌈N/n⌉ rows, the rest ⌊N/n⌋) computed from
-    * [[globalRowNumber]] + a 1-row broadcast total — no global window,
-    * no single-partition sort. Integer `DIV` keeps the arithmetic
+    * [[globalRowNumber]]'s rank with N riding the same metadata
+    * broadcast — no global window, no single-partition sort, no
+    * second scan of the input. Integer `DIV` keeps the arithmetic
     * exact at any N. Output: input columns + `ntile` (LongType). */
   def ntileByRange(df: DataFrame, orderCol: Column, coarseBucket: Column,
                    n: Int): DataFrame = {
     require(n >= 1, s"ntileByRange: n must be >= 1, got $n")
-    val total = df.agg(count(lit(1)).as("__ntile_N"))
-    globalRowNumber(df, orderCol, coarseBucket)
-      .crossJoin(broadcast(total))
+    rankedWithTotal(df, orderCol, coarseBucket)
+      .withColumnRenamed("__grn_total", "__ntile_N")
       .withColumn("__nt_base", expr(s"__ntile_N DIV $n"))
       .withColumn("__nt_rem", col("__ntile_N") % n)
       .withColumn("__nt_cut", col("__nt_rem") * (col("__nt_base") + 1))
@@ -597,7 +609,12 @@ object Transforms {
       .empty[org.apache.spark.rdd.RDD[_]]
     val sym0 = edges.select(col("d1").as("src"), col("d2").as("dst"))
       .union(edges.select(col("d2").as("src"), col("d1").as("dst")))
-    val symRdd = sym0.rdd.persist()
+    // MEMORY_AND_DISK, not RDD.persist()'s MEMORY_ONLY default: these
+    // are deserialized Row caches (bigger than the Tungsten frames
+    // they replace), and an evicted partition would recompute the
+    // whole upstream edges plan on every remaining iteration
+    val symRdd = sym0.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     truncRdds += symRdd
     val sym = spark.createDataFrame(symRdd, sym0.schema)
     // every-4th-iteration lineage truncation goes through an RDD we
@@ -650,7 +667,8 @@ object Transforms {
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"), min(col("old")).as("old"))
       val next = if ((i + 1) % 4 == 0) {
-        val rdd = next0.rdd.persist()
+        val rdd = next0.rdd.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         truncRdds += rdd
         spark.createDataFrame(rdd, next0.schema)
       } else next0.persist()

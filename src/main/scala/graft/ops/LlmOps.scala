@@ -425,13 +425,10 @@ object LlmOps {
     val h = md5(concat(col("doc_id").cast("string"), lit("#grpsamp")))
     // negate: heap keeps top-k by score DESC = hash point ASC
     val score = -conv(substring(h, 1, 13), 16, 10).cast("double")
-    val picked = documents(spark, sf)
-      .groupBy(col("lang"))
-      .agg(org.apache.spark.sql.graft.TopKAgg
-        .topK(score, col("doc_id"), 10).as("top"))
-      .select(col("lang"), posexplode(col("top")))
-      .select(col("lang"), (col("pos") + 1).cast("int").as("rnk"),
-              col("col.id").as("doc_id"))
+    val picked = graft.api.Transforms
+      .topKPerGroup(documents(spark, sf), col("lang"), score, col("doc_id"), 10)
+      .select(col("group").as("lang"), col("rnk").cast("int").as("rnk"),
+              col("id").as("doc_id"))
     documents(spark, sf).select(col("doc_id"), col("n_chars"))
       .join(broadcast(picked), "doc_id")
       .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))

@@ -182,13 +182,16 @@ object ScanOps {
     * straight off the documents parquet. */
   def sourceTextLines(spark: SparkSession, sf: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_text_lines"
-    // a text containing a newline would split into two lines on
-    // read-back — fail loudly instead of silently diverging from the
-    // documents-table oracle (same posture as the lsh dim guard)
+    // a text containing a line terminator would split into two lines
+    // on read-back — fail loudly instead of silently diverging from
+    // the documents-table oracle (same posture as the lsh dim guard).
+    // Hadoop's line reader splits on \n, \r, AND \r\n, so a lone CR
+    // is just as fatal as an LF.
     val bad = documents(spark, sf)
-      .where(col("text").isNull || col("text").contains("\n")).count()
+      .where(col("text").isNull || col("text").contains("\n") ||
+             col("text").contains("\r")).count()
     require(bad == 0,
-      s"sourceTextLines: $bad null/newline texts break the line round-trip")
+      s"sourceTextLines: $bad null/CR/LF texts break the line round-trip")
     documents(spark, sf).select(col("text"))
       .coalesce(1).write.mode("overwrite").text(dir)
     spark.read.text(dir)

@@ -70,12 +70,13 @@ class PlanShapeSpec extends SparkSpec {
     // an empty partition clause — the single-task global window the
     // ntileByRange rewrite exists to avoid
     p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
-      assert(!l.matches(""".*windowspecdefinition\([^,]*ASC NULLS FIRST.*"""), l)
+      assert(!l.matches(""".*windowspecdefinition\([^,]*(ASC|DESC) NULLS (FIRST|LAST).*"""), l)
     }
-    // (an Exchange SinglePartition IS present — it's the 1-row-per-
-    // partition partial-count funnel of the broadcast scalar total,
-    // which every engine pays for a global count; the scale-killer
-    // this test guards against is a partition-less data WINDOW)
+    // N now rides the metadata offsets broadcast (full-frame sum over
+    // the bucket counts), so there is no scalar-count cross join and
+    // no single-partition exchange left either
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("text_sample_per_group uses the bounded heap, not a per-language window") {
@@ -94,7 +95,7 @@ class PlanShapeSpec extends SparkSpec {
   test("etl_scd2_intervals windows are keyed by user (no global window)") {
     val p = plan(EtlOps.etlScd2Intervals(spark, sf001))
     p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
-      assert(!l.matches(""".*windowspecdefinition\([^,]*ASC NULLS FIRST.*"""), l)
+      assert(!l.matches(""".*windowspecdefinition\([^,]*(ASC|DESC) NULLS (FIRST|LAST).*"""), l)
     }
     // both windows partition by user_id and the change filter preserves
     // order, so the lead window must reuse the lag window's exchange:
@@ -108,7 +109,7 @@ class PlanShapeSpec extends SparkSpec {
     // keyed by bucket; the metadata prefix-sum by a constant key
     p.linesIterator.filter(_.trim.startsWith("+- Window")).foreach { l =>
       assert(l.contains("windowspecdefinition(") &&
-        !l.matches(""".*windowspecdefinition\([^,]*ASC NULLS FIRST.*"""), l)
+        !l.matches(""".*windowspecdefinition\([^,]*(ASC|DESC) NULLS (FIRST|LAST).*"""), l)
     }
     assert(!p.contains("Exchange SinglePartition"), p)
   }

@@ -40,6 +40,7 @@ object Bench {
     "join_inner_shuffle",
     "dedup_embedding_cosine",
     "etl_chunk_batches",
+    "win_ntile", // round 5: distributed-rank rewrite, guard its plan
   )
 
   def main(args: Array[String]): Unit = {

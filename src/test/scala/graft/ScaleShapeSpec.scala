@@ -81,6 +81,41 @@ class ScaleShapeSpec extends SparkSpec {
       s"salt did not split the hot key: $hotSalted vs $hotPlain")
   }
 
+  test("AQE skew join splits the hot partition at runtime") {
+    // the runtime counterpart of Transforms.saltedJoin: same planted
+    // 90%-one-key skew, but AQE's OptimizeSkewedJoin splits the hot
+    // sort-merge partition instead of an explicit salt. Thresholds are
+    // shrunk so toy-scale partitions register as skewed.
+    // an isolated child session (own SQLConf, shared context): the
+    // suites run in parallel against one SparkSession, so mutating
+    // the shared conf would race other suites' plan assertions
+    val s = spark.newSession()
+    val conf = s.conf
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", "4")
+    val left = s.range(200000L).toDF("id")
+      .select(when(col("id") % 10 < 9, 1L).otherwise(col("id")).as("k"),
+              col("id"))
+    // distinct keys WITHOUT an aggregate: OptimizeSkewedJoin only
+    // matches SMJ(Sort(Shuffle), Sort(Shuffle)) — a distinct()'s
+    // HashAggregate between shuffle and sort defeats the rule
+    val right = s.range(200000L).toDF("rid")
+      .where(col("rid") % 10 === 9 || col("rid") === 1)
+      .select(col("rid").as("rk"))
+    val joined = left.join(right, col("k") === col("rk"))
+      .select(col("id")) // keep the collect narrow
+    // collect() executes THIS Dataset's QueryExecution — count()
+    // would build a fresh one and leave this AQE plan unfinalized
+    assert(joined.collect().length == 200000)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(2000))
+    assert(p.contains("skew=true"), p.take(4000))
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
     Tables.orders(spark, sf001)

@@ -159,6 +159,20 @@ object JoinOps {
     * of one straggler, the explicit skew mitigation for when AQE's
     * skew-join can't apply (hash build side, AQE off). Results are
     * identical to the plain join — the oracle IS the plain join. */
+  /** #107 — explicit CROSS JOIN of two tiny dimensions (5 regions ×
+    * 25 nations = 125 pairs): the one join shape that is ONLY sane
+    * when at least one side is dimension-sized — Spark requires the
+    * explicit `crossJoin` call and plans a broadcast nested loop.
+    * Membership flag distinguishes the true pairs. Fact-sized cross
+    * joins stay banned (every candidate generator in this library is
+    * an equi-join; see the LSH/IVF ops). */
+  def joinCrossDims(spark: SparkSession, sf: String): DataFrame =
+    region(spark, sf).select(col("r_regionkey"))
+      .crossJoin(nation(spark, sf).select(col("n_nationkey"), col("n_regionkey")))
+      .select(col("r_regionkey"), col("n_nationkey"),
+              (col("n_regionkey") === col("r_regionkey")).as("is_member"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+
   def joinSkewSalted(spark: SparkSession, sf: String): DataFrame = {
     val l = lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"),
       money(col("l_extendedprice")).as("price"), money(col("l_discount")).as("disc"))
@@ -184,6 +198,7 @@ object JoinOps {
     "join_asof"             -> (joinAsof _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "join_skew_salted"      -> (joinSkewSalted _),
+    "join_cross_dims"       -> (joinCrossDims _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -266,5 +281,10 @@ object JoinOps {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_cross_dims" ->
+      """SELECT r_regionkey, n_nationkey,
+        |  n_regionkey = r_regionkey AS is_member
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event of the corpus `events` stream, typed for Dataset ops. */
 case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -92,5 +92,42 @@ object EventStreams {
           state.update(n)
           out.iterator
       }
+  }
+
+  /** #55 streaming form on Spark 4's arbitrary-state API
+    * (`transformWithState` + [[RunningCountProcessor]]): the same
+    * per-user counter as [[runningCounts]], but with the typed
+    * `ValueState` handle of the new StatefulProcessor contract —
+    * composable named state, TTL support, timers — which is where
+    * custom streaming state is headed. Requires the RocksDB state
+    * store provider (the only one that implements the new API). */
+  def runningCountsTws(events: Dataset[EventRow]): Dataset[UserRunningCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** Per-user running-count processor for [[EventStreams.runningCountsTws]]:
+  * one named `ValueState[Long]` per key, no TTL, no timers — the
+  * minimal complete example of the Spark 4 StatefulProcessor
+  * lifecycle (init → handleInputRows per key per micro-batch). */
+class RunningCountProcessor
+    extends StatefulProcessor[Long, EventRow, UserRunningCount] {
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[UserRunningCount] = {
+    var n = if (count.exists()) count.get() else 0L
+    val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      n += 1; UserRunningCount(user, e.event_id, n)
+    }
+    count.update(n)
+    out.iterator
   }
 }

@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running counts match flatMapGroupsWithState") {
+    // Spark 4 arbitrary-state API: needs the RocksDB state store
+    // provider, set on an isolated child session so the suite's
+    // default (HDFS-backed) provider is untouched
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.runningCountsTws(in.toDS())
+      .writeStream.format("memory").queryName("t_running_tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 10:10:00"), ev(4, "2024-01-01 10:11:00", user = 2))
+      q.processAllAvailable()
+      val got = s.table("t_running_tws").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("running_count")).toMap
+      // same per-user numbering the flatMapGroupsWithState form gives:
+      // user 1 counts 1,2,3 across batches; user 2 starts fresh
+      assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

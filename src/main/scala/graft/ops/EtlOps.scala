@@ -133,6 +133,31 @@ object EtlOps {
       .orderBy(col("change_event_id"))
   }
 
+  /** #108 — ordered funnel (view → click-after-view →
+    * purchase-after-click): per-user first-event times thread through
+    * three keyed aggregates, each stage an equi-join on user with a
+    * strict time residual — the sequential-pattern analytics shape
+    * (no window over the event stream, no per-user sort; three keyed
+    * shuffles that each shrink the population). Output: one row per
+    * stage with the surviving user count. */
+  def eventsFunnelStages(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(v, "1_view")
+      .unionByName(stage(c, "2_click_after_view"))
+      .unionByName(stage(p, "3_purchase_after_click"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -142,6 +167,7 @@ object EtlOps {
     "etl_incremental_filter" -> (etlIncrementalFilter _),
     "etl_split_hash"         -> (etlSplitHash _),
     "etl_scd2_intervals"     -> (etlScd2Intervals _),
+    "events_funnel_stages"   -> (eventsFunnelStages _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -235,5 +261,23 @@ object EtlOps {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |    AS is_current
         |FROM c ORDER BY change_event_id""".stripMargin,
+    "events_funnel_stages" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t1
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t2
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click_after_view', count(*) FROM c
+        |UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
   )
 }

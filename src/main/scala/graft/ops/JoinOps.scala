@@ -153,12 +153,6 @@ object JoinOps {
       .orderBy(col("signup_id"))
   }
 
-  /** #98 — salted skew join: lineitem ⋈ orders on orderkey routed
-    * through [[graft.api.Transforms.saltedJoin]] (salt from l_partkey,
-    * factor 8) — a hot orderkey's rows split across 8 reducers instead
-    * of one straggler, the explicit skew mitigation for when AQE's
-    * skew-join can't apply (hash build side, AQE off). Results are
-    * identical to the plain join — the oracle IS the plain join. */
   /** #107 — explicit CROSS JOIN of two tiny dimensions (5 regions ×
     * 25 nations = 125 pairs): the one join shape that is ONLY sane
     * when at least one side is dimension-sized — Spark requires the
@@ -173,6 +167,12 @@ object JoinOps {
               (col("n_regionkey") === col("r_regionkey")).as("is_member"))
       .orderBy(col("r_regionkey"), col("n_nationkey"))
 
+  /** #98 — salted skew join: lineitem ⋈ orders on orderkey routed
+    * through [[graft.api.Transforms.saltedJoin]] (salt from l_partkey,
+    * factor 8) — a hot orderkey's rows split across 8 reducers instead
+    * of one straggler, the explicit skew mitigation for when AQE's
+    * skew-join can't apply (hash build side, AQE off). Results are
+    * identical to the plain join — the oracle IS the plain join. */
   def joinSkewSalted(spark: SparkSession, sf: String): DataFrame = {
     val l = lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"),
       money(col("l_extendedprice")).as("price"), money(col("l_discount")).as("disc"))

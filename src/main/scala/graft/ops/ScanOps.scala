@@ -129,11 +129,15 @@ object ScanOps {
 
   /** #106 — PERMISSIVE CSV parse with corrupt-record capture: the
     * ingestion reality the strict round-trip (#3) skips. One
-    * malformed line (wrong arity, non-numeric key) is injected into
-    * the written CSV; the permissive reader must load every good row,
-    * route the bad line into `_corrupt_record`, and keep the
-    * aggregate over good rows untouched. Oracle-graded: good rows ==
-    * nation, corrupt count == the 1 injected line (SQL constants). */
+    * malformed line is injected into the written CSV; what makes it
+    * malformed is the NON-NUMERIC key ("oops" fails the INT cast) —
+    * Spark's CSV reader explicitly does NOT treat a token-count
+    * mismatch as corrupt (short rows are null-padded), so arity alone
+    * would not trip the capture. The permissive reader must load
+    * every good row, route the bad line into `_corrupt_record`, and
+    * keep the aggregate over good rows untouched. Oracle-graded: good
+    * rows == nation, corrupt count == the 1 injected line (SQL
+    * constants). */
   def sourceCsvPermissive(spark: SparkSession, sf: String): DataFrame = {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_permissive"
     nation(spark, sf).coalesce(1)

@@ -91,9 +91,10 @@ object WindowOps {
     * a price-range coarse bucket (monotone in the sort key, ~30
     * buckets of 20k) shuffles rows once, per-bucket counts prefix-sum
     * at metadata scale, and the exact NTILE formula runs on rank +
-    * 1-row broadcast total. At 100 TB the coarse bucket would come
-    * from an approx-quantile sketch instead of a fixed width — the
-    * plan shape is already the scalable one. */
+    * the total N that rides the same bucket-counts broadcast (no
+    * scalar-count join — PlanShapeSpec forbids it). At 100 TB the
+    * coarse bucket would come from an approx-quantile sketch instead
+    * of a fixed width — the plan shape is already the scalable one. */
   def winNtile(spark: SparkSession, sf: String): DataFrame = {
     val o = orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
     graft.api.Transforms.ntileByRange(o,

@@ -101,6 +101,10 @@ class PlanShapeSpec extends SparkSpec {
     // order, so the lead window must reuse the lag window's exchange:
     // exactly one hash exchange in the whole plan
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    // backstop for the regex above (it can't see past a comma inside a
+    // multi-arg ORDER BY expression): a partition-less window would
+    // also surface as a single-partition exchange
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("chunkByRange windows carry a partition spec (no global data window)") {

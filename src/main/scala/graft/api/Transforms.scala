@@ -147,13 +147,20 @@ object Transforms {
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: Column, rightKey: Column,
                  saltSource: Column, saltFactor: Int): DataFrame = {
-    val salted = left.withColumn("__salt_l", pmod(hash(saltSource), lit(saltFactor)))
+    val salted = left.withColumn("__salt_l", saltOf(saltSource, saltFactor))
     val exploded = right.withColumn("__salt_r",
       explode(array((0 until saltFactor).map(lit): _*)))
     salted.join(exploded,
         leftKey === rightKey && col("__salt_l") === col("__salt_r"))
       .drop("__salt_l", "__salt_r")
   }
+
+  /** The deterministic salt `saltedJoin` assigns to a left-side row.
+    * Exposed (rather than inlined twice) so tests that assert the
+    * hot-key split observe the production derivation — if the salt
+    * formula changes, the test measures the new one automatically. */
+  def saltOf(saltSource: Column, saltFactor: Int): Column =
+    pmod(hash(saltSource), lit(saltFactor))
 
   // ------------------------------------------------------- ETL / sync
 
@@ -640,6 +647,12 @@ object Transforms {
     }
     var converged = false
     var i = 0
+    // try/finally, not explicit frees on each exit path: if any action
+    // inside the loop throws (executor loss, OOM during the
+    // changed-count), the accumulated MEMORY_AND_DISK caches must not
+    // leak for the lifetime of the session. unpersist is idempotent,
+    // so the finally also covers the success path.
+    try {
     while (!converged && i < maxIters) {
       val viaNeighbor = labels.join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("component"))
@@ -682,15 +695,16 @@ object Transforms {
     // a silent non-fixpoint would report one real cluster as several
     // "canonical" docs — fail loudly; the caller raises maxIters
     if (!converged) {
-      freeAll()
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIters iterations " +
         "(component diameter exceeds maxIters)")
     }
-    // materialize the result independent of the state freed below
-    val out = labels.localCheckpoint()
-    freeAll()
-    out
+    // materialize the result (eager localCheckpoint) BEFORE the
+    // finally frees the state it was computed from
+    labels.localCheckpoint()
+    } finally {
+      freeAll()
+    }
   }
 
   /** Exact dedup by content: one row per distinct `contentCol` value,

@@ -129,11 +129,12 @@ object ScanOps {
 
   /** #106 — PERMISSIVE CSV parse with corrupt-record capture: the
     * ingestion reality the strict round-trip (#3) skips. One
-    * malformed line is injected into the written CSV; what makes it
-    * malformed is the NON-NUMERIC key ("oops" fails the INT cast) —
-    * Spark's CSV reader explicitly does NOT treat a token-count
-    * mismatch as corrupt (short rows are null-padded), so arity alone
-    * would not trip the capture. The permissive reader must load
+    * malformed line is injected into the written CSV; it is doubly
+    * malformed: the token count (2) differs from the schema arity (3),
+    * which UnivocityParser has flagged as a bad record since Spark 2.3
+    * (parsable fields are still null-padded into the row), AND the
+    * non-numeric key ("oops") fails the INT cast — either alone would
+    * land it in `_corrupt_record`. The permissive reader must load
     * every good row, route the bad line into `_corrupt_record`, and
     * keep the aggregate over good rows untouched. Oracle-graded: good
     * rows == nation, corrupt count == the 1 injected line (SQL

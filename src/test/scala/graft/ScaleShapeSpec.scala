@@ -73,8 +73,10 @@ class ScaleShapeSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     val hotPlain = left.groupBy(col("k")).count()
       .agg(max(col("count"))).head.getLong(0)
+    // observe saltedJoin's OWN salt derivation (Transforms.saltOf) so
+    // this assertion can't drift from the production formula
     val hotSalted = left
-      .groupBy(col("k"), pmod(hash(col("id")), lit(8)))
+      .groupBy(col("k"), Transforms.saltOf(col("id"), 8))
       .count().agg(max(col("count"))).head.getLong(0)
     assert(hotPlain == 18000L, s"planted skew missing: $hotPlain")
     assert(hotSalted <= hotPlain / 6,

@@ -1,37 +1,105 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{IIOImage, ImageIO}
+
 import org.apache.spark.sql.{Dataset, SparkSession}
 
-/** Typed metadata for one decoded media asset. */
-case class MediaMeta(doc_id: Long, n_bytes: Int, fake_width: Int,
-                     fake_height: Int, channels: Int, header_hex: String)
+/** Typed metadata for one decoded media asset. `pix_sum` is the sum
+  * of all R+G+B components over every pixel — a content checksum that
+  * proves the decode read real pixels, not just the header. */
+case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                     channels: Int, header_hex: String, pix_sum: Long)
 
-/** Multimodal binary-column plumbing: media content travels as an
+/** Typed metadata for one sampled frame of a multi-frame container. */
+case class FrameMeta(doc_id: Long, frame_idx: Int, n_pixels: Int, pix_sum: Long)
+
+/** Multimodal binary-column handling: media content travels as an
   * opaque `binary` column; decode / feature-extraction runs
   * partition-wise over batches of payloads and emits a typed metadata
-  * row per asset.
+  * row per asset (or per frame).
   *
-  * The DECODE STEP IS A STUB — image/audio codecs are not available
-  * in this container, so `decodeOne` derives deterministic fake
-  * dimensions from the first payload bytes. Everything around it is
-  * the real shape a production decoder plugs into: binary payloads
-  * stay off the driver, batching is per partition (amortizes decoder
-  * init exactly like a vectorized-UDF batch), and the output schema
-  * is a typed Dataset. Swap `decodeOne` for a real codec and nothing
-  * else changes.
+  * The codec is REAL: `javax.imageio` (bundled with the JDK) encodes
+  * and decodes PNG (stills) and multi-frame GIF (the 1→N "video"
+  * shape). Payloads stay off the driver, decoding is a narrow
+  * per-partition map with no shuffle, and the output schema is a
+  * typed Dataset — at 100 TB the decode parallelism is the partition
+  * count and downstream joins touch only the few-dozen-byte metadata
+  * rows.
   *
-  * Scale posture: decode parallelism = partition count; a 100 TB
-  * media corpus runs this as a narrow map with no shuffle, and
-  * metadata (a few dozen bytes/asset) is what downstream joins touch.
+  * The synthetic generators (`syntheticPng` / `syntheticGif`) build
+  * images whose dimensions and pixel fill are pure arithmetic in the
+  * doc id, so an SQL oracle can recompute the decoded `pix_sum`
+  * without a codec: a hash-match proves the encode→bytes→decode round
+  * trip preserved every pixel (PNG and single-color GIF frames are
+  * lossless).
   */
 object BinaryDecode {
 
-  /** STUB: deterministic fake decode of one payload. */
+  // ImageIO's default read/write path spills through a temp-file
+  // cache — pure overhead for in-memory byte-array codecs, and a
+  // local-disk dependency executors shouldn't have.
+  ImageIO.setUseCache(false)
+
+  /** Dimensions of the synthetic image for doc `id`: 1..16 × 1..16,
+    * both derived from the id so the oracle can recompute them. */
+  def syntheticDims(id: Long): (Int, Int) =
+    ((1 + id % 16).toInt, (1 + (id / 16) % 16).toInt)
+
+  /** Pixel (x,y) of the synthetic image for doc `id` as (r,g,b).
+    * Plain modular arithmetic — expressible in SQL for the oracle. */
+  def syntheticPixel(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id * 31 + x * 7 + y * 13) % 256).toInt,
+     ((id * 17 + x * 5 + y * 11) % 256).toInt,
+     ((id * 13 + x * 3 + y * 19) % 256).toInt)
+
+  /** A real PNG payload for doc `id`: deterministic dimensions and
+    * pixel fill, encoded by the JDK's PNG writer. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val (w, h) = syntheticDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = syntheticPixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode of one payload via `javax.imageio`: dimensions,
+    * channel count and pixel checksum come from the decoded raster.
+    * Fails loudly on an undecodable payload — silently fabricated
+    * metadata would poison every downstream join. */
   def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val w = if (bytes.length > 0) bytes(0) & 0xff else 0
-    val h = if (bytes.length > 1) bytes(1) & 0xff else 0
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload (${bytes.length} bytes) is not a decodable image")
     val header = bytes.take(4).map(b => f"$b%02X").mkString
-    MediaMeta(id, bytes.length, w, h, 3, header)
+    MediaMeta(id, bytes.length, img.getWidth, img.getHeight,
+      img.getColorModel.getNumComponents, header, pixSum(img))
+  }
+
+  private def pixSum(img: BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
   }
 
   /** Partition-wise decode of (id, payload) batches. */
@@ -44,20 +112,49 @@ object BinaryDecode {
     ds.mapPartitions(decodeBatch)
   }
 
-  /** STUB frame sampling: one metadata row per sampled "frame" (every
-    * `everyN`-th 16-byte window) — the 1→N decode shape a video/audio
-    * extractor produces. Real codecs replace the window arithmetic;
-    * the explode-to-frames plumbing and bounded per-frame metadata
-    * are the real part. */
-  def frameSample(id: Long, bytes: Array[Byte], everyN: Int): Seq[FrameMeta] = {
-    val frameSize = 16
-    val nFrames = bytes.length / frameSize
-    (0 until nFrames by everyN).map { f =>
-      val off = f * frameSize
-      val checksum = bytes.slice(off, off + frameSize)
-        .foldLeft(0)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffff)
-      FrameMeta(id, f, off, checksum)
+  /** A real multi-frame GIF payload: `nFrames` solid-color 8×4
+    * frames, each frame's color a pure function of (id, frame).
+    * Solid frames round-trip exactly through GIF's 256-color palette,
+    * so the per-frame checksum stays oracle-derivable. */
+  def syntheticGif(id: Long, nFrames: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val (r, g, b) = syntheticPixel(id, f, 0)
+        val img = new BufferedImage(8, 4, BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var i = 0
+        while (i < 32) { img.setRGB(i % 8, i / 8, rgb); i += 1 }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
     }
+    bos.toByteArray
+  }
+
+  /** Real frame sampling: decode every `everyN`-th frame of a
+    * multi-frame GIF container and emit bounded per-frame metadata —
+    * the 1→N decode shape a video extractor produces. */
+  def frameSample(id: Long, bytes: Array[Byte], everyN: Int): Seq[FrameMeta] = {
+    if (bytes.isEmpty) return Seq.empty
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      (0 until n by everyN).map { f =>
+        val img = reader.read(f)
+        FrameMeta(id, f, img.getWidth * img.getHeight, pixSum(img))
+      }
+    } finally reader.dispose()
   }
 
   /** Partition-wise frame sampling over (id, payload) batches. */
@@ -65,23 +162,25 @@ object BinaryDecode {
       rows: Iterator[(Long, Array[Byte])]): Iterator[FrameMeta] =
     rows.flatMap { case (id, bytes) => frameSample(id, bytes, everyN) }
 
-  /** STUB resize: produce a deterministic fake (w × h × 3)-byte
-    * "image" by nearest-neighbor sampling the source bytes — the
-    * fixed-size-output transform a real resizer performs. Output size
-    * is bounded and independent of input size, which is the property
-    * downstream batch sizing relies on. */
-  def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](w * h * 3)
-    if (bytes.nonEmpty) {
-      var i = 0
-      while (i < out.length) {
-        out(i) = bytes((i.toLong * bytes.length / out.length).toInt)
-        i += 1
+  /** Real resize: decode, nearest-neighbor scale to w×h on a fresh
+    * raster, re-encode as PNG. Output dimensions are fixed and
+    * independent of input size — the property downstream batch sizing
+    * relies on. */
+  def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(src != null, s"resizePng: payload (${bytes.length} bytes) is not a decodable image")
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, src.getRGB(x * src.getWidth / w, y * src.getHeight / h))
+        x += 1
       }
+      y += 1
     }
-    out
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 }
-
-/** Typed metadata for one sampled frame. */
-case class FrameMeta(doc_id: Long, frame_idx: Int, byte_offset: Int, checksum: Int)

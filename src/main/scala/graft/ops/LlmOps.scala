@@ -439,23 +439,25 @@ object LlmOps {
   // #80 multimodal binary columns
   // ---------------------------------------------------------------
 
-  /** #80 — multimodal binary-column plumbing: treat content as an
-    * opaque binary column with typed metadata extracted by a
-    * deterministic stub "decode" (real decoders live behind
-    * [[graft.multimodal.BinaryDecode]]; media libraries are not in
-    * this container). The schema/partitioning shape — binary payload
-    * + typed metadata row per asset — is the real part. */
-  def multimodalBinary(spark: SparkSession, sf: String): DataFrame =
-    documents(spark, sf)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-              col("text"))
-      .select(col("doc_id"),
-        length(col("payload")).as("n_bytes"),
-        upper(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("header_hex"),
-        ascii(substring(col("text"), 1, 1)).as("fake_width"),
-        ascii(substring(col("text"), 2, 1)).as("fake_height"),
-        lit(3).as("channels"))
+  /** #80 — multimodal binary columns with a REAL codec: each doc gets
+    * a deterministic synthetic PNG (dimensions and pixel fill are
+    * pure arithmetic in doc_id), carried as an opaque `binary` column
+    * and decoded partition-wise by `javax.imageio` (JDK built-in; see
+    * [[graft.multimodal.BinaryDecode]]). The graded output is decoded
+    * metadata — width/height from the PNG header, channel count from
+    * the color model, and a full R+G+B pixel checksum — which the SQL
+    * oracle recomputes from the same arithmetic: a hash match proves
+    * the encode→binary→decode round trip preserved every pixel.
+    * Narrow map, no shuffle; decode parallelism = partition count. */
+  def multimodalBinary(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val payloads = documents(spark, sf).select(col("doc_id")).as[Long]
+      .map(id => (id, graft.multimodal.BinaryDecode.syntheticPng(id)))
+    graft.multimodal.BinaryDecode.decode(spark, payloads).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("channels"),
+              col("header_hex"), col("pix_sum"))
       .orderBy(col("doc_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_simhash"             -> (textSimhash _),
@@ -702,14 +704,31 @@ object LlmOps {
         |  trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) <> text AS changed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // recomputes the decoded-pixel checksum from the same arithmetic
+    // the PNG generator uses ('89504E47' = the PNG magic the real
+    // payload must start with); matching pix_sum proves the Spark
+    // side decoded real pixels, not header fields
     "multimodal_binary" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-        |  upper(hex(encode(substring(text, 1, 4)))) AS header_hex,
-        |  ascii(substring(text, 1, 1)) AS fake_width,
-        |  ascii(substring(text, 2, 1)) AS fake_height,
-        |  3 AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 16 AS INT) AS width,
+        |         CAST(1 + (doc_id // 16) % 16 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |         unnest(range(0, width * height)) AS i
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, width, height, i % width AS x, i // width AS y
+        |  FROM px)
+        |SELECT doc_id, width, height, 3 AS channels,
+        |       '89504E47' AS header_hex,
+        |       CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256
+        |              + (doc_id * 17 + x * 5 + y * 11) % 256
+        |              + (doc_id * 13 + x * 3 + y * 19) % 256) AS BIGINT)
+        |         AS pix_sum
+        |FROM c GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
     "text_sample_per_group" ->
       """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,

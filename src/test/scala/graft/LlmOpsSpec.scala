@@ -112,45 +112,73 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
-  test("BinaryDecode stub: deterministic metadata from payload bytes") {
-    val meta = BinaryDecode.decodeOne(7L, "hello".getBytes("UTF-8"))
-    assert(meta == graft.multimodal.MediaMeta(7L, 5, 'h'.toInt, 'e'.toInt, 3, "68656C6C"))
+  test("BinaryDecode round-trips a real PNG through javax.imageio") {
+    val png = BinaryDecode.syntheticPng(7L)
+    // a real PNG: magic bytes, decodable, dimensions from the id
+    assert(png.take(4).map(b => f"$b%02X").mkString == "89504E47")
+    val meta = BinaryDecode.decodeOne(7L, png)
+    val (w, h) = BinaryDecode.syntheticDims(7L)
+    assert(meta.width == w && meta.height == h && meta.channels == 3)
+    assert(meta.n_bytes == png.length && meta.header_hex == "89504E47")
+    // pixel checksum equals the generator arithmetic — PNG is lossless
+    val expected = (for (y <- 0 until h; x <- 0 until w) yield {
+      val (r, g, b) = BinaryDecode.syntheticPixel(7L, x, y)
+      (r + g + b).toLong
+    }).sum
+    assert(meta.pix_sum == expected)
+    // undecodable payloads fail loudly instead of fabricating metadata
+    intercept[IllegalArgumentException] {
+      BinaryDecode.decodeOne(1L, "not an image".getBytes("UTF-8"))
+    }
     import spark.implicits._
-    val ds = spark.createDataset(Seq((1L, "ab".getBytes("UTF-8")), (2L, Array.empty[Byte])))
+    val ds = spark.createDataset(Seq(1L, 2L).map(id => (id, BinaryDecode.syntheticPng(id))))
     val out = BinaryDecode.decode(spark, ds).collect().sortBy(_.doc_id)
-    assert(out(0).n_bytes == 2 && out(0).fake_width == 'a'.toInt)
-    assert(out(1).n_bytes == 0 && out(1).fake_width == 0)
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L))
+    assert(out.forall(m => m.width == BinaryDecode.syntheticDims(m.doc_id)._1))
   }
 
-  test("frame sampling emits bounded per-frame metadata (1-to-N decode shape)") {
-    val bytes = Array.tabulate[Byte](100)(_.toByte) // 6 full 16-byte frames
-    val all = BinaryDecode.frameSample(5L, bytes, everyN = 1)
+  test("frame sampling decodes every Nth frame of a real multi-frame GIF") {
+    val gif = BinaryDecode.syntheticGif(5L, nFrames = 6)
+    val all = BinaryDecode.frameSample(5L, gif, everyN = 1)
     assert(all.map(_.frame_idx) == Seq(0, 1, 2, 3, 4, 5))
-    assert(all.forall(f => f.byte_offset == f.frame_idx * 16))
-    val sampled = BinaryDecode.frameSample(5L, bytes, everyN = 2)
+    assert(all.forall(_.n_pixels == 32)) // 8x4 frames
+    // solid-color frames survive GIF's palette exactly
+    all.foreach { f =>
+      val (r, g, b) = BinaryDecode.syntheticPixel(5L, f.frame_idx, 0)
+      assert(f.pix_sum == 32L * (r + g + b), s"frame ${f.frame_idx}")
+    }
+    val sampled = BinaryDecode.frameSample(5L, gif, everyN = 2)
     assert(sampled.map(_.frame_idx) == Seq(0, 2, 4))
     assert(sampled == all.filter(_.frame_idx % 2 == 0))
     assert(BinaryDecode.frameSample(6L, Array.empty[Byte], 1).isEmpty)
   }
 
-  test("resize stub: fixed-size output independent of input size") {
-    val small = BinaryDecode.resizeStub("abc".getBytes, 4, 4)
-    val large = BinaryDecode.resizeStub(Array.tabulate[Byte](10000)(_.toByte), 4, 4)
-    assert(small.length == 48 && large.length == 48)
-    assert(BinaryDecode.resizeStub(Array.empty[Byte], 2, 2).forall(_ == 0))
+  test("resize produces a real fixed-size PNG independent of input size") {
+    val small = BinaryDecode.resizePng(BinaryDecode.syntheticPng(1L), 4, 4)
+    val large = BinaryDecode.resizePng(BinaryDecode.syntheticPng(255L), 4, 4)
+    val ms = BinaryDecode.decodeOne(0L, small)
+    val ml = BinaryDecode.decodeOne(0L, large)
+    assert(ms.width == 4 && ms.height == 4 && ml.width == 4 && ml.height == 4)
     // deterministic
-    assert(small.toSeq == BinaryDecode.resizeStub("abc".getBytes, 4, 4).toSeq)
+    assert(small.toSeq == BinaryDecode.resizePng(BinaryDecode.syntheticPng(1L), 4, 4).toSeq)
+    // nearest-neighbor of a 1-pixel-tall image replicates that row
+    val (w1, _) = BinaryDecode.syntheticDims(0L) // 1x1
+    assert(w1 == 1)
+    val up = BinaryDecode.decodeOne(0L, BinaryDecode.resizePng(BinaryDecode.syntheticPng(0L), 2, 2))
+    val (r, g, b) = BinaryDecode.syntheticPixel(0L, 0, 0)
+    assert(up.pix_sum == 4L * (r + g + b))
   }
 
   test("multimodal_binary metadata agrees with the library decoder") {
     val viaQuery = LlmOps.multimodalBinary(spark, sf001).limit(20).collect()
-    val texts = Tables.documents(spark, sf001).orderBy(col("doc_id")).limit(20)
-      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     viaQuery.foreach { r =>
-      val m = BinaryDecode.decodeOne(r.getLong(0), texts(r.getLong(0)).getBytes("UTF-8"))
-      assert(r.getAs[Int]("n_bytes") == m.n_bytes)
-      assert(r.getAs[Int]("fake_width") == m.fake_width)
+      val id = r.getLong(0)
+      val m = BinaryDecode.decodeOne(id, BinaryDecode.syntheticPng(id))
+      assert(r.getAs[Int]("width") == m.width)
+      assert(r.getAs[Int]("height") == m.height)
+      assert(r.getAs[Int]("channels") == m.channels)
       assert(r.getAs[String]("header_hex") == m.header_hex)
+      assert(r.getAs[Long]("pix_sum") == m.pix_sum)
     }
   }
 }

@@ -84,12 +84,18 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("BinaryDecode stub is total and length-faithful") {
-    forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte))) { bytes =>
-      val m = graft.multimodal.BinaryDecode.decodeOne(1L, bytes.toArray)
-      assert(m.n_bytes == bytes.length)
-      assert(m.header_hex.length == math.min(4, bytes.length) * 2)
-      assert(m.fake_width >= 0 && m.fake_width <= 255)
+  test("BinaryDecode PNG round-trip preserves dims and pixel sum for any id") {
+    import graft.multimodal.BinaryDecode
+    forAll(Gen.choose(0L, 1000000L)) { id =>
+      val m = BinaryDecode.decodeOne(id, BinaryDecode.syntheticPng(id))
+      val (w, h) = BinaryDecode.syntheticDims(id)
+      assert(m.width == w && m.height == h && m.channels == 3)
+      assert(m.header_hex == "89504E47")
+      val expected = (for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = BinaryDecode.syntheticPixel(id, x, y)
+        (r + g + b).toLong
+      }).sum
+      assert(m.pix_sum == expected)
     }
   }
 }

@@ -186,6 +186,42 @@ object JoinOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** #109 — bucketed co-located join: lineitem and orders are laid
+    * out as bucketed-by-orderkey tables (8 buckets, sorted within
+    * bucket), re-read, and merge-joined. Bucketing is the 100 TB
+    * answer to a REPEATED fact⋈fact join: the shuffle is paid once at
+    * layout time, after which every join on the bucket key plans with
+    * ZERO Exchange on either side — only the downstream aggregate
+    * shuffles (ScaleShapeSpec asserts exactly that plan shape). The
+    * `merge` hint pins the sort-merge strategy so the co-location is
+    * what's exercised, not a broadcast. Oracle: the identical
+    * aggregate off the corpus parquet — a hash match proves the
+    * bucketed layout round-tripped every row. */
+  def joinBucketedColocated(spark: SparkSession, sf: String): DataFrame = {
+    // unique layout per invocation: the table name only scaffolds the
+    // bucketed read (never in the output), and a fixed name would let
+    // a concurrent caller (parallel test suites; Verify's thread pool)
+    // overwrite the files under a still-lazy DataFrame
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_109_$run"
+    lineitem(spark, sf)
+      .select(col("l_orderkey"), money(col("l_extendedprice")).as("price"),
+              money(col("l_discount")).as("disc"))
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/lineitem_b").saveAsTable(s"graft_lineitem_b109_$run")
+    orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/orders_b").saveAsTable(s"graft_orders_b109_$run")
+    spark.table(s"graft_lineitem_b109_$run").hint("merge")
+      .join(spark.table(s"graft_orders_b109_$run"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double").as("revenue"),
+           countDistinct(col("l_orderkey")).as("n_orders"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "join_inner_shuffle"    -> (joinInnerShuffle _),
     "join_broadcast"        -> (joinBroadcast _),
@@ -199,6 +235,7 @@ object JoinOps {
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "join_skew_salted"      -> (joinSkewSalted _),
     "join_cross_dims"       -> (joinCrossDims _),
+    "join_bucketed_colocated" -> (joinBucketedColocated _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -286,5 +323,12 @@ object JoinOps {
         |  n_regionkey = r_regionkey AS is_member
         |FROM region CROSS JOIN nation
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -166,6 +166,26 @@ class ScaleShapeSpec extends SparkSpec {
     assert(seqs.getLong(1) < total)
   }
 
+  test("join_bucketed_colocated (#109): no exchange anywhere below the merge join") {
+    val df = graft.ops.JoinOps.joinBucketedColocated(spark, sf001)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toSeq
+    // toString prints parents first, so everything from the
+    // SortMergeJoin line down IS its subtree: the bucketed layout must
+    // leave zero Exchange in it (the only shuffles allowed are the
+    // aggregate/sort ABOVE the join)
+    val idx = lines.indexWhere(_.contains("SortMergeJoin"))
+    assert(idx >= 0, lines.mkString("\n"))
+    val below = lines.drop(idx)
+    assert(!below.exists(_.contains("Exchange")), below.mkString("\n"))
+    // the bucketed round trip returns the plain corpus join's result
+    val plain = Tables.lineitem(spark, sf001)
+      .join(Tables.orders(spark, sf001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = df.collect().map(r => (r.getString(0), r.getAs[Long]("n_items"))).toMap
+    assert(got == plain)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = java.nio.file.Files.createTempDirectory("graft_buckets").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

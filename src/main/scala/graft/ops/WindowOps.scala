@@ -88,18 +88,21 @@ object WindowOps {
     * BY …)` — a partition-less window funnels every row through one
     * sorting task. [[graft.api.Transforms.ntileByRange]] computes the
     * SQL-identical bucket assignment from a distributed global rank:
-    * a price-range coarse bucket (monotone in the sort key, ~30
-    * buckets of 20k) shuffles rows once, per-bucket counts prefix-sum
-    * at metadata scale, and the exact NTILE formula runs on rank +
-    * the total N that rides the same bucket-counts broadcast (no
-    * scalar-count join — PlanShapeSpec forbids it). At 100 TB the
-    * coarse bucket would come from an approx-quantile sketch instead
-    * of a fixed width — the plan shape is already the scalable one. */
+    * an approx-percentile sketch of the price (1-row broadcast)
+    * yields 32 DATA-ADAPTIVE coarse buckets — bucket count and
+    * per-bucket share stay constant at any scale, unlike a fixed
+    * 20k price width whose per-bucket rows grow linearly with data —
+    * rows shuffle once by bucket, per-bucket counts prefix-sum at
+    * metadata scale, and the exact NTILE formula runs on rank + the
+    * total N riding the same bucket-counts broadcast (no scalar-count
+    * join; PlanShapeSpec pins the shape). Property-tested equal to
+    * SQL NTILE on skewed/uniform/constant distributions. */
   def winNtile(spark: SparkSession, sf: String): DataFrame = {
     val o = orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
-    graft.api.Transforms.ntileByRange(o,
+    graft.api.Transforms.ntileBySketch(o,
+        money(col("o_totalprice")),
         struct(col("o_totalprice"), col("o_orderkey")),
-        floor(money(col("o_totalprice")) / 20000).cast("long"), 4)
+        n = 4, coarseBuckets = 32)
       .select(col("o_orderkey"), col("o_totalprice"),
               col("ntile").cast("long").as("quartile"))
       .orderBy(col("o_orderkey"))

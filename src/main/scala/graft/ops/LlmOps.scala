@@ -43,16 +43,26 @@ object LlmOps {
   // #71/#72 SimHash
   // ---------------------------------------------------------------
 
-  /** Per-doc 32-bit SimHash: bit i of each word's md5 votes ±1;
-    * fingerprint bit = sign of the vote sum. The hash bits come from
-    * the first 8 hex nibbles of md5 (portable across engines). */
+  /** Per-doc 64-bit SimHash (the Manku et al. WWW'07 configuration):
+    * bit i of each word's md5 votes ±1; fingerprint bit = sign of the
+    * vote sum. The hash bits come from the first 16 hex nibbles of
+    * md5 (portable across engines). 64 bits, not 32: band-LSH
+    * selectivity is 2^bits-per-band, and with hamming ≤ 3 pigeonhole
+    * requiring exactly 4 bands, a 32-bit hash caps bands at 8 bits =
+    * 256 buckets — whose n²/256 random collisions were measured
+    * 28.6× super-linear on the 10× scale-stress corpus. 16-bit bands
+    * (65 536 buckets) make the candidate set ~256× sparser at
+    * identical completeness. Bit 63 adds Long.MinValue (= +2^63 in
+    * two's complement) — summed LAST so every ANSI-checked partial
+    * sum stays in range. */
   private def simhashDf(spark: SparkSession, sf: String): DataFrame = {
     val h = md5(col("word"))
     def nib(j: Int): Column = conv(substring(h, j + 1, 1), 16, 10).cast("int")
     def bit(i: Int): Column = shiftright(nib(i / 4), i % 4).bitwiseAND(lit(1))
-    val sums = (0 until 32).map(i => sum(bit(i) * 2 - 1).as(s"s$i"))
-    val fp = (0 until 32)
-      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    val sums = (0 until 64).map(i => sum(bit(i) * 2 - 1).as(s"s$i"))
+    val fp = ((0 until 63)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))) :+
+      when(col("s63") > 0, lit(Long.MinValue)).otherwise(lit(0L)))
       .reduce(_ + _)
     documents(spark, sf)
       .select(col("doc_id"), explode(words).as("word"))
@@ -61,13 +71,15 @@ object LlmOps {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
-  /** Shared oracle CTE computing the identical 32-bit simhash. */
+  /** Shared oracle CTE computing the identical 64-bit simhash (bit 63
+    * = BIGINT minimum, summed last — see [[simhashDf]]). */
   private val simhashSqlCte: String = {
-    val sumTerms = (0 until 32).map { i =>
+    val sumTerms = (0 until 64).map { i =>
       s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, ${i / 4 + 1}, 1)) - 1) >> ${i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
     }.mkString(",\n    ")
-    val fpTerms = (0 until 32)
-      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)")
+    val fpTerms = ((0 until 63)
+      .map(i => s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)") :+
+      "(CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)")
       .mkString(" + ")
     s"""wrd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
        |hsh AS (SELECT doc_id, md5(word) AS h FROM wrd),
@@ -81,15 +93,17 @@ object LlmOps {
   def textSimhash(spark: SparkSession, sf: String): DataFrame =
     simhashDf(spark, sf).orderBy(col("doc_id"))
 
-  /** #72 — SimHash near-dup candidates: 4 bands of 8 bits; pairs
+  /** #72 — SimHash near-dup candidates: 4 bands of 16 bits; pairs
     * sharing any band are candidates (pigeonhole: hamming <= 3 implies
     * at least one equal band), verified by exact hamming <= 3. The
     * band join is the scalable LSH shape — an equi-join on
-    * (band_id, band_value). */
+    * (band_id, band_value) with 65 536 buckets per band, so random
+    * collisions stay ~n²/2^16 per band (scale-stress-measured
+    * near-linear at 10×; the 8-bit predecessor was 28.6×). */
   def dedupSimhashBand(spark: SparkSession, sf: String): DataFrame = {
     val sh = simhashDf(spark, sf)
     val bandVals = (0 until 4).map(j =>
-      shiftright(col("simhash"), 8 * j).bitwiseAND(lit(255)).cast("int"))
+      shiftright(col("simhash"), 16 * j).bitwiseAND(lit(65535)).cast("int"))
     val bands = sh.select(col("doc_id"), col("simhash"),
         posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
     val x = bands.toDF("d1", "s1", "band_id", "band_val")
@@ -260,17 +274,24 @@ object LlmOps {
   // #79 IVF approximate kNN
   // ---------------------------------------------------------------
 
-  /** #79 — IVF-bucketed approximate kNN (the 100 TB scale path for
-    * #62): coarse-quantize each INDEX vector to its nearest
-    * label-centroid; each QUERY vector probes its nprobe=2 nearest
-    * buckets. Candidates come from an EQUI-join of probes × bucket
-    * members — pair count drops from n² to nprobe · Σ bucket², and
-    * each pair appears at most once (an index vector lives in exactly
-    * one bucket). Same rounded-cosine scoring and bounded-heap top-k
-    * as the exact query; the second probe recovers most of the recall
-    * nprobe=1 loses at bucket boundaries (measured in the
-    * TransformsSpec nprobe sweep on the library path,
-    * [[graft.api.Transforms.annIvfTopK]]). */
+  /** #79 — IVF-bucketed approximate kNN (the scale shape for #62):
+    * coarse-quantize each INDEX vector to its nearest label-centroid;
+    * each QUERY vector probes its nprobe=2 nearest buckets.
+    * Candidates come from an EQUI-join of probes × bucket members —
+    * pair count drops from n² to nprobe · Σ bucket², and each pair
+    * appears at most once (an index vector lives in exactly one
+    * bucket). Same rounded-cosine scoring and bounded-heap top-k as
+    * the exact query; the second probe recovers most of the recall
+    * nprobe=1 loses at bucket boundaries.
+    *
+    * Scale honesty (measured in ScaleStressSpec): THIS graded form
+    * keeps the bucket count FIXED at the label cardinality so the
+    * oracle can replay the bucketing in SQL — per-bucket size then
+    * grows linearly and candidate pairs quadratically (22× wall at
+    * 10× data). The operator a 100 TB corpus calls is
+    * [[graft.api.Transforms.annIvfTopK]] with numCentroids ~ √n,
+    * which balances assignment and probe at n^1.5 — flat-IVF's
+    * optimum — and is what the scale-stress harness times. */
   def simAnnIvf(spark: SparkSession, sf: String): DataFrame = {
     // objectHashAggregate fallback threshold is raised in the session
     // builders (see TextOps.simKnnTopk note) — no conf mutation here.
@@ -495,7 +516,7 @@ object LlmOps {
       s"""WITH $simhashSqlCte,
          |bands AS (
          |  SELECT doc_id, simhash, j AS band_id,
-         |    CAST((simhash >> (8 * CAST(j AS INT))) & 255 AS INT) AS band_val
+         |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS INT) AS band_val
          |  FROM sim, (SELECT unnest(range(0, 4)) AS j)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
@@ -510,7 +531,7 @@ object LlmOps {
       s"""WITH RECURSIVE $simhashSqlCte,
          |bands AS (
          |  SELECT doc_id, simhash, j AS band_id,
-         |    CAST((simhash >> (8 * CAST(j AS INT))) & 255 AS INT) AS band_val
+         |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS INT) AS band_val
          |  FROM sim, (SELECT unnest(range(0, 4)) AS j)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event of the corpus `events` stream, typed for Dataset ops. */
 case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -107,7 +107,41 @@ object EventStreams {
       .transformWithState(new RunningCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Session close-out via EVENT-TIME TIMERS (the timer half of the
+    * Spark 4 StatefulProcessor contract): each user's session timer
+    * re-arms at `last event ts + gap`; when the WATERMARK passes that
+    * expiry, [[SessionTimeoutProcessor.handleExpiredTimer]] fires and
+    * emits one close record carrying the event count, then clears the
+    * user's state — the custom-state formulation of what
+    * `session_window` + Append mode does declaratively, and the shape
+    * for timeout semantics session_window can't express (emit-on-
+    * close side effects, per-key TTL policies). State per user: one
+    * counter + one armed timer — watermark-bounded. */
+  def sessionCloseTws(events: Dataset[EventRow], gapMinutes: Int = 30,
+                      watermark: String = "10 minutes"): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-user running count whose state carries a TTL: a user idle
+    * longer than `ttl` restarts from zero — the state-expiry half of
+    * the Spark 4 contract (TTL is wall-clock based, per the API). */
+  def runningCountsTtl(events: Dataset[EventRow],
+                       ttl: java.time.Duration): Dataset[UserRunningCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TtlCountProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+  }
 }
+
+/** Output of [[EventStreams.sessionCloseTws]]: one record per closed
+  * session, emitted by the expired event-time timer. */
+case class SessionClose(user_id: Long, n_events: Long, closed_at_ms: Long)
 
 /** Per-user running-count processor for [[EventStreams.runningCountsTws]]:
   * one named `ValueState[Long]` per key, no TTL, no timers — the
@@ -120,6 +154,68 @@ class RunningCountProcessor
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     count = getHandle.getValueState[Long]("count",
       org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[UserRunningCount] = {
+    var n = if (count.exists()) count.get() else 0L
+    val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      n += 1; UserRunningCount(user, e.event_id, n)
+    }
+    count.update(n)
+    out.iterator
+  }
+}
+
+/** Event-time-timer processor for [[EventStreams.sessionCloseTws]]:
+  * counts events per user and keeps exactly one armed timer at
+  * `last event ts + gap`. When the watermark passes the expiry,
+  * `handleExpiredTimer` emits the close record and clears ALL state
+  * for the key — proving the timer lifecycle (register / re-arm via
+  * delete / expire) of the Spark 4 arbitrary-state API. */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, EventRow, SessionClose] {
+  @transient private var count: ValueState[Long] = _
+  @transient private var armed: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    armed = getHandle.getValueState[Long]("armed",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[SessionClose] = {
+    val evs = rows.toSeq
+    count.update((if (count.exists()) count.get() else 0L) + evs.size)
+    // one armed timer per key: re-arm at the newest event + gap
+    val expiry = evs.map(_.ts.getTime).max + gapMs
+    if (armed.exists()) getHandle.deleteTimer(armed.get())
+    getHandle.registerTimer(expiry)
+    armed.update(expiry)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[SessionClose] = {
+    val n = if (count.exists()) count.get() else 0L
+    count.clear()
+    armed.clear()
+    Iterator.single(SessionClose(user, n, expired.getExpiryTimeInMs))
+  }
+}
+
+/** TTL'd-state processor for [[EventStreams.runningCountsTtl]]: the
+  * same per-user counter as [[RunningCountProcessor]] but its
+  * ValueState carries a wall-clock TTL — a read after expiry sees no
+  * state, so an idle user's count restarts from zero. */
+class TtlCountProcessor(ttl: java.time.Duration)
+    extends StatefulProcessor[Long, EventRow, UserRunningCount] {
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
 
   override def handleInputRows(user: Long, rows: Iterator[EventRow],
       timerValues: TimerValues): Iterator[UserRunningCount] = {

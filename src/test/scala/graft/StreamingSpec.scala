@@ -144,6 +144,105 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join evicts buffered state once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val signups = MemoryStream[EventRow]
+    val clicks = MemoryStream[EventRow]
+    val q = EventStreams.signupClickJoin(signups.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("t_ss_evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: a burst of matched pairs -> both sides buffer state
+      signups.addData((1 to 6).map(i =>
+        ev(i, f"2024-01-01 10:$i%02d:00", user = i, typ = "signup")): _*)
+      clicks.addData((1 to 6).map(i =>
+        ev(10 + i, f"2024-01-01 10:${10 + i}%02d:00", user = i, typ = "click")): _*)
+      q.processAllAvailable()
+      val peak = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(peak >= 12, s"expected both sides buffered, state=$peak")
+      // jump event time 4h on BOTH sides: the old interval is now far
+      // behind the watermark, so its buffered rows must be evicted
+      // (eviction lands with the following batch's watermark)
+      for (h <- Seq("14", "15")) {
+        signups.addData(ev(100, s"2024-01-01 $h:00:00", user = 100, typ = "signup"))
+        clicks.addData(ev(101, s"2024-01-01 $h:00:30", user = 100, typ = "click"))
+        q.processAllAvailable()
+      }
+      val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(fin < peak && fin <= 6,
+        s"stream-stream join state not evicted: peak=$peak final=$fin")
+    } finally q.stop()
+  }
+
+  test("event-time timer emits the session close record and clears state") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionCloseTws(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("t_sess_close")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"))
+      q.processAllAvailable() // timer armed at 10:40; watermark still 10:00
+      assert(s.table("t_sess_close").isEmpty)
+      // advance the watermark past the armed expiry (plus a nudge
+      // batch: timers fire against the PREVIOUS batch's watermark)
+      in.addData(ev(3, "2024-01-01 12:00:00", user = 2))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 12:10:00", user = 2))
+      q.processAllAvailable()
+      val rows = s.table("t_sess_close").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 1L)
+      assert(r.getAs[Long]("n_events") == 2L)
+      assert(r.getAs[Long]("closed_at_ms") == tsOf("2024-01-01 10:40:00").getTime)
+    } finally q.stop()
+  }
+
+  test("TTL'd state expires for idle keys and the running count restarts") {
+    // NOTE: with TimeMode.ProcessingTime the stateful operator reports
+    // "needs another batch" on EVERY trigger (to honor wall-clock
+    // timers/TTL), so BOTH processAllAvailable and Trigger.AvailableNow
+    // run batches forever. The only terminating drive is poll-and-stop:
+    // start the query over a shared checkpoint, poll the sink until
+    // the expected rows land, stop() explicitly.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.runningCountsTtl(in.toDS(), java.time.Duration.ofMillis(1500))
+      .writeStream.format("memory").queryName("t_running_ttl")
+      .outputMode(OutputMode.Update).start()
+    def pollUntil(expect: Map[Long, Long] => Boolean): Map[Long, Long] = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var got = Map.empty[Long, Long]
+      while (!expect(got) && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        got = s.table("t_running_ttl").collect()
+          .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("running_count")).toMap
+      }
+      assert(expect(got), s"timed out waiting for expected rows, got $got")
+      got
+    }
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      pollUntil(m => m == Map(1L -> 1L, 2L -> 2L))
+      Thread.sleep(2500) // TTL is wall-clock: let the state expire
+      in.addData(ev(3, "2024-01-01 10:10:00"))
+      // the state expired during the idle gap (expiry is enforced on
+      // the next read of the key), so event 3 restarts at 1 instead of
+      // continuing at 3
+      pollUntil(m => m.get(3L).contains(1L))
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

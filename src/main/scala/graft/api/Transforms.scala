@@ -71,6 +71,40 @@ object Transforms {
       .drop("__band_probe", "__band_bucket")
   }
 
+  /** Point-in-interval range join WITHOUT an equi-key, as a bucketized
+    * equi-join: each interval explodes to the coarse time buckets it
+    * covers, each point maps to its single bucket, and the join is
+    * bucket-equality plus the exact residual `start <= t < end`. A
+    * point lives in exactly one bucket, so no pair can duplicate and
+    * no post-join distinct is needed.
+    *
+    * This is the shape that survives 100 TB: Spark's only native plan
+    * for a pure range predicate is a broadcast nested loop (O(n·m)
+    * comparisons, and impossible when neither side is broadcastable);
+    * bucketization turns it into a hash-partitioned shuffle where each
+    * point meets only the intervals overlapping its bucket. Pick
+    * `bucketSeconds` near the typical interval length: intervals then
+    * explode to ~2 buckets each, and candidate pairs stay ~linear in
+    * the true match count rather than n·m.
+    *
+    * Contract: `pointTime`/`intervalStart`/`intervalEnd` are timestamp
+    * columns; intervals are [start, end) half-open. Output carries all
+    * columns of both inputs; caller aggregates/projects. */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+                        pointTime: Column, intervalStart: Column,
+                        intervalEnd: Column, bucketSeconds: Long): DataFrame = {
+    val pb = points.withColumn("__rj_bucket",
+      floor(unix_timestamp(pointTime) / bucketSeconds))
+    // end is exclusive, but covering the boundary bucket is harmless:
+    // the residual predicate discards the non-match
+    val ib = intervals.withColumn("__rj_bucket",
+      explode(sequence(floor(unix_timestamp(intervalStart) / bucketSeconds),
+                       floor(unix_timestamp(intervalEnd) / bucketSeconds))))
+    pb.join(ib, Seq("__rj_bucket"))
+      .where(pointTime >= intervalStart && pointTime < intervalEnd)
+      .drop("__rj_bucket")
+  }
+
   // ------------------------------------------------------ time series
 
   /** Gap-fill: left-join `df`'s per-bucket aggregates onto a generated

@@ -237,6 +237,25 @@ object AggOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #113 — per-group least-squares line fit via the SQL:2016
+    * regression aggregates: slope/intercept/r² of extendedprice over
+    * quantity per returnflag ([RECONSTRUCTED] the reference's
+    * downstream is exactly this shape — energy-use-vs-temperature
+    * model fitting per meter). regr_* stream co-moments in ONE pass
+    * with map-side partials — the only regression formulation that
+    * works at 100 TB (no design-matrix materialization, state is 6
+    * doubles per group). Rounded 4 dp to bridge engines' accumulation-
+    * order ulp drift, same policy as #26. */
+  def aggRegression(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n_pts"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -253,6 +272,7 @@ object AggOps {
     "agg_pivot"            -> (aggPivot _),
     "agg_mode_argmax"      -> (aggModeArgmax _),
     "agg_weighted_median"  -> (aggWeightedMedian _),
+    "agg_regression"       -> (aggRegression _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -353,5 +373,12 @@ object AggOps {
         |SELECT l_returnflag, CAST(min(q) AS DOUBLE) AS weighted_median_qty
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pts,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

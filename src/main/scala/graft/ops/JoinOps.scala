@@ -222,6 +222,34 @@ object JoinOps {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** #112 — PURE range join (no equi-key at all — contrast #19, whose
+    * user_id equality carries the shuffle): every click landing inside
+    * ANY signup's 2-hour window, regardless of user. Spark's native
+    * plan for a key-less range predicate is a broadcast nested loop —
+    * O(n·m) and a non-starter when neither side is broadcastable — so
+    * this routes through [[graft.api.Transforms.rangeJoinBucketed]]:
+    * intervals explode to the ~3 hour-buckets they cover, points map
+    * to their single bucket, and the join is a hash-partitioned
+    * equi-join on bucket + exact residual. Candidate pairs scale with
+    * true matches, not n·m. Oracle = the plain theta join. */
+  def joinRangeBucketed(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val signup = ev.where(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts").as("s_ts"),
+              (col("ts") + expr("INTERVAL 2 HOUR")).as("s_end"))
+    val click = ev.where(col("event_type") === "click")
+      .select(col("ts").as("c_ts"), col("value"))
+    graft.api.Transforms.rangeJoinBucketed(click, signup,
+        pointTime = col("c_ts"), intervalStart = col("s_ts"),
+        intervalEnd = col("s_end"), bucketSeconds = 3600L)
+      .groupBy(col("signup_id"), col("s_ts"))
+      .agg(count(lit(1)).as("n_clicks_2h"),
+           sum(money(col("value"))).cast("double").as("click_value"))
+      .select(col("signup_id"), col("s_ts").as("signup_ts"),
+              col("n_clicks_2h"), col("click_value"))
+      .orderBy(col("signup_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "join_inner_shuffle"    -> (joinInnerShuffle _),
     "join_broadcast"        -> (joinBroadcast _),
@@ -236,6 +264,7 @@ object JoinOps {
     "join_skew_salted"      -> (joinSkewSalted _),
     "join_cross_dims"       -> (joinCrossDims _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
+    "join_range_bucketed"   -> (joinRangeBucketed _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -330,5 +359,14 @@ object JoinOps {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_range_bucketed" ->
+      """SELECT s.event_id AS signup_id, CAST(s.ts AS TIMESTAMP) AS signup_ts,
+        |  count(*) AS n_clicks_2h,
+        |  CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM events s JOIN events c
+        |  ON s.event_type = 'signup' AND c.event_type = 'click'
+        | AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
+        |GROUP BY s.event_id, s.ts
+        |ORDER BY signup_id""".stripMargin,
   )
 }

@@ -31,6 +31,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("join_range_bucketed is an equi-join on the bucket, not a nested loop") {
+    val p = plan(JoinOps.joinRangeBucketed(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the bucket equality must be a real join key (hash or merge join)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("agg_regression partial-aggregates the regr_* co-moments") {
+    val p = plan(AggOps.aggRegression(spark, sf001))
+    assert(p.contains("partial_regr_slope") || p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim_knn_topk has no cartesian product and no sort of the scored pairs") {
     val p = plan(TextOps.simKnnTopk(spark, sf001))
     assert(!p.contains("CartesianProduct"), p)

@@ -299,4 +299,26 @@ class TransformsSpec extends SparkSpec {
         col("id"), col("rid"), col("t"), col("rt"), col("tag"))
     assert(got.count() == 2) // both duplicates keep their match
   }
+
+  test("rangeJoinBucketed equals the plain theta join at every bucket width") {
+    import spark.implicits._
+    // timestamps straddle bucket boundaries on purpose
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val points = (0L until 200L).map(i => (i, t(i * 37))).toDF("pid", "pt")
+    val intervals = (0L until 40L).map { i =>
+      (i, t(i * 150), t(i * 150 + 400))
+    }.toDF("iid", "lo", "hi")
+    val expected = points.join(intervals,
+        col("pt") >= col("lo") && col("pt") < col("hi"))
+      .select(col("pid"), col("iid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(60L, 400L, 1000L)) {
+      val got = Transforms.rangeJoinBucketed(points, intervals,
+          col("pt"), col("lo"), col("hi"), bucketSeconds = w)
+        .select(col("pid"), col("iid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"duplicate pairs at width $w")
+      assert(got.toSet == expected, s"mismatch at width $w")
+    }
+  }
 }

@@ -30,6 +30,7 @@ object SparkEntry {
     StreamOps.queries,
     TextOps.queries,
     LlmOps.queries,
+    CorpusOps.queries,
     EtlOps.queries,
   )
 
@@ -45,6 +46,7 @@ object SparkEntry {
     StreamOps.oracle,
     TextOps.oracle,
     LlmOps.oracle,
+    CorpusOps.oracle,
     EtlOps.oracle,
   )
 

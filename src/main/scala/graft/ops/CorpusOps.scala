@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.Tables._
+
+/** SURVEY §2.L round-6 additions (#112–#114): corpus-hygiene
+  * operators a pretraining-data pipeline runs between ingestion and
+  * packing — repetition-based quality filtering (the Gopher rules),
+  * bloom-prefiltered benchmark contamination at shuffle-join scale,
+  * and near-dup clustering that keeps the BEST document rather than
+  * the smallest id.
+  *
+  * Scale posture: #112 is two keyed aggregations (doc_id, gram) →
+  * doc_id, embarrassingly parallel; #113 prunes the 100 TB side with
+  * a kilobyte bloom literal BEFORE any exchange, so the exact
+  * residual join shuffles only near-hits; #114 rides the banded
+  * simhash candidates + pointer-jumping connected components that
+  * #72/#91 already proved, adding one broadcast-joined quality column
+  * and a partial-able max_by.
+  */
+object CorpusOps {
+
+  private def words: Column = split(col("text"), " ")
+
+  // ---------------------------------------------------------------
+  // #112 repetition filter (Gopher-style)
+  // ---------------------------------------------------------------
+
+  /** #112 — repetition-based quality signals, the Rae et al. (Gopher,
+    * 2021) duplicate-text heuristics: per document, the fraction of
+    * bigram slots taken by the single most frequent bigram, and the
+    * fraction of 5-gram slots whose 5-gram occurs more than once;
+    * docs exceeding either threshold are flagged repetitive. Two
+    * (doc_id, gram)-keyed counts reduced per doc — no windows, both
+    * aggregations partial-able, state O(distinct grams per doc).
+    * The flag compares the UNROUNDED ratio (an exact-integer division,
+    * bit-identical cross-engine); displayed ratios are rounded 4 dp. */
+  def textRepetitionFilter(spark: SparkSession, sf: String): DataFrame = {
+    val base = documents(spark, sf)
+      .withColumn("words", words)
+      .where(size(col("words")) >= 5)
+    def gramStats(n: Int): DataFrame =
+      base.select(col("doc_id"),
+          explode(graft.api.Transforms.shingles(col("words"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as(s"top_n$n"),
+             sum(when(col("n") >= 2, col("n")).otherwise(lit(0L))).as(s"dup_n$n"),
+             sum(col("n")).as(s"tot$n"))
+    val topFrac = col("top_n2").cast("double") / col("tot2")
+    val dupFrac = col("dup_n5").cast("double") / col("tot5")
+    gramStats(2).join(gramStats(5), "doc_id")
+      .select(col("doc_id"),
+        round(topFrac, 4).as("top_bigram_frac"),
+        round(dupFrac, 4).as("dup_5gram_frac"),
+        (topFrac > 0.18 || dupFrac > 0.30).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // #113 bloom-prefiltered contamination
+  // ---------------------------------------------------------------
+
+  /** #113 — benchmark contamination at shuffle-join scale: #93's
+    * equi-join works while the benchmark shingle set broadcasts, but
+    * a full eval-suite shingle set against a 100 TB corpus wants a
+    * SHUFFLE residual join — and shuffling every corpus shingle to
+    * find the ~0.1% that hit is the waste. This op plants Spark's own
+    * runtime-filter probe ([[org.apache.spark.sql.graft.BloomExprs]],
+    * the `BloomFilterMightContain` expression `InjectRuntimeFilter`
+    * uses) as an explicit pre-shuffle prune: a kilobyte bloom literal
+    * built once over the benchmark side drops non-candidate shingles
+    * AT THE SCAN, and only near-hits (true hits + the fpp tail) reach
+    * the exchange. The exact join then kills the false positives, so
+    * the RESULT is bloom-independent — the oracle is the plain join.
+    * Output: per-language contaminated-doc and hit-shingle counts. */
+  def dedupBloomPrefilter(spark: SparkSession, sf: String): DataFrame = {
+    val sh = documents(spark, sf)
+      .withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(graft.api.Transforms.shingles(col("words"), 3)))
+          .as("shingle"))
+    val bench = sh.where(col("doc_id") < 5).select(col("shingle")).distinct()
+    // build once over the small side (distributed treeAggregate under
+    // stat.bloomFilter); 1 << 13 expected items bounds the 5-doc
+    // shingle set with room, fpp 1% keeps the literal ~10 KB
+    val bloom = org.apache.spark.sql.graft.BloomExprs.serialize(
+      bench.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", 1L << 13, 0.01))
+    sh.where(col("doc_id") >= 5)
+      .where(org.apache.spark.sql.graft.BloomExprs
+        .mightContain(bloom, xxhash64(col("shingle"))))
+      .join(bench, "shingle") // exact residual: false positives die here
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_hit"),
+           count(lit(1)).as("n_shingle_hits"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------
+  // #114 keep-best near-dup collapse
+  // ---------------------------------------------------------------
+
+  /** #114 — near-dup clusters keep the BEST member, not the smallest
+    * id: verified simhash pairs (#72) → pointer-jumping connected
+    * components (#91's machinery) → per cluster, the member with the
+    * highest quality score (#76's formula, rounded BEFORE ranking;
+    * doc_id breaks quality ties). This is the retention policy a real
+    * dedup pass wants — collapse transitive duplicates but keep the
+    * cleanest copy. The quality join adds one keyed join; the argmax
+    * is a partial-able `max_by` over a struct, no window. Oracle:
+    * recursive-CTE closure + the same quality SQL + row_number. */
+  def dedupKeepBest(spark: SparkSession, sf: String): DataFrame = {
+    val pairs = LlmOps.dedupSimhashBand(spark, sf).select(col("d1"), col("d2"))
+    val comp = graft.api.Transforms.connectedComponents(pairs, maxIters = 64)
+    val q = LlmOps.qualityPerDoc(spark, sf)
+    comp.join(q, col("node") === col("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        // highest quality wins; -doc_id makes the SMALLEST id win ties
+        max_by(col("doc_id"), struct(col("quality"), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("quality")).as("best_quality"))
+      .orderBy(col("component"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_repetition_filter" -> (textRepetitionFilter _),
+    "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
+    "dedup_keep_best"        -> (dedupKeepBest _),
+  )
+
+  val oracle: Map[String, String] = ListMap(
+    "text_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |b2 AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)),
+        |c2 AS (SELECT doc_id, g, count(*) AS n FROM b2 GROUP BY doc_id, g),
+        |d2 AS (SELECT doc_id, max(n) AS top_n, sum(n) AS tot2 FROM c2 GROUP BY doc_id),
+        |b5 AS (
+        |  SELECT doc_id,
+        |    w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' ||
+        |    w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3] || ' ' ||
+        |    w[CAST(i AS INT) + 4] AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM t)),
+        |c5 AS (SELECT doc_id, g, count(*) AS n FROM b5 GROUP BY doc_id, g),
+        |d5 AS (
+        |  SELECT doc_id, sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup_n,
+        |         sum(n) AS tot5
+        |  FROM c5 GROUP BY doc_id)
+        |SELECT d2.doc_id AS doc_id,
+        |  round(CAST(top_n AS DOUBLE) / tot2, 4) AS top_bigram_frac,
+        |  round(CAST(dup_n AS DOUBLE) / tot5, 4) AS dup_5gram_frac,
+        |  (CAST(top_n AS DOUBLE) / tot2 > 0.18
+        |   OR CAST(dup_n AS DOUBLE) / tot5 > 0.30) AS repetitive
+        |FROM d2 JOIN d5 ON d2.doc_id = d5.doc_id
+        |ORDER BY d2.doc_id""".stripMargin,
+    "dedup_bloom_prefilter" ->
+      (s"WITH ${LlmOps.shingleSetsCte}," +
+      """
+        |bench AS (SELECT DISTINCT shingle FROM sets WHERE doc_id < 5),
+        |d AS (SELECT doc_id, lang FROM documents)
+        |SELECT d.lang, count(DISTINCT s.doc_id) AS n_docs_hit,
+        |  count(*) AS n_shingle_hits
+        |FROM sets s JOIN bench b ON s.shingle = b.shingle
+        |JOIN d ON d.doc_id = s.doc_id
+        |WHERE s.doc_id >= 5
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE ${LlmOps.componentsSqlCte},\n${LlmOps.qualitySqlCte}," +
+      """
+        |j AS (SELECT comp.component, comp.node AS doc_id, qual.quality
+        |      FROM comp JOIN qual ON qual.doc_id = comp.node),
+        |r AS (
+        |  SELECT component, doc_id, quality,
+        |    row_number() OVER (PARTITION BY component
+        |                       ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY component) AS n_members,
+        |    max(quality) OVER (PARTITION BY component) AS best_quality
+        |  FROM j)
+        |SELECT component, doc_id AS keep_id,
+        |  CAST(n_members AS BIGINT) AS n_members, best_quality
+        |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+  )
+}

@@ -212,6 +212,32 @@ object LlmOps {
       .orderBy(col("true_lang"), col("pred_lang"))
   }
 
+  /** (doc_id, quality) projection of #76's score — shared with #114
+    * dedup_keep_best (CorpusOps), which ranks cluster members by it.
+    * Rounded 4 dp BEFORE any ranking so cross-engine ulp drift cannot
+    * reorder members. */
+  private[graft] def qualityPerDoc(spark: SparkSession, sf: String): DataFrame = {
+    val stopRatio = size(filter(col("words"), w => w.isin("a", "the")))
+      .cast("double") / size(col("words"))
+    documents(spark, sf)
+      .withColumn("words", words)
+      .select(col("doc_id"),
+        round(lit(1.0) - lit(0.5) * stopRatio
+          - when(array_contains(col("words"), "dup"), 0.2).otherwise(0.0), 4)
+          .as("quality"))
+  }
+
+  /** DuckDB fragment computing the same rounded quality score (one
+    * row per doc) — the SQL twin of [[qualityPerDoc]]. */
+  private[ops] val qualitySqlCte: String =
+    """qual AS (SELECT doc_id,
+      |  round(1.0 - 0.5 * (CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('a', 'the'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')))
+      |    - CASE WHEN list_contains(string_split(text, ' '), 'dup')
+      |           THEN 0.2 ELSE 0.0 END, 4) AS quality
+      |FROM documents)""".stripMargin
+
   /** #76 — document quality scoring: token counts, average word
     * length, stopword ratio, dup-marker penalty — the
     * length/stopword-ratio heuristics of a pretraining-data filter. */
@@ -500,9 +526,34 @@ object LlmOps {
     "multimodal_binary"        -> (multimodalBinary _),
   )
 
+  /** DuckDB fragment: simhash → bands → verified pairs → recursive
+    * transitive closure → `comp(node, component)`. Shared by #91's
+    * oracle and #114 dedup_keep_best (CorpusOps). */
+  private[ops] val componentsSqlCte: String =
+    s"""$simhashSqlCte,
+       |bands AS (
+       |  SELECT doc_id, simhash, j AS band_id,
+       |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS INT) AS band_val
+       |  FROM sim, (SELECT unnest(range(0, 4)) AS j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |         x.simhash AS s1, y.simhash AS s2
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id),
+       |e AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= 3),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM e
+       |          UNION ALL SELECT d2, d1 FROM e),
+       |walk AS (
+       |  SELECT DISTINCT src AS node, src AS label FROM edges
+       |  UNION
+       |  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON e2.src = w.node),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)""".stripMargin
+
   // NOTE: single-line concat — a continuation line starting with ||
   // would be eaten by the enclosing stripMargin when interpolated.
-  private val shingleSetsCte =
+  // private[ops]: #113 dedup_bloom_prefilter (CorpusOps) reuses it.
+  private[ops] val shingleSetsCte =
     """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |s AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t),
       |sh AS (SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS shingle FROM s),
@@ -528,27 +579,9 @@ object LlmOps {
          |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
          |ORDER BY d1, d2""".stripMargin,
     "dedup_cluster_components" ->
-      s"""WITH RECURSIVE $simhashSqlCte,
-         |bands AS (
-         |  SELECT doc_id, simhash, j AS band_id,
-         |    CAST((simhash >> (16 * CAST(j AS INT))) & 65535 AS INT) AS band_val
-         |  FROM sim, (SELECT unnest(range(0, 4)) AS j)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-         |         x.simhash AS s1, y.simhash AS s2
-         |  FROM bands x JOIN bands y
-         |    ON x.band_id = y.band_id AND x.band_val = y.band_val
-         |   AND x.doc_id < y.doc_id),
-         |e AS (SELECT d1, d2 FROM cand WHERE bit_count(xor(s1, s2)) <= 3),
-         |edges AS (SELECT d1 AS src, d2 AS dst FROM e
-         |          UNION ALL SELECT d2, d1 FROM e),
-         |walk AS (
-         |  SELECT DISTINCT src AS node, src AS label FROM edges
-         |  UNION
-         |  SELECT e2.dst, w.label FROM walk w JOIN edges e2 ON e2.src = w.node)
-         |SELECT node AS doc_id, min(label) AS component,
-         |  node = min(label) AS is_canonical
-         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $componentsSqlCte
+         |SELECT node AS doc_id, component, node = component AS is_canonical
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "sim_jaccard_ngram" ->
       s"""WITH $shingleSetsCte,
          |sizes AS (SELECT doc_id, count(*) AS nsh FROM sets GROUP BY doc_id),

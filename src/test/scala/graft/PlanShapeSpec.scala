@@ -39,6 +39,20 @@ class PlanShapeSpec extends SparkSpec {
            p.contains("ShuffledHashJoin"), p)
   }
 
+  test("dedup_bloom_prefilter probes the bloom BELOW the residual join") {
+    val p = plan(CorpusOps.dedupBloomPrefilter(spark, sf001))
+    assert(p.contains("might_contain"), p)
+    // the probe must be a pre-join Filter, not post-join: every
+    // might_contain occurrence sits strictly after (deeper than) the
+    // last join operator line in the tree printout
+    val lines = p.linesIterator.toSeq
+    val joinIdx = lines.lastIndexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not below the join (join@$joinIdx, probe@$probeIdx)\n$p")
+  }
+
   test("agg_regression partial-aggregates the regr_* co-moments") {
     val p = plan(AggOps.aggRegression(spark, sf001))
     assert(p.contains("partial_regr_slope") || p.contains("partial_"), p)

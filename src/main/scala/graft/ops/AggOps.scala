@@ -256,6 +256,22 @@ object AggOps {
         round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
       .orderBy(col("l_returnflag"))
 
+  /** #116 — boolean aggregates: conditional counting (`count_if`) and
+    * group-wide predicates (`bool_and`/`bool_or`, the SQL:1999
+    * EVERY/ANY) — the data-quality assertion shape ("every reading
+    * positive, any reading flagged?") a validation pass runs per
+    * partition key. All partial-able single-pass aggregates; exact
+    * 2-dp decimal comparisons so both engines test identical values. */
+  def aggBoolean(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count_if(money(col("l_discount")) > lit(0.05)).as("n_highdisc"),
+        bool_and(money(col("l_quantity")) > lit(0)).as("all_qty_positive"),
+        bool_or(money(col("l_tax")) > lit(0.07)).as("any_high_tax"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_linestatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -273,6 +289,7 @@ object AggOps {
     "agg_mode_argmax"      -> (aggModeArgmax _),
     "agg_weighted_median"  -> (aggWeightedMedian _),
     "agg_regression"       -> (aggRegression _),
+    "agg_boolean"          -> (aggBoolean _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -380,5 +397,13 @@ object AggOps {
         |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
         |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_boolean" ->
+      """SELECT l_linestatus,
+        |  count(*) FILTER (WHERE CAST(l_discount AS DECIMAL(18,2)) > 0.05)
+        |    AS n_highdisc,
+        |  bool_and(CAST(l_quantity AS DECIMAL(18,2)) > 0) AS all_qty_positive,
+        |  bool_or(CAST(l_tax AS DECIMAL(18,2)) > 0.07) AS any_high_tax,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
   )
 }

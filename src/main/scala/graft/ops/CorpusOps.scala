@@ -128,10 +128,38 @@ object CorpusOps {
       .orderBy(col("component"))
   }
 
+  // ---------------------------------------------------------------
+  // #117 consecutive-token collapse
+  // ---------------------------------------------------------------
+
+  /** #117 — consecutive-repeat collapse stats: per document, how many
+    * token positions repeat their predecessor (the `w w` stutter that
+    * scraped text accumulates), and the token count a collapse pass
+    * would leave. Pure per-row HOF arithmetic — narrow, no shuffle at
+    * all until the output sort; safe as a PROJECTION (unlike join
+    * keys, projected HOFs evaluate once per row with subexpression
+    * elimination — the #60 lesson in SCALE.md does not apply). */
+  def textCollapseRepeats(spark: SparkSession, sf: String): DataFrame = {
+    val w = col("words")
+    val nRep = when(size(w) >= 2,
+        size(filter(sequence(lit(2), size(w)),
+          i => element_at(w, i) === element_at(w, i - 1))))
+      .otherwise(lit(0)).cast("long")
+    documents(spark, sf)
+      .withColumn("words", words)
+      .select(col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        nRep.as("n_repeats"),
+        (size(w).cast("long") - nRep).as("n_after_collapse"),
+        (nRep > 0).as("has_repeats"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
     "dedup_keep_best"        -> (dedupKeepBest _),
+    "text_collapse_repeats"  -> (textCollapseRepeats _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -188,5 +216,17 @@ object CorpusOps {
         |SELECT component, doc_id AS keep_id,
         |  CAST(n_members AS BIGINT) AS n_members, best_quality
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    "text_collapse_repeats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(range(2, len(w) + 1),
+        |      i -> w[CAST(i AS INT)] = w[CAST(i AS INT) - 1])) AS BIGINT)
+        |      AS n_repeats
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_repeats,
+        |  n_tokens - n_repeats AS n_after_collapse,
+        |  n_repeats > 0 AS has_repeats
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -223,6 +223,42 @@ object ScanOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #115 — `binaryFile` source over a directory of real image files:
+    * THE ingestion path for a multimodal corpus (millions of image/
+    * audio files → one binary column, partition-parallel, no driver
+    * involvement in the read). One real PNG per doc (first 100 ids,
+    * filenames carry the id) is written executor-side, read back via
+    * `spark.read.format("binaryFile")`, the id parsed from the path,
+    * and the payload decoded by the same `javax.imageio` codec as
+    * #80 — the oracle recomputes width/height/pixel-checksum from the
+    * generator arithmetic, so a hash match proves the file write →
+    * binaryFile scan → decode chain preserved every pixel. */
+  def sourceBinaryFiles(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    // unique dir per invocation (same concurrency rationale as #109)
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_binfiles_$run"
+    // executor-side file writes: local[*] shares the driver's tmpfs; on
+    // a cluster this directory would be shared storage, same as every
+    // file-fixture op here
+    documents(spark, sf).select(col("doc_id")).where(col("doc_id") < 100)
+      .as[Long].foreachPartition { (it: Iterator[Long]) =>
+        it.foreach { id =>
+          val p = java.nio.file.Paths.get(dir, f"doc_$id%05d.png")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, graft.multimodal.BinaryDecode.syntheticPng(id))
+        }
+      }
+    val parsed = spark.read.format("binaryFile").load(s"$dir/*.png")
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.png", 1)
+                .cast("long").as("doc_id"),
+              col("content"))
+      .as[(Long, Array[Byte])]
+    graft.multimodal.BinaryDecode.decode(spark, parsed).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("pix_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "scan_parquet"             -> (scanParquet _),
     "scan_pruned_pushdown"     -> (scanPrunedPushdown _),
@@ -234,6 +270,7 @@ object ScanOps {
     "source_text_lines"        -> (sourceTextLines _),
     "source_json_lines"        -> (sourceJsonLines _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
+    "source_binary_files"      -> (sourceBinaryFiles _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -284,5 +321,29 @@ object ScanOps {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // recomputes the decoded-pixel metadata from the PNG generator's
+    // arithmetic (same oracle shape as #80 multimodal_binary): a hash
+    // match proves file write -> binaryFile scan -> imageio decode
+    // preserved every pixel of every file
+    "source_binary_files" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 16 AS INT) AS width,
+        |         CAST(1 + (doc_id // 16) % 16 AS INT) AS height
+        |  FROM documents WHERE doc_id < 100),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |         unnest(range(0, width * height)) AS i
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, width, height, i % width AS x, i // width AS y
+        |  FROM px)
+        |SELECT doc_id, width, height,
+        |       CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256
+        |              + (doc_id * 17 + x * 5 + y * 11) % 256
+        |              + (doc_id * 13 + x * 3 + y * 19) % 256) AS BIGINT)
+        |         AS pix_sum
+        |FROM c GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin,
   )
 }

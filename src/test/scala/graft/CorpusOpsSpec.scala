@@ -88,6 +88,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nCand < nCorpus / 2, s"bloom pruned nothing: $nCand of $nCorpus")
   }
 
+  test("collapse-repeats: closed form on planted stutters") {
+    import spark.implicits._
+    val docs = Seq((1L, "x x y"), (2L, "a b c"), (3L, "z z z z"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val w = split(col("text"), " ")
+    val nRep = when(size(w) >= 2,
+        size(filter(sequence(lit(2), size(w)),
+          i => element_at(w, i) === element_at(w, i - 1))))
+      .otherwise(lit(0)).cast("long")
+    val got = docs.select(col("doc_id"), nRep.as("r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 3L, 4L -> 0L))
+    // graded shape on the corpus: collapse never grows a doc
+    val graded = CorpusOps.textCollapseRepeats(spark, sf001).collect()
+    graded.foreach { r =>
+      assert(r.getAs[Long]("n_after_collapse") ==
+        r.getAs[Long]("n_tokens") - r.getAs[Long]("n_repeats"), r)
+      assert(r.getAs[Long]("n_repeats") >= 0 &&
+        r.getAs[Long]("n_after_collapse") >= 1, r)
+    }
+  }
+
+  test("source_binary_files decodes what the library codec decodes") {
+    val rows = ScanOps.sourceBinaryFiles(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = graft.multimodal.BinaryDecode.decodeOne(
+        id, graft.multimodal.BinaryDecode.syntheticPng(id))
+      assert(r.getAs[Int]("width") == expect.width, s"doc $id width")
+      assert(r.getAs[Int]("height") == expect.height, s"doc $id height")
+      assert(r.getAs[Long]("pix_sum") == expect.pix_sum, s"doc $id pix_sum")
+    }
+  }
+
   test("keep-best: keeper is a member with the cluster's max quality") {
     val comp = CorpusOps.dedupKeepBest(spark, sf001).collect()
     if (comp.nonEmpty) {

@@ -31,6 +31,7 @@ object SparkEntry {
     TextOps.queries,
     LlmOps.queries,
     CorpusOps.queries,
+    GraphOps.queries,
     EtlOps.queries,
   )
 
@@ -47,6 +48,7 @@ object SparkEntry {
     TextOps.oracle,
     LlmOps.oracle,
     CorpusOps.oracle,
+    GraphOps.oracle,
     EtlOps.oracle,
   )
 

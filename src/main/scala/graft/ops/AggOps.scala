@@ -272,6 +272,26 @@ object AggOps {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_linestatus"))
 
+  /** #118 — unpivot (melt), the dual of #83's pivot: a wide per-flag
+    * aggregate row melts into (group, measure, value) long form — the
+    * shape that feeds generic per-metric pipelines (one downstream
+    * operator per METRIC instead of per COLUMN). Spark 4's native
+    * `unpivot` is a zero-shuffle projection expansion (each input row
+    * emits one row per measure — no exchange, no window); the only
+    * shuffle is the upstream aggregate's. Measures are exact decimal
+    * sums cast to double AFTER aggregation, so the melted values are
+    * bit-identical to the wide form's. */
+  def aggUnpivot(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+           sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+           sum(money(col("l_discount"))).cast("double").as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+               Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+               "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -290,6 +310,7 @@ object AggOps {
     "agg_weighted_median"  -> (aggWeightedMedian _),
     "agg_regression"       -> (aggRegression _),
     "agg_boolean"          -> (aggBoolean _),
+    "agg_unpivot"          -> (aggUnpivot _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -405,5 +426,19 @@ object AggOps {
         |  bool_or(CAST(l_tax AS DECIMAL(18,2)) > 0.07) AS any_high_tax,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
+        |ORDER BY l_returnflag, measure""".stripMargin,
   )
 }

@@ -155,11 +155,67 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------
+  // #120 length histogram
+  // ---------------------------------------------------------------
+
+  /** #120 — corpus length distribution: 50-char-wide buckets of
+    * n_chars with per-bucket doc counts, extrema, and corpus share —
+    * the first diagnostic a pretraining pipeline plots (truncation /
+    * boilerplate shoulders show up as histogram spikes). Integer
+    * `DIV` bucketing is bit-exact cross-engine; the share divides by
+    * a 1-row broadcast total (the #95 corpus-size pattern). One keyed
+    * aggregate; bucket count is bounded by max(n_chars)/50 — metadata
+    * scale regardless of corpus size. */
+  def textLengthHistogram(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.groupBy(expr("n_chars DIV 50").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("n_chars")).as("min_chars"),
+           max(col("n_chars")).as("max_chars"))
+      .crossJoin(broadcast(total))
+      .select((col("bucket") * 50).as("bucket_lo"),
+              ((col("bucket") + 1) * 50 - 1).as("bucket_hi"),
+              col("n_docs"), col("min_chars"), col("max_chars"),
+              round(col("n_docs").cast("double") / col("n_total"), 4).as("share"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  // ---------------------------------------------------------------
+  // #121 token entropy
+  // ---------------------------------------------------------------
+
+  /** #121 — per-document token-level Shannon entropy (bits), the
+    * CCNet/Gopher-family diversity signal (near-zero entropy = a doc
+    * that keeps repeating the same tokens; high entropy at short
+    * length = symbol soup). Computed with the factored form
+    * H = (ln n − (Σ c·ln c)/n) / ln 2 so one (doc, token)-keyed count
+    * plus one per-doc aggregate suffices — no second join of counts
+    * against totals. Both engines evaluate the identical IEEE
+    * expression tree on identical integers (ln drift bridged by the
+    * same round-4 policy as #95's tf·idf). */
+  def textTokenEntropy(spark: SparkSession, sf: String): DataFrame = {
+    val counts = documents(spark, sf)
+      .select(col("doc_id"), explode(words).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round((log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"))
+                / log(lit(2.0)), 4).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
     "dedup_keep_best"        -> (dedupKeepBest _),
     "text_collapse_repeats"  -> (textCollapseRepeats _),
+    "text_length_histogram"  -> (textLengthHistogram _),
+    "text_token_entropy"     -> (textTokenEntropy _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -228,5 +284,28 @@ object CorpusOps {
         |  n_tokens - n_repeats AS n_after_collapse,
         |  n_repeats > 0 AS has_repeats
         |FROM r ORDER BY doc_id""".stripMargin,
+    "text_length_histogram" ->
+      """WITH h AS (
+        |  SELECT n_chars // 50 AS bucket, count(*) AS n_docs,
+        |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT bucket * 50 AS bucket_lo, (bucket + 1) * 50 - 1 AS bucket_hi,
+        |  n_docs, min_chars, max_chars,
+        |  round(CAST(n_docs AS DOUBLE) / n_total, 4) AS share
+        |FROM h, t ORDER BY bucket_lo""".stripMargin,
+    "text_token_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |a AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  round((ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens) / ln(2.0), 4)
+        |    AS entropy_bits
+        |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.Tables._
+
+/** SURVEY §2.L round-6 additions (#122–#123): iterative graph
+  * analytics over a derived trade graph — the third graph primitive
+  * family after connected components (#91, pointer jumping). A
+  * training-data pipeline meets these shapes in link-graph quality
+  * scoring (PageRank over a crawl's host graph feeds quality
+  * filters) and community/cohesion statistics (triangle counts).
+  *
+  * Graph derivation (shared by both ops): one directed weighted edge
+  * per (customer nation → supplier nation) trade relationship,
+  * weight = lineitem count, from lineitem⋈orders⋈customer⋈supplier.
+  * The fact joins shuffle on their keys (orderkey, custkey) with the
+  * supplier dim broadcast; the aggregated edge list is bounded by
+  * |nations|² regardless of fact size — METADATA scale — so it is
+  * `localCheckpoint`ed once (same policy as `annIvfTopK`'s centroid
+  * table) and each PageRank iteration re-reads the materialized
+  * 625-row table instead of re-running the fact joins.
+  *
+  * Scale posture (100 TB): with a billion-node graph the edge list
+  * stays distributed — the per-iteration shape below (rank ⋈ edges
+  * shuffled on src, contribution sum shuffled on dst, left join back
+  * to the node set) is exactly the classic distributed PageRank and
+  * never assumes edges fit anywhere; only the node COUNT (one
+  * metadata aggregate) reaches the driver. Triangle counting is the
+  * standard two-join formulation over canonicalized a<b edges; at
+  * scale its cost is driven by per-node degree (the usual mitigation
+  * — degree-ordered orientation — is exactly the least/greatest
+  * canonicalization used here).
+  *
+  * Determinism: all node ids and edge weights are exact integers.
+  * PageRank ranks are rounded to a 1e-10 grid after EVERY iteration
+  * (pre-round cross-engine drift from summation order is ~1e-16, six
+  * orders of magnitude below the grid, so both engines enter each
+  * next iteration with bit-identical ranks), displayed at 6 dp.
+  * Nations without out-edges at tiny scale factors are dangling
+  * nodes; their mass is deliberately dropped (ranks need not sum to
+  * 1) — identically in both engines via the same left-join+coalesce.
+  */
+object GraphOps {
+
+  /** Directed weighted nation trade graph: src = ordering customer's
+    * nation, dst = supplying nation, w = lineitem count. */
+  private def tradeEdges(spark: SparkSession, sf: String): DataFrame =
+    lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, sf).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+
+  /** #122 — PageRank, 5 fixed iterations, damping 0.85, over the
+    * trade graph. Transition probabilities p = w/out-weight are
+    * precomputed once; each iteration is one keyed join + one keyed
+    * aggregate + one left join back to the node set. */
+  def graphPagerank(spark: SparkSession, sf: String): DataFrame = {
+    // Metadata-scale materialization: <= |nations|^2 rows (see scaladoc).
+    val edges = tradeEdges(spark, sf).localCheckpoint()
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val trans = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+              (col("w").cast("double") / col("ow").cast("double")).as("p"))
+      .localCheckpoint()
+    val nodes = nation(spark, sf).select(col("n_nationkey").as("node"))
+    val nNodes = nodes.count() // dimension-table count: one metadata action
+    val teleport = 0.15 / nNodes.toDouble
+    var ranks = nodes.select(col("node"), lit(1.0 / nNodes.toDouble).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = ranks.join(trans, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("s"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(teleport) + lit(0.85) * coalesce(col("s"), lit(0.0)), 10).as("r"))
+    }
+    ranks.select(col("node").as("n_nationkey"), round(col("r"), 6).as("pagerank"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** #123 — per-nation triangle participation over the undirected
+    * "strong-partner" graph: symmetrized trade edges kept when their
+    * combined weight exceeds the global mean (1-row broadcast
+    * threshold — data-adaptive, no tuned literal), canonicalized
+    * a<b, then the two-join triangle enumeration (a<b<c by
+    * construction) and a per-node explode+count. */
+  def graphTriangleCount(spark: SparkSession, sf: String): DataFrame = {
+    val und = tradeEdges(spark, sf)
+      .where(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+               greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+    val meanW = und.agg(avg(col("w")).as("mw"))
+    val strong = und.crossJoin(broadcast(meanW))
+      .where(col("w") > col("mw"))
+      .select(col("a"), col("b"))
+      .localCheckpoint() // metadata scale, read 3x by the triangle joins
+    val e1 = strong.select(col("a").as("t_a"), col("b").as("t_b"))
+    val e2 = strong.select(col("a").as("u_a"), col("b").as("u_b"))
+    val e3 = strong.select(col("a").as("v_a"), col("b").as("v_b"))
+    val tris = e1.join(e2, col("t_b") === col("u_a"))
+      .join(e3, col("v_a") === col("t_a") && col("v_b") === col("u_b"), "left_semi")
+      .select(col("t_a").as("x"), col("t_b").as("y"), col("u_b").as("z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+      .join(perNode, col("n_nationkey") === col("node"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+              coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "graph_pagerank"       -> (graphPagerank _),
+    "graph_triangle_count" -> (graphTriangleCount _),
+  )
+
+  /** Shared oracle CTE: the trade edge list. */
+  private val edgesCte =
+    """e AS (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey  = c_custkey
+      |  JOIN supplier ON l_suppkey  = s_suppkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def iterCte(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""r$k AS (
+       |  SELECT nd.node,
+       |    round(0.15 / (SELECT n FROM nn)
+       |          + 0.85 * coalesce(c.s, 0.0), 10) AS r
+       |  FROM $prev nd LEFT JOIN (
+       |    SELECT p.dst, sum($prev.r * p.p) AS s
+       |    FROM $prev JOIN p ON $prev.node = p.src
+       |    GROUP BY p.dst) c ON c.dst = nd.node)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = ListMap(
+    "graph_pagerank" ->
+      (s"WITH $edgesCte," +
+       """
+         |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+         |p AS (SELECT e.src, e.dst,
+         |        CAST(e.w AS DOUBLE) / CAST(ow.ow AS DOUBLE) AS p
+         |      FROM e JOIN ow ON ow.src = e.src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+         |r0 AS (SELECT n_nationkey AS node, 1.0 / (SELECT n FROM nn) AS r
+         |       FROM nation),
+         |""".stripMargin +
+       (1 to 5).map(iterCte).mkString(",\n") +
+       """
+         |SELECT node AS n_nationkey, round(r, 6) AS pagerank
+         |FROM r5 ORDER BY n_nationkey""".stripMargin),
+    "graph_triangle_count" ->
+      (s"WITH $edgesCte," +
+       """
+         |u AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |        sum(w) AS w
+         |      FROM e WHERE src <> dst GROUP BY 1, 2),
+         |m AS (SELECT avg(w) AS mw FROM u),
+         |s AS (SELECT a, b FROM u, m WHERE w > mw),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM s e1
+         |      JOIN s e2 ON e1.b = e2.a
+         |      JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |xp AS (SELECT unnest([x, y, z]) AS node FROM t),
+         |g AS (SELECT node, count(*) AS n_triangles FROM xp GROUP BY node)
+         |SELECT n.n_nationkey, n.n_name,
+         |  coalesce(g.n_triangles, 0) AS n_triangles
+         |FROM nation n LEFT JOIN g ON g.node = n.n_nationkey
+         |ORDER BY n.n_nationkey""".stripMargin),
+  )
+}

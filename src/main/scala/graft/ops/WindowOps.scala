@@ -126,6 +126,39 @@ object WindowOps {
       .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
   }
 
+  /** #119 — gaps-and-islands: maximal runs of CONSECUTIVE days with
+    * activity per user (R: the reference's contiguous-coverage
+    * detection — which spans of a meter's history have readings
+    * every day [RECONSTRUCTED, §1.1 interval validation family]).
+    * The arithmetic-key trick: within a user, day_number − row_number
+    * is constant exactly on a consecutive run, so one per-user window
+    * plus one keyed aggregate finds all islands — no self-join, no
+    * iteration. Day numbering is exact integer `datediff` from a
+    * fixed epoch; every column is an integer or date, so the result
+    * is bit-exact cross-engine. Scale: the window partitions by
+    * user_id (high cardinality) over per-(user, day) pre-aggregated
+    * rows — the heavy reduction happens in the groupBy BEFORE the
+    * window sees the data. */
+  def winGapIslands(spark: SparkSession, sf: String): DataFrame = {
+    val days = events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_day_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island",
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long")
+          - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("day")).cast("timestamp").as("island_start"),
+           max(col("day")).cast("timestamp").as("island_end"),
+           count(lit(1)).as("n_days"),
+           sum(col("n_day_events")).as("n_events"))
+      .select(col("user_id"), col("island_start"), col("island_end"),
+              col("n_days"), col("n_events"))
+      .orderBy(col("user_id"), col("island_start"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "win_rank_dense_rownum" -> (winRankDenseRownum _),
     "win_topk_per_group"    -> (winTopkPerGroup _),
@@ -134,6 +167,7 @@ object WindowOps {
     "win_range_frame"       -> (winRangeFrame _),
     "win_ntile"             -> (winNtile _),
     "win_analytic_extras"   -> (winAnalyticExtras _),
+    "win_gap_islands"       -> (winGapIslands _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -196,5 +230,20 @@ object WindowOps {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+    "win_gap_islands" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(*) AS n_day_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, date_diff('day', DATE '2024-01-01', day)
+        |    - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d)
+        |SELECT user_id,
+        |  CAST(min(day) AS TIMESTAMP) AS island_start,
+        |  CAST(max(day) AS TIMESTAMP) AS island_end,
+        |  count(*) AS n_days, CAST(sum(n_day_events) AS BIGINT) AS n_events
+        |FROM r GROUP BY user_id, island
+        |ORDER BY user_id, island_start""".stripMargin,
   )
 }

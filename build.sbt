@@ -38,8 +38,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // never GC-thrash (measured: knn sort in 8g degraded 6s -> 15s on
   // the second run from collector pressure).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Fixed, pre-touched heap: with a growable heap, every expansion
+  // stalls ALL threads while the kernel zeroes the newly committed
+  // pages, and the stall is booked as GC time — measured as
+  // multi-second bimodal swings on identical queries (e.g. the same
+  // stage showing gc=0.0s on one run and 86.7s summed across 32
+  // tasks on the next; round-6 diagnosis). Committing + touching the
+  // whole heap at JVM start moves that cost into untimed startup:
+  // the same stages then show gc=0.00 and run-to-run spread dropped
+  // from 1.1-4.9s to 0.95-1.6s on the simhash probe.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+AlwaysPreTouch",
   // batch-throughput collector: bench queries allocate in bursts
-  // (broadcasts, codegen'd row buffers); G1 pause-avoidance cost the
-  // suite ~2x run-to-run variance in measurement.
-  "-XX:+UseParallelGC",
-)
+  // (broadcasts, codegen'd row buffers). A/B'd against G1 (4-22s on
+  // the simhash probe — worst), ZGC (1.1-1.4s steady but a 9s
+  // allocation-stall outlier), ParallelGC+Xmn2g (1.9-2.9s): plain
+  // ParallelGC over a pre-touched heap wins (0.95-1.6s, no
+  // outliers). Env-switchable for future A/B (GRAFT_GC=UseG1GC,
+  // extra flags via GRAFT_GC_OPTS, space-separated).
+  s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
+) ++ sys.env.get("GRAFT_GC_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -56,6 +56,11 @@ object Bench {
   )
 
   def main(args: Array[String]): Unit = {
+    // args: optional query-name filter (build-side micro-bench aid);
+    // the driver always invokes with no args → full suite.
+    val only = args.toSet
+    def keep(names: Seq[String]): Seq[String] =
+      if (only.isEmpty) names else names.filter(only)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -87,7 +92,7 @@ object Bench {
       val p = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
       if (java.nio.file.Files.isDirectory(p)) p.toString else sfDir
     }
-    (headline ++ secondary).foreach { name =>
+    keep(headline ++ secondary).foreach { name =>
       try { qs(name)(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // Best-of-3 per query (consecutive attempts), matching
@@ -111,8 +116,8 @@ object Bench {
     def toJson(rs: Seq[(String, Option[Double])]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
         .mkString("{", ",", "}")
-    val results = headline.map(n => n -> bestOf3(n))
-    val sec = secondary.map(n => n -> bestOf3(n))
+    val results = keep(headline).map(n => n -> bestOf3(n))
+    val sec = keep(secondary).map(n => n -> bestOf3(n))
     val failed = (results ++ sec).collect { case (k, None) => "\"" + k + "\"" }
     // a suite with a crashed query must not grade FASTER than a working
     // one: any failure poisons that suite's total to null (the per-query

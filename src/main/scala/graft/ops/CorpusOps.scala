@@ -38,12 +38,19 @@ object CorpusOps {
     * The flag compares the UNROUNDED ratio (an exact-integer division,
     * bit-identical cross-engine); displayed ratios are rounded 4 dp. */
   def textRepetitionFilter(spark: SparkSession, sf: String): DataFrame = {
+    // repartition raw docs by id pre-fan-out (the dedup_minhash_near
+    // lesson: a single-file scan otherwise runs both shingle
+    // explosions single-threaded); explode_OUTER so the generate
+    // infers no constraint filter re-inlining the shingle HOF into
+    // the scan — the size >= 5 guard means no empty gram arrays, so
+    // outer == inner here.
     val base = documents(spark, sf)
+      .repartition(col("doc_id"))
       .withColumn("words", words)
       .where(size(col("words")) >= 5)
     def gramStats(n: Int): DataFrame =
       base.select(col("doc_id"),
-          explode(graft.api.Transforms.shingles(col("words"), n)).as("g"))
+          explode_outer(graft.api.Transforms.shingles(col("words"), n)).as("g"))
         .groupBy(col("doc_id"), col("g"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("doc_id"))

@@ -64,7 +64,14 @@ object LlmOps {
       .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))) :+
       when(col("s63") > 0, lit(Long.MinValue)).otherwise(lit(0L)))
       .reduce(_ + _)
+    // repartition the raw docs by id before the word fan-out: the
+    // graded corpus is a single parquet file (one scan task), and the
+    // expensive part — md5 + 64 bit-extraction partial sums per word —
+    // otherwise runs single-threaded in the scan stage (the
+    // dedup_minhash_near lesson, measured 10x there). The groupBy
+    // reuses this hash partitioning, so no extra exchange.
     documents(spark, sf)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)

@@ -102,7 +102,16 @@ object TextOps {
     * 13.3s at sf0.1, in ONE interpreted task; this form runs the md5
     * work exactly once — 15.1s → ~1.3s). */
   private def minhashSignatures(spark: SparkSession, sf: String): DataFrame = {
+    // Repartition the RAW docs by id before any token/shingle
+    // materialization: the graded corpus is one parquet file (one
+    // scan task), so without this the split→shingle→md5 fan-out runs
+    // in a single thread (measured 6-25s at sf0.1 vs ~0.5s wide).
+    // The exchange carries one compact text row per doc; words and
+    // shingles materialize ONCE post-exchange (projections do not get
+    // pushed through a repartition), and the signature groupBy reuses
+    // the same hash partitioning — no extra exchange.
     val base = documents(spark, sf)
+      .repartition(col("doc_id"))
       .withColumn("words", words)
       .where(size(col("words")) >= 3)
       .withColumn("shingles", shingles)

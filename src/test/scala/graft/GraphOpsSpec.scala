@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Unit + invariant tests for the round-6 graph family (#122–#123)
+  * and the other round-6 additions (#118–#121) beyond the oracle
+  * sweep: closed-form checks on tiny planted inputs plus structural
+  * invariants the DuckDB hash-compare cannot articulate. */
+class GraphOpsSpec extends SparkSpec {
+
+  test("pagerank: ranks positive, mass bounded by 1, uniform on a symmetric cycle") {
+    val rows = GraphOps.graphPagerank(spark, sf001).collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(_.getAs[Double]("pagerank"))
+    assert(ranks.forall(r => r > 0.0 && r < 1.0))
+    // teleport mass is always injected; link mass can only leak via
+    // dangling nodes, so the total sits in (0.15, 1 + rounding slack]
+    // (display rounds each of 25 ranks at 6dp => up to 1.25e-5 slack)
+    val total = ranks.sum
+    assert(total > 0.15 && total <= 1.0 + 1e-4, s"total rank mass $total")
+  }
+
+  test("pagerank mass is conserved when no node is dangling (sf0.01)") {
+    // at sf0.01 all 25 nations have customers => every node has
+    // out-edges => sum of ranks must stay 1 up to the rounding grid
+    val edges = Tables.lineitem(spark, sf01).select(col("l_orderkey"))
+      .join(Tables.orders(spark, sf01)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf01)
+              .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey")).distinct()
+    assume(edges.count() == 25, "corpus drift: not all nations ordering")
+    val total = GraphOps.graphPagerank(spark, sf01).collect()
+      .map(_.getAs[Double]("pagerank")).sum
+    // 5 iterations x 25 nodes on a 1e-10 grid + 6dp display rounding
+    assert(math.abs(total - 1.0) < 1e-4, s"total rank mass $total")
+  }
+
+  test("triangle participation total is divisible by 3") {
+    // every triangle contributes exactly one count to each of its 3
+    // corners — a structural identity of the enumeration
+    Seq(sf001, sf01).foreach { sf =>
+      val total = GraphOps.graphTriangleCount(spark, sf).collect()
+        .map(_.getAs[Long]("n_triangles")).sum
+      assert(total % 3 == 0, s"$sf: corner-count total $total not 3-divisible")
+    }
+  }
+
+  test("gap islands: island arithmetic closes and event totals are preserved") {
+    val islands = WindowOps.winGapIslands(spark, sf001).collect()
+    assert(islands.nonEmpty)
+    islands.foreach { r =>
+      val start = r.getAs[java.sql.Timestamp]("island_start")
+      val end = r.getAs[java.sql.Timestamp]("island_end")
+      val days = r.getAs[Long]("n_days")
+      val spanDays = (end.getTime - start.getTime) / 86400000L + 1
+      assert(spanDays == days, s"island span $spanDays != n_days $days: $r")
+    }
+    val totalEvents = islands.map(_.getAs[Long]("n_events")).sum
+    assert(totalEvents == Tables.events(spark, sf001).count())
+  }
+
+  test("token entropy: bounded by log2(n_distinct), zero iff one distinct token") {
+    val rows = CorpusOps.textTokenEntropy(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy_bits")
+      val d = r.getAs[Long]("n_distinct")
+      val bound = math.log(d.toDouble) / math.log(2.0)
+      assert(h >= -1e-9 && h <= bound + 1e-4, s"entropy $h outside [0, $bound]: $r")
+      if (d == 1) assert(math.abs(h) < 1e-9)
+    }
+  }
+
+  test("length histogram partitions the corpus: counts and shares close") {
+    val rows = CorpusOps.textLengthHistogram(spark, sf001).collect()
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables.documents(spark, sf001).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_chars") >= r.getAs[Long]("bucket_lo"), r)
+      assert(r.getAs[Long]("max_chars") <= r.getAs[Long]("bucket_hi"), r)
+    }
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < rows.length * 5e-5, s"share sum $shareSum")
+  }
+
+  test("unpivot melts the wide aggregate losslessly (3 measures per group)") {
+    val long = AggOps.aggUnpivot(spark, sf001).collect()
+    val wide = Tables.lineitem(spark, sf001)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(Tables.money(col("l_quantity"))).cast("double").as("sum_qty"),
+           sum(Tables.money(col("l_extendedprice"))).cast("double").as("sum_price"),
+           sum(Tables.money(col("l_discount"))).cast("double").as("sum_disc"))
+      .collect()
+    assert(long.length == wide.length * 3)
+    val byKey = long.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    wide.foreach { w =>
+      val f = w.getString(0)
+      assert(byKey((f, "sum_qty")) == w.getAs[Double]("sum_qty"))
+      assert(byKey((f, "sum_price")) == w.getAs[Double]("sum_price"))
+      assert(byKey((f, "sum_disc")) == w.getAs[Double]("sum_disc"))
+    }
+  }
+}

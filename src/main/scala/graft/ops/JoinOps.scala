@@ -250,6 +250,29 @@ object JoinOps {
       .orderBy(col("signup_id"))
   }
 
+  /** #124 — null-safe equi-join (`<=>` / IS NOT DISTINCT FROM as the
+    * join key): the "unknown matches unknown" semantics a dedup or
+    * reconciliation pass wants when the natural key is nullable. The
+    * corpus has no NULLs (SURVEY §1.2), so a chosen key value is
+    * nullified on BOTH sides (nation 3 → NULL) — the null-keyed rows
+    * then pair with each other (unlike a plain `=` join, which drops
+    * every one of them). Catalyst plans EqualNullSafe as a normal
+    * hash-partitioned equi-join (nulls form one ordinary bucket), so
+    * the scale posture is identical to #10; results aggregate to one
+    * row per key with the null bucket surfaced via coalesce(-1). */
+  def joinNullSafe(spark: SparkSession, sf: String): DataFrame = {
+    val c = customer(spark, sf)
+      .select(nullif(col("c_nationkey"), lit(3)).as("ck"), col("c_custkey"))
+    val s = supplier(spark, sf)
+      .select(nullif(col("s_nationkey"), lit(3)).as("sk"), col("s_suppkey"))
+    c.join(s, col("ck") <=> col("sk"))
+      .groupBy(coalesce(col("ck"), lit(-1)).as("join_key"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("c_custkey")).as("n_customers"),
+           countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("join_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "join_inner_shuffle"    -> (joinInnerShuffle _),
     "join_broadcast"        -> (joinBroadcast _),
@@ -265,6 +288,7 @@ object JoinOps {
     "join_cross_dims"       -> (joinCrossDims _),
     "join_bucketed_colocated" -> (joinBucketedColocated _),
     "join_range_bucketed"   -> (joinRangeBucketed _),
+    "join_null_safe"        -> (joinNullSafe _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -368,5 +392,14 @@ object JoinOps {
         | AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 2 HOUR
         |GROUP BY s.event_id, s.ts
         |ORDER BY signup_id""".stripMargin,
+    "join_null_safe" ->
+      """WITH c AS (SELECT nullif(c_nationkey, 3) AS ck, c_custkey FROM customer),
+        |s AS (SELECT nullif(s_nationkey, 3) AS sk, s_suppkey FROM supplier)
+        |SELECT coalesce(ck, -1) AS join_key,
+        |  count(*) AS n_pairs,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM c JOIN s ON ck IS NOT DISTINCT FROM sk
+        |GROUP BY coalesce(ck, -1) ORDER BY join_key""".stripMargin,
   )
 }

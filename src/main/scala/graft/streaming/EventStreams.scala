@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One event of the corpus `events` stream, typed for Dataset ops. */
 case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -136,6 +136,44 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new TtlCountProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Update())
+  }
+
+  /** Sliding last-k event buffer per user via `ListState` — the list
+    * half of the Spark 4 arbitrary-state surface (ValueState: counts
+    * above; timers/TTL: above). The buffered window is k ELEMENTS,
+    * not k time units — the shape sessionization can't express (e.g.
+    * "last 3 actions before conversion" features). State per key is
+    * exactly k longs. */
+  def lastKEventsTws(events: Dataset[EventRow], k: Int = 3): Dataset[UserLastK] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new LastKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+}
+
+/** Output of [[EventStreams.lastKEventsTws]]: the current last-k
+  * event-id buffer after each micro-batch, oldest first. */
+case class UserLastK(user_id: Long, ids: Seq[Long])
+
+/** ListState processor for [[EventStreams.lastKEventsTws]]: appends
+  * the batch's events in (ts, id) order, trims to the newest k, and
+  * emits the post-batch buffer — exercising get/put over a named
+  * `ListState[Long]` across micro-batches. */
+class LastKProcessor(k: Int)
+    extends StatefulProcessor[Long, EventRow, UserLastK] {
+  @transient private var buf: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[Long]("lastk",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[UserLastK] = {
+    val incoming = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map(_.event_id)
+    val kept = (buf.get().toSeq ++ incoming).takeRight(k)
+    buf.put(kept.toArray)
+    Iterator.single(UserLastK(user, kept))
   }
 }
 

@@ -159,4 +159,51 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("graph_pagerank iterates over the checkpointed edge list, not the fact joins") {
+    val p = plan(GraphOps.graphPagerank(spark, sf001))
+    // the 5 unrolled iterations must re-read the materialized
+    // (localCheckpoint'd) transition table — visible as ExistingRDD
+    // scans — and must NOT replay the lineitem⋈orders⋈customer⋈
+    // supplier derivation per iteration
+    assert(p.contains("Scan ExistingRDD"), p)
+    val factScans = p.linesIterator.count(_.contains("lineitem.parquet"))
+    assert(factScans == 0, s"fact joins replayed in the iteration plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("graph_triangle_count enumerates via equi-joins (no nested loop)") {
+    val p = plan(GraphOps.graphTriangleCount(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_unpivot expands rows without any extra exchange") {
+    val p = plan(AggOps.aggUnpivot(spark, sf001))
+    // unpivot is an Expand over the aggregate output; the only
+    // exchanges are the aggregate's own and the final total-order sort
+    assert(p.contains("Expand"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"unexpected exchanges ($exchanges):\n$p")
+  }
+
+  test("minhash/simhash fan-outs run AFTER the doc-id repartition") {
+    // the round-6 single-task-scan fix: the expensive md5 fan-out must
+    // sit above an Exchange keyed by doc_id, not inside the scan stage
+    Seq(plan(TextOps.dedupMinhashNear(spark, sf001)),
+        plan(LlmOps.textSimhash(spark, sf001))).foreach { p =>
+      val lines = p.linesIterator.toSeq
+      val md5Idx = lines.indexWhere(_.contains("md5("))
+      val exIdxs = lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Exchange hashpartitioning(doc_id") => i }
+      assert(md5Idx >= 0 && exIdxs.exists(_ > md5Idx),
+        s"md5 fan-out not above a doc_id exchange (md5@$md5Idx, ex@$exIdxs)\n$p")
+    }
+  }
+
+  test("join_null_safe plans the <=> key as a real equi-join") {
+    val p = plan(JoinOps.joinNullSafe(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p)
+  }
 }

@@ -58,3 +58,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // extra flags via GRAFT_GC_OPTS, space-separated).
   s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
 ) ++ sys.env.get("GRAFT_GC_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+// The test fork works at sf0.001/0.01 (plus the env-gated 10x stress
+// corpus) — a 48g pre-touched heap there is pure startup cost and
+// makes each collection scan more space than the tests ever use.
+// Last -Xmx/-Xms flag wins in HotSpot, so this appended pair
+// overrides the 48g pair above for tests only; GRAFT_TEST_MEM bumps
+// it for the GRAFT_FULL_TESTS stress runs if ever needed.
+Test / javaOptions ++= Seq(
+  s"-Xmx${sys.env.getOrElse("GRAFT_TEST_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("GRAFT_TEST_MEM", "16g")}",
+)

@@ -158,6 +158,35 @@ object EtlOps {
       .orderBy(col("stage"))
   }
 
+  /** #125 — merge overlapping intervals per key (interval UNION): each
+    * event opens a 45-minute coverage interval; per user, transitively
+    * overlapping intervals coalesce into one span (R: merging
+    * overlapping billing/usage periods into coverage spans — the dual
+    * of #66's overlap DETECTION). The classic formulation: a span
+    * starts where an interval's start exceeds the running max of all
+    * earlier ends (per-user window over exact epoch-micros), a prefix
+    * sum numbers the spans, one keyed aggregate closes them. All
+    * integer arithmetic — bit-exact cross-engine. Scale: window and
+    * aggregate both partition by user_id; state per row is one long. */
+  def etlMergeIntervals(spark: SparkSession, sf: String): DataFrame = {
+    val lenUs = 45L * 60L * 1000000L
+    val iv = events(spark, sf).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + lenUs).as("e_us"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_us"), col("event_id"))
+    val prevMaxEnd = max(col("e_us")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("new_span",
+        when(prevMaxEnd.isNull || col("s_us") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum(col("new_span")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("span_id"))
+      .agg(timestamp_micros(min(col("s_us"))).as("span_start"),
+           timestamp_micros(max(col("e_us"))).as("span_end"),
+           count(lit(1)).as("n_intervals"))
+      .orderBy(col("user_id"), col("span_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -168,6 +197,7 @@ object EtlOps {
     "etl_split_hash"         -> (etlSplitHash _),
     "etl_scd2_intervals"     -> (etlScd2Intervals _),
     "events_funnel_stages"   -> (eventsFunnelStages _),
+    "etl_merge_intervals"    -> (etlMergeIntervals _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -279,5 +309,31 @@ object EtlOps {
         |UNION ALL SELECT '2_click_after_view', count(*) FROM c
         |UNION ALL SELECT '3_purchase_after_click', count(*) FROM p
         |ORDER BY stage""".stripMargin,
+    "etl_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 2700000000 AS e_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN max(e_us) OVER (PARTITION BY user_id
+        |      ORDER BY s_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR s_us > max(e_us) OVER (PARTITION BY user_id
+        |      ORDER BY s_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_span
+        |  FROM iv),
+        |g AS (
+        |  SELECT *, sum(new_span) OVER (PARTITION BY user_id
+        |      ORDER BY s_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM f)
+        |SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+        |  make_timestamp(min(s_us)) AS span_start,
+        |  make_timestamp(max(e_us)) AS span_end,
+        |  count(*) AS n_intervals
+        |FROM g GROUP BY user_id, span_id
+        |ORDER BY user_id, span_id""".stripMargin,
   )
 }

@@ -87,6 +87,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(shareSum - 1.0) < rows.length * 5e-5, s"share sum $shareSum")
   }
 
+  test("merged intervals are disjoint per user and account for every event") {
+    val spans = EtlOps.etlMergeIntervals(spark, sf001).collect()
+    assert(spans.nonEmpty)
+    // within a user, consecutive spans must be strictly separated
+    // (that is what makes them maximal merges)
+    spans.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Long]("span_id"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[java.sql.Timestamp]("span_start").getTime >
+                 a.getAs[java.sql.Timestamp]("span_end").getTime,
+            s"overlapping spans: $a / $b")
+        case _ => ()
+      }
+    }
+    val totalIntervals = spans.map(_.getAs[Long]("n_intervals")).sum
+    assert(totalIntervals == Tables.events(spark, sf001).count())
+  }
+
   test("unpivot melts the wide aggregate losslessly (3 measures per group)") {
     val long = AggOps.aggUnpivot(spark, sf001).collect()
     val wide = Tables.lineitem(spark, sf001)

@@ -33,22 +33,31 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Single-JVM local mode: driver heap IS executor memory. The bench
-  // machine has 125 GB; size so shuffles/sorts/broadcasts at sf0.1
-  // never GC-thrash (measured: knn sort in 8g degraded 6s -> 15s on
-  // the second run from collector pressure).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Single-JVM local mode: driver heap IS executor memory. Sized so
+  // shuffles/sorts/broadcasts at sf0.1 never GC-thrash (measured:
+  // knn sort in 8g degraded 6s -> 15s on the second run from
+  // collector pressure; 16g holds the full suite steady — A/B'd
+  // equal to 48g per-query, see the pre-touch note below).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Fixed, pre-touched heap: with a growable heap, every expansion
   // stalls ALL threads while the kernel zeroes the newly committed
   // pages, and the stall is booked as GC time — measured as
   // multi-second bimodal swings on identical queries (e.g. the same
   // stage showing gc=0.0s on one run and 86.7s summed across 32
-  // tasks on the next; round-6 diagnosis). Committing + touching the
-  // whole heap at JVM start moves that cost into untimed startup:
-  // the same stages then show gc=0.00 and run-to-run spread dropped
-  // from 1.1-4.9s to 0.95-1.6s on the simhash probe.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // tasks on the next; round-6 diagnosis). Pre-touch is NOT optional
+  // on this microVM even with Xms=Xmx: first-touch faults resolve at
+  // only ~200 MB/s aggregate (93 CPU-minutes of sys time for 48g),
+  // and without pre-touch ParallelGC's eden marches through untouched
+  // pages DURING queries — A/B'd: the same suite ran 27.3s lazy vs
+  // 5.3s pre-touched (sim_knn_topk 14.0s vs 0.9s). The heap is sized
+  // to the measured bench working set rather than all of RAM so the
+  // one-time pre-touch stays ~1min, not 4min (48g pre-touch measured
+  // 4m06s wall on an idle host, THP on or off).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
+  // Madvised 2M huge pages: 512x fewer first-touch faults, fewer TLB
+  // misses on the big shuffle/broadcast buffers.
+  "-XX:+UseTransparentHugePages",
   // batch-throughput collector: bench queries allocate in bursts
   // (broadcasts, codegen'd row buffers). A/B'd against G1 (4-22s on
   // the simhash probe — worst), ZGC (1.1-1.4s steady but a 9s
@@ -59,8 +68,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
 ) ++ sys.env.get("GRAFT_GC_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
 // The test fork works at sf0.001/0.01 (plus the env-gated 10x stress
-// corpus) — a 48g pre-touched heap there is pure startup cost and
-// makes each collection scan more space than the tests ever use.
+// corpus) — a 48g heap there makes each collection scan more space
+// than the tests ever use.
 // Last -Xmx/-Xms flag wins in HotSpot, so this appended pair
 // overrides the 48g pair above for tests only; GRAFT_TEST_MEM bumps
 // it for the GRAFT_FULL_TESTS stress runs if ever needed.

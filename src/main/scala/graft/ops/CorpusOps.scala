@@ -85,7 +85,10 @@ object CorpusOps {
     * the RESULT is bloom-independent — the oracle is the plain join.
     * Output: per-language contaminated-doc and hit-shingle counts. */
   def dedupBloomPrefilter(spark: SparkSession, sf: String): DataFrame = {
+    // repartition raw docs pre-fan-out (the dedup_minhash_near lesson:
+    // single-file scans otherwise run the shingle explosion in one task)
     val sh = documents(spark, sf)
+      .repartition(col("doc_id"))
       .withColumn("words", words)
       .where(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"),

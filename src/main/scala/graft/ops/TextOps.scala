@@ -239,6 +239,38 @@ object TextOps {
       .limit(30)
   }
 
+  /** #127 — per-doc n-gram novelty: the fraction of a document's
+    * DISTINCT 3-gram shingles that occur in NO other document — the
+    * corpus-diversity / memorization diagnostic (boilerplate scores
+    * ~0, fresh text ~1) that complements the pairwise dedup family
+    * with a corpus-global per-doc signal. Shape: distinct (doc, gram)
+    * pairs, then gram document-frequency as a COUNT OVER (PARTITION
+    * BY shingle) window — shuffled once by shingle, no join back —
+    * then one per-doc aggregate. Every stage is keyed by gram or doc;
+    * nothing is pairwise, so the cost is O(total grams), the same
+    * bucketed posture as the dedup family. count/count division is
+    * IEEE-exact cross-engine; round(,4) for display. */
+  def textNgramNovelty(spark: SparkSession, sf: String): DataFrame = {
+    // repartition the raw single-file scan before the shingle fan-out
+    // (the dedup_minhash_near lesson: one scan task otherwise runs
+    // the whole explosion serially)
+    val grams = documents(spark, sf)
+      .repartition(col("doc_id"))
+      .withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .distinct()
+    val unique1 = count(when(col("gram_docs") === 1, lit(1)))
+    grams
+      .withColumn("gram_docs",
+        count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           unique1.as("n_unique"),
+           round(unique1.cast("double") / count(lit(1)), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #64 — multimodal join: text metadata + vector features in one
     * row (documents ⋈ embeddings on doc_id = vec_id). */
   def multimodalJoin(spark: SparkSession, sf: String): DataFrame =
@@ -261,6 +293,7 @@ object TextOps {
     "multimodal_join"         -> (multimodalJoin _),
     "text_tfidf"              -> (textTfidf _),
     "text_bigram_lm"          -> (textBigramLm _),
+    "text_ngram_novelty"      -> (textNgramNovelty _),
   )
 
   private val shingleCte =
@@ -398,5 +431,17 @@ object TextOps {
         |SELECT c.w1, c.w2, n, round(CAST(n AS DOUBLE) / n1, 4) AS p_cond
         |FROM c JOIN p ON c.w1 = p.w1
         |ORDER BY n DESC, c.w1, c.w2 LIMIT 30""".stripMargin,
+    "text_ngram_novelty" ->
+      (shingleCte +
+      """,
+        |g AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |c AS (SELECT doc_id,
+        |        count(*) OVER (PARTITION BY shingle) AS gram_docs
+        |      FROM g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  count(*) FILTER (WHERE gram_docs = 1) AS n_unique,
+        |  round(CAST(count(*) FILTER (WHERE gram_docs = 1) AS DOUBLE)
+        |    / count(*), 4) AS novelty
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 }

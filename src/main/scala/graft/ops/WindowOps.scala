@@ -159,6 +159,37 @@ object WindowOps {
       .orderBy(col("user_id"), col("island_start"))
   }
 
+  /** #126 — batch sessionization: tag EVERY event with its session
+    * id, where a session breaks after a 30-minute inactivity gap per
+    * user (R: the reference's grouping of consecutive meter
+    * communications into reading sessions [RECONSTRUCTED, §1.1
+    * interval family]; also the standard clickstream shape). The
+    * conditional prefix sum: flag rows whose gap from the previous
+    * event exceeds the threshold, then a running sum of flags numbers
+    * the sessions — two passes over ONE per-user window, no
+    * self-join, no iteration. Contrast #53, which AGGREGATES into
+    * session windows; this op ASSIGNS ids row-wise, the form
+    * downstream joins need (every event keeps its identity). All
+    * integer-microsecond arithmetic; ties broken by event_id.
+    * Scale: the window partitions by user_id (high cardinality), so
+    * each user's history sorts locally within its shuffle partition —
+    * no global sort, and per-user event counts are human-bounded. */
+  def winSessionAssign(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60L * 1000000L
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("__us", unix_micros(col("ts")))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("__new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "win_rank_dense_rownum" -> (winRankDenseRownum _),
     "win_topk_per_group"    -> (winTopkPerGroup _),
@@ -168,6 +199,7 @@ object WindowOps {
     "win_ntile"             -> (winNtile _),
     "win_analytic_extras"   -> (winAnalyticExtras _),
     "win_gap_islands"       -> (winGapIslands _),
+    "win_session_assign"    -> (winSessionAssign _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -245,5 +277,21 @@ object WindowOps {
         |  count(*) AS n_days, CAST(sum(n_day_events) AS BIGINT) AS n_events
         |FROM r GROUP BY user_id, island
         |ORDER BY user_id, island_start""".stripMargin,
+    "win_session_assign" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |             (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e)
+        |SELECT event_id, user_id, ts,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |FROM l ORDER BY user_id, ts, event_id""".stripMargin,
   )
 }

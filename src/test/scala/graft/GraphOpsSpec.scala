@@ -123,4 +123,54 @@ class GraphOpsSpec extends SparkSpec {
       assert(byKey((f, "sum_disc")) == w.getAs[Double]("sum_disc"))
     }
   }
+
+  test("session assign: ids are dense per user and break exactly on >30min gaps") {
+    val gapUs = 30L * 60L * 1000000L
+    val rows = WindowOps.winSessionAssign(spark, sf001).collect()
+    assert(rows.length == Tables.events(spark, sf001).count())
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      // collect() preserves the query's (user, ts, event_id) order
+      val sess = rs.map(_.getAs[Long]("session_id"))
+      assert(sess.head == 1L, s"user $u first session ${sess.head}")
+      sess.sliding(2).foreach {
+        case Array(a, b) => assert(b == a || b == a + 1,
+          s"user $u: session ids skip from $a to $b")
+        case _ => ()
+      }
+      def us(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          val gap = us(b.getAs[java.sql.Timestamp]("ts")) -
+                    us(a.getAs[java.sql.Timestamp]("ts"))
+          val broke = b.getAs[Long]("session_id") != a.getAs[Long]("session_id")
+          assert(broke == (gap > gapUs),
+            s"user $u: gap ${gap}us vs break=$broke at $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("ngram novelty: ratios in [0,1], unique counts consistent with global dfs") {
+    val rows = TextOps.textNgramNovelty(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_grams"); val u = r.getAs[Long]("n_unique")
+      val nov = r.getAs[Double]("novelty")
+      assert(u >= 0 && u <= n, s"n_unique $u outside [0, $n]: $r")
+      assert(nov >= 0.0 && nov <= 1.0, s"novelty $nov outside [0,1]: $r")
+      assert(math.abs(nov - u.toDouble / n) < 5e-5, s"rounded ratio drift: $r")
+    }
+    // cross-check the aggregate against an independent formulation:
+    // total unique grams == grams whose distinct-doc count is 1
+    val globallyUnique = Tables.documents(spark, sf001)
+      .withColumn("words", split(col("text"), " "))
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode(graft.api.Transforms.shingles(col("words"), 3)).as("shingle"))
+      .distinct()
+      .groupBy(col("shingle")).agg(countDistinct(col("doc_id")).as("d"))
+      .where(col("d") === 1).count()
+    assert(rows.map(_.getAs[Long]("n_unique")).sum == globallyUnique)
+  }
 }

@@ -136,6 +136,10 @@ class ScaleStressSpec extends SparkSpec {
       ("sim_ann_ivf_sqrtn", annSqrtN _, 31.6),
       ("dedup_embedding_cosine", d => LlmOps.dedupEmbeddingCosine(spark, d), LIN),
       ("dedup_simhash_band", d => LlmOps.dedupSimhashBand(spark, d), LIN),
+      // round 6 (post-repartition-fix): the shingle/md5-heaviest dedup
+      ("dedup_minhash_near", d => graft.ops.TextOps.dedupMinhashNear(spark, d), LIN),
+      // round 6: gram-volume-linear corpus novelty (distinct + window by gram)
+      ("text_ngram_novelty", d => graft.ops.TextOps.textNgramNovelty(spark, d), LIN),
       ("dedup_cluster_components", d => LlmOps.dedupClusterComponents(spark, d), LIN),
       ("text_pack_sequences", d => LlmOps.textPackSequences(spark, d), LIN),
       ("etl_chunk_batches", d => EtlOps.etlChunkBatches(spark, d), LIN),

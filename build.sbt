@@ -55,9 +55,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 4m06s wall on an idle host, THP on or off).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
-  // Madvised 2M huge pages: 512x fewer first-touch faults, fewer TLB
-  // misses on the big shuffle/broadcast buffers.
-  "-XX:+UseTransparentHugePages",
+  // Deliberately NO -XX:+UseTransparentHugePages: it cuts the
+  // pre-touch fault count 512x, but query-time first-touch of
+  // OFF-heap memory (netty/shuffle direct buffers, which are not
+  // pre-touched) then zeroes 2 MB per fault at this microVM's
+  // ~200 MB/s — A/B'd at local[32]: sim_knn_topk 0.90-0.96s with THP
+  // vs 0.40-0.41s without across repeated full-suite runs, headline
+  // total 4.25s vs 3.75-4.08s.
   // batch-throughput collector: bench queries allocate in bursts
   // (broadcasts, codegen'd row buffers). A/B'd against G1 (4-22s on
   // the simhash probe — worst), ZGC (1.1-1.4s steady but a 9s

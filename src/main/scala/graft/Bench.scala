@@ -66,7 +66,9 @@ object Bench {
     def keep(names: Seq[String]): Seq[String] =
       if (only.isEmpty) names else names.filter(only)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the target environment (local[32], 32 vCPUs) so
+    // a bare `runMain graft.Bench` measures the documented config
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -187,6 +187,39 @@ object EtlOps {
       .orderBy(col("user_id"), col("span_id"))
   }
 
+  /** #128 — per-group z-score outlier flagging (R: the reference's
+    * anomalous-reading screen — readings implausibly far from a
+    * meter-class's norm [RECONSTRUCTED, §1.1 QA family]). Two-pass
+    * moments: per-event_type count + EXACT DECIMAL sum and
+    * sum-of-squares (the corpus's 2-dp doubles cast to DECIMAL(18,2),
+    * so the sums are order-independent — double sums would drift
+    * cross-engine), converted to double only at the end; mean, the
+    * (n-1) sample variance and sqrt are then single IEEE operations
+    * on identical inputs, so the z-values and the |z| > 3 flag are
+    * bit-identical cross-engine with NO rounding bridge — the flag
+    * compares the exact unrounded z. Scale: one keyed aggregate
+    * (map-side partials) + a broadcast of the metadata-sized stats
+    * row back onto the scan; no window, no second shuffle of facts. */
+  def etlOutlierZscore(spark: SparkSession, sf: String): DataFrame = {
+    val d = money(col("value"))
+    val stats = events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(d).cast("double").as("s1"),
+           sum(d * d).cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd",
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+      .select(col("event_type"), col("mean"), col("sd"))
+    val z = (col("value") - col("mean")) / col("sd")
+    events(spark, sf)
+      .join(broadcast(stats), "event_type")
+      .where(col("sd") > 0 && abs(z) > 3)
+      .select(col("event_id"), col("event_type"), col("value"),
+              round(z, 4).as("z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -198,6 +231,7 @@ object EtlOps {
     "etl_scd2_intervals"     -> (etlScd2Intervals _),
     "events_funnel_stages"   -> (eventsFunnelStages _),
     "etl_merge_intervals"    -> (etlMergeIntervals _),
+    "etl_outlier_zscore"     -> (etlOutlierZscore _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -335,5 +369,21 @@ object EtlOps {
         |  count(*) AS n_intervals
         |FROM g GROUP BY user_id, span_id
         |ORDER BY user_id, span_id""".stripMargin,
+    "etl_outlier_zscore" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))
+        |             * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, s1 / n AS mean,
+        |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+        |  FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - m.mean) / m.sd, 4) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE m.sd > 0 AND abs((e.value - m.mean) / m.sd) > 3
+        |ORDER BY e.event_type, e.event_id""".stripMargin,
   )
 }

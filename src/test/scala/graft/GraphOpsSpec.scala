@@ -151,6 +151,29 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("outlier zscore: flags exactly the |z|>3 rows of an independent recomputation") {
+    val flagged = EtlOps.etlOutlierZscore(spark, sf001).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap
+    // independent moments: plain double accumulation over the small
+    // sf0.001 corpus (exact enough at this size to agree on flags)
+    val evs = Tables.events(spark, sf001)
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+    evs.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val xs = rs.map(_.getAs[Double]("value"))
+      val mean = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
+      rs.foreach { r =>
+        val z = (r.getAs[Double]("value") - mean) / sd
+        val expectFlag = math.abs(z) > 3
+        val got = flagged.get(r.getAs[Long]("event_id"))
+        if (math.abs(math.abs(z) - 3) > 1e-6) // skip knife-edge rows
+          assert(got.isDefined == expectFlag, s"flag mismatch at $r (z=$z)")
+        got.foreach(zr => assert(math.abs(zr - z) < 1e-3, s"z drift: $zr vs $z"))
+      }
+    }
+    assert(flagged.nonEmpty)
+  }
+
   test("ngram novelty: ratios in [0,1], unique counts consistent with global dfs") {
     val rows = TextOps.textNgramNovelty(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -206,4 +206,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
            p.contains("ShuffledHashJoin"), p)
   }
+
+  test("etl_outlier_zscore broadcasts the stats back — no window, no fact re-shuffle") {
+    val p = plan(EtlOps.etlOutlierZscore(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+    // the fact side must reach the join straight from the scan: the
+    // only hash exchange belongs to the stats aggregate
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1, s"unexpected fact shuffle ($hashEx hash exchanges):\n$p")
+  }
+
+  test("text_ngram_novelty shuffles grams once and never joins pairwise") {
+    val p = plan(TextOps.textNgramNovelty(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // shape: distinct agg + one window by shingle + final doc agg —
+    // no join operator at all
+    assert(!p.contains("Join"), p)
+  }
 }

@@ -223,6 +223,76 @@ object ScanOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #129 — parquet schema evolution (mergeSchema): the multi-year
+    * datastore reality — early batches lack columns later batches
+    * carry. Two batches of nation are written under partition
+    * directories `batch=1` (original 3-column schema) and `batch=2`
+    * (key shifted +100, plus a new `name_len` column); the merged
+    * read must union the schemas, null-fill the missing column in
+    * old batches, and surface `batch` as a partition column. Scale:
+    * schema merge is a FOOTER-only operation (no data read) and the
+    * scan stays partition-parallel. Oracle-graded: the round-trip is
+    * lossless, so the per-batch aggregate is recomputable straight
+    * off the nation parquet (the #102 pattern). */
+  def sourceParquetEvolution(spark: SparkSession, sf: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_parquet_evolution"
+    val n = nation(spark, sf)
+    n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=1")
+    n.select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+             col("n_regionkey"),
+             length(col("n_name")).cast("long").as("name_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("batch").cast("long").as("batch"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("name_len")).as("n_with_len"),
+           sum(coalesce(col("name_len"), lit(0L))).as("total_len"),
+           max(col("n_nationkey")).cast("long").as("max_key"))
+      .orderBy(col("batch"))
+  }
+
+  /** #130 — globally-sorted sharded sink: write orders as 8
+    * range-partitioned, internally-sorted parquet shards — the
+    * distributed TOTAL SORT layout (sample → range shuffle → local
+    * sort; no single sorting task, the thing `ORDER BY` into one file
+    * cannot do at 100 TB). The read-back PROVES the global order:
+    * per-file (min, max) of the sort key — computed distributed, 8
+    * metadata rows to the driver — must be pairwise non-overlapping
+    * in file-range order. Oracle-graded: lossless round-trip ⇒ the
+    * per-year aggregate equals the same off the orders parquet. */
+  def sinkSortedShards(spark: SparkSession, sf: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_shards"
+    orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // numeric view of the sort key for the overlap check (typed date/
+    // timestamp getters vary with the reader's java8 datetime config)
+    val keyUs = unix_micros(col("o_orderdate").cast("timestamp"))
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min(struct(keyUs.as("d"), col("o_orderkey").as("k"))).as("lo"),
+           max(struct(keyUs.as("d"), col("o_orderkey").as("k"))).as("hi"))
+      .collect() // one row per shard file — metadata scale
+      .sortBy(r => (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1)))
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        val hi = a.getStruct(2); val lo = b.getStruct(1)
+        val ok = hi.getLong(0) < lo.getLong(0) ||
+          (hi.getLong(0) == lo.getLong(0) && hi.getLong(1) < lo.getLong(1))
+        require(ok, s"sinkSortedShards: shard ranges overlap: $a / $b")
+      case _ => ()
+    }
+    back
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_year"))
+  }
+
   /** #115 — `binaryFile` source over a directory of real image files:
     * THE ingestion path for a multimodal corpus (millions of image/
     * audio files → one binary column, partition-parallel, no driver
@@ -271,6 +341,8 @@ object ScanOps {
     "source_json_lines"        -> (sourceJsonLines _),
     "sink_parquet_partitioned" -> (sinkParquetPartitioned _),
     "source_binary_files"      -> (sourceBinaryFiles _),
+    "source_parquet_evolution" -> (sourceParquetEvolution _),
+    "sink_sorted_shards"       -> (sinkSortedShards _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -345,5 +417,22 @@ object ScanOps {
         |         AS pix_sum
         |FROM c GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin,
+    "source_parquet_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_with_len, CAST(0 AS BIGINT) AS total_len,
+        |  CAST(max(n_nationkey) AS BIGINT) AS max_key
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), count(*),
+        |  CAST(sum(length(n_name)) AS BIGINT),
+        |  CAST(max(n_nationkey) + 100 AS BIGINT)
+        |FROM nation
+        |ORDER BY batch""".stripMargin,
+    "sink_sorted_shards" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
   )
 }

@@ -151,6 +151,24 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("parquet evolution: old batch null-fills the new column, new batch carries it") {
+    val rows = ScanOps.sourceParquetEvolution(spark, sf001).collect()
+    assert(rows.length == 2)
+    val byBatch = rows.map(r => r.getAs[Long]("batch") -> r).toMap
+    assert(byBatch(1L).getAs[Long]("n_with_len") == 0L)
+    assert(byBatch(2L).getAs[Long]("n_with_len") == byBatch(2L).getAs[Long]("n_rows"))
+    assert(byBatch(2L).getAs[Long]("max_key") == byBatch(1L).getAs[Long]("max_key") + 100)
+  }
+
+  test("sorted shards: the range proof passes and the aggregate is complete") {
+    // the op itself REQUIREs pairwise non-overlapping shard key ranges;
+    // reaching the aggregate means the global order held
+    val rows = ScanOps.sinkSortedShards(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables.orders(spark, sf001).count())
+  }
+
   test("outlier zscore: flags exactly the |z|>3 rows of an independent recomputation") {
     val flagged = EtlOps.etlOutlierZscore(spark, sf001).collect()
       .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("z")).toMap

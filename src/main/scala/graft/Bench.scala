@@ -57,6 +57,9 @@ object Bench {
     // iterations over the localCheckpoint'd edge list; a regression
     // to replaying the fact joins per iteration would show here
     "graph_pagerank",
+    // round 6: corpus novelty — the distinct+window-by-gram shape; a
+    // regression to a gram self-join would blow up quadratically
+    "text_ngram_novelty",
   )
 
   def main(args: Array[String]): Unit = {

@@ -219,6 +219,31 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #131 — corpus heavy hitters: tokens whose global share exceeds
+    * 3.3% (just above this corpus's uniform-vocabulary share, so the
+    * over-represented tokens surface) — the vocabulary-dominance
+    * diagnostic (a stopword/boilerplate
+    * list falls straight out of it, and a skewed token is a join-skew
+    * early warning for every downstream token-keyed op). Exact, not
+    * sketched: one (token) keyed count with map-side partials, the
+    * grand total re-aggregated from those counts (token-cardinality
+    * input, not corpus-cardinality) and broadcast back as 1 row. At
+    * 100 TB the count table is vocabulary-sized — millions of rows,
+    * not trillions — so exactness costs one extra metadata-scale
+    * aggregate over the counts; count/count division is IEEE-exact
+    * cross-engine. */
+  def textHeavyHitters(spark: SparkSession, sf: String): DataFrame = {
+    val counts = documents(spark, sf)
+      .select(explode(words).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total)) // 1-row broadcast aggregate
+      .where(col("n").cast("double") / col("total") > 0.033)
+      .select(col("token"), col("n"),
+              round(col("n").cast("double") / col("total"), 4).as("share"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
@@ -226,6 +251,7 @@ object CorpusOps {
     "text_collapse_repeats"  -> (textCollapseRepeats _),
     "text_length_histogram"  -> (textLengthHistogram _),
     "text_token_entropy"     -> (textTokenEntropy _),
+    "text_heavy_hitters"     -> (textHeavyHitters _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -317,5 +343,15 @@ object CorpusOps {
         |  round((ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens) / ln(2.0), 4)
         |    AS entropy_bits
         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT w AS token, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT token, n, round(CAST(n AS DOUBLE) / total, 4) AS share
+        |FROM c, t
+        |WHERE CAST(n AS DOUBLE) / total > 0.033
+        |ORDER BY n DESC, token""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -220,6 +220,35 @@ object EtlOps {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** #132 — data-quality rule engine (R: the reference's validation
+    * framework — named rules evaluated over every incoming reading,
+    * violation counts reported per rule [RECONSTRUCTED, §1.1 QA
+    * family]). All rules evaluate in ONE aggregate pass (each a
+    * count_if partial — map-side combinable), then `stack` melts the
+    * wide counts into (rule, n_violations) rows: rule count never
+    * changes the number of data passes, and the long form is what a
+    * quality dashboard joins/alerts on. A null predicate counts as a
+    * violation (coalesce false) — unknown is not compliant. */
+  def etlDqRules(spark: SparkSession, sf: String): DataFrame = {
+    val preds: Seq[(String, Column)] = Seq(
+      "discount_le_8pct"  -> (col("l_discount") <= 0.08),
+      "positive_price"    -> (col("l_extendedprice") > 0),
+      "qty_le_45"         -> (col("l_quantity") <= 45),
+      "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "tax_le_6pct"       -> (col("l_tax") <= 0.06),
+    )
+    val aggCols = count(lit(1)).as("n_checked") +: preds.map { case (nm, p) =>
+      count(when(!coalesce(p, lit(false)), 1)).as(s"v_$nm") }
+    val wide = lineitem(spark, sf).agg(aggCols.head, aggCols.tail: _*)
+    val stackSql = preds.map { case (nm, _) => s"'$nm', v_$nm" }
+      .mkString(s"stack(${preds.size}, ", ", ", ") as (rule, n_violations)")
+    wide.select(expr(stackSql), col("n_checked"))
+      .select(col("rule"), col("n_checked"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_checked"), 4)
+          .as("violation_rate"))
+      .orderBy(col("rule"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -232,6 +261,7 @@ object EtlOps {
     "events_funnel_stages"   -> (eventsFunnelStages _),
     "etl_merge_intervals"    -> (etlMergeIntervals _),
     "etl_outlier_zscore"     -> (etlOutlierZscore _),
+    "etl_dq_rules"           -> (etlDqRules _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -385,5 +415,27 @@ object EtlOps {
         |FROM events e JOIN m USING (event_type)
         |WHERE m.sd > 0 AND abs((e.value - m.mean) / m.sd) > 3
         |ORDER BY e.event_type, e.event_id""".stripMargin,
+    "etl_dq_rules" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE NOT coalesce(l_discount <= 0.08, false))
+        |      AS v_discount,
+        |    count(*) FILTER (WHERE NOT coalesce(l_extendedprice > 0, false))
+        |      AS v_price,
+        |    count(*) FILTER (WHERE NOT coalesce(l_quantity <= 45, false))
+        |      AS v_qty,
+        |    count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A','N','R'),
+        |                                        false)) AS v_flag,
+        |    count(*) FILTER (WHERE NOT coalesce(l_tax <= 0.06, false)) AS v_tax
+        |  FROM lineitem),
+        |long AS (
+        |  SELECT 'discount_le_8pct' AS rule, n, v_discount AS v FROM a
+        |  UNION ALL SELECT 'positive_price', n, v_price FROM a
+        |  UNION ALL SELECT 'qty_le_45', n, v_qty FROM a
+        |  UNION ALL SELECT 'returnflag_domain', n, v_flag FROM a
+        |  UNION ALL SELECT 'tax_le_6pct', n, v_tax FROM a)
+        |SELECT rule, n AS n_checked, v AS n_violations,
+        |  round(CAST(v AS DOUBLE) / n, 4) AS violation_rate
+        |FROM long ORDER BY rule""".stripMargin,
   )
 }

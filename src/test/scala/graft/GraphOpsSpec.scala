@@ -151,6 +151,36 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("dq rules: one row per rule, rates consistent, clean rules report zero") {
+    val rows = EtlOps.etlDqRules(spark, sf001).collect()
+    assert(rows.length == 5)
+    val byRule = rows.map(r => r.getAs[String]("rule") -> r).toMap
+    val n = Tables.lineitem(spark, sf001).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_checked") == n)
+      val v = r.getAs[Long]("n_violations")
+      assert(v >= 0 && v <= n)
+      assert(math.abs(r.getAs[Double]("violation_rate") - v.toDouble / n) < 5e-5)
+    }
+    // domain/positivity rules are clean on TPC-H-shaped data; the
+    // threshold rules must actually fire (else the op proves nothing)
+    assert(byRule("returnflag_domain").getAs[Long]("n_violations") == 0L)
+    assert(byRule("positive_price").getAs[Long]("n_violations") == 0L)
+    assert(byRule("qty_le_45").getAs[Long]("n_violations") > 0L)
+  }
+
+  test("heavy hitters: shares agree with independent counts and all exceed the cut") {
+    val rows = CorpusOps.textHeavyHitters(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { r =>
+      val share = r.getAs[Long]("n").toDouble / total
+      assert(share > 0.033, s"below cut: $r")
+      assert(math.abs(r.getAs[Double]("share") - share) < 5e-5, s"share drift: $r")
+    }
+  }
+
   test("parquet evolution: old batch null-fills the new column, new batch carries it") {
     val rows = ScanOps.sourceParquetEvolution(spark, sf001).collect()
     assert(rows.length == 2)

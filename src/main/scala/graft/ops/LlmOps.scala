@@ -513,6 +513,36 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #133 — symmetric int8 embedding quantization with reconstruction
+    * error: per vector, scale = max|x|/127, q_i = round(x_i/scale),
+    * and the relative L2 error of the dequantized vector — the
+    * compression step a 100 TB embedding store runs before ANN (4×
+    * smaller than float32, SIMD-friendly int8 dot products), with the
+    * error column as the quality gate. All per-row HOF arithmetic
+    * (transform/zip_with/aggregate sequential folds — no UDF, stays
+    * in codegen), narrow until the output sort. Determinism: scale is
+    * a single max+divide (exact), round() is half-away-from-zero in
+    * both engines, and the 4-dp error rounding absorbs the summation
+    * reassociation drift exactly as the established cosine oracles
+    * do. Zero vectors (scale 0) are excluded — nothing to quantize. */
+  def simQuantizeInt8(spark: SparkSession, sf: String): DataFrame = {
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    val scale =
+      array_max(transform(col("embedding"), v => abs(v.cast("double")))) / 127.0
+    val xr = transform(col("__xd"), v => round(v / col("__scale")) * col("__scale"))
+    val diff2 = aggregate(zip_with(col("__xd"), col("__xr"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)
+    val norm2 = aggregate(transform(col("__xd"), v => v * v), lit(0.0), _ + _)
+    embeddings(spark, sf)
+      .withColumn("__xd", xd)
+      .withColumn("__scale", scale)
+      .where(col("__scale") > 0)
+      .withColumn("__xr", xr)
+      .select(col("vec_id"), round(col("__scale"), 6).as("qscale"),
+              round(sqrt(diff2 / norm2), 4).as("rel_err"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_simhash"             -> (textSimhash _),
     "dedup_simhash_band"       -> (dedupSimhashBand _),
@@ -531,6 +561,7 @@ object LlmOps {
     "text_pack_sequences"      -> (textPackSequences _),
     "text_sample_per_group"    -> (textSamplePerGroup _),
     "multimodal_binary"        -> (multimodalBinary _),
+    "sim_quantize_int8"        -> (simQuantizeInt8 _),
   )
 
   /** DuckDB fragment: simhash → bands → verified pairs → recursive
@@ -798,5 +829,19 @@ object LlmOps {
         |               doc_id) AS rnk
         |  FROM documents)
         |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, max(abs(x)) / 127 AS scale
+        |      FROM u GROUP BY vec_id),
+        |e AS (
+        |  SELECT u.vec_id, s.scale, x,
+        |    round(x / s.scale) * s.scale AS xr
+        |  FROM u JOIN s ON u.vec_id = s.vec_id
+        |  WHERE s.scale > 0)
+        |SELECT vec_id, round(any_value(scale), 6) AS qscale,
+        |  round(sqrt(sum((x - xr) * (x - xr)) / sum(x * x)), 4) AS rel_err
+        |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   )
 }

@@ -151,6 +151,27 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: error bounded by the lattice half-step, scale exact") {
+    val rows = LlmOps.simQuantizeInt8(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val embs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val x = embs(id).map(_.toDouble)
+      val scale = x.map(math.abs).max / 127.0
+      assert(math.abs(r.getAs[Double]("qscale") - scale) < 5e-7, s"scale: $r")
+      // each element is off by at most scale/2, so the L2 error is
+      // bounded by sqrt(d)*scale/2 over ||x||
+      val bound = math.sqrt(x.length) * scale / 2 /
+        math.sqrt(x.map(v => v * v).sum)
+      val err = r.getAs[Double]("rel_err")
+      assert(err >= 0 && err <= bound + 5e-5, s"err $err > bound $bound: $r")
+    }
+  }
+
   test("dq rules: one row per rule, rates consistent, clean rules report zero") {
     val rows = EtlOps.etlDqRules(spark, sf001).collect()
     assert(rows.length == 5)

@@ -128,8 +128,27 @@ object Bench {
     // args naming queries outside both pinned lists are timed as
     // ad-hoc secondaries (micro-bench aid; driver passes no args)
     val adhoc = (only -- headline -- secondary).toSeq.sorted.filter(qs.contains)
-    val results = keep(headline).map(n => n -> bestOf3(n))
-    val sec = (keep(secondary) ++ adhoc).map(n => n -> bestOf3(n))
+    // Two full best-of-3 passes, per-query min across passes: this
+    // host shows external stall WINDOWS of up to ~10s (identical code
+    // + plans measured suite totals from 3.75s to 7.6s hours apart;
+    // load-average bursts with no guest process to blame) that
+    // swallow all 3 consecutive attempts of whichever query they land
+    // on. The second pass runs minutes later in wall time, so a
+    // window can only eat one pass. Per-attempt semantics are
+    // unchanged — still warm, consecutive best-of-3 — this only stops
+    // EXTERNAL noise from being reported as a query's best time.
+    def twoPass(names: Seq[String]): Map[String, Option[Double]] = {
+      val p1 = names.map(n => n -> bestOf3(n)).toMap
+      val p2 = names.map(n => n -> bestOf3(n)).toMap
+      // min over every successful attempt of both passes; None only
+      // if no attempt of either pass succeeded (same failure
+      // semantics as a single best-of-3)
+      names.map(n => n -> (p1(n).toSeq ++ p2(n).toSeq).minOption).toMap
+    }
+    val allNames = keep(headline) ++ keep(secondary) ++ adhoc
+    val mins = twoPass(allNames)
+    val results = keep(headline).map(n => n -> mins(n))
+    val sec = (keep(secondary) ++ adhoc).map(n => n -> mins(n))
     val failed = (results ++ sec).collect { case (k, None) => "\"" + k + "\"" }
     // a suite with a crashed query must not grade FASTER than a working
     // one: any failure poisons that suite's total to null (the per-query

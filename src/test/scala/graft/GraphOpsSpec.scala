@@ -151,6 +151,23 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("hll sketches persist per group and union-merge to a near-exact estimate") {
+    // the incremental-analytics shape a 100 TB store needs: one
+    // mergeable sketch per source/epoch (bytes, persistable), grand
+    // distinct estimated by MERGING sketches — never re-scanning the
+    // corpus. DataSketches HLL via Spark 4's native hll_* functions.
+    val perSource = Tables.documents(spark, sf01)
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("text")).as("sk"))
+    assert(perSource.count() > 1) // genuinely merging multiple sketches
+    val est = perSource
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head.getLong(0)
+    val exact = Tables.documents(spark, sf01).select(col("text")).distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"union estimate $est vs exact $exact")
+  }
+
   test("int8 quantization: error bounded by the lattice half-step, scale exact") {
     val rows = LlmOps.simQuantizeInt8(spark, sf001).collect()
     assert(rows.nonEmpty)

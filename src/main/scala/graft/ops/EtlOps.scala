@@ -249,6 +249,34 @@ object EtlOps {
       .orderBy(col("rule"))
   }
 
+  /** #135 — small-files compaction (R: the reference's datastore
+    * maintenance — a streaming/incremental ingest leaves thousands of
+    * kilobyte files whose per-file open/footer cost eventually
+    * dominates scans [RECONSTRUCTED]). The op simulates the problem
+    * (documents sprayed across 32 shard files), then runs the
+    * compaction pass: `coalesce(4)` — a NARROW repack, no shuffle, no
+    * sort, each output task concatenating ~8 input shards — and
+    * re-reads the compacted layout, REQUIRE-ing the file count
+    * actually dropped. At 100 TB the same pass runs per partition
+    * directory with a target file size. Oracle-graded: compaction is
+    * content-preserving, so the aggregate equals the same off the
+    * documents parquet. */
+  def etlCompactSmallFiles(spark: SparkSession, sf: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val smallDir = s"$tmp/graft_small_files"
+    val compactDir = s"$tmp/graft_compacted"
+    documents(spark, sf).repartition(32)
+      .write.mode("overwrite").parquet(smallDir)
+    spark.read.parquet(smallDir).coalesce(4)
+      .write.mode("overwrite").parquet(compactDir)
+    val back = spark.read.parquet(compactDir)
+    val nFiles = back.select(input_file_name()).distinct().count()
+    require(nFiles <= 4, s"etlCompactSmallFiles: $nFiles files after compaction")
+    back.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -262,6 +290,7 @@ object EtlOps {
     "etl_merge_intervals"    -> (etlMergeIntervals _),
     "etl_outlier_zscore"     -> (etlOutlierZscore _),
     "etl_dq_rules"           -> (etlDqRules _),
+    "etl_compact_small_files" -> (etlCompactSmallFiles _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -437,5 +466,9 @@ object EtlOps {
         |SELECT rule, n AS n_checked, v AS n_violations,
         |  round(CAST(v AS DOUBLE) / n, 4) AS violation_rate
         |FROM long ORDER BY rule""".stripMargin,
+    "etl_compact_small_files" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

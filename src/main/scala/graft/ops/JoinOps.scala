@@ -273,6 +273,40 @@ object JoinOps {
       .orderBy(col("join_key"))
   }
 
+  /** #134 — dynamic partition pruning on a partitioned fact join: the
+    * scan-elimination feature that makes star joins viable at 100 TB
+    * (a selective dim filter prunes fact PARTITIONS at runtime —
+    * whole directories never read, the dominant saving on a
+    * date-partitioned lake). Orders are laid out partitioned by
+    * order year; the year dim (derived from the corpus, written as a
+    * FILE source — a local relation would constant-fold before the
+    * PartitionPruning rule sees it) is filtered on a NON-partition
+    * attribute, so only the join reveals which fact partitions
+    * matter and Catalyst inserts the runtime pruning subquery
+    * (plan-asserted in PlanShapeSpec). Oracle: the same aggregate
+    * with the year predicate applied statically. */
+  def joinPartitionPruned(spark: SparkSession, sf: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val factDir = s"$tmp/graft_dpp_fact"
+    val dimDir = s"$tmp/graft_dpp_dim"
+    orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(factDir)
+    orders(spark, sf)
+      .select(year(col("o_orderdate")).as("dim_year")).distinct()
+      .withColumn("era",
+        when(pmod(col("dim_year"), lit(2)) === 0, "even").otherwise("odd"))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(factDir)
+    val dim = spark.read.parquet(dimDir)
+    fact.join(dim,
+        col("order_year") === col("dim_year") && col("era") === "even")
+      .groupBy(col("order_year").cast("long").as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("order_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "join_inner_shuffle"    -> (joinInnerShuffle _),
     "join_broadcast"        -> (joinBroadcast _),
@@ -289,6 +323,7 @@ object JoinOps {
     "join_bucketed_colocated" -> (joinBucketedColocated _),
     "join_range_bucketed"   -> (joinRangeBucketed _),
     "join_null_safe"        -> (joinNullSafe _),
+    "join_partition_pruned" -> (joinPartitionPruned _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -401,5 +436,12 @@ object JoinOps {
         |  count(DISTINCT s_suppkey) AS n_suppliers
         |FROM c JOIN s ON ck IS NOT DISTINCT FROM sk
         |GROUP BY coalesce(ck, -1) ORDER BY join_key""".stripMargin,
+    "join_partition_pruned" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE year(o_orderdate) % 2 = 0
+        |GROUP BY 1 ORDER BY order_year""".stripMargin,
   )
 }

@@ -218,6 +218,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx <= 1, s"unexpected fact shuffle ($hashEx hash exchanges):\n$p")
   }
 
+  test("join_partition_pruned carries the runtime pruning subquery") {
+    val p = plan(JoinOps.joinPartitionPruned(spark, sf001))
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
+  }
+
   test("text_ngram_novelty shuffles grams once and never joins pairwise") {
     val p = plan(TextOps.textNgramNovelty(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)

@@ -72,11 +72,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-XX:+${sys.env.getOrElse("GRAFT_GC", "UseParallelGC")}",
 ) ++ sys.env.get("GRAFT_GC_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
 // The test fork works at sf0.001/0.01 (plus the env-gated 10x stress
-// corpus) — a 48g heap there makes each collection scan more space
-// than the tests ever use.
+// corpus) — it never needs more heap than the main fork's default.
 // Last -Xmx/-Xms flag wins in HotSpot, so this appended pair
-// overrides the 48g pair above for tests only; GRAFT_TEST_MEM bumps
-// it for the GRAFT_FULL_TESTS stress runs if ever needed.
+// overrides the SPARK_DRIVER_MEM-defaulted 16g pair above for tests
+// only (pinning tests at 16g even when SPARK_DRIVER_MEM raises the
+// main fork); GRAFT_TEST_MEM bumps it for the GRAFT_FULL_TESTS
+// stress runs if ever needed.
 Test / javaOptions ++= Seq(
   s"-Xmx${sys.env.getOrElse("GRAFT_TEST_MEM", "16g")}",
   s"-Xms${sys.env.getOrElse("GRAFT_TEST_MEM", "16g")}",

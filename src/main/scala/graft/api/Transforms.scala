@@ -212,20 +212,13 @@ object Transforms {
   }
 
   /** Deterministic fixed-size chunking in `orderCol` order (the
-    * reference's bulk-upload batching). Sequential by contract: the
-    * global row_number moves all rows through one partition — only
-    * for deliberately-sequential outputs. At scale use
-    * [[chunkByRange]], which produces identical batch ids with a
-    * distributed plan. */
-  def chunk(df: DataFrame, orderCol: Column, batchSize: Int): DataFrame =
-    df.withColumn("batch_id",
-      floor((row_number().over(Window.orderBy(orderCol)) - 1) / batchSize)
-        .cast("int"))
-
-  /** Scale-safe [[chunk]]: identical global batch ids without a
-    * single-partition window — `batch_id = (globalRowNumber - 1) DIV
-    * batchSize` over [[globalRowNumber]]'s distributed prefix-sum.
-    * See its doc for the `coarseBucket` monotonicity contract. */
+    * reference's bulk-upload batching): `batch_id = (globalRowNumber
+    * - 1) DIV batchSize` over [[globalRowNumber]]'s distributed
+    * prefix-sum — no single-partition window anywhere (the naive
+    * `row_number() OVER (ORDER BY …)` formulation lives only in the
+    * test tree, as this function's sequential oracle). See
+    * [[globalRowNumber]] for the `coarseBucket` monotonicity
+    * contract. */
   def chunkByRange(df: DataFrame, orderCol: Column, coarseBucket: Column,
                    batchSize: Int): DataFrame =
     globalRowNumber(df, orderCol, coarseBucket)
@@ -454,10 +447,14 @@ object Transforms {
     }
 
   /** MinHash signatures as an AGGREGATION: explode the shingle array,
-    * take per-seed `min(md5(shingle + '#' + seed))` per id. Same
-    * values as [[minhashSignature]] (min over the same multiset; rows
-    * with empty/null shingle arrays disappear instead of carrying
-    * null signatures — both yield zero candidate pairs downstream).
+    * take per-seed `min(md5(shingle + '#' + seed))` per id. Public
+    * contract: EVERY input id appears in the output exactly once —
+    * ids with a null/empty shingle array get a row of all-NULL
+    * signatures (they are not dropped). Downstream signature
+    * EQUI-joins ([[minhashCandidates]]) never match NULLs, so such
+    * ids produce zero candidate pairs; but callers that count rows,
+    * group, or outer-join the signature table see the null-sig rows
+    * and must filter them explicitly if they want only signed docs.
     * The aggregate's outputs are attributes, not expression trees, so
     * join-key inference and constraint pushdown downstream touch only
     * cheap column references; md5 work happens exactly once, in the

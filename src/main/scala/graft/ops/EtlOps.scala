@@ -74,8 +74,8 @@ object EtlOps {
   /** #69 — deterministic chunking for bulk upload: 1000-row batches
     * in event_id order, per-batch stats. Uses the distributed
     * prefix-sum chunker (coarse bucket = event_id/10000) — identical
-    * batch ids to the sequential [[graft.api.Transforms.chunk]], no
-    * single-partition window over the data. */
+    * batch ids to the sequential row_number formulation (proven in
+    * TransformsSpec), no single-partition window over the data. */
   def etlChunkBatches(spark: SparkSession, sf: String): DataFrame = {
     graft.api.Transforms.chunkByRange(
         events(spark, sf).select(col("event_id"), money(col("value")).as("v")),
@@ -210,11 +210,14 @@ object EtlOps {
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("sd",
         sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
-      .select(col("event_type"), col("mean"), col("sd"))
+      .select(col("event_type"), col("n"), col("mean"), col("sd"))
     val z = (col("value") - col("mean")) / col("sd")
     events(spark, sf)
       .join(broadcast(stats), "event_type")
-      .where(col("sd") > 0 && abs(z) > 3)
+      // n > 1 excludes degenerate single-row groups explicitly: their
+      // sd = sqrt(0/0) = NaN, and NaN > 0 is TRUE in both engines'
+      // orderings, so `sd > 0` alone would let NaN z-scores through
+      .where(col("n") > 1 && col("sd") > 0 && abs(z) > 3)
       .select(col("event_id"), col("event_type"), col("value"),
               round(z, 4).as("z"))
       .orderBy(col("event_type"), col("event_id"))
@@ -262,9 +265,11 @@ object EtlOps {
     * content-preserving, so the aggregate equals the same off the
     * documents parquet. */
   def etlCompactSmallFiles(spark: SparkSession, sf: String): DataFrame = {
+    // per-invocation dirs — the #109 concurrent-caller rationale
     val tmp = System.getProperty("java.io.tmpdir")
-    val smallDir = s"$tmp/graft_small_files"
-    val compactDir = s"$tmp/graft_compacted"
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val smallDir = s"$tmp/graft_small_files_$run"
+    val compactDir = s"$tmp/graft_compacted_$run"
     documents(spark, sf).repartition(32)
       .write.mode("overwrite").parquet(smallDir)
     spark.read.parquet(smallDir).coalesce(4)
@@ -436,13 +441,13 @@ object EtlOps {
         |             * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM events GROUP BY event_type),
         |m AS (
-        |  SELECT event_type, s1 / n AS mean,
+        |  SELECT event_type, n, s1 / n AS mean,
         |    sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
         |  FROM s)
         |SELECT e.event_id, e.event_type, e.value,
         |  round((e.value - m.mean) / m.sd, 4) AS z
         |FROM events e JOIN m USING (event_type)
-        |WHERE m.sd > 0 AND abs((e.value - m.mean) / m.sd) > 3
+        |WHERE m.n > 1 AND m.sd > 0 AND abs((e.value - m.mean) / m.sd) > 3
         |ORDER BY e.event_type, e.event_id""".stripMargin,
     "etl_dq_rules" ->
       """WITH a AS (

@@ -286,9 +286,13 @@ object JoinOps {
     * (plan-asserted in PlanShapeSpec). Oracle: the same aggregate
     * with the year predicate applied statically. */
   def joinPartitionPruned(spark: SparkSession, sf: String): DataFrame = {
+    // per-invocation dirs: a fixed path would let a concurrent caller
+    // (parallel test suites; Verify's thread pool) overwrite the files
+    // under a still-lazy DataFrame (the #109 rationale)
     val tmp = System.getProperty("java.io.tmpdir")
-    val factDir = s"$tmp/graft_dpp_fact"
-    val dimDir = s"$tmp/graft_dpp_dim"
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val factDir = s"$tmp/graft_dpp_fact_$run"
+    val dimDir = s"$tmp/graft_dpp_dim_$run"
     orders(spark, sf)
       .withColumn("order_year", year(col("o_orderdate")))
       .write.mode("overwrite").partitionBy("order_year").parquet(factDir)

@@ -307,44 +307,70 @@ object LlmOps {
   // #79 IVF approximate kNN
   // ---------------------------------------------------------------
 
-  /** #79 — IVF-bucketed approximate kNN (the scale shape for #62):
-    * coarse-quantize each INDEX vector to its nearest label-centroid;
-    * each QUERY vector probes its nprobe=2 nearest buckets.
-    * Candidates come from an EQUI-join of probes × bucket members —
-    * pair count drops from n² to nprobe · Σ bucket², and each pair
-    * appears at most once (an index vector lives in exactly one
-    * bucket). Same rounded-cosine scoring and bounded-heap top-k as
-    * the exact query; the second probe recovers most of the recall
-    * nprobe=1 loses at bucket boundaries.
+  /** #79 — IVF-bucketed approximate kNN (the scale shape for #62),
+    * with a DATA-SCALED bucket count: k = ⌈√n⌉ coarse centroids are
+    * the k corpus vectors with the smallest md5(vec_id) (a
+    * deterministic hash-sample — the standard cheap coarse quantizer
+    * when a Lloyd refinement isn't worth a second pass; sampled
+    * centroids are exact float rows, so the whole pipeline is
+    * arithmetic over corpus values and the DuckDB oracle replays it
+    * verbatim — no float-summation order anywhere). Each INDEX vector
+    * lives in its nearest bucket (rounded cosine, ties to the smaller
+    * bucket id); each QUERY vector probes its nprobe=2 nearest
+    * buckets. Candidates come from an EQUI-join of probes × bucket
+    * members — pair count is nprobe·n²/k ≈ 2·n^1.5, flat-IVF's
+    * balance point between assignment (n·k) and probe (n²/k) — and
+    * each pair appears at most once (an index vector lives in exactly
+    * one bucket). Same rounded-cosine scoring and bounded-heap top-k
+    * as the exact query (#62).
     *
-    * Scale honesty (measured in ScaleStressSpec): THIS graded form
-    * keeps the bucket count FIXED at the label cardinality so the
-    * oracle can replay the bucketing in SQL — per-bucket size then
-    * grows linearly and candidate pairs quadratically (22× wall at
-    * 10× data). The operator a 100 TB corpus calls is
-    * [[graft.api.Transforms.annIvfTopK]] with numCentroids ~ √n,
-    * which balances assignment and probe at n^1.5 — flat-IVF's
-    * optimum — and is what the scale-stress harness times. */
+    * Scale posture: bucket assignment/probing is a broadcast of k
+    * centroid rows followed by a map-side-partial [[org.apache.spark.sql.graft.TopKAgg]]
+    * per vec_id — no n·k window shuffle. At 100 TB the k=⌈√n⌉
+    * centroid table eventually outgrows broadcast (~10⁵ rows); the
+    * answer there is a hierarchical coarse quantizer (IVF over the
+    * centroids themselves), same shape one level up. The n vs 10×n
+    * wall-clock ratio of THIS graded form is measured in
+    * ScaleStressSpec (bound n^1.5 ≈ 31.6×); the Lloyd-refined
+    * variant lives at [[graft.api.Transforms.annIvfTopK]]. The one
+    * driver-side action is the parquet-footer `count()` that sizes k.
+    *
+    * Output: (a_id, rnk 1..3, b_id, cos_sim), rnk 1 = best. */
   def simAnnIvf(spark: SparkSession, sf: String): DataFrame = {
     // objectHashAggregate fallback threshold is raised in the session
     // builders (see TextOps.simKnnTopk note) — no conf mutation here.
-    val vecMean = udaf(graft.functions.VectorMean)
-    val cents = embeddings(spark, sf)
-      .groupBy(col("label").as("cl"))
-      .agg(vecMean(col("embedding")).as("cvec"))
-      .select(col("cl"), col("cvec"), sqrt(dot(col("cvec"), col("cvec"))).as("cnrm"))
-    val vecs = embeddings(spark, sf)
+    val emb = embeddings(spark, sf)
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    // k seed rows in md5 order; constant-partition window over k rows
+    // only (non-foldable key — see Transforms.chunkByRange's wOff note)
+    val wSeed = Window.partitionBy(pmod(length(col("h")), lit(1)))
+      .orderBy(col("h"), col("vec_id"))
+    val cents = emb
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("cl", row_number().over(wSeed).cast("long") - 1)
+      .select(col("cl"), col("embedding").as("cvec"),
+              l2normF(col("embedding")).as("cnrm"))
+    val vecs = emb
       .select(col("vec_id"), col("embedding"), l2normF(col("embedding")).as("vnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cl"))
-    val scored = vecs.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("vnrm"), col("cl"),
-        round(dot(col("embedding"), col("cvec")) / (col("vnrm") * col("cnrm")), 4)
-          .as("cos_c"))
-      .withColumn("rn", row_number().over(wAssign))
-    val assigned = scored.where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("vnrm"), col("cl").as("bucket"))
-    val probes = scored.where(col("rn") <= 2)
-      .select(col("vec_id"), col("embedding"), col("vnrm"), col("cl").as("bucket"))
+    // top-2 buckets per vector via the bounded heap (score DESC, id ASC
+    // — identical to row_number() ORDER BY cos_c DESC, cl): map-side
+    // partials, so the n·k scored rows never shuffle
+    val probed = vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("vnrm"),
+        round(dotF(col("embedding"), col("cvec")) / (col("vnrm") * col("cnrm")), 4)
+          .as("cos_c"),
+        col("cl"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), first(col("vnrm")).as("vnrm"),
+           org.apache.spark.sql.graft.TopKAgg
+             .topK(col("cos_c"), col("cl"), 2).as("top2"))
+    val assigned = probed
+      .select(col("vec_id"), col("embedding"), col("vnrm"),
+              element_at(col("top2.id"), 1).as("bucket"))
+    val probes = probed
+      .select(col("vec_id"), col("embedding"), col("vnrm"),
+              explode(col("top2.id")).as("bucket"))
     val a = probes.toDF("a_id", "ea", "na", "bucket").repartition(col("bucket"))
     val b = assigned.toDF("b_id", "eb", "nb", "bucket_b")
     a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
@@ -703,20 +729,24 @@ object LlmOps {
         |  count(*) AS n_grams
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sim_ann_ivf" ->
-      """WITH ce AS (
-        |  SELECT label AS cl, generate_subscripts(embedding, 1) AS idx,
-        |    CAST(unnest(embedding) AS DOUBLE) AS e
-        |  FROM embeddings),
-        |c AS (SELECT cl, idx, avg(e) AS m FROM ce GROUP BY cl, idx),
-        |cn AS (SELECT cl, sqrt(sum(m * m)) AS cnrm FROM c GROUP BY cl),
-        |v AS (
+      """WITH v AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
         |    CAST(unnest(embedding) AS DOUBLE) AS e
         |  FROM embeddings),
         |vn AS (SELECT vec_id, sqrt(sum(e * e)) AS vnrm FROM v GROUP BY vec_id),
+        |seeds AS (
+        |  SELECT vec_id AS c_id,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |    <= (SELECT ceil(sqrt(count(*))) FROM embeddings)),
+        |cn AS (SELECT s.cl, s.c_id, vn.vnrm AS cnrm
+        |       FROM seeds s JOIN vn ON vn.vec_id = s.c_id),
         |d AS (
-        |  SELECT v.vec_id, c.cl, sum(v.e * c.m) AS dp
-        |  FROM v JOIN c ON v.idx = c.idx GROUP BY v.vec_id, c.cl),
+        |  SELECT a.vec_id, s.cl, sum(a.e * b.e) AS dp
+        |  FROM v a JOIN v b ON a.idx = b.idx
+        |  JOIN seeds s ON s.c_id = b.vec_id
+        |  GROUP BY a.vec_id, s.cl),
         |assignr AS (
         |  SELECT d.vec_id, d.cl,
         |    row_number() OVER (PARTITION BY d.vec_id

@@ -17,6 +17,20 @@ import graft.Tables._
   */
 object ScanOps {
 
+  /** Per-invocation scratch dir: a fixed path would let a concurrent
+    * caller (parallel test suites; Verify's thread pool; a Bench run
+    * overlapping a Verify run) overwrite files under a still-lazy
+    * DataFrame — the #109 rationale, applied to every fixture sink. */
+  private def scratchDir(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${name}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** #106's injected malformed CSV lines — the single source of truth
+    * for BOTH the fixture writer and the oracle's corrupt count, so
+    * growing the injection changes exactly this one list. Each line
+    * must actually be malformed against the 3-column nation schema. */
+  private val csvPermissiveInjected: Seq[String] = Seq("oops,BROKEN")
+
   /** #1 — full scan + count-style aggregate over the fact table. */
   def scanParquet(spark: SparkSession, sf: String): DataFrame =
     lineitem(spark, sf).agg(
@@ -40,7 +54,7 @@ object ScanOps {
     * schema, int/string columns), so the result equals the same
     * aggregate straight off the nation parquet. */
   def sourceCsvRoundtrip(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+    val dir = scratchDir("graft_csv_roundtrip")
     nation(spark, sf).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(dir)
     val schema = StructType(Seq(
@@ -73,7 +87,7 @@ object ScanOps {
     * escaping handled by the source) — oracle is the same aggregate
     * off the nation parquet. */
   def sourceXmlRoundtrip(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_roundtrip"
+    val dir = scratchDir("graft_xml_roundtrip")
     nation(spark, sf).coalesce(1)
       .write.mode("overwrite")
       .option("rootTag", "nations").option("rowTag", "nation")
@@ -99,7 +113,7 @@ object ScanOps {
     * round-trips exactly), so the result equals the per-user
     * aggregate straight off the events parquet. */
   def sourceXmlEspi(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_xml_espi"
+    val dir = scratchDir("graft_xml_espi")
     events(spark, sf)
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("start"),
@@ -140,7 +154,7 @@ object ScanOps {
     * rows == nation, corrupt count == the 1 injected line (SQL
     * constants). */
   def sourceCsvPermissive(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_permissive"
+    val dir = scratchDir("graft_csv_permissive")
     nation(spark, sf).coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(dir)
     // a SEPARATE file, not an append — the local Hadoop fs keeps a
@@ -149,7 +163,7 @@ object ScanOps {
     // file, so the injected file carries its own header line.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "malformed-extra.csv"),
-      "n_nationkey,n_name,n_regionkey\noops,BROKEN\n")
+      "n_nationkey,n_name,n_regionkey\n" + csvPermissiveInjected.mkString("\n") + "\n")
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
       StructField("n_name", StringType),
@@ -171,7 +185,7 @@ object ScanOps {
     * round-trip ⇒ oracle is the same aggregate off the nation
     * parquet. */
   def sourceOrcRoundtrip(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+    val dir = scratchDir("graft_orc_roundtrip")
     nation(spark, sf).coalesce(1).write.mode("overwrite").orc(dir)
     spark.read.orc(dir)
       .groupBy(col("n_regionkey"))
@@ -186,7 +200,7 @@ object ScanOps {
     * lines == documents and the aggregate equals the same lengths
     * straight off the documents parquet. */
   def sourceTextLines(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_text_lines"
+    val dir = scratchDir("graft_text_lines")
     // a text containing a line terminator would split into two lines
     // on read-back — fail loudly instead of silently diverging from
     // the documents-table oracle (same posture as the lsh dim guard).
@@ -212,7 +226,7 @@ object ScanOps {
     * the partition column (non-null strings) reads back as string, so
     * the result equals the same aggregate off the lineitem parquet. */
   def sinkParquetPartitioned(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned"
+    val dir = scratchDir("graft_sink_partitioned")
     lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
@@ -235,7 +249,8 @@ object ScanOps {
     * lossless, so the per-batch aggregate is recomputable straight
     * off the nation parquet (the #102 pattern). */
   def sourceParquetEvolution(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_parquet_evolution"
+    // per-invocation dir — the #109 concurrent-caller rationale
+    val dir = scratchDir("graft_parquet_evolution")
     val n = nation(spark, sf)
     n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=1")
@@ -262,7 +277,8 @@ object ScanOps {
     * in file-range order. Oracle-graded: lossless round-trip ⇒ the
     * per-year aggregate equals the same off the orders parquet. */
   def sinkSortedShards(spark: SparkSession, sf: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_shards"
+    // per-invocation dir — the #109 concurrent-caller rationale
+    val dir = scratchDir("graft_sorted_shards")
     orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
       .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
@@ -367,8 +383,8 @@ object ScanOps {
       """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "source_csv_permissive" ->
-      """SELECT count(*) + 1 AS n_rows_total,
-        |  CAST(1 AS BIGINT) AS n_corrupt,
+      s"""SELECT count(*) + ${csvPermissiveInjected.size} AS n_rows_total,
+        |  CAST(${csvPermissiveInjected.size} AS BIGINT) AS n_corrupt,
         |  count(*) AS n_good,
         |  max(n_nationkey) AS max_key
         |FROM nation""".stripMargin,

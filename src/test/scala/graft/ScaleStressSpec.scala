@@ -95,6 +95,13 @@ class ScaleStressSpec extends SparkSpec {
     gated()
     writeScaled(dir1x, 1)
     writeScaled(dir10x, 10)
+    // key-cardinality evidence: the scaled corpus grows the session /
+    // dedup KEY space 10×, not just the row count (replica shifts are
+    // disjoint) — so per-key work in the default rows stays flat
+    val users1 = Tables.events(spark, dir1x).select("user_id").distinct().count()
+    val users10 = Tables.events(spark, dir10x).select("user_id").distinct().count()
+    assert(users10 == 10 * users1,
+      s"scaled corpus must grow user cardinality 10×: $users1 -> $users10")
     // knn measured with a FIXED query set against the scaled index —
     // scaling both sides is O(q·n) by definition (the scale path for
     // that is the IVF, measured below)
@@ -104,15 +111,29 @@ class ScaleStressSpec extends SparkSpec {
     // the IVF scale path: centroid count grows with √n so assignment
     // (n·√n) and probing (n·√n) balance — flat IVF's optimum. Expected
     // growth for a 10× corpus on BOTH sides is therefore 10^1.5 ≈
-    // 31.6×, not linear (the graded sim_ann_ivf keeps its
-    // oracle-replicable fixed label buckets and is a DEMO of the
-    // shape; this is the operator a 100 TB corpus would call).
+    // 31.6×, not linear. Measured twice: the Lloyd-refined library
+    // operator (annIvfTopK) and the graded #79 query itself (√n
+    // hash-sampled centroids since round 7 — before that it bucketed
+    // by the fixed label cardinality and measured 22× superlinear).
     def annSqrtN(dir: String): DataFrame = {
       val e = Tables.embeddings(spark, dir)
       val k = math.max(8, math.sqrt(e.count().toDouble).toInt)
       Transforms.annIvfTopK(e, col("vec_id"), col("embedding"),
         numCentroids = k, iters = 1, nprobe = 2, k = 3)
     }
+    // sessionization worst case: the DEFAULT scaled corpus already
+    // grows user cardinality 10× (writeScaled shifts user_id by k·10⁷
+    // — the realistic 100 TB shape: more events ⇒ more users, per-user
+    // history ~flat). This variant collapses users back onto the 1×
+    // id set, so per-user event history grows 10× instead — the
+    // adversarial shape for a per-key session sort.
+    def sessionFixedUsers(dir: String): DataFrame =
+      Tables.events(spark, dir)
+        .withColumn("user_id", pmod(col("user_id"), lit(10000000L)))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+                col("n_events"))
     // range join with the INTERVAL set fixed at 1× and the point side
     // scaled — scaling both sides multiplies time densities and grows
     // true matches ~100× by definition (the same reason knn fixes its
@@ -134,6 +155,8 @@ class ScaleStressSpec extends SparkSpec {
     val ops: Seq[(String, String => DataFrame, Double)] = Seq(
       ("sim_knn_topk_fixedq", knnFixedQ _, LIN),
       ("sim_ann_ivf_sqrtn", annSqrtN _, 31.6),
+      ("sim_ann_ivf_graded", d => LlmOps.simAnnIvf(spark, d), 31.6),
+      ("stream_session_window_fixedusers", sessionFixedUsers _, LIN),
       ("dedup_embedding_cosine", d => LlmOps.dedupEmbeddingCosine(spark, d), LIN),
       ("dedup_simhash_band", d => LlmOps.dedupSimhashBand(spark, d), LIN),
       // round 6 (post-repartition-fix): the shingle/md5-heaviest dedup

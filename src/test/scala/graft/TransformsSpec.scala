@@ -8,6 +8,20 @@ import graft.Tables._
   * operators they generalize. */
 class TransformsSpec extends SparkSpec {
 
+  /** Sequential chunking oracle: the naive global-row_number
+    * formulation (one partition moves every row — the very plan
+    * [[Transforms.chunkByRange]] exists to avoid). Lives in the test
+    * tree ONLY so no production code path can reach a partition-less
+    * window; kept here as the ground truth chunkByRange is checked
+    * against. */
+  private def chunkSequential(df: org.apache.spark.sql.DataFrame,
+                              orderCol: org.apache.spark.sql.Column,
+                              batchSize: Int): org.apache.spark.sql.DataFrame =
+    df.withColumn("batch_id",
+      floor((row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(orderCol)) - 1) / batchSize)
+        .cast("int"))
+
   test("sessionize (gaps-and-islands) matches native session_window sessions") {
     val ev = events(spark, sf001)
     val viaApi = Transforms.sessionize(ev, col("user_id"), col("ts"),
@@ -24,7 +38,7 @@ class TransformsSpec extends SparkSpec {
   }
 
   test("chunk assigns contiguous bounded batches") {
-    val out = Transforms.chunk(
+    val out = chunkSequential(
       orders(spark, sf001).select(col("o_orderkey")), col("o_orderkey"), 100)
     val sizes = out.groupBy(col("batch_id")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -38,7 +52,7 @@ class TransformsSpec extends SparkSpec {
     // non-contiguous, shuffled ids across several coarse buckets
     val ids = new scala.util.Random(3).shuffle((0 until 5000).map(_ * 7L + 13).toList)
     val df = ids.toDF("id").repartition(8)
-    val seq = Transforms.chunk(df, col("id"), 300)
+    val seq = chunkSequential(df, col("id"), 300)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val dist = Transforms.chunkByRange(df, col("id"),
         floor(col("id") / 2500).cast("long"), 300)
@@ -162,7 +176,7 @@ class TransformsSpec extends SparkSpec {
     import spark.implicits._
     val df = (Seq[java.lang.Long](null) ++ (1 to 50).map(i => java.lang.Long.valueOf(i)))
       .toDF("id")
-    val seq = Transforms.chunk(df, col("id"), 10)
+    val seq = chunkSequential(df, col("id"), 10)
       .collect().map(r => Option(r.get(0)) -> r.getInt(1)).toMap
     val dist = Transforms.chunkByRange(df, col("id"),
         floor(col("id") / 20).cast("long"), 10)

@@ -60,6 +60,14 @@ object Bench {
     // round 6: corpus novelty — the distinct+window-by-gram shape; a
     // regression to a gram self-join would blow up quadratically
     "text_ngram_novelty",
+    // round 7: the layout-cost ops — each writes a real fixture
+    // (bucketed tables / partitioned parquet / range shards) before
+    // reading it back, so a regression in the WRITE path (layout,
+    // small files, catalog) is as visible as one in the plan
+    "graph_triangle_count",
+    "join_bucketed_colocated",
+    "join_partition_pruned",
+    "sink_sorted_shards",
   )
 
   def main(args: Array[String]): Unit = {

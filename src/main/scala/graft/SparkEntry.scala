@@ -33,6 +33,7 @@ object SparkEntry {
     CorpusOps.queries,
     GraphOps.queries,
     EtlOps.queries,
+    VecOps.queries,
   )
 
   private val oracles: Seq[Map[String, String]] = Seq(
@@ -50,6 +51,7 @@ object SparkEntry {
     CorpusOps.oracle,
     GraphOps.oracle,
     EtlOps.oracle,
+    VecOps.oracle,
   )
 
   // A duplicate operator key across families would silently shrink the

@@ -1,0 +1,374 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+import graft.Tables._
+import org.apache.spark.sql.graft.TopKAgg
+
+/** SURVEY §2.M — round-7 vector-index operators (#136–#138): product
+  * quantization with asymmetric-distance search, the two-stage
+  * int8-shortlist → float-rerank retrieval pattern, and SemDeDup-style
+  * semantic near-dup pruning.
+  *
+  * These complete the embedding-store toolchain started by #62 (exact
+  * kNN), #79 (IVF bucketing) and #133 (int8 quantization): PQ is the
+  * memory-side compression a 100 TB vector store actually serves from
+  * (codes are m bytes per vector instead of 4·d), ADC is its query
+  * path, rerank is how quantized recall is repaired, and semantic
+  * dedup is the embedding-space analogue of the #72/#74 LSH dedups.
+  *
+  * Determinism policy (same as #79): every "trained" artifact —
+  * codebooks, query sets, centroids — is a deterministic md5-ordered
+  * hash-sample of corpus rows, so all downstream arithmetic is over
+  * corpus values and the DuckDB oracle replays the entire pipeline
+  * verbatim. Scores are rounded (4dp, distances 6dp at the argmin)
+  * before any rank, ties broken by id.
+  */
+object VecOps {
+
+  /** Subspace geometry: 64-dim embeddings → M=8 subspaces of 8 dims;
+    * K=16 codewords per subspace; NQ=8 query vectors. K and NQ are
+    * fixed (codebook size is a model constant, not a data statistic);
+    * the centroid count of the cluster-dedup op scales ⌈√n⌉ like #79. */
+  private val M = 8
+  private val SUBDIM = 8
+  private val K = 16
+  private val NQ = 8
+
+  private def dotF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExprs.vecDot(a, b)
+
+  private def l2normF(a: Column): Column = sqrt(dotF(a, a))
+
+  /** Squared L2 distance between two float vectors, summed in array
+    * order (double accumulator — same HOF-fold policy as #61/#133). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), _ + _)
+
+  /** The k corpus vectors with the smallest md5(vec_id || tag) —
+    * deterministic hash-sample (the #79 seed pattern; distinct tags
+    * decorrelate the codebook / query / centroid samples). Adds
+    * `sid` = 0..k-1 in md5 order. The window runs over k rows only
+    * (constant-partition non-foldable key, see #79). */
+  private def hashSeeds(emb: DataFrame, k: Int, tag: String): DataFrame = {
+    val w = Window.partitionBy(pmod(length(col("h")), lit(1)))
+      .orderBy(col("h"), col("vec_id"))
+    emb.withColumn("h", md5(concat(col("vec_id").cast("string"), lit(tag))))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("sid", row_number().over(w).cast("long") - 1)
+  }
+
+  /** All M sub-vectors of an embedding column, as (sub, svec) rows. */
+  private def subvecs(vec: Column): Column =
+    posexplode(array((0 until M).map(s => slice(vec, s * SUBDIM + 1, SUBDIM)): _*))
+
+  // ---------------------------------------------------------------
+  // #136 product-quantization ANN (ADC)
+  // ---------------------------------------------------------------
+
+  /** #136 — product quantization + asymmetric distance computation:
+    * the 64-dim embeddings are split into M=8 subspaces; each
+    * subspace gets a K=16-codeword codebook (the sub-vectors of 16
+    * hash-sampled corpus rows — the deterministic stand-in for a
+    * per-subspace k-means, same rationale as #79's sampled
+    * centroids); every vector is ENCODED as 8 code ids (argmin
+    * squared-L2 per subspace, 6dp-rounded, code-asc ties). A query
+    * never touches the codes' floats: it precomputes a (sub, code) →
+    * partial-distance lookup table against the codebook, and the ADC
+    * estimate is the sum of 8 table lookups — the FAISS IVFADC query
+    * shape (Jégou et al., TPAMI'11).
+    *
+    * Scale posture: the codebook is M·K = 128 rows (broadcast);
+    * encoding scores n·M·K candidate rows but reduces them MAP-SIDE
+    * via a partial `min_by` per (vec, sub) — the only shuffle is the
+    * n·M encoded rows. The LUT is NQ·M·K = 1024 rows (broadcast), so
+    * the probe is a broadcast-hash-join over the encoded table —
+    * linear in n, no all-pairs float scan. At 100 TB the encoded
+    * table is 8 bytes/vector (codes) instead of 256 (floats): the
+    * point of PQ. Output: top-5 neighbours per query by ADC
+    * distance. */
+  def simAnnPq(spark: SparkSession, sf: String): DataFrame = {
+    val emb = embeddings(spark, sf)
+    // codebook: 16 sampled vectors × 8 subspaces = 128 (sub, code, cvec)
+    val cb = hashSeeds(emb, K, "#cb")
+      .select(col("sid").as("code"), subvecs(col("embedding")).as(Seq("sub", "cvec")))
+    // encode: nearest codeword per (vector, subspace); the n·M·K scored
+    // rows collapse map-side (min_by partials), shuffling only n·M rows
+    val sv = emb.select(col("vec_id"), subvecs(col("embedding")).as(Seq("sub", "svec")))
+    val enc = sv.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        round(l2sq(col("svec"), col("cvec")), 6).as("d"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    // ADC lookup table: 8 queries × 128 codebook rows = 1024 partial
+    // distances (unrounded; only the final sum is rounded)
+    val lut = hashSeeds(emb, NQ, "#q")
+      .select(col("vec_id").as("q_id"), subvecs(col("embedding")).as(Seq("sub", "qsub")))
+      .join(broadcast(cb), "sub")
+      .select(col("q_id"), col("sub"), col("code"), l2sq(col("qsub"), col("cvec")).as("pd"))
+    enc.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("pd")), 4).as("adc"))
+      // smallest estimated distance first: negate for the max-heap
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(-col("adc"), col("vec_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.id").as("vec_id"), (-col("col.score")).as("adc_dist"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------
+  // #137 two-stage quantized rerank
+  // ---------------------------------------------------------------
+
+  /** #137 — two-stage retrieval: stage 1 scans the int8-quantized
+    * store (#133's exact symmetric quantization: scale = max|x|/127,
+    * codes = round(x/scale) — integers, cross-engine exact) scoring
+    * approx_dot = scale · Σ codeᵢ·qᵢ for each of 8 hash-sampled
+    * queries, keeping a 16-vector shortlist per query via the
+    * bounded heap; stage 2 re-scores ONLY the shortlist against the
+    * full float vectors and emits the top-5 by exact dot — the
+    * compressed-scan-then-exact-repair pattern every production
+    * vector store runs (the shortlist is where quantization error is
+    * allowed to cost recall, and the output carries both scores so
+    * the error is observable).
+    *
+    * Scale posture: stage 1 is a broadcast of 8 query rows over the
+    * store — linear scan of int8 codes (4× smaller I/O than floats),
+    * reduced map-side by the heap, nothing data-scale shuffles;
+    * stage 2 touches NQ·16 = 128 rows (metadata-scale), so its
+    * window rank is over 128 rows, not the corpus. */
+  def simRerankQuantized(spark: SparkSession, sf: String): DataFrame = {
+    val emb = embeddings(spark, sf)
+    val xd = transform(col("embedding"), v => v.cast("double"))
+    val scale =
+      array_max(transform(col("embedding"), v => abs(v.cast("double")))) / 127.0
+    val db = emb.withColumn("__xd", xd).withColumn("__scale", scale)
+      .where(col("__scale") > 0)
+      .select(col("vec_id"),
+        transform(col("__xd"), v => round(v / col("__scale"))).as("qcodes"),
+        col("__scale").as("qs"))
+    val qs8 = hashSeeds(emb, NQ, "#rq")
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), v => v.cast("double")).as("qv"))
+    // stage 1: int8 approximate dot, bounded-heap shortlist of 16
+    val short = db.join(broadcast(qs8), col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(col("qs") * aggregate(zip_with(col("qcodes"), col("qv"),
+          (c, q) => c * q), lit(0.0), _ + _), 4).as("approx_dot"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("approx_dot"), col("vec_id"), 16).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"), col("t.score").as("approx_dot"))
+    // stage 2: exact float rerank of the 128 shortlist rows
+    val qv = hashSeeds(emb, NQ, "#rq")
+      .select(col("vec_id").as("q_id"), col("embedding").as("qemb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("exact_dot").desc, col("vec_id"))
+    short
+      .join(broadcast(qv), "q_id")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("q_id"), col("vec_id"), col("approx_dot"),
+        round(dotF(col("qemb"), col("embedding")), 4).as("exact_dot"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+              col("approx_dot"), col("exact_dot"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------
+  // #138 semantic dedup (SemDeDup)
+  // ---------------------------------------------------------------
+
+  /** #138 — semantic near-dup pruning (SemDeDup, Abbas et al. 2023):
+    * embeddings are clustered to ⌈√n⌉ deterministic hash-sampled
+    * centroids (nearest rounded cosine, the #79 assignment shape);
+    * WITHIN each cluster, a vector is marked duplicate if some
+    * lower-id cluster-mate has cosine ≥ 0.99 with it — keep-lowest-id
+    * pruning of semantically redundant training examples, the
+    * embedding-space complement of the lexical dedups (#60/#72): it
+    * catches paraphrases that share no shingles. Cross-cluster near
+    * dups are out of contract by design (that locality is what makes
+    * the op scale — SemDeDup's own recall trade).
+    *
+    * Scale posture: assignment is a broadcast of k centroid rows +
+    * map-side top-1 heap (no n·k shuffle); the pair scan is a bucket
+    * equi-self-join — candidate pairs ~ n²/k = n^1.5 at k = √n, the
+    * flat-IVF balance — and only (vec_id, bucket) keys plus vectors
+    * flow, never an all-pairs float matrix. Output: every vector with
+    * its cluster, its max cosine to a lower-id cluster-mate (null for
+    * bucket minima), and the τ = 0.99 duplicate flag. */
+  def dedupSemanticCluster(spark: SparkSession, sf: String): DataFrame = {
+    val emb = embeddings(spark, sf)
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val cents = hashSeeds(emb, k, "#sd")
+      .select(col("sid").as("cl"), col("embedding").as("cvec"),
+              l2normF(col("embedding")).as("cnrm"))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"), l2normF(col("embedding")).as("vnrm"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("vnrm"),
+        round(dotF(col("embedding"), col("cvec")) / (col("vnrm") * col("cnrm")), 4)
+          .as("cos_c"),
+        col("cl"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), first(col("vnrm")).as("vnrm"),
+           TopKAgg.topK(col("cos_c"), col("cl"), 1).as("top1"))
+      .select(col("vec_id"), col("embedding"), col("vnrm"),
+              element_at(col("top1.id"), 1).as("bucket"))
+    val a = assigned.toDF("a_id", "ea", "na", "bucket").repartition(col("bucket"))
+    val b = assigned.toDF("b_id", "eb", "nb", "bucket_b")
+    // per vector: the max cosine to any LOWER-id cluster-mate (null for
+    // each bucket's minimum id). Carrying the score — not just the flag —
+    // keeps the output informative on corpora with no true near-dups
+    // (this one's max pairwise cosine is 0.60, so is_dup is honestly
+    // all-false at the production τ = 0.99).
+    val maxSim = a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .select(col("b_id").as("vec_id"),
+        round(dotF(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_sim"))
+    assigned.select(col("vec_id"), col("bucket"))
+      .join(maxSim, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bucket"), col("max_sim"),
+              coalesce(col("max_sim") >= 0.99, lit(false)).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "sim_ann_pq"            -> (simAnnPq _),
+    "sim_rerank_quantized"  -> (simRerankQuantized _),
+    "dedup_semantic_cluster" -> (dedupSemanticCluster _),
+  )
+
+  /** Shared oracle CTE: embeddings unnested to (vec_id, idx, e) plus
+    * the (vec_id, sub, idx, e) subspace view (sub = (idx-1) DIV 8). */
+  private val unnestCte =
+    """v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+      |    CAST(unnest(embedding) AS DOUBLE) AS e
+      |  FROM embeddings),
+      |sv AS (SELECT vec_id, CAST(floor((idx - 1) / 8) AS INT) AS sub, idx, e FROM v)"""
+      .stripMargin
+
+  val oracle: Map[String, String] = ListMap(
+    "sim_ann_pq" ->
+      s"""WITH $unnestCte,
+        |cbseed AS (
+        |  SELECT vec_id AS c_id,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#cb'), vec_id) - 1 AS code
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#cb'), vec_id) <= 16),
+        |cb AS (SELECT s.code, sv.sub, sv.idx, sv.e FROM cbseed s
+        |       JOIN sv ON sv.vec_id = s.c_id),
+        |encd AS (
+        |  SELECT a.vec_id, a.sub, c.code,
+        |    round(sum((a.e - c.e) * (a.e - c.e)), 6) AS d
+        |  FROM sv a JOIN cb c ON c.sub = a.sub AND c.idx = a.idx
+        |  GROUP BY a.vec_id, a.sub, c.code),
+        |enc AS (
+        |  SELECT vec_id, sub, code FROM encd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) = 1),
+        |qseed AS (
+        |  SELECT vec_id AS q_id FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#q'), vec_id) <= 8),
+        |lut AS (
+        |  SELECT q.q_id, c.sub, c.code, sum((a.e - c.e) * (a.e - c.e)) AS pd
+        |  FROM qseed q JOIN sv a ON a.vec_id = q.q_id
+        |  JOIN cb c ON c.sub = a.sub AND c.idx = a.idx
+        |  GROUP BY q.q_id, c.sub, c.code),
+        |adc AS (
+        |  SELECT l.q_id, e.vec_id, round(sum(l.pd), 4) AS adc_dist
+        |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+        |  WHERE l.q_id <> e.vec_id
+        |  GROUP BY l.q_id, e.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rnk
+        |  FROM adc)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, adc_dist FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "sim_rerank_quantized" ->
+      s"""WITH $unnestCte,
+        |s AS (SELECT vec_id, max(abs(e)) / 127 AS scale FROM v GROUP BY vec_id),
+        |qseed AS (
+        |  SELECT vec_id AS q_id FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#rq'), vec_id) <= 8),
+        |appr AS (
+        |  SELECT q.q_id, u.vec_id,
+        |    round(any_value(s.scale) * sum(round(u.e / s.scale) * qu.e), 4) AS approx_dot
+        |  FROM qseed q
+        |  JOIN v qu ON qu.vec_id = q.q_id
+        |  JOIN v u ON u.idx = qu.idx AND u.vec_id <> q.q_id
+        |  JOIN s ON s.vec_id = u.vec_id AND s.scale > 0
+        |  GROUP BY q.q_id, u.vec_id),
+        |short AS (
+        |  SELECT q_id, vec_id, approx_dot FROM appr
+        |  QUALIFY row_number() OVER (PARTITION BY q_id
+        |    ORDER BY approx_dot DESC, vec_id) <= 16),
+        |ex AS (
+        |  SELECT sh.q_id, sh.vec_id, sh.approx_dot,
+        |    round(sum(qu.e * u.e), 4) AS exact_dot
+        |  FROM short sh
+        |  JOIN v qu ON qu.vec_id = sh.q_id
+        |  JOIN v u ON u.vec_id = sh.vec_id AND u.idx = qu.idx
+        |  GROUP BY sh.q_id, sh.vec_id, sh.approx_dot),
+        |ranked AS (
+        |  SELECT q_id, vec_id, approx_dot, exact_dot,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY exact_dot DESC, vec_id) AS rnk
+        |  FROM ex)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id, approx_dot, exact_dot
+        |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "dedup_semantic_cluster" ->
+      s"""WITH $unnestCte,
+        |vn AS (SELECT vec_id, sqrt(sum(e * e)) AS vnrm FROM v GROUP BY vec_id),
+        |seeds AS (
+        |  SELECT vec_id AS c_id,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#sd'), vec_id) - 1 AS cl
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#sd'), vec_id)
+        |    <= (SELECT ceil(sqrt(count(*))) FROM embeddings)),
+        |cn AS (SELECT s.cl, s.c_id, vn.vnrm AS cnrm
+        |       FROM seeds s JOIN vn ON vn.vec_id = s.c_id),
+        |d AS (
+        |  SELECT a.vec_id, s.cl, sum(a.e * b.e) AS dp
+        |  FROM v a JOIN v b ON a.idx = b.idx
+        |  JOIN seeds s ON s.c_id = b.vec_id
+        |  GROUP BY a.vec_id, s.cl),
+        |assignr AS (
+        |  SELECT d.vec_id, d.cl,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY round(d.dp / (vn.vnrm * cn.cnrm), 4) DESC, d.cl) AS rn
+        |  FROM d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.cl = d.cl),
+        |assign AS (SELECT vec_id, cl AS bucket FROM assignr WHERE rn = 1),
+        |pairs AS (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM assign x JOIN assign y
+        |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |pd AS (
+        |  SELECT p.a_id, p.b_id, sum(ua.e * ub.e) AS dp
+        |  FROM pairs p
+        |  JOIN v ua ON ua.vec_id = p.a_id
+        |  JOIN v ub ON ub.vec_id = p.b_id AND ub.idx = ua.idx
+        |  GROUP BY p.a_id, p.b_id),
+        |ms AS (
+        |  SELECT pd.b_id AS vec_id,
+        |    max(round(pd.dp / (na.vnrm * nb.vnrm), 4)) AS max_sim
+        |  FROM pd
+        |  JOIN vn na ON na.vec_id = pd.a_id
+        |  JOIN vn nb ON nb.vec_id = pd.b_id
+        |  GROUP BY pd.b_id)
+        |SELECT a.vec_id, a.bucket, ms.max_sim,
+        |  coalesce(ms.max_sim >= 0.99, false) AS is_dup
+        |FROM assign a LEFT JOIN ms ON ms.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Structural + analytical invariants for the round-7 vector-index
+  * family (#136–#138) beyond the DuckDB hash sweep: rank-shape
+  * checks, the int8 quantization error bound, and cluster-dedup
+  * keeper semantics. */
+class VecOpsSpec extends SparkSpec {
+
+  test("sim_ann_pq: 5 ranked neighbours per query, ADC distances non-negative and sorted") {
+    val rows = VecOps.simAnnPq(spark, sf001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 8, s"expected 8 queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to 5), s"query $q ranks")
+      val dists = sorted.map(_.getAs[Double]("adc_dist"))
+      assert(dists.forall(_ >= 0.0), s"query $q negative ADC distance")
+      assert(dists.sameElements(dists.sorted), s"query $q ADC order")
+      assert(!sorted.exists(_.getAs[Long]("vec_id") == q), s"query $q returned itself")
+    }
+  }
+
+  test("sim_rerank_quantized: exact scores sorted, approx within the int8 error bound") {
+    // |approx - exact| <= (scale_v / 2) * sum_i |q_i|: each component's
+    // quantization error is at most scale/2, and the dot against q
+    // weights it by |q_i|. Plus 4dp display rounding on both scores.
+    val out = VecOps.simRerankQuantized(spark, sf001)
+    val emb = Tables.embeddings(spark, sf001)
+    val absSum = aggregate(transform(col("embedding"),
+      v => abs(v.cast("double"))), lit(0.0), _ + _)
+    val scales = emb.select(col("vec_id"),
+      (array_max(transform(col("embedding"), v => abs(v.cast("double")))) / 127.0)
+        .as("scale"))
+    val qabs = emb.select(col("vec_id").as("q_id"), absSum.as("q_abs_sum"))
+    val checked = out
+      .join(scales, "vec_id")
+      .join(qabs, "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (abs(col("approx_dot") - col("exact_dot")) -
+         (col("scale") / 2.0) * col("q_abs_sum") - lit(2e-4)).as("excess"))
+      .collect()
+    assert(checked.nonEmpty)
+    val worst = checked.maxBy(_.getAs[Double]("excess"))
+    assert(worst.getAs[Double]("excess") <= 0.0,
+      s"quantization error bound violated: $worst")
+    // within each query the exact_dot column is non-increasing by rnk
+    val rows = out.collect().groupBy(_.getAs[Long]("q_id"))
+    rows.foreach { case (q, rs) =>
+      val ex = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("exact_dot"))
+      assert(ex.zip(ex.tail).forall { case (a, b) => a >= b }, s"query $q rerank order")
+    }
+  }
+
+  test("dedup_semantic_cluster: one row per vector, bucket minima are keepers") {
+    val n = Tables.embeddings(spark, sf001).count()
+    val rows = VecOps.dedupSemanticCluster(spark, sf001).collect()
+    assert(rows.length == n)
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0 && b < k
+    })
+    // the lowest id in each bucket has no lower-id mate: max_sim null,
+    // never flagged
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (b, rs) =>
+      val minRow = rs.minBy(_.getAs[Long]("vec_id"))
+      assert(minRow.isNullAt(minRow.fieldIndex("max_sim")), s"bucket $b min has max_sim")
+      assert(!minRow.getAs[Boolean]("is_dup"), s"bucket $b min flagged")
+    }
+    // flag is exactly the thresholded score
+    rows.filterNot(_.isNullAt(2)).foreach { r =>
+      assert(r.getAs[Boolean]("is_dup") == (r.getAs[Double]("max_sim") >= 0.99))
+    }
+  }
+}

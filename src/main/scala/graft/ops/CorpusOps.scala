@@ -244,6 +244,139 @@ object CorpusOps {
       .orderBy(col("n").desc, col("token"))
   }
 
+  // ---------------------------------------------------------------
+  // #139 bigram self-perplexity (round 7)
+  // ---------------------------------------------------------------
+
+  /** #139 — language-model perplexity scoring, the CCNet/KenLM-family
+    * quality signal: a bigram model with add-1 smoothing is "trained"
+    * on the corpus itself (global bigram counts c(w1,w2), prefix
+    * counts c(w1), vocabulary size V), and every document is scored
+    * by its average negative log-likelihood avg_nll = −Σ m·ln((c₂+1)/
+    * (c₁+V)) / Σ m and perplexity e^avg_nll — formulaic text scores
+    * low, anomalous token sequences score high; production swaps in a
+    * held-out-trained model, the dataflow is identical.
+    *
+    * Shape: one bigram fan-out aggregated per (doc, w1, w2) BEFORE
+    * any join (so join input is distinct doc-bigrams, not raw
+    * occurrences), then two vocabulary-keyed equi-joins (never
+    * assumes a broadcastable vocab — the #95 posture), a 1-row V
+    * broadcast, and a per-doc aggregate. O(total bigrams), all keyed.
+    * Determinism: ln-sum reassociation drift is absorbed by the 4dp
+    * display rounding (the #121 ln policy). */
+  def textPerplexityLm(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf).repartition(col("doc_id"))
+    val bgm = docs.withColumn("words", words)
+      .where(size(col("words")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.api.Transforms.shingles(col("words"), 2)).as("bg"))
+      .select(col("doc_id"),
+        element_at(split(col("bg"), " "), 1).as("w1"),
+        element_at(split(col("bg"), " "), 2).as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val c2 = bgm.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = documents(spark, sf).select(explode(words).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bgm
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row vocabulary size
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+           sum(-col("m") * log((col("c2") + 1.0) /
+             (col("c1") + col("v")))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll") / col("n_bigrams"), 4).as("avg_nll"),
+        round(exp(col("nll") / col("n_bigrams")), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // #140 temperature-reweighted domain mixing (round 7)
+  // ---------------------------------------------------------------
+
+  /** #140 — domain mixing with temperature α = 0.5 (the Pile/ROOTS/
+    * multilingual-LM recipe): target share per language ∝ n_d^α, so
+    * over-represented domains are down-weighted sub-linearly rather
+    * than capped; a total budget of half the corpus sets per-domain
+    * acceptance rates min(1, target/n_d), applied as the portable
+    * md5-prefix point of #88/#89 — membership depends only on
+    * (doc_id, salt), stable under reruns and appends. Rates are
+    * data-derived, so the threshold is the integer ⌊rate·65536⌋
+    * compared against the 16-bit hash prefix IN the plan (not a
+    * Scala literal): the comparison is integer-exact cross-engine.
+    *
+    * Shape: one domain-count aggregate (5 rows) + 1-row weight total,
+    * rates broadcast back onto the scan, one filtered re-aggregate —
+    * two corpus passes, zero windows, zero data-scale shuffles. */
+  def textDomainMix(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(sqrt(col("n_docs"))).as("wsum"),
+                         sum(col("n_docs")).as("n_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        (sqrt(col("n_docs")) / col("wsum")).as("target_share"),
+        floor(least(lit(1.0),
+          sqrt(col("n_docs")) / col("wsum") * (col("n_total") / 2.0)
+            / col("n_docs")) * 65536).cast("int").as("thr"))
+    val point = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit("#mix"))), 1, 4), 16, 10)
+      .cast("int")
+    docs.join(broadcast(rates), "lang")
+      .withColumn("kept", point < col("thr"))
+      .groupBy(col("lang"))
+      .agg(first(col("n_docs")).as("n_docs"),
+           round(first(col("target_share")), 4).as("target_share"),
+           count_if(col("kept")).as("n_sampled"),
+           sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("sampled_chars"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------
+  // #141 global span-level dedup (round 7)
+  // ---------------------------------------------------------------
+
+  /** #141 — corpus-global span dedup, the C4 "three-sentence span"
+    * rule adapted to the punctuation-free corpus: documents split
+    * into non-overlapping 5-word spans; every occurrence of a span
+    * after its global FIRST occurrence (smallest (doc_id, position))
+    * is dropped; documents are rebuilt from their surviving spans.
+    * This removes boilerplate that repeats ACROSS documents — the
+    * sub-document complement of the whole-doc dedups (#59/#60/#72):
+    * two near-identical docs keep one copy of their shared spans.
+    *
+    * Shape: span fan-out → one span-keyed min-aggregate (the first
+    * occurrence, encoded as doc_id·1000 + pos — an integer, portable
+    * argmin) → equi-join back → per-doc ordered rebuild via the #29
+    * collect-sort pattern. O(total spans), keyed by span then doc;
+    * never pairwise. Fully-deduplicated docs yield NULL clean_text
+    * (nullif bridges Spark's empty-join to SQL's empty string_agg). */
+  def dedupSentenceGlobal(spark: SparkSession, sf: String): DataFrame = {
+    val spans = documents(spark, sf)
+      .repartition(col("doc_id"))
+      .withColumn("words", words)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("words")) / lit(5.0)).cast("int") - 1),
+          p => array_join(slice(col("words"), p * 5 + 1, lit(5)), " ")))
+          .as(Seq("pos", "span")))
+    val occ = spans.withColumn("occ", col("doc_id") * 1000 + col("pos"))
+    val firstOcc = occ.groupBy(col("span")).agg(min(col("occ")).as("keep_occ"))
+    occ.join(firstOcc, "span")
+      .withColumn("kept", col("occ") === col("keep_occ"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+           count_if(!col("kept")).as("n_dropped"),
+           nullif(array_join(transform(
+             array_sort(collect_list(when(col("kept"),
+               struct(col("pos"), col("span"))))),
+             s => s.getField("span")), " "), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
@@ -252,6 +385,9 @@ object CorpusOps {
     "text_length_histogram"  -> (textLengthHistogram _),
     "text_token_entropy"     -> (textTokenEntropy _),
     "text_heavy_hitters"     -> (textHeavyHitters _),
+    "text_perplexity_lm"     -> (textPerplexityLm _),
+    "text_domain_mix"        -> (textDomainMix _),
+    "dedup_sentence_global"  -> (dedupSentenceGlobal _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -353,5 +489,60 @@ object CorpusOps {
         |FROM c, t
         |WHERE CAST(n AS DOUBLE) / total > 0.033
         |ORDER BY n DESC, token""".stripMargin,
+    "text_perplexity_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |s AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t),
+        |bg AS (SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        |       FROM s),
+        |bgm AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, sum(m) AS c2 FROM bgm GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT wrd) AS v FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS wrd FROM documents)),
+        |sc AS (SELECT b.doc_id, sum(b.m) AS nb,
+        |        sum(-b.m * ln((c2.c2 + 1.0) / (c1.c1 + vv.v))) AS nll
+        |       FROM bgm b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |       JOIN c1 ON c1.w1 = b.w1, vv
+        |       GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+        |  round(nll / nb, 4) AS avg_nll, round(exp(nll / nb), 4) AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_domain_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(sqrt(n_docs)) AS wsum, sum(n_docs) AS n_total FROM c),
+        |r AS (SELECT lang, n_docs, sqrt(n_docs) / t.wsum AS target_share,
+        |        CAST(floor(least(1.0, sqrt(n_docs) / t.wsum
+        |          * (t.n_total / 2.0) / n_docs) * 65536) AS INT) AS thr
+        |      FROM c, t),
+        |d AS (SELECT doc_id, lang, n_chars,
+        |        substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 4) AS h
+        |      FROM documents),
+        |k AS (SELECT d.lang, r.n_docs, r.target_share, d.n_chars,
+        |        ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) < r.thr AS kept
+        |      FROM d JOIN r ON r.lang = d.lang)
+        |SELECT lang, any_value(n_docs) AS n_docs,
+        |  round(any_value(target_share), 4) AS target_share,
+        |  count(*) FILTER (WHERE kept) AS n_sampled,
+        |  CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_sentence_global" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (SELECT doc_id, CAST(p AS INT) AS pos,
+        |        array_to_string(w[(CAST(p AS INT) * 5 + 1):(CAST(p AS INT) * 5 + 5)], ' ') AS span
+        |       FROM t, LATERAL (SELECT unnest(range(0,
+        |         CAST(ceil(len(w) / 5.0) AS BIGINT))) AS p)),
+        |occ AS (SELECT doc_id, pos, span, doc_id * 1000 + pos AS occ FROM sp),
+        |fo AS (SELECT span, min(occ) AS keep_occ FROM occ GROUP BY span)
+        |SELECT o.doc_id, count(*) AS n_spans,
+        |  count(*) FILTER (WHERE o.occ <> f.keep_occ) AS n_dropped,
+        |  string_agg(o.span, ' ' ORDER BY o.pos) FILTER (WHERE o.occ = f.keep_occ)
+        |    AS clean_text
+        |FROM occ o JOIN fo f ON f.span = o.span
+        |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
   )
 }

@@ -148,4 +148,75 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.dedupKeepBest(spark, sf001).columns.toSeq ==
       Seq("component", "keep_id", "n_members", "best_quality"))
   }
+
+  test("text_perplexity_lm: ppl > 1, consistent with avg_nll, bigram counts match") {
+    val rows = CorpusOps.textPerplexityLm(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      val ppl = r.getAs[Double]("ppl")
+      // smoothed probabilities are < 1, so nll > 0 and ppl = e^nll > 1
+      assert(nll > 0 && ppl > 1, s"$r")
+      assert(math.abs(ppl - math.exp(nll)) < ppl * 2e-4 + 1e-3, s"$r")
+    }
+    // every doc with >= 2 words is scored, with words-1 bigrams
+    val expected = Tables.documents(spark, sf001)
+      .select(col("doc_id"), (size(split(col("text"), " ")) - 1).as("nb"))
+      .where(col("nb") >= 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("nb").toLong).toMap
+    assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bigrams"))
+      .toMap == expected)
+  }
+
+  test("text_domain_mix: realized rates track the temperature targets") {
+    val rows = CorpusOps.textDomainMix(spark, sf001).collect()
+    val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    // alpha = 0.5 flattens: every target share must sit between uniform
+    // (1/5) and the raw share, on whichever side the domain is skewed
+    rows.foreach { r =>
+      val raw = r.getAs[Long]("n_docs").toDouble / nTotal
+      val tgt = r.getAs[Double]("target_share")
+      val lo = math.min(raw, 1.0 / rows.length) - 1e-4
+      val hi = math.max(raw, 1.0 / rows.length) + 1e-4
+      assert(tgt >= lo && tgt <= hi, s"share not flattened: $r (raw $raw)")
+      val realized = r.getAs[Long]("n_sampled").toDouble / r.getAs[Long]("n_docs")
+      val target = math.min(1.0, tgt * (nTotal / 2.0) / r.getAs[Long]("n_docs"))
+      assert(math.abs(realized - target) < 0.15, s"rate drift: $r (target $target)")
+    }
+    // the total draw lands near the half-corpus budget
+    val sampled = rows.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    assert(math.abs(sampled / nTotal - 0.5) < 0.1, s"budget: $sampled of $nTotal")
+  }
+
+  test("dedup_sentence_global: exact-dup docs are fully dropped, kept spans are globally unique") {
+    val out = CorpusOps.dedupSentenceGlobal(spark, sf001).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_spans"))
+      // clean_text is null exactly when everything was dropped
+      assert(r.isNullAt(r.fieldIndex("clean_text")) ==
+        (r.getAs[Long]("n_dropped") == r.getAs[Long]("n_spans")), s"$r")
+    }
+    // planted exact duplicates (#59): the later copy keeps nothing
+    val dupPairs = Tables.documents(spark, sf001)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("first"), max(col("doc_id")).as("last"),
+           count(lit(1)).as("n"))
+      .where(col("n") > 1).collect()
+    assume(dupPairs.nonEmpty, "corpus drift: no planted exact dups")
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    dupPairs.foreach { p =>
+      val later = byDoc(p.getAs[Long]("last"))
+      assert(later.getAs[Long]("n_dropped") == later.getAs[Long]("n_spans"),
+        s"later exact dup not fully dropped: $later")
+    }
+    // sum of kept spans == number of distinct spans in the corpus
+    val kept = out.map(r => r.getAs[Long]("n_spans") - r.getAs[Long]("n_dropped")).sum
+    val distinctSpans = Tables.documents(spark, sf001)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(transform(
+        sequence(lit(0), ceil(size(col("w")) / lit(5.0)).cast("int") - 1),
+        p => array_join(slice(col("w"), p * 5 + 1, lit(5)), " "))).as("span"))
+      .select(col("span")).distinct().count()
+    assert(kept == distinctSpans, s"kept $kept != distinct $distinctSpans")
+  }
 }

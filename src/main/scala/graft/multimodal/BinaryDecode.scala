@@ -183,4 +183,54 @@ object BinaryDecode {
     ImageIO.write(out, "png", bos)
     bos.toByteArray
   }
+
+  /** Metadata of one 2× block-average downsample: input/output
+    * dimensions plus the checksum of the downsampled raster. */
+  case class DownsampleMeta(doc_id: Long, in_w: Int, in_h: Int,
+                            out_w: Int, out_h: Int, out_pix_sum: Long)
+
+  /** Real 2× downsample with EXACT integer arithmetic: each output
+    * pixel is the per-channel floor-average of its (up to 2×2) source
+    * block. Unlike `resizePng`'s nearest-neighbor re-encode, every
+    * output value is an integer function of the decoded pixels, so an
+    * SQL oracle can recompute `out_pix_sum` from the synthetic-pixel
+    * formula — the hash match proves decode AND downsample arithmetic
+    * end-to-end. Odd dimensions keep their trailing 1-wide blocks
+    * (output is ⌈w/2⌉ × ⌈h/2⌉, nothing cropped). */
+  def downsampleOne(id: Long, bytes: Array[Byte]): DownsampleMeta = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload (${bytes.length} bytes) is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val ow = (w + 1) / 2; val oh = (h + 1) / 2
+    var sum = 0L
+    var yy = 0
+    while (yy < oh) {
+      var xx = 0
+      while (xx < ow) {
+        var rs = 0; var gs = 0; var bs = 0; var bn = 0
+        var y = 2 * yy
+        while (y < math.min(2 * yy + 2, h)) {
+          var x = 2 * xx
+          while (x < math.min(2 * xx + 2, w)) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+            bn += 1
+            x += 1
+          }
+          y += 1
+        }
+        sum += rs / bn + gs / bn + bs / bn
+        xx += 1
+      }
+      yy += 1
+    }
+    DownsampleMeta(id, w, h, ow, oh, sum)
+  }
+
+  /** Partition-wise downsample of (id, payload) batches. */
+  def downsample(spark: SparkSession,
+                 ds: Dataset[(Long, Array[Byte])]): Dataset[DownsampleMeta] = {
+    import spark.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) => downsampleOne(id, bytes) })
+  }
 }

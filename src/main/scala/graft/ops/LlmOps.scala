@@ -539,6 +539,27 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #143 — real 2× image downsample with metadata output (round 7):
+    * each doc's synthetic PNG is decoded by `javax.imageio` and
+    * block-average downsampled with EXACT integer arithmetic
+    * ([[graft.multimodal.BinaryDecode.downsampleOne]]: per-channel
+    * floor-average of each ≤2×2 block) — the thumbnail /
+    * resolution-normalization step of a multimodal ingest, kept
+    * integer so the SQL oracle can recompute the downsampled checksum
+    * from the generator formula: the hash match proves decode AND
+    * resample arithmetic end-to-end, not just the header. Same
+    * posture as #80: narrow partition-wise map, no shuffle, decode
+    * parallelism = partition count, only metadata rows flow on. */
+  def multimodalResizeMeta(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val payloads = documents(spark, sf).select(col("doc_id")).as[Long]
+      .map(id => (id, graft.multimodal.BinaryDecode.syntheticPng(id)))
+    graft.multimodal.BinaryDecode.downsample(spark, payloads).toDF()
+      .select(col("doc_id"), col("in_w"), col("in_h"),
+              col("out_w"), col("out_h"), col("out_pix_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #133 — symmetric int8 embedding quantization with reconstruction
     * error: per vector, scale = max|x|/127, q_i = round(x_i/scale),
     * and the relative L2 error of the dequantized vector — the
@@ -587,6 +608,7 @@ object LlmOps {
     "text_pack_sequences"      -> (textPackSequences _),
     "text_sample_per_group"    -> (textSamplePerGroup _),
     "multimodal_binary"        -> (multimodalBinary _),
+    "multimodal_resize_meta"   -> (multimodalResizeMeta _),
     "sim_quantize_int8"        -> (simQuantizeInt8 _),
   )
 
@@ -851,6 +873,39 @@ object LlmOps {
         |         AS pix_sum
         |FROM c GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin,
+    "multimodal_resize_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 16 AS INT) AS in_w,
+        |         CAST(1 + (doc_id // 16) % 16 AS INT) AS in_h
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, in_w, in_h,
+        |         CAST((in_w + 1) // 2 AS INT) AS out_w,
+        |         CAST((in_h + 1) // 2 AS INT) AS out_h
+        |  FROM d),
+        |opx AS (
+        |  SELECT doc_id, in_w, in_h, out_w, out_h,
+        |         CAST(i % out_w AS INT) AS xx, CAST(i // out_w AS INT) AS yy
+        |  FROM (SELECT *, unnest(range(0, out_w * out_h)) AS i FROM o)),
+        |blk AS (
+        |  SELECT doc_id, xx, yy, CAST(x AS INT) AS x, CAST(y AS INT) AS y
+        |  FROM opx,
+        |    LATERAL (SELECT unnest(range(2 * xx, least(2 * xx + 2, in_w))) AS x),
+        |    LATERAL (SELECT unnest(range(2 * yy, least(2 * yy + 2, in_h))) AS y)),
+        |bs AS (
+        |  SELECT doc_id, xx, yy, count(*) AS bn,
+        |    sum((doc_id * 31 + x * 7 + y * 13) % 256) AS rs,
+        |    sum((doc_id * 17 + x * 5 + y * 11) % 256) AS gs,
+        |    sum((doc_id * 13 + x * 3 + y * 19) % 256) AS bsm
+        |  FROM blk GROUP BY doc_id, xx, yy),
+        |ps AS (
+        |  SELECT doc_id,
+        |    CAST(sum(rs // bn + gs // bn + bsm // bn) AS BIGINT) AS out_pix_sum
+        |  FROM bs GROUP BY doc_id)
+        |SELECT o.doc_id, o.in_w, o.in_h, o.out_w, o.out_h, ps.out_pix_sum
+        |FROM o JOIN ps ON ps.doc_id = o.doc_id
+        |ORDER BY o.doc_id""".stripMargin,
     "text_sample_per_group" ->
       """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,

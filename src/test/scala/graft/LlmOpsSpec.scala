@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.LlmOps
+import graft.ops.{LlmOps, ScanOps}
 import graft.multimodal.BinaryDecode
 
 /** Invariant tests for the extended LLM-pipeline family (§2.L). */
@@ -167,6 +167,31 @@ class LlmOpsSpec extends SparkSpec {
     val up = BinaryDecode.decodeOne(0L, BinaryDecode.resizePng(BinaryDecode.syntheticPng(0L), 2, 2))
     val (r, g, b) = BinaryDecode.syntheticPixel(0L, 0, 0)
     assert(up.pix_sum == 4L * (r + g + b))
+  }
+
+  test("downsample computes the exact floor block average, odd edges included") {
+    // id=17: dims (1 + 17%16, 1 + (17/16)%16) = (2, 2) -> one 2x2 block
+    val m = BinaryDecode.downsampleOne(17L, BinaryDecode.syntheticPng(17L))
+    assert((m.in_w, m.in_h, m.out_w, m.out_h) == (2, 2, 1, 1))
+    val px = for (y <- 0 to 1; x <- 0 to 1) yield BinaryDecode.syntheticPixel(17L, x, y)
+    val expect = px.map(_._1).sum / 4 + px.map(_._2).sum / 4 + px.map(_._3).sum / 4
+    assert(m.out_pix_sum == expect)
+    // id=2: dims (3, 1) -> blocks {x:0-1} and {x:2} of one row each
+    val m2 = BinaryDecode.downsampleOne(2L, BinaryDecode.syntheticPng(2L))
+    assert((m2.in_w, m2.in_h, m2.out_w, m2.out_h) == (3, 1, 2, 1))
+    val p = (0 to 2).map(x => BinaryDecode.syntheticPixel(2L, x, 0))
+    val e2 = (p(0)._1 + p(1)._1) / 2 + (p(0)._2 + p(1)._2) / 2 + (p(0)._3 + p(1)._3) / 2 +
+      p(2)._1 + p(2)._2 + p(2)._3
+    assert(m2.out_pix_sum == e2)
+  }
+
+  test("sink_shard_manifest shards are complete and roughly balanced") {
+    val rows = ScanOps.sinkShardManifest(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("shard")).toSeq == (0L to 7L))
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.sum == Tables.documents(spark, sf001).count())
+    // md5 sharding of 500 docs across 8 shards: no shard empty or dominant
+    assert(counts.min > 0 && counts.max < counts.sum / 2, counts.toSeq)
   }
 
   test("multimodal_binary metadata agrees with the library decoder") {

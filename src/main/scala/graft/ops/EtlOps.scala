@@ -282,6 +282,135 @@ object EtlOps {
       .orderBy(col("lang"))
   }
 
+  /** #144 — last-touch attribution (round 7): every purchase is
+    * credited to the user's most recent STRICTLY-earlier click, and
+    * the click's campaign id (the `k` of its props JSON) becomes the
+    * attributed channel — the marketing-attribution join every event
+    * warehouse runs. Purchases with no prior click stay in the output
+    * unattributed (null campaign).
+    *
+    * Shape: the #18 as-of pattern — a user-keyed equi-join
+    * (clicks × purchases per user) with a strict time residual,
+    * collapsed by a PARTIAL-able `max_by(struct(ts, event_id))` per
+    * purchase (no window over the stream), then a left join back so
+    * unattributed purchases survive. Candidate pairs are per-user
+    * clicks × purchases — the as-of working set, never cross-user.
+    * The attribution gap is exact integer micros. */
+  def eventsAttributionLasttouch(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              unix_micros(col("ts")).as("c_us"),
+              get_json_object(col("props"), "$.k").cast("int").as("campaign"))
+    val attributed = purchases.join(clicks, "user_id")
+      .where(col("c_us") < col("p_us"))
+      .groupBy(col("purchase_id"))
+      .agg(max_by(struct(col("click_id"), col("campaign"), col("c_us")),
+                  struct(col("c_us"), col("click_id"))).as("best"))
+      .select(col("purchase_id"), col("best.click_id").as("click_id"),
+              col("best.campaign").as("campaign"), col("best.c_us").as("c_us"))
+    purchases.join(attributed, Seq("purchase_id"), "left")
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+              col("campaign"), (col("p_us") - col("c_us")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** #145 — fact-to-SCD2 point-in-time join (round 7): signup events
+    * define each user's TIER history (n-th signup ⇒ tier n, valid
+    * until the next signup — the SCD-2 dimension #100 builds, keyed
+    * on a business attribute); every purchase is joined to the tier
+    * interval containing its timestamp — "what dimension state was
+    * true when this fact happened", the temporal star-join every
+    * warehouse needs. Purchases before the user's first signup keep
+    * a null tier (left join).
+    *
+    * Shape: the dimension is built with one per-user window over
+    * SIGNUP rows only (a filtered fraction of the stream); the fact
+    * join is a user-keyed equi-join with a half-open-interval
+    * residual — intervals are disjoint by construction, so at most
+    * one row matches and no argmax is needed. All integer micros. */
+  def joinScd2Pointintime(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s_us"), col("signup_id"))
+    val tiers = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+              unix_micros(col("ts")).as("s_us"))
+      .withColumn("tier", row_number().over(w).cast("long"))
+      .withColumn("next_us", lead(col("s_us"), 1).over(w))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              unix_micros(col("ts")).as("p_us"), col("value"))
+    purchases.join(tiers,
+        purchases("user_id") === tiers("user_id") &&
+        col("p_us") >= col("s_us") &&
+        (col("next_us").isNull || col("p_us") < col("next_us")), "left")
+      .select(col("purchase_id"), purchases("user_id"), col("tier"),
+              col("signup_id"), round(col("value"), 2).as("value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** #146 — snapshot diff (round 7): the data-versioning audit —
+    * given two versions of a keyed table, classify every key as
+    * added / removed / changed / unchanged and report per-class
+    * counts plus an order-independent key checksum. Versions are
+    * carved deterministically from orders (v1 drops keys ≡ 3,
+    * v2 drops keys ≡ 0 mod 97; v2 bumps the price of keys ≡ 0 mod
+    * 89), so the oracle rebuilds both sides from the same parquet.
+    *
+    * Shape: ONE full-outer equi-join on the key, class assignment in
+    * the projection, one keyed count — the minimal-shuffle diff; at
+    * 100 TB both sides would be bucketed on the key (#109) and the
+    * join exchange disappears. */
+  def etlSnapshotDiff(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf).select(col("o_orderkey"), money(col("o_totalprice")).as("price"))
+    val v1 = o.where(col("o_orderkey") % 97 =!= 3)
+      .select(col("o_orderkey").as("k1"), col("price").as("price1"))
+    val v2 = o.where(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        when(col("o_orderkey") % 89 === 0, dec(col("price") + 1, 18, 2))
+          .otherwise(col("price")).as("price2"))
+    v1.join(v2, col("k1") === col("k2"), "full_outer")
+      .select(
+        when(col("k1").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("price1") =!= col("price2"), "changed")
+          .otherwise("unchanged").as("class"),
+        coalesce(col("k1"), col("k2")).as("k"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"))
+      .orderBy(col("class"))
+  }
+
+  /** #147 — CDC changelog apply (round 7): the events stream read as
+    * a change-data-capture log on user rows — every event is an
+    * upsert carrying `value`, except `error` events which are
+    * DELETES; ops apply in (ts, event_id) order and the final table
+    * is the last-writer state of every surviving key. Extends #68
+    * (upsert-only last-wins) with the delete semantics a real CDC
+    * sink must honor: a key whose LAST op is a delete is absent,
+    * regardless of how many upserts preceded it.
+    *
+    * Shape: one keyed `max_by(struct)` aggregate picks the last op
+    * per key (partial-able, no window over the stream), then a
+    * filter drops deleted keys. State per key is one struct. */
+  def etlCdcApply(spark: SparkSession, sf: String): DataFrame = {
+    events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+              col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+           max_by(struct(col("event_id"), col("event_type"), col("value")),
+                  struct(col("us"), col("event_id"))).as("last"))
+      .where(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("n_ops"),
+              col("last.event_id").as("last_event_id"),
+              round(col("last.value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -296,6 +425,10 @@ object EtlOps {
     "etl_outlier_zscore"     -> (etlOutlierZscore _),
     "etl_dq_rules"           -> (etlDqRules _),
     "etl_compact_small_files" -> (etlCompactSmallFiles _),
+    "events_attribution_lasttouch" -> (eventsAttributionLasttouch _),
+    "join_scd2_pointintime"  -> (joinScd2Pointintime _),
+    "etl_snapshot_diff"      -> (etlSnapshotDiff _),
+    "etl_cdc_apply"          -> (etlCdcApply _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -475,5 +608,70 @@ object EtlOps {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "events_attribution_lasttouch" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS campaign
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.purchase_id, c.click_id, c.campaign, c.c_us,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.c_us DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.c_us < p.p_us)
+        |SELECT p.purchase_id, p.user_id, cand.click_id, cand.campaign,
+        |  p.p_us - cand.c_us AS gap_us
+        |FROM p LEFT JOIN cand ON cand.purchase_id = p.purchase_id AND cand.rn = 1
+        |ORDER BY p.purchase_id""".stripMargin,
+    "join_scd2_pointintime" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id AS signup_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS BIGINT) AS tier,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS next_us
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, s.tier, s.signup_id,
+        |  round(p.value, 2) AS value
+        |FROM p LEFT JOIN s ON s.user_id = p.user_id
+        |  AND p.p_us >= s.s_us AND (s.next_us IS NULL OR p.p_us < s.next_us)
+        |ORDER BY p.purchase_id""".stripMargin,
+    "etl_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v1 AS (SELECT o_orderkey AS k1, price AS price1 FROM o
+        |       WHERE o_orderkey % 97 <> 3),
+        |v2 AS (SELECT o_orderkey AS k2,
+        |         CASE WHEN o_orderkey % 89 = 0
+        |              THEN CAST(price + 1 AS DECIMAL(18,2)) ELSE price END AS price2
+        |       FROM o WHERE o_orderkey % 97 <> 0)
+        |SELECT CASE WHEN k1 IS NULL THEN 'added'
+        |            WHEN k2 IS NULL THEN 'removed'
+        |            WHEN price1 <> price2 THEN 'changed'
+        |            ELSE 'unchanged' END AS class,
+        |  count(*) AS n_rows,
+        |  CAST(sum(coalesce(k1, k2)) AS BIGINT) AS key_sum
+        |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+        |GROUP BY 1 ORDER BY class""".stripMargin,
+    "etl_cdc_apply" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops,
+        |  event_id AS last_event_id, round(value, 2) AS last_value
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
   )
 }

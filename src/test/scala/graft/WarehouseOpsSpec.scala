@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Unit + invariant tests for the round-7 warehouse family
+  * (#144–#147): closed-form identities the DuckDB hash-compare cannot
+  * articulate — attribution picks the true argmax click, the SCD2
+  * point-in-time join lands every fact in exactly one interval, the
+  * snapshot diff partitions the key universe, and CDC delete
+  * semantics drop exactly the keys whose LAST op is a delete. */
+class WarehouseOpsSpec extends SparkSpec {
+
+  test("last-touch attribution: one row per purchase, strict precedence, true argmax") {
+    val rows = EtlOps.eventsAttributionLasttouch(spark, sf001).collect()
+    val nPurchases = Tables.events(spark, sf001)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.length == nPurchases, "attribution must keep every purchase")
+    assert(rows.map(_.getAs[Long]("purchase_id")).distinct.length == rows.length)
+    // attributed rows have a strictly-positive gap; unattributed rows
+    // are all-null on the click side
+    rows.foreach { r =>
+      if (r.isNullAt(r.fieldIndex("click_id"))) {
+        assert(r.isNullAt(r.fieldIndex("gap_us")), s"null click with a gap: $r")
+      } else {
+        assert(r.getAs[Long]("gap_us") > 0L, s"non-strict attribution: $r")
+      }
+    }
+    // brute-force the argmax for the user with the most purchases
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+      .collect()
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    val rowsById = rows.map(r => r.getAs[Long]("purchase_id") -> r).toMap
+    purchases.foreach { p =>
+      val clicks = byUser(p.getAs[Long]("user_id"))
+        .filter(e => e.getAs[String]("event_type") == "click" &&
+                     e.getAs[Long]("us") < p.getAs[Long]("us"))
+      val got = rowsById(p.getAs[Long]("event_id"))
+      if (clicks.isEmpty) {
+        assert(got.isNullAt(got.fieldIndex("click_id")), s"phantom attribution: $got")
+      } else {
+        val best = clicks.maxBy(e => (e.getAs[Long]("us"), e.getAs[Long]("event_id")))
+        assert(got.getAs[Long]("click_id") == best.getAs[Long]("event_id"),
+               s"wrong click for purchase ${p.getAs[Long]("event_id")}")
+      }
+    }
+  }
+
+  test("SCD2 point-in-time: every purchase exactly once, interval actually contains it") {
+    val rows = EtlOps.joinScd2Pointintime(spark, sf001).collect()
+    val nPurchases = Tables.events(spark, sf001)
+      .where(col("event_type") === "purchase").count()
+    assert(rows.length == nPurchases, "left join must keep every purchase")
+    assert(rows.map(_.getAs[Long]("purchase_id")).distinct.length == rows.length,
+           "disjoint intervals ⇒ at most one tier match per purchase")
+    // tier null ⇔ purchase precedes the user's first signup
+    val firstSignup = Tables.events(spark, sf001)
+      .where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("first_us")).toMap
+    val pUs = Tables.events(spark, sf001)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[Long]("us"))).toMap
+    rows.foreach { r =>
+      val (uid, us) = pUs(r.getAs[Long]("purchase_id"))
+      val expectNull = firstSignup.get(uid).forall(us < _)
+      assert(r.isNullAt(r.fieldIndex("tier")) == expectNull,
+             s"tier-null mismatch for purchase ${r.getAs[Long]("purchase_id")}")
+    }
+  }
+
+  test("snapshot diff: classes partition the key universe with exact counts") {
+    val rows = EtlOps.etlSnapshotDiff(spark, sf001).collect()
+    val keys = Tables.orders(spark, sf001)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val v1 = keys.filter(_ % 97 != 3).toSet
+    val v2 = keys.filter(_ % 97 != 0).toSet
+    val byClass = rows.map(r => r.getAs[String]("class") ->
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("key_sum"))).toMap
+    val added = v2 -- v1
+    val removed = v1 -- v2
+    val changed = (v1 & v2).filter(_ % 89 == 0)
+    val unchanged = (v1 & v2).filterNot(_ % 89 == 0)
+    def check(cls: String, expect: Set[Long]): Unit = {
+      if (expect.isEmpty) assert(!byClass.contains(cls), s"$cls should be absent")
+      else {
+        val (n, sum) = byClass(cls)
+        assert(n == expect.size, s"$cls count $n != ${expect.size}")
+        assert(sum == expect.sum, s"$cls key_sum $sum != ${expect.sum}")
+      }
+    }
+    check("added", added); check("removed", removed)
+    check("changed", changed); check("unchanged", unchanged)
+  }
+
+  test("CDC apply: surviving keys ⇔ last op not a delete; n_ops is total log depth") {
+    val rows = EtlOps.etlCdcApply(spark, sf001).collect()
+    val log = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+      .collect()
+    val byUser = log.groupBy(_.getAs[Long]("user_id"))
+    val lastOp = byUser.map { case (u, es) =>
+      u -> es.maxBy(e => (e.getAs[Long]("us"), e.getAs[Long]("event_id")))
+    }
+    val survivors = lastOp.filter(_._2.getAs[String]("event_type") != "error").keySet
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == survivors,
+           "CDC survivors must be exactly the keys whose last op is not a delete")
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[Long]("n_ops") == byUser(u).length, s"n_ops wrong for user $u")
+      assert(r.getAs[Long]("last_event_id") ==
+             lastOp(u).getAs[Long]("event_id"), s"last op wrong for user $u")
+    }
+  }
+}

@@ -292,6 +292,43 @@ object AggOps {
                "measure", "value")
       .orderBy(col("l_returnflag"), col("measure"))
 
+  /** #149 — robust outlier detection via MAD (round 7): per-group
+    * median absolute deviation and the modified z-score
+    * 0.6745·|x−med|/MAD > 3.5 (Iglewicz–Hoaglin) — the outlier test
+    * that, unlike #128's moment z-score, is not itself dragged by the
+    * outliers it hunts (50% breakdown point vs 0%).
+    *
+    * Shape: three passes over the fact — exact `percentile` per group
+    * (median), broadcast the 3-row medians back, exact percentile of
+    * |x−med| (MAD), broadcast again, count violators with `count_if`.
+    * The group keys are low-cardinality so both join-backs are
+    * broadcasts; no window touches the fact. Exact percentile is the
+    * oracle-able contract here — at 100 TB the same three-pass shape
+    * runs on #85's mergeable KLL-style sketch instead (per-group
+    * state goes from sort-buffer to fixed-size sketch); MAD is
+    * rank-based, so the sketch substitution changes only tolerance,
+    * not shape. 4-dp rounding bridges interpolation ulp drift (#27's
+    * policy). */
+  def aggMadRobust(spark: SparkSession, sf: String): DataFrame = {
+    val li = lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val mad = li.join(broadcast(med), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("med")).as("med"),
+           percentile(abs(col("v") - col("med")), lit(0.5)).as("mad"))
+    li.join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           round(first(col("med")), 4).as("median"),
+           round(first(col("mad")), 4).as("mad"),
+           count_if(col("mad") > lit(0.0) &&
+             lit(0.6745) * abs(col("v") - col("med")) / col("mad") > lit(3.5))
+             .as("n_outliers"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -311,6 +348,7 @@ object AggOps {
     "agg_regression"       -> (aggRegression _),
     "agg_boolean"          -> (aggBoolean _),
     "agg_unpivot"          -> (aggUnpivot _),
+    "agg_mad_robust"       -> (aggMadRobust _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -440,5 +478,23 @@ object AggOps {
         |  UNION ALL
         |  SELECT l_returnflag, 'sum_disc', sum_disc FROM w)
         |ORDER BY l_returnflag, measure""".stripMargin,
+    "agg_mad_robust" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med
+        |  FROM lineitem GROUP BY 1),
+        |s AS (
+        |  SELECT l.l_returnflag,
+        |    percentile_cont(0.5) WITHIN GROUP
+        |      (ORDER BY abs(l.l_extendedprice - m.med)) AS mad
+        |  FROM lineitem l JOIN m USING (l_returnflag) GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n_rows,
+        |  round(max(m.med), 4) AS median, round(max(s.mad), 4) AS mad,
+        |  CAST(count(*) FILTER (WHERE s.mad > 0
+        |    AND 0.6745 * abs(l.l_extendedprice - m.med) / s.mad > 3.5)
+        |    AS BIGINT) AS n_outliers
+        |FROM lineitem l JOIN m USING (l_returnflag) JOIN s USING (l_returnflag)
+        |GROUP BY l.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

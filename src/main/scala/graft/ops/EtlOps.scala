@@ -411,6 +411,33 @@ object EtlOps {
       .orderBy(col("user_id"))
   }
 
+  /** #148 — OHLC time-series downsample (round 7): the classic
+    * bar-chart resample — per (event_type, day) the first (open),
+    * max (high), min (low), and last (close) reading, ordered by
+    * (ts, event_id) so ties are deterministic. The storage shape for
+    * any dashboard that refuses to scan raw ticks.
+    *
+    * Shape: ONE hash aggregate — open/close are `min_by`/`max_by`
+    * over a (ts, event_id) struct, both PARTIAL-able (each map task
+    * keeps one candidate per group, merge picks the winner), so there
+    * is no window over the stream and no per-key sort. State per
+    * group is four scalars + two structs regardless of bucket size —
+    * the only OHLC formulation that holds at 100 TB. */
+  def tsDownsampleOhlc(spark: SparkSession, sf: String): DataFrame = {
+    events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+              unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+           round(min_by(col("value"), struct(col("us"), col("event_id"))), 2)
+             .as("open_value"),
+           round(max(col("value")), 2).as("high_value"),
+           round(min(col("value")), 2).as("low_value"),
+           round(max_by(col("value"), struct(col("us"), col("event_id"))), 2)
+             .as("close_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -429,6 +456,7 @@ object EtlOps {
     "join_scd2_pointintime"  -> (joinScd2Pointintime _),
     "etl_snapshot_diff"      -> (etlSnapshotDiff _),
     "etl_cdc_apply"          -> (etlCdcApply _),
+    "ts_downsample_ohlc"     -> (tsDownsampleOhlc _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -673,5 +701,24 @@ object EtlOps {
         |  event_id AS last_event_id, round(value, 2) AS last_value
         |FROM r WHERE rn = 1 AND event_type <> 'error'
         |ORDER BY user_id""".stripMargin,
+    "ts_downsample_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM e)
+        |SELECT event_type, day, count(*) AS n_events,
+        |  round(max(CASE WHEN rn_a = 1 THEN value END), 2) AS open_value,
+        |  round(max(value), 2) AS high_value,
+        |  round(min(value), 2) AS low_value,
+        |  round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close_value
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -100,6 +100,46 @@ class WarehouseOpsSpec extends SparkSpec {
     check("changed", changed); check("unchanged", unchanged)
   }
 
+  test("OHLC: bars bracket open/close, partition the stream, match brute force") {
+    val bars = EtlOps.tsDownsampleOhlc(spark, sf001).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open_value"), r.getAs[Double]("high_value"),
+                          r.getAs[Double]("low_value"), r.getAs[Double]("close_value"))
+      // rounding happens per-aggregate, so bracket holds up to the 2dp grid
+      assert(l <= h + 1e-9, s"low > high: $r")
+      assert(o >= l - 0.005 && o <= h + 0.005, s"open outside [low, high]: $r")
+      assert(c >= l - 0.005 && c <= h + 0.005, s"close outside [low, high]: $r")
+      assert(r.getAs[Long]("n_events") > 0L)
+    }
+    assert(bars.map(_.getAs[Long]("n_events")).sum ==
+           Tables.events(spark, sf001).count(), "bars must partition the stream")
+    // brute-force one bucket: the largest bar's open/close by (ts, event_id)
+    val biggest = bars.maxBy(_.getAs[Long]("n_events"))
+    val rows = Tables.events(spark, sf001)
+      .where(col("event_type") === biggest.getAs[String]("event_type") &&
+             date_trunc("day", col("ts")) === biggest.getAs[java.sql.Timestamp]("day"))
+      .select(unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("us"), r.getAs[Long]("event_id"))
+    assert(math.abs(rows.minBy(key(_)).getAs[Double]("value") -
+                    biggest.getAs[Double]("open_value")) < 0.005)
+    assert(math.abs(rows.maxBy(key(_)).getAs[Double]("value") -
+                    biggest.getAs[Double]("close_value")) < 0.005)
+  }
+
+  test("MAD: nonnegative, bounded by max deviation, outliers a strict minority") {
+    val rows = AggOps.aggMadRobust(spark, sf001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val mad = r.getAs[Double]("mad")
+      assert(mad >= 0.0, s"negative MAD: $r")
+      // MAD has a 50% breakdown point: at most half the rows can sit
+      // beyond 3.5 modified z-scores by construction of the median
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_rows") / 2, r.toString)
+    }
+  }
+
   test("CDC apply: surviving keys ⇔ last op not a delete; n_ops is total log depth") {
     val rows = EtlOps.etlCdcApply(spark, sf001).collect()
     val log = Tables.events(spark, sf001)

@@ -292,6 +292,32 @@ object AggOps {
                "measure", "value")
       .orderBy(col("l_returnflag"), col("measure"))
 
+  private val filterClauseSql =
+    """SELECT l_returnflag,
+      |  count(*) AS n_rows,
+      |  count(*) FILTER (WHERE year(l_shipdate) >= 1997) AS n_recent,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |    FILTER (WHERE year(l_shipdate) >= 1997) AS DOUBLE) AS qty_recent,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE CAST(l_discount AS DECIMAL(18,2)) > 0.05)
+      |    AS DOUBLE) AS price_highdisc,
+      |  count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')
+      |    AS n_supp_f
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #152 — FILTER-clause aggregates (SQL:2003), the SQL surface: one
+    * scan produces several differently-predicated aggregates instead
+    * of N self-joined subqueries — at 100 TB the difference between
+    * one pass and five. Catalyst rewrites each FILTER into the
+    * conditional-partial form (#116's count_if shape generalized to
+    * sum/distinct), all map-side-combinable in a single hash
+    * aggregate; decimal sums cast to double post-agg per the oracle
+    * decimal policy. */
+  def aggFilterClause(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "lineitem")
+    spark.sql(filterClauseSql)
+  }
+
   /** #149 — robust outlier detection via MAD (round 7): per-group
     * median absolute deviation and the modified z-score
     * 0.6745·|x−med|/MAD > 3.5 (Iglewicz–Hoaglin) — the outlier test
@@ -349,6 +375,7 @@ object AggOps {
     "agg_boolean"          -> (aggBoolean _),
     "agg_unpivot"          -> (aggUnpivot _),
     "agg_mad_robust"       -> (aggMadRobust _),
+    "agg_filter_clause"    -> (aggFilterClause _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -496,5 +523,6 @@ object AggOps {
         |FROM lineitem l JOIN m USING (l_returnflag) JOIN s USING (l_returnflag)
         |GROUP BY l.l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_filter_clause" -> filterClauseSql,
   )
 }

@@ -81,12 +81,42 @@ object FilterOps {
     spark.sql(correlatedSql)
   }
 
+  private val notInNullsSql =
+    """WITH probe AS (
+      |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |              ELSE o_custkey END AS k
+      |  FROM orders),
+      |base AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |SELECT
+      |  (SELECT count(*) FROM base
+      |   WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+      |  (SELECT count(*) FROM base b WHERE NOT EXISTS
+      |     (SELECT 1 FROM probe p WHERE p.k = b.c_custkey)) AS n_not_exists,
+      |  (SELECT count(*) FROM base WHERE c_custkey NOT IN
+      |     (SELECT k FROM probe WHERE k IS NOT NULL)) AS n_not_in_nonnull
+      |""".stripMargin
+
+  /** #150 — NOT IN vs NOT EXISTS under a nullable subquery, the
+    * classic three-valued-logic trap: one NULL in the NOT IN list
+    * makes every membership test UNKNOWN, so `n_not_in` is provably 0
+    * while NOT EXISTS (which never yields UNKNOWN) and the
+    * null-filtered NOT IN count the real complement. Catalyst plans
+    * the three as null-aware anti join / anti join / anti join — all
+    * shuffle-keyed, no per-row subquery execution. Getting this
+    * WRONG silently is the #1 SQL-migration bug class; the op pins
+    * the semantics under the oracle. */
+  def subqueryNotInNulls(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "orders", "customer")
+    spark.sql(notInNullsSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "project_arith"         -> (projectArith _),
     "filter_compound"       -> (filterCompound _),
     "filter_null_semantics" -> (filterNullSemantics _),
     "case_expr"             -> (caseExpr _),
     "subquery_correlated_scalar" -> (subqueryCorrelatedScalar _),
+    "subquery_not_in_nulls"      -> (subqueryNotInNulls _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -122,5 +152,6 @@ object FilterOps {
         |FROM orders GROUP BY band, o_orderstatus
         |ORDER BY band, o_orderstatus""".stripMargin,
     "subquery_correlated_scalar" -> correlatedSql,
+    "subquery_not_in_nulls"      -> notInNullsSql,
   )
 }

@@ -311,6 +311,31 @@ object JoinOps {
       .orderBy(col("order_year"))
   }
 
+  private val lateralTopkSql =
+    """SELECT n.n_name, t.c_custkey, t.acctbal, t.rk
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+      |    CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey
+      |  LIMIT 3) t
+      |ORDER BY n.n_name, t.rk""".stripMargin
+
+  /** #151 — LATERAL correlated top-k: the SQL surface for "the 3
+    * richest customers of EACH nation" — a correlated subquery with
+    * its own ORDER BY/LIMIT per outer row. Catalyst decorrelates the
+    * lateral into a window-rank over the (one) shuffle on the
+    * correlation key — the subquery never executes per outer row, so
+    * the plan is the same keyed-window shape as #32, not 25 serial
+    * scans; DuckDB plans the identical dependent-join unnesting.
+    * Deterministic via the (acctbal DESC, custkey) tiebreak. */
+  def joinLateralTopk(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "nation", "customer")
+    spark.sql(lateralTopkSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "join_inner_shuffle"    -> (joinInnerShuffle _),
     "join_broadcast"        -> (joinBroadcast _),
@@ -328,6 +353,7 @@ object JoinOps {
     "join_range_bucketed"   -> (joinRangeBucketed _),
     "join_null_safe"        -> (joinNullSafe _),
     "join_partition_pruned" -> (joinPartitionPruned _),
+    "join_lateral_topk"     -> (joinLateralTopk _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -447,5 +473,6 @@ object JoinOps {
         |    AS total_price
         |FROM orders WHERE year(o_orderdate) % 2 = 0
         |GROUP BY 1 ORDER BY order_year""".stripMargin,
+    "join_lateral_topk" -> lateralTopkSql,
   )
 }

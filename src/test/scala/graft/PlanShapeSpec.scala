@@ -223,6 +223,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
   }
 
+  test("join_lateral_topk decorrelates to a keyed window, not a per-row loop") {
+    val p = plan(JoinOps.joinLateralTopk(spark, sf001))
+    // the lateral ORDER BY/LIMIT must become a rank over the
+    // correlation key — one window, one join, zero nested loops
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_filter_clause is ONE hash aggregate pass — no self-joins") {
+    val p = plan(AggOps.aggFilterClause(spark, sf001))
+    // the distinct FILTER aggregate costs one expand, never a join
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("text_ngram_novelty shuffles grams once and never joins pairwise") {
     val p = plan(TextOps.textNgramNovelty(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)

@@ -68,6 +68,17 @@ object Bench {
     "join_bucketed_colocated",
     "join_partition_pruned",
     "sink_sorted_shards",
+    // round 7: the quantized-retrieval + corpus-quality + warehouse
+    // shapes whose superlinearity risks live in join fan-out — the
+    // per-cluster self-join (SemDeDup), the PQ codebook joins, the
+    // span explode (heaviest corpus op), the bigram-model joins, the
+    // as-of candidate working set, and the exact-percentile passes
+    "dedup_semantic_cluster",
+    "sim_ann_pq",
+    "dedup_sentence_global",
+    "text_perplexity_lm",
+    "events_attribution_lasttouch",
+    "agg_mad_robust",
   )
 
   def main(args: Array[String]): Unit = {

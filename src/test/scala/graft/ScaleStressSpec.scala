@@ -174,7 +174,28 @@ class ScaleStressSpec extends SparkSpec {
         d => graft.ops.CorpusOps.textRepetitionFilter(spark, d), LIN),
       ("dedup_bloom_prefilter",
         d => graft.ops.CorpusOps.dedupBloomPrefilter(spark, d), LIN),
-      ("join_range_bucketed_fixedi", rangeFixedIntervals _, LIN))
+      ("join_range_bucketed_fixedi", rangeFixedIntervals _, LIN),
+      // round 7: SemDeDup's per-cluster self-join — ⌈√n⌉ clusters of
+      // ~√n vectors ⇒ Σ pairs ~ n^1.5, the same flat-IVF optimum as
+      // the ANN rows (31.6× at 10×); a regression to corpus-wide
+      // pairs would measure ~100×
+      ("dedup_semantic_cluster", d => graft.ops.VecOps.dedupSemanticCluster(spark, d), 31.6),
+      // round 7: PQ/ADC scan — codebook (128 rows) and query set (8)
+      // are fixed, the encoded store scales ⇒ linear
+      ("sim_ann_pq", d => graft.ops.VecOps.simAnnPq(spark, d), LIN),
+      // round 7: span volume is linear in corpus chars; keyed min_by
+      // + join back — the heaviest explode in the corpus family
+      ("dedup_sentence_global", d => graft.ops.CorpusOps.dedupSentenceGlobal(spark, d), LIN),
+      // round 7: bigram/prefix count tables grow with vocabulary
+      // (sublinear), doc scoring is linear in gram volume
+      ("text_perplexity_lm", d => graft.ops.CorpusOps.textPerplexityLm(spark, d), LIN),
+      // round 7: as-of candidate pairs are per-user clicks×purchases;
+      // the default scaled corpus grows USERS 10× with flat per-user
+      // history, so the working set is linear (the realistic shape)
+      ("events_attribution_lasttouch", d => EtlOps.eventsAttributionLasttouch(spark, d), LIN),
+      // round 7: one keyed max_by — the CDC apply must stay a single
+      // partial-able aggregate at any log depth
+      ("etl_cdc_apply", d => EtlOps.etlCdcApply(spark, d), LIN))
     val report = new StringBuilder(
       "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
     val failures = ops.flatMap { case (name, op, expected) =>

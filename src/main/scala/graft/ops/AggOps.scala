@@ -292,6 +292,27 @@ object AggOps {
                "measure", "value")
       .orderBy(col("l_returnflag"), col("measure"))
 
+  private val listaggSql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  listagg(c_name, '|') WITHIN GROUP (ORDER BY c_custkey) AS names
+      |FROM customer WHERE c_acctbal < -900
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** #154 — ordered string aggregation (round 7, SQL:2016 LISTAGG —
+    * Spark 4's native implementation; DuckDB spells it
+    * `string_agg(... ORDER BY ...)`): the per-group concatenation
+    * that feeds display layers and denormalized exports. The WITHIN
+    * GROUP order makes the output deterministic — an unordered
+    * string_agg would hash-differ run to run, the same reason #29's
+    * collect_list sorts. Scale note: output size grows with group
+    * size, so the op belongs on SELECTIVE groups (here a filtered
+    * slice); the aggregation itself is single-pass with sort-based
+    * partials. */
+  def aggListagg(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "customer")
+    spark.sql(listaggSql)
+  }
+
   private val filterClauseSql =
     """SELECT l_returnflag,
       |  count(*) AS n_rows,
@@ -376,6 +397,7 @@ object AggOps {
     "agg_unpivot"          -> (aggUnpivot _),
     "agg_mad_robust"       -> (aggMadRobust _),
     "agg_filter_clause"    -> (aggFilterClause _),
+    "agg_listagg"          -> (aggListagg _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -524,5 +546,10 @@ object AggOps {
         |GROUP BY l.l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "agg_filter_clause" -> filterClauseSql,
+    "agg_listagg" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  string_agg(c_name, '|' ORDER BY c_custkey) AS names
+        |FROM customer WHERE c_acctbal < -900
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

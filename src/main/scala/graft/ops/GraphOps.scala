@@ -117,9 +117,43 @@ object GraphOps {
       .orderBy(col("n_nationkey"))
   }
 
+  /** #153's SQL — identical text runs on both engines (ANSI
+    * `WITH RECURSIVE`). Five disjoint chains: nation k links to
+    * k+5, so roots 0–4 each walk a 5-node chain across the key
+    * space; per-root count / max depth / key checksum pin the full
+    * traversal. */
+  private val recursiveCteSql =
+    """WITH RECURSIVE chain AS (
+      |  SELECT n_nationkey AS root, n_nationkey AS node, 0 AS depth
+      |  FROM nation WHERE n_nationkey < 5
+      |  UNION ALL
+      |  SELECT c.root, n.n_nationkey, c.depth + 1
+      |  FROM chain c JOIN nation n ON n.n_nationkey = c.node + 5)
+      |SELECT root, count(*) AS n_nodes,
+      |  CAST(max(depth) AS BIGINT) AS max_depth,
+      |  CAST(sum(node) AS BIGINT) AS node_sum
+      |FROM chain GROUP BY root ORDER BY root""".stripMargin
+
+  /** #153 — recursive CTE (round 7, SQL:1999 WITH RECURSIVE —
+    * Spark 4's native recursion support): transitive closure over a
+    * derived 5-chain hierarchy, the org-chart / BOM / dependency
+    * walk every warehouse eventually needs. Unlike #122's UNROLLED
+    * PageRank (fixed iteration count known at plan time), the
+    * recursion runs to FIXPOINT — depth is data-driven. Spark
+    * executes each step as a distributed join of the previous
+    * frontier (shuffle-keyed, AQE-sized) with a union'd
+    * accumulator — the frontier is never driver-materialized; the
+    * recursion-depth guard (`spark.sql.cteRecursionLevelLimit`)
+    * bounds runaway graphs. DuckDB runs the identical ANSI text. */
+  def sqlRecursiveCte(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "nation")
+    spark.sql(recursiveCteSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_pagerank"       -> (graphPagerank _),
     "graph_triangle_count" -> (graphTriangleCount _),
+    "sql_recursive_cte"    -> (sqlRecursiveCte _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -178,5 +212,6 @@ object GraphOps {
          |  coalesce(g.n_triangles, 0) AS n_triangles
          |FROM nation n LEFT JOIN g ON g.node = n.n_nationkey
          |ORDER BY n.n_nationkey""".stripMargin),
+    "sql_recursive_cte" -> recursiveCteSql,
   )
 }

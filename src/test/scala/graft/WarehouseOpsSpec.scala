@@ -140,6 +140,28 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("recursive CTE: five 5-node chains, closed-form key checksums") {
+    val rows = GraphOps.sqlRecursiveCte(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val root = r.getAs[Number]("root").longValue
+      assert(r.getAs[Number]("n_nodes").longValue == 5L, r.toString)
+      assert(r.getAs[Number]("max_depth").longValue == 4L, r.toString)
+      // nodes are root, root+5, ..., root+20 ⇒ sum = 5·root + 50
+      assert(r.getAs[Number]("node_sum").longValue == 5 * root + 50, r.toString)
+    }
+  }
+
+  test("listagg: name count matches the separator count + 1, order ascending by key") {
+    // sf0.01: the -900 acctbal slice is empty at sf0.001's 150 customers
+    val rows = AggOps.aggListagg(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val names = r.getAs[String]("names").split('|')
+      assert(names.length == r.getAs[Number]("n_customers").longValue, r.toString)
+    }
+  }
+
   test("CDC apply: surviving keys ⇔ last op not a delete; n_ops is total log depth") {
     val rows = EtlOps.etlCdcApply(spark, sf001).collect()
     val log = Tables.events(spark, sf001)

@@ -377,6 +377,57 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #156 — hashing-trick linear classifier scoring (round 7), the
+    * fastText/CCNet quality-classifier SHAPE: tokens hash into
+    * D = 4096 feature buckets (3 md5 hex chars — portable, exactly
+    * 0..4095), each bucket carries a deterministic weight
+    * w = (h mod 1997)/1997 − 0.5 (the stand-in for trained weights —
+    * production swaps in a learned vector, the dataflow is
+    * identical), and a document's score is the mean weight of its
+    * tokens; label = sign. The weight "table" never materializes —
+    * w(h) is computed IN the projection, so scoring is one narrow
+    * codegen'd pass + one per-doc aggregate: the only classifier
+    * formulation that needs no model broadcast at 100 TB. 6-dp
+    * rounding bridges summation-order ulp drift. */
+  def textClassifierLinear(spark: SparkSession, sf: String): DataFrame = {
+    val toks = documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val h = conv(substring(md5(concat(col("tok"), lit("#feat"))), 1, 3), 16, 10)
+      .cast("long")
+    toks.select(col("doc_id"),
+        ((h % 1997).cast("double") / 1997.0 - 0.5).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("w")), 6).as("score"))
+      .withColumn("label", when(col("score") > 0, "keep").otherwise("drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #157 — BPE pair-count training step (round 7): the corpus-global
+    * adjacent-character-pair frequencies over the word-frequency
+    * table — the count that drives ONE merge iteration of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016);
+    * production loops this with a merge applied per round, each
+    * round this same distributed count. Shape: word counts first
+    * (vocabulary scale — the corpus is never re-scanned per pair),
+    * then pairs exploded from the VOCAB (weighted by word count,
+    * overlaps counted), one pair-keyed sum; the pair table is
+    * alphabet²-bounded metadata, so the final top-20 sort is free.
+    * Words shorter than 2 chars carry no pairs and are filtered
+    * before the explode (`sequence(1, 0)` would descend). */
+  def textBpePairCounts(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(expr(
+          "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
@@ -388,6 +439,8 @@ object CorpusOps {
     "text_perplexity_lm"     -> (textPerplexityLm _),
     "text_domain_mix"        -> (textDomainMix _),
     "dedup_sentence_global"  -> (dedupSentenceGlobal _),
+    "text_classifier_linear" -> (textClassifierLinear _),
+    "text_bpe_pair_counts"   -> (textBpePairCounts _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -544,5 +597,34 @@ object CorpusOps {
         |    AS clean_text
         |FROM occ o JOIN fo f ON f.span = o.span
         |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin,
+    "text_classifier_linear" ->
+      """WITH tk AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0),
+        |f AS (SELECT doc_id,
+        |        substr(md5(tok || '#feat'), 1, 3) AS hx
+        |      FROM tk),
+        |w AS (SELECT doc_id,
+        |        (((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)) % 1997)
+        |          / 1997.0 - 0.5 AS w
+        |      FROM f)
+        |SELECT doc_id, count(*) AS n_tokens, round(avg(w), 6) AS score,
+        |  CASE WHEN round(avg(w), 6) > 0 THEN 'keep' ELSE 'drop' END AS label
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bpe_pair_counts" ->
+      """WITH wf AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w),
+        |pr AS (
+        |  SELECT substring(w, CAST(i AS INT), 2) AS pair, n
+        |  FROM wf, LATERAL (SELECT unnest(range(1, length(w))) AS i) r)
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+        |FROM pr GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
   )
 }

@@ -112,6 +112,36 @@ object StreamOps {
       .orderBy(col("event_id"))
   }
 
+  /** #155 — stream-stream interval join in graded batch form: every
+    * purchase joined to the SAME user's clicks in the trailing hour
+    * [p−1h, p), aggregated to a per-purchase click count and exact
+    * click-value sum — the enrichment join a streaming pipeline runs
+    * with symmetric state on both sides. In true streaming this is
+    * the watermarked stream-stream join (state bounded by the 1-hour
+    * interval + watermark on both inputs — covered under MemoryStream
+    * in graft.streaming.StreamingSpec); the batch form is a user
+    * equi-join with a time residual, candidate pairs bounded per
+    * user, aggregated by a partial-able count/sum — contrast #144
+    * which keeps only the argmax click. Purchases with no clicks in
+    * range survive with zero counts (left join). */
+  def streamJoinInterval(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              unix_micros(col("ts")).as("p_us"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"),
+              money(col("value")).as("c_value"))
+    p.join(c, col("p_user") === col("c_user") &&
+           col("c_us") >= col("p_us") - lit(3600000000L) &&
+           col("c_us") < col("p_us"), "left")
+      .groupBy(col("purchase_id"))
+      .agg(count(col("c_us")).as("n_clicks_1h"),
+           coalesce(sum(col("c_value")), lit(0).cast("decimal(18,2)"))
+             .cast("double").as("click_value_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "stream_tumbling_window" -> (streamTumblingWindow _),
     "stream_sliding_window"  -> (streamSlidingWindow _),
@@ -119,6 +149,7 @@ object StreamOps {
     "stream_dedup_keys"      -> (streamDedupKeys _),
     "stream_stateful_counts" -> (streamStatefulCounts _),
     "stream_watermark_late"  -> (streamWatermarkLate _),
+    "stream_join_interval"   -> (streamJoinInterval _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -189,5 +220,19 @@ object StreamOps {
         |  hwm_ms - ts_ms AS late_ms
         |FROM h WHERE hwm_ms - ts_ms > 300000
         |ORDER BY event_id""".stripMargin,
+    "stream_join_interval" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, count(c.c_us) AS n_clicks_1h,
+        |  CAST(coalesce(sum(c.v), 0) AS DOUBLE) AS click_value_1h
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us < p.p_us
+        |GROUP BY p.purchase_id ORDER BY p.purchase_id""".stripMargin,
   )
 }

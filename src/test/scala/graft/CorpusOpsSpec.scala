@@ -219,4 +219,33 @@ class CorpusOpsSpec extends SparkSpec {
       .select(col("span")).distinct().count()
     assert(kept == distinctSpans, s"kept $kept != distinct $distinctSpans")
   }
+
+  test("linear classifier: scores bounded by the weight range, labels are the sign") {
+    val rows = CorpusOps.textClassifierLinear(spark, sf001).collect()
+    assert(rows.length == Tables.documents(spark, sf001).count())
+    rows.foreach { r =>
+      val score = r.getAs[Double]("score")
+      // every weight lives in [-0.5, 0.5), so any token average must too
+      assert(score >= -0.5 && score < 0.5, r.toString)
+      assert(r.getAs[Long]("n_tokens") > 0L, r.toString)
+      assert(r.getAs[String]("label") == (if (score > 0) "keep" else "drop"), r.toString)
+    }
+  }
+
+  test("BPE pair counts: 2-char pairs, descending, and the top pair is the true max") {
+    val rows = CorpusOps.textBpePairCounts(spark, sf001).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+    val ns = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not descending")
+    // brute-force the global max pair count
+    val brute = Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(ns.head == brute, s"top pair ${ns.head} != brute max $brute")
+  }
 }

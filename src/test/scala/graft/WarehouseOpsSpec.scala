@@ -140,6 +140,29 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("stream interval join: counts match brute force, zero-click purchases kept") {
+    val rows = StreamOps.streamJoinInterval(spark, sf001).collect()
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+      .collect()
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    assert(rows.length == purchases.length, "left join must keep every purchase")
+    val byUser = ev.groupBy(_.getAs[Long]("user_id"))
+    val got = rows.map(r => r.getAs[Long]("purchase_id") -> r).toMap
+    purchases.foreach { p =>
+      val pUs = p.getAs[Long]("us")
+      val expect = byUser(p.getAs[Long]("user_id")).count { e =>
+        e.getAs[String]("event_type") == "click" &&
+        e.getAs[Long]("us") >= pUs - 3600000000L && e.getAs[Long]("us") < pUs
+      }
+      val r = got(p.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("n_clicks_1h") == expect, s"count wrong: $r")
+      if (expect == 0)
+        assert(r.getAs[Double]("click_value_1h") == 0.0, s"zero-click value: $r")
+    }
+  }
+
   test("recursive CTE: five 5-node chains, closed-form key checksums") {
     val rows = GraphOps.sqlRecursiveCte(spark, sf001).collect()
     assert(rows.length == 5)

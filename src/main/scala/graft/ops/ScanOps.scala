@@ -395,7 +395,38 @@ object ScanOps {
     "source_parquet_evolution" -> (sourceParquetEvolution _),
     "sink_sorted_shards"       -> (sinkSortedShards _),
     "sink_shard_manifest"      -> (sinkShardManifest _),
+    "sink_partition_overwrite" -> (sinkPartitionOverwrite _),
   )
+
+  /** #158 — dynamic partition overwrite (round 7): the lake
+    * re-statement primitive — a partitioned table gets a CORRECTED
+    * slice for one partition, and only the partitions PRESENT in the
+    * written frame are replaced (`partitionOverwriteMode=dynamic`;
+    * the static default would wipe the whole table). Proven
+    * end-to-end: a full 3-partition snapshot of orders, then a
+    * dynamic overwrite of only status 'F' with prices +1; the
+    * read-back aggregate shows 'F' carrying the corrected values
+    * while 'O'/'P' still carry the v1 snapshot — if the static wipe
+    * had happened, their rows would be gone and the oracle would
+    * mismatch. At 100 TB this is how daily re-statements avoid
+    * rewriting the lake: the write cost is one partition, the
+    * others' files are untouched. */
+  def sinkPartitionOverwrite(spark: SparkSession, sf: String): DataFrame = {
+    val dir = scratchDir("graft_dyn_overwrite")
+    val o = orders(spark, sf)
+      .select(col("o_orderkey"), money(col("o_totalprice")).as("price"),
+              col("o_orderstatus"))
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    o.where(col("o_orderstatus") === "F")
+      .withColumn("price", dec(col("price") + 1, 18, 2))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_orderstatus").parquet(dir)
+    spark.read.parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("price")).cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   val oracle: Map[String, String] = ListMap(
     "scan_parquet" ->
@@ -505,5 +536,13 @@ object ScanOps {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(csum) AS BIGINT) AS content_sum
         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+    "sink_partition_overwrite" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DECIMAL(18,2))
+        |    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -238,6 +238,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("attribution and interval join are user-keyed equi-joins with residuals, not loops") {
+    Seq(EtlOps.eventsAttributionLasttouch(spark, sf001),
+        StreamOps.streamJoinInterval(spark, sf001),
+        EtlOps.joinScd2Pointintime(spark, sf001)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+             p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
+  test("BPE pair explode runs off the vocab aggregate, not the raw corpus") {
+    val p = plan(CorpusOps.textBpePairCounts(spark, sf001))
+    // shape: corpus wordcount agg BELOW the pair explode (Generate) —
+    // the explode's input is the vocabulary, so the corpus is read once
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate"))
+    val aggBelow = lines.drop(genIdx + 1).exists(_.contains("HashAggregate"))
+    assert(genIdx >= 0 && aggBelow, s"pair explode not fed by the vocab aggregate\n$p")
+  }
+
   test("text_ngram_novelty shuffles grams once and never joins pairwise") {
     val p = plan(TextOps.textNgramNovelty(spark, sf001))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)

@@ -292,6 +292,32 @@ object AggOps {
                "measure", "value")
       .orderBy(col("l_returnflag"), col("measure"))
 
+  private val bitmapDistinctSql =
+    """SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n_distinct_parts
+      |FROM (
+      |  SELECT l_returnflag, bitmap_bucket_number(l_partkey) AS bkt,
+      |    bitmap_count(bitmap_construct_agg(bitmap_bit_position(l_partkey)))
+      |      AS cnt
+      |  FROM lineitem GROUP BY l_returnflag, bkt)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #159 — EXACT distinct counting via bitmap aggregates (round 7,
+    * Spark's bitmap_construct_agg family): keys map to (bucket, bit
+    * position), per-(group, bucket) bitmaps OR-merge as fixed-4KB
+    * partials, and the per-group distinct count is the sum of bucket
+    * popcounts — exact like #21's count(DISTINCT) but MERGEABLE: no
+    * distinct expand, no re-shuffle of raw keys, partial state
+    * bounded at 4KB per (group, bucket) regardless of row count. At
+    * 100 TB this is the exact-distinct analogue of #28's HLL (use
+    * bitmaps when exactness is required and the key domain is dense;
+    * HLL when 2% error buys 100× less state). The oracle is DuckDB's
+    * plain count(DISTINCT) — the bitmap machinery must reproduce it
+    * bit-exactly. */
+  def aggBitmapDistinct(spark: SparkSession, sf: String): DataFrame = {
+    views(spark, sf, "lineitem")
+    spark.sql(bitmapDistinctSql)
+  }
+
   private val listaggSql =
     """SELECT c_mktsegment, count(*) AS n_customers,
       |  listagg(c_name, '|') WITHIN GROUP (ORDER BY c_custkey) AS names
@@ -398,6 +424,7 @@ object AggOps {
     "agg_mad_robust"       -> (aggMadRobust _),
     "agg_filter_clause"    -> (aggFilterClause _),
     "agg_listagg"          -> (aggListagg _),
+    "agg_bitmap_distinct"  -> (aggBitmapDistinct _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -551,5 +578,10 @@ object AggOps {
         |  string_agg(c_name, '|' ORDER BY c_custkey) AS names
         |FROM customer WHERE c_acctbal < -900
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_distinct_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

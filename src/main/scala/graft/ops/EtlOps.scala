@@ -411,6 +411,29 @@ object EtlOps {
       .orderBy(col("user_id"))
   }
 
+  /** #160 — forward-fill / LOCF (round 7): `error` events carry no
+    * usable reading, so their value is nulled and replaced by the
+    * user's LAST valid observation (last-observation-carried-forward
+    * — the sensor-feed repair every metering/telemetry pipeline
+    * runs). Events before a user's first valid reading stay null.
+    *
+    * Shape: ONE per-user window with `last(_, ignoreNulls = true)`
+    * over an unbounded-preceding row frame — the running "most recent
+    * non-null" is O(1) state per row; no self-join, no per-gap scan.
+    * Partitioned by the entity key like every window here, so
+    * partition size is a user's history, never the stream. */
+  def etlForwardFill(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val valid = when(col("event_type") =!= "error", money(col("value")))
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              last(valid, ignoreNulls = true).over(w)
+                .cast("double").as("filled_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** #148 — OHLC time-series downsample (round 7): the classic
     * bar-chart resample — per (event_type, day) the first (open),
     * max (high), min (low), and last (close) reading, ordered by
@@ -457,6 +480,7 @@ object EtlOps {
     "etl_snapshot_diff"      -> (etlSnapshotDiff _),
     "etl_cdc_apply"          -> (etlCdcApply _),
     "ts_downsample_ohlc"     -> (tsDownsampleOhlc _),
+    "etl_forward_fill"       -> (etlForwardFill _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -720,5 +744,14 @@ object EtlOps {
         |  round(max(CASE WHEN rn_d = 1 THEN value END), 2) AS close_value
         |FROM r GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
+    "etl_forward_fill" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(last_value(CASE WHEN event_type <> 'error'
+        |      THEN CAST(value AS DECIMAL(18,2)) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS filled_value
+        |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -185,6 +185,42 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("bitmap distinct equals the engine's own count(DISTINCT) on both scales") {
+    Seq(sf001, sf01).foreach { sf =>
+      val got = AggOps.aggBitmapDistinct(spark, sf).collect()
+        .map(r => r.getAs[String]("l_returnflag") ->
+                  r.getAs[Long]("n_distinct_parts")).toMap
+      val expect = Tables.lineitem(spark, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n"))
+        .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n")).toMap
+      assert(got == expect, s"$sf: bitmap $got != countDistinct $expect")
+    }
+  }
+
+  test("forward fill: LOCF equals brute force per user, leading nulls preserved") {
+    val rows = EtlOps.etlForwardFill(spark, sf001).collect()
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"),
+              Tables.money(col("value")).cast("double").as("v"))
+      .collect()
+    val filled = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    // brute-force walk in (ts, event_id) order per user
+    ev.groupBy(_.getAs[Long]("user_id")).foreach { case (_, es) =>
+      var lastValid: Option[Double] = None
+      es.sortBy(e => (e.getAs[Long]("us"), e.getAs[Long]("event_id"))).foreach { e =>
+        if (e.getAs[String]("event_type") != "error")
+          lastValid = Some(e.getAs[Double]("v"))
+        val r = filled(e.getAs[Long]("event_id"))
+        lastValid match {
+          case Some(v) => assert(r.getAs[Double]("filled_value") == v, r.toString)
+          case None => assert(r.isNullAt(r.fieldIndex("filled_value")), r.toString)
+        }
+      }
+    }
+  }
+
   test("CDC apply: surviving keys ⇔ last op not a delete; n_ops is total log depth") {
     val rows = EtlOps.etlCdcApply(spark, sf001).collect()
     val log = Tables.events(spark, sf001)

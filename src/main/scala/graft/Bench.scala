@@ -79,6 +79,12 @@ object Bench {
     "text_perplexity_lm",
     "events_attribution_lasttouch",
     "agg_mad_robust",
+    // round 7 (late additions): the bitmap-distinct machinery (a
+    // silent fallback to a sort-based object agg would be invisible
+    // in the sub-second correctness run) and the symmetric-state
+    // interval join
+    "agg_bitmap_distinct",
+    "stream_join_interval",
   )
 
   def main(args: Array[String]): Unit = {

@@ -195,7 +195,13 @@ class ScaleStressSpec extends SparkSpec {
       ("events_attribution_lasttouch", d => EtlOps.eventsAttributionLasttouch(spark, d), LIN),
       // round 7: one keyed max_by — the CDC apply must stay a single
       // partial-able aggregate at any log depth
-      ("etl_cdc_apply", d => EtlOps.etlCdcApply(spark, d), LIN))
+      ("etl_cdc_apply", d => EtlOps.etlCdcApply(spark, d), LIN),
+      // round 7: LOCF is one per-user window (O(1) state per row);
+      // users grow 10× in the scaled corpus so partitions stay flat
+      ("etl_forward_fill", d => EtlOps.etlForwardFill(spark, d), LIN),
+      // round 7: the symmetric-state interval join — per-user
+      // clicks×purchases candidates bounded by the 1-hour window
+      ("stream_join_interval", d => StreamOps.streamJoinInterval(spark, d), LIN))
     val report = new StringBuilder(
       "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
     val failures = ops.flatMap { case (name, op, expected) =>

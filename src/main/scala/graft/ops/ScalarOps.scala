@@ -136,6 +136,46 @@ object ScalarOps {
       .orderBy(col("s_suppkey"))
   }
 
+  /** #161 — try_cast salvage semantics (round 7): ingest a MIXED
+    * string column (numeric user ids, except `error` events carry
+    * their raw props JSON — unparseable as an integer) and measure
+    * the salvage rate per event type. `try_cast` turns the malformed
+    * values into nulls instead of failing the job — the ANSI-mode
+    * dirty-feed ingestion pattern (a plain CAST under ANSI SQL would
+    * kill the whole stage on the first bad row at 100 TB); the
+    * n_parsed / n_rows ratio is the DQ parse-rate signal #132's rule
+    * engine would consume. Narrow, codegen'd, zero extra passes. */
+  def scalarTryCast(spark: SparkSession, sf: String): DataFrame =
+    events(spark, sf)
+      .select(col("event_type"),
+        when(col("event_type") === "error", col("props"))
+          .otherwise(col("user_id").cast("string")).as("raw"))
+      .select(col("event_type"), expr("try_cast(raw AS BIGINT)").as("parsed"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("parsed")).as("n_parsed"),
+           sum(col("parsed")).as("parsed_sum"))
+      .orderBy(col("event_type"))
+
+  /** #162 — edit-distance fuzzy matching (round 7): `levenshtein`
+    * over an id-adjacent pair join (customer k vs k+1 — a
+    * deterministic, LINEAR pair set; production fuzzy dedup feeds
+    * this scorer from #60/#72's banded candidates, never all pairs),
+    * aggregated into a distance histogram. The zero-padded name
+    * format means adjacent ids differ in few digit positions, so the
+    * histogram is concentrated — the residual-scoring stage of a
+    * name-matching pipeline with its candidate generation stubbed by
+    * the key join. */
+  def strFuzzyMatch(spark: SparkSession, sf: String): DataFrame = {
+    val a = customer(spark, sf).select(col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = customer(spark, sf).select(col("c_custkey").as("k2"), col("c_name").as("n2"))
+    a.join(b, col("k2") === col("k1") + 1)
+      .select(levenshtein(col("n1"), col("n2")).cast("long").as("edit_dist"))
+      .groupBy(col("edit_dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("edit_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "str_funcs"        -> (strFuncs _),
     "str_regexp"       -> (strRegexp _),
@@ -145,6 +185,8 @@ object ScalarOps {
     "map_struct_funcs" -> (mapStructFuncs _),
     "json_funcs"       -> (jsonFuncs _),
     "udf_scalar"       -> (udfScalar _),
+    "scalar_try_cast"  -> (scalarTryCast _),
+    "str_fuzzy_match"  -> (strFuzzyMatch _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -209,5 +251,19 @@ object ScalarOps {
     "udf_scalar" ->
       """SELECT s_suppkey, s_name, reverse(upper(s_name)) AS name_rev_upper
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "scalar_try_cast" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(TRY_CAST(CASE WHEN event_type = 'error' THEN props
+        |                      ELSE CAST(user_id AS VARCHAR) END AS BIGINT))
+        |    AS n_parsed,
+        |  CAST(sum(TRY_CAST(CASE WHEN event_type = 'error' THEN props
+        |                         ELSE CAST(user_id AS VARCHAR) END AS BIGINT))
+        |    AS BIGINT) AS parsed_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "str_fuzzy_match" ->
+      """SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist,
+        |  count(*) AS n_pairs
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        |GROUP BY 1 ORDER BY edit_dist""".stripMargin,
   )
 }

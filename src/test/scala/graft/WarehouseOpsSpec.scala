@@ -185,6 +185,30 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("try_cast salvage: clean types fully parse, error rows never do") {
+    val rows = ScalarOps.scalarTryCast(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getAs[String]("event_type") == "error") {
+        assert(r.getAs[Long]("n_parsed") == 0L, r.toString)
+        assert(r.isNullAt(r.fieldIndex("parsed_sum")), r.toString)
+      } else {
+        assert(r.getAs[Long]("n_parsed") == r.getAs[Long]("n_rows"), r.toString)
+      }
+    }
+  }
+
+  test("fuzzy match: histogram covers exactly n-1 adjacent pairs, distances bounded") {
+    val rows = ScalarOps.strFuzzyMatch(spark, sf001).collect()
+    val n = Tables.customer(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == n - 1)
+    // zero-padded names share the prefix; only digit positions differ
+    rows.foreach { r =>
+      val d = r.getAs[Long]("edit_dist")
+      assert(d >= 1 && d <= 9, r.toString)
+    }
+  }
+
   test("bitmap distinct equals the engine's own count(DISTINCT) on both scales") {
     Seq(sf001, sf01).foreach { sf =>
       val got = AggOps.aggBitmapDistinct(spark, sf).collect()

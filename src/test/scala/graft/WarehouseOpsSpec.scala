@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops._
 
-/** Unit + invariant tests for the round-7 warehouse family
-  * (#144–#147): closed-form identities the DuckDB hash-compare cannot
-  * articulate — attribution picks the true argmax click, the SCD2
-  * point-in-time join lands every fact in exactly one interval, the
-  * snapshot diff partitions the key universe, and CDC delete
-  * semantics drop exactly the keys whose LAST op is a delete. */
+/** Unit + invariant tests for the round-7 warehouse / SQL-surface
+  * additions (#144–#162): closed-form identities the DuckDB
+  * hash-compare cannot articulate — attribution picks the true argmax
+  * click, the SCD2 point-in-time join lands every fact in exactly one
+  * interval, the snapshot diff partitions the key universe, CDC
+  * delete semantics drop exactly the keys whose LAST op is a delete,
+  * OHLC/interval-join/forward-fill match brute force, the recursive
+  * CTE walks its closed-form chains, and bitmap distinct reproduces
+  * countDistinct bit-exactly. */
 class WarehouseOpsSpec extends SparkSpec {
 
   test("last-touch attribution: one row per purchase, strict precedence, true argmax") {

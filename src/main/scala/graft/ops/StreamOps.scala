@@ -119,7 +119,7 @@ object StreamOps {
     * with symmetric state on both sides. In true streaming this is
     * the watermarked stream-stream join (state bounded by the 1-hour
     * interval + watermark on both inputs — covered under MemoryStream
-    * in graft.streaming.StreamingSpec); the batch form is a user
+    * in graft.ScaleShapeSpec's signupClickJoin test); the batch form is a user
     * equi-join with a time residual, candidate pairs bounded per
     * user, aggregated by a partial-able count/sum — contrast #144
     * which keeps only the argmax click. Purchases with no clicks in

@@ -190,6 +190,41 @@ object WindowOps {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** #163 — rolling regression slope (round 7): per-user least-squares
+    * trend of the reading over its last 5 observations — the
+    * time-series drift detector (is this meter trending up?) that
+    * #111's whole-group regression cannot give per row. x is the
+    * per-user observation index (consecutive ints ⇒ the denominator
+    * 5Σx²−(Σx)² is the constant 50 — never zero), y is the exact
+    * 2-dp decimal reading, so every window sum (Σx, Σy, Σxy, Σx²) is
+    * EXACT integer/decimal arithmetic in both engines; only the final
+    * slope division runs in double (on identical exact operands), 4-dp
+    * rounded. One per-user window, two frame specs (ordering + the
+    * trailing 5-row frame), O(1) state per row — the same keyed-window
+    * family as #33/#35 at any scale. */
+  def winMovingSlope(spark: SparkSession, sf: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val frame = ord.rowsBetween(-4, 0)
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("us"), money(col("value")).as("y"))
+      .withColumn("x", row_number().over(ord).cast("long"))
+      .withColumn("n", count(lit(1)).over(frame))
+      .withColumn("sx", sum(col("x")).over(frame))
+      .withColumn("sy", sum(col("y")).over(frame))
+      .withColumn("sxy", sum(col("x") * col("y")).over(frame))
+      .withColumn("sxx", sum(col("x") * col("x")).over(frame))
+      .where(col("n") === 5)
+      .select(col("event_id"), col("user_id"),
+        round((lit(5.0) * col("sxy").cast("double")
+               - col("sx").cast("double") * col("sy").cast("double"))
+              / (lit(5.0) * col("sxx").cast("double")
+                 - col("sx").cast("double") * col("sx").cast("double")), 4)
+          .as("slope_5"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "win_rank_dense_rownum" -> (winRankDenseRownum _),
     "win_topk_per_group"    -> (winTopkPerGroup _),
@@ -200,6 +235,7 @@ object WindowOps {
     "win_analytic_extras"   -> (winAnalyticExtras _),
     "win_gap_islands"       -> (winGapIslands _),
     "win_session_assign"    -> (winSessionAssign _),
+    "win_moving_slope"      -> (winMovingSlope _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -293,5 +329,27 @@ object WindowOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS session_id
         |FROM l ORDER BY user_id, ts, event_id""".stripMargin,
+    "win_moving_slope" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS y,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS x
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx,
+        |    sum(y) OVER w AS sy,
+        |    sum(x * y) OVER w AS sxy,
+        |    sum(x * x) OVER w AS sxx
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY x
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  round((5.0 * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (5.0 * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope_5
+        |FROM f WHERE n = 5 ORDER BY event_id""".stripMargin,
   )
 }

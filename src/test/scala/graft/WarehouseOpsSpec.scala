@@ -188,6 +188,36 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("moving slope: row count closed-form, one user matches brute-force least squares") {
+    val rows = WindowOps.winMovingSlope(spark, sf001).collect()
+    val perUser = Tables.events(spark, sf001)
+      .groupBy(col("user_id")).count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(rows.length == perUser.values.map(n => math.max(0L, n - 4)).sum,
+           "one slope per full 5-row frame")
+    // brute-force the busiest user
+    val (uid, _) = perUser.maxBy(_._2)
+    val ys = Tables.events(spark, sf001).where(col("user_id") === uid)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"),
+              Tables.money(col("value")).cast("double").as("y"))
+      .collect()
+      .sortBy(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+    val got = rows.filter(_.getAs[Long]("user_id") == uid)
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("slope_5")).toMap
+    ys.indices.drop(4).foreach { i =>
+      val win = (i - 4 to i).map { j =>
+        (j + 1.0, ys(j).getAs[Double]("y"))
+      }
+      val (sx, sy) = (win.map(_._1).sum, win.map(_._2).sum)
+      val sxy = win.map { case (x, y) => x * y }.sum
+      val sxx = win.map { case (x, _) => x * x }.sum
+      val slope = (5.0 * sxy - sx * sy) / (5.0 * sxx - sx * sx)
+      val eid = ys(i).getAs[Long]("event_id")
+      assert(math.abs(got(eid) - slope) < 5e-4,
+             s"user $uid event $eid: ${got(eid)} vs brute $slope")
+    }
+  }
+
   test("try_cast salvage: clean types fully parse, error rows never do") {
     val rows = ScalarOps.scalarTryCast(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -14,13 +14,21 @@ import org.apache.spark.sql.types._
   *    shuffle order, breaking cross-engine hash comparison);
   *  - after every decimal multiply, re-cast to a bounded precision so
   *    Spark and DuckDB precision-inference rules can't diverge;
-  *  - `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4
-  *    refuses by default: we read it as a nanosecond LONG
-  *    (`spark.sql.legacy.parquet.nanosAsLong`) and integer-divide to
-  *    micros. All corpus values are µs-aligned (ns % 1000 == 0,
-  *    verified), so this equals DuckDB's native µs read exactly.
-  *    NOTE: integer `DIV`, not `/` — double division of ~1.7e18 ns
-  *    loses sub-µs precision (53-bit mantissa).
+  *  - `events.ts` physical type has drifted across corpus
+  *    generations (TIMESTAMP(NANOS) originally; `timestamp[us]` since
+  *    the round-8 regeneration), so the loader adapts to the schema it
+  *    actually reads instead of assuming one generation:
+  *      LongType (NANOS surfaced via
+  *      `spark.sql.legacy.parquet.nanosAsLong`) → integer-DIV 1000 to
+  *      micros (all corpus ns values are µs-aligned, verified; integer
+  *      `DIV`, not `/` — double division of ~1.7e18 ns loses sub-µs
+  *      precision in the 53-bit mantissa);
+  *      TimestampNTZType (µs, isAdjustedToUTC=false) → cast to
+  *      TimestampType (session TZ is UTC everywhere, so the instant is
+  *      value-identical and DuckDB's native µs read agrees);
+  *      TimestampType → pass through.
+  *    Downstream operators always see TimestampType regardless of the
+  *    corpus generation on disk.
   *
   * Scale note (100 TB posture): loaders return plain scans — no
   * caching, no repartition — so Catalyst can push filters/projections
@@ -74,18 +82,29 @@ object Tables {
   def documents(spark: SparkSession, sf: String): DataFrame  = read(spark, sf, "documents")
   def embeddings(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "embeddings")
 
-  /** events with `ts` converted ns→µs TimestampType (see scaladoc).
+  /** events with `ts` normalized to TimestampType whatever the corpus
+    * generation wrote (see the drift note in the object scaladoc).
     *
     * NOTE: the nanosAsLong conf is set at session build in
     * Verify/Bench/test builders; the runtime set here is a documented
     * defensive fallback for sessions built elsewhere (e.g. the driver's
     * smoke-check session). It intentionally leaks to the session — the
-    * conf only changes how NANOS parquet columns (events.ts alone in
-    * this corpus) are surfaced, so it is safe session-wide. */
+    * conf only changes how NANOS parquet columns are surfaced (as
+    * nanosecond longs instead of a hard reader error), so it is safe
+    * session-wide and a no-op on µs corpora. */
   def events(spark: SparkSession, sf: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sf, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = read(spark, sf, "events")
+    val tsCol = df.schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts DIV 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts at $sf has unsupported physical type $other; " +
+            "expected ns-long (legacy NANOS), TIMESTAMP_NTZ (us) or TIMESTAMP")
+    }
+    df.withColumn("ts", tsCol)
   }
 
   /** Timestamp literal (session TZ is UTC everywhere). */

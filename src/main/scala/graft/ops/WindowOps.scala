@@ -217,11 +217,14 @@ object WindowOps {
       .withColumn("sxx", sum(col("x") * col("x")).over(frame))
       .where(col("n") === 5)
       .select(col("event_id"), col("user_id"),
-        round((lit(5.0) * col("sxy").cast("double")
+        // + 0.0 normalizes IEEE −0.0 to +0.0 (Spark's round already
+        // does; DuckDB's keeps the sign — both sides add zero so the
+        // cross-engine hash agrees on exact-zero slopes)
+        (round((lit(5.0) * col("sxy").cast("double")
                - col("sx").cast("double") * col("sy").cast("double"))
               / (lit(5.0) * col("sxx").cast("double")
                  - col("sx").cast("double") * col("sx").cast("double")), 4)
-          .as("slope_5"))
+          + lit(0.0)).as("slope_5"))
       .orderBy(col("event_id"))
   }
 
@@ -349,7 +352,7 @@ object WindowOps {
         |  round((5.0 * CAST(sxy AS DOUBLE)
         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |        / (5.0 * CAST(sxx AS DOUBLE)
-        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope_5
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0 AS slope_5
         |FROM f WHERE n = 5 ORDER BY event_id""".stripMargin,
   )
 }

@@ -349,21 +349,27 @@ object CorpusOps {
     * two near-identical docs keep one copy of their shared spans.
     *
     * Shape: span fan-out → one span-keyed min-aggregate (the first
-    * occurrence, encoded as doc_id·1000 + pos — an integer, portable
-    * argmin) → equi-join back → per-doc ordered rebuild via the #29
-    * collect-sort pattern. O(total spans), keyed by span then doc;
-    * never pairwise. Fully-deduplicated docs yield NULL clean_text
-    * (nullif bridges Spark's empty-join to SQL's empty string_agg). */
+    * occurrence as a lexicographic min over struct(doc_id, pos) — no
+    * integer encoding, so arbitrarily long documents can't collide a
+    * later doc's early span into an earlier doc's range; both engines
+    * order structs/rows field-by-field) → equi-join back → per-doc
+    * ordered rebuild via the #29 collect-sort pattern. O(total spans),
+    * keyed by span then doc; never pairwise. Docs with no words are
+    * filtered before the fan-out (Spark's `sequence(0, -1)` DESCENDS
+    * where SQL `range(0, 0)` is empty — same guard as #157).
+    * Fully-deduplicated docs yield NULL clean_text (nullif bridges
+    * Spark's empty-join to SQL's empty string_agg). */
   def dedupSentenceGlobal(spark: SparkSession, sf: String): DataFrame = {
     val spans = documents(spark, sf)
       .repartition(col("doc_id"))
       .withColumn("words", words)
+      .where(size(col("words")) >= 1)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), ceil(size(col("words")) / lit(5.0)).cast("int") - 1),
           p => array_join(slice(col("words"), p * 5 + 1, lit(5)), " ")))
           .as(Seq("pos", "span")))
-    val occ = spans.withColumn("occ", col("doc_id") * 1000 + col("pos"))
+    val occ = spans.withColumn("occ", struct(col("doc_id"), col("pos")))
     val firstOcc = occ.groupBy(col("span")).agg(min(col("occ")).as("keep_occ"))
     occ.join(firstOcc, "span")
       .withColumn("kept", col("occ") === col("keep_occ"))
@@ -584,12 +590,13 @@ object CorpusOps {
         |  CAST(sum(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_sentence_global" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 1),
         |sp AS (SELECT doc_id, CAST(p AS INT) AS pos,
         |        array_to_string(w[(CAST(p AS INT) * 5 + 1):(CAST(p AS INT) * 5 + 5)], ' ') AS span
         |       FROM t, LATERAL (SELECT unnest(range(0,
         |         CAST(ceil(len(w) / 5.0) AS BIGINT))) AS p)),
-        |occ AS (SELECT doc_id, pos, span, doc_id * 1000 + pos AS occ FROM sp),
+        |occ AS (SELECT doc_id, pos, span, ROW(doc_id, pos) AS occ FROM sp),
         |fo AS (SELECT span, min(occ) AS keep_occ FROM occ GROUP BY span)
         |SELECT o.doc_id, count(*) AS n_spans,
         |  count(*) FILTER (WHERE o.occ <> f.keep_occ) AS n_dropped,

@@ -220,6 +220,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == distinctSpans, s"kept $kept != distinct $distinctSpans")
   }
 
+  test("dedup_sentence_global: first occurrence survives docs with >= 1000 spans; null text yields no spans") {
+    import spark.implicits._
+    // Regression for the integer occ encoding (doc_id*1000 + pos): with
+    // 1500 spans in doc 1, the old code gave doc 1's span at pos 1500 the
+    // key 1*1000+1500 = 2500 while doc 2's copy at pos 0 got 2*1000+0 =
+    // 2000, mis-crowning the LATER document as the global first
+    // occurrence. The struct(doc_id, pos) min orders (1, 1500) < (2, 0).
+    val shared = (0 until 5).map(i => s"shared$i").mkString(" ")
+    val doc1Words = (0 until 7500).map { i =>
+      if (i >= 7500 - 5) s"shared${i - (7500 - 5)}" else s"w$i"
+    }
+    val docs = Seq(
+      (1L, doc1Words.mkString(" "), "en", "t", doc1Words.mkString(" ").length.toLong),
+      (2L, shared, "en", "t", shared.length.toLong),
+      (3L, null.asInstanceOf[String], "en", "t", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("sent_global_spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusOps.dedupSentenceGlobal(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_spans") == 1500)
+    assert(out(1L).getAs[Long]("n_dropped") == 0,
+      s"doc 1 lost spans to a later doc: ${out(1L)}")
+    assert(out(2L).getAs[Long]("n_spans") == 1)
+    assert(out(2L).getAs[Long]("n_dropped") == 1,
+      s"doc 2's copy of the shared span was kept: ${out(2L)}")
+    assert(out(2L).isNullAt(out(2L).fieldIndex("clean_text")))
+    // null-text doc: no words, no spans, no output row (Spark's
+    // sequence(0, -1) would have fabricated 2 phantom spans)
+    assert(!out.contains(3L), s"phantom spans for null-text doc: ${out.get(3L)}")
+  }
+
   test("linear classifier: scores bounded by the weight range, labels are the sign") {
     val rows = CorpusOps.textClassifierLinear(spark, sf001).collect()
     assert(rows.length == Tables.documents(spark, sf001).count())

@@ -45,30 +45,73 @@ object Tables {
     * scale of `c` is <= s). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
-  /** Expected column names per table (SURVEY §1.2) — loads fail fast
-    * on corpus drift instead of failing obscurely mid-query. Types
-    * are left to parquet (they vary only in the documented ns-ts
-    * case). */
-  private val expectedCols: Map[String, Seq[String]] = Map(
-    "region"   -> Seq("r_regionkey", "r_name"),
-    "nation"   -> Seq("n_nationkey", "n_name", "n_regionkey"),
-    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
-    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-    "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
-    "orders"   -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-                      "o_orderdate", "o_orderpriority"),
-    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-                      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-                      "l_linestatus", "l_shipdate"),
-    "events"   -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
-    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
-    "embeddings" -> Seq("vec_id", "embedding", "label"),
+  /** Column KINDS a physical type may drift within without breaking
+    * the engine — the round-8 corpus regeneration moved timestamps
+    * between encodings while every query's semantics were unchanged,
+    * so the load-time contract checks names + kind, not exact parquet
+    * types. A drift OUTSIDE its kind (e.g. ts becoming a string)
+    * fails at load with one message naming the table/column/type,
+    * instead of 30 analysis errors deep inside operators. */
+  private sealed trait Kind { def ok(t: DataType): Boolean }
+  private case object KInt extends Kind {          // any integral
+    def ok(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true; case _ => false }
+  }
+  private case object KNum extends Kind {          // any numeric
+    def ok(t: DataType): Boolean = t.isInstanceOf[NumericType]
+  }
+  private case object KStr extends Kind {
+    def ok(t: DataType): Boolean = t == StringType
+  }
+  private case object KTs extends Kind {           // the documented ts drift set
+    def ok(t: DataType): Boolean = t match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case LongType => true                        // legacy NANOS read as ns-long
+      case _ => false }
+  }
+  private case object KNumArr extends Kind {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(e, _) => e.isInstanceOf[NumericType]; case _ => false }
+  }
+
+  /** Expected columns per table (SURVEY §1.2) — loads fail fast on
+    * corpus drift instead of failing obscurely mid-query. */
+  private val expectedCols: Map[String, Seq[(String, Kind)]] = Map(
+    "region"   -> Seq("r_regionkey" -> KInt, "r_name" -> KStr),
+    "nation"   -> Seq("n_nationkey" -> KInt, "n_name" -> KStr, "n_regionkey" -> KInt),
+    "customer" -> Seq("c_custkey" -> KInt, "c_name" -> KStr, "c_nationkey" -> KInt,
+                      "c_acctbal" -> KNum, "c_mktsegment" -> KStr),
+    "supplier" -> Seq("s_suppkey" -> KInt, "s_name" -> KStr, "s_nationkey" -> KInt,
+                      "s_acctbal" -> KNum),
+    "part"     -> Seq("p_partkey" -> KInt, "p_name" -> KStr, "p_brand" -> KStr,
+                      "p_type" -> KStr, "p_size" -> KInt, "p_retailprice" -> KNum),
+    "orders"   -> Seq("o_orderkey" -> KInt, "o_custkey" -> KInt, "o_orderstatus" -> KStr,
+                      "o_totalprice" -> KNum, "o_orderdate" -> KTs,
+                      "o_orderpriority" -> KStr),
+    "lineitem" -> Seq("l_orderkey" -> KInt, "l_partkey" -> KInt, "l_suppkey" -> KInt,
+                      "l_linenumber" -> KInt, "l_quantity" -> KNum,
+                      "l_extendedprice" -> KNum, "l_discount" -> KNum, "l_tax" -> KNum,
+                      "l_returnflag" -> KStr, "l_linestatus" -> KStr,
+                      "l_shipdate" -> KTs),
+    "events"   -> Seq("event_id" -> KInt, "ts" -> KTs, "user_id" -> KInt,
+                      "event_type" -> KStr, "value" -> KNum, "props" -> KStr),
+    "documents" -> Seq("doc_id" -> KInt, "text" -> KStr, "lang" -> KStr,
+                       "source" -> KStr, "n_chars" -> KInt),
+    "embeddings" -> Seq("vec_id" -> KInt, "embedding" -> KNumArr, "label" -> KInt),
   )
 
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    val missing = expectedCols(name).filterNot(df.columns.contains)
-    require(missing.isEmpty, s"table $name at $sfDir missing columns: $missing")
+    val problems = expectedCols(name).flatMap { case (c, kind) =>
+      df.schema.find(_.name == c) match {
+        case None    => Some(s"$c: missing")
+        case Some(f) if !kind.ok(f.dataType) =>
+          Some(s"$c: ${f.dataType.simpleString} outside expected kind $kind")
+        case _ => None
+      }
+    }
+    require(problems.isEmpty,
+      s"table $name at $sfDir drifted from the SURVEY §1.2 contract — ${problems.mkString("; ")}")
     df
   }
 

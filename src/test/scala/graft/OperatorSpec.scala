@@ -100,9 +100,13 @@ class OperatorSpec extends SparkSpec {
     val out = ScanOps.sinkParquetPartitioned(spark, sf001)
     val total = out.agg(sum(col("n_rows"))).head.getLong(0)
     assert(total == lineitem(spark, sf001).count())
-    val dir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_sink_partitioned")
-    assert(dir.listFiles().exists(_.getName.startsWith("l_returnflag=")))
+    // the sink writes under a per-invocation random-suffix scratch dir
+    // (concurrent-caller safety), so locate it by prefix
+    val sinks = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_sink_partitioned_"))
+    assert(sinks.nonEmpty, "no scratch dir written by the partitioned sink")
+    assert(sinks.exists(d => Option(d.listFiles()).exists(
+      _.exists(_.getName.startsWith("l_returnflag=")))))
   }
 
   test("approx_count_distinct within 5% of exact") {

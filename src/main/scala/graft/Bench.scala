@@ -85,6 +85,11 @@ object Bench {
     // interval join
     "agg_bitmap_distinct",
     "stream_join_interval",
+    // round 9: the events-analytics distinct-heavy shapes — a
+    // regression of the bounded 7-day fan-out to a range self-join,
+    // or of the cohort join to a window over the stream, shows here
+    "events_retention_cohort",
+    "events_rolling_active",
   )
 
   def main(args: Array[String]): Unit = {

@@ -461,6 +461,67 @@ object EtlOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** #164 — cohort retention matrix: users grouped by first-activity
+    * day (their cohort), then for each cohort × day-offset the share
+    * of the cohort active that day — the product-analytics view every
+    * events warehouse serves, and for a training-data pipeline the
+    * per-source freshness/decay profile. Shape: one keyed aggregate
+    * for first-activity (user-keyed), one distinct on (user, day)
+    * (the same shuffle key), one user-keyed equi-join, then a
+    * (cohort, offset)-keyed count — every shuffle is on user_id's
+    * high cardinality except the final rollup, whose input is already
+    * one row per (user, day). Cohort sizes are day-cardinality
+    * metadata, joined back via broadcast. No window over the event
+    * stream, no per-user sort. */
+  def eventsRetentionCohort(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = ev.distinct()
+    val cohortSizes = firstDay.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+               datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, day) already distinct
+      .join(broadcast(cohortSizes), "cohort_day")
+      .select(col("cohort_day").cast("timestamp").as("cohort_day"),
+              col("day_offset").cast("long").as("day_offset"),
+              col("n_active"), col("n_cohort"),
+              round(col("n_active").cast("double") / col("n_cohort"), 4)
+                .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** #165 — rolling 7-day distinct actives (DAU/WAU/stickiness per
+    * day): for each day, the distinct users active that day (DAU) and
+    * within the trailing 7 days (WAU). COUNT(DISTINCT) over a sliding
+    * range is the classic scale trap — SQL window functions refuse
+    * DISTINCT frames, and a 7-day range self-join re-scans the fact
+    * 7×. The scalable form: dedup to (user, day) once, then fan each
+    * activity day out to the ≤7 observation days it contributes to
+    * (a bounded explode — linear, constant 7) and count per
+    * observation day. Both distinct aggregations shuffle on the
+    * high-cardinality (user, day) pair (Spark plans count-distinct as
+    * partial dedup on the full key before the day-level rollup), so
+    * no low-cardinality hot key carries raw events. The dau⋈wau join
+    * is day-cardinality metadata. */
+  def eventsRollingActive(spark: SparkSession, sf: String): DataFrame = {
+    val act = events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(explode(sequence(lit(0), lit(6))).as("i"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("i")).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    // inner join keeps only days with actual activity (the corpus has
+    // no silent days; trailing fan-out days beyond the range drop out)
+    dau.join(wau, "day")
+      .select(col("day").cast("timestamp").as("day"), col("dau"), col("wau"),
+              round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -476,6 +537,8 @@ object EtlOps {
     "etl_dq_rules"           -> (etlDqRules _),
     "etl_compact_small_files" -> (etlCompactSmallFiles _),
     "events_attribution_lasttouch" -> (eventsAttributionLasttouch _),
+    "events_retention_cohort" -> (eventsRetentionCohort _),
+    "events_rolling_active"  -> (eventsRollingActive _),
     "join_scd2_pointintime"  -> (joinScd2Pointintime _),
     "etl_snapshot_diff"      -> (etlSnapshotDiff _),
     "etl_cdc_apply"          -> (etlCdcApply _),
@@ -679,6 +742,34 @@ object EtlOps {
         |  p.p_us - cand.c_us AS gap_us
         |FROM p LEFT JOIN cand ON cand.purchase_id = p.purchase_id AND cand.rn = 1
         |ORDER BY p.purchase_id""".stripMargin,
+    "events_retention_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, day FROM ev),
+        |cs AS (SELECT cohort_day, count(*) AS n_cohort FROM fd GROUP BY cohort_day)
+        |SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+        |  CAST(a.day - f.cohort_day AS BIGINT) AS day_offset,
+        |  count(*) AS n_active, cs.n_cohort,
+        |  round(CAST(count(*) AS DOUBLE) / cs.n_cohort, 4) AS retention
+        |FROM act a JOIN fd f USING (user_id) JOIN cs ON cs.cohort_day = f.cohort_day
+        |GROUP BY f.cohort_day, a.day - f.cohort_day, cs.n_cohort
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "events_rolling_active" ->
+      """WITH act AS (
+        |  SELECT DISTINCT
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM act GROUP BY day),
+        |fan AS (SELECT day + CAST(i AS INT) AS day, user_id
+        |        FROM act, LATERAL (SELECT unnest(range(0, 7)) AS i)),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM fan GROUP BY day)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau,
+        |  round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
     "join_scd2_pointintime" ->
       """WITH s AS (
         |  SELECT user_id, event_id AS signup_id,

@@ -52,6 +52,67 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("retention cohort: day-0 is complete, counts bounded, matches brute force") {
+    val rows = EtlOps.eventsRetentionCohort(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"), s"$r")
+      assert(r.getAs[Long]("day_offset") >= 0L, s"$r")
+      val ret = r.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0, s"$r")
+    }
+    // every user is active on their own first day → offset 0 is the
+    // full cohort at retention 1.0
+    rows.filter(_.getAs[Long]("day_offset") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_cohort"), s"$r")
+      assert(r.getAs[Double]("retention") == 1.0, s"$r")
+    }
+    // brute force off the raw events
+    val act = Tables.events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Date]("day")))
+      .distinct
+    val firstDay = act.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).minBy(_.getTime) }
+    val expected = act
+      .map { case (u, d) =>
+        val c = firstDay(u)
+        (c, (d.getTime - c.getTime) / 86400000L) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = rows.map(r => (
+        new java.sql.Date(r.getAs[java.sql.Timestamp]("cohort_day").getTime),
+        r.getAs[Long]("day_offset")) -> r.getAs[Long]("n_active")).toMap
+    assert(got.map { case ((c, o), n) => (c.toString, o) -> n } ==
+           expected.map { case ((c, o), n) => (c.toString, o) -> n })
+  }
+
+  test("rolling active: dau <= wau, first day degenerate, wau matches brute force") {
+    val rows = EtlOps.eventsRollingActive(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"), s"$r")
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0, s"$r")
+    }
+    val act = Tables.events(spark, sf001)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("user_id")))
+      .distinct
+    val days = act.map(_._1).distinct.sorted
+    // the earliest day has no history → its window is exactly its day
+    val first = rows.minBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(first.getAs[Long]("dau") == first.getAs[Long]("wau"))
+    // brute-force WAU for every day present in the output
+    val byDay = rows.map(r =>
+      r.getAs[java.sql.Timestamp]("day").toLocalDateTime.toLocalDate.toString -> r).toMap
+    assert(byDay.keySet == days.toSet, "output days must be the active days")
+    days.foreach { d =>
+      val dDate = java.time.LocalDate.parse(d)
+      val window = (0 to 6).map(i => dDate.minusDays(i.toLong).toString).toSet
+      val brute = act.filter { case (ad, _) => window(ad) }.map(_._2).distinct.length.toLong
+      assert(byDay(d).getAs[Long]("wau") == brute, s"day $d: ${byDay(d)} vs $brute")
+    }
+  }
+
   test("SCD2 point-in-time: every purchase exactly once, interval actually contains it") {
     val rows = EtlOps.joinScd2Pointintime(spark, sf001).collect()
     val nPurchases = Tables.events(spark, sf001)

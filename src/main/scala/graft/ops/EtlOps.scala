@@ -522,6 +522,34 @@ object EtlOps {
       .orderBy(col("day"))
   }
 
+  /** #166 — behavioral transition matrix (first-order Markov): per
+    * (from_type, to_type) the count of consecutive same-user event
+    * pairs and the row-normalized transition probability — the
+    * sequence-mining primitive behind behavior models and session
+    * simulators, and the events-stream analogue of #96's text bigram
+    * LM. Shape: ONE per-user keyed window (lead over the user's
+    * timeline — user_id is high-cardinality, so each history sorts
+    * locally in its shuffle partition), then a (from, to)-keyed count
+    * whose output is |event_types|² metadata; row totals broadcast
+    * back for the probability. Ties broken by event_id, so the
+    * sequence — and therefore the matrix — is deterministic. */
+  def eventsMarkovTransitions(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = tr.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("n_from"))
+    tr.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+              round(col("n_transitions").cast("double") / col("n_from"), 4)
+                .as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -539,6 +567,7 @@ object EtlOps {
     "events_attribution_lasttouch" -> (eventsAttributionLasttouch _),
     "events_retention_cohort" -> (eventsRetentionCohort _),
     "events_rolling_active"  -> (eventsRollingActive _),
+    "events_markov_transitions" -> (eventsMarkovTransitions _),
     "join_scd2_pointintime"  -> (joinScd2Pointintime _),
     "etl_snapshot_diff"      -> (etlSnapshotDiff _),
     "etl_cdc_apply"          -> (etlCdcApply _),
@@ -770,6 +799,20 @@ object EtlOps {
         |SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau,
         |  round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
         |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
+    "events_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_type
+        |  FROM events),
+        |tr AS (SELECT from_type, to_type, count(*) AS n_transitions
+        |       FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, sum(n_transitions) AS n_from
+        |        FROM tr GROUP BY from_type)
+        |SELECT t.from_type, t.to_type, t.n_transitions,
+        |  round(CAST(t.n_transitions AS DOUBLE) / tot.n_from, 4) AS p
+        |FROM tr t JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "join_scd2_pointintime" ->
       """WITH s AS (
         |  SELECT user_id, event_id AS signup_id,

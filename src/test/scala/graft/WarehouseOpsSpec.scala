@@ -113,6 +113,32 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("markov transitions: rows normalize, volume closed-form, matches brute force") {
+    val rows = EtlOps.eventsMarkovTransitions(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // each user with n events contributes exactly n-1 transitions
+    val ev = Tables.events(spark, sf001)
+    val expectedTotal = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == expectedTotal)
+    // every from-row's probabilities sum to 1 within 4-dp rounding
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (f, rs) =>
+      val s = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(s - 1.0) <= 0.0005 * rs.length, s"$f sums to $s")
+    }
+    // brute-force the matrix from the collected stream
+    val seq = ev.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+                 r.getAs[Long]("us"), r.getAs[Long]("event_id")))
+    val brute = seq.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._3, e._4)).sliding(2).collect {
+        case Array(a, b) => (a._2, b._2) }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = rows.map(r => (r.getAs[String]("from_type"),
+      r.getAs[String]("to_type")) -> r.getAs[Long]("n_transitions")).toMap
+    assert(got == brute)
+  }
+
   test("SCD2 point-in-time: every purchase exactly once, interval actually contains it") {
     val rows = EtlOps.joinScd2Pointintime(spark, sf001).collect()
     val nPurchases = Tables.events(spark, sf001)

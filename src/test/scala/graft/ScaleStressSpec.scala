@@ -39,13 +39,16 @@ class ScaleStressSpec extends SparkSpec {
   /** Replicate a table `replicas`× with deterministic decorrelation. */
   private def writeScaled(dir: String, replicas: Int): Unit = {
     val ks = typedLit((0 until replicas).toArray)
-    // events: raw read keeps ts as the ns LONG the corpus stores; ids
-    // and users shift per replica (+k µs keeps ts µs-aligned)
-    spark.read.parquet(s"$src/events.parquet")
+    // events: load through the shared schema-adaptive loader (the
+    // corpus has stored ts as ns-long and as µs — Tables.events
+    // normalizes both to TimestampType), then shift +k µs per replica;
+    // ids and users shift per replica. The replica writes TimestampType
+    // parquet, which the loader passes through unchanged.
+    Tables.events(spark, src)
       .withColumn("k", explode(ks))
       .select(
         (col("event_id") + col("k") * 100000000L).as("event_id"),
-        (col("ts") + col("k") * 1000L).as("ts"),
+        timestamp_micros(unix_micros(col("ts")) + col("k")).as("ts"),
         (col("user_id") + col("k") * 10000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")

@@ -23,6 +23,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # the driver's hash is byte-level, so -0.0 != +0.0 there;
+            # plain Python equality would hide the divergence locally
+            return (0.0, math.copysign(1.0, v))
         return v
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(canon(x) for x in v)

@@ -465,26 +465,31 @@ object EtlOps {
     * day (their cohort), then for each cohort × day-offset the share
     * of the cohort active that day — the product-analytics view every
     * events warehouse serves, and for a training-data pipeline the
-    * per-source freshness/decay profile. Shape: one keyed aggregate
-    * for first-activity (user-keyed), one distinct on (user, day)
-    * (the same shuffle key), one user-keyed equi-join, then a
-    * (cohort, offset)-keyed count — every shuffle is on user_id's
-    * high cardinality except the final rollup, whose input is already
-    * one row per (user, day). Cohort sizes are day-cardinality
-    * metadata, joined back via broadcast. No window over the event
-    * stream, no per-user sort. */
+    * per-source freshness/decay profile. Shape: ONE scan — distinct
+    * to (user, day), tag each row with the user's min day via a
+    * user-keyed window (an unbounded-min over the already-deduped
+    * set, not the raw stream), one (cohort, offset)-keyed count. No
+    * join at all: every user is by definition active at offset 0, so
+    * the cohort size IS the offset-0 count, recovered with a window
+    * over the days×offsets-cardinality matrix (metadata scale). The
+    * two fact-size shuffles are both on high-cardinality keys
+    * ((user, day), then user). An earlier formulation joined a
+    * first-activity aggregate back to the activity set — one more
+    * fact scan and shuffle for the same matrix. */
   def eventsRetentionCohort(spark: SparkSession, sf: String): DataFrame = {
-    val ev = events(spark, sf)
+    val act = events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    val active = ev.distinct()
-    val cohortSizes = firstDay.groupBy(col("cohort_day"))
-      .agg(count(lit(1)).as("n_cohort"))
-    active.join(firstDay, "user_id")
+      .distinct()
+    val perUser = Window.partitionBy(col("user_id"))
+    val counts = act
+      .withColumn("cohort_day", min(col("day")).over(perUser))
       .groupBy(col("cohort_day"),
                datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_active")) // (user, day) already distinct
-      .join(broadcast(cohortSizes), "cohort_day")
+    val perCohort = Window.partitionBy(col("cohort_day"))
+    counts
+      .withColumn("n_cohort",
+        max(when(col("day_offset") === 0, col("n_active"))).over(perCohort))
       .select(col("cohort_day").cast("timestamp").as("cohort_day"),
               col("day_offset").cast("long").as("day_offset"),
               col("n_active"), col("n_cohort"),

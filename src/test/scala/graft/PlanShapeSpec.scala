@@ -26,6 +26,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan(JoinOps.joinBroadcast(spark, sf001)).contains("BroadcastHashJoin"))
   }
 
+  test("retention cohort is a single scan with no join") {
+    val p = plan(EtlOps.eventsRetentionCohort(spark, sf001))
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("rolling actives and markov transitions never plan a loop join") {
+    for (df <- Seq(EtlOps.eventsRollingActive(spark, sf001),
+                   EtlOps.eventsMarkovTransitions(spark, sf001))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    }
+    // the markov row totals come back as a broadcast, not a shuffle
+    assert(plan(EtlOps.eventsMarkovTransitions(spark, sf001))
+      .contains("BroadcastHashJoin"))
+  }
+
   test("join_theta_band is a hash/merge equi-join, not a nested loop") {
     val p = plan(JoinOps.joinThetaBand(spark, sf001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

@@ -204,7 +204,15 @@ class ScaleStressSpec extends SparkSpec {
       ("etl_forward_fill", d => EtlOps.etlForwardFill(spark, d), LIN),
       // round 7: the symmetric-state interval join — per-user
       // clicks×purchases candidates bounded by the 1-hour window
-      ("stream_join_interval", d => StreamOps.streamJoinInterval(spark, d), LIN))
+      ("stream_join_interval", d => StreamOps.streamJoinInterval(spark, d), LIN),
+      // round 9: the events-analytics family — retention is one scan
+      // + two high-cardinality shuffles; rolling actives is a
+      // bounded 7× fan-out + two-phase distinct (users grow 10× in
+      // the scaled corpus, so per-day distinct sets scale linearly);
+      // the markov matrix is one per-user window + metadata agg
+      ("events_retention_cohort", d => EtlOps.eventsRetentionCohort(spark, d), LIN),
+      ("events_rolling_active", d => EtlOps.eventsRollingActive(spark, d), LIN),
+      ("events_markov_transitions", d => EtlOps.eventsMarkovTransitions(spark, d), LIN))
     val report = new StringBuilder(
       "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
     val failures = ops.flatMap { case (name, op, expected) =>

@@ -90,6 +90,10 @@ object Bench {
     // or of the cohort join to a window over the stream, shows here
     "events_retention_cohort",
     "events_rolling_active",
+    // round 10: completes the round-9 events-analytics family — the
+    // self-join-on-adjacent-rank shape; a regression to a windowless
+    // self-join or a lost broadcast would show here
+    "events_markov_transitions",
   )
 
   def main(args: Array[String]): Unit = {
@@ -191,9 +195,52 @@ object Bench {
     // map + "failed" array still show what did run)
     def totalOrNull(rs: Seq[(String, Option[Double])]): String =
       if (rs.exists(_._2.isEmpty)) "null" else rs.flatMap(_._2).sum.toString
+    // AQE-on parity row (non-graded): the graded suite runs AQE-off
+    // (see builder note — fixed per-stage latency at sub-second
+    // stages), but production defaults leave AQE ON, so its cost is
+    // measured every round instead of assumed. One pass, best-of-1
+    // per headline query, on a fresh session with only AQE flipped.
+    // Only meaningful for the full-suite run (driver invocation).
+    val aqeOnTotal: Option[Double] = if (only.nonEmpty) None else {
+      spark.stop()
+      val s2 = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s2.sparkContext.setLogLevel("WARN")
+      try {
+        headline.foreach(n =>                       // warm-up, untimed
+          try { qs(n)(s2, warmDir).count() } catch { case _: Throwable => () })
+        val ts = headline.map { n =>
+          val t0 = System.nanoTime()
+          try { qs(n)(s2, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        if (ts.exists(_.isEmpty)) None else Some(ts.flatten.sum)
+      } finally s2.stop()
+    }
+    // Machine-checkable gate: BASELINE.md:33 pins the DuckDB 12-query
+    // suite total at 5.16 s (sf0.1); the envelope is 2x on the TOTAL.
+    // ratio/pass are emitted only when this run matches the graded
+    // shape (full suite at sf0.1) — a filtered or off-sf run reports
+    // null rather than a misleading verdict.
+    val baselineTotal = 5.16
+    val graded = only.isEmpty && sfDir.endsWith("sf0.1")
+    val totalOpt: Option[Double] =
+      if (results.exists(_._2.isEmpty)) None else Some(results.flatMap(_._2).sum)
+    val ratio = if (graded) totalOpt.map(_ / baselineTotal) else None
+    val pass = ratio.map(_ <= 2.0)
     println(s"""{"metric":"total","value":${totalOrNull(results)},"unit":"sec",""" +
       s""""queries":${toJson(results)},"secondary":${toJson(sec)},""" +
-      s""""secondary_total":${totalOrNull(sec)},"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
-    spark.stop()
+      s""""secondary_total":${totalOrNull(sec)},"failed":[${failed.mkString(",")}],""" +
+      s""""baseline_total":$baselineTotal,"ratio":${ratio.fold("null")(r => f"$r%.3f")},""" +
+      s""""pass":${pass.fold("null")(_.toString)},""" +
+      s""""aqe_on_total":${aqeOnTotal.fold("null")(t => f"$t%.3f")},"sf":"$sfDir"}""")
+    spark.stop() // no-op when the AQE block already stopped it
   }
 }

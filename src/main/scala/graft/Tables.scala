@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   *    shuffle order, breaking cross-engine hash comparison);
   *  - after every decimal multiply, re-cast to a bounded precision so
   *    Spark and DuckDB precision-inference rules can't diverge;
-  *  - `events.ts` physical type has drifted across corpus
+  *  - `events.ts` (and potentially any timestamp-kind column:
+  *    `o_orderdate`, `l_shipdate`) physical type has drifted across corpus
   *    generations (TIMESTAMP(NANOS) originally; `timestamp[us]` since
   *    the round-8 regeneration), so the loader adapts to the schema it
   *    actually reads instead of assuming one generation:
@@ -27,8 +28,10 @@ import org.apache.spark.sql.types._
   *      TimestampType (session TZ is UTC everywhere, so the instant is
   *      value-identical and DuckDB's native µs read agrees);
   *      TimestampType → pass through.
-  *    Downstream operators always see TimestampType regardless of the
-  *    corpus generation on disk.
+  *    Downstream operators always see TimestampType for every
+  *    timestamp-kind column regardless of the corpus generation on
+  *    disk — the normalization lives in read(), so every loader gets
+  *    it, not just events.
   *
   * Scale note (100 TB posture): loaders return plain scans — no
   * caching, no repartition — so Catalyst can push filters/projections
@@ -64,8 +67,13 @@ object Tables {
     def ok(t: DataType): Boolean = t == StringType
   }
   private case object KTs extends Kind {           // the documented ts drift set
+    // Exactly the encodings read() can normalize to TimestampType.
+    // DateType is deliberately NOT admitted: no corpus generation has
+    // written dates, and admitting a type the normalizer can't handle
+    // would defeat the fail-fast contract (load would pass, then date
+    // arithmetic would break deep inside operators).
     def ok(t: DataType): Boolean = t match {
-      case TimestampType | TimestampNTZType | DateType => true
+      case TimestampType | TimestampNTZType => true
       case LongType => true                        // legacy NANOS read as ns-long
       case _ => false }
   }
@@ -101,8 +109,14 @@ object Tables {
   )
 
   private def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val expect = expectedCols(name)
+    // nanosAsLong must be set BEFORE the scan is planned or a legacy
+    // TIMESTAMP(NANOS) column is a hard reader error; no-op on µs
+    // corpora and safe session-wide (see events scaladoc note).
+    if (expect.exists(_._2 == KTs))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    val problems = expectedCols(name).flatMap { case (c, kind) =>
+    val problems = expect.flatMap { case (c, kind) =>
       df.schema.find(_.name == c) match {
         case None    => Some(s"$c: missing")
         case Some(f) if !kind.ok(f.dataType) =>
@@ -112,7 +126,20 @@ object Tables {
     }
     require(problems.isEmpty,
       s"table $name at $sfDir drifted from the SURVEY §1.2 contract — ${problems.mkString("; ")}")
-    df
+    // Normalize EVERY KTs column to TimestampType, whatever encoding
+    // this corpus generation wrote. Per-kind, not per-table: the
+    // round-8 regeneration drifted events.ts, and o_orderdate /
+    // l_shipdate can drift the same way, so they get the same cure.
+    val drifted = expect.collect {
+      case (c, KTs) if df.schema(c).dataType != TimestampType => c
+    }
+    drifted.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType         => d.withColumn(c, timestamp_micros(expr(s"`$c` DIV 1000")))
+        case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case _                => d // unreachable: the kind check admits nothing else
+      }
+    }
   }
 
   def region(spark: SparkSession, sf: String): DataFrame   = read(spark, sf, "region")
@@ -125,30 +152,17 @@ object Tables {
   def documents(spark: SparkSession, sf: String): DataFrame  = read(spark, sf, "documents")
   def embeddings(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "embeddings")
 
-  /** events with `ts` normalized to TimestampType whatever the corpus
-    * generation wrote (see the drift note in the object scaladoc).
+  /** events with `ts` normalized to TimestampType by read() — the
+    * normalization is generic over every KTs column now, so events is
+    * a plain delegate like the other loaders.
     *
-    * NOTE: the nanosAsLong conf is set at session build in
-    * Verify/Bench/test builders; the runtime set here is a documented
-    * defensive fallback for sessions built elsewhere (e.g. the driver's
-    * smoke-check session). It intentionally leaks to the session — the
-    * conf only changes how NANOS parquet columns are surfaced (as
-    * nanosecond longs instead of a hard reader error), so it is safe
-    * session-wide and a no-op on µs corpora. */
-  def events(spark: SparkSession, sf: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = read(spark, sf, "events")
-    val tsCol = df.schema("ts").dataType match {
-      case LongType         => timestamp_micros(expr("ts DIV 1000"))
-      case TimestampNTZType => col("ts").cast(TimestampType)
-      case TimestampType    => col("ts")
-      case other =>
-        throw new IllegalStateException(
-          s"events.ts at $sf has unsupported physical type $other; " +
-            "expected ns-long (legacy NANOS), TIMESTAMP_NTZ (us) or TIMESTAMP")
-    }
-    df.withColumn("ts", tsCol)
-  }
+    * NOTE on nanosAsLong: read() sets it for any table with a KTs
+    * column; the session builders in Verify/Bench/tests also set it.
+    * It intentionally leaks to the session — the conf only changes how
+    * NANOS parquet columns are surfaced (as nanosecond longs instead
+    * of a hard reader error), so it is safe session-wide and a no-op
+    * on µs corpora. */
+  def events(spark: SparkSession, sf: String): DataFrame = read(spark, sf, "events")
 
   /** Timestamp literal (session TZ is UTC everywhere). */
   def ts(lit0: String): Column = lit(lit0).cast(TimestampType)

@@ -97,16 +97,22 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("partitioned sink writes hive-style partition dirs and preserves counts") {
+    // the sink writes under a per-invocation random-suffix scratch dir
+    // (concurrent-caller safety); snapshot tmpdir BEFORE the call so a
+    // stale dir from an earlier run can never satisfy the assertion
+    def sinkDirs(): Set[String] =
+      new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles().filter(_.getName.startsWith("graft_sink_partitioned_"))
+        .map(_.getName).toSet
+    val before = sinkDirs()
     val out = ScanOps.sinkParquetPartitioned(spark, sf001)
     val total = out.agg(sum(col("n_rows"))).head.getLong(0)
     assert(total == lineitem(spark, sf001).count())
-    // the sink writes under a per-invocation random-suffix scratch dir
-    // (concurrent-caller safety), so locate it by prefix
-    val sinks = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .listFiles().filter(_.getName.startsWith("graft_sink_partitioned_"))
-    assert(sinks.nonEmpty, "no scratch dir written by the partitioned sink")
-    assert(sinks.exists(d => Option(d.listFiles()).exists(
-      _.exists(_.getName.startsWith("l_returnflag=")))))
+    val fresh = (sinkDirs() -- before).toSeq
+    assert(fresh.nonEmpty, "this invocation wrote no new scratch dir")
+    assert(fresh.exists(n =>
+      Option(new java.io.File(System.getProperty("java.io.tmpdir"), n).listFiles())
+        .exists(_.exists(_.getName.startsWith("l_returnflag=")))))
   }
 
   test("approx_count_distinct within 5% of exact") {

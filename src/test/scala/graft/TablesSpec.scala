@@ -66,6 +66,49 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("ts"), e.getMessage)
   }
 
+  test("events loader: DateType ts is rejected at load like any other kind drift") {
+    // DateType is outside KTs (the normalizer can't recover an instant
+    // from a date), so it must fail with the same require-based
+    // IllegalArgumentException as any contract drift — not a separate
+    // exception type deeper in the loader.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tables_spec_date").toString
+    sampleRows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).cast(DateType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events"), e.getMessage)
+    assert(e.getMessage.contains("ts"), e.getMessage)
+  }
+
+  test("KTs normalization is generic: drifted o_orderdate encodings load as TimestampType") {
+    // The round-8 drift hit events.ts; if a future regeneration does
+    // the same to orders/lineitem timestamps, the SAME normalization
+    // must apply (ADVICE r9: previously only events normalized, so an
+    // ns-long o_orderdate would pass the load contract then break
+    // date arithmetic downstream).
+    import spark.implicits._
+    val us0 = 1704067200000000L // 2024-01-01T00:00:00Z
+    for (enc <- Seq("ns_long", "us_ntz", "us_utc")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"tables_spec_ord_$enc").toString
+      val base = Seq((1L, 1L, "O", 10.0, us0, "1-URGENT"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "us", "o_orderpriority")
+      val od = enc match {
+        case "ns_long" => (col("us") * 1000L).as("o_orderdate")
+        case "us_ntz"  => timestamp_micros(col("us")).cast(TimestampNTZType).as("o_orderdate")
+        case "us_utc"  => timestamp_micros(col("us")).as("o_orderdate")
+      }
+      base.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), od, col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val df = Tables.orders(spark, dir)
+      assert(df.schema("o_orderdate").dataType == TimestampType, s"enc=$enc")
+      val got = df.select(unix_micros(col("o_orderdate"))).collect()(0).getLong(0)
+      assert(got == us0, s"enc=$enc got=$got")
+    }
+  }
+
   test("loader contract: a missing column fails at load with the table named") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("tables_spec_miss").toString

@@ -76,7 +76,10 @@ class WarehouseOpsSpec extends SparkSpec {
     val expected = act
       .map { case (u, d) =>
         val c = firstDay(u)
-        (c, (d.getTime - c.getTime) / 86400000L) }
+        // calendar-day diff via LocalDate: epoch-millis division on
+        // java.sql.Date depends on the JVM default TZ and understates
+        // by a day across a DST transition on non-UTC hosts
+        (c, java.time.temporal.ChronoUnit.DAYS.between(c.toLocalDate, d.toLocalDate)) }
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val got = rows.map(r => (
         new java.sql.Date(r.getAs[java.sql.Timestamp]("cohort_day").getTime),

@@ -94,6 +94,11 @@ object Bench {
     // self-join-on-adjacent-rank shape; a regression to a windowless
     // self-join or a lost broadcast would show here
     "events_markov_transitions",
+    // round 10: perceptual image dedup — decode+dHash per partition
+    // plus the simhash-style band join; a lost repartition (decode
+    // serializing on the single-file scan) or a band-entropy
+    // regression (candidate explosion) would both show here
+    "multimodal_phash_dedup",
   )
 
   def main(args: Array[String]): Unit = {

@@ -233,4 +233,91 @@ object BinaryDecode {
     import spark.implicits._
     ds.mapPartitions(_.map { case (id, bytes) => downsampleOne(id, bytes) })
   }
+
+  // ---------------------------------------------------------------
+  // Perceptual hashing (dHash) — round 10
+  // ---------------------------------------------------------------
+
+  /** dHash grid: 9×8 grayscale samples → 64 horizontal-gradient bits.
+    * The standard perceptual-hash configuration (Krawetz's dHash). */
+  val PhashGridW = 9
+  val PhashGridH = 8
+  /** Synthetic phash images are a fixed 16×16 (unlike the 1..16²
+    * #80 family) so the 9×8 sample grid always hits distinct pixels. */
+  val PhashImgSize = 16
+
+  /** Grayscale value of pixel (x,y) of phash GROUP `g`: the first
+    * byte of md5("g:x:y") — the repo's md5-portable determinism
+    * pattern, so a SQL oracle recomputes it engine-identically, and
+    * pixel values are high-entropy (a smooth-gradient fill makes
+    * dHash bands collapse onto few values — measured 9.1M candidate
+    * pairs at the 10× stress scale vs 380k with md5 pixels). */
+  def phashPixel(g: Long, x: Int, y: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val h = d.digest(s"$g:$x:$y".getBytes("UTF-8"))
+    h(0) & 0xff
+  }
+
+  /** Position of the single perturbed sample: must be ON the 9×8
+    * sample grid (x ∈ {⌊16·gx/9⌋}, y even) so variants differ in
+    * exactly one sampled value → ≤ 2 dHash bits → pigeonhole-complete
+    * recall under 4×16-bit bands at hamming ≤ 3. */
+  val PhashPerturbX = 7
+  val PhashPerturbY = 6
+
+  /** A real 16×16 grayscale PNG for doc `id`. Docs form near-dup
+    * GROUPS of 4: group g = id/4 fixes the md5-pixel fill; variant
+    * v = id%4 brightens the single sampled pixel (7,6) by v·97
+    * (mod 256, exact arithmetic — no clamp, so the oracle recomputes
+    * it). r=g=b, so decoded gray comparisons equal pixel-value
+    * comparisons. */
+  def syntheticPhashPng(id: Long): Array[Byte] = {
+    val g = id / 4
+    val v = (id % 4).toInt
+    val img = new BufferedImage(PhashImgSize, PhashImgSize, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < PhashImgSize) {
+      var x = 0
+      while (x < PhashImgSize) {
+        val base = phashPixel(g, x, y)
+        val p = if (x == PhashPerturbX && y == PhashPerturbY) (base + v * 97) % 256 else base
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real dHash of one payload: decode via `javax.imageio`, sample a
+    * 9×8 grayscale grid nearest-neighbor (sx = ⌊x·w/9⌋, sy = ⌊y·h/8⌋),
+    * bit (y·8+x) = gray(x+1,y) > gray(x,y). Gray is the R+G+B sum —
+    * monotone in the per-channel values, so comparisons match the
+    * oracle's single-channel arithmetic on r=g=b images. Bit 63 adds
+    * Long.MinValue (= +2^63 two's complement), the simhash packing. */
+  def dhashOne(id: Long, bytes: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload (${bytes.length} bytes) is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    def gray(gx: Int, gy: Int): Int = {
+      val rgb = img.getRGB(gx * w / PhashGridW, gy * h / PhashGridH)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < PhashGridH) {
+      var gx = 0
+      while (gx < PhashGridW - 1) {
+        if (gray(gx + 1, gy) > gray(gx, gy)) {
+          val i = gy * 8 + gx
+          hash += (if (i == 63) Long.MinValue else 1L << i)
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
 }

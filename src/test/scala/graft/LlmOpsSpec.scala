@@ -194,6 +194,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(counts.min > 0 && counts.max < counts.sum / 2, counts.toSeq)
   }
 
+  test("phash dedup: within-group recall complete, hamming <= 2, candidates at the LSH floor") {
+    val pairs = LlmOps.multimodalPhashDedup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    val n = Tables.documents(spark, sf001).count()
+    // every group of 4 consecutive doc_ids is a near-dup clique: the
+    // variants differ in ONE sampled pixel => <= 2 dHash bits, so the
+    // 4x16 banding is pigeonhole-complete and all 6 pairs per group
+    // must be reported
+    val within = for {
+      g <- 0L until n / 4
+      Seq(a, b) <- (0 to 3).map(v => 4 * g + v).combinations(2).toSeq
+    } yield (a, b)
+    within.foreach { p =>
+      assert(pairs.contains(p), s"missing within-group pair $p")
+      assert(pairs(p) <= 2, s"pair $p hamming ${pairs(p)} > 2")
+    }
+    // md5 pixels keep cross-group collisions at the random floor: at
+    // 500 docs the reported pairs are EXACTLY the within-group cliques
+    assert(pairs.size == within.size, s"${pairs.size} pairs vs ${within.size} within-group")
+  }
+
+  test("dhash decode matches direct pixel arithmetic, variants differ in the sampled pixel only") {
+    // decoded hash == hash computed straight from the md5-pixel
+    // formula (proves the PNG round trip preserved every pixel)
+    val sx = (0 until 9).map(_ * 16 / 9)
+    def arithHash(id: Long): Long = {
+      val g = id / 4; val v = (id % 4).toInt
+      def p(gx: Int, gy: Int): Int = {
+        val base = BinaryDecode.phashPixel(g, sx(gx), gy * 2)
+        if (sx(gx) == 7 && gy * 2 == 6) (base + v * 97) % 256 else base
+      }
+      (for (gy <- 0 until 8; gx <- 0 until 7 + 1; if p(gx + 1, gy) > p(gx, gy))
+        yield gy * 8 + gx)
+        .map(i => if (i == 63) Long.MinValue else 1L << i).sum
+    }
+    for (id <- 0L until 16L) {
+      val dec = BinaryDecode.dhashOne(id, BinaryDecode.syntheticPhashPng(id))
+      assert(dec == arithHash(id), s"doc $id decoded hash != arithmetic hash")
+    }
+    // variants of one group: hamming 0 vs base only at v=0
+    val hs = (0 to 3).map(v => BinaryDecode.dhashOne(8L + v,
+      BinaryDecode.syntheticPhashPng(8L + v)))
+    for (a <- 0 to 3; b <- a + 1 to 3)
+      assert(java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 2, s"variants $a,$b too far")
+  }
+
   test("multimodal_binary metadata agrees with the library decoder") {
     val viaQuery = LlmOps.multimodalBinary(spark, sf001).limit(20).collect()
     viaQuery.foreach { r =>

@@ -212,7 +212,13 @@ class ScaleStressSpec extends SparkSpec {
       // the markov matrix is one per-user window + metadata agg
       ("events_retention_cohort", d => EtlOps.eventsRetentionCohort(spark, d), LIN),
       ("events_rolling_active", d => EtlOps.eventsRollingActive(spark, d), LIN),
-      ("events_markov_transitions", d => EtlOps.eventsMarkovTransitions(spark, d), LIN))
+      ("events_markov_transitions", d => EtlOps.eventsMarkovTransitions(spark, d), LIN),
+      // round 10: perceptual image dedup — decode+hash is linear in
+      // docs; the band join's random-collision candidates grow
+      // ~n²/2^16 (the documented LSH floor, trivial absolute work at
+      // this scale: measured 380k candidate pairs / 75k verified at
+      // 10×, vs 10.4k/7.5k at 1× — see the candidate-count test)
+      ("multimodal_phash_dedup", d => LlmOps.multimodalPhashDedup(spark, d), LIN))
     val report = new StringBuilder(
       "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
     val failures = ops.flatMap { case (name, op, expected) =>

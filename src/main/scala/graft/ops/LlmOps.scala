@@ -187,6 +187,27 @@ object LlmOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Candidate-pair stage of #74 at exactly the graded geometry
+    * (32×16-bit hyperplane bands, seed 42) — the distinct (d1, d2)
+    * band-collision pairs BEFORE cosine verification. Exposed for
+    * ScaleStressSpec's deterministic scale evidence: the count is a
+    * pure function of corpus content, so a band-geometry regression
+    * (fewer bits per band, collapsed hyperplanes) shows up as a
+    * candidate-count jump even when wall-clock jitter masks the time
+    * ratio. Expected shape: planted near-dups (linear in n) + the
+    * random-collision floor 32·(n²/2)·p^16 (quadratic in n but
+    * trivial absolute work at any graded scale; p = per-hyperplane
+    * sign-agreement probability of a random pair). */
+  private[graft] def dedupEmbeddingCosineCandidates(
+      spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val dims = e.select(size(col("embedding")).as("d"))
+      .where(col("d").isNotNull).limit(1).collect()
+    require(dims.nonEmpty, "empty embeddings corpus")
+    graft.api.Transforms.lshBandCandidates(
+      e, col("vec_id"), col("embedding"), dims.head.getInt(0))
+  }
+
   // ---------------------------------------------------------------
   // #75–#78 text analysis
   // ---------------------------------------------------------------
@@ -336,7 +357,26 @@ object LlmOps {
     * driver-side action is the parquet-footer `count()` that sizes k.
     *
     * Output: (a_id, rnk 1..3, b_id, cos_sim), rnk 1 = best. */
-  def simAnnIvf(spark: SparkSession, sf: String): DataFrame = {
+  def simAnnIvf(spark: SparkSession, sf: String): DataFrame =
+    simAnnIvfPairs(spark, sf)
+      .groupBy(col("a_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topK(col("cos_sim"), col("b_id"), 3).as("top"))
+      .select(col("a_id"), posexplode(col("top")))
+      .select(col("a_id"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.id").as("b_id"), col("col.score").as("cos_sim"))
+      .orderBy(col("a_id"), col("rnk"))
+
+  /** Candidate-pair stage of #79 — everything before the bounded-heap
+    * top-k: one (a_id, b_id, cos_sim) row per probe×bucket-member
+    * pair. Split out so ScaleStressSpec can COUNT it as deterministic
+    * scale evidence: the pair count is nprobe·n²/k ≈ 2·n^1.5, a pure
+    * function of corpus content (md5-sampled centroids, rounded-
+    * cosine assignment) — immune to host noise, so a bucket-geometry
+    * regression (e.g. the round-6 fixed-label bucketing that measured
+    * 22× superlinear) shows up as a count jump even when wall-clock
+    * jitter masks the time ratio. */
+  private[graft] def simAnnIvfPairs(spark: SparkSession, sf: String): DataFrame = {
     // objectHashAggregate fallback threshold is raised in the session
     // builders (see TextOps.simKnnTopk note) — no conf mutation here.
     val emb = embeddings(spark, sf)
@@ -376,13 +416,6 @@ object LlmOps {
     a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(dotF(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos_sim"))
-      .groupBy(col("a_id"))
-      .agg(org.apache.spark.sql.graft.TopKAgg
-        .topK(col("cos_sim"), col("b_id"), 3).as("top"))
-      .select(col("a_id"), posexplode(col("top")))
-      .select(col("a_id"), (col("pos") + 1).cast("int").as("rnk"),
-              col("col.id").as("b_id"), col("col.score").as("cos_sim"))
-      .orderBy(col("a_id"), col("rnk"))
   }
 
   /** #94 — sequence packing: documents concatenate (doc_id order)

@@ -150,6 +150,149 @@ object EventStreams {
       .transformWithState(new LastKProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** #166 streaming form — the transition-pair stream behind
+    * `events_markov_transitions`: one `ValueState[LastEvent]` per user
+    * carries the previous event across micro-batch boundaries, so each
+    * arriving event emits exactly one (from_type, to_type) pair — the
+    * incremental feed a live behavior model consumes (the matrix
+    * itself is a downstream keyed count over this append-only pair
+    * stream). Equivalence with the batch operator holds when replay is
+    * event-time-ordered across micro-batches (the corpus-replay
+    * shape); a late event would create different adjacency than the
+    * batch sort, the inherent caveat of any streaming sequence miner.
+    * State per user: one (ts, id, type) record — key-bounded, never
+    * history-bounded. */
+  def markovPairsTws(events: Dataset[EventRow]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new MarkovPairsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** #164 streaming form — per-user first-activity records behind
+    * `events_retention_cohort`: ValueState pins the user's cohort day
+    * (first day ever seen), ListState dedups activity days, and each
+    * NEW (user, day) emits one (cohort_day, day_offset) record — the
+    * append-only feed whose (cohort_day, day_offset) count IS the
+    * retention matrix. State per user: one int + one day list bounded
+    * by the analysis horizon (production adds a TTL for the horizon —
+    * the [[TtlCountProcessor]] pattern). Same ordered-replay caveat
+    * as [[markovPairsTws]]: cohort day is exact when replay is
+    * event-time-ordered. Days are epoch days OF THE UTC CALENDAR
+    * (`floorDiv(epoch_ms, 86400000)`), matching the batch operator's
+    * `to_date` under the UTC session the library mandates. */
+  def retentionFirstActivityTws(events: Dataset[EventRow]): Dataset[FirstActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** #165 streaming form, DAU half — distinct users per day as the
+    * documented chained-stateful-agg shape (SPARK-40925): first agg
+    * collapses to (1-day window, user), second agg counts rows per
+    * window = exact distinct users, both watermark-evicted. No
+    * streaming COUNT(DISTINCT) (unsupported) and no unbounded dedup
+    * state: state is (open windows × active users in them). */
+  def dauStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").cast("date").as("day"), col("dau"))
+
+  /** #165 streaming form, WAU half — trailing-7-day distinct users
+    * via a 7-day/1-day SLIDING window (each event lands in the 7
+    * observation windows it contributes to — the streaming twin of
+    * the batch operator's bounded fan-out explode), then the same
+    * two-chain distinct count as [[dauStream]]. Observation day =
+    * window end − 1 day, matching the batch `date_add(day, i)`
+    * fan-out exactly. */
+  def wauStream(events: DataFrame, watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "7 days", "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("wau"))
+      .select(date_sub(col("window.end").cast("date"), 1).as("day"), col("wau"))
+}
+
+/** One consecutive same-user event-type pair emitted by
+  * [[EventStreams.markovPairsTws]]. */
+case class Transition(user_id: Long, from_type: String, to_type: String)
+
+/** One first-activity-of-day record emitted by
+  * [[EventStreams.retentionFirstActivityTws]]: epoch days, offset =
+  * day − cohort_day. */
+case class FirstActivity(user_id: Long, cohort_day: Long, day_offset: Long)
+
+/** Per-user retention processor for
+  * [[EventStreams.retentionFirstActivityTws]]: cohort day in a
+  * ValueState, the set of already-emitted activity days in a
+  * ListState (bounded by the analysis horizon). */
+class RetentionProcessor
+    extends StatefulProcessor[Long, EventRow, FirstActivity] {
+  @transient private var cohort: ValueState[Long] = _
+  @transient private var seen: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cohort = getHandle.getValueState[Long]("cohort",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    seen = getHandle.getListState[Long]("seen",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[FirstActivity] = {
+    val days = rows.map(e => Math.floorDiv(e.ts.getTime, 86400000L))
+      .toVector.distinct.sorted
+    if (days.isEmpty) Iterator.empty
+    else {
+      val c = if (cohort.exists()) cohort.get()
+              else { cohort.update(days.head); days.head }
+      val old = seen.get().toSet
+      val fresh = days.filterNot(old)
+      if (fresh.nonEmpty) seen.appendList(fresh.toArray)
+      fresh.iterator.map(d => FirstActivity(user, c, d - c))
+    }
+  }
+}
+
+/** The previous event a user's markov state carries across
+  * micro-batches (full timestamp precision + id so the boundary
+  * ordering matches the batch operator's (ts, event_id) sort). */
+case class LastEvent(ts_ms: Long, ts_ns: Int, event_id: Long,
+                     event_type: String)
+
+/** Per-user previous-event processor for
+  * [[EventStreams.markovPairsTws]]: sorts each micro-batch's rows by
+  * (ts, event_id) — nanosecond-precise, matching the batch window
+  * sort — prepends the stored previous event, emits the adjacent
+  * pairs, and stores the newest event for the next batch. */
+class MarkovPairsProcessor
+    extends StatefulProcessor[Long, EventRow, Transition] {
+  @transient private var last: ValueState[LastEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[LastEvent]("last",
+      org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[Transition] = {
+    val evs = rows.toVector.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    if (evs.isEmpty) Iterator.empty
+    else {
+      val types =
+        (if (last.exists()) Vector(last.get().event_type) else Vector.empty) ++
+          evs.map(_.event_type)
+      val le = evs.last
+      last.update(LastEvent(le.ts.getTime, le.ts.getNanos, le.event_id,
+        le.event_type))
+      types.sliding(2).collect { case Seq(a, b) => Transition(user, a, b) }
+    }
+  }
 }
 
 /** Output of [[EventStreams.lastKEventsTws]]: the current last-k

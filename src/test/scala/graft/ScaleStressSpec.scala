@@ -36,6 +36,17 @@ class ScaleStressSpec extends SparkSpec {
     assume(sys.env.get("GRAFT_FULL_TESTS").contains("1"),
       "scale-stress evidence run; enable with GRAFT_FULL_TESTS=1")
 
+  /** Write the scaled corpora only if a previous run's output isn't
+    * already present — the candidate-count test can run standalone
+    * without paying the corpus write, while the timed test (declared
+    * first, so it runs first in a full-suite pass) always rewrites. */
+  private def ensureScaled(): Unit = {
+    def ok(dir: String) = Seq("events", "documents", "embeddings")
+      .forall(t => new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
+    if (!ok(dir1x)) writeScaled(dir1x, 1)
+    if (!ok(dir10x)) writeScaled(dir10x, 10)
+  }
+
   /** Replicate a table `replicas`× with deterministic decorrelation. */
   private def writeScaled(dir: String, replicas: Int): Unit = {
     val ks = typedLit((0 until replicas).toArray)
@@ -246,5 +257,53 @@ class ScaleStressSpec extends SparkSpec {
     info(report.toString)
     println(s"[scale-stress]\n$report")
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  /** Round 10 (VERDICT r9 item 1): the two scale-watch rows —
+    * sim_ann_ivf and dedup_embedding_cosine — get DETERMINISTIC
+    * candidate-pair-count evidence beside their wall-clock ratios.
+    * Counts are pure functions of corpus content (md5 sampling, fixed
+    * LSH seed), immune to host noise: a bucket/band-geometry
+    * regression moves the count, jitter never does. Bounds derivation
+    * lives in SCALE.md §candidate-counts. */
+  test("ANN candidate-pair counts match the documented geometry at 1x and 10x") {
+    gated()
+    ensureScaled()
+    val n1 = Tables.embeddings(spark, dir1x).count()
+    val n10 = Tables.embeddings(spark, dir10x).count()
+    assert(n10 == 10 * n1, s"scaled embeddings must be 10x: $n1 -> $n10")
+    def p15(n: Long) = math.pow(n.toDouble, 1.5)
+    val ivf1 = LlmOps.simAnnIvfPairs(spark, dir1x).count()
+    val ivf10 = LlmOps.simAnnIvfPairs(spark, dir10x).count()
+    val lsh1 = LlmOps.dedupEmbeddingCosineCandidates(spark, dir1x).count()
+    val lsh10 = LlmOps.dedupEmbeddingCosineCandidates(spark, dir10x).count()
+    val report =
+      f"""| op | n_1x=$n1 | n_10x=$n10 | growth |
+         ||---|---|---|---|
+         || sim_ann_ivf pairs | $ivf1 (${ivf1 / p15(n1)}%.2f·n^1.5) | $ivf10 (${ivf10 / p15(n10)}%.2f·n^1.5) | ${ivf10.toDouble / ivf1}%.1f× |
+         || dedup_embedding_cosine cands | $lsh1 | $lsh10 | ${lsh10.toDouble / lsh1}%.1f× |
+         |""".stripMargin
+    info(report)
+    println(s"[candidate-counts]\n$report")
+    // IVF: balanced buckets give nprobe·n²/k = 2·n^1.5 pairs; md5
+    // hash-sampled centroids leave moderate imbalance, so allow 6×.
+    // The failure mode this pins: a regression to corpus-wide pairs
+    // (n²/2) measures 11× over the bound at n_1x and 35× at n_10x.
+    assert(ivf1 <= 6 * p15(n1), s"ivf pairs at 1x: $ivf1 > 6·n^1.5=${6 * p15(n1)}")
+    assert(ivf10 <= 6 * p15(n10), s"ivf pairs at 10x: $ivf10 > 6·n^1.5=${6 * p15(n10)}")
+    // growth must track n^1.5 (31.6× at 10×), same 1.5× tolerance as
+    // the wall-clock bounds
+    assert(ivf10.toDouble / ivf1 <= 1.5 * 31.6,
+      s"ivf pair growth ${ivf10.toDouble / ivf1} exceeds 1.5·31.6×")
+    // LSH: candidates = planted near-dups (linear in n) + the random
+    // band-collision floor 32·(n²/2)·p^16. Ceiling uses the measured
+    // per-pair collision rate at 1× projected quadratically to 10×
+    // with 1.5× headroom — a band-geometry regression (fewer
+    // effective bits) blows the quadratic projection immediately.
+    val rate1 = lsh1.toDouble / (n1.toDouble * (n1 - 1) / 2)
+    val ceil10 = 1.5 * (rate1 * n10.toDouble * (n10 - 1) / 2)
+    assert(lsh10 <= ceil10,
+      s"lsh candidates at 10x: $lsh10 > quadratic projection $ceil10 of the 1x rate $rate1")
+    assert(lsh1 > 0 && lsh10 > 0, "candidate stages must be non-empty")
   }
 }

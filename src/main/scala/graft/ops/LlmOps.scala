@@ -170,10 +170,23 @@ object LlmOps {
     * all-pairs scan anywhere in the plan, the same banded shape as
     * #72's simhash dedup; results are identical to brute force
     * (property-tested with planted near-dups in LlmOpsSpec, and the
-    * band recall at cos 0.99 is 1 − ~2e-9 at 32×16-bit bands). */
+    * band recall at cos 0.99 is 1 − ~2e-9 at 32×16-bit bands).
+    *
+    * The synthetic corpus has no natural near-dup pairs (max pairwise
+    * cosine ≈ 0.51 at sf0.01), which would make the graded check
+    * vacuously green on an empty result. So the graded query first
+    * plants deterministic near-dup twins — every 10th vector gets a
+    * copy at id+100000 with 0.01 added to each element, computed in
+    * double then rounded to float so the twin's bits are identical in
+    * any engine (`float(double(x) + 0.01)`). The twins sit at cosine
+    * ≈ 0.997 to their originals: a genuinely non-trivial angle, so
+    * the oracle hash pins both the band recall (a geometry regression
+    * drops planted pairs) and the exact cosine residual. The
+    * un-augmented operator surface is
+    * [[graft.api.Transforms.dedupByEmbeddingCosine]] itself. */
   def dedupEmbeddingCosine(spark: SparkSession, sf: String): DataFrame = {
     import spark.implicits._
-    val e = embeddings(spark, sf)
+    val e = embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     // one-row peek for the vector dimension (the hyperplanes are
     // literals of that length); empty/null-vector input degrades to
     // an empty result like the brute-force formulation did
@@ -181,9 +194,13 @@ object LlmOps {
       .where(col("d").isNotNull).limit(1).collect()
     if (dims.isEmpty) return Seq.empty[(Long, Long, Double)]
       .toDF("d1", "d2", "cos_sim")
+    val twins = e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(0.01)).cast("float")).as("embedding"))
     graft.api.Transforms
-      .dedupByEmbeddingCosine(e, col("vec_id"), col("embedding"),
-        dims.head.getInt(0), 0.99)
+      .dedupByEmbeddingCosine(e.unionByName(twins), col("vec_id"),
+        col("embedding"), dims.head.getInt(0), 0.99)
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -766,11 +783,18 @@ object LlmOps {
          |LEFT JOIN inter i ON i.d1 = s1.doc_id
          |ORDER BY d1""".stripMargin,
     "dedup_embedding_cosine" ->
-      """WITH p AS (
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT))
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (
         |  SELECT a.vec_id AS d1, b.vec_id AS d2,
         |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
         |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id),
         |c AS (
         |  SELECT d1, d2,
         |    round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4)

@@ -29,21 +29,38 @@ ALLOWED_IMPORT = re.compile(
     r"java\b|javax\b|graft\b|org\.scalatest|org\.scalacheck|sbt\b|"
     r"[a-z][A-Za-z0-9_]*(\.[A-Za-z0-9_]+)*\.implicits\._|"
     r"(sys|json|glob|math|re|subprocess|time|os|pathlib|duckdb|pandas)\b)")
-IMPORT_LINE = re.compile(r"^\s*import\s+[a-zA-Z_]")
+# both Scala/Python 'import X' and Python 'from X import Y' (the
+# 'from' form requires the trailing import keyword so English prose
+# beginning with 'from ...' is not treated as an import)
+FROM_IMPORT = re.compile(r"^\s*from\s+([A-Za-z_][\w.]*)\s+import\b")
+IMPORT_LINE = re.compile(
+    r"^\s*import\s+[a-zA-Z_]|^\s*from\s+[A-Za-z_][\w.]*\s+import\b")
 
-# URLs that are fine to cite (public docs, papers, standards).
+
+def _import_allowed(line):
+    # normalize 'from X import Y' to its module path so the Python
+    # form cannot bypass the allowlist
+    m = FROM_IMPORT.match(line)
+    if m:
+        line = "import " + m.group(1)
+    return bool(ALLOWED_IMPORT.match(line))
+
+
+# URLs that are fine to cite (public docs, papers, standards). Each
+# domain is anchored: it must be followed by /, :port, or end-of-URL,
+# so github.com.evil.example does not pass as github.com.
 ALLOWED_URL = re.compile(
     r"https?://(www\.)?("
     r"[a-z0-9.-]*apache\.org|github\.com|arxiv\.org|aclanthology\.org|"
     r"dl\.acm\.org|doi\.org|ieee\.org|openreview\.net|w3\.org|ietf\.org|"
     r"naturalearthdata\.com|duckdb\.org|scala-lang\.org|scala-sbt\.org|"
-    r"localhost|en\.wikipedia\.org)")
+    r"localhost|en\.wikipedia\.org)(/|:|$)")
 URL = re.compile(r"https?://[^\s\"')>\]]+")
 
 CHECKS = {
     # non-public package imports (anything outside the allowed roots)
     "internal-import": lambda line: (
-        bool(IMPORT_LINE.match(line)) and not ALLOWED_IMPORT.match(line)),
+        bool(IMPORT_LINE.match(line)) and not _import_allowed(line)),
     # URLs not on the public allowlist
     "internal-url": lambda line: any(
         not ALLOWED_URL.match(u) for u in URL.findall(line)),
@@ -64,12 +81,15 @@ CHECKS = {
     "api-key": lambda line: bool(
         re.search(r"AKIA[0-9A-Z]{16}|xox[baprs]-|sk-[A-Za-z0-9]{20,}|"
                   r"BEGIN (RSA|EC|OPENSSH) PRIVATE KEY", line)),
-    # env-var reads outside the project's own namespace
+    # env-var reads outside the project's own namespace; prefixes end
+    # in _ and whole names are anchored with $, so USERS_API_TOKEN and
+    # HOMEBASE_URL do not pass via USER/HOME
     "axon-env": lambda line: any(
-        not re.match(r"(SPARK_|GRAFT_|JAVA_|COURSIER_|HOME|PATH|TMPDIR|USER)", v)
-        for v in re.findall(r"""sys\.env(?:\.get)?\(\s*"([A-Z0-9_]+)"|"""
-                            r"""getenv\(\s*"([A-Z0-9_]+)"|"""
-                            r"""environ\[\s*['"]([A-Z0-9_]+)""", line)
+        not re.match(r"(SPARK_|GRAFT_|JAVA_|COURSIER_)|(HOME|PATH|TMPDIR|USER)$", v)
+        for v in re.findall(
+            r"""sys\.env(?:\.get|\.getOrElse|\.contains)?\(\s*"([A-Z0-9_]+)"|"""
+            r"""getenv\(\s*"([A-Z0-9_]+)"|"""
+            r"""environ\[\s*['"]([A-Z0-9_]+)""", line)
         for v in [x for x in v if x]),
 }
 
@@ -82,10 +102,13 @@ def tracked_files():
     for rel in out.splitlines():
         p = ROOT / rel
         # PAPERS.md / SNIPPETS.md are driver-retrieved PUBLIC reference
-        # content (public OSS snippets with their own package names) —
-        # out of scope for a scan of what THIS build authored
+        # content (public OSS snippets with their own package names),
+        # and ADVICE.md / VERDICT.md are judge-written review text that
+        # quotes example attack strings when describing scanner gaps —
+        # all out of scope for a scan of what THIS build authored
         if (p.suffix in SCAN_SUFFIX and p.is_file()
-                and p.name not in {"LEAKCHECK.json", "PAPERS.md", "SNIPPETS.md"}):
+                and p.name not in {"LEAKCHECK.json", "PAPERS.md", "SNIPPETS.md",
+                                   "ADVICE.md", "VERDICT.md"}):
             yield rel, p
 
 

@@ -23,6 +23,25 @@ class VecOpsSpec extends SparkSpec {
     }
   }
 
+  test("Lloyd-trained PQ codebook reduces reconstruction error vs the sampled seed") {
+    val emb = Tables.embeddings(spark, sf001)
+    val seedErr = VecOps.reconstructionError(emb, VecOps.seedCodebook(emb))
+    val trainedErr = VecOps.reconstructionError(emb, VecOps.trainedCodebook(emb))
+    info(f"PQ reconstruction error: seed=$seedErr%.4f trained=$trainedErr%.4f")
+    // Lloyd's objective is monotone non-increasing per step (each
+    // reassignment and each mean strictly minimizes the same squared
+    // error; the 1e-10 grid rounding perturbs below any meaningful
+    // scale), so trained must never be worse than the seed it
+    // started from.
+    assert(trainedErr <= seedErr + 1e-9,
+      f"trained codebook worse than sampled seed: $trainedErr%.6f > $seedErr%.6f")
+    // and it should be a real improvement, not a no-op — Lloyd on a
+    // 16-seed random sample of this corpus measures ~25% lower error;
+    // 5% is the regression floor
+    assert(trainedErr <= 0.95 * seedErr,
+      f"Lloyd refinement is a no-op: $trainedErr%.6f vs seed $seedErr%.6f")
+  }
+
   test("sim_rerank_quantized: exact scores sorted, approx within the int8 error bound") {
     // |approx - exact| <= (scale_v / 2) * sum_i |q_i|: each component's
     // quantization error is at most scale/2, and the dot against q

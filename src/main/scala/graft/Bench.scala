@@ -39,6 +39,11 @@ object Bench {
     "join_asof",
     "join_inner_shuffle",
     "dedup_embedding_cosine",
+    // round 11 jitter verdict: the r9->r10 0.364->0.539 s delta was
+    // re-measured on identical code as three isolated best-of-6 runs:
+    // 1.198 / 0.455 / 0.590 s — a 2.6x spread with no code change, so
+    // the round delta is host noise, not a plan regression. The
+    // prefix-sum chunker is unchanged since round 3.
     "etl_chunk_batches",
     "win_ntile", // round 5: distributed-rank rewrite, guard its plan
     // round 6: the LLM-family ops that carry the 100 TB story — a perf
@@ -200,13 +205,15 @@ object Bench {
     // map + "failed" array still show what did run)
     def totalOrNull(rs: Seq[(String, Option[Double])]): String =
       if (rs.exists(_._2.isEmpty)) "null" else rs.flatMap(_._2).sum.toString
-    // AQE-on parity row (non-graded): the graded suite runs AQE-off
+    // AQE-on parity rows (non-graded): the graded suite runs AQE-off
     // (see builder note — fixed per-stage latency at sub-second
     // stages), but production defaults leave AQE ON, so its cost is
     // measured every round instead of assumed. One pass, best-of-1
     // per headline query, on a fresh session with only AQE flipped.
+    // Per-query times are emitted (not just the total) so a future
+    // AQE-sensitive plan regression is attributable to its query.
     // Only meaningful for the full-suite run (driver invocation).
-    val aqeOnTotal: Option[Double] = if (only.nonEmpty) None else {
+    val aqeOn: Seq[(String, Option[Double])] = if (only.nonEmpty) Nil else {
       spark.stop()
       val s2 = SparkSession.builder()
         .master(s"local[$cpus]")
@@ -221,14 +228,16 @@ object Bench {
       try {
         headline.foreach(n =>                       // warm-up, untimed
           try { qs(n)(s2, warmDir).count() } catch { case _: Throwable => () })
-        val ts = headline.map { n =>
+        headline.map { n =>
           val t0 = System.nanoTime()
-          try { qs(n)(s2, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
+          try { qs(n)(s2, sfDir).count(); n -> Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => n -> None }
         }
-        if (ts.exists(_.isEmpty)) None else Some(ts.flatten.sum)
       } finally s2.stop()
     }
+    val aqeOnTotal: Option[Double] =
+      if (aqeOn.isEmpty || aqeOn.exists(_._2.isEmpty)) None
+      else Some(aqeOn.flatMap(_._2).sum)
     // Machine-checkable gate: BASELINE.md:33 pins the DuckDB 12-query
     // suite total at 5.16 s (sf0.1); the envelope is 2x on the TOTAL.
     // ratio/pass are emitted only when this run matches the graded
@@ -245,6 +254,7 @@ object Bench {
       s""""secondary_total":${totalOrNull(sec)},"failed":[${failed.mkString(",")}],""" +
       s""""baseline_total":$baselineTotal,"ratio":${ratio.fold("null")(r => f"$r%.3f")},""" +
       s""""pass":${pass.fold("null")(_.toString)},""" +
+      s""""aqe_on":${toJson(aqeOn)},""" +
       s""""aqe_on_total":${aqeOnTotal.fold("null")(t => f"$t%.3f")},"sf":"$sfDir"}""")
     spark.stop() // no-op when the AQE block already stopped it
   }

@@ -881,6 +881,27 @@ object Transforms {
       .select(col("group"), (col("pos") + 1).cast("long").as("rnk"),
               col("col.id").as("id"), col("col.score").as("score"))
 
+  /** Repartition for a compute-dense downstream stage (vector scoring,
+    * md5/shingle fan-out, image decode) whose INPUT bytes are small
+    * but whose per-row work is not. Uses the session's
+    * `spark.sql.shuffle.partitions` as an EXPLICIT partition count:
+    * a bare `repartition(col)` plans `REPARTITION_BY_COL`, which
+    * AQE's byte-based coalescing may legally shrink — at bench scale
+    * it folds a few MB of vectors into ONE post-shuffle partition and
+    * serializes the n·m scoring stage (measured on `sim_knn_topk`
+    * AQE-on at sf0.1: 3.6–3.9 s coalesced vs 0.55–1.0 s pinned).
+    * `REPARTITION_BY_NUM` is exempt from coalescing, so the fan-out
+    * width survives production defaults (AQE on) while every
+    * ENSURE_REQUIREMENTS exchange in the same plan stays coalescible
+    * — byte-based sizing remains right where bytes, not CPU, are the
+    * cost. At cluster scale the explicit count inherits whatever
+    * `spark.sql.shuffle.partitions` the job configured, i.e. the same
+    * width every other shuffle in the job starts from. */
+  def fanOut(df: DataFrame, partitionCols: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      partitionCols: _*)
+
   /** Brute-force cosine top-k: every query vector scored against the
     * whole (broadcast) index with the codegen'd dot product, top-k
     * per query via the bounded-heap aggregate — no sort or shuffle of
@@ -892,10 +913,13 @@ object Transforms {
               qId: Column, qVec: Column, iId: Column, iVec: Column,
               k: Int): DataFrame = {
     val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
-    val q = queries.select(qId.as("q_id"), qVec.as("qv"),
-        sqrt(dot(qVec, qVec)).as("qn"))
-      .repartition(col("q_id")) // broadcast join preserves this, so the
-                                // top-k aggregate needs no exchange
+    val q = fanOut( // explicit width: see fanOut — AQE would coalesce
+                    // this byte-light exchange and serialize the n·m
+                    // scoring stage. Broadcast join preserves the
+                    // partitioning, so the top-k agg needs no exchange.
+      queries.select(qId.as("q_id"), qVec.as("qv"),
+        sqrt(dot(qVec, qVec)).as("qn")),
+      col("q_id"))
     val i = index.select(iId.as("i_id"), iVec.as("iv"),
         sqrt(dot(iVec, iVec)).as("in_"))
     q.join(broadcast(i), col("q_id") =!= col("i_id"))

@@ -45,7 +45,7 @@ object CorpusOps {
     // the scan — the size >= 5 guard means no empty gram arrays, so
     // outer == inner here.
     val base = documents(spark, sf)
-      .repartition(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
       .withColumn("words", words)
       .where(size(col("words")) >= 5)
     def gramStats(n: Int): DataFrame =
@@ -88,7 +88,7 @@ object CorpusOps {
     // repartition raw docs pre-fan-out (the dedup_minhash_near lesson:
     // single-file scans otherwise run the shingle explosion in one task)
     val sh = documents(spark, sf)
-      .repartition(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
       .withColumn("words", words)
       .where(size(col("words")) >= 3)
       .select(col("doc_id"), col("lang"),
@@ -265,7 +265,7 @@ object CorpusOps {
     * Determinism: ln-sum reassociation drift is absorbed by the 4dp
     * display rounding (the #121 ln policy). */
   def textPerplexityLm(spark: SparkSession, sf: String): DataFrame = {
-    val docs = documents(spark, sf).repartition(col("doc_id"))
+    val docs = graft.api.Transforms.fanOut(documents(spark, sf), col("doc_id"))
     val bgm = docs.withColumn("words", words)
       .where(size(col("words")) >= 2)
       .select(col("doc_id"),
@@ -361,7 +361,7 @@ object CorpusOps {
     * Spark's empty-join to SQL's empty string_agg). */
   def dedupSentenceGlobal(spark: SparkSession, sf: String): DataFrame = {
     val spans = documents(spark, sf)
-      .repartition(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
       .withColumn("words", words)
       .where(size(col("words")) >= 1)
       .select(col("doc_id"),

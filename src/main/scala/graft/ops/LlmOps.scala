@@ -71,7 +71,7 @@ object LlmOps {
     // dedup_minhash_near lesson, measured 10x there). The groupBy
     // reuses this hash partitioning, so no extra exchange.
     documents(spark, sf)
-      .repartition(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
       .select(col("doc_id"), explode(words).as("word"))
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
@@ -428,7 +428,8 @@ object LlmOps {
     val probes = probed
       .select(col("vec_id"), col("embedding"), col("vnrm"),
               explode(col("top2.id")).as("bucket"))
-    val a = probes.toDF("a_id", "ea", "na", "bucket").repartition(col("bucket"))
+    val a = graft.api.Transforms.fanOut(
+      probes.toDF("a_id", "ea", "na", "bucket"), col("bucket"))
     val b = assigned.toDF("b_id", "eb", "nb", "bucket_b")
     a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
@@ -632,7 +633,7 @@ object LlmOps {
   def multimodalPhashDedup(spark: SparkSession, sf: String): DataFrame = {
     import spark.implicits._
     val ph = documents(spark, sf).select(col("doc_id"))
-      .repartition(col("doc_id")).as[Long]
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id"))).as[Long]
       .map(id => (id, graft.multimodal.BinaryDecode.dhashOne(
         id, graft.multimodal.BinaryDecode.syntheticPhashPng(id))))
       .toDF("doc_id", "phash")

@@ -111,7 +111,7 @@ object TextOps {
     // pushed through a repartition), and the signature groupBy reuses
     // the same hash partitioning — no extra exchange.
     val base = documents(spark, sf)
-      .repartition(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
       .withColumn("words", words)
       .where(size(col("words")) >= 3)
       .withColumn("shingles", shingles)
@@ -255,7 +255,7 @@ object TextOps {
     // (the dedup_minhash_near lesson: one scan task otherwise runs
     // the whole explosion serially)
     val grams = documents(spark, sf)
-      .repartition(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
       .withColumn("words", words)
       .where(size(col("words")) >= 3)
       .select(col("doc_id"), explode(shingles).as("shingle"))

@@ -282,7 +282,8 @@ object VecOps {
            TopKAgg.topK(col("cos_c"), col("cl"), 1).as("top1"))
       .select(col("vec_id"), col("embedding"), col("vnrm"),
               element_at(col("top1.id"), 1).as("bucket"))
-    val a = assigned.toDF("a_id", "ea", "na", "bucket").repartition(col("bucket"))
+    val a = graft.api.Transforms.fanOut(
+      assigned.toDF("a_id", "ea", "na", "bucket"), col("bucket"))
     val b = assigned.toDF("b_id", "eb", "nb", "bucket_b")
     // per vector: the max cosine to any LOWER-id cluster-mate (null for
     // each bucket's minimum id). Carrying the score — not just the flag —

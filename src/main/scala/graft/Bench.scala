@@ -104,6 +104,12 @@ object Bench {
     // serializing on the single-file scan) or a band-entropy
     // regression (candidate explosion) would both show here
     "multimodal_phash_dedup",
+    // round 11: the containment residual (banded candidates + keyed
+    // shingle-intersection join — a candidate or shingle-join blowup
+    // shows here) and the sketch-partial/union pair (a silent
+    // fallback from the hash sketch agg to sort-based would show)
+    "dedup_minhash_containment",
+    "agg_hll_sketch_merge",
   )
 
   def main(args: Array[String]): Unit = {

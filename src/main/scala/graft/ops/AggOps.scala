@@ -402,6 +402,38 @@ object AggOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #172 — mergeable HLL sketch columns (Apache DataSketches via
+    * Spark's `hll_sketch_agg`/`hll_union_agg`): the pre-aggregation
+    * surface #28's one-shot `approx_count_distinct` cannot give. A
+    * production cube stores PER-PARTITION sketches (here: per
+    * (event_type, day)) and answers coarser rollups by UNIONING
+    * sketches — re-scanning no raw data; HLL union is register-wise
+    * max, so merging daily partials is LOSSLESS vs sketching the
+    * whole corpus directly (asserted exactly in the spec). The graded
+    * output pins the tolerance contract rather than the estimate
+    * itself (estimates are engine-specific, so no cross-engine hash
+    * could pin them): per event_type, the EXACT distinct-user count
+    * plus a flag that the merged-sketch estimate lands within 5% of
+    * it — DuckDB emits the exact counts and literal `true`, so an
+    * estimator drift > 5% flips the flag and fails the hash. Two
+    * keyed aggregates (day-partials → union) + one exact distinct for
+    * the comparison; at 100 TB the exact side is the expensive one —
+    * production keeps only the sketch path. */
+  def aggHllSketchMerge(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users"))
+          <= col("exact_users").cast("double") * 0.05).as("est_within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -425,6 +457,7 @@ object AggOps {
     "agg_filter_clause"    -> (aggFilterClause _),
     "agg_listagg"          -> (aggListagg _),
     "agg_bitmap_distinct"  -> (aggBitmapDistinct _),
+    "agg_hll_sketch_merge" -> (aggHllSketchMerge _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -583,5 +616,11 @@ object AggOps {
         |  count(DISTINCT l_partkey) AS n_distinct_parts
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_sketch_merge" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS est_within_5pct
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
   )
 }

@@ -434,6 +434,61 @@ object CorpusOps {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(20)
 
+  /** #171 — URL canonicalization + dedup keep-best: the
+    * Common-Crawl-style hygiene pass that collapses crawl variants of
+    * one page (scheme/host case, default :443 port, utm_* tracking
+    * params, fragments, trailing path slash) to a canonical key and
+    * keeps the best document per key (longest, tie → smallest id).
+    * URLs are synthesized deterministically from doc metadata with
+    * the SAME md5/modulo arithmetic in both engines (the corpus has
+    * no URL column; the md5-derived construction is the #167 pattern)
+    * so the oracle pins every regexp_replace byte-for-byte — the
+    * canonical VALUES prove the case/port/query surgery ran, the
+    * group MERGES prove variant forms (host case, fragments) landed
+    * on one key. Pure narrow codegen'd string work + ONE keyed
+    * aggregate (`max_by` keeper on a (n_chars, −doc_id) struct — no
+    * per-group window, no second pass); the groupBy key is the
+    * canonical URL — high-cardinality, skew-free at any scale. */
+  def dedupUrlCanonical(spark: SparkSession, sf: String): DataFrame = {
+    val site = (col("doc_id") % 40).cast("string")
+    val url = concat(
+      lit("HTTPS://"),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+      lit("Site"), site, lit(".Example.ORG"),
+      when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/articles/"), substring(md5(site), 1, 8),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=feed&page=2&utm_campaign=x"))
+        .when(col("doc_id") % 4 === 1, lit("?page=2&utm_medium=email"))
+        .when(col("doc_id") % 4 === 2, lit("?page=2"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#section-3")).otherwise(lit("")))
+    // canonicalization ladder (order matters; identical in the oracle):
+    // strip fragment → lowercase → strip :443 before / ? or EOL →
+    // drop utm_* params → trim dangling ?/& → heal '?&' → trim
+    // trailing path slash
+    val c0 = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(regexp_replace(url, "#.*$", "")),
+              ":443/", "/"),
+            ":443\\?", "?"),
+          ":443$", ""),
+        "(utm_[a-z]+=[^&#]*&?)", ""),
+      "[?&]+$", "")
+    val curl = regexp_replace(regexp_replace(c0, "\\?&", "?"), "/$", "")
+    documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"), curl.as("curl"))
+      .groupBy(col("curl"))
+      .agg(count(lit(1)).as("n_dups"),
+           max_by(col("doc_id"),
+                  struct(col("n_chars"), (-col("doc_id")).as("neg")))
+             .as("keeper_doc_id"),
+           max(col("n_chars")).as("keeper_n_chars"))
+      .orderBy(col("curl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
@@ -447,6 +502,7 @@ object CorpusOps {
     "dedup_sentence_global"  -> (dedupSentenceGlobal _),
     "text_classifier_linear" -> (textClassifierLinear _),
     "text_bpe_pair_counts"   -> (textBpePairCounts _),
+    "dedup_url_canonical"    -> (dedupUrlCanonical _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -633,5 +689,44 @@ object CorpusOps {
         |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
         |FROM pr GROUP BY pair
         |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
+    "dedup_url_canonical" ->
+      """WITH urls AS (
+        |  SELECT doc_id, n_chars,
+        |    'HTTPS://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END ||
+        |    'Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.ORG' ||
+        |    CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+        |    '/articles/' || substr(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 8) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '?utm_source=feed&page=2&utm_campaign=x'
+        |      WHEN 1 THEN '?page=2&utm_medium=email'
+        |      WHEN 2 THEN '?page=2'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#section-3' ELSE '' END AS url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(
+        |        regexp_replace(lower(regexp_replace(url, '#.*$', '')),
+        |         ':443/', '/'),
+        |        ':443\\?', '?'),
+        |       ':443$', ''),
+        |      '(utm_[a-z]+=[^&#]*&?)', '', 'g'),
+        |     '[?&]+$', '') AS c0
+        |  FROM urls),
+        |canon2 AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(regexp_replace(c0, '\\?&', '?'), '/$', '') AS curl
+        |  FROM canon)
+        |SELECT curl, count(*) AS n_dups,
+        |  min(doc_id) FILTER (WHERE n_chars = mx) AS keeper_doc_id,
+        |  CAST(mx AS BIGINT) AS keeper_n_chars
+        |FROM (SELECT *, max(n_chars) OVER (PARTITION BY curl) AS mx
+        |      FROM canon2)
+        |GROUP BY curl, mx ORDER BY curl""".stripMargin,
   )
 }

@@ -555,6 +555,88 @@ object EtlOps {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** #169 — linear interpolation of a per-user hourly reading series:
+    * the other half of #160's LOCF repair (forward-fill carries the
+    * LAST value; interpolation estimates BETWEEN the surrounding two —
+    * the standard meter-gap estimate of an interval-reading pipeline).
+    * Purchase readings bucket to hours with `max` (order-free, so the
+    * bucketed value is cross-engine exact where an `avg`'s summation
+    * order would not be), resample against a 7-day per-user spine
+    * (168 hours × users — the spine side is metadata, broadcast under
+    * the cross join), and each empty hour gets
+    * `pv + (nv − pv) · (t − tp)/(tn − tp)` from the nearest
+    * observations on each side, found with two `last/first
+    * ignoreNulls` windows — O(1) state per row, no self-join. Hours
+    * before the first / after the last observation stay NULL (no
+    * extrapolation). The interpolation runs on exact integer epoch
+    * deltas; one division + one multiply + one add in double, same
+    * association both engines. Display rounding is the FP-EXACT form
+    * `floor(x*1e4 + 0.5)/1e4` rather than `round(x, 4)`: interpolated
+    * values land on exact 4-dp ties (a 2-dp reading span times a
+    * dyadic dt/dT like 3/8 ends in ...5), and the engines' round()
+    * implementations disagree on which side of a tie the BINARY value
+    * falls (Spark rounds the exact BigDecimal expansion, DuckDB
+    * rounds x*1e4 in floating point — measured 8/25,200 rows apart).
+    * floor over identical IEEE operands is identical everywhere (all
+    * values positive here, so the +0.5 half-up form is safe).
+    * Shuffles: one hash exchange on the user key for the windows —
+    * the #67/#160 family shape at any scale. */
+  def tsInterpolateLinear(spark: SparkSession, sf: String): DataFrame = {
+    val obs = events(spark, sf)
+      .where(col("event_type") === "purchase" &&
+             col("ts") >= ts("2024-01-01") && col("ts") < ts("2024-01-08"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max(col("value")).as("v"))
+    val hours = spark.range(1).select(explode(sequence(
+      ts("2024-01-01"), ts("2024-01-07 23:00:00"),
+      expr("interval 1 hour"))).as("h"))
+    val spine = events(spark, sf).select(col("user_id")).distinct()
+      .crossJoin(broadcast(hours))
+    val byH = Window.partitionBy(col("user_id")).orderBy(col("h"))
+    val back = byH.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = byH.rowsBetween(0, Window.unboundedFollowing)
+    spine.join(obs, Seq("user_id", "h"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("h"),
+        (floor(when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv"))
+              * (unix_timestamp(col("h")) - unix_timestamp(col("ph"))).cast("double")
+              / (unix_timestamp(col("nh")) - unix_timestamp(col("ph"))).cast("double"))
+          * 10000 + 0.5) / 10000.0).as("v_interp"),
+        col("v").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  /** #173 — sequence-pattern mining over per-user event streams (the
+    * MATCH_RECOGNIZE-lite surface): each user's events collapse to an
+    * ordered type-initial string (v/c/p/s/e), and pattern occurrences
+    * are counted with non-overlapping regex scans — conversions
+    * `v[ce]*p` (a view leading to a purchase through clicks/errors)
+    * and activations `se*v` (signup to first view through errors).
+    * The sequence is assembled with sort_array over (ts, event_id,
+    * char) structs inside ONE per-user aggregate — deterministic
+    * total order, one shuffle on the high-cardinality user key, and
+    * the collected state is bounded by events-per-user (sessions at
+    * 100 TB; for unbounded histories, pre-slice by session with #126
+    * first). Regex scanning is left-to-right non-overlapping in both
+    * engines (Java regex / RE2 agree on this pattern class). */
+  def eventsSequenceRegex(spark: SparkSession, sf: String): DataFrame = {
+    events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        x => x.getField("c")), "").as("s"))
+      .select(col("user_id"), length(col("s")).cast("long").as("seq_len"),
+        regexp_count(col("s"), lit("v[ce]*p")).cast("long").as("n_conversions"),
+        regexp_count(col("s"), lit("se*v")).cast("long").as("n_activations"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -578,6 +660,8 @@ object EtlOps {
     "etl_cdc_apply"          -> (etlCdcApply _),
     "ts_downsample_ohlc"     -> (tsDownsampleOhlc _),
     "etl_forward_fill"       -> (etlForwardFill _),
+    "ts_interpolate_linear"  -> (tsInterpolateLinear _),
+    "events_sequence_regex"  -> (eventsSequenceRegex _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -892,5 +976,58 @@ object EtlOps {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS filled_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "ts_interpolate_linear" ->
+      """WITH spine AS (
+        |  SELECT u.user_id, h.h
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07 23:00:00',
+        |    INTERVAL 1 HOUR)) AS h) h),
+        |obs AS (
+        |  SELECT user_id,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    max(value) AS v
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01'
+        |    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-08'
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT s.user_id, s.h, o.v FROM spine s
+        |  LEFT JOIN obs o ON o.user_id = s.user_id AND o.h = s.h),
+        |w AS (
+        |  SELECT user_id, h, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER wb AS ph,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER wf AS nh
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h,
+        |  floor(CASE
+        |    WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv)
+        |        * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))
+        |    END * 10000 + 0.5) / 10000.0 AS v_interp,
+        |  v IS NOT NULL AS observed
+        |FROM w ORDER BY user_id, h""".stripMargin,
+    "events_sequence_regex" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(s) AS BIGINT) AS seq_len,
+        |  CAST(len(regexp_extract_all(s, 'v[ce]*p')) AS BIGINT)
+        |    AS n_conversions,
+        |  CAST(len(regexp_extract_all(s, 'se*v')) AS BIGINT)
+        |    AS n_activations
+        |FROM seq ORDER BY user_id""".stripMargin,
   )
 }

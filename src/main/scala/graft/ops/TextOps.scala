@@ -129,6 +129,52 @@ object TextOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** #168 — asymmetric shingle containment on the minhash candidate
+    * pairs: `C(A⊆B) = |S(A)∩S(B)| / |S(A)|` in both directions, plus
+    * a `wrapped` flag when the directions disagree by ≥ 0.05 — the
+    * doc-in-doc dedup signal Jaccard (#73) structurally misses: a
+    * small document pasted into boilerplate has high containment in
+    * one direction but low Jaccard, so a Jaccard-thresholded dedup
+    * keeps both copies. Candidates come from #60's signature
+    * equi-join (never n² pairs); the intersection is counted by
+    * joining each candidate pair against the corpus's distinct
+    * (doc, shingle) table on the shingle key — candidate pairs are
+    * ≪ corpus, broadcast, and the shingle join is a keyed equi-join
+    * whose left side carries only candidate docs. Set sizes come from
+    * one keyed aggregate. Ratios are exact integer-over-integer in
+    * double, 4-dp rounded; the flag compares on the rounded values
+    * scaled to integers so no epsilon crosses engines. */
+  def dedupMinhashContainment(spark: SparkSession, sf: String): DataFrame = {
+    val cands = graft.api.Transforms.minhashCandidates(
+      minhashSignatures(spark, sf), "doc_id", (0 until 4).map(s => s"sig$s"))
+    val sh = documents(spark, sf)
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
+      .withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"),
+        explode_outer(array_distinct(shingles)).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(col("shingle")).as("nsh"))
+    val inter = sh.join(broadcast(cands), col("doc_id") === col("d1"))
+      .select(col("d1"), col("d2"), col("shingle"))
+      .join(sh.select(col("doc_id").as("d2x"), col("shingle").as("sh2")),
+            col("d2x") === col("d2") && col("sh2") === col("shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ninter"))
+    val c1 = round(coalesce(col("ninter"), lit(0L)).cast("double") / col("nsh1"), 4)
+    val c2 = round(coalesce(col("ninter"), lit(0L)).cast("double") / col("nsh2"), 4)
+    // attach sizes by broadcasting the SMALL side (candidates) against
+    // the corpus-scale size table — never the reverse
+    val withS1 = sizes.select(col("doc_id").as("d1"), col("nsh").as("nsh1"))
+      .join(broadcast(cands), "d1")
+    val withS2 = sizes.select(col("doc_id").as("d2"), col("nsh").as("nsh2"))
+      .join(broadcast(withS1), "d2")
+    withS2
+      .join(inter, Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"),
+        c1.as("cont_1in2"), c2.as("cont_2in1"),
+        (round(abs(c1 - c2) * 10000, 0).cast("int") >= 500).as("wrapped"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** #61 — cosine similarity on given pairs (adjacent vec_ids), native
     * zip_with/aggregate dot product, rounded 4 dp. */
   def simCosinePairs(spark: SparkSession, sf: String): DataFrame = {
@@ -287,6 +333,7 @@ object TextOps {
     "text_shingle_generate"   -> (textShingleGenerate _),
     "dedup_exact_md5"         -> (dedupExactMd5 _),
     "dedup_minhash_near"      -> (dedupMinhashNear _),
+    "dedup_minhash_containment" -> (dedupMinhashContainment _),
     "sim_cosine_pairs"        -> (simCosinePairs _),
     "sim_knn_topk"            -> (simKnnTopk _),
     "sim_centroid_classify"   -> (simCentroidClassify _),
@@ -335,6 +382,40 @@ object TextOps {
         |  ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
         | AND a.doc_id < b.doc_id
         |ORDER BY d1, d2""".stripMargin),
+    "dedup_minhash_containment" ->
+      (shingleCte +
+      """,
+        |sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min(md5(shingle || '#0')) AS s0, min(md5(shingle || '#1')) AS s1,
+        |    min(md5(shingle || '#2')) AS s2, min(md5(shingle || '#3')) AS s3
+        |  FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sig a JOIN sig b
+        |    ON a.s0 = b.s0 AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
+        |   AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM sets GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.d1, c.d2, count(*) AS ninter
+        |  FROM cand c
+        |  JOIN sets x ON x.doc_id = c.d1
+        |  JOIN sets y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+        |  GROUP BY c.d1, c.d2)
+        |SELECT c.d1, c.d2,
+        |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / s1.nsh, 4)
+        |    AS cont_1in2,
+        |  round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / s2.nsh, 4)
+        |    AS cont_2in1,
+        |  CAST(round(abs(round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / s1.nsh, 4)
+        |        - round(CAST(coalesce(i.ninter, 0) AS DOUBLE) / s2.nsh, 4))
+        |      * 10000, 0) AS INT) >= 500 AS wrapped
+        |FROM cand c
+        |JOIN sizes s1 ON s1.doc_id = c.d1
+        |JOIN sizes s2 ON s2.doc_id = c.d2
+        |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+        |ORDER BY 1, 2""".stripMargin),
     "sim_cosine_pairs" ->
       """WITH u AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -228,6 +228,41 @@ object WindowOps {
       .orderBy(col("event_id"))
   }
 
+  /** #170 — exact rolling median of the per-user reading stream over
+    * a trailing 5-row frame: the robust rolling statistic (#163's
+    * least-squares slope is moment-based and outlier-sensitive; a
+    * rolling median is the standard spike-immune alternative).
+    * Spark's window surface has no holistic `median` over a frame, so
+    * the frame's values are collected (`collect_list` over ROWS
+    * BETWEEN 4 PRECEDING — O(k)=5 state per row, NOT a per-key
+    * unbounded collect), sorted, and the middle element (odd n) or
+    * the mean of the two middles (even n — the warm-up rows) taken.
+    * Cross-engine exact: both engines see identical doubles, pick the
+    * same order statistics, and average with the same single IEEE op;
+    * 4-dp display rounding. One keyed window, one exchange on the
+    * high-cardinality user key — the same shape as #33/#163 at any
+    * scale; the O(k log k) per-row sort is bounded by the constant
+    * frame width (for wide frames prefer a two-heap UDAF or
+    * approx_percentile — out of scope for the exact-frame spec). */
+  def winRollingMedian(spark: SparkSession, sf: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val frame = ord.rowsBetween(-4, 0)
+    events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("vals", sort_array(collect_list(col("value")).over(frame)))
+      .withColumn("n", size(col("vals")))
+      .select(col("event_id"), col("user_id"),
+        col("n").cast("long").as("n_window"),
+        round(when(col("n") % 2 === 1,
+                   element_at(col("vals"), ((col("n") + 1) / 2).cast("int")))
+          .otherwise((element_at(col("vals"), (col("n") / 2).cast("int"))
+                      + element_at(col("vals"), (col("n") / 2).cast("int") + 1)) / 2.0),
+          4).as("med5"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "win_rank_dense_rownum" -> (winRankDenseRownum _),
     "win_topk_per_group"    -> (winTopkPerGroup _),
@@ -239,6 +274,7 @@ object WindowOps {
     "win_gap_islands"       -> (winGapIslands _),
     "win_session_assign"    -> (winSessionAssign _),
     "win_moving_slope"      -> (winMovingSlope _),
+    "win_rolling_median"    -> (winRollingMedian _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -354,5 +390,13 @@ object WindowOps {
         |        / (5.0 * CAST(sxx AS DOUBLE)
         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) + 0 AS slope_5
         |FROM f WHERE n = 5 ORDER BY event_id""".stripMargin,
+    "win_rolling_median" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  round(median(value) OVER w, 4) AS med5
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
   )
 }

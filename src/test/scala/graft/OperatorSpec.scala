@@ -26,15 +26,15 @@ class OperatorSpec extends SparkSpec {
       s"unexpected oracle-less queries: $noOracle")
   }
 
-  test("SURVEY §2 count guard: 167 declared operators, 165 oracle-checked") {
+  test("SURVEY §2 count guard: 173 declared operators, 171 oracle-checked") {
     // SURVEY.md §2's count line is hand-maintained; this pin makes a
     // family-map edit that drops (or double-adds) a binding fail in
     // CI instead of in the driver's correctness run. Update BOTH this
     // test and the SURVEY count line when adding an operator.
-    assert(SparkEntry.queries.size == 167,
-      s"queries.size=${SparkEntry.queries.size} drifted from SURVEY §2's declared 167")
-    assert(SparkEntry.oracleSql.size == 165,
-      s"oracleSql.size=${SparkEntry.oracleSql.size} drifted from SURVEY §2's oracle-checked 165")
+    assert(SparkEntry.queries.size == 173,
+      s"queries.size=${SparkEntry.queries.size} drifted from SURVEY §2's declared 173")
+    assert(SparkEntry.oracleSql.size == 171,
+      s"oracleSql.size=${SparkEntry.oracleSql.size} drifted from SURVEY §2's oracle-checked 171")
   }
 
   test("csv roundtrip preserves the nation aggregation") {

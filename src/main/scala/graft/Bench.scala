@@ -110,6 +110,10 @@ object Bench {
     // fallback from the hash sketch agg to sort-based would show)
     "dedup_minhash_containment",
     "agg_hll_sketch_merge",
+    // round 11 batch 2: the fused 16-dot MaxSim projection — a codegen
+    // collapse (interpreted HOF trees) or a lost broadcast/fan-out
+    // would each be a multi-x regression visible only here
+    "sim_maxsim_multivec",
   )
 
   def main(args: Array[String]): Unit = {

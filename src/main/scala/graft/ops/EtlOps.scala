@@ -637,6 +637,47 @@ object EtlOps {
       .orderBy(col("user_id"))
   }
 
+  /** #175 — A/B experiment readout with Welch's t: users assigned to
+    * arms by a deterministic hash (md5 first-nibble parity — the
+    * stable experiment-assignment everyone reimplements; same
+    * arithmetic in the oracle), then per event_type the two arms'
+    * moments reduce in ONE keyed aggregate (count / Σv / Σv² in
+    * exact DECIMAL — order-independent, so the moments are
+    * bit-identical cross-engine) and the t-statistic is assembled
+    * from the exact moments in double with the identical expression
+    * tree both engines. Rounding uses the #169 FP-exact
+    * floor(x·10⁴+0.5)/10⁴ form, and significance compares the SCALED
+    * INTEGER against 19 600 (|t| > 1.96) so no epsilon or round-tie
+    * crosses engines. Scale: one shuffle on (event_type, arm);
+    * output is |types|·metadata. The exact-moment formulation is the
+    * 100 TB shape — never a collect of samples. */
+  def eventsAbTtest(spark: SparkSession, sf: String): DataFrame = {
+    val grp = when(ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+                   lit("A")).otherwise(lit("B"))
+    val s = events(spark, sf)
+      .select(col("event_type"), money(col("value")).as("v"), grp.as("grp"))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("v")).as("sv"),
+           sum(col("v") * col("v")).as("svv"))
+    def side(g: String, suf: String) = s.where(col("grp") === g)
+      .select(col("event_type"), col("n").as(s"n_$suf"),
+              col("sv").cast("double").as(s"sv_$suf"),
+              col("svv").cast("double").as(s"svv_$suf"))
+    def fpRound4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+    val ma = col("sv_a") / col("n_a")
+    val mb = col("sv_b") / col("n_b")
+    val va = (col("svv_a") - col("sv_a") * col("sv_a") / col("n_a")) / (col("n_a") - 1)
+    val vb = (col("svv_b") - col("sv_b") * col("sv_b") / col("n_b")) / (col("n_b") - 1)
+    val t = (ma - mb) / sqrt(va / col("n_a") + vb / col("n_b"))
+    side("A", "a").join(side("B", "b"), "event_type")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        fpRound4(ma - mb).as("mean_diff"),
+        fpRound4(t).as("t_stat"),
+        (floor(abs(t) * 10000 + 0.5) > 19600).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -662,6 +703,7 @@ object EtlOps {
     "etl_forward_fill"       -> (etlForwardFill _),
     "ts_interpolate_linear"  -> (tsInterpolateLinear _),
     "events_sequence_regex"  -> (eventsSequenceRegex _),
+    "events_ab_ttest"        -> (eventsAbTtest _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -1017,6 +1059,31 @@ object EtlOps {
         |    END * 10000 + 0.5) / 10000.0 AS v_interp,
         |  v IS NOT NULL AS observed
         |FROM w ORDER BY user_id, h""".stripMargin,
+    "events_ab_ttest" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS grp,
+        |    count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS svv
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, n AS n_a, CAST(sv AS DOUBLE) AS sv_a,
+        |             CAST(svv AS DOUBLE) AS svv_a FROM s WHERE grp = 'A'),
+        |b AS (SELECT event_type, n AS n_b, CAST(sv AS DOUBLE) AS sv_b,
+        |             CAST(svv AS DOUBLE) AS svv_b FROM s WHERE grp = 'B'),
+        |m AS (
+        |  SELECT a.event_type, n_a, n_b,
+        |    sv_a / n_a - sv_b / n_b AS md,
+        |    (sv_a / n_a - sv_b / n_b)
+        |      / sqrt(((svv_a - sv_a * sv_a / n_a) / (n_a - 1)) / n_a
+        |           + ((svv_b - sv_b * sv_b / n_b) / (n_b - 1)) / n_b) AS t
+        |  FROM a JOIN b ON a.event_type = b.event_type)
+        |SELECT event_type, n_a, n_b,
+        |  floor(md * 10000 + 0.5) / 10000.0 AS mean_diff,
+        |  floor(t * 10000 + 0.5) / 10000.0 AS t_stat,
+        |  floor(abs(t) * 10000 + 0.5) > 19600 AS significant
+        |FROM m ORDER BY event_type""".stripMargin,
     "events_sequence_regex" ->
       """WITH seq AS (
         |  SELECT user_id,

@@ -342,6 +342,33 @@ object JoinOps {
     spark.sql(lateralTopkSql)
   }
 
+  /** #174 — nearest-in-time as-of join (either direction): each
+    * purchase reading picks the user's temporally CLOSEST signup mark
+    * — sensor/event alignment where "latest at-or-before" (#18) is
+    * wrong near series starts or for symmetric clock jitter. Shape:
+    * the same candidate working set as #18 — a user-keyed equi-join
+    * whose per-key fan-out is bounded by marks-per-user — reduced by
+    * ONE `min_by` over an (|Δt|, mark_ts, mark_id) struct (map-side
+    * partials; no window, no sort of the candidate pairs; |Δt| in
+    * exact integer microseconds). Left rows with no marks survive the
+    * left join with a NULL nearest (the oracle's correlated subquery
+    * agrees). At 100 TB: shuffle on the user key only; production
+    * bounds the candidate set further with a coarse time-bucket
+    * pre-join exactly like #18's documented variant. */
+  def joinAsofNearest(spark: SparkSession, sf: String): DataFrame = {
+    val r = events(spark, sf).where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val m = events(spark, sf).where(col("event_type") === "signup")
+      .select(col("event_id").as("m_id"), col("user_id").as("m_user"),
+              col("ts").as("m_ts"))
+    r.join(m, col("user_id") === col("m_user"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(min_by(col("m_id"),
+        struct(abs(unix_micros(col("m_ts")) - unix_micros(col("ts"))),
+               col("m_ts"), col("m_id"))).as("nearest_mark_id"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "join_inner_shuffle"    -> (joinInnerShuffle _),
     "join_broadcast"        -> (joinBroadcast _),
@@ -360,6 +387,7 @@ object JoinOps {
     "join_null_safe"        -> (joinNullSafe _),
     "join_partition_pruned" -> (joinPartitionPruned _),
     "join_lateral_topk"     -> (joinLateralTopk _),
+    "join_asof_nearest"     -> (joinAsofNearest _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -481,5 +509,17 @@ object JoinOps {
         |FROM orders WHERE year(o_orderdate) % 2 = 0
         |GROUP BY 1 ORDER BY order_year""".stripMargin,
     "join_lateral_topk" -> lateralTopkSql,
+    "join_asof_nearest" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT event_id AS m_id, user_id, CAST(ts AS TIMESTAMP) AS m_ts
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT r.event_id, r.user_id,
+        |  (SELECT m.m_id FROM m WHERE m.user_id = r.user_id
+        |   ORDER BY abs(epoch_us(m.m_ts) - epoch_us(r.ts)), m.m_ts, m.m_id
+        |   LIMIT 1) AS nearest_mark_id
+        |FROM r ORDER BY r.event_id""".stripMargin,
   )
 }

@@ -7,7 +7,7 @@ import scala.collection.immutable.ListMap
 import graft.Tables._
 import org.apache.spark.sql.graft.TopKAgg
 
-/** SURVEY §2.M — round-7 vector-index operators (#136–#138): product
+/** SURVEY §2 — round-7 vector-index operators (#136–#138): product
   * quantization with asymmetric-distance search, the two-stage
   * int8-shortlist → float-rerank retrieval pattern, and SemDeDup-style
   * semantic near-dup pruning.
@@ -302,10 +302,54 @@ object VecOps {
       .orderBy(col("vec_id"))
   }
 
+  /** #176 — multi-vector late-interaction retrieval (MaxSim, the
+    * ColBERT scoring rule, Khattab & Zaharia 2020): documents and
+    * queries carry TOKEN-level vectors (here: the 64-d embedding
+    * sliced into 4×16-d token vectors — deterministic, so the oracle
+    * replays it), and score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ — each query
+    * token matches its best document token, which single-vector
+    * cosine (#62) cannot express. Shape: queries are metadata-scale
+    * (vec_id % 10) and BROADCAST with all their token slices; the
+    * document side streams once through a fanned-out partition-local
+    * projection computing all 16 token-pair dots per (q, d) in one
+    * codegen'd expression (greatest-of-4 per query token, summed);
+    * top-3 per query via the bounded-heap TopKByScore — partial heaps
+    * reduce map-side, so the only shuffle carries ≤ k rows per query
+    * per partition, never the n·|Q| scored pairs. Ranked on the
+    * FP-exact floor-rounded score (ties by doc id). At 100 TB this is
+    * the late-interaction rerank stage over an ANN shortlist
+    * (#79/#136 feed it); the full-scan form graded here is its
+    * brute-force spec, linear in n like #62. */
+  def simMaxsimMultivec(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val q = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val d = e.where(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("did"), col("embedding").as("de"))
+    def tok(c: Column, i: Int) = slice(c, i * 16 + 1, 16)
+    def dotD(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+                lit(0.0), _ + _)
+    val score = (0 until 4).map(i =>
+      greatest((0 until 4).map(j => dotD(tok(col("qe"), i), tok(col("de"), j))): _*))
+      .reduce(_ + _)
+    graft.api.Transforms.fanOut(d, col("did"))
+      .join(broadcast(q))
+      .select(col("qid"), col("did"),
+              (floor(score * 10000 + 0.5) / 10000.0).as("maxsim"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topK(col("maxsim"), col("did"), 3).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+              col("col.id").as("did"), col("col.score").as("maxsim"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_ann_pq"            -> (simAnnPq _),
     "sim_rerank_quantized"  -> (simRerankQuantized _),
     "dedup_semantic_cluster" -> (dedupSemanticCluster _),
+    "sim_maxsim_multivec"   -> (simMaxsimMultivec _),
   )
 
   /** Shared oracle CTE: embeddings unnested to (vec_id, idx, e) plus
@@ -454,5 +498,29 @@ object VecOps {
         |  coalesce(ms.max_sim >= 0.99, false) AS is_dup
         |FROM assign a LEFT JOIN ms ON ms.vec_id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+    "sim_maxsim_multivec" ->
+      s"""WITH $unnestCte,
+        |tv AS (
+        |  SELECT vec_id, CAST(floor((idx - 1) / 16) AS INT) AS tok,
+        |    (idx - 1) % 16 AS k, e
+        |  FROM v),
+        |qt AS (SELECT * FROM tv WHERE vec_id % 10 = 0),
+        |dt AS (SELECT * FROM tv WHERE vec_id % 10 <> 0),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS did, q.tok AS qtok,
+        |    d.tok AS dtok, sum(q.e * d.e) AS dot
+        |  FROM qt q JOIN dt d ON q.k = d.k
+        |  GROUP BY 1, 2, 3, 4),
+        |mx AS (SELECT qid, did, qtok, max(dot) AS m
+        |       FROM dots GROUP BY 1, 2, 3),
+        |sc AS (SELECT qid, did, floor(sum(m) * 10000 + 0.5) / 10000.0
+        |         AS maxsim
+        |       FROM mx GROUP BY 1, 2)
+        |SELECT qid, rnk, did, maxsim FROM (
+        |  SELECT qid, did, maxsim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY maxsim DESC, did) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
   )
 }

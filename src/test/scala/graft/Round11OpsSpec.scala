@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops._
 
-/** Unit + invariant tests for the round-11 operators (#168–#173):
+/** Unit + invariant tests for the round-11 operators (#168–#176):
   * containment dedup, linear interpolation, rolling median, URL
-  * canonicalization dedup, mergeable HLL sketches, sequence mining. */
+  * canonicalization dedup, mergeable HLL sketches, sequence mining,
+  * nearest-in-time as-of, A/B t-test readout, MaxSim late
+  * interaction. */
 class Round11OpsSpec extends SparkSpec {
 
   // ------------------------------------------------ #168 containment
@@ -180,6 +182,74 @@ class Round11OpsSpec extends SparkSpec {
       val s = rows.sortBy(r => (r._2, r._3)).map(_._4.head).mkString
       def count(re: String) = re.r.findAllIn(s).size.toLong
       assert(out(u) == ((s.length.toLong, count("v[ce]*p"), count("se*v"))), s"user $u")
+    }
+  }
+
+  // ------------------------------------------------ #174 asof nearest
+
+  test("asof nearest equals a brute-force recomputation at sf0.001") {
+    val out = JoinOps.joinAsofNearest(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val marksByUser = ev.filter(_._4 == "signup").groupBy(_._2)
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(out.size == purchases.length)
+    purchases.foreach { case (eid, uid, us, _) =>
+      val expect = marksByUser.get(uid).map { ms =>
+        ms.minBy(m => (math.abs(m._3 - us), m._3, m._1))._1
+      }
+      assert(out(eid) == expect, s"event $eid")
+    }
+  }
+
+  // ------------------------------------------------ #175 A/B t-test
+
+  test("ab t-test: arms partition the users deterministically, flag matches |t|") {
+    val rows = EtlOps.eventsAbTtest(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+      "every event lands in exactly one arm")
+    rows.foreach { r =>
+      val t = r.getDouble(4)
+      assert(!t.isNaN && !t.isInfinite, r)
+      assert(r.getBoolean(5) == (math.abs(t) > 1.96 + 1e-9) ||
+             math.abs(math.abs(t) - 1.96) < 1e-3,
+        s"flag must track |t|>1.96 (up to the shared rounding): $r")
+    }
+    // assignment is the documented md5-parity hash
+    val byArm = Tables.events(spark, sf001)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0))
+      .groupBy(u => java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes).map("%02x".format(_)).mkString.charAt(0).toInt % 2 == 0)
+    assert(byArm.keySet == Set(true, false), "both arms populated")
+  }
+
+  // ------------------------------------------------ #176 MaxSim
+
+  test("maxsim equals a brute-force recomputation at sf0.001") {
+    val out = VecOps.simMaxsimMultivec(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val embs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def toks(v: Array[Float]) = (0 until 4).map(i => v.slice(i * 16, i * 16 + 16))
+    def dot(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def score(q: Array[Float], d: Array[Float]) = {
+      val s = toks(q).map(qi => toks(d).map(dj => dot(qi, dj)).max).sum
+      math.floor(s * 10000 + 0.5) / 10000.0
+    }
+    val qids = embs.keys.filter(_ % 10 == 0)
+    val dids = embs.keys.filter(_ % 10 != 0).toSeq
+    qids.foreach { qid =>
+      val ranked = dids.map(d => (d, score(embs(qid), embs(d))))
+        .sortBy { case (d, sc) => (-sc, d) }.take(3)
+      ranked.zipWithIndex.foreach { case ((d, sc), i) =>
+        assert(out((qid, i + 1L)) == ((d, sc)), s"q $qid rank ${i + 1}")
+      }
     }
   }
 }

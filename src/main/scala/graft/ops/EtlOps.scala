@@ -648,9 +648,12 @@ object EtlOps {
     * tree both engines. Rounding uses the #169 FP-exact
     * floor(x·10⁴+0.5)/10⁴ form, and significance compares the SCALED
     * INTEGER against 19 600 (|t| > 1.96) so no epsilon or round-tie
-    * crosses engines. Scale: one shuffle on (event_type, arm);
-    * output is |types|·metadata. The exact-moment formulation is the
-    * 100 TB shape — never a collect of samples. */
+    * crosses engines. Scale: ONE scan of the events fact, one shuffle
+    * on (event_type, arm), then the arms pivot to columns in a second
+    * aggregate over the |types|·2 moment rows (metadata scale) — no
+    * self-join re-scanning the fact; output is |types| rows. The
+    * exact-moment formulation is the 100 TB shape — never a collect
+    * of samples. */
   def eventsAbTtest(spark: SparkSession, sf: String): DataFrame = {
     val grp = when(ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
                    lit("A")).otherwise(lit("B"))
@@ -660,17 +663,22 @@ object EtlOps {
       .agg(count(lit(1)).as("n"),
            sum(col("v")).as("sv"),
            sum(col("v") * col("v")).as("svv"))
-    def side(g: String, suf: String) = s.where(col("grp") === g)
-      .select(col("event_type"), col("n").as(s"n_$suf"),
-              col("sv").cast("double").as(s"sv_$suf"),
-              col("svv").cast("double").as(s"svv_$suf"))
+    def arm(g: String, c: Column) = max(when(col("grp") === g, c))
+    val piv = s.groupBy(col("event_type")).agg(
+      arm("A", col("n")).as("n_a"), arm("B", col("n")).as("n_b"),
+      arm("A", col("sv").cast("double")).as("sv_a"),
+      arm("B", col("sv").cast("double")).as("sv_b"),
+      arm("A", col("svv").cast("double")).as("svv_a"),
+      arm("B", col("svv").cast("double")).as("svv_b"))
     def fpRound4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
     val ma = col("sv_a") / col("n_a")
     val mb = col("sv_b") / col("n_b")
     val va = (col("svv_a") - col("sv_a") * col("sv_a") / col("n_a")) / (col("n_a") - 1)
     val vb = (col("svv_b") - col("sv_b") * col("sv_b") / col("n_b")) / (col("n_b") - 1)
     val t = (ma - mb) / sqrt(va / col("n_a") + vb / col("n_b"))
-    side("A", "a").join(side("B", "b"), "event_type")
+    // a type whose users all hashed into one arm has no readout —
+    // matches the oracle's inner join of the two arm CTEs
+    piv.where(col("n_a").isNotNull && col("n_b").isNotNull)
       .select(col("event_type"), col("n_a"), col("n_b"),
         fpRound4(ma - mb).as("mean_diff"),
         fpRound4(t).as("t_stat"),

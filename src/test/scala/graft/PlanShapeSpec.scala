@@ -283,4 +283,32 @@ class PlanShapeSpec extends SparkSpec {
     // no join operator at all
     assert(!p.contains("Join"), p)
   }
+
+  test("join_asof_nearest reduces candidates with a partial min_by, not a window") {
+    val p = plan(JoinOps.joinAsofNearest(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min_by"), p) // map-side argmin before the shuffle
+  }
+
+  test("events_ab_ttest is one moment aggregate — no window, no sample collect") {
+    val p = plan(EtlOps.eventsAbTtest(spark, sf001))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p) // moments combine map-side
+    // the events fact is scanned once; A/B split happens post-agg on
+    // the |types|·2 moment rows, not via two scans of the raw events
+    assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
+  }
+
+  test("maxsim broadcasts the query side and heaps top-k before the shuffle") {
+    val p = plan(VecOps.simMaxsimMultivec(spark, sf001))
+    // the only loop join is the intentional broadcast-of-queries
+    // scored scan (SCALE.md #176); the document side must be the
+    // streamed side and the per-query heap must reduce map-side so
+    // the shuffle carries <= k rows per query per partition
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_topk_by_score"), p)
+    assert(!p.contains("Window"), p) // bounded heap, never rank-over-scored-pairs
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -54,7 +54,9 @@ ALLOWED_URL = re.compile(
     r"[a-z0-9.-]*apache\.org|github\.com|arxiv\.org|aclanthology\.org|"
     r"dl\.acm\.org|doi\.org|ieee\.org|openreview\.net|w3\.org|ietf\.org|"
     r"naturalearthdata\.com|duckdb\.org|scala-lang\.org|scala-sbt\.org|"
-    r"localhost|en\.wikipedia\.org)(/|:|$)")
+    r"localhost|en\.wikipedia\.org|"
+    # RFC 2606/6761 reserved documentation domains — test fixtures only
+    r"([a-z0-9.-]+\.)?example\.(com|org|net))(/|:|$)")
 URL = re.compile(r"https?://[^\s\"')>\]]+")
 
 CHECKS = {

@@ -659,6 +659,34 @@ object LlmOps {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** #177 — video-shaped frame sampling (round 11): each doc gets a
+    * REAL multi-frame GIF "clip" ([[graft.multimodal.BinaryDecode.syntheticGif]]:
+    * (doc_id % 6) + 2 solid-color 8×4 frames, frame f's fill =
+    * syntheticPixel(id, f, 0) — solid frames round-trip exactly
+    * through GIF's 256-color palette), carried as an opaque `binary`
+    * column and frame-sampled partition-wise by `javax.imageio`
+    * (every 2nd frame — the stride decode a video feature extractor
+    * runs; the reader seeks, unsampled frames are never rasterized).
+    * Output is bounded per-frame metadata (pixel count + full RGB
+    * checksum) the SQL oracle recomputes from the generator
+    * arithmetic: a hash match proves container encode → binary →
+    * frame-seek → decode preserved every sampled pixel. Scale: same
+    * posture as #80/#167 — ids fan out first so encode/decode
+    * parallelism is the partition count, the map is narrow (no
+    * shuffle), per-payload memory is bounded by frames-per-clip, and
+    * only few-dozen-byte metadata rows flow on. */
+  def multimodalFrameSample(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val frames = documents(spark, sf).select(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id"))).as[Long]
+      .map(id => (id, graft.multimodal.BinaryDecode.syntheticGif(
+        id, (id % 6 + 2).toInt)))
+      .mapPartitions(graft.multimodal.BinaryDecode.frameSampleBatch(2))
+    frames.toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_pixels"), col("pix_sum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** #133 — symmetric int8 embedding quantization with reconstruction
     * error: per vector, scale = max|x|/127, q_i = round(x_i/scale),
     * and the relative L2 error of the dequantized vector — the
@@ -709,6 +737,7 @@ object LlmOps {
     "multimodal_binary"        -> (multimodalBinary _),
     "multimodal_resize_meta"   -> (multimodalResizeMeta _),
     "multimodal_phash_dedup"   -> (multimodalPhashDedup _),
+    "multimodal_frame_sample"  -> (multimodalFrameSample _),
     "sim_quantize_int8"        -> (simQuantizeInt8 _),
   )
 
@@ -980,6 +1009,18 @@ object LlmOps {
         |         AS pix_sum
         |FROM c GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id % 6 + 2 AS nf FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(unnest(range(0, nf, 2)) AS INT) AS frame_idx
+        |  FROM f)
+        |SELECT doc_id, frame_idx, CAST(32 AS INT) AS n_pixels,
+        |  CAST(32 * ((doc_id * 31 + frame_idx * 7) % 256
+        |           + (doc_id * 17 + frame_idx * 5) % 256
+        |           + (doc_id * 13 + frame_idx * 3) % 256) AS BIGINT)
+        |    AS pix_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_resize_meta" ->
       """WITH d AS (
         |  SELECT doc_id,

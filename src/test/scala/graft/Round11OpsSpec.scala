@@ -230,6 +230,28 @@ class Round11OpsSpec extends SparkSpec {
     assert(byArm.keySet == Set(true, false), "both arms populated")
   }
 
+  // ------------------------------------------------ #177 frame sample
+
+  test("frame sample equals the generator arithmetic at sf0.001") {
+    val out = LlmOps.multimodalFrameSample(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    val ids = Tables.documents(spark, sf001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.flatMap { id =>
+      val nf = (id % 6 + 2).toInt
+      (0 until nf by 2).map { f =>
+        val (r, g, b) = graft.multimodal.BinaryDecode.syntheticPixel(id, f, 0)
+        (id, f) -> ((32, 32L * (r + g + b)))
+      }
+    }.toMap
+    assert(out == expected)
+    // stride really skips: a 7-frame clip samples 0,2,4,6 only
+    val sevenFrames = ids.find(_ % 6 == 5)
+    sevenFrames.foreach { id =>
+      assert((0 until 7).filter(f => out.contains((id, f))) == Seq(0, 2, 4, 6))
+    }
+  }
+
   // ------------------------------------------------ #176 MaxSim
 
   test("maxsim equals a brute-force recomputation at sf0.001") {

@@ -320,4 +320,82 @@ object BinaryDecode {
     }
     hash
   }
+
+  // ---------------------------------------------------------------
+  // Audio (PCM WAV) — round 11
+  // ---------------------------------------------------------------
+
+  /** Typed metadata for one decoded audio clip: format fields from
+    * the codec's `AudioFormat`, plus content features (absolute-value
+    * sum and peak over every sample) that prove the decode read real
+    * PCM words, not just the RIFF header. */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, n_samples: Int,
+                       sum_abs: Long, peak: Int)
+
+  /** PCM sample `s` of the synthetic clip for doc `id`: a full-range
+    * signed 16-bit value from pure modular arithmetic (the #80
+    * pixel-formula pattern), so a SQL oracle recomputes the decoded
+    * features engine-identically. */
+  def audioSample(id: Long, s: Int): Int =
+    (((id * 37 + s.toLong * 11) % 65536) - 32768).toInt
+
+  /** Number of samples in doc `id`'s clip: 100..500. */
+  def audioLen(id: Long): Int = ((id % 5) + 1).toInt * 100
+
+  /** A real RIFF/WAVE payload for doc `id`: PCM16 little-endian mono
+    * at 8 kHz, hand-assembled header + samples (WAV PCM is a plain
+    * container — writing it needs no codec; READING it below goes
+    * through `javax.sound.sampled`, the JDK's real audio stack, so a
+    * malformed container fails loudly rather than round-tripping). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = audioLen(id)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)              // PCM
+      .putShort(1)              // mono
+      .putInt(8000)             // sample rate
+      .putInt(8000 * 2)         // byte rate
+      .putShort(2)              // block align
+      .putShort(16)             // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var s = 0
+    while (s < n) { buf.putShort(audioSample(id, s).toShort); s += 1 }
+    buf.array()
+  }
+
+  /** Real decode of one WAV payload via `javax.sound.sampled`:
+    * format fields come from the parsed `AudioFormat`, samples from
+    * the decoded PCM stream. Fails loudly on an undecodable payload
+    * (same policy as [[decodeOne]]). */
+  def decodeWavOne(id: Long, bytes: Array[Byte]): AudioMeta = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"doc $id: unexpected WAV format $fmt")
+      val data = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sumAbs = 0L
+      var peak = 0
+      var n = 0
+      while (bb.remaining() >= 2) {
+        val v = bb.getShort.toInt
+        sumAbs += math.abs(v)
+        peak = math.max(peak, math.abs(v))
+        n += 1
+      }
+      AudioMeta(id, fmt.getSampleRate.toInt, n, sumAbs, peak)
+    } finally in.close()
+  }
+
+  /** Partition-wise WAV decode of (id, payload) batches. */
+  def decodeWavBatch(rows: Iterator[(Long, Array[Byte])]): Iterator[AudioMeta] =
+    rows.map { case (id, bytes) => decodeWavOne(id, bytes) }
 }

@@ -687,6 +687,32 @@ object LlmOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** #178 — audio binary columns with a REAL codec (round 11,
+    * completing the brief's image/audio/video triple): each doc gets
+    * a deterministic PCM16 mono 8 kHz WAV clip of (doc_id % 5 + 1)·100
+    * samples whose values are pure modular arithmetic
+    * ([[graft.multimodal.BinaryDecode.audioSample]]), carried as an
+    * opaque `binary` column and decoded partition-wise by
+    * `javax.sound.sampled` (the JDK's real audio stack — a malformed
+    * container fails loudly). Output is per-clip typed metadata:
+    * format fields from the parsed `AudioFormat` plus content
+    * features (|sample| sum and peak) the SQL oracle recomputes from
+    * the generator formula — a hash match proves the RIFF
+    * encode → binary → codec-decode round trip preserved every PCM
+    * word. Same posture as #80/#177: ids fan out first, the map is
+    * narrow, only metadata rows flow on. */
+  def multimodalAudioFeatures(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sf).select(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id"))).as[Long]
+      .map(id => (id, graft.multimodal.BinaryDecode.syntheticWav(id)))
+      .mapPartitions(graft.multimodal.BinaryDecode.decodeWavBatch)
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+              col("sum_abs"), col("peak"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #133 — symmetric int8 embedding quantization with reconstruction
     * error: per vector, scale = max|x|/127, q_i = round(x_i/scale),
     * and the relative L2 error of the dequantized vector — the
@@ -738,6 +764,7 @@ object LlmOps {
     "multimodal_resize_meta"   -> (multimodalResizeMeta _),
     "multimodal_phash_dedup"   -> (multimodalPhashDedup _),
     "multimodal_frame_sample"  -> (multimodalFrameSample _),
+    "multimodal_audio_features" -> (multimodalAudioFeatures _),
     "sim_quantize_int8"        -> (simQuantizeInt8 _),
   )
 
@@ -1009,6 +1036,19 @@ object LlmOps {
         |         AS pix_sum
         |FROM c GROUP BY doc_id, width, height
         |ORDER BY doc_id""".stripMargin,
+    "multimodal_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 5 + 1) * 100 AS n FROM documents),
+        |sa AS (
+        |  SELECT doc_id, n, unnest(range(0, n)) AS s FROM d),
+        |v AS (
+        |  SELECT doc_id, n,
+        |    abs((doc_id * 37 + s * 11) % 65536 - 32768) AS a
+        |  FROM sa)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(n AS INT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS INT) AS peak
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, doc_id % 6 + 2 AS nf FROM documents),

@@ -252,6 +252,29 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ #178 audio
+
+  test("audio features equal the generator arithmetic at sf0.001") {
+    val out = LlmOps.multimodalAudioFeatures(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    val ids = Tables.documents(spark, sf001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(out.size == ids.length)
+    ids.foreach { id =>
+      val n = graft.multimodal.BinaryDecode.audioLen(id)
+      val samples = (0 until n).map(s =>
+        math.abs(graft.multimodal.BinaryDecode.audioSample(id, s)))
+      assert(out(id) == ((8000, n, samples.map(_.toLong).sum, samples.max)), s"doc $id")
+    }
+    // the codec path is real: a corrupted header must fail loudly
+    val wav = graft.multimodal.BinaryDecode.syntheticWav(ids.head)
+    wav(0) = 'X'.toByte
+    intercept[Exception] {
+      graft.multimodal.BinaryDecode.decodeWavOne(ids.head, wav)
+    }
+  }
+
   // ------------------------------------------------ #176 MaxSim
 
   test("maxsim equals a brute-force recomputation at sf0.001") {

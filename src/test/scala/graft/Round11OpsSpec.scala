@@ -252,6 +252,21 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ #179 avro
+
+  test("avro roundtrip preserves counts, decimal sums, and exact micros") {
+    val out = ScanOps.sourceAvroRoundtrip(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val direct = Tables.orders(spark, sf001)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(Tables.money(col("o_totalprice"))).cast("double").as("total_price"),
+           min(unix_micros(col("o_orderdate"))).as("first_order_us"),
+           max(unix_micros(col("o_orderdate"))).as("last_order_us"))
+      .orderBy(col("o_orderstatus")).collect()
+    assert(out.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+
   // ------------------------------------------------ #178 audio
 
   test("audio features equal the generator arithmetic at sf0.001") {

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -434,6 +434,58 @@ object AggOps {
       .orderBy(col("event_type"))
   }
 
+  /** #180 — theta sketch set algebra (round 11): the audience-overlap
+    * surface HLL (#172) cannot give — theta sketches support
+    * INTERSECTION and DIFFERENCE, not just union (DataSketches theta
+    * family, Spark 4.1 `theta_*`). Per-(event_type, day) sketch
+    * partials over user_id are UNIONED to type level (the mergeable
+    * pre-aggregation, same shape as #172), then every type pair's
+    * audience intersection / A-minus-B / union is estimated from the
+    * SKETCHES ALONE — no raw re-scan — and graded with the #172
+    * tolerance CONTRACT: the output carries the exact set-op counts
+    * (distinct pairs + one user-keyed equi-self-join; the
+    * verification harness, not the 100 TB path) plus within-5% flags,
+    * and the oracle emits the same exacts with literal `true`, so
+    * estimator drift fails the hash. At the graded scales the
+    * sketches run in exact mode (< 4096 retained hashes) so the flags
+    * pin equality; at 100 TB only the KB-sized sketch partials flow —
+    * the k-smallest-hash retention is order-independent and the
+    * default seed is fixed, so results are deterministic. */
+  def aggThetaAudienceOverlap(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val sk = daily.groupBy(col("event_type"))
+      .agg(expr("theta_union_agg(sk)").as("sk"))
+    val d = events(spark, sf).select(col("event_type"), col("user_id")).distinct()
+    val n = d.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+    val inter = d.toDF("ta", "ua").join(d.toDF("tb", "ub"),
+        col("ua") === col("ub") && col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("ie"))
+    val pairs = n.toDF("type_a", "n_a").join(n.toDF("type_b", "n_b"),
+        col("type_a") < col("type_b"))
+      .join(inter, col("type_a") === col("ta") && col("type_b") === col("tb"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("ie"), lit(0L)).as("inter_exact"))
+    val withSk = pairs
+      .join(sk.select(col("event_type").as("type_a"), col("sk").as("sk_a")), "type_a")
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b")), "type_b")
+    def ok(est: String, exact: Column): Column =
+      abs(expr(est).cast("double") - exact.cast("double")) <=
+        exact.cast("double") * 0.05 + lit(1e-9)
+    val diffE = col("n_a") - col("inter_exact")
+    val unionE = col("n_a") + col("n_b") - col("inter_exact")
+    withSk.select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("inter_exact"), diffE.as("diff_exact"), unionE.as("union_exact"),
+        ok("theta_sketch_estimate(theta_intersection(sk_a, sk_b))",
+           col("inter_exact")).as("inter_within_5pct"),
+        ok("theta_sketch_estimate(theta_difference(sk_a, sk_b))", diffE)
+          .as("diff_within_5pct"),
+        ok("theta_sketch_estimate(theta_union(sk_a, sk_b))", unionE)
+          .as("union_within_5pct"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -458,6 +510,7 @@ object AggOps {
     "agg_listagg"          -> (aggListagg _),
     "agg_bitmap_distinct"  -> (aggBitmapDistinct _),
     "agg_hll_sketch_merge" -> (aggHllSketchMerge _),
+    "agg_theta_audience_overlap" -> (aggThetaAudienceOverlap _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -622,5 +675,23 @@ object AggOps {
         |  true AS est_within_5pct
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "agg_theta_audience_overlap" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS nu FROM d GROUP BY 1),
+        |i AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS ie
+        |  FROM d a JOIN d b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT na.event_type AS type_a, nb.event_type AS type_b,
+        |  na.nu AS n_a, nb.nu AS n_b,
+        |  coalesce(i.ie, 0) AS inter_exact,
+        |  na.nu - coalesce(i.ie, 0) AS diff_exact,
+        |  na.nu + nb.nu - coalesce(i.ie, 0) AS union_exact,
+        |  true AS inter_within_5pct, true AS diff_within_5pct,
+        |  true AS union_within_5pct
+        |FROM n na JOIN n nb ON na.event_type < nb.event_type
+        |LEFT JOIN i ON i.ta = na.event_type AND i.tb = nb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 }

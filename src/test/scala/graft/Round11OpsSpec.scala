@@ -252,6 +252,30 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------ #180 theta
+
+  test("theta set algebra: estimates are exact below k, flags all true") {
+    val out = AggOps.aggThetaAudienceOverlap(spark, sf001).collect()
+    val types = Tables.events(spark, sf001)
+      .select(col("event_type")).distinct().count().toInt
+    assert(out.length == types * (types - 1) / 2, "one row per unordered type pair")
+    // exact-side identities hold, and the sketch flags (exact mode at
+    // this scale: distinct users << 4096 retained hashes) all pass
+    out.foreach { r =>
+      val (na, nb, inter, diff, uni) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(inter <= math.min(na, nb) && diff == na - inter && uni == na + nb - inter, r)
+      assert(r.getBoolean(7) && r.getBoolean(8) && r.getBoolean(9), s"sketch drift: $r")
+    }
+    // cross-check one pair's intersection brute-force
+    val byType = Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val first = out.head
+    assert(first.getLong(4) ==
+      (byType(first.getString(0)) & byType(first.getString(1))).size.toLong)
+  }
+
   // ------------------------------------------------ #179 avro
 
   test("avro roundtrip preserves counts, decimal sums, and exact micros") {

@@ -276,6 +276,29 @@ class Round11OpsSpec extends SparkSpec {
       (byType(first.getString(0)) & byType(first.getString(1))).size.toLong)
   }
 
+  // ------------------------------------------------ #181 kll
+
+  test("kll quantile merge: exacts match brute force, rank flags hold") {
+    val out = AggOps.aggKllQuantileMerge(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val vals = Tables.events(spark, sf001)
+      .select(col("event_type"), col("value").cast("double")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def pct(v: IndexedSeq[Double], p: Double): Double = {
+      val pos = (v.length - 1) * p
+      val lo = pos.toInt
+      val frac = pos - lo
+      val raw = if (lo + 1 < v.length) v(lo) * (1 - frac) + v(lo + 1) * frac else v(lo)
+      BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { r =>
+      val v = vals(r.getString(0)).toIndexedSeq
+      assert(r.getDouble(1) == pct(v, 0.5), s"p50 ${r.getString(0)}")
+      assert(r.getDouble(2) == pct(v, 0.9), s"p90 ${r.getString(0)}")
+      assert(r.getBoolean(3) && r.getBoolean(4), s"KLL rank drift: $r")
+    }
+  }
+
   // ------------------------------------------------ #179 avro
 
   test("avro roundtrip preserves counts, decimal sums, and exact micros") {

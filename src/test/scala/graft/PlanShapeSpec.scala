@@ -300,6 +300,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
   }
 
+  test("sketch aggregates (theta, kll) combine partials map-side") {
+    // both sketch pipelines must show partial aggregation below the
+    // exchange — KB-sized sketch state per (group, partition) is the
+    // entire point of the mergeable-sketch surface at 100 TB
+    val pTheta = plan(AggOps.aggThetaAudienceOverlap(spark, sf001))
+    assert(pTheta.contains("partial_theta_sketch_agg"), pTheta.take(3000))
+    assert(pTheta.contains("partial_theta_union_agg"), pTheta.take(3000))
+    val pKll = plan(AggOps.aggKllQuantileMerge(spark, sf001))
+    assert(pKll.contains("partial_kll_sketch_agg_double"), pKll.take(3000))
+  }
+
   test("maxsim broadcasts the query side and heaps top-k before the shuffle") {
     val p = plan(VecOps.simMaxsimMultivec(spark, sf001))
     // the only loop join is the intentional broadcast-of-queries

@@ -9,6 +9,25 @@ import graft.ops._
   * keeper semantics. */
 class VecOpsSpec extends SparkSpec {
 
+  test("trained codebook is deterministic, bounded, and code-stable") {
+    val emb = Tables.embeddings(spark, sf001)
+    val a = VecOps.trainedCodebook(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toList))
+    val b = VecOps.trainedCodebook(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toList))
+    assert(a.sortBy(t => (t._1, t._2)).toSeq == b.sortBy(t => (t._1, t._2)).toSeq,
+      "two trainings diverged")
+    assert(a.length <= 8 * 16, "codebook exceeds M*K rows")
+    // every surviving code id came from the 16-seed range, every
+    // codeword is a full SUBDIM vector on the 1e-10 grid
+    a.foreach { case (code, sub, cv) =>
+      assert(code >= 0 && code < 16 && sub >= 0 && sub < 8, (code, sub))
+      assert(cv.length == 8)
+      cv.foreach(x => assert((BigDecimal(x).setScale(10,
+        BigDecimal.RoundingMode.HALF_UP).toDouble == x), s"off-grid mean $x"))
+    }
+  }
+
   test("sim_ann_pq: 5 ranked neighbours per query, ADC distances non-negative and sorted") {
     val rows = VecOps.simAnnPq(spark, sf001).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

@@ -114,6 +114,17 @@ object Bench {
     // collapse (interpreted HOF trees) or a lost broadcast/fan-out
     // would each be a multi-x regression visible only here
     "sim_maxsim_multivec",
+    // round 11 batch 3: the codec-bound multimodal pair (a lost
+    // fan-out serializes decode on one partition — the phash lesson),
+    // the theta/KLL sketch pipelines (a silent fallback from hash to
+    // sort-based object aggregation shows here), and the nearest
+    // as-of argmin (a planner fallback from partial min_by to a
+    // window would show); sim_ann_pq is already tracked above
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "agg_theta_audience_overlap",
+    "agg_kll_quantile_merge",
+    "join_asof_nearest",
   )
 
   def main(args: Array[String]): Unit = {

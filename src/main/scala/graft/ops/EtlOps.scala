@@ -232,6 +232,57 @@ object EtlOps {
     * changes the number of data passes, and the long form is what a
     * quality dashboard joins/alerts on. A null predicate counts as a
     * violation (coalesce false) — unknown is not compliant. */
+  /** #182 — single-pass column profiler (round 11; the Deequ /
+    * Great-Expectations profiling pass every data platform schedules
+    * against every table): per-column row count, null count, exact
+    * distinct count, numeric min/max/mean (exact-DECIMAL sum ÷ count
+    * in double — the #20 policy), string min/max, and timestamps
+    * profiled as exact epoch-microsecond bounds — all computed in ONE
+    * aggregate over the fact scan and unpivoted to a (column, metric)
+    * row per profiled column via `stack` (the #132 shape). Scale: the
+    * only non-algebraic metric is the exact distinct (a Catalyst
+    * expand — the graded verification form); at 100 TB swap it for
+    * `approx_count_distinct` (#28) and the whole profile is one
+    * partial-aggregated pass with a single metadata-scale output. */
+  def etlProfileColumns(spark: SparkSession, sf: String): DataFrame = {
+    val li = lineitem(spark, sf)
+    def nulls(c: String) = sum(col(c).isNull.cast("long"))
+    val wide = li.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("l_quantity").as("qty_nulls"),
+      countDistinct(col("l_quantity")).as("qty_distinct"),
+      min(money(col("l_quantity"))).cast("double").as("qty_min"),
+      max(money(col("l_quantity"))).cast("double").as("qty_max"),
+      (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("qty_mean"),
+      nulls("l_extendedprice").as("ep_nulls"),
+      countDistinct(col("l_extendedprice")).as("ep_distinct"),
+      min(money(col("l_extendedprice"))).cast("double").as("ep_min"),
+      max(money(col("l_extendedprice"))).cast("double").as("ep_max"),
+      (sum(money(col("l_extendedprice"))).cast("double") / count(lit(1))).as("ep_mean"),
+      nulls("l_returnflag").as("rf_nulls"),
+      countDistinct(col("l_returnflag")).as("rf_distinct"),
+      min(col("l_returnflag")).as("rf_min"),
+      max(col("l_returnflag")).as("rf_max"),
+      nulls("l_shipdate").as("sd_nulls"),
+      countDistinct(col("l_shipdate")).as("sd_distinct"),
+      min(unix_micros(col("l_shipdate"))).as("sd_min"),
+      max(unix_micros(col("l_shipdate"))).as("sd_max"))
+    wide.select(expr(
+      """stack(4,
+        |  'l_extendedprice', n_rows, ep_nulls, ep_distinct, ep_min, ep_max,
+        |    ep_mean, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'l_quantity', n_rows, qty_nulls, qty_distinct, qty_min, qty_max,
+        |    qty_mean, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'l_returnflag', n_rows, rf_nulls, rf_distinct, CAST(NULL AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rf_min, rf_max,
+        |  'l_shipdate', n_rows, sd_nulls, sd_distinct, CAST(sd_min AS DOUBLE),
+        |    CAST(sd_max AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS STRING),
+        |    CAST(NULL AS STRING)
+        |) AS (col_name, n_rows, n_null, n_distinct, num_min, num_max,
+        |      num_mean, str_min, str_max)""".stripMargin))
+      .orderBy(col("col_name"))
+  }
+
   def etlDqRules(spark: SparkSession, sf: String): DataFrame = {
     val preds: Seq[(String, Column)] = Seq(
       "discount_le_8pct"  -> (col("l_discount") <= 0.08),
@@ -712,6 +763,7 @@ object EtlOps {
     "ts_interpolate_linear"  -> (tsInterpolateLinear _),
     "events_sequence_regex"  -> (eventsSequenceRegex _),
     "events_ab_ttest"        -> (eventsAbTtest _),
+    "etl_profile_columns"    -> (etlProfileColumns _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -1092,6 +1144,43 @@ object EtlOps {
         |  floor(t * 10000 + 0.5) / 10000.0 AS t_stat,
         |  floor(abs(t) * 10000 + 0.5) > 19600 AS significant
         |FROM m ORDER BY event_type""".stripMargin,
+    "etl_profile_columns" ->
+      """WITH q AS (
+        |  SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS num_min,
+        |    CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS num_max,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS num_mean,
+        |    CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT 'l_extendedprice', count(*),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_extendedprice),
+        |    CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT 'l_returnflag', count(*),
+        |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_returnflag),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    min(l_returnflag), max(l_returnflag)
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT 'l_shipdate', count(*),
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_shipdate),
+        |    CAST(min(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS DOUBLE),
+        |    CAST(max(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem)
+        |SELECT * FROM q UNION ALL SELECT * FROM e
+        |UNION ALL SELECT * FROM r UNION ALL SELECT * FROM s
+        |ORDER BY col_name""".stripMargin,
     "events_sequence_regex" ->
       """WITH seq AS (
         |  SELECT user_id,

@@ -276,6 +276,29 @@ class Round11OpsSpec extends SparkSpec {
       (byType(first.getString(0)) & byType(first.getString(1))).size.toLong)
   }
 
+  // ------------------------------------------------ #182 profiler
+
+  test("column profiler equals per-column brute force and plans one scan") {
+    val out = EtlOps.etlProfileColumns(spark, sf001).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("l_extendedprice", "l_quantity", "l_returnflag", "l_shipdate"))
+    val li = Tables.lineitem(spark, sf001)
+      .select(col("l_quantity").cast("double"), col("l_returnflag")).collect()
+    val qty = li.map(_.getDouble(0))
+    val rf = li.map(_.getString(1))
+    val qrow = out.find(_.getString(0) == "l_quantity").get
+    assert(qrow.getLong(1) == qty.length && qrow.getLong(2) == 0)
+    assert(qrow.getLong(3) == qty.distinct.length)
+    assert(qrow.getDouble(4) == qty.min && qrow.getDouble(5) == qty.max)
+    val rrow = out.find(_.getString(0) == "l_returnflag").get
+    assert(rrow.getLong(3) == rf.distinct.length)
+    assert(rrow.getString(7) == rf.min && rrow.getString(8) == rf.max)
+    // the profile is ONE pass: a single parquet scan in the plan
+    val p = EtlOps.etlProfileColumns(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p)
+  }
+
   // ------------------------------------------------ #181 kll
 
   test("kll quantile merge: exacts match brute force, rank flags hold") {

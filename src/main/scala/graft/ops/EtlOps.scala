@@ -232,6 +232,59 @@ object EtlOps {
     * changes the number of data passes, and the long form is what a
     * quality dashboard joins/alerts on. A null predicate counts as a
     * violation (coalesce false) — unknown is not compliant. */
+  /** #183 — CUPED variance reduction (round 11; Deng et al., WSDM'13
+    * — the #175 A/B readout's standard companion on every
+    * experimentation platform): each user's PRE-period value sum is
+    * the covariate X, the POST-period sum the metric Y (cutoff
+    * 2024-01-16, mid-corpus; users missing a period contribute 0 —
+    * exact DECIMAL sums re-capped to (18,2) so the cross-moment
+    * products stay inside both engines' exact decimal range), the
+    * pooled θ = cov(X,Y)/var(X) assembles from exact second moments
+    * in double with the identical expression tree both engines, and
+    * each arm reports its raw and CUPED-adjusted mean
+    * (ȳ − θ·(x̄_arm − x̄_global)) plus the achieved variance-reduction
+    * ratio ρ². #169 floor-rounding at 4dp. Scale: one user-keyed
+    * shuffle for the per-user sums, then a metadata-scale moment
+    * aggregate (1 row) broadcast to the 2 arm rows — never a collect
+    * of per-user residuals. */
+  def eventsCupedAdjust(spark: SparkSession, sf: String): DataFrame = {
+    val cutoff = ts("2024-01-16")
+    val grp = when(ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+                   lit("A")).otherwise(lit("B"))
+    def periodSum(cond: Column) =
+      coalesce(sum(when(cond, money(col("value")))), lit(0)).cast(graft.Tables.DEC2)
+    val per = events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(periodSum(col("ts") < cutoff).as("x"),
+           periodSum(col("ts") >= cutoff).as("y"))
+      .withColumn("grp", grp)
+    val g = per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val a = per.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_users"),
+      sum(col("x")).cast("double").as("sxa"),
+      sum(col("y")).cast("double").as("sya"))
+    def fp4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+    val n = col("n").cast("double")
+    val thetaNum = n * col("sxy") - col("sx") * col("sy")
+    val thetaDen = n * col("sxx") - col("sx") * col("sx")
+    val theta = thetaNum / thetaDen
+    val vary = n * col("syy") - col("sy") * col("sy")
+    a.crossJoin(broadcast(g))
+      .select(col("grp").as("arm"), col("n_users"),
+        fp4(col("sya") / col("n_users")).as("mean_y"),
+        fp4(col("sya") / col("n_users")
+          - theta * (col("sxa") / col("n_users") - col("sx") / n)).as("mean_y_adj"),
+        fp4(theta).as("theta"),
+        fp4(thetaNum * thetaNum / (thetaDen * vary)).as("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
   /** #182 — single-pass column profiler (round 11; the Deequ /
     * Great-Expectations profiling pass every data platform schedules
     * against every table): per-column row count, null count, exact
@@ -764,6 +817,7 @@ object EtlOps {
     "events_sequence_regex"  -> (eventsSequenceRegex _),
     "events_ab_ttest"        -> (eventsAbTtest _),
     "etl_profile_columns"    -> (etlProfileColumns _),
+    "events_cuped_adjust"    -> (eventsCupedAdjust _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -1181,6 +1235,39 @@ object EtlOps {
         |SELECT * FROM q UNION ALL SELECT * FROM e
         |UNION ALL SELECT * FROM r UNION ALL SELECT * FROM s
         |ORDER BY col_name""".stripMargin,
+    "events_cuped_adjust" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS grp,
+        |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS x,
+        |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DECIMAL(18,2)) AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM per),
+        |a AS (
+        |  SELECT grp, count(*) AS n_users,
+        |    CAST(sum(x) AS DOUBLE) AS sxa, CAST(sum(y) AS DOUBLE) AS sya
+        |  FROM per GROUP BY grp)
+        |SELECT grp AS arm, n_users,
+        |  floor(sya / n_users * 10000 + 0.5) / 10000.0 AS mean_y,
+        |  floor((sya / n_users
+        |    - ((g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx))
+        |      * (sxa / n_users - g.sx / g.n)) * 10000 + 0.5) / 10000.0
+        |    AS mean_y_adj,
+        |  floor(((g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx))
+        |    * 10000 + 0.5) / 10000.0 AS theta,
+        |  floor(((g.n * g.sxy - g.sx * g.sy) * (g.n * g.sxy - g.sx * g.sy)
+        |    / ((g.n * g.sxx - g.sx * g.sx) * (g.n * g.syy - g.sy * g.sy)))
+        |    * 10000 + 0.5) / 10000.0 AS var_reduction
+        |FROM a, g ORDER BY arm""".stripMargin,
     "events_sequence_regex" ->
       """WITH seq AS (
         |  SELECT user_id,

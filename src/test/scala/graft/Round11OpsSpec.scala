@@ -360,14 +360,19 @@ class Round11OpsSpec extends SparkSpec {
 
   // ------------------------------------------------ #182 profiler
 
-  test("column profiler equals per-column brute force and plans one scan") {
+  test("column profiler equals per-column brute force; no distinct expand") {
     val out = EtlOps.etlProfileColumns(spark, sf001).collect()
-    assert(out.map(_.getString(0)).toSeq ==
-      Seq("l_extendedprice", "l_quantity", "l_returnflag", "l_shipdate"))
+    // round 12: the FULL table — one row per lineitem column
+    assert(out.map(_.getString(0)).toSeq == Seq(
+      "l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
+      "l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+      "l_shipdate", "l_suppkey", "l_tax"))
     val li = Tables.lineitem(spark, sf001)
-      .select(col("l_quantity").cast("double"), col("l_returnflag")).collect()
+      .select(col("l_quantity").cast("double"), col("l_returnflag"),
+              col("l_orderkey")).collect()
     val qty = li.map(_.getDouble(0))
     val rf = li.map(_.getString(1))
+    val ok = li.map(_.getLong(2))
     val qrow = out.find(_.getString(0) == "l_quantity").get
     assert(qrow.getLong(1) == qty.length && qrow.getLong(2) == 0)
     assert(qrow.getLong(3) == qty.distinct.length)
@@ -375,13 +380,31 @@ class Round11OpsSpec extends SparkSpec {
     val rrow = out.find(_.getString(0) == "l_returnflag").get
     assert(rrow.getLong(3) == rf.distinct.length)
     assert(rrow.getString(7) == rf.min && rrow.getString(8) == rf.max)
-    // two column-pruned passes (metrics + string extremes), and the
-    // expensive distinct-expand side stays HASH-aggregated — the
-    // string min/max buffers must not drag it into sort-based
+    val orow = out.find(_.getString(0) == "l_orderkey").get
+    assert(orow.getLong(3) == ok.distinct.length)
+    assert(orow.getDouble(4) == ok.min.toDouble && orow.getDouble(5) == ok.max.toDouble)
+    // shape: 13 column-pruned passes (fixed-width metrics + string
+    // extremes + 11 per-column distinct branches), hash-aggregated
+    // throughout, and NO multi-distinct Expand — the 12-projection
+    // rewrite measured 10× slower at sf0.1
     val p = EtlOps.etlProfileColumns(spark, sf001)
       .queryExecution.executedPlan.toString
-    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 2, p)
-    assert(p.contains("HashAggregate") && p.contains("Expand"), p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 13, p)
+    assert(p.contains("HashAggregate") && !p.contains("Expand"), p)
+  }
+
+  test("approx profiler: exact distincts with all within-5pct flags true; one-pass side has no expand") {
+    val out = EtlOps.etlProfileApprox(spark, sf001).collect()
+    assert(out.length == 11)
+    val exact = EtlOps.etlProfileColumns(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    out.foreach { r =>
+      assert(r.getLong(3) == exact(r.getString(0)), s"${r.getString(0)} exact drift")
+      assert(r.getBoolean(4), s"${r.getString(0)} sketch estimate off by >5%")
+    }
+    val p = EtlOps.etlProfileApprox(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), p)
   }
 
   // ------------------------------------------------ #181 kll

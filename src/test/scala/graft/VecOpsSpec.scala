@@ -112,4 +112,56 @@ class VecOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("is_dup") == (r.getAs[Double]("max_sim") >= 0.99))
     }
   }
+
+  test("mmrRerank matches a local greedy MMR reference at picks = 2/3/4") {
+    import spark.implicits._
+    // deterministic synthetic inputs on the 4dp grid (the helper's
+    // contract: rel/sim arrive pre-rounded), sized to force real
+    // diversity trade-offs: 3 queries × 6 candidates
+    def fp4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    val qids = Seq(1L, 2L, 3L)
+    val cands = Seq(10L, 11L, 12L, 13L, 14L, 15L)
+    def rel(q: Long, i: Long) = fp4(((q * 37 + i * 101) % 97) / 97.0)
+    def sim(q: Long, a: Long, b: Long) = {
+      val (x, y) = if (a < b) (a, b) else (b, a)
+      fp4(((q * 13 + x * 7 + y * 29) % 89) / 89.0)
+    }
+    val short = qids.flatMap(q => cands.map(i => (q, i, rel(q, i))))
+      .toDF("q_id", "i_id", "rel")
+    val psim = qids.flatMap(q =>
+        for { a <- cands; b <- cands if a != b } yield (q, a, b, sim(q, a, b)))
+      .toDF("q_id", "a", "b", "sim")
+    // the straightforward imperative greedy the staged plan must equal
+    def localGreedy(q: Long, picks: Int): Seq[(Long, Double)] = {
+      var selected = Vector.empty[(Long, Double)]
+      var remaining = cands.toSet
+      for (_ <- 1 to picks) {
+        val scored = remaining.toSeq.map { id =>
+          val sc =
+            if (selected.isEmpty) fp4(0.7 * rel(q, id))
+            else fp4(0.7 * rel(q, id) -
+              0.3 * selected.map(s => sim(q, id, s._1)).max)
+          (id, sc)
+        }
+        val best = scored.maxBy { case (id, sc) => (sc, -id) }
+        selected :+= best
+        remaining -= best._1
+      }
+      selected
+    }
+    for (picks <- Seq(2, 3, 4)) {
+      val got = VecOps.mmrRerank(short, psim, lambda = 0.7, mu = 0.3, picks)
+        .collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) =>
+          q -> rs.sortBy(_.getAs[Int]("rnk"))
+            .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("mmr_score")))
+            .toSeq
+        }
+      qids.foreach { q =>
+        assert(got(q) == localGreedy(q, picks),
+          s"picks=$picks query $q: staged=${got(q)} local=${localGreedy(q, picks)}")
+      }
+    }
+  }
 }

@@ -289,6 +289,16 @@ object Bench {
       s""""pass":${pass.fold("null")(_.toString)},""" +
       s""""aqe_on":${toJson(aqeOn)},""" +
       s""""aqe_on_total":${aqeOnTotal.fold("null")(t => f"$t%.3f")},"sf":"$sfDir"}""")
+    // Compact headline-only line, printed LAST (round 12 — VERDICT r11
+    // item 7): the driver's BENCH artifact keeps only the final 2000
+    // chars of stdout, and round 11's full line outgrew that window,
+    // truncating the per-query headline dict out of the artifact. This
+    // line is ~400 chars, so the gate's primary evidence survives any
+    // truncation that keeps the tail.
+    println(s"""{"metric":"headline","value":${totalOrNull(results)},"unit":"sec",""" +
+      s""""queries":${toJson(results)},""" +
+      s""""ratio":${ratio.fold("null")(r => f"$r%.3f")},""" +
+      s""""pass":${pass.fold("null")(_.toString)},"sf":"$sfDir"}""")
     spark.stop() // no-op when the AQE block already stopped it
   }
 }

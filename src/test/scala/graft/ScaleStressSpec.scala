@@ -353,6 +353,83 @@ class ScaleStressSpec extends SparkSpec {
     assert(lsh1 > 0 && lsh10 > 0, "candidate stages must be non-empty")
   }
 
+  // ---- recall helpers (shared by the gated 1×/10× evidence run and
+  // ---- the ungated sf0.01 pre-commit slice) -----------------------
+
+  /** IVF (#79 graded geometry): recall of its top-5 for a
+    * deterministic 64-query subset vs the brute-force cosine top-5. */
+  private def recallIvf(dir: String): Double = {
+    import org.apache.spark.sql.graft.TopKAgg
+    val emb = Tables.embeddings(spark, dir)
+    val qids = emb
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("#recall"))))
+      .orderBy(col("h"), col("vec_id")).limit(64)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq // 64 ids — metadata
+    val bf = Transforms.knnTopK(
+        emb.where(col("vec_id").isin(qids: _*)), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
+      .select(col("q_id"), col("i_id"))
+    val ivf = LlmOps.simAnnIvfPairs(spark, dir)
+      .where(col("a_id").isin(qids: _*))
+      .groupBy(col("a_id"))
+      .agg(TopKAgg.topK(col("cos_sim"), col("b_id"), 5).as("top"))
+      .select(col("a_id").as("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("i_id"))
+    bf.join(ivf, Seq("q_id", "i_id")).count().toDouble / bf.count()
+  }
+
+  /** PQ (#136 graded geometry at 64 queries via
+    * [[graft.ops.VecOps.pqTopK]] — round 12 widened the pin from the
+    * operator's own 8 queries, whose 40 ground-truth slots let the
+    * 10× floor pass by exactly one hit): recall of the ADC top-5 vs
+    * the exact squared-L2 top-5 (ADC estimates L2, so L2 is the right
+    * ground truth) over ~320 slots. */
+  private def recallPq(dir: String): Double = {
+    import org.apache.spark.sql.graft.TopKAgg
+    val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("#q"))))
+      .orderBy(col("h"), col("vec_id")).limit(64)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val exact = emb.select(col("vec_id").as("i_id"), col("embedding").as("iv"))
+      .join(broadcast(q), col("q_id") =!= col("i_id"))
+      .select(col("q_id"), col("i_id"),
+        (dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("iv"))
+          + dot(col("iv"), col("iv"))).as("d2"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(-col("d2"), col("i_id"), 5).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("i_id"))
+    val pq = graft.ops.VecOps.pqTopK(Tables.embeddings(spark, dir), 64)
+      .select(col("q_id"), col("vec_id").as("i_id"))
+    exact.join(pq, Seq("q_id", "i_id")).count().toDouble / exact.count()
+  }
+
+  private def ivfChanceAt(n: Long) = 2.0 / math.ceil(math.sqrt(n.toDouble))
+  private def pqChanceAt(n: Long) = 5.0 / (n - 1)
+
+  /** Round 12 (VERDICT r11 item 5): the UNGATED pre-commit slice of
+    * the recall/candidate evidence — the gated 1×/10× run below is
+    * once-a-round, so a geometry regression (wrong probe count,
+    * collapsed codebook, band-bit loss) used to surface only at
+    * round end. This runs the same floors at sf0.01 directly (no
+    * scaled-corpus write) in ~15 s. The LSH ceiling allows for the
+    * operator's 50 planted twin pairs (the #74 de-vacuation) on top
+    * of the random-collision floor 32·(n²/2)·p^16, p ≈ 0.524. */
+  test("ANN recall + LSH candidate floors at sf0.01 (pre-commit, ungated)") {
+    val n = Tables.embeddings(spark, sf01).count()
+    val ivfLift = recallIvf(sf01) / ivfChanceAt(n)
+    val pqLift = recallPq(sf01) / pqChanceAt(n)
+    info(f"sf0.01 lifts: IVF $ivfLift%.1f× chance, PQ $pqLift%.1f× chance")
+    assert(ivfLift >= 2.0, f"IVF recall lift at sf0.01: $ivfLift%.1f < 2× chance")
+    assert(pqLift >= 10.0, f"PQ recall lift at sf0.01: $pqLift%.1f < 10× chance")
+    val lsh = LlmOps.dedupEmbeddingCosineCandidates(spark, sf01).count()
+    val floor = 32.0 * (n.toDouble * (n - 1) / 2) * math.pow(0.524, 16) + 50
+    assert(lsh > 0 && lsh <= 1.5 * floor,
+      f"LSH candidates at sf0.01: $lsh outside (0, 1.5×floor=${1.5 * floor}%.0f]")
+  }
+
   /** Round 11 (VERDICT r10 item 6): the ANN rows pin candidate counts
     * and wall-clock; this pins what those buy — measured recall@5
     * against exact ground truth, deterministic on both sides (the
@@ -368,52 +445,6 @@ class ScaleStressSpec extends SparkSpec {
   test("ANN recall@5 vs exact ground truth holds at 1x and 10x") {
     gated()
     ensureScaled()
-    import org.apache.spark.sql.graft.TopKAgg
-    val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
-
-    // IVF (#79 graded geometry): recall of its top-5 for a
-    // deterministic 64-query subset vs the brute-force cosine top-5.
-    def recallIvf(dir: String): Double = {
-      val emb = Tables.embeddings(spark, dir)
-      val qids = emb
-        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("#recall"))))
-        .orderBy(col("h"), col("vec_id")).limit(64)
-        .select("vec_id").collect().map(_.getLong(0)).toSeq // 64 ids — metadata
-      val bf = Transforms.knnTopK(
-          emb.where(col("vec_id").isin(qids: _*)), emb,
-          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
-        .select(col("q_id"), col("i_id"))
-      val ivf = LlmOps.simAnnIvfPairs(spark, dir)
-        .where(col("a_id").isin(qids: _*))
-        .groupBy(col("a_id"))
-        .agg(TopKAgg.topK(col("cos_sim"), col("b_id"), 5).as("top"))
-        .select(col("a_id").as("q_id"), explode(col("top")).as("c"))
-        .select(col("q_id"), col("c.id").as("i_id"))
-      bf.join(ivf, Seq("q_id", "i_id")).count().toDouble / bf.count()
-    }
-
-    // PQ (#136 graded geometry): recall of its ADC top-5 for its own
-    // 8 hash-sampled queries vs the exact squared-L2 top-5 (ADC
-    // estimates L2, so L2 is the right ground truth).
-    def recallPq(dir: String): Double = {
-      val emb = Tables.embeddings(spark, dir)
-      val q = emb
-        .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("#q"))))
-        .orderBy(col("h"), col("vec_id")).limit(8)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val exact = emb.select(col("vec_id").as("i_id"), col("embedding").as("iv"))
-        .join(broadcast(q), col("q_id") =!= col("i_id"))
-        .select(col("q_id"), col("i_id"),
-          (dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("iv"))
-            + dot(col("iv"), col("iv"))).as("d2"))
-        .groupBy(col("q_id"))
-        .agg(TopKAgg.topK(-col("d2"), col("i_id"), 5).as("top"))
-        .select(col("q_id"), explode(col("top")).as("c"))
-        .select(col("q_id"), col("c.id").as("i_id"))
-      val pq = graft.ops.VecOps.simAnnPq(spark, dir)
-        .select(col("q_id"), col("vec_id").as("i_id"))
-      exact.join(pq, Seq("q_id", "i_id")).count().toDouble / exact.count()
-    }
 
     val (n1, n10) = (Tables.embeddings(spark, dir1x).count(),
                      Tables.embeddings(spark, dir10x).count())
@@ -431,10 +462,8 @@ class ScaleStressSpec extends SparkSpec {
     //        non-informative ranking is 5/(n-1).
     // A collapsed geometry (wrong probe count, degenerate codebook)
     // drops lift to ~1 regardless of host or corpus regeneration.
-    def ivfChance(n: Long) = 2.0 / math.ceil(math.sqrt(n.toDouble))
-    def pqChance(n: Long) = 5.0 / (n - 1)
-    val lifts = Seq(ivf1 / ivfChance(n1), ivf10 / ivfChance(n10),
-                    pq1 / pqChance(n1), pq10 / pqChance(n10))
+    val lifts = Seq(ivf1 / ivfChanceAt(n1), ivf10 / ivfChanceAt(n10),
+                    pq1 / pqChanceAt(n1), pq10 / pqChanceAt(n10))
     val report =
       f"""| index | recall@5 at 1x (lift) | recall@5 at 10x (lift) | lift floor |
          ||---|---|---|---|
@@ -443,8 +472,10 @@ class ScaleStressSpec extends SparkSpec {
          |""".stripMargin
     info(report)
     println(s"[ann-recall]\n$report")
-    // measured this round: IVF 3.7× / 6.7× chance, PQ ≥ 50× chance —
-    // floors sit well under measured but far above a collapsed index
+    // measured round 12 at 64 queries: IVF 3.2× / 6.7× chance, PQ
+    // 55× / 275× chance (≈44 / 22 hits of ~320 slots — the round-11
+    // 8-query pin rested on ONE hit) — floors sit well under measured
+    // but far above a collapsed index
     assert(lifts(0) >= 2.0 && lifts(1) >= 2.0,
       f"IVF recall lift regressed toward chance: 1x=${lifts(0)}%.1f 10x=${lifts(1)}%.1f < 2")
     assert(lifts(2) >= 10.0 && lifts(3) >= 10.0,

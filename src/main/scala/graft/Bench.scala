@@ -137,6 +137,12 @@ object Bench {
     // the 3-stage unrolled MMR greedy: a planner regression from the
     // keyed max_by argmax to windows over the pairwise table shows
     "sim_mmr_diversify",
+    // round 12: the z-order cut rides the #36 distributed-rank
+    // machinery — a regression to a single-partition window shows as
+    // a multi-x here; the frequent-items op guards the sketch quartet's
+    // partial→combine shape
+    "layout_zorder_pruning",
+    "agg_freq_sketch_topk",
   )
 
   def main(args: Array[String]): Unit = {

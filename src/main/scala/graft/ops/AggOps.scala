@@ -539,6 +539,56 @@ object AggOps {
       .orderBy(col("event_type"))
   }
 
+  /** #187 — mergeable frequent-items sketch (round 12; DataSketches
+    * frequent-items via Spark 4.1 `approx_top_k_accumulate/_combine/
+    * _estimate`): the FREQUENCY member that completes the mergeable
+    * sketch quartet — distinct counts (#172 HLL), set algebra (#180
+    * theta), quantiles (#181 KLL), and now heavy hitters — in the
+    * same partial → merge shape: per-source token sketches ACCUMULATE
+    * (map-side, bounded slots), COMBINE to one corpus sketch with no
+    * raw re-scan, ESTIMATE yields the heavy hitters. Graded under the
+    * #172 tolerance CONTRACT: the output rows are the exact top-10
+    * tokens by (count DESC, token) — fully deterministic in both
+    * engines — each carrying its exact count plus a flag that the
+    * combined sketch's estimate lands within 1% of it; DuckDB emits
+    * the exacts and literal `true`. At the graded scales the corpus
+    * vocabulary (31 tokens at sf0.01) sits far under the 100 tracked
+    * slots, so the sketch runs in exact mode and the flags pin
+    * equality — the #180 policy; at 100 TB `maxItemsTracked` ≪ vocab
+    * and the DataSketches εN error guarantee takes over, with the
+    * exact side (the groupBy count) remaining the verification
+    * harness, not the scale path. KB-sized state per shard, merge
+    * associative — the pre-aggregated heavy-hitter cube #131's exact
+    * scan cannot give. */
+  def aggFreqSketchTopk(spark: SparkSession, sf: String): DataFrame = {
+    val toks = documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val partials = toks.groupBy(col("source"))
+      .agg(expr("approx_top_k_accumulate(token, 100)").as("sk"))
+    // the partials are |sources| KB-sized sketch rows — metadata scale
+    // — so the combine is a 1-partition fold by design; coalesce(1)
+    // also sidesteps SPARK's ApproxTopKCombine crash on EMPTY
+    // partitions (serialize of an uninitialized combine buffer throws
+    // MatchError when shuffle.partitions > |sources|, observed at
+    // sf0.1 with 32 partitions over 5 partial rows)
+    val est = partials.coalesce(1)
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 100), 50)")
+        .as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("est"))
+    val top10 = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
+      .limit(10)
+    top10.join(broadcast(est), Seq("token"), "left")
+      .select(col("token"), col("n_exact"),
+        coalesce(abs(col("est") - col("n_exact"))
+          <= col("n_exact").cast("double") * 0.01, lit(false))
+          .as("est_within_1pct"))
+      .orderBy(col("n_exact").desc, col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -565,6 +615,7 @@ object AggOps {
     "agg_hll_sketch_merge" -> (aggHllSketchMerge _),
     "agg_theta_audience_overlap" -> (aggThetaAudienceOverlap _),
     "agg_kll_quantile_merge" -> (aggKllQuantileMerge _),
+    "agg_freq_sketch_topk" -> (aggFreqSketchTopk _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -755,5 +806,13 @@ object AggOps {
         |    (ORDER BY CAST(value AS DOUBLE)), 4) AS p90_exact,
         |  true AS p50_rank_ok, true AS p90_rank_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_freq_sketch_topk" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |e AS (
+        |  SELECT token, count(*) AS n_exact FROM t
+        |  WHERE len(token) > 0 GROUP BY token)
+        |SELECT token, n_exact, true AS est_within_1pct
+        |FROM e ORDER BY n_exact DESC, token LIMIT 10""".stripMargin,
   )
 }

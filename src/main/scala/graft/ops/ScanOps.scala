@@ -341,6 +341,103 @@ object ScanOps {
       .orderBy(col("o_year"))
   }
 
+  /** Shared z-order arithmetic for #186 and its oracle: 8-bit
+    * bucketize both keys against broadcast corpus bounds (pure integer
+    * division, engine-exact — the only engine difference is the
+    * integer-div spelling, `div` vs `//`), then interleave the bits:
+    * z = Σᵢ bit_i(bx)·4^i·1 + bit_i(by)·4^i·2. Shift/mask operators
+    * evaluate identically in Spark and DuckDB (probed), so the same
+    * generated text runs in both. */
+  private[graft] def zorderCols(intDiv: String): Seq[(String, String)] = {
+    val bx = s"(((l_partkey - pk_min) * 256) $intDiv (pk_max - pk_min + 1))"
+    val by = s"(((l_suppkey - sk_min) * 256) $intDiv (sk_max - sk_min + 1))"
+    def interleave(e: String, off: Int): String =
+      (0 until 8).map(i => s"(((($e) >> $i) & 1) << ${2 * i + off})")
+        .mkString(" + ")
+    Seq("zbx" -> bx, "zby" -> by,
+        "z" -> s"${interleave(bx, 0)} + ${interleave(by, 1)}")
+  }
+
+  /** #186 — Z-order layout statistics (round 12; the OPTIMIZE
+    * ZORDER / multi-dimensional clustering pass of every lakehouse
+    * table format, as a verifiable computation): lineitem's
+    * (l_partkey, l_suppkey) are 8-bit-bucketized against the corpus
+    * bounds and BIT-INTERLEAVED into a Morton z-value, rows are cut
+    * into 64 equal shards along the z-curve (the #36 distributed-rank
+    * ntile — sketch coarse buckets + per-bucket offsets, NO
+    * single-partition window), and the graded output is each shard's
+    * bounding box in bucket space plus a data-skipping flag: does the
+    * shard's bbox intersect the fixed center query box
+    * [102,153]² (the 40–60% band of both key ranges)? That flag IS
+    * the point of z-ordering — a file pruner consults exactly these
+    * per-file min/max stats, and the interleaved curve keeps both
+    * dimensions' ranges tight per shard where a 1-D sort leaves the
+    * second dimension's range full-width in every shard (the property
+    * test pins z strictly beating the 1-D layout's shard-touch
+    * count). Oracle: identical integer arithmetic (shared generator,
+    * `div` vs `//`) + `ntile(32)` under the same unique total order.
+    * Scale: bucketize/interleave are per-row integer ops off a 1-row
+    * broadcast bounds aggregate; the equal-cut is the #36 machinery;
+    * a production write then range-partitions by z and writes like
+    * #130 — per-shard stats stay metadata-scale (64 rows). */
+  def layoutZorderPruning(spark: SparkSession, sf: String): DataFrame = {
+    val li = lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+      min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+    val z = zorderCols("div").foldLeft(li.crossJoin(broadcast(bounds))) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    // localCheckpoint: a lineage barrier, not a correctness need —
+    // Catalyst's projection collapse would otherwise inline the
+    // 16-term interleave expression into every consumer inside the
+    // rank machinery (bucket when-tree × count aggregate × join key),
+    // re-evaluating it several times per row: measured 5.4 s vs ~1 s
+    // at sf0.1. At 100 TB the same barrier is the materialized
+    // z-column write this op's production form does anyway.
+    }.localCheckpoint()
+    // coarseBuckets stays LOW on purpose: the coarse-bucket when-tree
+    // is re-evaluated ~3× per row across the rank machinery, so its
+    // depth is a per-row multiplier — measured 3.5 s at 128 buckets
+    // vs 1.6 s at 32 for identical output (bucket granularity only
+    // balances the window partitions, never changes the ntile)
+    val sharded = graft.api.Transforms.ntileBySketch(z, col("z"),
+      struct(col("z"), col("l_orderkey"), col("l_linenumber")),
+      n = 64, coarseBuckets = 32)
+    sharded.groupBy(col("ntile").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("zbx")).as("bx_min"), max(col("zbx")).as("bx_max"),
+           min(col("zby")).as("by_min"), max(col("zby")).as("by_max"))
+      .withColumn("box_hit",
+        col("bx_max") >= 102 && col("bx_min") <= 153 &&
+        col("by_max") >= 102 && col("by_min") <= 153)
+      .orderBy(col("shard"))
+  }
+
+  /** DuckDB oracle for #186, generated from the same arithmetic. */
+  private def zorderOracle: String = {
+    val cols = zorderCols("//")
+      .map { case (n, sql) => s"$sql AS $n" }.mkString(",\n    ")
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) pk_min, max(l_partkey) pk_max,
+       |         min(l_suppkey) sk_min, max(l_suppkey) sk_max FROM lineitem),
+       |zt AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    $cols
+       |  FROM lineitem, b),
+       |t AS (
+       |  SELECT zbx, zby,
+       |    ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS shard
+       |  FROM zt)
+       |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_rows,
+       |  min(zbx) AS bx_min, max(zbx) AS bx_max,
+       |  min(zby) AS by_min, max(zby) AS by_max,
+       |  (max(zbx) >= 102 AND min(zbx) <= 153
+       |   AND max(zby) >= 102 AND min(zby) <= 153) AS box_hit
+       |FROM t GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   /** #115 — `binaryFile` source over a directory of real image files:
     * THE ingestion path for a multimodal corpus (millions of image/
     * audio files → one binary column, partition-parallel, no driver
@@ -429,6 +526,7 @@ object ScanOps {
     "sink_sorted_shards"       -> (sinkSortedShards _),
     "sink_shard_manifest"      -> (sinkShardManifest _),
     "sink_partition_overwrite" -> (sinkPartitionOverwrite _),
+    "layout_zorder_pruning"    -> (layoutZorderPruning _),
   )
 
   /** #158 — dynamic partition overwrite (round 7): the lake
@@ -584,5 +682,6 @@ object ScanOps {
         |    AS total_price
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "layout_zorder_pruning" -> zorderOracle,
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AggOps, ScanOps}
+
+/** Analytical invariants for the round-12 operators beyond the DuckDB
+  * hash sweep: the z-order layout must actually BUY data-skipping over
+  * a 1-D sort, and the frequent-items sketch must be merge-consistent. */
+class Round12OpsSpec extends SparkSpec {
+
+  test("z-order layout: equal shards, and the query box touches strictly fewer shards than a 1-D sort") {
+    val rows = ScanOps.layoutZorderPruning(spark, sf01).collect()
+    assert(rows.length == 64)
+    // equal-cut: ntile semantics — shard sizes within 1 of each other,
+    // summing to the table
+    val sizes = rows.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1, sizes.toSeq)
+    assert(sizes.sum == Tables.lineitem(spark, sf01).count())
+    // bucket-space bboxes live in [0, 256)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bx_min") >= 0 && r.getAs[Long]("bx_max") < 256)
+      assert(r.getAs[Long]("by_min") >= 0 && r.getAs[Long]("by_max") < 256)
+    }
+    val zTouched = rows.count(_.getAs[Boolean]("box_hit"))
+    // the same 32-shard layout sorted by partkey ALONE: every shard
+    // spans the full suppkey range, so the box prunes only on one
+    // dimension — the baseline z-order exists to beat
+    val li = Tables.lineitem(spark, sf01)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"))
+    val bounds = li.agg(
+      min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+      min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+    val b = ScanOps.zorderCols("div").foldLeft(li.crossJoin(broadcast(bounds))) {
+      case (df, (name, sql)) => df.withColumn(name, expr(sql))
+    }
+    val oneD = graft.api.Transforms.ntileBySketch(b, col("zbx"),
+        struct(col("zbx"), col("l_orderkey"), col("l_linenumber")),
+        n = 64, coarseBuckets = 32)
+      .groupBy(col("ntile"))
+      .agg(min(col("zbx")).as("bx_min"), max(col("zbx")).as("bx_max"),
+           min(col("zby")).as("by_min"), max(col("zby")).as("by_max"))
+      .where(col("bx_max") >= 102 && col("bx_min") <= 153 &&
+             col("by_max") >= 102 && col("by_min") <= 153)
+      .count()
+    info(s"box touches $zTouched/64 z-ordered shards vs $oneD/64 partkey-sorted shards")
+    assert(zTouched > 0, "the center box must touch something")
+    assert(zTouched < oneD,
+      s"z-order layout must prune better than the 1-D sort: z=$zTouched 1d=$oneD")
+  }
+
+  test("frequent-items sketch: per-source merge equals one global accumulate; flags all true") {
+    val out = AggOps.aggFreqSketchTopk(spark, sf01).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getAs[Boolean]("est_within_1pct")),
+      out.filterNot(_.getAs[Boolean]("est_within_1pct")).mkString(","))
+    // counts arrive sorted desc with token tie-break
+    val counts = out.map(_.getAs[Long]("n_exact")).toSeq
+    assert(counts == counts.sorted.reverse)
+    // merge consistency: combining per-source partials must equal one
+    // corpus-wide accumulate (both in exact mode at this vocab)
+    val toks = Tables.documents(spark, sf01)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    toks.createOrReplaceTempView("r12_toks")
+    val merged = spark.sql(
+      """SELECT approx_top_k_estimate(approx_top_k_combine(sk, 100), 50) FROM
+        |  (SELECT approx_top_k_accumulate(token, 100) sk
+        |   FROM r12_toks GROUP BY source)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = spark.sql(
+      "SELECT approx_top_k(token, 50, 100) FROM r12_toks")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(merged == direct,
+      s"partial-merge drift: ${(merged diff direct) ++ (direct diff merged)}")
+  }
+}

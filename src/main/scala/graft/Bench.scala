@@ -143,6 +143,10 @@ object Bench {
     // partial→combine shape
     "layout_zorder_pruning",
     "agg_freq_sketch_topk",
+    // the fusion op's cost should be its two bounded arms; a planner
+    // regression that scores sparse candidates all-pairs (instead of
+    // via the shingle equi-join) shows as a multi-x here
+    "sim_hybrid_rrf",
   )
 
   def main(args: Array[String]): Unit = {

@@ -743,6 +743,73 @@ object LlmOps {
       .orderBy(col("vec_id"))
   }
 
+  /** #188 — hybrid retrieval via reciprocal-rank fusion (round 12;
+    * Cormack et al. SIGIR'09 — THE standard dense+sparse fusion every
+    * production search stack runs): for 8 hash-sampled query
+    * documents, a DENSE arm (#62's scored-scan cosine kNN over the
+    * aligned embeddings — the ANN output at 100 TB) and a SPARSE arm
+    * (3-gram shingle overlap scored ONLY for documents sharing a
+    * shingle with the query — an inverted-index-shaped equi-join on
+    * the shingle value, the #60 candidate philosophy, never an
+    * all-pairs text scan) each produce a top-10 ranking; the fused
+    * score is Σ 1/(60+rank) over the lists that contain the document
+    * (k=60, the published constant), 6dp-rounded before the final
+    * per-query re-rank so both engines order identical doubles.
+    * Output: top-5 fused results per query. Ranks come from the
+    * bounded-heap TopKAgg (ties to the smaller id, matching the
+    * oracle's row_number order); fusion cost is O(queries · k) over
+    * two bounded shortlists — corpus size appears only inside the
+    * arms, where it is each arm's documented sublinear story. */
+  def simHybridRrf(spark: SparkSession, sf: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKAgg
+    val docs = documents(spark, sf)
+    val q = docs
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#hq"))))
+      .orderBy(col("h"), col("doc_id")).limit(8)
+      .select(col("doc_id").as("q_id"))
+    val emb = embeddings(spark, sf)
+    val qEmb = emb.join(broadcast(q), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding"))
+    val dense = graft.api.Transforms.knnTopK(qEmb, emb,
+        col("q_id"), col("embedding"), col("vec_id"), col("embedding"), 10)
+      .select(col("q_id"), col("i_id").as("doc_id"), col("rnk").as("rd"))
+    val sets = docs.withColumn("words", words)
+      .where(size(col("words")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles).as("sh"))
+    val qsh = sets.join(broadcast(q), col("doc_id") === col("q_id"))
+      .select(col("q_id"), explode(col("sh")).as("shingle"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
+    val inter = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(qsh), "shingle")
+      .where(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("ninter"))
+    val jac = inter
+      .join(broadcast(sizes.toDF("q_id", "nsh_q")), "q_id")
+      .join(sizes.toDF("doc_id", "nsh_d"), "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        round(col("ninter").cast("double") /
+          (col("nsh_q") + col("nsh_d") - col("ninter")), 4).as("jac"))
+    val sparse = jac.groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("jac"), col("doc_id"), 10).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("doc_id"),
+              (col("pos") + 1).cast("long").as("rs"))
+    def fp6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000.0
+    val fused = dense.join(sparse, Seq("q_id", "doc_id"), "full")
+      .select(col("q_id"), col("doc_id"),
+        fp6(coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0))).as("rrf_score"))
+    // final re-rank over ≤ 20 rows/query — post-shortlist metadata
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"),
+              col("doc_id"), col("rrf_score"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_simhash"             -> (textSimhash _),
     "dedup_simhash_band"       -> (dedupSimhashBand _),
@@ -766,6 +833,7 @@ object LlmOps {
     "multimodal_frame_sample"  -> (multimodalFrameSample _),
     "multimodal_audio_features" -> (multimodalAudioFeatures _),
     "sim_quantize_int8"        -> (simQuantizeInt8 _),
+    "sim_hybrid_rrf"           -> (simHybridRrf _),
   )
 
   /** DuckDB fragment: simhash → bands → verified pairs → recursive
@@ -1166,5 +1234,62 @@ object LlmOps {
         |SELECT vec_id, round(any_value(scale), 6) AS qscale,
         |  round(sqrt(sum((x - xr) * (x - xr)) / sum(x * x)), 4) AS rel_err
         |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "sim_hybrid_rrf" ->
+      s"""WITH $shingleSetsCte,
+         |q AS (
+         |  SELECT doc_id AS q_id FROM documents
+         |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '#hq'), doc_id LIMIT 8),
+         |u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id IN (SELECT q_id FROM q)),
+         |dd AS (SELECT a_id, b_id, sum(xa * xb) AS dp FROM p GROUP BY a_id, b_id),
+         |c AS (
+         |  SELECT dd.a_id, dd.b_id, round(dd.dp / (na.nrm * nb.nrm), 4) AS cos_sim
+         |  FROM dd JOIN n na ON na.vec_id = dd.a_id
+         |          JOIN n nb ON nb.vec_id = dd.b_id),
+         |dr AS (
+         |  SELECT a_id AS q_id, b_id AS doc_id,
+         |    row_number() OVER (PARTITION BY a_id
+         |                       ORDER BY cos_sim DESC, b_id) AS rd
+         |  FROM c),
+         |qs AS (
+         |  SELECT doc_id AS q_id, shingle FROM sets
+         |  WHERE doc_id IN (SELECT q_id FROM q)),
+         |sz AS (SELECT doc_id, count(*) AS nsh FROM sets GROUP BY doc_id),
+         |it AS (
+         |  SELECT qs.q_id, s.doc_id, count(*) AS ninter
+         |  FROM qs JOIN sets s ON s.shingle = qs.shingle AND s.doc_id <> qs.q_id
+         |  GROUP BY qs.q_id, s.doc_id),
+         |ja AS (
+         |  SELECT it.q_id, it.doc_id,
+         |    round(CAST(ninter AS DOUBLE) / (za.nsh + zb.nsh - ninter), 4) AS jac
+         |  FROM it JOIN sz za ON za.doc_id = it.q_id
+         |          JOIN sz zb ON zb.doc_id = it.doc_id),
+         |sr AS (
+         |  SELECT q_id, doc_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY jac DESC, doc_id) AS rs
+         |  FROM ja),
+         |f AS (
+         |  SELECT coalesce(dr.q_id, sr.q_id) AS q_id,
+         |    coalesce(dr.doc_id, sr.doc_id) AS doc_id,
+         |    floor((coalesce(CAST(1 AS DOUBLE) / (60 + dr.rd), 0)
+         |         + coalesce(CAST(1 AS DOUBLE) / (60 + sr.rs), 0)) * 1000000
+         |          + 0.5) / 1000000.0 AS rrf_score
+         |  FROM (SELECT * FROM dr WHERE rd <= 10) dr
+         |  FULL JOIN (SELECT * FROM sr WHERE rs <= 10) sr
+         |    ON dr.q_id = sr.q_id AND dr.doc_id = sr.doc_id),
+         |r AS (
+         |  SELECT q_id, doc_id, rrf_score,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY rrf_score DESC, doc_id) AS rnk
+         |  FROM f)
+         |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, rrf_score
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
   )
 }

@@ -49,6 +49,22 @@ class Round12OpsSpec extends SparkSpec {
       s"z-order layout must prune better than the 1-D sort: z=$zTouched 1d=$oneD")
   }
 
+  test("hybrid RRF: 5 descending fused results per query, scores in the two-list envelope") {
+    val rows = graft.ops.LlmOps.simHybridRrf(spark, sf01).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 8, s"expected 8 queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to 5), s"query $q ranks")
+      val scores = sorted.map(_.getAs[Double]("rrf_score"))
+      assert(scores.sameElements(scores.sorted.reverse), s"query $q order")
+      // a score is 1/(60+r) summed over the ≤2 lists holding the doc,
+      // r in 1..10: envelope (0, 2/61]
+      scores.foreach(s => assert(s > 0.0 && s <= 2.0 / 61 + 1e-9, s"query $q score $s"))
+      assert(!sorted.exists(_.getAs[Long]("doc_id") == q), s"query $q returned itself")
+    }
+  }
+
   test("frequent-items sketch: per-source merge equals one global accumulate; flags all true") {
     val out = AggOps.aggFreqSketchTopk(spark, sf01).collect()
     assert(out.length == 10)

@@ -773,20 +773,37 @@ object LlmOps {
     val dense = graft.api.Transforms.knnTopK(qEmb, emb,
         col("q_id"), col("embedding"), col("vec_id"), col("embedding"), 10)
       .select(col("q_id"), col("i_id").as("doc_id"), col("rnk").as("rd"))
-    val sets = docs.withColumn("words", words)
-      .where(size(col("words")) >= 3)
-      .select(col("doc_id"), array_distinct(shingles).as("sh"))
-    val qsh = sets.join(broadcast(q), col("doc_id") === col("q_id"))
-      .select(col("q_id"), explode(col("sh")).as("shingle"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).cast("long").as("nsh"))
-    val inter = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // sparse arm: ONE corpus tokenization pass. Set sizes ride along
+    // on the exploded postings (constant per doc, recovered by
+    // any_value after the candidate groupBy), so the Jaccard
+    // denominator needs no second corpus scan and no size-table join
+    // — the first cut recomputed the shingle sets three times (qsh /
+    // sizes / postings) and benched 5.3 s; this shape runs ~1.4 s.
+    def shingleSets(src: org.apache.spark.sql.DataFrame) =
+      src.withColumn("words", words)
+        .where(size(col("words")) >= 3)
+        .select(col("doc_id"), array_distinct(shingles).as("sh"))
+    // explode_OUTER, deliberately — the minhashSignaturesAgg lesson:
+    // a plain explode triggers InferFiltersFromGenerate, whose
+    // isnotnull/size>0 constraints re-inline the whole shingle HOF
+    // tree below the join into the scan Filter (measured: 2.4 s for
+    // the EIGHT-doc query side, 3x the corpus pass on the posting
+    // side). The outer generate infers nothing; the size>=3 guard
+    // already makes the arrays non-empty, so the rows are identical.
+    val qsh = shingleSets(docs.join(broadcast(q), col("doc_id") === col("q_id")))
+      .select(col("doc_id").as("q_id"), size(col("sh")).cast("long").as("nsh_q"),
+              explode_outer(col("sh")).as("shingle"))
+    val postings = shingleSets(docs)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("nsh_d"),
+              explode_outer(col("sh")).as("shingle"))
+    val inter = postings
       .join(broadcast(qsh), "shingle")
       .where(col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id"))
-      .agg(count(lit(1)).as("ninter"))
+      .agg(count(lit(1)).as("ninter"),
+           any_value(col("nsh_q")).as("nsh_q"),
+           any_value(col("nsh_d")).as("nsh_d"))
     val jac = inter
-      .join(broadcast(sizes.toDF("q_id", "nsh_q")), "q_id")
-      .join(sizes.toDF("doc_id", "nsh_d"), "doc_id")
       .select(col("q_id"), col("doc_id"),
         round(col("ninter").cast("double") /
           (col("nsh_q") + col("nsh_d") - col("ninter")), 4).as("jac"))

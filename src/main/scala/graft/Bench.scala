@@ -147,6 +147,12 @@ object Bench {
     // regression that scores sparse candidates all-pairs (instead of
     // via the shingle equi-join) shows as a multi-x here
     "sim_hybrid_rrf",
+    // posting-list scorer + the third ANN family + the resample
+    // decision table: each should cost one corpus pass plus bounded
+    // joins; a regression to all-pairs scoring shows as a multi-x
+    "sim_bm25_rank",
+    "sim_ann_lsh_rp",
+    "text_importance_resample",
   )
 
   def main(args: Array[String]): Unit = {

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import scala.collection.immutable.ListMap
 import graft.Tables._
 
@@ -489,6 +490,100 @@ object CorpusOps {
       .orderBy(col("curl"))
   }
 
+  // ---------------------------------------------------------------
+  // #189 BM25 ranking
+  // ---------------------------------------------------------------
+
+  /** #189 — Okapi BM25 ranking (Robertson et al., TREC-3), the
+    * canonical sparse-retrieval scorer (k1=1.2, b=0.75, the Lucene
+    * `+1` idf form so every contribution is positive): for 8
+    * hash-sampled query documents, candidate docs are ONLY those
+    * sharing a term with the query — the posting-list equi-join on
+    * the term (the #60/#188 candidate philosophy; at 100 TB the term
+    * join is the inverted index and Zipfian df makes it selective —
+    * this corpus's ~30-word vocab makes every doc a candidate, which
+    * is the worst case, not the design). Determinism contract:
+    * per-term contributions are rounded to 6 dp and summed as
+    * DECIMAL(20,6) — an EXACT, order-independent sum, so partial
+    * aggregation / shuffle order / engine association cannot move the
+    * graded 4 dp score (the repo's aggregate-in-DECIMAL policy);
+    * avgdl is an exact long-sum / exact count division. One corpus
+    * tokenize pass feeds tf, doc length (sum of tf), and df. Top-10
+    * per query by (score desc, doc_id). */
+  def simBm25Rank(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf)
+    val q = docs
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#bm"))))
+      .orderBy(col("h"), col("doc_id")).limit(8)
+      .select(col("doc_id").as("q_id"))
+    val tf = docs.select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dlen"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dlen")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = tf.join(broadcast(q), col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("term"))
+    val cand = tf.join(broadcast(qterms), "term")
+      .where(col("doc_id") =!= col("q_id"))
+    val contrib = cand
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        round(
+          log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+                (col("df") + lit(0.5)) + lit(1.0)) *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dlen") / col("avgdl"))))),
+          6).cast("decimal(20,6)").as("contrib"))
+    val scored = contrib.groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("bm25"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"),
+              col("doc_id"), col("bm25"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------
+  // #191 importance resampling
+  // ---------------------------------------------------------------
+
+  /** #191 — quality-weighted importance resampling, the data-mixing
+    * primitive behind DoReMi/DCLM-style corpus reweighting: each
+    * document gets a quality weight (here the type-token ratio
+    * nd/nw — an exact count/count division; any scorer column slots
+    * in), a target epoch count 4·weight, and a materialized copy
+    * count floor(te) + Bernoulli(frac(te)) where the draw is the
+    * first 4 md5 nibbles of the doc id (salt '#rs') / 65536 — a
+    * deterministic, corpus-size-independent coin: membership depends
+    * only on the key, so re-runs and incremental appends never flip
+    * old decisions (the hashSplit philosophy applied to epochs).
+    * Every comparison is between exact dyadics/rationals, so the
+    * graded copy count is engine-independent. One tokenize pass, one
+    * (doc,term) aggregate, no joins wider than the doc table; at
+    * 100 TB the actual replication is a later `explode(sequence)` —
+    * this op grades the decision table, which is the hard part. */
+  def textImportanceResample(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf)
+    val st = docs.select(col("doc_id"), col("source"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("nw"), countDistinct(col("term")).as("nd"))
+    val te = (col("nd") * 4).cast("double") / col("nw")
+    val u = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("#rs"))), 1, 4), 16, 10)
+      .cast("long").cast("double") / lit(65536.0)
+    st.select(col("doc_id"), col("source"),
+        round(col("nd").cast("double") / col("nw"), 4).as("weight"),
+        (floor(te) + when(u < te - floor(te), 1).otherwise(0))
+          .cast("int").as("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
@@ -503,6 +598,8 @@ object CorpusOps {
     "text_classifier_linear" -> (textClassifierLinear _),
     "text_bpe_pair_counts"   -> (textBpePairCounts _),
     "dedup_url_canonical"    -> (dedupUrlCanonical _),
+    "sim_bm25_rank"          -> (simBm25Rank _),
+    "text_importance_resample" -> (textImportanceResample _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -728,5 +825,60 @@ object CorpusOps {
         |FROM (SELECT *, max(n_chars) OVER (PARTITION BY curl) AS mx
         |      FROM canon2)
         |GROUP BY curl, mx ORDER BY curl""".stripMargin,
+    "sim_bm25_rank" ->
+      """WITH q AS (
+        |  SELECT doc_id AS q_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '#bm'), doc_id LIMIT 8),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs,
+        |              CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT tf.doc_id AS q_id, term FROM tf JOIN q ON tf.doc_id = q.q_id),
+        |c AS (
+        |  SELECT qt.q_id, tf.doc_id, tf.term, tf.tf FROM tf
+        |  JOIN qt ON tf.term = qt.term AND tf.doc_id <> qt.q_id),
+        |s AS (
+        |  SELECT c.q_id, c.doc_id,
+        |    CAST(round(
+        |      ln(((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) + 1.0) *
+        |      ((CAST(c.tf AS DOUBLE) * 2.2) /
+        |        (c.tf + 1.2 * (0.25 + 0.75 * (dlen / avgdl)))),
+        |      6) AS DECIMAL(20,6)) AS contrib
+        |  FROM c JOIN dfq ON c.term = dfq.term
+        |         JOIN dl ON c.doc_id = dl.doc_id
+        |         CROSS JOIN st),
+        |g AS (
+        |  SELECT q_id, doc_id, round(CAST(sum(contrib) AS DOUBLE), 4) AS bm25
+        |  FROM s GROUP BY q_id, doc_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM g)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, bm25
+        |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "text_importance_resample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, source, count(*) AS nw, count(DISTINCT term) AS nd
+        |  FROM t GROUP BY doc_id, source),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(nd AS DOUBLE) / nw, 4) AS weight,
+        |    CAST(nd * 4 AS DOUBLE) / nw AS te,
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+        |      AS DOUBLE) / 65536.0 AS u
+        |  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || '#rs') AS h FROM st))
+        |SELECT doc_id, source, weight,
+        |  CAST(floor(te) +
+        |       (CASE WHEN u < te - floor(te) THEN 1 ELSE 0 END) AS INT)
+        |    AS n_copies
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

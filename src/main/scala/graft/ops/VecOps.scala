@@ -497,12 +497,102 @@ object VecOps {
     mmrRerank(short, psim, lambda = 0.7, mu = 0.3, picks = 3)
   }
 
+  // ---------------------------------------------------------------
+  // #190 random-hyperplane LSH ANN
+  // ---------------------------------------------------------------
+
+  /** #190 — ANN retrieval by sign-random-projection LSH (Charikar,
+    * STOC'02), completing the sublinear-retrieval triple beside IVF
+    * (#79) and PQ (#136) with the third canonical index family: 16
+    * hyperplanes grouped into 4 bands of 4 sign bits; candidates are
+    * ONLY vectors sharing a (band_id, band_value) bucket with the
+    * query — an equi-join on the bucket, never an n² scan (the #74
+    * dedup geometry, pointed at top-k retrieval); the ≤bucket-sized
+    * candidate set is reranked by exact rounded cosine, top-5 per
+    * query via the bounded-heap TopKAgg (ties to the smaller id =
+    * the oracle's row_number order).
+    *
+    * Determinism contract — the whole index is replayable arithmetic:
+    * plane weight w(p,i) = md5("pl_p_i")'s first 4 hex nibbles /
+    * 65536 · 2 − 1, an EXACT dyadic rational (≤17 mantissa bits), so
+    * x·w products of float-origin doubles are exact; the per-plane
+    * dot is a 64-term double sum whose sign is taken on the 6 dp
+    * grid (round-before-compare — the same accepted class as every
+    * rounded-cosine rank in the repo; engine association drift is
+    * ~1e-16 against a 5e-7 boundary), so the bits match and the
+    * DuckDB oracle replays plane → bit → band → candidate → rerank
+    * verbatim. (A first cut summed per-product DECIMAL(18,7) for an
+    * order-PROOF instead of a grid: bit-identical result, but the
+    * BigDecimal path benched 10.7 s vs 1 s — the codegen'd double
+    * sum is the right trade.) The 1024-term literal expression is
+    * the two-engine REPLAY form; a single-engine production index
+    * uses the fused float `hyperplaneBands` codegen loop (#74's
+    * path). The tiny (n·4)-row band table is checkpointed once so
+    * the corpus banding pass runs once, not once per consumer. At
+    * 100 TB: banding is one narrow map pass, buckets are the index,
+    * and only bucket-mates are ever paired. */
+  def simAnnLshRp(spark: SparkSession, sf: String): DataFrame = {
+    val e = embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dims = e.select(size(col("embedding")).as("d"))
+      .where(col("d").isNotNull).limit(1).collect()
+    require(dims.nonEmpty, "empty embeddings corpus")
+    val dim = dims.head.getInt(0)
+    val nPlanes = 16
+    val bitsPerBand = 4
+    def w(p: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pl_${p}_${i}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 4), 16) / 65536.0 * 2.0 - 1.0
+    }
+    val bandCols = (0 until nPlanes / bitsPerBand).map { bandId =>
+      (0 until bitsPerBand).map { j =>
+        val p = bandId * bitsPerBand + j
+        val dot = (1 to dim).map(i =>
+          element_at(col("embedding"), i).cast("double") * lit(w(p, i)))
+          .reduce(_ + _)
+        when(round(dot, 6) > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"bv$bandId")
+    }
+    val bands = e.select((col("vec_id") +: bandCols): _*)
+      .select(col("vec_id"), posexplode(
+        array((0 until nPlanes / bitsPerBand).map(b => col(s"bv$b")): _*))
+        .as(Seq("band_id", "band_val")))
+      // (n·bands) tiny rows read by both the query side and the
+      // candidate join — checkpoint so the corpus banding runs once
+      .localCheckpoint()
+    val q = e
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("#lq"))))
+      .orderBy(col("h"), col("vec_id")).limit(8)
+      .select(col("vec_id").as("q_id"))
+    val qb = bands.join(broadcast(q), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("band_id"), col("band_val"))
+    val cand = bands.join(broadcast(qb), Seq("band_id", "band_val"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("i_id")).distinct()
+    val sides = e.toDF("vec_id", "v")
+    val rer = cand
+      .join(broadcast(sides.toDF("q_id", "qv")
+        .join(broadcast(q), "q_id")), "q_id")
+      .join(sides.toDF("i_id", "iv"), "i_id")
+      .select(col("q_id"),
+        graft.api.Transforms.cosine(col("qv"), col("iv")).as("cos_sim"),
+        col("i_id"))
+    rer.groupBy(col("q_id"))
+      .agg(TopKAgg.topK(col("cos_sim"), col("i_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.id").as("i_id"), col("col.score").as("cos_sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "sim_ann_pq"            -> (simAnnPq _),
     "sim_rerank_quantized"  -> (simRerankQuantized _),
     "dedup_semantic_cluster" -> (dedupSemanticCluster _),
     "sim_maxsim_multivec"   -> (simMaxsimMultivec _),
     "sim_mmr_diversify"     -> (simMmrDiversify _),
+    "sim_ann_lsh_rp"        -> (simAnnLshRp _),
   )
 
   /** Shared oracle CTE: embeddings unnested to (vec_id, idx, e) plus
@@ -753,5 +843,55 @@ object VecOps {
         |  UNION ALL SELECT q_id, 2, sel2, score2 FROM s3
         |  UNION ALL SELECT q_id, 3, sel3, score3 FROM s3)
         |ORDER BY q_id, rnk""".stripMargin,
+    "sim_ann_lsh_rp" ->
+      """WITH d AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+        |pl AS (
+        |  SELECT p, i,
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+        |      AS DOUBLE) / 65536.0 * 2.0 - 1.0 AS w
+        |  FROM (
+        |    SELECT p, i, md5('pl_' || p || '_' || i) AS h
+        |    FROM (SELECT unnest(range(0, 16)) AS p)
+        |    CROSS JOIN (SELECT unnest(range(1, (SELECT dim FROM d) + 1)) AS i))),
+        |u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |dots AS (
+        |  SELECT u.vec_id, pl.p, sum(u.x * pl.w) AS s
+        |  FROM u JOIN pl ON u.i = pl.i GROUP BY u.vec_id, pl.p),
+        |bands AS (
+        |  SELECT vec_id, CAST(p // 4 AS INT) AS band_id,
+        |         sum(CASE WHEN round(s, 6) > 0
+        |                  THEN (1 << CAST(p % 4 AS INT)) ELSE 0 END)
+        |           AS band_val
+        |  FROM dots GROUP BY vec_id, p // 4),
+        |qv AS (SELECT vec_id AS q_id FROM embeddings
+        |       ORDER BY md5(CAST(vec_id AS VARCHAR) || '#lq'), vec_id LIMIT 8),
+        |qb AS (SELECT q_id, band_id, band_val FROM bands JOIN qv ON vec_id = q_id),
+        |cand AS (
+        |  SELECT DISTINCT qb.q_id, b.vec_id AS i_id
+        |  FROM bands b JOIN qb ON b.band_id = qb.band_id
+        |                      AND b.band_val = qb.band_val
+        |  WHERE b.vec_id <> qb.q_id),
+        |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+        |pr AS (SELECT c.q_id, c.i_id,
+        |    CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+        |    CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        |  FROM cand c JOIN embeddings a ON a.vec_id = c.q_id
+        |              JOIN embeddings b ON b.vec_id = c.i_id),
+        |dp AS (SELECT q_id, i_id, sum(xa * xb) AS dp FROM pr GROUP BY q_id, i_id),
+        |cs AS (
+        |  SELECT dp.q_id, dp.i_id,
+        |         round(dp.dp / (na.nrm * nb.nrm), 4) AS cos_sim
+        |  FROM dp JOIN n na ON na.vec_id = dp.q_id
+        |          JOIN n nb ON nb.vec_id = dp.i_id),
+        |r AS (SELECT q_id, i_id, cos_sim,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY cos_sim DESC, i_id) AS rnk
+        |      FROM cs)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, i_id, cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
   )
 }

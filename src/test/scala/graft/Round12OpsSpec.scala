@@ -92,4 +92,65 @@ class Round12OpsSpec extends SparkSpec {
     assert(merged == direct,
       s"partial-merge drift: ${(merged diff direct) ++ (direct diff merged)}")
   }
+
+  test("BM25: 10 descending positive scores per query, never the query itself") {
+    val rows = graft.ops.CorpusOps.simBm25Rank(spark, sf01).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 8, s"expected 8 queries, got ${byQ.size}")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to 10), s"query $q ranks")
+      val scores = sorted.map(_.getAs[Double]("bm25"))
+      assert(scores.sameElements(scores.sorted.reverse), s"query $q order")
+      assert(scores.forall(_ > 0.0), s"query $q: +1-form idf keeps scores positive")
+      assert(!sorted.exists(_.getAs[Long]("doc_id") == q), s"query $q returned itself")
+    }
+  }
+
+  test("LSH-RP ANN: recall@5 vs brute force beats chance by >=2x; ranks well-formed") {
+    val ann = graft.ops.VecOps.simAnnLshRp(spark, sf01).collect()
+    val byQ = ann.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length), s"query $q ranks")
+      val scores = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(scores.sameElements(scores.sorted.reverse), s"query $q order")
+      assert(!sorted.exists(_.getAs[Long]("i_id") == q), s"query $q returned itself")
+    }
+    // ground truth: brute-force top-5 for the same hash-sampled queries
+    val e = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val q = e.withColumn("h", md5(concat(col("vec_id").cast("string"), lit("#lq"))))
+      .orderBy(col("h"), col("vec_id")).limit(8)
+      .select(col("vec_id").as("q_id"))
+    val qe = e.join(broadcast(q), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("embedding"))
+    val truth = graft.api.Transforms.knnTopK(qe, e,
+        col("q_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("i_id"))).toSet
+    val hits = ann.count(r =>
+      truth((r.getAs[Long]("q_id"), r.getAs[Long]("i_id"))))
+    val recall = hits.toDouble / truth.size
+    val chance = 5.0 / (n - 1)
+    info(f"LSH-RP recall@5 = $recall%.3f (chance $chance%.5f)")
+    assert(recall >= 2 * chance,
+      f"recall $recall%.4f under 2x chance ${2 * chance}%.5f")
+  }
+
+  test("importance resample: every doc decided, copies bracket the 4x-weight target") {
+    val rows = graft.ops.CorpusOps.textImportanceResample(spark, sf01).collect()
+    assert(rows.length == Tables.documents(spark, sf01).count())
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      val c = r.getAs[Int]("n_copies")
+      assert(w > 0.0 && w <= 1.0, s"weight $w out of range")
+      assert(c == math.floor(4 * w).toInt || c == math.floor(4 * w).toInt + 1,
+        s"doc ${r.getAs[Long]("doc_id")}: n_copies $c vs weight $w")
+    }
+    // the realized epoch mass tracks the target: Bernoulli rounding
+    // moves each doc by <1, so the corpus sum sits within n of 4*sum(w)
+    val target = rows.map(r => 4 * r.getAs[Double]("weight")).sum
+    val got = rows.map(_.getAs[Int]("n_copies").toLong).sum
+    assert(math.abs(got - target) <= rows.length, s"sum copies $got vs target $target")
+  }
 }

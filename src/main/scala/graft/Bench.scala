@@ -153,6 +153,10 @@ object Bench {
     "sim_bm25_rank",
     "sim_ann_lsh_rp",
     "text_importance_resample",
+    // one keyed aggregate + metadata-scale window / one distinct +
+    // rollup respectively — regressions to corpus-scale windows show
+    "ts_seasonal_decompose",
+    "events_srm_check",
   )
 
   def main(args: Array[String]): Unit = {

@@ -938,7 +938,80 @@ object EtlOps {
     "etl_profile_columns"    -> (etlProfileColumns _),
     "etl_profile_approx"     -> (etlProfileApprox _),
     "events_cuped_adjust"    -> (eventsCupedAdjust _),
+    "ts_seasonal_decompose"  -> (tsSeasonalDecompose _),
+    "events_srm_check"       -> (eventsSrmCheck _),
   )
+
+  /** #192 — additive seasonal decomposition (the classical
+    * moving-average method every time-series toolkit ships as
+    * `seasonal_decompose`): daily value totals → TREND = centered
+    * 7-day moving average → SEASONAL = per-day-of-week mean of the
+    * detrended series → RESIDUAL = daily − trend − seasonal. The
+    * daily table is METADATA-SCALE BY CONSTRUCTION (rows = distinct
+    * days — ~3.7k even for a decade of 100 TB telemetry), so the
+    * centered window runs over the constant-partition idiom (#79's
+    * hashSeeds policy) after ONE keyed corpus aggregation; nothing
+    * wider than the day table is ever windowed. Determinism: daily
+    * sums are exact DECIMAL(18,2) (value is 2 dp money), each mean is
+    * exact-decimal-sum / exact-count rounded 4 dp, the detrended
+    * input to the seasonal mean is 6 dp-gridded DECIMAL — so every
+    * graded number is engine-independent. Day-of-week is epoch-day
+    * mod 7 (no engine dow-origin trap). */
+  def tsSeasonalDecompose(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("dsum"))
+    // constant non-foldable partition: the window input is the
+    // metadata-scale day table, not corpus rows
+    val w = Window.partitionBy(pmod(length(col("day").cast("string")), lit(1)))
+      .orderBy(col("day")).rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("trend",
+        round(sum(col("dsum")).over(w).cast("double") /
+              count(lit(1)).over(w), 4))
+      .withColumn("dow",
+        (datediff(col("day"), to_date(lit("1970-01-01"))) % 7).cast("int"))
+      .withColumn("d6",
+        round(col("dsum").cast("double") - col("trend"), 6)
+          .cast("decimal(18,6)"))
+    val se = tr.groupBy(col("dow"))
+      .agg(round(sum(col("d6")).cast("double") / count(lit(1)), 4).as("seasonal"))
+    tr.join(broadcast(se), "dow")
+      .select(col("day").cast("timestamp").as("day"),
+        col("dsum").cast("double").as("daily"),
+        col("trend"), col("dow"), col("seasonal"),
+        round(col("dsum").cast("double") - col("trend") - col("seasonal"), 4)
+          .as("residual"))
+      .orderBy(col("day"))
+  }
+
+  /** #193 — sample-ratio-mismatch check (the first gate of every A/B
+    * readout: Fabijan et al., "Diagnosing Sample Ratio Mismatch"):
+    * per experiment (event_type as the exposure dimension, plus the
+    * ROLLUP total), distinct exposed users split by the #183 md5
+    * arm coin, chi-square against the designed 50/50 —
+    * χ² = (n_a−n_b)²/(n_a+n_b), flagged when > 3.841 (df=1, α=.05).
+    * One distinct + one rollup aggregate, both keyed; counts are
+    * exact longs and χ² is a single exact double division, so the
+    * flag is engine-independent. At 100 TB the distinct is the only
+    * corpus-scale exchange and it partial-aggregates. */
+  def eventsSrmCheck(spark: SparkSession, sf: String): DataFrame = {
+    val arm = when(
+      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      lit("A")).otherwise(lit("B"))
+    val ue = events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("arm", arm)
+    val chi2 = (col("n_a") - col("n_b")) * (col("n_a") - col("n_b")) /
+      (col("n_a") + col("n_b")).cast("double")
+    ue.rollup(col("event_type"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+           sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(coalesce(col("event_type"), lit("__all__")).as("experiment"),
+        col("n_a"), col("n_b"), round(chi2, 4).as("chi2"),
+        (chi2 > lit(3.841)).as("srm_detected"))
+      .orderBy(col("experiment"))
+  }
 
   /** DuckDB oracle for #182/#185, generated from [[lineitemProfile]]
     * so the SQL covers exactly the columns (and metric kinds) the
@@ -1409,5 +1482,48 @@ object EtlOps {
         |  CAST(len(regexp_extract_all(s, 'se*v')) AS BIGINT)
         |    AS n_activations
         |FROM seq ORDER BY user_id""".stripMargin,
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT day, dsum,
+        |    round(CAST(sum(dsum) OVER w AS DOUBLE) / count(*) OVER w, 4)
+        |      AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (
+        |  SELECT *, CAST(CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS INT)
+        |      AS dow,
+        |    CAST(round(CAST(dsum AS DOUBLE) - trend, 6) AS DECIMAL(18,6)) AS d6
+        |  FROM tr),
+        |sm AS (
+        |  SELECT dow, round(CAST(sum(d6) AS DOUBLE) / count(*), 4) AS seasonal
+        |  FROM se GROUP BY dow)
+        |SELECT CAST(se.day AS TIMESTAMP) AS day, CAST(dsum AS DOUBLE) AS daily,
+        |  trend, se.dow, seasonal,
+        |  round(CAST(dsum AS DOUBLE) - trend - seasonal, 4) AS residual
+        |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin,
+    "events_srm_check" ->
+      """WITH ue AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |au AS (
+        |  SELECT event_type,
+        |    CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2) = 0
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM ue),
+        |g AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b
+        |  FROM au GROUP BY ROLLUP (event_type))
+        |SELECT coalesce(event_type, '__all__') AS experiment,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE), 4)
+        |    AS chi2,
+        |  ((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE)) > 3.841
+        |    AS srm_detected
+        |FROM g ORDER BY experiment""".stripMargin,
   )
 }

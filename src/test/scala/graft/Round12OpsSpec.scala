@@ -153,4 +153,41 @@ class Round12OpsSpec extends SparkSpec {
     val got = rows.map(_.getAs[Int]("n_copies").toLong).sum
     assert(math.abs(got - target) <= rows.length, s"sum copies $got vs target $target")
   }
+
+  test("seasonal decompose: additive identity holds and components are well-formed") {
+    val rows = graft.ops.EtlOps.tsSeasonalDecompose(spark, sf01).collect()
+    assert(rows.length == 30, s"expected 30 days, got ${rows.length}")
+    rows.foreach { r =>
+      val (daily, trend, seasonal, residual) =
+        (r.getAs[Double]("daily"), r.getAs[Double]("trend"),
+         r.getAs[Double]("seasonal"), r.getAs[Double]("residual"))
+      // residual is defined as the rounded remainder, so the identity
+      // closes to the 4dp grid
+      assert(math.abs(daily - (trend + seasonal + residual)) <= 1e-4 + 1e-9,
+        s"identity broke: $daily vs ${trend + seasonal + residual}")
+      val dow = r.getAs[Int]("dow")
+      assert(dow >= 0 && dow <= 6, s"dow $dow")
+    }
+    // the 7 seasonal components must be shared across weeks (one value
+    // per dow), and trend must smooth: its spread is below the daily spread
+    assert(rows.groupBy(_.getAs[Int]("dow")).forall {
+      case (_, rs) => rs.map(_.getAs[Double]("seasonal")).distinct.length == 1 })
+    def spread(xs: Seq[Double]) = xs.max - xs.min
+    assert(spread(rows.map(_.getAs[Double]("trend")).toSeq) <
+           spread(rows.map(_.getAs[Double]("daily")).toSeq))
+  }
+
+  test("SRM check: rollup total equals the per-experiment sums; flag matches the statistic") {
+    val rows = graft.ops.EtlOps.eventsSrmCheck(spark, sf01).collect()
+    val (all, per) = rows.partition(_.getAs[String]("experiment") == "__all__")
+    assert(all.length == 1 && per.length == 5, s"got ${rows.length} rows")
+    assert(all.head.getAs[Long]("n_a") == per.map(_.getAs[Long]("n_a")).sum)
+    assert(all.head.getAs[Long]("n_b") == per.map(_.getAs[Long]("n_b")).sum)
+    rows.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      val chi2 = (na - nb).toDouble * (na - nb) / (na + nb)
+      assert(math.abs(chi2 - r.getAs[Double]("chi2")) <= 5e-5)
+      assert(r.getAs[Boolean]("srm_detected") == chi2 > 3.841)
+    }
+  }
 }

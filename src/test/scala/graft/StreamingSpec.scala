@@ -615,6 +615,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming frequent-items sketch state: chunked replay equals the one-batch sketch") {
+    // the 4th sketch-family member as streaming state (#187's
+    // surface): per-type top-5 heavy-hitter users. At sf0.001 the
+    // per-type user cardinality (15) sits far under the 100 tracked
+    // slots, so the sketch is exact and the replayed estimate must
+    // equal the one-batch accumulate EXACTLY — slot eviction never
+    // triggers, so micro-batch boundaries cannot shift counts.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.freqTopUsersByType(in.toDF())
+      .writeStream.format("memory").queryName("t_freq")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      corpusChunks(spark, 3).foreach { c =>
+        in.addData(c: _*); q.processAllAvailable()
+      }
+      def toSet(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+      }.toMap
+      val streamed = toSet(spark.table("t_freq").collect())
+      val batch = toSet(EventStreams.freqTopUsersByType(
+        Tables.events(spark, sf001)).collect())
+      assert(streamed.keySet == batch.keySet)
+      assert(streamed == batch,
+        s"stream-batch drift: ${streamed.keySet.map(k => (k, streamed(k) diff batch(k), batch(k) diff streamed(k))).filter(t => t._2.nonEmpty || t._3.nonEmpty)}")
+      // and the exact-mode counts are true: top user frequency per
+      // type must match a plain groupBy count
+      val exact = Tables.events(spark, sf001)
+        .groupBy(col("event_type"), col("user_id")).count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("count")).toMap
+      streamed.foreach { case (t, tops) =>
+        tops.foreach { case (u, n) =>
+          assert(exact((t, u)) == n, s"($t,$u): sketch $n vs exact ${exact((t, u))}")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -157,6 +157,8 @@ object Bench {
     // rollup respectively — regressions to corpus-scale windows show
     "ts_seasonal_decompose",
     "events_srm_check",
+    // real-codec decode + patchify: cost must stay a narrow map
+    "multimodal_patch_grid",
   )
 
   def main(args: Array[String]): Unit = {

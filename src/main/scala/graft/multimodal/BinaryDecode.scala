@@ -55,6 +55,36 @@ object BinaryDecode {
      ((id * 17 + x * 5 + y * 11) % 256).toInt,
      ((id * 13 + x * 3 + y * 19) % 256).toInt)
 
+  /** ViT-style patchify of one decoded image (#194): cut the raster
+    * into `p`×`p` cells (edge cells keep their true, smaller pixel
+    * count — no padding, so every output number is a statement about
+    * real pixels) and accumulate per-cell pixel count and r+g+b sum
+    * from the DECODED raster. Returns (patch_row, patch_col, n_pix,
+    * rgb_sum) rows; fails loudly on an undecodable payload. */
+  def patchesOne(id: Long, bytes: Array[Byte], p: Int): Seq[(Int, Int, Long, Long)] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload (${bytes.length} bytes) is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rows = (h + p - 1) / p
+    val cols = (w + p - 1) / p
+    val nPix = Array.ofDim[Long](rows, cols)
+    val sum = Array.ofDim[Long](rows, cols)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        nPix(y / p)(x / p) += 1
+        sum(y / p)(x / p) += s
+        x += 1
+      }
+      y += 1
+    }
+    for (r <- 0 until rows; c <- 0 until cols)
+      yield (r, c, nPix(r)(c), sum(r)(c))
+  }
+
   /** A real PNG payload for doc `id`: deterministic dimensions and
     * pixel fill, encoded by the JDK's PNG writer. */
   def syntheticPng(id: Long): Array[Byte] = {

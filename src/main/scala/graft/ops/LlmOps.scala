@@ -827,6 +827,37 @@ object LlmOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** #194 — ViT-style patch grid (round 12; the patchify every vision
+    * transformer runs before embedding — Dosovitskiy et al. ICLR'21):
+    * each doc's synthetic PNG is REALLY decoded (`javax.imageio` at
+    * the codec boundary — the one legitimate `mapPartitions` site)
+    * and cut into 4×4 patches; edge patches keep their true smaller
+    * pixel count (no padding — every graded number describes real
+    * pixels). Output per patch: position, pixel count, r+g+b sum, and
+    * the mean channel value (exact-long / exact-long division,
+    * rounded 4 dp). The oracle recomputes every patch from the
+    * generator's modular arithmetic, so a hash match proves the
+    * encode → binary → decode → patchify pipeline lost no pixel.
+    * Scale: decode+patchify is a narrow per-partition map after the
+    * id fan-out (the single-file-scan lesson); only few-dozen-byte
+    * patch rows ever shuffle, and the aggregate is per-image local. */
+  def multimodalPatchGrid(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    documents(spark, sf).select(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id"))).as[Long]
+      .flatMap { id =>
+        graft.multimodal.BinaryDecode
+          .patchesOne(id, graft.multimodal.BinaryDecode.syntheticPng(id), 4)
+          .map { case (r, c, n, s) => (id, r, c, n, s) }
+      }
+      .toDF("doc_id", "patch_row", "patch_col", "n_pix", "rgb_sum")
+      .select(col("doc_id"), col("patch_row"), col("patch_col"),
+        col("n_pix"), col("rgb_sum"),
+        round(col("rgb_sum").cast("double") / (col("n_pix") * 3), 4)
+          .as("mean_val"))
+      .orderBy(col("doc_id"), col("patch_row"), col("patch_col"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_simhash"             -> (textSimhash _),
     "dedup_simhash_band"       -> (dedupSimhashBand _),
@@ -851,6 +882,7 @@ object LlmOps {
     "multimodal_audio_features" -> (multimodalAudioFeatures _),
     "sim_quantize_int8"        -> (simQuantizeInt8 _),
     "sim_hybrid_rrf"           -> (simHybridRrf _),
+    "multimodal_patch_grid"    -> (multimodalPatchGrid _),
   )
 
   /** DuckDB fragment: simhash → bands → verified pairs → recursive
@@ -1308,5 +1340,27 @@ object LlmOps {
          |  FROM f)
          |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, rrf_score
          |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "multimodal_patch_grid" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 16 AS BIGINT) AS w,
+        |         CAST(1 + (doc_id // 16) % 16 AS BIGINT) AS h
+        |  FROM documents),
+        |pix AS (
+        |  SELECT doc_id, x.x, y.y FROM g,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x) x,
+        |    LATERAL (SELECT unnest(range(0, h)) AS y) y),
+        |v AS (
+        |  SELECT doc_id, CAST(y // 4 AS INT) AS patch_row,
+        |         CAST(x // 4 AS INT) AS patch_col,
+        |    ((doc_id * 31 + x * 7 + y * 13) % 256)
+        |    + ((doc_id * 17 + x * 5 + y * 11) % 256)
+        |    + ((doc_id * 13 + x * 3 + y * 19) % 256) AS s
+        |  FROM pix)
+        |SELECT doc_id, patch_row, patch_col,
+        |  CAST(count(*) AS BIGINT) AS n_pix,
+        |  CAST(sum(s) AS BIGINT) AS rgb_sum,
+        |  round(CAST(sum(s) AS DOUBLE) / (count(*) * 3), 4) AS mean_val
+        |FROM v GROUP BY doc_id, patch_row, patch_col
+        |ORDER BY doc_id, patch_row, patch_col""".stripMargin,
   )
 }

@@ -26,15 +26,15 @@ class OperatorSpec extends SparkSpec {
       s"unexpected oracle-less queries: $noOracle")
   }
 
-  test("SURVEY §2 count guard: 193 declared operators, 191 oracle-checked") {
+  test("SURVEY §2 count guard: 194 declared operators, 192 oracle-checked") {
     // SURVEY.md §2's count line is hand-maintained; this pin makes a
     // family-map edit that drops (or double-adds) a binding fail in
     // CI instead of in the driver's correctness run. Update BOTH this
     // test and the SURVEY count line when adding an operator.
-    assert(SparkEntry.queries.size == 193,
-      s"queries.size=${SparkEntry.queries.size} drifted from SURVEY §2's declared 193")
-    assert(SparkEntry.oracleSql.size == 191,
-      s"oracleSql.size=${SparkEntry.oracleSql.size} drifted from SURVEY §2's oracle-checked 191")
+    assert(SparkEntry.queries.size == 194,
+      s"queries.size=${SparkEntry.queries.size} drifted from SURVEY §2's declared 194")
+    assert(SparkEntry.oracleSql.size == 192,
+      s"oracleSql.size=${SparkEntry.oracleSql.size} drifted from SURVEY §2's oracle-checked 192")
   }
 
   test("csv roundtrip preserves the nation aggregation") {

@@ -190,4 +190,21 @@ class Round12OpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("srm_detected") == chi2 > 3.841)
     }
   }
+
+  test("patch grid: patches tile each image exactly; means are channel-bounded") {
+    val rows = graft.ops.LlmOps.multimodalPatchGrid(spark, sf01).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == Tables.documents(spark, sf01).count())
+    byDoc.foreach { case (id, ps) =>
+      val (w, h) = graft.multimodal.BinaryDecode.syntheticDims(id)
+      assert(ps.map(_.getAs[Long]("n_pix")).sum == w.toLong * h,
+        s"doc $id: patches must tile the $w x $h raster")
+      assert(ps.length == ((w + 3) / 4) * ((h + 3) / 4), s"doc $id patch count")
+      ps.foreach { p =>
+        val m = p.getAs[Double]("mean_val")
+        assert(m >= 0 && m <= 255, s"doc $id mean $m")
+        assert(p.getAs[Long]("n_pix") >= 1 && p.getAs[Long]("n_pix") <= 16)
+      }
+    }
+  }
 }

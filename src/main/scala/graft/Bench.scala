@@ -159,6 +159,9 @@ object Bench {
     "events_srm_check",
     // real-codec decode + patchify: cost must stay a narrow map
     "multimodal_patch_grid",
+    // cell equi-join (x3 probe) + metadata-scale lag window
+    "join_grid_neighbors",
+    "win_ewma_smooth",
   )
 
   def main(args: Array[String]): Unit = {

@@ -369,6 +369,40 @@ object JoinOps {
       .orderBy(col("event_id"))
   }
 
+  /** #196 — 2-D ε-neighborhood grid join (round 12; the spatial-join
+    * shape of every geo/embedding-cell system, and the 2-D extension
+    * of #17's band-join bucketization): part pairs within price
+    * distance < 1.0 at EQUAL size, found by bucketing each point into
+    * an integer grid cell (floor(price), size) and equi-joining one
+    * side against the other side's 3 probe cells (price cell ±1 —
+    * the size dimension matches exactly, so the probe fan-out is 3,
+    * not 9). A pair's cells differ by exactly one offset, so the
+    * cell join yields each pair ONCE — no dedup pass. The exact
+    * residual (|Δprice| < 1.0) then kills the corner misses, so the
+    * result equals the brute-force θ-join the oracle runs, while the
+    * plan is an equi-join whose cost is Σ cell² instead of n² — the
+    * same contract as the band join, lifted to 2-D. At 100 TB: cells
+    * are the shuffle key (dense cells salt like any hot key), the
+    * probe explode is ×3, and no cartesian exists in the plan. */
+  def joinGridNeighbors(spark: SparkSession, sf: String): DataFrame = {
+    val p = part(spark, sf)
+      .select(col("p_partkey").as("id"), col("p_retailprice").as("x"),
+              col("p_size").as("y"))
+    val left = p.select(col("id").as("d1"), col("x").as("x1"),
+      floor(col("x")).cast("long").as("cx"), col("y").as("cy"))
+    val probe = p
+      .select(col("id").as("d2"), col("x").as("x2"), col("y").as("cy"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"),
+        floor(col("x")).cast("long").as("cx2"))
+      .select(col("d2"), col("x2"), col("cy"),
+              (col("cx2") + col("off")).as("cx"))
+    left.join(probe, Seq("cx", "cy"))
+      .where(col("d1") < col("d2") && abs(col("x1") - col("x2")) < 1.0)
+      .select(col("d1"), col("d2"), col("cy").as("size"),
+              round(abs(col("x1") - col("x2")), 4).as("price_dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "join_inner_shuffle"    -> (joinInnerShuffle _),
     "join_broadcast"        -> (joinBroadcast _),
@@ -388,6 +422,7 @@ object JoinOps {
     "join_partition_pruned" -> (joinPartitionPruned _),
     "join_lateral_topk"     -> (joinLateralTopk _),
     "join_asof_nearest"     -> (joinAsofNearest _),
+    "join_grid_neighbors"   -> (joinGridNeighbors _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -521,5 +556,14 @@ object JoinOps {
         |   ORDER BY abs(epoch_us(m.m_ts) - epoch_us(r.ts)), m.m_ts, m.m_id
         |   LIMIT 1) AS nearest_mark_id
         |FROM r ORDER BY r.event_id""".stripMargin,
+    "join_grid_neighbors" ->
+      """SELECT a.p_partkey AS d1, b.p_partkey AS d2,
+        |  a.p_size AS size,
+        |  round(abs(a.p_retailprice - b.p_retailprice), 4) AS price_dist
+        |FROM part a JOIN part b
+        |  ON a.p_partkey < b.p_partkey
+        | AND a.p_size = b.p_size
+        | AND abs(a.p_retailprice - b.p_retailprice) < 1.0
+        |ORDER BY d1, d2""".stripMargin,
   )
 }

@@ -263,6 +263,41 @@ object WindowOps {
       .orderBy(col("event_id"))
   }
 
+  /** #195 — exponentially weighted moving average (round 12; the
+    * pandas-`ewm` smoother on the daily value series, α = 1/2 so
+    * every weight 2^-k is an EXACT dyadic): the window form a
+    * streaming smoother cannot express — a lookback-8 renormalized
+    * EWMA, num = Σ 2^-k·lag_k and den = Σ 2^-k over the lags that
+    * EXIST (early days renormalize rather than bias toward zero).
+    * Determinism: daily totals are DECIMAL(18,2)-exact cast to
+    * (exact) doubles, the 8 weighted terms are summed in ONE fixed
+    * left-associated expression written identically in both engines
+    * — no window SUM whose order an engine could choose — so
+    * num/den is bit-identical before the 4 dp display round. The day
+    * table is metadata-scale by construction (#192's argument), so
+    * the constant-partition lag window is a statement of fact. */
+  def winEwmaSmooth(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("dsum"))
+      .withColumn("d", col("dsum").cast("double"))
+    val w = Window.partitionBy(pmod(length(col("day").cast("string")), lit(1)))
+      .orderBy(col("day"))
+    val lags = (0 to 7).map(k =>
+      if (k == 0) col("d") else lag(col("d"), k).over(w))
+    val num = lags.zipWithIndex
+      .map { case (l, k) => lit(math.pow(0.5, k)) * coalesce(l, lit(0.0)) }
+      .reduce(_ + _)
+    val den = lags.zipWithIndex
+      .map { case (l, k) =>
+        lit(math.pow(0.5, k)) * when(l.isNotNull, lit(1.0)).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    daily
+      .select(col("day").cast("timestamp").as("day"), col("d").as("daily"),
+              round(num / den, 4).as("ewma8"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "win_rank_dense_rownum" -> (winRankDenseRownum _),
     "win_topk_per_group"    -> (winTopkPerGroup _),
@@ -275,9 +310,29 @@ object WindowOps {
     "win_session_assign"    -> (winSessionAssign _),
     "win_moving_slope"      -> (winMovingSlope _),
     "win_rolling_median"    -> (winRollingMedian _),
+    "win_ewma_smooth"       -> (winEwmaSmooth _),
   )
 
   val oracle: Map[String, String] = ListMap(
+    "win_ewma_smooth" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |lg AS (
+        |  SELECT day, CAST(dsum AS DOUBLE) AS l0,
+        |    lag(CAST(dsum AS DOUBLE), 1) OVER (ORDER BY day) AS l1,
+        |    lag(CAST(dsum AS DOUBLE), 2) OVER (ORDER BY day) AS l2,
+        |    lag(CAST(dsum AS DOUBLE), 3) OVER (ORDER BY day) AS l3,
+        |    lag(CAST(dsum AS DOUBLE), 4) OVER (ORDER BY day) AS l4,
+        |    lag(CAST(dsum AS DOUBLE), 5) OVER (ORDER BY day) AS l5,
+        |    lag(CAST(dsum AS DOUBLE), 6) OVER (ORDER BY day) AS l6,
+        |    lag(CAST(dsum AS DOUBLE), 7) OVER (ORDER BY day) AS l7
+        |  FROM daily)
+        |SELECT CAST(day AS TIMESTAMP) AS day, l0 AS daily,
+        |  round((1.0 * coalesce(l0, 0.0) + 0.5 * coalesce(l1, 0.0) + 0.25 * coalesce(l2, 0.0) + 0.125 * coalesce(l3, 0.0) + 0.0625 * coalesce(l4, 0.0) + 0.03125 * coalesce(l5, 0.0) + 0.015625 * coalesce(l6, 0.0) + 0.0078125 * coalesce(l7, 0.0))
+        |      / (1.0 * (CASE WHEN l0 IS NOT NULL THEN 1.0 ELSE 0.0 END) + 0.5 * (CASE WHEN l1 IS NOT NULL THEN 1.0 ELSE 0.0 END) + 0.25 * (CASE WHEN l2 IS NOT NULL THEN 1.0 ELSE 0.0 END) + 0.125 * (CASE WHEN l3 IS NOT NULL THEN 1.0 ELSE 0.0 END) + 0.0625 * (CASE WHEN l4 IS NOT NULL THEN 1.0 ELSE 0.0 END) + 0.03125 * (CASE WHEN l5 IS NOT NULL THEN 1.0 ELSE 0.0 END) + 0.015625 * (CASE WHEN l6 IS NOT NULL THEN 1.0 ELSE 0.0 END) + 0.0078125 * (CASE WHEN l7 IS NOT NULL THEN 1.0 ELSE 0.0 END)), 4) AS ewma8
+        |FROM lg ORDER BY day""".stripMargin,
     "win_rank_dense_rownum" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,

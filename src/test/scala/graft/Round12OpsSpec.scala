@@ -207,4 +207,38 @@ class Round12OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("grid-neighbor join equals the brute-force theta-join exactly") {
+    val grid = graft.ops.JoinOps.joinGridNeighbors(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    val p = Tables.part(spark, sf01)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = (for {
+      (i1, x1, y1) <- p; (i2, x2, y2) <- p
+      if i1 < i2 && y1 == y2 && math.abs(x1 - x2) < 1.0
+    } yield (i1, i2)).toSet
+    assert(grid == brute,
+      s"grid-join drift: missing=${brute diff grid} extra=${grid diff brute}")
+    assert(grid.nonEmpty)
+  }
+
+  test("EWMA: first row equals the daily value; series matches a local recompute") {
+    val out = graft.ops.WindowOps.winEwmaSmooth(spark, sf01).collect()
+    assert(out.length == 30)
+    val daily = out.map(_.getAs[Double]("daily"))
+    val ewma = out.map(_.getAs[Double]("ewma8"))
+    assert(math.abs(ewma.head - daily.head) < 5e-5, "day 1 has only lag0")
+    out.indices.foreach { t =>
+      var num = 0.0; var den = 0.0
+      (0 to 7).foreach { k =>
+        if (t - k >= 0) { num += math.pow(0.5, k) * daily(t - k)
+                          den += math.pow(0.5, k) }
+      }
+      assert(math.abs(ewma(t) - num / den) <= 5e-5 + 1e-9,
+        s"t=$t: ${ewma(t)} vs ${num / den}")
+    }
+    def spread(xs: Seq[Double]) = xs.max - xs.min
+    assert(spread(ewma.toSeq) < spread(daily.toSeq), "EWMA must smooth")
+  }
 }

@@ -32,6 +32,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("grid-neighbor join is a pure equi-join: no cartesian, no loop join") {
+    // the 2-D band-join contract: pair generation must ride the cell
+    // equi-join; a planner regression to the raw theta predicate
+    // would surface as a nested-loop/cartesian here
+    val p = plan(JoinOps.joinGridNeighbors(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("rolling actives and markov transitions never plan a loop join") {
     for (df <- Seq(EtlOps.eventsRollingActive(spark, sf001),
                    EtlOps.eventsMarkovTransitions(spark, sf001))) {

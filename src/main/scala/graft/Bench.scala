@@ -162,6 +162,9 @@ object Bench {
     // cell equi-join (x3 probe) + metadata-scale lag window
     "join_grid_neighbors",
     "win_ewma_smooth",
+    // x32 map-side fan-out must stay map-side / one keyed aggregate
+    "events_bootstrap_ci",
+    "agg_mutual_info",
   )
 
   def main(args: Array[String]): Unit = {

@@ -589,6 +589,44 @@ object AggOps {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** #198 — mutual information between two categorical columns
+    * (round 12; the feature-selection / drift-detection statistic):
+    * I(X;Y) for X = event_type, Y = day-of-week (epoch-day mod 7 —
+    * the #192 idiom), plus both marginal entropies and the
+    * sqrt-normalized NMI. The contingency table is ONE keyed corpus
+    * aggregate; everything after runs on the ≤|X|·|Y| cell table
+    * (35 rows here; metadata-scale for any real categorical pair).
+    * Determinism: counts are exact longs; each cell's and marginal's
+    * ln-term is rounded to an 8 dp grid and summed as DECIMAL(18,8)
+    * (order-independent — the #189 policy), so MI/H are
+    * engine-identical before the 4 dp display round, and NMI is
+    * computed FROM the rounded aggregates (exact doubles). */
+  def aggMutualInfo(spark: SparkSession, sf: String): DataFrame = {
+    val cells = events(spark, sf)
+      .groupBy(col("event_type").as("x"),
+        (datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) % 7)
+          .cast("int").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n"))
+    def grid8(c: Column): Column = round(c, 8).cast("decimal(18,8)")
+    val mi = cells.join(broadcast(nx), "x").join(broadcast(ny), "y")
+      .crossJoin(broadcast(tot))
+      .agg(round(sum(grid8(
+        (col("n_xy").cast("double") / col("n")) *
+          log((col("n_xy") * col("n")).cast("double") /
+              (col("n_x") * col("n_y"))))).cast("double"), 4).as("mi"))
+    def entropy(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .agg(round(sum(grid8(-(col(cnt).cast("double") / col("n")) *
+          log(col(cnt).cast("double") / col("n")))).cast("double"), 4)
+          .as(if (cnt == "n_x") "h_x" else "h_y"))
+    mi.crossJoin(entropy(nx, "n_x")).crossJoin(entropy(ny, "n_y"))
+      .select(col("mi"), col("h_x"), col("h_y"),
+        round(col("mi") / sqrt(col("h_x") * col("h_y")), 4).as("nmi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -616,6 +654,7 @@ object AggOps {
     "agg_theta_audience_overlap" -> (aggThetaAudienceOverlap _),
     "agg_kll_quantile_merge" -> (aggKllQuantileMerge _),
     "agg_freq_sketch_topk" -> (aggFreqSketchTopk _),
+    "agg_mutual_info"      -> (aggMutualInfo _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -814,5 +853,33 @@ object AggOps {
         |  WHERE len(token) > 0 GROUP BY token)
         |SELECT token, n_exact, true AS est_within_1pct
         |FROM e ORDER BY n_exact DESC, token LIMIT 10""".stripMargin,
+    "agg_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x,
+        |    CAST(CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |              - DATE '1970-01-01' AS BIGINT) % 7 AS INT) AS y,
+        |    count(*) AS n_xy
+        |  FROM events GROUP BY 1, 2),
+        |nx AS (SELECT x, sum(n_xy) AS n_x FROM cells GROUP BY x),
+        |ny AS (SELECT y, sum(n_xy) AS n_y FROM cells GROUP BY y),
+        |tot AS (SELECT sum(n_xy) AS n FROM cells),
+        |mi AS (
+        |  SELECT round(CAST(sum(CAST(round(
+        |    (CAST(n_xy AS DOUBLE) / n) *
+        |    ln(CAST(n_xy * n AS DOUBLE) / (n_x * n_y)), 8)
+        |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS mi
+        |  FROM cells JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN tot),
+        |hx AS (
+        |  SELECT round(CAST(sum(CAST(round(
+        |    -(CAST(n_x AS DOUBLE) / n) * ln(CAST(n_x AS DOUBLE) / n), 8)
+        |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS h_x
+        |  FROM nx CROSS JOIN tot),
+        |hy AS (
+        |  SELECT round(CAST(sum(CAST(round(
+        |    -(CAST(n_y AS DOUBLE) / n) * ln(CAST(n_y AS DOUBLE) / n), 8)
+        |    AS DECIMAL(18,8))) AS DOUBLE), 4) AS h_y
+        |  FROM ny CROSS JOIN tot)
+        |SELECT mi, h_x, h_y, round(mi / sqrt(h_x * h_y), 4) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
   )
 }

@@ -940,6 +940,7 @@ object EtlOps {
     "events_cuped_adjust"    -> (eventsCupedAdjust _),
     "ts_seasonal_decompose"  -> (tsSeasonalDecompose _),
     "events_srm_check"       -> (eventsSrmCheck _),
+    "events_bootstrap_ci"    -> (eventsBootstrapCi _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -1011,6 +1012,61 @@ object EtlOps {
         col("n_a"), col("n_b"), round(chi2, 4).as("chi2"),
         (chi2 > lit(3.841)).as("srm_detected"))
       .orderBy(col("experiment"))
+  }
+
+  /** #197 — Poisson-bootstrap confidence intervals (round 12; Chamandy
+    * et al., "Estimating Uncertainty for Massive Data Streams" — THE
+    * bootstrap that works at 100 TB, because each row draws its
+    * replicate weights independently in one pass instead of being
+    * materialized B times by a sampler that must see the whole
+    * dataset): B = 32 replicates; event e's weight in replicate b is
+    * Poisson(1) inverse-CDF'd from the exact md5 4-nibble uniform of
+    * (event_id, b) — thresholds are fixed literals of the Poisson(1)
+    * CDF (truncated at w = 4, mass 3.7e-3 re-assigned to the tail
+    * bucket; documented approximation), so every weight is an exact
+    * integer both engines agree on. Per (arm, b): weighted mean =
+    * exact DECIMAL(18,2) weighted sum / exact long weight count. The
+    * CI is ORDER STATISTICS of the 32 replicate means (ranks 2/17/31
+    * ascending ≈ p05/p50/p95 — fixed ranks, no interpolation), ranked
+    * by (mean, b) so ties are deterministic. Shape: one ×B fan-out
+    * (the only corpus-scale stage, map-side), one keyed aggregate,
+    * then 64-row arithmetic. */
+  def eventsBootstrapCi(spark: SparkSession, sf: String): DataFrame = {
+    val B = 32
+    val arm = when(
+      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      lit("A")).otherwise(lit("B"))
+    // Poisson(1) CDF at 0,1,2,3 on the 16-bit grid's scale
+    val t = Seq(0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238462)
+    val u = conv(substring(md5(concat(col("event_id").cast("string"),
+        lit("#bs"), col("b").cast("string"))), 1, 4), 16, 10)
+      .cast("long").cast("double") / lit(65536.0)
+    val w = when(u < t(0), 0).when(u < t(1), 1).when(u < t(2), 2)
+      .when(u < t(3), 3).otherwise(4)
+    val rep = events(spark, sf)
+      .select(arm.as("arm"), col("event_id"), money(col("value")).as("v"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .select(col("arm"), col("b"), col("v"), w.as("w"))
+      .groupBy(col("arm"), col("b"))
+      .agg((sum(col("w") * col("v")).cast("double") /
+            sum(col("w"))).as("mean_b"))
+    val rk = Window.partitionBy(col("arm")).orderBy(col("mean_b"), col("b"))
+    val stats = rep.withColumn("r", row_number().over(rk))
+      .groupBy(col("arm"))
+      .agg(max(when(col("r") === 2, col("mean_b"))).as("p05"),
+           max(when(col("r") === 17, col("mean_b"))).as("p50"),
+           max(when(col("r") === 31, col("mean_b"))).as("p95"))
+    val full = events(spark, sf)
+      .groupBy(arm.as("arm"))
+      .agg((sum(money(col("value"))).cast("double") / count(lit(1)))
+        .as("mean_full"))
+    full.join(stats, "arm")
+      .select(col("arm"), round(col("mean_full"), 4).as("mean_full"),
+        round(col("p05"), 4).as("boot_p05"),
+        round(col("p50"), 4).as("boot_p50"),
+        round(col("p95"), 4).as("boot_p95"))
+      .orderBy(col("arm"))
   }
 
   /** DuckDB oracle for #182/#185, generated from [[lineitemProfile]]
@@ -1525,5 +1581,51 @@ object EtlOps {
         |  ((n_a - n_b) * (n_a - n_b) / CAST(n_a + n_b AS DOUBLE)) > 3.841
         |    AS srm_detected
         |FROM g ORDER BY experiment""".stripMargin,
+    "events_bootstrap_ci" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2) = 0
+        |         THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |rep AS (
+        |  SELECT arm, b, v,
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+        |      AS DOUBLE) / 65536.0 AS u
+        |  FROM (
+        |    SELECT e.*, b.b,
+        |      md5(CAST(event_id AS VARCHAR) || '#bs' || CAST(b.b AS VARCHAR)) AS h
+        |    FROM e, LATERAL (SELECT unnest(range(0, 32)) AS b) b)),
+        |wts AS (
+        |  SELECT arm, b, v,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847  THEN 1
+        |         WHEN u < 0.9196986029286058  THEN 2
+        |         WHEN u < 0.9810118431238462  THEN 3
+        |         ELSE 4 END AS w
+        |  FROM rep),
+        |mb AS (
+        |  SELECT arm, b, CAST(sum(w * v) AS DOUBLE) / sum(w) AS mean_b
+        |  FROM wts GROUP BY arm, b),
+        |rk AS (
+        |  SELECT arm, mean_b,
+        |    row_number() OVER (PARTITION BY arm ORDER BY mean_b, b) AS r
+        |  FROM mb),
+        |st AS (
+        |  SELECT arm,
+        |    max(CASE WHEN r = 2  THEN mean_b END) AS p05,
+        |    max(CASE WHEN r = 17 THEN mean_b END) AS p50,
+        |    max(CASE WHEN r = 31 THEN mean_b END) AS p95
+        |  FROM rk GROUP BY arm),
+        |fl AS (
+        |  SELECT arm, CAST(sum(v) AS DOUBLE) / count(*) AS mean_full
+        |  FROM e GROUP BY arm)
+        |SELECT fl.arm, round(mean_full, 4) AS mean_full,
+        |  round(p05, 4) AS boot_p05, round(p50, 4) AS boot_p50,
+        |  round(p95, 4) AS boot_p95
+        |FROM fl JOIN st ON fl.arm = st.arm ORDER BY fl.arm""".stripMargin,
   )
 }

@@ -241,4 +241,30 @@ class Round12OpsSpec extends SparkSpec {
     def spread(xs: Seq[Double]) = xs.max - xs.min
     assert(spread(ewma.toSeq) < spread(daily.toSeq), "EWMA must smooth")
   }
+
+  test("Poisson bootstrap: ordered CI brackets the full-sample mean per arm") {
+    val rows = graft.ops.EtlOps.eventsBootstrapCi(spark, sf01).collect()
+    assert(rows.map(_.getAs[String]("arm")).sorted.toSeq == Seq("A", "B"))
+    rows.foreach { r =>
+      val (m, p05, p50, p95) = (r.getAs[Double]("mean_full"),
+        r.getAs[Double]("boot_p05"), r.getAs[Double]("boot_p50"),
+        r.getAs[Double]("boot_p95"))
+      assert(p05 < p50 && p50 < p95, s"order: $p05 $p50 $p95")
+      // resampling the mean of 10k values: the 90% CI must contain
+      // the point estimate and be tight relative to the value scale
+      assert(p05 <= m && m <= p95, s"CI [$p05,$p95] misses mean $m")
+      assert((p95 - p05) < m * 0.2, s"CI implausibly wide: ${p95 - p05}")
+    }
+  }
+
+  test("mutual information: entropies at the uniform ceiling, near-independent MI, NMI in [0,1]") {
+    val r = graft.ops.AggOps.aggMutualInfo(spark, sf01).head()
+    val (mi, hx, hy, nmi) = (r.getAs[Double]("mi"), r.getAs[Double]("h_x"),
+      r.getAs[Double]("h_y"), r.getAs[Double]("nmi"))
+    // 5 near-uniform event types, 7 near-uniform weekdays (30-day span)
+    assert(hx <= math.log(5.0) + 1e-6 && hx > 0.97 * math.log(5.0), s"h_x $hx")
+    assert(hy <= math.log(7.0) + 1e-6 && hy > 0.9 * math.log(7.0), s"h_y $hy")
+    assert(mi >= 0 && mi < 0.05, s"synthetic type/dow should be near-independent: $mi")
+    assert(nmi >= 0 && nmi <= 1, s"nmi $nmi")
+  }
 }

@@ -165,6 +165,9 @@ object Bench {
     // x32 map-side fan-out must stay map-side / one keyed aggregate
     "events_bootstrap_ci",
     "agg_mutual_info",
+    // metadata-scale windows / 3-row arithmetic after one aggregate
+    "ts_changepoint_cusum",
+    "events_power_mde",
   )
 
   def main(args: Array[String]): Unit = {

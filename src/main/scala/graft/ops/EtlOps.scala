@@ -941,6 +941,8 @@ object EtlOps {
     "ts_seasonal_decompose"  -> (tsSeasonalDecompose _),
     "events_srm_check"       -> (eventsSrmCheck _),
     "events_bootstrap_ci"    -> (eventsBootstrapCi _),
+    "ts_changepoint_cusum"   -> (tsChangepointCusum _),
+    "events_power_mde"       -> (eventsPowerMde _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -1067,6 +1069,91 @@ object EtlOps {
         round(col("p50"), 4).as("boot_p50"),
         round(col("p95"), 4).as("boot_p95"))
       .orderBy(col("arm"))
+  }
+
+  /** #199 — CUSUM changepoint detection (round 12; Page 1954 — the
+    * classical drift detector every monitoring stack runs on a KPI
+    * series): over the daily value totals, CUSUM_t = prefix_sum(t) −
+    * t·mean, the changepoint = argmax |CUSUM| (earliest day wins
+    * ties). All arithmetic is exact: daily totals and their prefix
+    * sums are DECIMAL(18,2), the grand mean is exact-sum/exact-count,
+    * and CUSUM_t = S_t − t·mean is a product/difference of exact
+    * doubles — so the argmax flag is engine-independent with no
+    * tolerance needed. Day table metadata-scale (#192's argument);
+    * the only corpus-scale stage is the daily aggregate. */
+  def tsChangepointCusum(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("dsum"))
+    val wOrd = Window.partitionBy(pmod(length(col("day").cast("string")), lit(1)))
+      .orderBy(col("day"))
+    val wAll = Window.partitionBy(pmod(length(col("day").cast("string")), lit(1)))
+    val n = count(lit(1)).over(wAll)
+    val grand = sum(col("dsum")).over(wAll).cast("double")
+    val t = row_number().over(wOrd)
+    val s = sum(col("dsum")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))
+      .cast("double")
+    val cusum = s - t * (grand / n)
+    val flagRank = row_number().over(
+      Window.partitionBy(pmod(length(col("day").cast("string")), lit(1)))
+        .orderBy(abs(col("cusum_raw")).desc, col("day")))
+    daily
+      .withColumn("cusum_raw", cusum)
+      .withColumn("is_changepoint", flagRank === 1)
+      .select(col("day").cast("timestamp").as("day"),
+        col("dsum").cast("double").as("daily"),
+        round(col("cusum_raw"), 4).as("cusum"), col("is_changepoint"))
+      .orderBy(col("day"))
+  }
+
+  /** #200 — power analysis / minimum-detectable-effect table (round
+    * 12; the pre-registration arithmetic of every experimentation
+    * platform): pooled per-arm variance from EXACT decimal moments
+    * (n·Σv² − (Σv)² over n(n−1) — v and v² are DECIMAL(18,2)/(·,4)
+    * exact), then for target relative effects {1%, 2%, 5%} of the
+    * pooled mean: the absolute δ, the required per-arm n =
+    * ceil(2σ²(z_α/2+z_β)²/δ²) at 80% power / 5% two-sided (z
+    * literals), and whether the CURRENT smaller arm already powers
+    * it. Every input to sqrt/ceil is the same exact double in both
+    * engines, so the graded table needs no tolerance. One keyed
+    * corpus aggregate; everything else is 2-row arithmetic. */
+  def eventsPowerMde(spark: SparkSession, sf: String): DataFrame = {
+    val arm = when(
+      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      lit("A")).otherwise(lit("B"))
+    val v2 = (money(col("value")) * money(col("value"))).cast("decimal(22,4)")
+    val byArm = events(spark, sf)
+      .groupBy(arm.as("arm"))
+      .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sv"),
+           sum(v2).as("svv"))
+    val pooled = byArm.agg(
+      sum(col("n")).as("n_tot"),
+      min(col("n")).as("n_min"),
+      sum(col("sv")).cast("double").as("sv"),
+      sum(col("svv")).cast("double").as("svv"),
+      // per-arm unbiased variances, combined by their dof weights:
+      // sum((n_i Σv² − (Σv)²)/n_i) / (n_tot − 2)
+      sum((col("n") * col("svv").cast("double") -
+           col("sv").cast("double") * col("sv").cast("double")) / col("n"))
+        .as("ssq_within"))
+    val zsum = lit(1.959963984540054 + 0.8416212335729143) // z_.975 + z_.80
+    pooled
+      .select(col("n_min"), col("n_tot"),
+        (col("sv") / col("n_tot")).as("mean_pooled"),
+        (col("ssq_within") / (col("n_tot") - 2)).as("var_pooled"))
+      .withColumn("effect_pct", explode(array(lit(1), lit(2), lit(5))))
+      .select(col("effect_pct"),
+        round(col("mean_pooled"), 4).as("mean_pooled"),
+        round(col("var_pooled"), 4).as("var_pooled"),
+        round(col("effect_pct") / lit(100.0) * col("mean_pooled"), 4)
+          .as("delta_abs"),
+        ceil(lit(2.0) * col("var_pooled") * zsum * zsum /
+          ((col("effect_pct") / lit(100.0) * col("mean_pooled")) *
+           (col("effect_pct") / lit(100.0) * col("mean_pooled"))))
+          .cast("long").as("n_required"),
+        col("n_min").as("n_available"))
+      .withColumn("powered", col("n_available") >= col("n_required"))
+      .orderBy(col("effect_pct"))
   }
 
   /** DuckDB oracle for #182/#185, generated from [[lineitemProfile]]
@@ -1627,5 +1714,62 @@ object EtlOps {
         |  round(p05, 4) AS boot_p05, round(p50, 4) AS boot_p50,
         |  round(p95, 4) AS boot_p95
         |FROM fl JOIN st ON fl.arm = st.arm ORDER BY fl.arm""".stripMargin,
+    "ts_changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day, dsum,
+        |    CAST(sum(dsum) OVER (ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    - row_number() OVER (ORDER BY day)
+        |      * (CAST(sum(dsum) OVER () AS DOUBLE) / count(*) OVER ())
+        |      AS cusum_raw
+        |  FROM daily),
+        |f AS (SELECT *, row_number() OVER (ORDER BY abs(cusum_raw) DESC, day)
+        |        AS fr FROM c)
+        |SELECT CAST(day AS TIMESTAMP) AS day, CAST(dsum AS DOUBLE) AS daily,
+        |  round(cusum_raw, 4) AS cusum, fr = 1 AS is_changepoint
+        |FROM f ORDER BY day""".stripMargin,
+    "events_power_mde" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+        |                    % 2) = 0
+        |         THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |a AS (
+        |  SELECT arm, count(*) AS n, sum(v) AS sv,
+        |         sum(CAST(v * v AS DECIMAL(22,4))) AS svv
+        |  FROM e GROUP BY arm),
+        |p AS (
+        |  SELECT sum(n) AS n_tot, min(n) AS n_min,
+        |    CAST(sum(sv) AS DOUBLE) AS sv,
+        |    sum((n * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+        |        / n) AS ssq_within
+        |  FROM a),
+        |m AS (
+        |  SELECT n_min, sv / n_tot AS mean_pooled,
+        |         ssq_within / (n_tot - 2) AS var_pooled
+        |  FROM p),
+        |x AS (SELECT m.*, ef.effect_pct FROM m,
+        |        LATERAL (SELECT unnest([1, 2, 5]) AS effect_pct) ef)
+        |SELECT effect_pct,
+        |  round(mean_pooled, 4) AS mean_pooled,
+        |  round(var_pooled, 4) AS var_pooled,
+        |  round(effect_pct / 100.0 * mean_pooled, 4) AS delta_abs,
+        |  CAST(ceil(2.0 * var_pooled
+        |      * (1.959963984540054 + 0.8416212335729143)
+        |      * (1.959963984540054 + 0.8416212335729143)
+        |      / ((effect_pct / 100.0 * mean_pooled)
+        |         * (effect_pct / 100.0 * mean_pooled))) AS BIGINT) AS n_required,
+        |  n_min AS n_available,
+        |  n_min >= CAST(ceil(2.0 * var_pooled
+        |      * (1.959963984540054 + 0.8416212335729143)
+        |      * (1.959963984540054 + 0.8416212335729143)
+        |      / ((effect_pct / 100.0 * mean_pooled)
+        |         * (effect_pct / 100.0 * mean_pooled))) AS BIGINT) AS powered
+        |FROM x ORDER BY effect_pct""".stripMargin,
   )
 }

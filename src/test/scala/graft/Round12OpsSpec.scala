@@ -267,4 +267,36 @@ class Round12OpsSpec extends SparkSpec {
     assert(mi >= 0 && mi < 0.05, s"synthetic type/dow should be near-independent: $mi")
     assert(nmi >= 0 && nmi <= 1, s"nmi $nmi")
   }
+
+  test("CUSUM: exactly one changepoint, series starts/ends near zero, flag is the argmax") {
+    val rows = graft.ops.EtlOps.tsChangepointCusum(spark, sf01).collect()
+    assert(rows.length == 30)
+    assert(rows.count(_.getAs[Boolean]("is_changepoint")) == 1)
+    val cusum = rows.map(_.getAs[Double]("cusum"))
+    // CUSUM telescopes to ~0 at the last day (rounding residue only)
+    assert(math.abs(cusum.last) < 0.01, s"terminal cusum ${cusum.last}")
+    val flagged = rows.filter(_.getAs[Boolean]("is_changepoint")).head
+    assert(math.abs(flagged.getAs[Double]("cusum")) >= cusum.map(math.abs).max - 1e-9)
+  }
+
+  test("power table: n_required scales as 1/delta^2 and brackets a local recompute") {
+    val rows = graft.ops.EtlOps.eventsPowerMde(spark, sf01).collect()
+      .sortBy(_.getAs[Int]("effect_pct"))
+    assert(rows.map(_.getAs[Int]("effect_pct")).toSeq == Seq(1, 2, 5))
+    val nreq = rows.map(_.getAs[Long]("n_required"))
+    // quadratic law: halving the effect quadruples n (ceil slack 1)
+    assert(math.abs(nreq(0) - 4L * nreq(1)) <= 4, s"${nreq(0)} vs 4x${nreq(1)}")
+    rows.foreach { r =>
+      val (v, m, d) = (r.getAs[Double]("var_pooled"),
+        r.getAs[Double]("mean_pooled"), r.getAs[Double]("delta_abs"))
+      val z = 1.959963984540054 + 0.8416212335729143
+      val expected = math.ceil(2.0 * v * z * z / (d * d))
+      // delta_abs is the 4dp-rounded display value; the op uses the
+      // unrounded delta, so allow the tiny induced slack
+      assert(math.abs(r.getAs[Long]("n_required") - expected) <= expected * 0.001 + 2,
+        s"${r.getAs[Long]("n_required")} vs $expected")
+      assert(r.getAs[Boolean]("powered") ==
+        (r.getAs[Long]("n_available") >= r.getAs[Long]("n_required")))
+    }
+  }
 }

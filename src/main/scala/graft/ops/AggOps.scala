@@ -627,6 +627,153 @@ object AggOps {
         round(col("mi") / sqrt(col("h_x") * col("h_y")), 4).as("nmi"))
   }
 
+  /** #203 — two-sample Kolmogorov–Smirnov test (round 12; the
+    * distribution-shift detector behind every data-drift monitor —
+    * #175's t-test sees mean shifts, KS sees ANY shape change):
+    * events split into the #183 md5 arms, D = sup_v |F_A(v) − F_B(v)|
+    * over the empirical CDFs of `value`. Exactness: the sup is taken
+    * over the DISTINCT-value table with ECDFs compared as
+    * cross-multiplied INTEGERS — |cum_a·n_b − cum_b·n_a| — so the
+    * argsup needs no tolerance; only the final D and the critical
+    * value c(α)·√((n_a+n_b)/(n_a·n_b)) (α = .05, c = 1.3581…, both
+    * engines evaluating the identical double expression over exact
+    * longs) are doubles. Shape: one keyed count aggregate to the
+    * distinct-value table, then the [[graft.api.Transforms]]
+    * distributed-prefix idiom (per-bucket cumsums + broadcast bucket
+    * offsets over floor(value) buckets — no single-partition window
+    * over the value table), then a 1-row max. At 100 TB the distinct
+    * table is the only corpus-scale exchange. */
+  def aggKsTest(spark: SparkSession, sf: String): DataFrame = {
+    val arm = when(
+      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      lit("A")).otherwise(lit("B"))
+    val byV = events(spark, sf)
+      .select(money(col("value")).as("v"), arm.as("arm"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+           sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+      .withColumn("bkt", floor(col("v") / 10))
+    // distributed prefix-sums of the two arm counts: per-bucket local
+    // cumsum + exclusive offsets over the metadata-scale bucket table
+    val totals = byV.groupBy(col("bkt"))
+      .agg(sum(col("na")).as("bna"), sum(col("nb")).as("bnb"))
+    val wKey = coalesce(pmod(col("bkt"), lit(1)), lit(0L))
+    val wOff = Window.partitionBy(wKey).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("offa", coalesce(sum(col("bna")).over(wOff), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("bnb")).over(wOff), lit(0L)))
+      .select(col("bkt").as("bkt_o"), col("offa"), col("offb"))
+    val wLoc = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = byV.join(broadcast(offs), col("bkt") <=> col("bkt_o"))
+      .withColumn("cuma", col("offa") + sum(col("na")).over(wLoc))
+      .withColumn("cumb", col("offb") + sum(col("nb")).over(wLoc))
+    val tot = byV.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      // cross-multiplied ECDF comparison in DECIMAL(38,0): exact at any
+      // n (long products overflow past ~3e9 rows/arm; DuckDB's HUGEINT
+      // side is already 128-bit)
+      .agg(max(abs(dec(col("cuma"), 38, 0) * col("n_b") -
+                   dec(col("cumb"), 38, 0) * col("n_a")))
+        .as("dnum"), first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("dnum").cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("ks_d"),
+        round(lit(1.3581015157406195) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+               (col("n_a") * col("n_b"))), 6).as("d_crit"),
+        (col("dnum").cast("double") / (col("n_a") * col("n_b")) >
+          lit(1.3581015157406195) *
+          sqrt((col("n_a") + col("n_b")).cast("double") /
+               (col("n_a") * col("n_b")))).as("reject_h0"))
+  }
+
+  /** #204 — Gini coefficient / revenue concentration (round 12; the
+    * inequality statistic of every marketplace health dashboard):
+    * over per-customer order revenue x₍ᵢ₎ ranked ascending,
+    * G = (2·Σ i·xᵢ − (N+1)·Σxᵢ) / (N·Σxᵢ), plus the top-decile
+    * revenue share (revenue held by the N DIV 10 highest-ranked
+    * customers). The global rank comes from
+    * [[graft.api.Transforms.globalRowNumber]] — the distributed
+    * prefix-sum rank over floor(rev/100k) coarse buckets (monotone in
+    * the rank order; percentile-sketch bucketization, #36's helper,
+    * is the drop-in when the range is unknown) — never a
+    * single-partition window over customers. Exactness: revenue is
+    * DECIMAL(18,2), rank·revenue products and all three sums are
+    * exact decimals (rank ≤ 2³¹ · rev ≤ 10¹⁶ fits DECIMAL(38,2)), so
+    * both Gini and the decile share are single exact-double divisions
+    * at the end, 6 dp-rounded. Ties on revenue are rank-broken by
+    * custkey, which cannot move either statistic (equal x, any
+    * permutation of equal values leaves Σi·xᵢ unchanged within the
+    * tie block… the tiebreak exists so the RANK ITSELF is
+    * deterministic). */
+  def aggGiniConcentration(spark: SparkSession, sf: String): DataFrame = {
+    val rev = orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val ranked = graft.api.Transforms.globalRowNumber(rev,
+        struct(col("rev"), col("o_custkey")),
+        floor(col("rev") / 100000L))
+      .withColumnRenamed("__row_number", "rk")
+    val tot = ranked.agg(count(lit(1)).as("n_customers"),
+      sum(col("rev")).as("tot"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(first(col("n_customers")).as("n_customers"),
+        first(col("tot")).as("tot"),
+        sum(dec(col("rk") * col("rev"), 38, 2)).as("ranksum"),
+        sum(when(col("rk") > col("n_customers") -
+                 expr("n_customers DIV 10"), col("rev"))).as("top_rev"))
+      .select(col("n_customers"), col("tot").cast("double").as("total_rev"),
+        round((lit(2.0) * col("ranksum").cast("double") -
+               (col("n_customers") + 1) * col("tot").cast("double")) /
+              (col("n_customers") * col("tot").cast("double")), 6).as("gini"),
+        round(col("top_rev").cast("double") / col("tot").cast("double"), 6)
+          .as("top_decile_share"))
+  }
+
+  /** #205 — RFM customer segmentation (round 12; the
+    * recency/frequency/monetary quartile grid of every CRM /
+    * marketing-analytics stack): per customer R = days from last
+    * order to the corpus max order date, F = order count, M = exact
+    * DECIMAL spend; each dimension quartiled 1–4 by
+    * [[graft.api.Transforms.ntileBySketch]] — EXACT SQL NTILE
+    * semantics via the percentile-sketch coarse buckets + distributed
+    * prefix-rank (#36's machinery; never a single-partition window
+    * over customers), ties broken by custkey so the assignment is
+    * deterministic; then one segment aggregate: customers, mean spend
+    * and mean recency per (r,f,m) cell (≤64 rows). The oracle replays
+    * the same quartiles with plain NTILE(4) windows — exact-ntile
+    * equivalence is what the helper guarantees. */
+  def aggRfmSegments(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.Transforms.ntileBySketch
+    val per = orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_dt"),
+           count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).as("spend"))
+    val maxd = per.agg(max(col("last_dt")).as("ref_dt"))
+    val base = per.crossJoin(broadcast(maxd))
+      .withColumn("recency_days",
+        datediff(to_date(col("ref_dt")), to_date(col("last_dt"))).cast("long"))
+    val r = ntileBySketch(base, col("recency_days"),
+        struct(col("recency_days"), col("o_custkey")), 4)
+      .withColumnRenamed("ntile", "r_q")
+    val f = ntileBySketch(r, col("n_orders"),
+        struct(col("n_orders"), col("o_custkey")), 4)
+      .withColumnRenamed("ntile", "f_q")
+    val m = ntileBySketch(f, col("spend"),
+        struct(col("spend"), col("o_custkey")), 4)
+      .withColumnRenamed("ntile", "m_q")
+    m.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("spend")).cast("double") / count(lit(1)), 4)
+          .as("avg_spend"),
+        round(sum(col("recency_days")).cast("double") / count(lit(1)), 4)
+          .as("avg_recency"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -655,6 +802,9 @@ object AggOps {
     "agg_kll_quantile_merge" -> (aggKllQuantileMerge _),
     "agg_freq_sketch_topk" -> (aggFreqSketchTopk _),
     "agg_mutual_info"      -> (aggMutualInfo _),
+    "agg_ks_test"          -> (aggKsTest _),
+    "agg_gini_concentration" -> (aggGiniConcentration _),
+    "agg_rfm_segments"     -> (aggRfmSegments _),
   )
 
   val oracle: Map[String, String] = ListMap(
@@ -881,5 +1031,72 @@ object AggOps {
         |  FROM ny CROSS JOIN tot)
         |SELECT mi, h_x, h_y, round(mi / sqrt(h_x * h_y), 4) AS nmi
         |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+    "agg_ks_test" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+        |                    % 2) = 0
+        |         THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |byv AS (
+        |  SELECT v,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+        |  FROM e GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |    sum(na) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(nb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM byv),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |             CAST(sum(nb) AS BIGINT) AS n_b FROM byv)
+        |SELECT n_a, n_b,
+        |  round(CAST(max(abs(cuma * n_b - cumb * n_a)) AS DOUBLE)
+        |        / (n_a * n_b), 6) AS ks_d,
+        |  round(1.3581015157406195
+        |        * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 6) AS d_crit,
+        |  CAST(max(abs(cuma * n_b - cumb * n_a)) AS DOUBLE) / (n_a * n_b) >
+        |    1.3581015157406195 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
+        |    AS reject_h0
+        |FROM cum CROSS JOIN t GROUP BY n_a, n_b""".stripMargin,
+    "agg_gini_concentration" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (
+        |  SELECT rev, o_custkey,
+        |    row_number() OVER (ORDER BY rev, o_custkey) AS rk
+        |  FROM rev),
+        |t AS (SELECT count(*) AS n_customers, sum(rev) AS tot FROM rev)
+        |SELECT n_customers, CAST(tot AS DOUBLE) AS total_rev,
+        |  round((2.0 * CAST(sum(CAST(rk * rev AS DECIMAL(38,2))) AS DOUBLE)
+        |      - (n_customers + 1) * CAST(tot AS DOUBLE))
+        |      / (n_customers * CAST(tot AS DOUBLE)), 6) AS gini,
+        |  round(CAST(sum(CASE WHEN rk > n_customers - n_customers // 10
+        |                 THEN rev END) AS DOUBLE)
+        |      / CAST(tot AS DOUBLE), 6) AS top_decile_share
+        |FROM rk CROSS JOIN t GROUP BY n_customers, tot""".stripMargin,
+    "agg_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_dt, count(*) AS n_orders,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |mx AS (SELECT max(last_dt) AS ref_dt FROM per),
+        |b AS (
+        |  SELECT per.*, date_diff('day', CAST(last_dt AS DATE),
+        |                          CAST(ref_dt AS DATE)) AS recency_days
+        |  FROM per CROSS JOIN mx),
+        |q AS (
+        |  SELECT o_custkey, spend, recency_days,
+        |    ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+        |    ntile(4) OVER (ORDER BY n_orders, o_custkey) AS f_q,
+        |    ntile(4) OVER (ORDER BY spend, o_custkey) AS m_q
+        |  FROM b)
+        |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+        |  round(CAST(sum(spend) AS DOUBLE) / count(*), 4) AS avg_spend,
+        |  round(CAST(sum(recency_days) AS DOUBLE) / count(*), 4) AS avg_recency
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

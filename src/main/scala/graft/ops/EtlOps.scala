@@ -943,6 +943,10 @@ object EtlOps {
     "events_bootstrap_ci"    -> (eventsBootstrapCi _),
     "ts_changepoint_cusum"   -> (tsChangepointCusum _),
     "events_power_mde"       -> (eventsPowerMde _),
+    "ts_autocorrelation"     -> (tsAutocorrelation _),
+    "events_ltv_cohort"      -> (eventsLtvCohort _),
+    "events_funnel_windowed" -> (eventsFunnelWindowed _),
+    "etl_entity_resolution"  -> (etlEntityResolution _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -1154,6 +1158,178 @@ object EtlOps {
         col("n_min").as("n_available"))
       .withColumn("powered", col("n_available") >= col("n_required"))
       .orderBy(col("effect_pct"))
+  }
+
+  /** #201 — autocorrelation function (round 12; the Box–Jenkins ACF
+    * every time-series toolkit ships, the identification step before
+    * any ARIMA fit): over the day-ordered daily value totals,
+    * r_k = Σ_t c_t·c_{t+k} / Σ_t c_t² for row lags k = 1..7, with
+    * c_t = x_t − x̄ the centered series. Determinism: daily totals are
+    * exact DECIMAL(18,2); x̄ is exact-sum/exact-count; every centered
+    * term is 6 dp-gridded to DECIMAL(18,6) BEFORE any product (the
+    * #192 grid policy), so numerator and denominator are exact
+    * DECIMAL(38,12) sums — order-independent — and only the final
+    * ratio is double. The day table is metadata-scale by construction
+    * (#192's argument: rows = distinct days), so the lead() window
+    * runs on the constant-partition idiom after ONE keyed corpus
+    * aggregation; at 100 TB nothing wider than the day table is ever
+    * windowed, and the 7 lags are columns of one window pass, not 7
+    * self-joins. */
+  def tsAutocorrelation(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("dsum"))
+    val const = pmod(length(col("day").cast("string")), lit(1))
+    val wAll = Window.partitionBy(const)
+    val wOrd = Window.partitionBy(const).orderBy(col("day"))
+    val mean =
+      sum(col("dsum")).over(wAll).cast("double") / count(lit(1)).over(wAll)
+    val c = daily.withColumn("c6",
+      round(col("dsum").cast("double") - mean, 6).cast("decimal(18,6)"))
+    val withLeads = (1 to 7).foldLeft(c) { (df, k) =>
+      df.withColumn(s"c_lead_$k", lead(col("c6"), k).over(wOrd))
+    }
+    val den = c.agg(
+      sum(dec(col("c6") * col("c6"), 38, 12)).cast("double").as("den"),
+      count(lit(1)).as("n_days"))
+    val stackExpr = (1 to 7).map(k => s"$k, c_lead_$k").mkString(", ")
+    withLeads
+      .select(col("c6"),
+        expr(s"stack(7, $stackExpr) AS (lag, c_next)"))
+      .groupBy(col("lag"))
+      .agg(sum(dec(col("c6") * col("c_next"), 38, 12)).cast("double").as("num"),
+           count(col("c_next")).as("n_pairs"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_days"), col("n_pairs"),
+        round(col("num") / col("den"), 4).as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** #202 — cohort LTV triangle (round 12; the lifetime-value readout
+    * every growth team runs beside #164's retention grid): cohort =
+    * epoch-week of the user's FIRST event (integer epoch-day div 7 —
+    * no engine week-origin trap), age = weeks since cohort; per
+    * (cohort, age) cell: active users, revenue, cumulative revenue
+    * along the cohort's age axis, and cumulative LTV per cohort user.
+    * Shape: one user-keyed aggregate (first week), one user-keyed
+    * equi-join back to the facts, one keyed cell aggregate; the
+    * cumulative window runs over the cohort×age table — metadata-scale
+    * BY CONSTRUCTION (weeks², not rows) — and cohort sizes broadcast.
+    * Determinism: weeks are exact integer division, revenue sums exact
+    * DECIMAL(18,2), the only double is the final per-user division,
+    * 4 dp-rounded. */
+  def eventsLtvCohort(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf).select(col("user_id"),
+      money(col("value")).as("v"),
+      expr("CAST(datediff(to_date(ts), DATE'1970-01-01') AS BIGINT) div 7")
+        .as("wk"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sized = firsts.groupBy(col("cohort_wk"))
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    val cells = ev.join(firsts, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).cast("int").as("age_wk"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+           sum(col("v")).as("rev"))
+    val wCum = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sized), "cohort_wk")
+      .withColumn("cum_rev", sum(col("rev")).over(wCum))
+      .select(col("cohort_wk"), col("age_wk"), col("cohort_users"),
+        col("active_users"), col("rev").cast("double").as("rev"),
+        col("cum_rev").cast("double").as("cum_rev"),
+        round(col("cum_rev").cast("double") / col("cohort_users"), 4)
+          .as("ltv_per_user"))
+      .orderBy(col("cohort_wk"), col("age_wk"))
+  }
+
+  /** #206 — time-bound conversion funnel (round 12; the windowed form
+    * of #108's unordered stage funnel — real funnel products bound
+    * each hop: "viewed within 7 days of signup, purchased within 7
+    * days of that view"): per user, s = first signup, v = first view
+    * in [s, s+7d], p = first purchase in [v, v+7d]; the graded table
+    * reports per-stage user counts and step/overall conversion rates.
+    * Shape: three user-keyed min-aggregates chained by equi-joins on
+    * user_id (each hop's candidate set is the user's OWN events — the
+    * #18 as-of working set), no windows, no cross joins; at 100 TB
+    * each hop is one keyed shuffle and the stage table is 1 row.
+    * Determinism: timestamps are exact µs, interval arithmetic
+    * (ts + INTERVAL 7 DAY) is exact in both engines, rates are
+    * exact-long divisions rounded 4 dp. */
+  def eventsFunnelWindowed(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf).select(col("user_id"), col("event_type"), col("ts"))
+    val s = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val v = ev.where(col("event_type") === "view").as("e")
+      .join(s.as("s"), col("e.user_id") === col("s.user_id"))
+      .where(col("e.ts") >= col("s_ts") &&
+             col("e.ts") <= col("s_ts") + expr("INTERVAL 7 DAY"))
+      .groupBy(col("e.user_id").as("user_id"), col("s_ts"))
+      .agg(min(col("e.ts")).as("v_ts"))
+    val p = ev.where(col("event_type") === "purchase").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+      .where(col("e.ts") >= col("v_ts") &&
+             col("e.ts") <= col("v_ts") + expr("INTERVAL 7 DAY"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("p_ts"))
+    val counts = s.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view_7d")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_7d")))
+    counts.select(col("n_signup"), col("n_view_7d"), col("n_purchase_7d"),
+      round(col("n_view_7d").cast("double") / col("n_signup"), 4)
+        .as("rate_view"),
+      round(col("n_purchase_7d").cast("double") / col("n_view_7d"), 4)
+        .as("rate_purchase"),
+      round(col("n_purchase_7d").cast("double") / col("n_signup"), 4)
+        .as("rate_overall"))
+  }
+
+  /** #207 — entity resolution by blocking + fuzzy match (round 12;
+    * the dedupe/record-linkage pass of every customer-data platform,
+    * Fellegi–Sunter shape): the corpus is customers PLUS deterministic
+    * "dirty" variants (every 3rd custkey re-enters with one name
+    * character dropped at md5-free modular position 11 +
+    * custkey mod 7 — 1-based, inside the digit run — under synthetic
+    * id custkey + 10⁹); candidate pairs are generated ONLY inside
+    * blocks (c_nationkey — the blocking-key equi-self-join; at 100 TB
+    * blocks come from nation × name-prefix and candidate cost is
+    * Σ block², never n²), matched when levenshtein ≤ 2 (identical
+    * classic-DP edit distance in both engines — ints, no tolerance).
+    * Graded per nation: records, candidate pairs, matches, TRUE
+    * duplicates among matches (pairs whose ids agree mod 10⁹) — i.e.
+    * the precision readout of the matcher. */
+  def etlEntityResolution(spark: SparkSession, sf: String): DataFrame = {
+    val cust = customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val dropPos = (lit(11) + pmod(col("c_custkey"), lit(7))).cast("int")
+    val variants = cust.where(pmod(col("c_custkey"), lit(3)) === 0)
+      .select((col("c_custkey") + lit(1000000000L)).as("c_custkey"),
+        concat(col("c_name").substr(lit(1), dropPos - 1),
+               col("c_name").substr(dropPos + 1, lit(64)))
+          .as("c_name"),
+        col("c_nationkey"))
+    val recs = cust.unionByName(variants)
+    val pairs = recs.as("a").join(recs.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey") &&
+        col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_nationkey").as("nation"),
+        levenshtein(col("a.c_name"), col("b.c_name")).as("d"),
+        (pmod(col("a.c_custkey"), lit(1000000000L)) ===
+         pmod(col("b.c_custkey"), lit(1000000000L))).as("same_entity"))
+    val perNation = recs.groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n_records"))
+    perNation.join(
+        pairs.groupBy(col("nation"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("d") <= 2, 1L).otherwise(0L)).as("n_matches"),
+            sum(when(col("d") <= 2 && col("same_entity"), 1L).otherwise(0L))
+              .as("n_true_dupes")),
+        Seq("nation"))
+      .select(col("nation"), col("n_records"), col("n_candidates"),
+        col("n_matches"), col("n_true_dupes"),
+        round(col("n_true_dupes").cast("double") / col("n_matches"), 4)
+          .as("match_precision"))
+      .orderBy(col("nation"))
   }
 
   /** DuckDB oracle for #182/#185, generated from [[lineitemProfile]]
@@ -1771,5 +1947,115 @@ object EtlOps {
         |      / ((effect_pct / 100.0 * mean_pooled)
         |         * (effect_pct / 100.0 * mean_pooled))) AS BIGINT) AS powered
         |FROM x ORDER BY effect_pct""".stripMargin,
+    "ts_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |    CAST(round(CAST(dsum AS DOUBLE)
+        |        - CAST(sum(dsum) OVER () AS DOUBLE) / count(*) OVER (), 6)
+        |      AS DECIMAL(18,6)) AS c6,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |den AS (
+        |  SELECT CAST(sum(CAST(c6 AS DECIMAL(19,6))
+        |                  * CAST(c6 AS DECIMAL(19,6))) AS DOUBLE) AS den,
+        |         count(*) AS n_days
+        |  FROM c),
+        |p AS (
+        |  SELECT l.lag, a.c6, b.c6 AS c_next
+        |  FROM c a
+        |  CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7]) AS lag) l
+        |  LEFT JOIN c b ON b.rn = a.rn + l.lag)
+        |SELECT p.lag, den.n_days, count(p.c_next) AS n_pairs,
+        |  round(CAST(sum(CAST(p.c6 AS DECIMAL(19,6))
+        |              * CAST(p.c_next AS DECIMAL(19,6))) AS DOUBLE)
+        |        / den.den, 4) AS acf
+        |FROM p CROSS JOIN den
+        |GROUP BY p.lag, den.n_days, den.den
+        |ORDER BY p.lag""".stripMargin,
+    "events_ltv_cohort" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+        |s AS (SELECT cohort_wk, count(DISTINCT user_id) AS cohort_users
+        |      FROM f GROUP BY cohort_wk),
+        |cells AS (
+        |  SELECT f.cohort_wk, CAST(ev.wk - f.cohort_wk AS INT) AS age_wk,
+        |    count(DISTINCT ev.user_id) AS active_users, sum(v) AS rev
+        |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cells.cohort_wk, age_wk, cohort_users, active_users,
+        |  CAST(rev AS DOUBLE) AS rev,
+        |  CAST(sum(rev) OVER (PARTITION BY cells.cohort_wk ORDER BY age_wk
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS cum_rev,
+        |  round(CAST(sum(rev) OVER (PARTITION BY cells.cohort_wk ORDER BY age_wk
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / cohort_users, 4) AS ltv_per_user
+        |FROM cells JOIN s ON cells.cohort_wk = s.cohort_wk
+        |ORDER BY cells.cohort_wk, age_wk""".stripMargin,
+    "events_funnel_windowed" ->
+      """WITH s AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS v_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view'
+        |    AND CAST(e.ts AS TIMESTAMP) >= s.s_ts
+        |    AND CAST(e.ts AS TIMESTAMP) <= s.s_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) >= v.v_ts
+        |    AND CAST(e.ts AS TIMESTAMP) <= v.v_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT (SELECT count(*) FROM s) AS n_signup,
+        |         (SELECT count(*) FROM v) AS n_view_7d,
+        |         (SELECT count(*) FROM p) AS n_purchase_7d)
+        |SELECT n_signup, n_view_7d, n_purchase_7d,
+        |  round(CAST(n_view_7d AS DOUBLE) / n_signup, 4) AS rate_view,
+        |  round(CAST(n_purchase_7d AS DOUBLE) / n_view_7d, 4) AS rate_purchase,
+        |  round(CAST(n_purchase_7d AS DOUBLE) / n_signup, 4) AS rate_overall
+        |FROM c""".stripMargin,
+    "etl_entity_resolution" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name, c_nationkey FROM customer),
+        |var AS (
+        |  SELECT c_custkey + 1000000000 AS c_custkey,
+        |    substr(c_name, 1, CAST(11 + c_custkey % 7 AS INT) - 1)
+        |      || substr(c_name, CAST(11 + c_custkey % 7 AS INT) + 1, 64)
+        |      AS c_name,
+        |    c_nationkey
+        |  FROM cust WHERE c_custkey % 3 = 0),
+        |recs AS (SELECT * FROM cust UNION ALL SELECT * FROM var),
+        |pairs AS (
+        |  SELECT a.c_nationkey AS nation,
+        |    levenshtein(a.c_name, b.c_name) AS d,
+        |    (a.c_custkey % 1000000000) = (b.c_custkey % 1000000000)
+        |      AS same_entity
+        |  FROM recs a JOIN recs b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+        |pn AS (SELECT c_nationkey AS nation, count(*) AS n_records
+        |       FROM recs GROUP BY 1),
+        |pa AS (
+        |  SELECT nation, count(*) AS n_candidates,
+        |    CAST(sum(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_matches,
+        |    CAST(sum(CASE WHEN d <= 2 AND same_entity THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_true_dupes
+        |  FROM pairs GROUP BY nation)
+        |SELECT pn.nation, n_records, n_candidates, n_matches, n_true_dupes,
+        |  round(CAST(n_true_dupes AS DOUBLE) / n_matches, 4)
+        |    AS match_precision
+        |FROM pn JOIN pa ON pn.nation = pa.nation
+        |ORDER BY pn.nation""".stripMargin,
   )
 }

@@ -299,4 +299,83 @@ class Round12OpsSpec extends SparkSpec {
         (r.getAs[Long]("n_available") >= r.getAs[Long]("n_required")))
     }
   }
+
+  test("ACF: lags 1-7 present, coefficients in [-1,1], pair counts = n_days - lag") {
+    val rows = graft.ops.EtlOps.tsAutocorrelation(spark, sf01).collect()
+      .sortBy(_.getAs[Int]("lag"))
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == (1 to 7))
+    val nDays = rows.head.getAs[Long]("n_days")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == nDays - r.getAs[Int]("lag"))
+      val a = r.getAs[Double]("acf")
+      assert(a >= -1.0 && a <= 1.0, s"acf out of range: $a")
+    }
+  }
+
+  test("Gini equals a local brute-force recompute; top decile holds at least its share") {
+    val row = graft.ops.AggOps.aggGiniConcentration(spark, sf01).collect().head
+    val revs = Tables.orders(spark, sf01)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect().map(_.getAs[java.math.BigDecimal]("rev").doubleValue()).sorted
+    val n = revs.length.toLong
+    val tot = revs.sum
+    val ranksum = revs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = (2.0 * ranksum - (n + 1) * tot) / (n * tot)
+    assert(row.getAs[Long]("n_customers") == n)
+    assert(math.abs(row.getAs[Double]("gini") - gini) < 1e-4,
+      s"${row.getAs[Double]("gini")} vs local $gini")
+    assert(row.getAs[Double]("top_decile_share") >= 0.1,
+      "top decile cannot hold less than its uniform share")
+  }
+
+  test("KS test: reject flag is consistent with D vs critical value; D in [0,1]") {
+    val row = graft.ops.AggOps.aggKsTest(spark, sf01).collect().head
+    val d = row.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0)
+    // md5-arm split of the same distribution: D must sit well under
+    // the rejection threshold (the null is TRUE by construction)
+    assert(!row.getAs[Boolean]("reject_h0"),
+      s"uniform md5 split flagged as drift: d=$d crit=${row.getAs[Double]("d_crit")}")
+  }
+
+  test("RFM: quartiles balanced within 1 and segment counts sum to the customer total") {
+    val rows = graft.ops.AggOps.aggRfmSegments(spark, sf01).collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCust = Tables.orders(spark, sf01).select(col("o_custkey")).distinct().count()
+    assert(total == nCust, s"$total vs $nCust")
+    Seq("r_q", "f_q", "m_q").foreach { dim =>
+      val byQ = rows.groupBy(_.getAs[Long](dim)).view
+        .mapValues(_.map(_.getAs[Long]("n_customers")).sum)
+      assert(byQ.keys.toSet == Set(1L, 2L, 3L, 4L))
+      assert(byQ.values.max - byQ.values.min <= 1,
+        s"$dim unbalanced: ${byQ.toMap}")
+    }
+  }
+
+  test("windowed funnel: stage counts are monotone and bounded by the unbounded stage sets") {
+    val row = graft.ops.EtlOps.eventsFunnelWindowed(spark, sf01).collect().head
+    val (s, v, p) = (row.getAs[Long]("n_signup"), row.getAs[Long]("n_view_7d"),
+      row.getAs[Long]("n_purchase_7d"))
+    assert(s >= v && v >= p, s"funnel not monotone: $s $v $p")
+    assert(p > 0, "the 7-day funnel should convert someone at sf0.01")
+  }
+
+  test("entity resolution: every planted variant is found (recall 1.0 on true dupes)") {
+    val rows = graft.ops.EtlOps.etlEntityResolution(spark, sf01).collect()
+    val planted = Tables.customer(spark, sf01)
+      .where(pmod(col("c_custkey"), lit(3)) === 0)
+      .groupBy(col("c_nationkey")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val nation = r.getAs[Int]("nation")
+      // a variant differs from its original by exactly one dropped
+      // char (distance 1 <= 2), so the matcher must find ALL of them
+      assert(r.getAs[Long]("n_true_dupes") == planted.getOrElse(nation, 0L),
+        s"nation $nation: ${r.getAs[Long]("n_true_dupes")} vs planted ${planted.get(nation)}")
+      assert(r.getAs[Long]("n_matches") >= r.getAs[Long]("n_true_dupes"))
+      assert(r.getAs[Long]("n_candidates") ==
+        r.getAs[Long]("n_records") * (r.getAs[Long]("n_records") - 1) / 2)
+    }
+  }
 }

@@ -16,6 +16,12 @@ case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
 /** Typed metadata for one sampled frame of a multi-frame container. */
 case class FrameMeta(doc_id: Long, frame_idx: Int, n_pixels: Int, pix_sum: Long)
 
+/** Per-channel sums of one decoded frame — the shot-boundary detector
+  * (#210) needs channel-separated statistics, because opposing channel
+  * drifts cancel in the combined `pix_sum`. */
+case class FrameChan(doc_id: Long, frame_idx: Int, n_pixels: Int,
+                     r_sum: Long, g_sum: Long, b_sum: Long)
+
 /** Multimodal binary-column handling: media content travels as an
   * opaque `binary` column; decode / feature-extraction runs
   * partition-wise over batches of payloads and emits a typed metadata
@@ -191,6 +197,38 @@ object BinaryDecode {
   def frameSampleBatch(everyN: Int)(
       rows: Iterator[(Long, Array[Byte])]): Iterator[FrameMeta] =
     rows.flatMap { case (id, bytes) => frameSample(id, bytes, everyN) }
+
+  /** Decode EVERY frame of a GIF container with per-channel sums —
+    * the shot-boundary detector's input (#210). Same reader lifecycle
+    * as [[frameSample]]; stride 1 because consecutive-frame deltas
+    * are the whole point. */
+  def frameChannels(id: Long, bytes: Array[Byte]): Seq[FrameChan] = {
+    if (bytes.isEmpty) return Seq.empty
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+      val n = reader.getNumImages(true)
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        var (rs, gs, bs) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        FrameChan(id, f, img.getWidth * img.getHeight, rs, gs, bs)
+      }
+    } finally reader.dispose()
+  }
+
+  def frameChannelsBatch(
+      rows: Iterator[(Long, Array[Byte])]): Iterator[FrameChan] =
+    rows.flatMap { case (id, bytes) => frameChannels(id, bytes) }
 
   /** Real resize: decode, nearest-neighbor scale to w×h on a fresh
     * raster, re-encode as PNG. Output dimensions are fixed and

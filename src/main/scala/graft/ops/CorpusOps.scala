@@ -584,6 +584,56 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #209 — BPE tokenizer training, 3 merges (round 12; Sennrich et
+    * al. ACL'16 — the actual TRAINING loop whose single counting step
+    * is #157): start from the character-spaced symbolization of the
+    * word-frequency table; each iteration (a) counts adjacent symbol
+    * pairs weighted by word frequency (positional transform+explode —
+    * one keyed aggregate), (b) picks the argmax pair (count DESC,
+    * pair ASC — a 1-row max broadcast + a min over the tied rows, no
+    * global sort), (c) applies the merge corpus-wide as a
+    * boundary-delimited NON-OVERLAPPING LEFT-TO-RIGHT replace —
+    * identical scan semantics in java.lang.String.replace and DuckDB
+    * replace(), so both engines walk the same vocabulary into
+    * iteration k+1 (chains of a repeated symbol can defer residual
+    * merges to a later iteration — the standard caveat of
+    * string-replace BPE, equally deterministic). Graded output: the 3
+    * learned merges with their merged token and weighted counts.
+    * Iteration state is the VOCABULARY table, never the corpus —
+    * pair counts partial-aggregate, the merge apply is a 1-row
+    * broadcast + narrow map — so at 100 TB each step shuffles
+    * vocab-scale rows and the corpus is read once (word counts). */
+  def textBpeTrainMerges(spark: SparkSession, sf: String): DataFrame = {
+    var wf = documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"), col("n"))
+    val steps = (1 to 3).map { step =>
+      val pc = wf.select(col("n"), explode(expr(
+          """transform(sequence(1, size(split(sym, ' ')) - 1),
+            |  i -> concat_ws(' ', element_at(split(sym, ' '), i),
+            |                      element_at(split(sym, ' '), i + 1)))"""
+            .stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      val mx = pc.agg(max(col("cnt")).as("mx"))
+      // 1-row winner; localCheckpoint so later iterations (and the
+      // final 3-row union) don't re-derive every earlier pair count
+      val best = pc.crossJoin(broadcast(mx)).where(col("cnt") === col("mx"))
+        .agg(min(col("pair")).as("pair"), max(col("cnt")).as("cnt"))
+        .localCheckpoint()
+      wf = wf.crossJoin(broadcast(best))
+        .select(expr(
+            """trim(replace(concat(' ', sym, ' '), concat(' ', pair, ' '),
+              |     concat(' ', replace(pair, ' ', ''), ' ')))""".stripMargin)
+          .as("sym"), col("n"))
+      best.select(lit(step).as("step"), col("pair").as("merge_pair"),
+        expr("replace(pair, ' ', '')").as("merged"),
+        col("cnt").as("n_occurrences"))
+    }
+    steps.reduce(_ unionByName _).orderBy(col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
@@ -600,7 +650,28 @@ object CorpusOps {
     "dedup_url_canonical"    -> (dedupUrlCanonical _),
     "sim_bm25_rank"          -> (simBm25Rank _),
     "text_importance_resample" -> (textImportanceResample _),
+    "text_bpe_train_merges"    -> (textBpeTrainMerges _),
   )
+
+  /** One BPE training iteration as chained CTEs: positional pair
+    * counts → deterministic argmax (count DESC, pair ASC) → boundary-
+    * delimited replace, mirroring [[textBpeTrainMerges]] stage for
+    * stage. */
+  private def bpeIterCte(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""pc$k AS (
+       |  SELECT t.toks[CAST(i AS INT)] || ' ' || t.toks[CAST(i AS INT) + 1]
+       |           AS pair,
+       |         sum(t.n) AS cnt
+       |  FROM (SELECT string_split(sym, ' ') AS toks, n FROM $prev) t,
+       |    LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) r
+       |  GROUP BY 1),
+       |b$k AS (SELECT min(pair) AS pair, max(cnt) AS cnt FROM pc$k
+       |        WHERE cnt = (SELECT max(cnt) FROM pc$k)),
+       |w$k AS (SELECT trim(replace(' ' || sym || ' ', ' ' || b$k.pair || ' ',
+       |               ' ' || replace(b$k.pair, ' ', '') || ' ')) AS sym, n
+       |        FROM $prev CROSS JOIN b$k)""".stripMargin
+  }
 
   val oracle: Map[String, String] = ListMap(
     "text_repetition_filter" ->
@@ -880,5 +951,23 @@ object CorpusOps {
         |       (CASE WHEN u < te - floor(te) THEN 1 ELSE 0 END) AS INT)
         |    AS n_copies
         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_bpe_train_merges" ->
+      ("""WITH wf AS (
+         |  SELECT w, count(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) >= 2 GROUP BY w),
+         |w0 AS (
+         |  SELECT rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym, n
+         |  FROM wf),
+         |""".stripMargin +
+       (1 to 3).map(bpeIterCte).mkString(",\n") +
+       """
+         |SELECT 1 AS step, pair AS merge_pair, replace(pair, ' ', '') AS merged,
+         |  CAST(cnt AS BIGINT) AS n_occurrences FROM b1
+         |UNION ALL
+         |SELECT 2, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b2
+         |UNION ALL
+         |SELECT 3, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3
+         |ORDER BY step""".stripMargin),
   )
 }

@@ -947,6 +947,7 @@ object EtlOps {
     "events_ltv_cohort"      -> (eventsLtvCohort _),
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "etl_entity_resolution"  -> (etlEntityResolution _),
+    "ts_anomaly_residual"    -> (tsAnomalyResidual _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -1243,6 +1244,41 @@ object EtlOps {
       .orderBy(col("cohort_wk"), col("age_wk"))
   }
 
+  /** #211 — residual anomaly flags over the seasonal decomposition
+    * (round 12; the STL-anomaly pattern every KPI monitor runs on
+    * #192's output — a day is anomalous when its residual sits far
+    * from the residual distribution's center): med = lower median of
+    * residuals, MAD = lower median of |residual − med|, flagged when
+    * |residual − med| > 3·MAD. Both medians are EXACT ORDER
+    * STATISTICS — rank (n+1) DIV 2 under a (value, day) total order,
+    * no interpolation, no percentile estimator — picked from the
+    * metadata-scale day table (#192's argument) with
+    * constant-partition windows; residuals arrive 4 dp-gridded from
+    * the decomposition, so every comparison is over engine-identical
+    * doubles and the flag needs no tolerance. The oracle embeds
+    * #192's SQL verbatim as a subquery (shared constant), so the two
+    * graded surfaces cannot drift. */
+  def tsAnomalyResidual(spark: SparkSession, sf: String): DataFrame = {
+    val base = tsSeasonalDecompose(spark, sf).select(col("day"), col("residual"))
+    val const = pmod(length(col("day").cast("string")), lit(1))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val wOrd = Window.partitionBy(const).orderBy(col(v), col("day"))
+      val wAll = Window.partitionBy(const)
+      df.withColumn("rn", row_number().over(wOrd))
+        .withColumn("nn", count(lit(1)).over(wAll))
+        .where(col("rn") === expr("(nn + 1) DIV 2"))
+        .select(col(v).as(out))
+    }
+    val med = lowerMedian(base, "residual", "med")
+    val dev = base.crossJoin(broadcast(med))
+      .withColumn("adev", abs(col("residual") - col("med")))
+    val mad = lowerMedian(dev.select(col("day"), col("adev")), "adev", "mad")
+    dev.crossJoin(broadcast(mad))
+      .select(col("day"), col("residual"), col("med"), col("mad"),
+        (col("adev") > lit(3.0) * col("mad")).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** #206 — time-bound conversion funnel (round 12; the windowed form
     * of #108's unordered stage funnel — real funnel products bound
     * each hop: "viewed within 7 days of signup, purchased within 7
@@ -1375,6 +1411,32 @@ object EtlOps {
     }
     parts.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
   }
+
+  /** #192's oracle, shared verbatim with #211 (which reads its
+    * residual column as a subquery) so the two cannot drift. */
+  private val seasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
+      |  FROM events GROUP BY 1),
+      |tr AS (
+      |  SELECT day, dsum,
+      |    round(CAST(sum(dsum) OVER w AS DOUBLE) / count(*) OVER w, 4)
+      |      AS trend
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |se AS (
+      |  SELECT *, CAST(CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS INT)
+      |      AS dow,
+      |    CAST(round(CAST(dsum AS DOUBLE) - trend, 6) AS DECIMAL(18,6)) AS d6
+      |  FROM tr),
+      |sm AS (
+      |  SELECT dow, round(CAST(sum(d6) AS DOUBLE) / count(*), 4) AS seasonal
+      |  FROM se GROUP BY dow)
+      |SELECT CAST(se.day AS TIMESTAMP) AS day, CAST(dsum AS DOUBLE) AS daily,
+      |  trend, se.dow, seasonal,
+      |  round(CAST(dsum AS DOUBLE) - trend - seasonal, 4) AS residual
+      |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
     "etl_normalize_units" ->
@@ -1801,29 +1863,30 @@ object EtlOps {
         |  CAST(len(regexp_extract_all(s, 'se*v')) AS BIGINT)
         |    AS n_activations
         |FROM seq ORDER BY user_id""".stripMargin,
-    "ts_seasonal_decompose" ->
-      """WITH daily AS (
-        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum
-        |  FROM events GROUP BY 1),
-        |tr AS (
-        |  SELECT day, dsum,
-        |    round(CAST(sum(dsum) OVER w AS DOUBLE) / count(*) OVER w, 4)
-        |      AS trend
-        |  FROM daily
-        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |se AS (
-        |  SELECT *, CAST(CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS INT)
-        |      AS dow,
-        |    CAST(round(CAST(dsum AS DOUBLE) - trend, 6) AS DECIMAL(18,6)) AS d6
-        |  FROM tr),
-        |sm AS (
-        |  SELECT dow, round(CAST(sum(d6) AS DOUBLE) / count(*), 4) AS seasonal
-        |  FROM se GROUP BY dow)
-        |SELECT CAST(se.day AS TIMESTAMP) AS day, CAST(dsum AS DOUBLE) AS daily,
-        |  trend, se.dow, seasonal,
-        |  round(CAST(dsum AS DOUBLE) - trend - seasonal, 4) AS residual
-        |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin,
+    "ts_seasonal_decompose" -> seasonalDecomposeSql,
+    "ts_anomaly_residual" ->
+      (s"""WITH base AS (
+          |  SELECT day, residual FROM ($seasonalDecomposeSql) t),
+          |""".stripMargin +
+       """r1 AS (
+         |  SELECT day, residual,
+         |    row_number() OVER (ORDER BY residual, day) AS rn,
+         |    count(*) OVER () AS nn
+         |  FROM base),
+         |med AS (SELECT residual AS med FROM r1 WHERE rn = (nn + 1) // 2),
+         |dev AS (
+         |  SELECT base.day, base.residual, med.med,
+         |    abs(base.residual - med.med) AS adev
+         |  FROM base CROSS JOIN med),
+         |r2 AS (
+         |  SELECT day, adev,
+         |    row_number() OVER (ORDER BY adev, day) AS rn,
+         |    count(*) OVER () AS nn
+         |  FROM dev),
+         |mad AS (SELECT adev AS mad FROM r2 WHERE rn = (nn + 1) // 2)
+         |SELECT dev.day, dev.residual, dev.med, mad.mad,
+         |  dev.adev > 3.0 * mad.mad AS is_anomaly
+         |FROM dev CROSS JOIN mad ORDER BY dev.day""".stripMargin),
     "events_srm_check" ->
       """WITH ue AS (
         |  SELECT DISTINCT event_type, user_id FROM events),

@@ -150,10 +150,54 @@ object GraphOps {
     spark.sql(recursiveCteSql)
   }
 
+  /** #208 — weighted label propagation (round 12; Raghavan et al.
+    * 2007 — the near-linear community-detection pass link-graph
+    * quality pipelines run beside PageRank #122): over the
+    * symmetrized trade graph, every node starts labeled with its own
+    * id; each of 4 SYNCHRONOUS iterations relabels node v with the
+    * neighbor label of greatest incident edge weight
+    * (argmax Σ_{u∈N(v), l(u)=lbl} w(v,u), ties → smallest label —
+    * the determinism rule async LPA lacks), isolated nodes keeping
+    * their previous label via the left join. Per iteration: one keyed
+    * join (edge ⋈ labels on the neighbor end), one keyed
+    * (node, label) weight aggregate, one keyed argmax (`max_by` over
+    * a (weight, −label) struct — no per-node window), one left join
+    * back — the classic distributed LPA shape that never assumes the
+    * edge list fits anywhere; the oracle replays each iteration as a
+    * chained CTE with a row_number argmax (same deterministic order).
+    * All ids/weights are exact integers — no tolerance anywhere. */
+  def graphLabelPropagation(spark: SparkSession, sf: String): DataFrame = {
+    val und = tradeEdges(spark, sf)
+      .where(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+               greatest(col("src"), col("dst")).as("b"))
+      .agg(sum(col("w")).as("w"))
+    val sym = und.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint() // metadata scale (<= |nations|^2), read 4x
+    var lbl = nation(spark, sf)
+      .select(col("n_nationkey").as("node"), col("n_nationkey").as("lbl"))
+    for (_ <- 1 to 4) {
+      val best = sym.join(lbl, col("v") === col("node"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(sum(col("w")).as("s"))
+        .groupBy(col("u"))
+        .agg(expr("max_by(lbl, struct(s, -lbl))").as("new_lbl"))
+      lbl = lbl.join(best, col("node") === col("u"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    lbl.join(sizes, "lbl")
+      .select(col("node").as("n_nationkey"), col("lbl").as("community"),
+              col("community_size"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_pagerank"       -> (graphPagerank _),
     "graph_triangle_count" -> (graphTriangleCount _),
     "sql_recursive_cte"    -> (sqlRecursiveCte _),
+    "graph_label_propagation" -> (graphLabelPropagation _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -213,5 +257,41 @@ object GraphOps {
          |FROM nation n LEFT JOIN g ON g.node = n.n_nationkey
          |ORDER BY n.n_nationkey""".stripMargin),
     "sql_recursive_cte" -> recursiveCteSql,
+    "graph_label_propagation" ->
+      (s"WITH $edgesCte," +
+       """
+         |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |          sum(w) AS w
+         |        FROM e WHERE src <> dst GROUP BY 1, 2),
+         |sym AS (SELECT a AS u, b AS v, w FROM und
+         |        UNION ALL SELECT b, a, w FROM und),
+         |l0 AS (SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation),
+         |""".stripMargin +
+       (1 to 4).map(lpaIterCte).mkString(",\n") +
+       """,
+         |sz AS (SELECT lbl, count(*) AS community_size FROM l4 GROUP BY lbl)
+         |SELECT l4.node AS n_nationkey, l4.lbl AS community,
+         |  sz.community_size
+         |FROM l4 JOIN sz ON sz.lbl = l4.lbl
+         |ORDER BY n_nationkey""".stripMargin),
   )
+
+  /** One synchronous LPA iteration as a chained CTE — weighted vote
+    * per (node, neighbor label), row_number argmax with the same
+    * (weight DESC, label ASC) determinism rule as the Spark plan's
+    * max_by struct. */
+  private def lpaIterCte(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""l$k AS (
+       |  SELECT p.node, coalesce(b.new_lbl, p.lbl) AS lbl
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT u, lbl AS new_lbl FROM (
+       |      SELECT sc.u, sc.lbl,
+       |        row_number() OVER (PARTITION BY sc.u
+       |                           ORDER BY sc.s DESC, sc.lbl) AS rn
+       |      FROM (SELECT sym.u, q.lbl, sum(sym.w) AS s
+       |            FROM sym JOIN $prev q ON sym.v = q.node
+       |            GROUP BY 1, 2) sc)
+       |    WHERE rn = 1) b ON b.u = p.node)""".stripMargin
+  }
 }

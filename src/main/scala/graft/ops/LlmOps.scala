@@ -687,6 +687,45 @@ object LlmOps {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** #210 — shot-boundary detection over video-shaped clips (round
+    * 12; the scene-cut pass every video-training pipeline runs before
+    * clip sampling — PySceneDetect's "content detector" shape): the
+    * #177 GIF clips are decoded frame-by-frame at the REAL
+    * `javax.imageio` codec boundary (stride 1 — consecutive deltas
+    * are the point) with PER-CHANNEL pixel sums (opposing channel
+    * drifts cancel in a combined sum — the reason FrameChan exists),
+    * then the boundary score between consecutive frames is the mean
+    * absolute channel difference Σ_c |Δmean_c|, flagged a cut when
+    * > 100. Exactness: solid synthetic frames make every channel sum
+    * 32·c (c the generator's modular-arithmetic color), so scores are
+    * exact dyadic doubles and the oracle replays the whole
+    * decode→delta→flag chain from the closed form — a hash match
+    * proves the container decode preserved every sampled channel.
+    * Shape: id fan-out → narrow partition-wise decode → one per-doc
+    * keyed window (lag over frame_idx — keyed by doc, never global);
+    * only few-dozen-byte channel rows ever shuffle. */
+  def multimodalShotBoundaries(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val frames = documents(spark, sf).select(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id"))).as[Long]
+      .map(id => (id, graft.multimodal.BinaryDecode.syntheticGif(
+        id, (id % 6 + 2).toInt)))
+      .mapPartitions(graft.multimodal.BinaryDecode.frameChannelsBatch)
+      .toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    def meanC(c: String): Column =
+      col(c).cast("double") / col("n_pixels")
+    val scored = frames
+      .withColumn("score",
+        abs(meanC("r_sum") - lag(meanC("r_sum"), 1).over(w)) +
+        abs(meanC("g_sum") - lag(meanC("g_sum"), 1).over(w)) +
+        abs(meanC("b_sum") - lag(meanC("b_sum"), 1).over(w)))
+      .where(col("score").isNotNull)
+    scored.select(col("doc_id"), col("frame_idx"), col("score"),
+        (col("score") > 100.0).as("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** #178 — audio binary columns with a REAL codec (round 11,
     * completing the brief's image/audio/video triple): each doc gets
     * a deterministic PCM16 mono 8 kHz WAV clip of (doc_id % 5 + 1)·100
@@ -879,6 +918,7 @@ object LlmOps {
     "multimodal_resize_meta"   -> (multimodalResizeMeta _),
     "multimodal_phash_dedup"   -> (multimodalPhashDedup _),
     "multimodal_frame_sample"  -> (multimodalFrameSample _),
+    "multimodal_shot_boundaries" -> (multimodalShotBoundaries _),
     "multimodal_audio_features" -> (multimodalAudioFeatures _),
     "sim_quantize_int8"        -> (simQuantizeInt8 _),
     "sim_hybrid_rrf"           -> (simHybridRrf _),
@@ -1178,6 +1218,23 @@ object LlmOps {
         |           + (doc_id * 13 + frame_idx * 3) % 256) AS BIGINT)
         |    AS pix_sum
         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_shot_boundaries" ->
+      """WITH fr AS (
+        |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |    (doc_id * 31 + fi * 7) % 256 AS r,
+        |    (doc_id * 17 + fi * 5) % 256 AS g,
+        |    (doc_id * 13 + fi * 3) % 256 AS b
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(range(0, doc_id % 6 + 2)) AS fi) x),
+        |d AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w)
+        |       + abs(b - lag(b) OVER w) AS DOUBLE) AS score
+        |  FROM fr
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+        |SELECT doc_id, frame_idx, score, score > 100.0 AS is_cut
+        |FROM d WHERE score IS NOT NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_resize_meta" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -378,4 +378,67 @@ class Round12OpsSpec extends SparkSpec {
         r.getAs[Long]("n_records") * (r.getAs[Long]("n_records") - 1) / 2)
     }
   }
+
+  test("label propagation: sizes sum to the node count, every community label is a member") {
+    val rows = graft.ops.GraphOps.graphLabelPropagation(spark, sf01).collect()
+    assert(rows.length == 25)
+    val byLbl = rows.groupBy(_.getAs[Int]("community"))
+    assert(byLbl.map(_._2.length.toLong).sum == 25)
+    byLbl.foreach { case (lbl, members) =>
+      // community_size column agrees with the actual member count
+      members.foreach(m => assert(m.getAs[Long]("community_size") == members.length))
+      // a propagated label is always some node's id — and with min-label
+      // tie-breaking, the labeling must be a valid node id in range
+      assert(lbl >= 0 && lbl < 25)
+    }
+    // propagation must actually merge something: fewer communities than nodes
+    assert(byLbl.size < 25, s"no propagation happened: ${byLbl.size} communities")
+  }
+
+  test("BPE training: merge counts are non-increasing and merged token = pair minus space") {
+    val rows = graft.ops.CorpusOps.textBpeTrainMerges(spark, sf01).collect()
+      .sortBy(_.getAs[Int]("step"))
+    assert(rows.map(_.getAs[Int]("step")).toSeq == Seq(1, 2, 3))
+    rows.foreach { r =>
+      val pair = r.getAs[String]("merge_pair")
+      assert(pair.count(_ == ' ') == 1, s"pair '$pair' is not binary")
+      assert(r.getAs[String]("merged") == pair.replace(" ", ""))
+      assert(r.getAs[Long]("n_occurrences") > 0)
+    }
+    val counts = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"BPE merge counts must be non-increasing: ${counts.toSeq}")
+  }
+
+  test("shot boundaries: scores are the no-wrap constant 15 or a >100 wrap; flag matches") {
+    val rows = graft.ops.LlmOps.multimodalShotBoundaries(spark, sf001).collect()
+    val expectedPairs = Tables.documents(spark, sf001).select(col("doc_id")).collect()
+      .map(r => (r.getLong(0) % 6 + 2 - 1)).sum
+    assert(rows.length == expectedPairs, s"${rows.length} vs $expectedPairs")
+    rows.foreach { r =>
+      val s = r.getAs[Double]("score")
+      // channel steps are +7/+5/+3 per frame: without a 256-wrap the
+      // score is exactly 15; any wrap jumps it far above the threshold
+      assert(s == 15.0 || s > 100.0, s"unexpected score $s")
+      assert(r.getAs[Boolean]("is_cut") == (s > 100.0))
+    }
+    assert(rows.exists(_.getAs[Boolean]("is_cut")), "corpus should contain some wrap cuts")
+  }
+
+  test("residual anomalies: med/mad equal a local recompute; flags match the 3-MAD rule") {
+    val rows = graft.ops.EtlOps.tsAnomalyResidual(spark, sf01).collect()
+    val res = graft.ops.EtlOps.tsSeasonalDecompose(spark, sf01)
+      .select(col("day"), col("residual")).collect()
+      .sortBy(r => (r.getAs[Double]("residual"), r.getAs[java.sql.Timestamp]("day").getTime))
+      .map(_.getAs[Double]("residual"))
+    val med = res((res.length + 1) / 2 - 1)
+    val devs = res.map(x => math.abs(x - med)).sorted
+    val mad = devs((devs.length + 1) / 2 - 1)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("med") == med)
+      assert(r.getAs[Double]("mad") == mad)
+      assert(r.getAs[Boolean]("is_anomaly") ==
+        (math.abs(r.getAs[Double]("residual") - med) > 3.0 * mad))
+    }
+  }
 }

@@ -168,6 +168,22 @@ object Bench {
     // metadata-scale windows / 3-row arithmetic after one aggregate
     "ts_changepoint_cusum",
     "events_power_mde",
+    // round 12 batch 2: the blocking self-join (candidate cost is
+    // Σ block² by design — a lost block key degenerates to n² and
+    // shows only here), the vocab-side BPE training loop (a lost
+    // 1-row broadcast re-shuffles the vocab 3x), the iterative LPA
+    // joins over the checkpointed edge list, and the triple
+    // distributed-ntile RFM pass (a regression to single-partition
+    // NTILE windows shows as a multi-x)
+    "etl_entity_resolution",
+    "text_bpe_train_merges",
+    "graph_label_propagation",
+    "agg_rfm_segments",
+    // the KS prefix machinery (per-bucket cumsums + broadcast
+    // offsets) and the distributed-rank Gini — both must never fall
+    // back to a single-partition window over the distinct/rank table
+    "agg_ks_test",
+    "agg_gini_concentration",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,191 @@
+package graft.api
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based snapshot-versioned parquet table: the lightweight,
+  * dependency-free slice of the lakehouse contract (time travel,
+  * snapshot-isolated reads, MERGE with copy-on-write at bucket
+  * granularity) that the reference's warehouse loads assume from
+  * their target store (reference: oeem-etl's Luigi targets are
+  * overwrite-idempotent snapshots; this adds the versioned-read half
+  * a 100 TB pipeline needs for reproducible training runs).
+  *
+  * Layout under `base`:
+  * {{{
+  *   data/<commit-uuid>/_bucket=<b>/part-*.parquet   immutable data files
+  *   manifest/v<N>                                   one line per live file: "<bucket>\t<path>"
+  * }}}
+  *
+  * The COMMIT POINT is the manifest file: data files are fully
+  * written first, then the manifest is published via an atomic
+  * `create(..., overwrite = false)` — a version exists iff its
+  * manifest does, so a reader never observes a half-written version
+  * and a crashed writer leaves only unreferenced data files (GC'able
+  * by listing files absent from every manifest). Two writers racing
+  * to publish the same version: exactly one `create` succeeds, the
+  * loser gets `VersionConflictException` and must retry on top of the
+  * new latest — optimistic concurrency, the delta/iceberg protocol.
+  *
+  * Scale posture: a manifest holds one line per live FILE (= per
+  * bucket per rewrite), i.e. metadata-scale — reading it on the
+  * driver is the same posture as iceberg's manifest list. MERGE cost
+  * is O(changed buckets), not O(table): the change set's bucket ids
+  * select which files are read + rewritten; every other file is
+  * carried into the new manifest BY REFERENCE. At 100 TB the bucket
+  * count is sized so one bucket ≈ one task's worth of data (e.g.
+  * 64 ki buckets for ~1.5 GiB each) and the same layout works
+  * verbatim; the one environment caveat is the publish step — HDFS
+  * `create(overwrite=false)` is atomic, S3 needs a catalog CAS
+  * (documented non-goal here, same reason iceberg has a catalog).
+  *
+  * Readers resolve a manifest ONCE per query plan (snapshot
+  * isolation): a concurrent commit changes `manifest/`, never any
+  * file a resolved plan references.
+  */
+object SnapshotTable {
+
+  final class VersionConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Bucket assignment: stable hash of the key, NOT dependent on
+    * partition count or row order. Must be the same expression for
+    * create and merge — it is the co-location contract. */
+  private def bucketOf(keyCol: String, numBuckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int")
+
+  private def fs(spark: SparkSession, base: String): FileSystem =
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(base: String, version: Int) =
+    new Path(s"$base/manifest/v$version")
+
+  /** Highest committed version, or -1 if the table does not exist. */
+  def latestVersion(spark: SparkSession, base: String): Int = {
+    val dir = new Path(s"$base/manifest")
+    val f = fs(spark, base)
+    if (!f.exists(dir)) -1
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  /** Write the data files for `rows` under a fresh commit uuid and
+    * return the manifest lines describing them. No manifest is
+    * published here — callers compose lines and commit atomically. */
+  private def writeDataFiles(spark: SparkSession, base: String,
+                             rows: DataFrame, keyCol: String,
+                             numBuckets: Int): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dataDir = s"$base/data/$commitId"
+    rows.withColumn("_bucket", bucketOf(keyCol, numBuckets))
+      // one shuffle keyed by bucket so each bucket's rows land in one
+      // task → one file per non-empty bucket dir (partitionBy then
+      // splits the task's output by bucket directory)
+      .repartition(numBuckets, col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(dataDir)
+    val f = fs(spark, base)
+    f.listStatus(new Path(dataDir)).toSeq
+      .filter(_.getPath.getName.startsWith("_bucket="))
+      .flatMap { d =>
+        val b = d.getPath.getName.stripPrefix("_bucket=").toInt
+        f.listStatus(d.getPath).toSeq
+          .filter(s => s.getPath.getName.endsWith(".parquet"))
+          .map(s => s"$b\t${s.getPath.toString}")
+      }
+  }
+
+  /** Publish `lines` as version `version`. Atomic: exactly one
+    * publisher of a given version wins (`create(overwrite=false)` —
+    * atomic on HDFS; the spec exercises the local-FS behavior).
+    * `private[graft]` so the single-winner property is testable. */
+  private[graft] def commit(spark: SparkSession, base: String, version: Int,
+                            lines: Seq[String]): Unit = {
+    val f = fs(spark, base)
+    val p = manifestPath(base, version)
+    f.mkdirs(p.getParent)
+    val out = try f.create(p, /* overwrite = */ false) catch {
+      case e: java.io.IOException =>
+        throw new VersionConflictException(
+          s"version $version already committed at $p: ${e.getMessage}")
+    }
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Create the table as version 0 (fails if any version exists). */
+  def create(spark: SparkSession, base: String, rows: DataFrame,
+             keyCol: String, numBuckets: Int): Unit = {
+    require(latestVersion(spark, base) < 0, s"table already exists at $base")
+    commit(spark, base, 0, writeDataFiles(spark, base, rows, keyCol, numBuckets))
+  }
+
+  private def manifestLines(spark: SparkSession, base: String, version: Int): Seq[String] = {
+    val p = manifestPath(base, version)
+    val f = fs(spark, base)
+    require(f.exists(p), s"no committed version $version at $base")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Snapshot read of a committed version: the file list is resolved
+    * here, once — later commits cannot change what this plan reads. */
+  def asOf(spark: SparkSession, base: String, version: Int): DataFrame = {
+    val files = manifestLines(spark, base, version).map(_.split('\t')(1))
+    spark.read.parquet(files: _*)
+  }
+
+  /** MERGE `changes` into the latest version, publishing latest+1.
+    *
+    * `changes` carries `keyCol`, an `op` column ('U' upsert / 'D'
+    * delete), and the full payload schema of the table for 'U' rows.
+    * Last-wins within the change set is the CALLER's contract (one
+    * row per key) — enforced here with a cheap fail-fast count.
+    *
+    * Copy-on-write: only buckets containing at least one change key
+    * are read and rewritten; all other files are referenced
+    * unchanged in the new manifest. Returns the new version. */
+  def mergeInto(spark: SparkSession, base: String, changes: DataFrame,
+                keyCol: String, numBuckets: Int): Int = {
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    val dup = changes.groupBy(col(keyCol)).count().where(col("count") > 1).limit(1).count()
+    require(dup == 0, s"changes must have one row per $keyCol")
+
+    val lines = manifestLines(spark, base, v)
+    // changed-bucket ids: metadata-scale (≤ numBuckets) — collected to
+    // the driver to prune the MANIFEST, the same role as iceberg's
+    // partition summary pruning
+    val changedBuckets = changes
+      .select(bucketOf(keyCol, numBuckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val (touched, untouched) = lines.partition { l =>
+      changedBuckets.contains(l.split('\t')(0).toInt)
+    }
+
+    val payloadCols = changes.columns.filter(c => c != "op").toSeq
+    val merged = if (touched.isEmpty) {
+      changes.where(col("op") === "U").select(payloadCols.map(col): _*)
+    } else {
+      val baseRows = spark.read.parquet(touched.map(_.split('\t')(1)): _*)
+      val chCols = Seq(col(keyCol).as("_ck"), col("op")) ++
+        payloadCols.filter(_ != keyCol).map(c => col(c).as(s"_c_$c"))
+      val ch = changes.select(chCols: _*)
+      baseRows.join(ch, col(keyCol) === col("_ck"), "full_outer")
+        .where(coalesce(col("op"), lit("")) =!= "D") // drop deleted keys
+        .select(
+          coalesce(col(keyCol), col("_ck")).as(keyCol) +:
+          payloadCols.filter(_ != keyCol).map(c =>
+            when(col("_ck").isNotNull, col(s"_c_$c")).otherwise(col(c)).as(c)): _*)
+    }
+    // inserts landing in untouched buckets: merged includes them via
+    // the change set itself (an insert's bucket is by definition in
+    // changedBuckets, so its bucket's file — if any — was touched)
+    val newLines = untouched ++
+      writeDataFiles(spark, base, merged, keyCol, numBuckets)
+        // an empty merged bucket writes nothing; deletes that empty a
+        // bucket thus drop its file from the manifest, as they must
+    commit(spark, base, v + 1, newLines)
+    v + 1
+  }
+}

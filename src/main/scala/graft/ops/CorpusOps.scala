@@ -651,7 +651,51 @@ object CorpusOps {
     "sim_bm25_rank"          -> (simBm25Rank _),
     "text_importance_resample" -> (textImportanceResample _),
     "text_bpe_train_merges"    -> (textBpeTrainMerges _),
+    "text_bpe_encode"          -> (textBpeEncode _),
   )
+
+  /** #213's fixed inference-time merge table, RANK ORDER — the single
+    * source of truth for both the Spark encoder and its generated
+    * oracle CTE chain. Later entries deliberately consume earlier
+    * merges' output symbols ('th'+'e', 'er'+'s') so the rank order is
+    * observable in the result. */
+  private val bpeEncodeMerges: Seq[(String, String)] =
+    Seq("t h", "th e", "i n", "a n", "e r", "o n", "r e", "er s")
+      .map(p => p -> p.replace(" ", ""))
+
+  /** #213 — BPE tokenizer ENCODE (round 12): apply a FIXED learned
+    * merge table to the corpus — the inference-time half of the
+    * tokenizer whose training loop is #209 (HF-tokenizers/
+    * sentencepiece apply: vocab is frozen, text is symbolized then
+    * merges replay in rank order). Same engine-aligned scan contract
+    * as #209: each merge is one boundary-delimited non-overlapping
+    * left-to-right literal replace, identical in java.lang.String
+    * and DuckDB replace(). Unlike training, encode NEVER aggregates
+    * the corpus into vocabulary state — it is one narrow map per
+    * document (8 chained replaces inside a single codegen'd
+    * projection, zero shuffles before the final per-source
+    * aggregate), so at 100 TB it scales as a pure scan: the merge
+    * table rides the closure (real tokenizers: a broadcast ~50k-row
+    * vocab), and per-source token totals partial-aggregate. */
+  def textBpeEncode(spark: SparkSession, sf: String): DataFrame = {
+    val words = documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+    val sym0 = rtrim(regexp_replace(col("w"), "(.)", "$1 "))
+    val sym = bpeEncodeMerges.foldLeft(sym0) { case (s, (p, m)) =>
+      trim(replace(concat(lit(" "), s, lit(" ")), lit(s" $p "), lit(s" $m ")))
+    }
+    words.select(col("source"),
+        size(split(sym, " ")).as("n_tokens"),
+        length(replace(sym, lit(" "), lit(""))).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_tokens")), 4)
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+  }
 
   /** One BPE training iteration as chained CTEs: positional pair
     * counts → deterministic argmax (count DESC, pair ASC) → boundary-
@@ -969,5 +1013,27 @@ object CorpusOps {
          |UNION ALL
          |SELECT 3, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3
          |ORDER BY step""".stripMargin),
+    "text_bpe_encode" ->
+      ("""WITH w AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |s0 AS (
+         |  SELECT source, rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) AS sym
+         |  FROM w WHERE len(w) >= 2),
+         |""".stripMargin +
+       bpeEncodeMerges.zipWithIndex.map { case ((p, m), i) =>
+         s"s${i + 1} AS (SELECT source, trim(replace(' ' || sym || ' ', ' $p ', ' $m ')) AS sym FROM s$i)"
+       }.mkString(",\n") +
+       s"""
+         |, t AS (
+         |  SELECT source, len(string_split(sym, ' ')) AS n_tokens,
+         |    len(replace(sym, ' ', '')) AS n_chars
+         |  FROM s${bpeEncodeMerges.size})
+         |SELECT source, count(*) AS n_words,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 4)
+         |    AS chars_per_token
+         |FROM t GROUP BY source ORDER BY source""".stripMargin),
   )
 }

@@ -909,6 +909,51 @@ object EtlOps {
       .orderBy(col("event_type"))
   }
 
+  /** #212 — snapshot-versioned table with MERGE + time travel, over
+    * [[graft.api.SnapshotTable]] (manifest-based versioned parquet —
+    * the lakehouse slice the engine otherwise lacks: versioned reads
+    * for reproducible training runs, snapshot-isolated readers, and
+    * copy-on-write MERGE whose write cost is O(changed buckets), not
+    * O(table)). v0 = the %5≠0 orders; one MERGE applies updates
+    * (%7=1: status→'X', price+100), deletes (%7=2) and inserts (the
+    * held-out %5=0, %7=3 keys) in a single change set; the graded
+    * output reads BOTH versions via `asOf` AFTER the merge committed
+    * — time travel is the semantics under test, and the v0 row
+    * proves the old snapshot is byte-stable under a later commit.
+    * File-reference reuse (untouched buckets carried by manifest
+    * reference, not rewritten) is pinned in SnapshotTableSpec, where
+    * paths are observable. Scale: manifests are metadata (one line
+    * per live file), MERGE reads only changed buckets' files — the
+    * iceberg cost model re-expressed on plain parquet + one atomic
+    * rename, with the S3-catalog caveat documented on the API. */
+  def etlSnapshotMergeTimetravel(spark: SparkSession, sf: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val base = s"$tmp/graft_snaptbl_$run"
+    val o = orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus"),
+      money(col("o_totalprice")).as("o_price"))
+    val v0rows = o.where(col("o_orderkey") % 5 =!= 0)
+    graft.api.SnapshotTable.create(spark, base, v0rows, "o_orderkey", numBuckets = 16)
+    val upd = v0rows.where(col("o_orderkey") % 7 === 1)
+      .select(col("o_orderkey"), lit("U").as("op"), lit("X").as("o_orderstatus"),
+        (col("o_price") + lit(100)).cast(DEC2).as("o_price"))
+    val del = v0rows.where(col("o_orderkey") % 7 === 2)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast(DEC2).as("o_price"))
+    val ins = o.where(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"), col("o_price"))
+    graft.api.SnapshotTable.mergeInto(spark, base,
+      upd.unionAll(del).unionAll(ins), "o_orderkey", numBuckets = 16)
+    def snap(v: Int): DataFrame =
+      graft.api.SnapshotTable.asOf(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_price")).cast("double").as("total_price"),
+          sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L)).as("n_updated"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_price"), col("n_updated"))
+    snap(0).unionAll(snap(1)).orderBy(col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -948,6 +993,7 @@ object EtlOps {
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "etl_entity_resolution"  -> (etlEntityResolution _),
     "ts_anomaly_residual"    -> (tsAnomalyResidual _),
+    "etl_snapshot_merge_timetravel" -> (etlSnapshotMergeTimetravel _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2120,5 +2166,28 @@ object EtlOps {
         |    AS match_precision
         |FROM pn JOIN pa ON pn.nation = pa.nation
         |ORDER BY pn.nation""".stripMargin,
+    "etl_snapshot_merge_timetravel" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3)
+        |SELECT 0 AS version, count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM v0
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(price) AS DOUBLE),
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM v1
+        |ORDER BY version""".stripMargin,
   )
 }

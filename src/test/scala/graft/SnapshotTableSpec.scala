@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.SnapshotTable
+
+/** The lakehouse contract of [[graft.api.SnapshotTable]] beyond the
+  * DuckDB hash sweep (which grades #212's VALUES): the parts only
+  * observable through file paths and commit races — copy-on-write
+  * reuse, snapshot isolation of an already-resolved version, atomic
+  * single-winner publishing, and invisibility of unpublished data. */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def freshBase(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_snapspec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  /** keys 0..99, val = key*10, grp = key%3 — small enough to reason
+    * about exactly, keyed like a real table. */
+  private def fixture(): DataFrame = {
+    import spark.implicits._
+    spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 10).as("v"),
+        (col("id") % 3).cast("string").as("grp"))
+  }
+
+  private def manifestLines(base: String, v: Int): Seq[String] =
+    scala.io.Source.fromFile(s"$base/manifest/v$v").getLines().toList
+
+  test("mergeInto applies update/delete/insert row-exactly and bumps the version") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    val changes = Seq(
+      (5L, "U", 999L, "u"),   // update existing
+      (7L, "D", 0L, ""),      // delete existing
+      (200L, "U", 2000L, "i") // insert new key
+    ).toDF("k", "op", "v", "grp")
+    val v1 = SnapshotTable.mergeInto(spark, base, changes, "k", numBuckets = 8)
+    assert(v1 == 1 && SnapshotTable.latestVersion(spark, base) == 1)
+    val after = SnapshotTable.asOf(spark, base, 1)
+      .collect().map(r => r.getAs[Long]("k") -> (r.getAs[Long]("v"), r.getAs[String]("grp"))).toMap
+    assert(after.size == 100, "100 - 1 delete + 1 insert")
+    assert(after(5L) == ((999L, "u")), "updated payload")
+    assert(!after.contains(7L), "deleted key gone")
+    assert(after(200L) == ((2000L, "i")), "inserted key present")
+    assert(after(6L) == ((60L, "0")), "untouched row intact")
+  }
+
+  test("copy-on-write: untouched buckets' files are carried by reference, touched ones rewritten") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    val changes = Seq((5L, "U", 999L, "u")).toDF("k", "op", "v", "grp")
+    SnapshotTable.mergeInto(spark, base, changes, "k", numBuckets = 8)
+    val m0 = manifestLines(base, 0).map(_.split('\t')).map(a => a(0).toInt -> a(1)).toMap
+    val m1 = manifestLines(base, 1).map(_.split('\t')).map(a => a(0).toInt -> a(1)).toMap
+    assert(m0.keySet == m1.keySet, "one change neither adds nor empties a bucket")
+    val changedBucket = m0.keySet.filter(b => m0(b) != m1(b))
+    assert(changedBucket.size == 1, s"exactly one bucket rewritten: $changedBucket")
+    val reused = m0.keySet.filter(b => m0(b) == m1(b))
+    assert(reused.size == m0.size - 1 && reused.nonEmpty,
+      "every other file referenced verbatim — O(changed buckets) write cost")
+  }
+
+  test("snapshot isolation: v0 read after the v1 commit equals the pre-merge table") {
+    val base = freshBase()
+    val before = fixture().collect().map(_.toSeq).toSet
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    SnapshotTable.mergeInto(spark, base,
+      Seq((1L, "D", 0L, ""), (2L, "U", -1L, "x")).toDF("k", "op", "v", "grp"),
+      "k", numBuckets = 8)
+    val v0 = SnapshotTable.asOf(spark, base, 0)
+      .select(col("k"), col("v"), col("grp")).collect().map(_.toSeq).toSet
+    assert(v0 == before, "time travel: the old version is byte-stable under later commits")
+  }
+
+  test("publishing a version is single-winner: the second commit of the same version fails") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    // two optimistic writers both computed their merge on top of v0
+    // and race to publish v1 — exactly one create(overwrite=false)
+    // may win
+    SnapshotTable.commit(spark, base, 1, Seq("0\tfile:/nonexistent-a"))
+    val ex = intercept[SnapshotTable.VersionConflictException] {
+      SnapshotTable.commit(spark, base, 1, Seq("0\tfile:/nonexistent-b"))
+    }
+    assert(ex.getMessage.contains("1"))
+    // the loser retries on the new latest, as the protocol prescribes
+    assert(SnapshotTable.latestVersion(spark, base) == 1)
+  }
+
+  test("data files without a manifest are invisible: latestVersion ignores them") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    // a crashed writer's orphan data dir
+    new java.io.File(s"$base/data/deadbeef/_bucket=0").mkdirs()
+    assert(SnapshotTable.latestVersion(spark, base) == 0)
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 100)
+  }
+
+  test("mergeInto rejects a change set with duplicate keys (last-wins is the caller's contract)") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    val dup = Seq((5L, "U", 1L, "a"), (5L, "U", 2L, "b")).toDF("k", "op", "v", "grp")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, base, dup, "k", numBuckets = 8)
+    }
+  }
+
+  test("deletes that empty a bucket drop its file from the manifest") {
+    val base = freshBase()
+    import spark.implicits._
+    // 2 keys in 4 buckets — find two keys sharing a bucket is fiddly;
+    // instead: single-key table, delete it, manifest must go empty
+    SnapshotTable.create(spark, base,
+      Seq((42L, 420L, "z")).toDF("k", "v", "grp"), "k", numBuckets = 4)
+    assert(manifestLines(base, 0).count(_.nonEmpty) == 1)
+    SnapshotTable.mergeInto(spark, base,
+      Seq((42L, "D", 0L, "")).toDF("k", "op", "v", "grp"), "k", numBuckets = 4)
+    assert(manifestLines(base, 1).count(_.nonEmpty) == 0)
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 1, "v0 still readable")
+  }
+}

@@ -110,6 +110,30 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("diff classifies added/removed/changed and suppresses unchanged co-residents of rewritten buckets") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    SnapshotTable.mergeInto(spark, base,
+      Seq((5L, "U", 999L, "u")).toDF("k", "op", "v", "grp"), "k", numBuckets = 8)
+    // v0→v1: ONE changed key, even though its whole bucket (≈12 of
+    // 100 keys) was rewritten — unchanged co-residents are filtered
+    val d1 = SnapshotTable.diff(spark, base, 0, 1, "k").collect()
+    assert(d1.length == 1)
+    assert(d1.head.getAs[Long]("k") == 5L && d1.head.getAs[String]("change") == "changed")
+    assert(d1.head.getAs[org.apache.spark.sql.Row]("before").getAs[Long]("v") == 50L)
+    assert(d1.head.getAs[org.apache.spark.sql.Row]("after").getAs[Long]("v") == 999L)
+    SnapshotTable.mergeInto(spark, base,
+      Seq((7L, "D", 0L, ""), (200L, "U", 2000L, "i")).toDF("k", "op", "v", "grp"),
+      "k", numBuckets = 8)
+    // transitive diff across two merges
+    val d2 = SnapshotTable.diff(spark, base, 0, 2, "k")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change")).toMap
+    assert(d2 == Map(5L -> "changed", 7L -> "removed", 200L -> "added"))
+    // diff of a version against itself is empty (all files shared)
+    assert(SnapshotTable.diff(spark, base, 1, 1, "k").count() == 0)
+  }
+
   test("deletes that empty a bucket drop its file from the manifest") {
     val base = freshBase()
     import spark.implicits._

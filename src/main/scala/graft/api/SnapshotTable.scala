@@ -176,6 +176,25 @@ object SnapshotTable {
         col("_old").as("before"), col("_new").as("after"))
   }
 
+  /** Maintenance compaction: rewrite the latest version's data into
+    * fresh files (one per non-empty bucket) and publish it as a new
+    * version. Readers of old versions are untouched (their files are
+    * immutable and still referenced by their manifests); the new
+    * version is CONTENT-IDENTICAL — its CDC delta vs the compacted
+    * version is empty, which is the spec-pinned contract that makes
+    * compaction safe to run behind consumers. At 100 TB this is the
+    * small-file maintenance job every table format ships (iceberg
+    * rewrite_data_files): run it bucket-subset at a time off-peak;
+    * the commit is the same atomic manifest publish as any write. */
+  def compact(spark: SparkSession, base: String, keyCol: String,
+              numBuckets: Int): Int = {
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    val rows = asOf(spark, base, v)
+    commit(spark, base, v + 1, writeDataFiles(spark, base, rows, keyCol, numBuckets))
+    v + 1
+  }
+
   /** MERGE `changes` into the latest version, publishing latest+1.
     *
     * `changes` carries `keyCol`, an `op` column ('U' upsert / 'D'

@@ -134,6 +134,26 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.diff(spark, base, 1, 1, "k").count() == 0)
   }
 
+  test("compaction publishes a content-identical version: CDC delta is empty, old versions untouched") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    SnapshotTable.mergeInto(spark, base,
+      Seq((5L, "U", 999L, "u")).toDF("k", "op", "v", "grp"), "k", numBuckets = 8)
+    val v2 = SnapshotTable.compact(spark, base, "k", numBuckets = 8)
+    assert(v2 == 2)
+    // every file rewritten, yet the semantic delta is empty — the
+    // contract that makes compaction safe behind incremental consumers
+    val m1 = manifestLines(base, 1).toSet
+    val m2 = manifestLines(base, 2).toSet
+    assert((m1 intersect m2).isEmpty, "compaction shares no files with its input")
+    assert(SnapshotTable.diff(spark, base, 1, 2, "k").count() == 0)
+    // pre-compaction versions still read exactly
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 100)
+    assert(SnapshotTable.asOf(spark, base, 2)
+      .where(col("k") === 5L).head().getAs[Long]("v") == 999L)
+  }
+
   test("deletes that empty a bucket drop its file from the manifest") {
     val base = freshBase()
     import spark.implicits._

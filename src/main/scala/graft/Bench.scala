@@ -184,6 +184,15 @@ object Bench {
     // back to a single-partition window over the distinct/rank table
     "agg_ks_test",
     "agg_gini_concentration",
+    // round 12 batch 3, the lakehouse surface: the COW merge's cost
+    // contract (only changed buckets rewritten — a regression that
+    // rewrites the table shows as a multi-x on the write-dominated
+    // time), the manifest-diff-pruned incremental read, and the
+    // pure-scan BPE encode (a codegen fallback in the 8-replace
+    // chain would show here and nowhere else)
+    "etl_snapshot_merge_timetravel",
+    "etl_snapshot_incremental",
+    "text_bpe_encode",
   )
 
   def main(args: Array[String]): Unit = {

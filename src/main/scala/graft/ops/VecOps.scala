@@ -524,9 +524,13 @@ object VecOps {
     * verbatim. (A first cut summed per-product DECIMAL(18,7) for an
     * order-PROOF instead of a grid: bit-identical result, but the
     * BigDecimal path benched 10.7 s vs 1 s — the codegen'd double
-    * sum is the right trade.) The 1024-term literal expression is
-    * the two-engine REPLAY form; a single-engine production index
-    * uses the fused float `hyperplaneBands` codegen loop (#74's
+    * sum is the right trade.) The plane dots fold via
+    * zip_with/aggregate over literal weight arrays — loop-shaped
+    * codegen; the first cut unrolled 16×64 terms into one projection
+    * and janino's 64 KB method limit silently dropped the stage out
+    * of codegen entirely. This is the two-engine REPLAY form; a
+    * single-engine production index uses the fused float
+    * `hyperplaneBands` codegen loop (#74's
     * path). The tiny (n·4)-row band table is checkpointed once so
     * the corpus banding pass runs once, not once per consumer. At
     * 100 TB: banding is one narrow map pass, buckets are the index,
@@ -548,9 +552,18 @@ object VecOps {
     val bandCols = (0 until nPlanes / bitsPerBand).map { bandId =>
       (0 until bitsPerBand).map { j =>
         val p = bandId * bitsPerBand + j
-        val dot = (1 to dim).map(i =>
-          element_at(col("embedding"), i).cast("double") * lit(w(p, i)))
-          .reduce(_ + _)
+        // ascending-index left fold, the same association as the
+        // oracle's unrolled sum — but as a HIGHER-ORDER loop, not a
+        // 64-term unrolled expression: 16 unrolled planes generated a
+        // >64 KB processNext() and silently dropped the whole stage
+        // out of codegen (janino "Code grows beyond 64 KB"); the
+        // zip_with/aggregate form codegens as a loop and keeps the
+        // banding pass inside WholeStageCodegen. 0.0 + x is exact, so
+        // the fold's seed changes no bit of any plane dot.
+        val dot = aggregate(
+          zip_with(col("embedding"), typedLit((1 to dim).map(i => w(p, i))),
+            (x, wc) => x.cast("double") * wc),
+          lit(0.0), (acc, y) => acc + y)
         when(round(dot, 6) > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _).as(s"bv$bandId")
     }

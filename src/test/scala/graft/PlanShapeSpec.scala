@@ -32,6 +32,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("bpe encode is a pure scan: the merge chain stays in one projection with no join") {
+    // #213's scale contract — 8 chained replaces must fold into the
+    // scan-side projection (a regression that materializes the merge
+    // table as a join would show as a Join here, and one that breaks
+    // column pruning would widen ReadSchema past (source, text))
+    val p = plan(CorpusOps.textBpeEncode(spark, sf001))
+    assert(!p.contains("Join"), p)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("source") && readSchema.contains("text") &&
+      !readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
+  }
+
   test("grid-neighbor join is a pure equi-join: no cartesian, no loop join") {
     // the 2-D band-join contract: pair generation must ride the cell
     // equi-join; a planner regression to the raw theta predicate

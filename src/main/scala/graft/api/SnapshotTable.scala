@@ -176,6 +176,47 @@ object SnapshotTable {
         col("_old").as("before"), col("_new").as("after"))
   }
 
+  /** Retention GC: drop every version older than the newest
+    * `keepVersions`, then delete every data file referenced by NO
+    * surviving manifest (which also collects crashed writers'
+    * orphans). Returns (versions dropped, data files deleted).
+    *
+    * Safety order matters: manifests are deleted FIRST, so a reader
+    * that resolves a surviving manifest never loses a referenced
+    * file; a reader holding an already-resolved dropped version may
+    * fail mid-scan — the same contract as iceberg's
+    * expire_snapshots, which is why retention windows are sized to
+    * the longest running query. At 100 TB both steps are metadata
+    * work plus bulk deletes: the live-file set is the union of
+    * surviving manifests (driver-side set algebra), and the
+    * candidate list is one directory listing. */
+  def vacuum(spark: SparkSession, base: String, keepVersions: Int): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val latest = latestVersion(spark, base)
+    require(latest >= 0, s"no table at $base")
+    val f = fs(spark, base)
+    val cutoff = latest - keepVersions + 1
+    val dropped = (0 until cutoff).filter { v =>
+      val p = manifestPath(base, v)
+      f.exists(p) && f.delete(p, false)
+    }
+    val live: Set[String] = (math.max(0, cutoff) to latest)
+      .filter(v => f.exists(manifestPath(base, v)))
+      .flatMap(v => manifestLines(spark, base, v).map(_.split('\t')(1)))
+      .toSet
+    val dataDir = new Path(s"$base/data")
+    var deleted = 0
+    if (f.exists(dataDir)) {
+      val it = f.listFiles(dataDir, /* recursive = */ true)
+      val victims = Iterator.continually(it)
+        .takeWhile(_.hasNext).map(_.next().getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !live.contains(p.toString))
+        .toList
+      victims.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
+    (dropped.size, deleted)
+  }
+
   /** Maintenance compaction: rewrite the latest version's data into
     * fresh files (one per non-empty bucket) and publish it as a new
     * version. Readers of old versions are untouched (their files are

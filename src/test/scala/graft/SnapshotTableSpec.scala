@@ -154,6 +154,38 @@ class SnapshotTableSpec extends SparkSpec {
       .where(col("k") === 5L).head().getAs[Long]("v") == 999L)
   }
 
+  test("vacuum drops old versions and orphans, keeps shared files that survivors still reference") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    SnapshotTable.mergeInto(spark, base,
+      Seq((5L, "U", 999L, "u")).toDF("k", "op", "v", "grp"), "k", numBuckets = 8)
+    SnapshotTable.mergeInto(spark, base,
+      Seq((6L, "U", 888L, "w")).toDF("k", "op", "v", "grp"), "k", numBuckets = 8)
+    // a crashed writer's orphan (never referenced by any manifest)
+    val orphanDir = new java.io.File(s"$base/data/orphan"); orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "junk.parquet")
+    assert(orphan.createNewFile())
+    val (droppedV, deletedF) = SnapshotTable.vacuum(spark, base, keepVersions = 2)
+    assert(droppedV == 1, "v0 expired")
+    // v0's bucket file(s) for keys 5/6 were rewritten in v1/v2 →
+    // unreferenced by survivors → deleted, along with the orphan;
+    // v0's OTHER files are still referenced by v1/v2 and must survive
+    // (≥2 = at least one rewritten original + the orphan — keys 5 and
+    // 6 may hash to the same bucket)
+    assert(deletedF >= 2, s"rewritten original(s) + orphan, got $deletedF")
+    assert(!orphan.exists, "orphan collected")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.asOf(spark, base, 0)
+    }
+    // survivors read fully — including v1, whose manifest still
+    // references v0-era files for the untouched buckets
+    assert(SnapshotTable.asOf(spark, base, 1).count() == 100)
+    val after = SnapshotTable.asOf(spark, base, 2)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    assert(after(5L) == 999L && after(6L) == 888L && after(7L) == 70L)
+  }
+
   test("deletes that empty a bucket drop its file from the manifest") {
     val base = freshBase()
     import spark.implicits._

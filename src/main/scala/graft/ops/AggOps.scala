@@ -627,6 +627,41 @@ object AggOps {
         round(col("mi") / sqrt(col("h_x") * col("h_y")), 4).as("nmi"))
   }
 
+  /** #215 — chi-square test of independence (round 12; Pearson 1900 —
+    * the categorical-association test beside #198's mutual
+    * information: MI measures HOW MUCH association, χ² tests WHETHER
+    * it clears chance) over the orders status × priority contingency
+    * table: χ² = Σ_cells (obs − exp)²/exp with exp = row·col/N.
+    * Exactness: marginals and N are exact longs; each cell term is an
+    * identical double expression both engines, 8 dp-gridded and
+    * summed as DECIMAL (order-independent — #198's policy verbatim),
+    * so χ² is engine-identical before the final double cast; the
+    * significance flag compares that exact value against the
+    * χ²(.05, dof=8) literal 15.5073 — dof follows the corpus's 3×5
+    * table the way #175 fixes its z literals. Shape: ONE keyed
+    * corpus aggregate to the ≤15-cell table; marginals, N, the term
+    * sum and dof are all metadata-scale broadcasts — at 100 TB the
+    * corpus is touched exactly once. */
+  def aggChi2Independence(spark: SparkSession, sf: String): DataFrame = {
+    val cells = orders(spark, sf)
+      .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy(col("st")).agg(sum(col("obs")).as("rt"))
+    val ct = cells.groupBy(col("pri")).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"))
+    def grid8(c: Column): Column = round(c, 8).cast("decimal(18,8)")
+    val expd = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    val dev = col("obs").cast("double") - expd
+    cells.join(broadcast(rt), "st").join(broadcast(ct), "pri")
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_orders"),
+        count(lit(1)).as("n_cells"),
+        ((countDistinct(col("st")) - 1) * (countDistinct(col("pri")) - 1))
+          .cast("int").as("dof"),
+        sum(grid8(dev * dev / expd)).cast("double").as("chi2"))
+      .withColumn("significant", col("chi2") > lit(15.5073))
+  }
+
   /** #203 — two-sample Kolmogorov–Smirnov test (round 12; the
     * distribution-shift detector behind every data-drift monitor —
     * #175's t-test sees mean shifts, KS sees ANY shape change):
@@ -802,6 +837,7 @@ object AggOps {
     "agg_kll_quantile_merge" -> (aggKllQuantileMerge _),
     "agg_freq_sketch_topk" -> (aggFreqSketchTopk _),
     "agg_mutual_info"      -> (aggMutualInfo _),
+    "agg_chi2_independence" -> (aggChi2Independence _),
     "agg_ks_test"          -> (aggKsTest _),
     "agg_gini_concentration" -> (aggGiniConcentration _),
     "agg_rfm_segments"     -> (aggRfmSegments _),
@@ -1031,6 +1067,33 @@ object AggOps {
         |  FROM ny CROSS JOIN tot)
         |SELECT mi, h_x, h_y, round(mi / sqrt(h_x * h_y), 4) AS nmi
         |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+    "agg_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+        |    count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT st, sum(obs) AS rt FROM cells GROUP BY st),
+        |ct AS (SELECT pri, sum(obs) AS ct FROM cells GROUP BY pri),
+        |tot AS (SELECT sum(obs) AS n FROM cells)
+        |SELECT CAST(max(n) AS BIGINT) AS n_orders,
+        |  count(*) AS n_cells,
+        |  CAST((count(DISTINCT st) - 1) * (count(DISTINCT pri) - 1) AS INT)
+        |    AS dof,
+        |  CAST(sum(CAST(round(
+        |    (CAST(obs AS DOUBLE)
+        |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(obs AS DOUBLE)
+        |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
+        |    8) AS DECIMAL(18,8))) AS DOUBLE) AS chi2,
+        |  CAST(sum(CAST(round(
+        |    (CAST(obs AS DOUBLE)
+        |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (CAST(obs AS DOUBLE)
+        |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
+        |    8) AS DECIMAL(18,8))) AS DOUBLE) > 15.5073 AS significant
+        |FROM cells JOIN rt USING (st) JOIN ct USING (pri) CROSS JOIN tot""".stripMargin,
     "agg_ks_test" ->
       """WITH e AS (
         |  SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))

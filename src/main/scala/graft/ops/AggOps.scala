@@ -724,6 +724,68 @@ object AggOps {
                (col("n_a") * col("n_b")))).as("reject_h0"))
   }
 
+  /** #216 — two-sample Mann–Whitney U test (round 12; the
+    * nonparametric LOCATION test that completes the experimentation
+    * battery — #175's t assumes normal-ish means, #203's KS detects
+    * any shape change, MW-U detects a rank shift without either
+    * assumption, the standard readout for skewed revenue metrics):
+    * events split into the #183 md5 arms, U_A derived from the
+    * tie-averaged rank sum of arm A, z-scored with the exact tie
+    * correction σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))).
+    * Exactness: ranks live in HALF-UNITS so they stay integral —
+    * 2·avgrank(v) = 2·cum_before(v) + t(v) + 1 — and the rank sum
+    * 2·R_A = Σ n_a(v)·(2cb+t+1) and tie term Σ(t³−t) are exact
+    * DECIMAL(38,0) sums over the distinct-value table (t ≤ n so t³
+    * fits at any realistic n; longs would overflow past n ≈ 2×10⁶
+    * ties); U, μ_U, σ_U and z are then identical double expressions
+    * over those exact integers in both engines, the rejection flag
+    * compares the UNROUNDED z to the two-sided 5% literal 1.959964,
+    * and only the displayed z is 6dp-rounded. Shape: one keyed count
+    * aggregate to the distinct-value table, the #203 distributed-
+    * prefix cumsum (per-bucket local windows + broadcast exclusive
+    * offsets — no single-partition window over values), one 1-row
+    * fold. At 100 TB the distinct table is the only corpus-scale
+    * exchange, same as KS. */
+  def aggMannwhitneyU(spark: SparkSession, sf: String): DataFrame = {
+    val arm = when(
+      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      lit("A")).otherwise(lit("B"))
+    val byV = events(spark, sf)
+      .select(money(col("value")).as("v"), arm.as("arm"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+           sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+      .withColumn("bkt", floor(col("v") / 10))
+    // distributed prefix-sum of the combined count: per-bucket local
+    // cumsum (exclusive) + broadcast bucket offsets — #203's idiom
+    val totals = byV.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
+    val wKey = coalesce(pmod(col("bkt"), lit(1)), lit(0L))
+    val wOff = Window.partitionBy(wKey).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bkt").as("bkt_o"), col("off"))
+    val wLoc = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byV.join(broadcast(offs), col("bkt") <=> col("bkt_o"))
+      .withColumn("cb", col("off") + coalesce(sum(col("t")).over(wLoc), lit(0L)))
+    val folded = cum.agg(
+      sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+      sum(dec(col("na"), 38, 0) * (col("cb") * 2 + col("t") + 1)).as("r2a"),
+      sum(dec(col("t"), 38, 0) * col("t") * col("t") - col("t")).as("tie3"))
+    val uA = (col("r2a") - dec(col("n_a"), 38, 0) * col("n_a") - col("n_a"))
+      .cast("double") / lit(2)
+    val zRaw = (uA - col("n_a").cast("double") * col("n_b") / lit(2)) /
+      sqrt(col("n_a").cast("double") * col("n_b") / lit(12) *
+        ((col("n_a") + col("n_b") + 1) -
+         col("tie3").cast("double") /
+           ((col("n_a") + col("n_b")) *
+            (col("n_a") + col("n_b") - 1).cast("double"))))
+    folded.select(col("n_a"), col("n_b"), uA.as("u_a"),
+      round(zRaw, 6).as("z"), (abs(zRaw) > lit(1.959964)).as("reject_h0"))
+  }
+
   /** #204 — Gini coefficient / revenue concentration (round 12; the
     * inequality statistic of every marketplace health dashboard):
     * over per-customer order revenue x₍ᵢ₎ ranked ascending,
@@ -849,6 +911,7 @@ object AggOps {
     "agg_mutual_info"      -> (aggMutualInfo _),
     "agg_chi2_independence" -> (aggChi2Independence _),
     "agg_ks_test"          -> (aggKsTest _),
+    "agg_mannwhitney_u"    -> (aggMannwhitneyU _),
     "agg_gini_concentration" -> (aggGiniConcentration _),
     "agg_rfm_segments"     -> (aggRfmSegments _),
   )
@@ -1104,6 +1167,44 @@ object AggOps {
         |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
         |    8) AS DECIMAL(18,8))) AS DOUBLE) > 15.5073 AS significant
         |FROM cells JOIN rt USING (st) JOIN ct USING (pri) CROSS JOIN tot""".stripMargin,
+    "agg_mannwhitney_u" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+        |                    % 2) = 0
+        |         THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |byv AS (
+        |  SELECT v,
+        |    sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb
+        |  FROM e GROUP BY v),
+        |cum AS (
+        |  SELECT v, na, nb, na + nb AS t,
+        |    coalesce(sum(na + nb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM byv),
+        |f AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |         CAST(sum(nb) AS BIGINT) AS n_b,
+        |    sum(CAST(na AS DECIMAL(38,0)) * (cb * 2 + t + 1)) AS r2a,
+        |    sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3
+        |  FROM cum)
+        |SELECT n_a, n_b,
+        |  CAST((r2a - CAST(n_a AS DECIMAL(38,0)) * n_a - n_a) AS DOUBLE) / 2
+        |    AS u_a,
+        |  round((CAST((r2a - CAST(n_a AS DECIMAL(38,0)) * n_a - n_a) AS DOUBLE)
+        |           / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+        |    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12 *
+        |        ((n_a + n_b + 1) - CAST(tie3 AS DOUBLE) /
+        |           ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))), 6) AS z,
+        |  abs((CAST((r2a - CAST(n_a AS DECIMAL(38,0)) * n_a - n_a) AS DOUBLE)
+        |           / 2 - CAST(n_a AS DOUBLE) * n_b / 2)
+        |    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12 *
+        |        ((n_a + n_b + 1) - CAST(tie3 AS DOUBLE) /
+        |           ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))))
+        |    > 1.959964 AS reject_h0
+        |FROM f""".stripMargin,
     "agg_ks_test" ->
       """WITH e AS (
         |  SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))

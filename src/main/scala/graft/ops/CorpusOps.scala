@@ -634,6 +634,106 @@ object CorpusOps {
     steps.reduce(_ unionByName _).orderBy(col("step"))
   }
 
+  /** #219 — interpolated Kneser–Ney bigram language model (round 12;
+    * Kneser & Ney ICASSP'95 via Chen & Goodman '98 — the smoothing
+    * real LM toolkits (KenLM, SRILM) actually ship, where #96 is the
+    * unsmoothed MLE and #139 is add-1: absolute discounting D = 0.75
+    * with the CONTINUATION unigram — P(w₂|w₁) = max(c(w₁w₂)−D, 0)/
+    * c(w₁·) + (D·N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/|bigram types| — the
+    * estimator that fixes add-k's "San Francisco" pathology by
+    * scoring w₂ by how many contexts it completes, not how often it
+    * occurs. Trained on the corpus, scored per source: bigram count,
+    * average NLL, perplexity. Exactness: every model count (c, c₁,
+    * fan-out N₁₊(w₁·), continuation N₁₊(·w₂), type total) is an
+    * exact integer, P is the identical double expression over them
+    * in both engines, gridded to DECIMAL(18,8) before ln (the grid8
+    * policy — ln then sees the same double), per-bigram NLLs gridded
+    * and DECIMAL-summed (order-independent), and avg/ppl are final
+    * double ops rounded 6/4dp (#139's display policy). Shape: one
+    * keyed count to the bigram-type table (vocab-scale, reused via
+    * localCheckpoint), three vocab-scale aggregates + a 1-row type
+    * total broadcast, then ONE keyed join from the corpus bigram
+    * stream to the vocab-scale model — at 100 TB the model rides a
+    * broadcast (real vocabs are ~10⁷ types) and scoring is a pure
+    * map over the corpus. */
+  def textKneserNeyLm(spark: SparkSession, sf: String): DataFrame = {
+    val bg = documents(spark, sf)
+      .withColumn("words", split(col("text"), " "))
+      .where(size(col("words")) >= 2)
+      .select(col("source"),
+        explode(graft.api.Transforms.shingles(col("words"), 2)).as("bgs"))
+      .select(col("source"),
+        element_at(split(col("bgs"), " "), 1).as("w1"),
+        element_at(split(col("bgs"), " "), 2).as("w2"))
+    val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val uni = c.groupBy(col("w1"))
+      .agg(sum(col("n")).as("c1"), count(lit(1)).as("fanout"))
+    val cont = c.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val bt = c.agg(count(lit(1)).as("bt"))
+    val pd = round(
+        greatest(col("n").cast("double") - lit(0.75), lit(0.0)) / col("c1")
+          + lit(0.75) * col("fanout") / col("c1")
+            * (col("nc").cast("double") / col("bt")), 8)
+      .cast("decimal(18,8)").cast("double")
+    val kn = c.join(uni, "w1").join(cont, "w2").crossJoin(broadcast(bt))
+      .select(col("w1"), col("w2"), pd.as("p"))
+    val nll = round(log(col("p")) * lit(-1), 8).cast("decimal(18,8)")
+    bg.join(kn, Seq("w1", "w2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(nll).cast("double") / count(lit(1)), 6).as("avg_nll"),
+        round(exp(sum(nll).cast("double") / count(lit(1))), 4).as("ppl"))
+      .orderBy(col("source"))
+  }
+
+  /** #217 — exact substring-window deduplication (round 12; the
+    * EXACT-SUBSTRING half of the dedup family — Lee et al. ACL'22
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * remove any 50-token span that repeats verbatim anywhere in the
+    * corpus, catching boilerplate that whole-document (#59) and
+    * near-dup (#60/#72) passes miss because the surrounding document
+    * differs. This is the distributed window-hash formulation of
+    * their suffix-array pass: char 30-grams at stride 10 (windows
+    * overlap by 20 so any repeated span ≥ 39 chars is guaranteed to
+    * contain a shared window — the pigeonhole stride bound), a
+    * window is duplicated iff ≥ 2 distinct docs contain it. Graded
+    * per source: docs, distinct windows, duplicated windows, docs
+    * carrying ≥ 1 duplicated span, max per-doc duplicated count.
+    * Shape: sequence+transform window fan-out (narrow, ~len/10 rows
+    * per doc), per-doc distinct, ONE keyed aggregate on the window
+    * to the duplicated set, one keyed join back, two keyed rollups.
+    * At 100 TB the shuffle key is xxhash64(window) instead of the
+    * raw 30 chars (collision-free in expectation at any corpus size
+    * worth deduping; the graded form keys on the string itself so
+    * the oracle replays byte-for-byte), and the duplicated-window
+    * set — boilerplate, tiny vs the corpus — bloom-prefilters the
+    * join back, the #113 pattern. */
+  def dedupSubstringWindow(spark: SparkSession, sf: String): DataFrame = {
+    val wins = documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("text")) - lit(29), lit(1)),
+                   lit(10)),
+          i => col("text").substr(i, lit(30)))).as("win"))
+      .distinct()
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("win").as("dwin"))
+    wins.join(dup, col("win") === col("dwin"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_win"),
+           sum(when(col("dwin").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+           sum(col("n_win")).as("windows"),
+           sum(col("n_dup")).as("dup_windows"),
+           sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("docs_with_dup"),
+           max(col("n_dup")).as("max_dup"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
@@ -652,6 +752,8 @@ object CorpusOps {
     "text_importance_resample" -> (textImportanceResample _),
     "text_bpe_train_merges"    -> (textBpeTrainMerges _),
     "text_bpe_encode"          -> (textBpeEncode _),
+    "dedup_substring_window"   -> (dedupSubstringWindow _),
+    "text_kneser_ney_lm"       -> (textKneserNeyLm _),
   )
 
   /** #213's fixed inference-time merge table, RANK ORDER — the single
@@ -718,6 +820,53 @@ object CorpusOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "text_kneser_ney_lm" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |s AS (SELECT source, w, unnest(range(1, len(w))) AS i FROM t),
+        |bg AS (SELECT source, w[CAST(i AS INT)] AS w1,
+        |              w[CAST(i AS INT) + 1] AS w2 FROM s),
+        |c AS (SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2),
+        |uni AS (SELECT w1, sum(n) AS c1, count(*) AS fanout
+        |        FROM c GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS nc FROM c GROUP BY w2),
+        |nt AS (SELECT count(*) AS bt FROM c),
+        |kn AS (
+        |  SELECT c.w1, c.w2,
+        |    CAST(CAST(round(
+        |      greatest(CAST(n AS DOUBLE) - 0.75, 0.0) / c1
+        |        + 0.75 * fanout / c1 * (CAST(nc AS DOUBLE) / bt), 8)
+        |      AS DECIMAL(18,8)) AS DOUBLE) AS p
+        |  FROM c JOIN uni USING (w1) JOIN cont USING (w2) CROSS JOIN nt)
+        |SELECT bg.source, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(round(-ln(p), 8) AS DECIMAL(18,8)))
+        |             AS DOUBLE) / count(*), 6) AS avg_nll,
+        |  round(exp(CAST(sum(CAST(round(-ln(p), 8) AS DECIMAL(18,8)))
+        |             AS DOUBLE) / count(*)), 4) AS ppl
+        |FROM bg JOIN kn ON bg.w1 = kn.w1 AND bg.w2 = kn.w2
+        |GROUP BY bg.source ORDER BY bg.source""".stripMargin,
+    "dedup_substring_window" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, substr(text, CAST(i AS INT), 30) AS win
+        |  FROM documents,
+        |    unnest(generate_series(1, greatest(length(text) - 29, 1), 10))
+        |      AS t(i)),
+        |dw AS (SELECT DISTINCT doc_id, source, win FROM w),
+        |dup AS (SELECT win FROM dw GROUP BY win
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |per_doc AS (
+        |  SELECT doc_id, source, count(*) AS n_win,
+        |    sum(CASE WHEN dup.win IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        |  FROM dw LEFT JOIN dup ON dw.win = dup.win
+        |  GROUP BY doc_id, source)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(n_win) AS BIGINT) AS windows,
+        |  CAST(sum(n_dup) AS BIGINT) AS dup_windows,
+        |  CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_with_dup,
+        |  CAST(max(n_dup) AS BIGINT) AS max_dup
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
     "text_repetition_filter" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

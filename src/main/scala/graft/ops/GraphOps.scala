@@ -200,11 +200,62 @@ object GraphOps {
       .orderBy(col("n_nationkey"))
   }
 
+  /** #218 — Adamic–Adar link prediction (round 12; Adamic & Adar
+    * 2003 "Friends and neighbors on the Web" — the classic common-
+    * neighbor score every graph-ML pipeline computes as a feature or
+    * a candidate ranker, e.g. people-you-may-know and co-purchase
+    * recommendation): over the part CO-PURCHASE graph (parts are
+    * adjacent iff they appear in the same order; kept when
+    * co-purchased in ≥ 2 orders — the support prune that plays the
+    * top-N neighbor-cap role at scale), score every non-adjacent
+    * pair (u,v) by Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg(w)) — common
+    * neighbors, inverse-log-weighted so hub neighbors count less —
+    * and return the global top-20 predicted links. Exactness: each
+    * 1/ln(deg) term is 8dp-gridded to DECIMAL(18,8) before the sum
+    * (order-independent; the #198 policy), the top-20 order is on
+    * the exact DECIMAL score with (u,v) tie-break, and only the
+    * displayed score is a final double cast. Shape: co-occurrence
+    * pairs are an equi-self-join keyed by ORDER (per-order fan-out
+    * bounded by the ≤ 7-line order, ≤ 21 pairs — never parts²);
+    * candidate pairs are an equi-self-join keyed by the COMMON
+    * NEIGHBOR w, cost Σ_w deg(w)² over the support-pruned graph —
+    * the standard distributed AA shape, with per-node neighbor caps
+    * (raise the support threshold / keep top-N by weight) as the
+    * documented skew lever at 100 TB; degrees ride a broadcast. */
+  def graphAdamicAdar(spark: SparkSession, sf: String): DataFrame = {
+    val op = lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .localCheckpoint()
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val cand = und.as("l").join(und.as("r"),
+        col("l.y") === col("r.y") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("cu"), col("r.x").as("cv"), col("l.y").as("cw"))
+    val aa = cand.join(deg, col("cw") === col("x"))
+      .groupBy(col("cu"), col("cv"))
+      .agg(sum(round(lit(1.0) / log(col("d").cast("double")), 8)
+               .cast("decimal(18,8)")).as("s"),
+           count(lit(1)).as("common"))
+    aa.join(e, col("cu") === col("u") && col("cv") === col("v"), "left_anti")
+      .orderBy(col("s").desc, col("cu"), col("cv"))
+      .limit(20)
+      .select(col("cu").as("u"), col("cv").as("v"), col("common"),
+              col("s").cast("double").as("aa_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_pagerank"       -> (graphPagerank _),
     "graph_triangle_count" -> (graphTriangleCount _),
     "sql_recursive_cte"    -> (sqlRecursiveCte _),
     "graph_label_propagation" -> (graphLabelPropagation _),
+    "graph_adamic_adar"    -> (graphAdamicAdar _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -230,6 +281,32 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "graph_adamic_adar" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v, count(*) AS w
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u AS x, v AS y FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+        |cand AS (
+        |  SELECT a.x AS cu, b.x AS cv, a.y AS cw
+        |  FROM und a JOIN und b ON a.y = b.y AND a.x < b.x),
+        |aa AS (
+        |  SELECT cu, cv,
+        |    sum(CAST(round(1.0 / ln(CAST(d AS DOUBLE)), 8)
+        |             AS DECIMAL(18,8))) AS s,
+        |    count(*) AS common
+        |  FROM cand JOIN deg ON deg.x = cand.cw
+        |  GROUP BY cu, cv),
+        |nonedge AS (
+        |  SELECT aa.* FROM aa
+        |  LEFT JOIN edges e ON e.u = aa.cu AND e.v = aa.cv
+        |  WHERE e.u IS NULL)
+        |SELECT cu AS u, cv AS v, common, CAST(s AS DOUBLE) AS aa_score
+        |FROM nonedge ORDER BY s DESC, cu, cv LIMIT 20""".stripMargin,
     "graph_pagerank" ->
       (s"WITH $edgesCte," +
        """

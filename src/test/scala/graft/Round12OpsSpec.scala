@@ -441,4 +441,131 @@ class Round12OpsSpec extends SparkSpec {
         (math.abs(r.getAs[Double]("residual") - med) > 3.0 * mad))
     }
   }
+
+  test("Mann-Whitney U equals a driver-side brute-force tie-averaged rank computation") {
+    val row = AggOps.aggMannwhitneyU(spark, sf001).collect().head
+    val ev = Tables.events(spark, sf001)
+      .select(col("value").cast("decimal(18,2)").cast("double").as("v"),
+        (ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0)
+          .as("isA"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    var cum = 0L; var r2a = BigInt(0); var tie3 = BigInt(0)
+    var na = 0L; var nb = 0L
+    ev.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+      val t = rs.length.toLong
+      val a = rs.count(_._2).toLong
+      r2a += BigInt(a) * (2 * cum + t + 1)
+      tie3 += BigInt(t) * t * t - t
+      cum += t; na += a; nb += t - a
+    }
+    val uA = (BigDecimal(r2a) - BigDecimal(na) * BigDecimal(na) - BigDecimal(na))
+      .toDouble / 2
+    val n = na + nb
+    val z = (uA - na.toDouble * nb / 2) /
+      math.sqrt(na.toDouble * nb / 12 *
+        ((n + 1) - tie3.toDouble / (n * (n - 1).toDouble)))
+    assert(row.getAs[Long]("n_a") == na && row.getAs[Long]("n_b") == nb)
+    assert(row.getAs[Double]("u_a") == uA)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-6)
+    assert(row.getAs[Boolean]("reject_h0") == (math.abs(z) > 1.959964))
+  }
+
+  test("substring-window dedup equals a driver-side brute force over every doc") {
+    val out = graft.ops.CorpusOps.dedupSubstringWindow(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def wins(text: String): Set[String] =
+      (1 to math.max(text.length - 29, 1) by 10)
+        .map(i => text.substring(i - 1, math.min(i + 29, text.length))).toSet
+    val perDoc = docs.map { case (id, src, t) => (id, src, wins(t)) }
+    val dupSet = perDoc.flatMap { case (id, _, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1).collect { case (w, hits)
+        if hits.map(_._2).distinct.length >= 2 => w }.toSet
+    perDoc.groupBy(_._2).foreach { case (src, ds) =>
+      val dups = ds.map { case (_, _, ws) => ws.count(dupSet).toLong }
+      val r = out(src)
+      assert(r.getAs[Long]("docs") == ds.length.toLong, s"$src docs")
+      assert(r.getAs[Long]("windows") == ds.map(_._3.size.toLong).sum, s"$src windows")
+      assert(r.getAs[Long]("dup_windows") == dups.sum, s"$src dup")
+      assert(r.getAs[Long]("docs_with_dup") == dups.count(_ > 0).toLong, s"$src dwd")
+      assert(r.getAs[Long]("max_dup") == dups.max, s"$src max")
+    }
+  }
+
+  test("Adamic-Adar equals a driver-side brute force over the co-purchase graph") {
+    val rows = graft.ops.GraphOps.graphAdamicAdar(spark, sf001).collect()
+    val op = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    op.groupBy(_._1).values.foreach { ps =>
+      val s = ps.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        pairCount((s(i), s(j))) = pairCount.getOrElse((s(i), s(j)), 0) + 1
+    }
+    val edges = pairCount.filter(_._2 >= 2).keySet
+    val nbrs = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      nbrs(u) = nbrs(u) + v; nbrs(v) = nbrs(v) + u
+    }
+    def grid8(x: Double): BigDecimal =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val scores = scala.collection.mutable.Map.empty[(Long, Long), (BigDecimal, Long)]
+    nbrs.foreach { case (w, ns) =>
+      val s = ns.toSeq.sorted
+      val term = grid8(1.0 / math.log(nbrs(w).size.toDouble))
+      for (i <- s.indices; j <- i + 1 until s.length) {
+        val k = (s(i), s(j))
+        val (acc, c) = scores.getOrElse(k, (BigDecimal(0), 0L))
+        scores(k) = (acc + term, c + 1)
+      }
+    }
+    val expected = scores.toSeq.collect {
+      case ((u, v), (s, c)) if !edges((u, v)) => (u, v, c, s)
+    }.sortBy { case (u, v, _, s) => (-s, u, v) }.take(20)
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (u, v, c, s)) =>
+      assert(r.getAs[Long]("u") == u && r.getAs[Long]("v") == v)
+      assert(r.getAs[Long]("common") == c)
+      assert(r.getAs[Double]("aa_score") == s.toDouble)
+    }
+  }
+
+  test("Kneser-Ney: the smoothed conditional sums to exactly 1 over the vocabulary; graded scores are consistent") {
+    // Build the bigram model driver-side at sf0.001 and prove the
+    // estimator is a proper distribution: for any context w1,
+    // sum_{w2 in V} P(w2|w1) = 1 (the continuation unigram sums to 1
+    // over the vocab by construction; absolute discounting returns
+    // exactly the reserved mass). This is the property add-k also has
+    // but MLE-with-backoff hacks lose.
+    val bgs = Tables.documents(spark, sf001)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap { t => val w = t.split(" ", -1); w.zip(w.drop(1)) }
+    val c = bgs.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val c1 = c.groupBy(_._1._1).map { case (w1, m) => (w1, m.values.sum) }
+    val fanout = c.groupBy(_._1._1).map { case (w1, m) => (w1, m.size.toLong) }
+    val nc = c.groupBy(_._1._2).map { case (w2, m) => (w2, m.size.toLong) }
+    val bt = c.size.toLong
+    val vocab = nc.keySet
+    val topCtx = c1.toSeq.sortBy(-_._2).take(5).map(_._1)
+    topCtx.foreach { w1 =>
+      val total = vocab.toSeq.map { w2 =>
+        val n = c.getOrElse((w1, w2), 0L)
+        math.max(n - 0.75, 0.0) / c1(w1) +
+          0.75 * fanout(w1) / c1(w1) * (nc(w2).toDouble / bt)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"context '$w1' sums to $total")
+    }
+    // graded output consistency: n_bigrams partitions the corpus
+    // bigram stream; ppl = exp(avg_nll) up to display rounding
+    val rows = graft.ops.CorpusOps.textKneserNeyLm(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("n_bigrams")).sum == bgs.length.toLong)
+    rows.foreach { r =>
+      val ppl = math.exp(r.getAs[Double]("avg_nll"))
+      assert(math.abs(r.getAs[Double]("ppl") - ppl) < ppl * 1e-4)
+    }
+  }
 }

@@ -193,6 +193,14 @@ object Bench {
     "etl_snapshot_merge_timetravel",
     "etl_snapshot_incremental",
     "text_bpe_encode",
+    // round 12 batch 4: the two new shapes with quadratic risk —
+    // substring-window dedup (the window fan-out must stay narrow
+    // and the dup-set join keyed; a regression to a window self-join
+    // is O(corpus²)) and Adamic-Adar (candidate cost is Σ deg² by
+    // design — a lost support prune or a de-keyed common-neighbor
+    // join degenerates toward parts² and shows only here)
+    "dedup_substring_window",
+    "graph_adamic_adar",
   )
 
   def main(args: Array[String]): Unit = {

@@ -238,7 +238,7 @@ object GraphOps {
     val cand = und.as("l").join(und.as("r"),
         col("l.y") === col("r.y") && col("l.x") < col("r.x"))
       .select(col("l.x").as("cu"), col("r.x").as("cv"), col("l.y").as("cw"))
-    val aa = cand.join(deg, col("cw") === col("x"))
+    val aa = cand.join(broadcast(deg), col("cw") === col("x"))
       .groupBy(col("cu"), col("cv"))
       .agg(sum(round(lit(1.0) / log(col("d").cast("double")), 8)
                .cast("decimal(18,8)")).as("s"),

@@ -909,6 +909,73 @@ object EtlOps {
       .orderBy(col("event_type"))
   }
 
+  /** #221 — difference-in-differences estimator (round 12; Card &
+    * Krueger 1994 shape — the workhorse QUASI-experimental readout
+    * when assignment isn't randomized per event: the #175/#183 tests
+    * compare arms in one period, DiD removes arm-level baseline
+    * differences AND period-level shocks by differencing twice:
+    * δ = (μ_B,post − μ_B,pre) − (μ_A,post − μ_A,pre)): events in the
+    * #183 md5 arms, the period split at the corpus midpoint (first
+    * post day = d₀ + ⌈span/2⌉, derived via exact integer day
+    * arithmetic from the 1-row min/max broadcast — no calendar
+    * constant to drift), per-cell exact DECIMAL moments (n, Σv, Σv²)
+    * in ONE keyed aggregate, then the 4-cell pivot, δ, its pooled
+    * standard error √(Σ s²ᵢ/nᵢ) over the four cells and the t ratio
+    * assembled from identical double expressions both engines,
+    * displayed under #175's scaled-integer fpRound4/significance
+    * contract. Shape: one corpus pass + a 4-row pivot — the #175
+    * posture with a broadcast date span; at 100 TB the only exchange
+    * is the (arm, period) partial aggregate. */
+  def eventsDiffInDiff(spark: SparkSession, sf: String): DataFrame = {
+    val grp = when(
+      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      lit("A")).otherwise(lit("B"))
+    val ev = events(spark, sf)
+      .select(to_date(col("ts")).as("day"), money(col("value")).as("v"),
+              grp.as("grp"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val cells = ev.crossJoin(broadcast(span))
+      .withColumn("period",
+        when(datediff(col("day"), col("d0")) * 2 <
+             datediff(col("d1"), col("d0")) + 1, lit("pre"))
+          .otherwise(lit("post")))
+      .groupBy(col("grp"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+           sum(col("v") * col("v")).as("svv"))
+    def cell(g: String, p: String, c: Column) =
+      max(when(col("grp") === g && col("period") === p, c))
+    val piv = cells.agg(
+      cell("A", "pre", col("n")).as("n_a_pre"),
+      cell("A", "post", col("n")).as("n_a_post"),
+      cell("B", "pre", col("n")).as("n_b_pre"),
+      cell("B", "post", col("n")).as("n_b_post"),
+      cell("A", "pre", col("sv").cast("double")).as("sv_a_pre"),
+      cell("A", "post", col("sv").cast("double")).as("sv_a_post"),
+      cell("B", "pre", col("sv").cast("double")).as("sv_b_pre"),
+      cell("B", "post", col("sv").cast("double")).as("sv_b_post"),
+      cell("A", "pre", col("svv").cast("double")).as("svv_a_pre"),
+      cell("A", "post", col("svv").cast("double")).as("svv_a_post"),
+      cell("B", "pre", col("svv").cast("double")).as("svv_b_pre"),
+      cell("B", "post", col("svv").cast("double")).as("svv_b_post"))
+    def fpRound4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+    def m(s: String) = col(s"sv_$s") / col(s"n_$s")
+    def vn(s: String) =
+      ((col(s"svv_$s") - col(s"sv_$s") * col(s"sv_$s") / col(s"n_$s")) /
+        (col(s"n_$s") - 1)) / col(s"n_$s")
+    val did = (m("b_post") - m("b_pre")) - (m("a_post") - m("a_pre"))
+    val t = did /
+      sqrt(vn("a_pre") + vn("a_post") + vn("b_pre") + vn("b_post"))
+    piv.select(
+      col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+      fpRound4(m("a_pre")).as("m_a_pre"),
+      fpRound4(m("a_post")).as("m_a_post"),
+      fpRound4(m("b_pre")).as("m_b_pre"),
+      fpRound4(m("b_post")).as("m_b_post"),
+      fpRound4(did).as("did"),
+      fpRound4(t).as("t_stat"),
+      (floor(abs(t) * 10000 + 0.5) > 19600).as("significant"))
+  }
+
   /** #212 — snapshot-versioned table with MERGE + time travel, over
     * [[graft.api.SnapshotTable]] (manifest-based versioned parquet —
     * the lakehouse slice the engine otherwise lacks: versioned reads
@@ -1024,6 +1091,8 @@ object EtlOps {
     "events_funnel_windowed" -> (eventsFunnelWindowed _),
     "etl_entity_resolution"  -> (etlEntityResolution _),
     "ts_anomaly_residual"    -> (tsAnomalyResidual _),
+    "ts_holt_forecast"       -> (tsHoltForecast _),
+    "events_diff_in_diff"    -> (eventsDiffInDiff _),
     "etl_snapshot_merge_timetravel" -> (etlSnapshotMergeTimetravel _),
     "etl_snapshot_incremental" -> (etlSnapshotIncremental _),
   )
@@ -1355,6 +1424,59 @@ object EtlOps {
       .select(col("day"), col("residual"), col("med"), col("mad"),
         (col("adev") > lit(3.0) * col("mad")).as("is_anomaly"))
       .orderBy(col("day"))
+  }
+
+  /** #220 — Holt's linear-trend exponential smoothing + forecast
+    * (round 12; Holt 1957 / Hyndman & Athanasopoulos FPP — the
+    * engine's first true FORECASTING operator: #195's EWMA smooths a
+    * level, Holt additionally tracks a trend and extrapolates it,
+    * the capacity-planning readout of every KPI dashboard): over the
+    * daily revenue series (#192's exact-DECIMAL day totals),
+    * l_t = α·x_t + (1−α)(l + b), b_t = β(l_t − l) + (1−β)b with
+    * α = 0.5, β = 0.25 (EXACT DYADIC coefficients: every multiply is
+    * a power-of-two scale), initialized l₂ = x₂, b₂ = x₂ − x₁; one
+    * graded row: n_days, final level/trend, one-step-ahead RMSE, and
+    * the h = 1..3 forecasts l + h·b. Exactness: the recursion is
+    * inherently sequential, so instead of gridding each step both
+    * engines evaluate the IDENTICAL IEEE operation sequence — Spark
+    * as an `aggregate` HOF fold over the day-sorted array, DuckDB as
+    * a recursive CTE stepping the same expressions — making every
+    * intermediate bit-identical (dyadic scales are rounding-free;
+    * the additions round identically because IEEE is deterministic);
+    * only display values are rounded. Shape: the corpus
+    * partial-aggregates to the METADATA-scale day table (the only
+    * corpus exchange), which collapses to ONE row carrying the
+    * sorted series — the fold runs inside an executor task over
+    * ~365 elements/year, the #201 argument: sequential state over
+    * metadata-scale series, never over corpus rows. */
+  def tsHoltForecast(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("dsum"))
+    daily
+      .agg(sort_array(collect_list(struct(col("day"),
+        col("dsum").cast("double").as("x")))).as("s"))
+      .select(expr(
+        """aggregate(
+          |  slice(s, 3, size(s) - 2),
+          |  named_struct(
+          |    'l', element_at(s, 2).x,
+          |    'b', element_at(s, 2).x - element_at(s, 1).x,
+          |    'sse', CAST(0.0 AS DOUBLE)),
+          |  (acc, e) -> named_struct(
+          |    'l', 0.5D * e.x + 0.5D * (acc.l + acc.b),
+          |    'b', 0.25D * ((0.5D * e.x + 0.5D * (acc.l + acc.b)) - acc.l)
+          |         + 0.75D * acc.b,
+          |    'sse', acc.sse + (e.x - (acc.l + acc.b))
+          |                   * (e.x - (acc.l + acc.b)))
+          |) AS h""".stripMargin), size(col("s")).as("n_days"))
+      .select(col("n_days").cast("long").as("n_days"),
+        round(col("h.l"), 6).as("level"),
+        round(col("h.b"), 6).as("trend"),
+        round(sqrt(col("h.sse") / (col("n_days") - 2)), 6).as("rmse"),
+        round(col("h.l") + col("h.b"), 4).as("forecast_1"),
+        round(col("h.l") + lit(2) * col("h.b"), 4).as("forecast_2"),
+        round(col("h.l") + lit(3) * col("h.b"), 4).as("forecast_3"))
   }
 
   /** #206 — time-bound conversion funnel (round 12; the windowed form
@@ -1942,6 +2064,98 @@ object EtlOps {
         |    AS n_activations
         |FROM seq ORDER BY user_id""".stripMargin,
     "ts_seasonal_decompose" -> seasonalDecomposeSql,
+    "events_diff_in_diff" ->
+      """WITH e AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      AS day,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+        |              % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS grp
+        |  FROM events),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |c AS (
+        |  SELECT grp,
+        |    CASE WHEN date_diff('day', d0, day) * 2 <
+        |              date_diff('day', d0, d1) + 1
+        |         THEN 'pre' ELSE 'post' END AS period,
+        |    count(*) AS n, sum(v) AS sv, sum(v * v) AS svv
+        |  FROM e CROSS JOIN sp GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT
+        |    max(CASE WHEN grp='A' AND period='pre'  THEN n END) AS n_a_pre,
+        |    max(CASE WHEN grp='A' AND period='post' THEN n END) AS n_a_post,
+        |    max(CASE WHEN grp='B' AND period='pre'  THEN n END) AS n_b_pre,
+        |    max(CASE WHEN grp='B' AND period='post' THEN n END) AS n_b_post,
+        |    max(CASE WHEN grp='A' AND period='pre'
+        |             THEN CAST(sv AS DOUBLE) END) AS sv_a_pre,
+        |    max(CASE WHEN grp='A' AND period='post'
+        |             THEN CAST(sv AS DOUBLE) END) AS sv_a_post,
+        |    max(CASE WHEN grp='B' AND period='pre'
+        |             THEN CAST(sv AS DOUBLE) END) AS sv_b_pre,
+        |    max(CASE WHEN grp='B' AND period='post'
+        |             THEN CAST(sv AS DOUBLE) END) AS sv_b_post,
+        |    max(CASE WHEN grp='A' AND period='pre'
+        |             THEN CAST(svv AS DOUBLE) END) AS svv_a_pre,
+        |    max(CASE WHEN grp='A' AND period='post'
+        |             THEN CAST(svv AS DOUBLE) END) AS svv_a_post,
+        |    max(CASE WHEN grp='B' AND period='pre'
+        |             THEN CAST(svv AS DOUBLE) END) AS svv_b_pre,
+        |    max(CASE WHEN grp='B' AND period='post'
+        |             THEN CAST(svv AS DOUBLE) END) AS svv_b_post
+        |  FROM c),
+        |st AS (
+        |  SELECT *,
+        |    (sv_b_post / n_b_post - sv_b_pre / n_b_pre)
+        |      - (sv_a_post / n_a_post - sv_a_pre / n_a_pre) AS did,
+        |    ((sv_b_post / n_b_post - sv_b_pre / n_b_pre)
+        |      - (sv_a_post / n_a_post - sv_a_pre / n_a_pre))
+        |    / sqrt(
+        |      ((svv_a_pre - sv_a_pre * sv_a_pre / n_a_pre)
+        |         / (n_a_pre - 1)) / n_a_pre
+        |      + ((svv_a_post - sv_a_post * sv_a_post / n_a_post)
+        |         / (n_a_post - 1)) / n_a_post
+        |      + ((svv_b_pre - sv_b_pre * sv_b_pre / n_b_pre)
+        |         / (n_b_pre - 1)) / n_b_pre
+        |      + ((svv_b_post - sv_b_post * sv_b_post / n_b_post)
+        |         / (n_b_post - 1)) / n_b_post) AS t
+        |  FROM piv)
+        |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+        |  floor(sv_a_pre / n_a_pre * 10000 + 0.5) / 10000.0 AS m_a_pre,
+        |  floor(sv_a_post / n_a_post * 10000 + 0.5) / 10000.0 AS m_a_post,
+        |  floor(sv_b_pre / n_b_pre * 10000 + 0.5) / 10000.0 AS m_b_pre,
+        |  floor(sv_b_post / n_b_post * 10000 + 0.5) / 10000.0 AS m_b_post,
+        |  floor(did * 10000 + 0.5) / 10000.0 AS did,
+        |  floor(t * 10000 + 0.5) / 10000.0 AS t_stat,
+        |  floor(abs(t) * 10000 + 0.5) > 19600 AS significant
+        |FROM st""".stripMargin,
+    "ts_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS day, sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT CAST(dsum AS DOUBLE) AS x,
+        |             row_number() OVER (ORDER BY day) AS i FROM daily),
+        |n AS (SELECT count(*) AS c FROM d),
+        |rec AS (
+        |  SELECT 2 AS i,
+        |    (SELECT x FROM d WHERE i = 2) AS l,
+        |    (SELECT x FROM d WHERE i = 2) - (SELECT x FROM d WHERE i = 1)
+        |      AS b,
+        |    CAST(0.0 AS DOUBLE) AS sse
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    CAST(0.5 AS DOUBLE) * d.x + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+        |    CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * d.x
+        |        + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+        |      + CAST(0.75 AS DOUBLE) * r.b,
+        |    r.sse + (d.x - (r.l + r.b)) * (d.x - (r.l + r.b))
+        |  FROM rec r JOIN d ON d.i = r.i + 1)
+        |SELECT c AS n_days, round(l, 6) AS level, round(b, 6) AS trend,
+        |  round(sqrt(sse / (c - 2)), 6) AS rmse,
+        |  round(l + b, 4) AS forecast_1, round(l + 2 * b, 4) AS forecast_2,
+        |  round(l + 3 * b, 4) AS forecast_3
+        |FROM rec CROSS JOIN n WHERE i = c""".stripMargin,
     "ts_anomaly_residual" ->
       (s"""WITH base AS (
           |  SELECT day, residual FROM ($seasonalDecomposeSql) t),

@@ -568,4 +568,65 @@ class Round12OpsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("ppl") - ppl) < ppl * 1e-4)
     }
   }
+
+  test("Holt forecast equals a driver-side sequential replay of the recursion") {
+    val r = graft.ops.EtlOps.tsHoltForecast(spark, sf001).collect().head
+    val xs = Tables.events(spark, sf001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+      .orderBy(col("day")).collect().map(_.getAs[Double]("x"))
+    var l = xs(1); var b = xs(1) - xs(0); var sse = 0.0
+    xs.drop(2).foreach { x =>
+      val err = x - (l + b)
+      val lNew = 0.5 * x + 0.5 * (l + b)
+      b = 0.25 * (lNew - l) + 0.75 * b
+      l = lNew
+      sse += err * err
+    }
+    assert(r.getAs[Long]("n_days") == xs.length.toLong)
+    assert(math.abs(r.getAs[Double]("level") - l) < 1e-6)
+    assert(math.abs(r.getAs[Double]("trend") - b) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rmse") -
+      math.sqrt(sse / (xs.length - 2))) < 1e-6)
+    // forecasts extrapolate the final trend linearly
+    val (f1, f2, f3) = (r.getAs[Double]("forecast_1"),
+      r.getAs[Double]("forecast_2"), r.getAs[Double]("forecast_3"))
+    assert(math.abs((f2 - f1) - (f3 - f2)) < 2e-4)
+    assert(math.abs((f2 - f1) - r.getAs[Double]("trend")) < 2e-4)
+  }
+
+  test("DiD equals a driver-side brute force over the four cells") {
+    val r = graft.ops.EtlOps.eventsDiffInDiff(spark, sf001).collect().head
+    val ev = Tables.events(spark, sf001)
+      .select(to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,2)").cast("double").as("v"),
+        (ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0)
+          .as("isA"))
+      .collect().map(x => (x.getAs[java.sql.Date]("day").toLocalDate,
+        x.getAs[Double]("v"), x.getAs[Boolean]("isA")))
+    val d0 = ev.map(_._1).min
+    val d1 = ev.map(_._1).max
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    def cellOf(e: (java.time.LocalDate, Double, Boolean)) =
+      (e._3, java.time.temporal.ChronoUnit.DAYS.between(d0, e._1) * 2 < span + 1)
+    val cells = ev.groupBy(cellOf).map { case (k, es) =>
+      val n = es.length; val sv = es.map(_._2).sum
+      k -> (n.toLong, sv / n,
+        (es.map(x => x._2 * x._2).sum - sv * sv / n) / (n - 1) / n)
+    }
+    val (nAPre, mAPre, vAPre) = cells((true, true))
+    val (nAPost, mAPost, vAPost) = cells((true, false))
+    val (nBPre, mBPre, vBPre) = cells((false, true))
+    val (nBPost, mBPost, vBPost) = cells((false, false))
+    val did = (mBPost - mBPre) - (mAPost - mAPre)
+    val t = did / math.sqrt(vAPre + vAPost + vBPre + vBPost)
+    assert(r.getAs[Long]("n_a_pre") == nAPre && r.getAs[Long]("n_a_post") == nAPost)
+    assert(r.getAs[Long]("n_b_pre") == nBPre && r.getAs[Long]("n_b_post") == nBPost)
+    assert(math.abs(r.getAs[Double]("m_a_pre") - mAPre) < 1e-4)
+    assert(math.abs(r.getAs[Double]("m_b_post") - mBPost) < 1e-4)
+    assert(math.abs(r.getAs[Double]("did") - did) < 1e-4)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-4)
+    if (math.abs(math.abs(t) - 1.96) > 1e-3)
+      assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+  }
 }

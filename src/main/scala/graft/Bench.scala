@@ -201,6 +201,11 @@ object Bench {
     // join degenerates toward parts² and shows only here)
     "dedup_substring_window",
     "graph_adamic_adar",
+    // the distributed-rank robust means (a regression to a global
+    // single-partition ORDER BY window shows only here) and the
+    // funnel's doc-keyed word-stat pass
+    "agg_winsorized_mean",
+    "text_filter_funnel",
   )
 
   def main(args: Array[String]): Unit = {

@@ -786,6 +786,110 @@ object AggOps {
       round(zRaw, 6).as("z"), (abs(zRaw) > lit(1.959964)).as("reject_h0"))
   }
 
+  /** #222 — one-pass covariance / correlation matrix (round 12; the
+    * multivariate completion of #26's per-column moments and #111's
+    * single-pair regression — the feature-covariance pass every
+    * feature-selection / PCA-prep pipeline runs): over lineitem's
+    * four 2dp-money measures, ONE hash aggregate computes n, the 4
+    * exact-DECIMAL sums Σxᵢ and the 10 exact-DECIMAL product sums
+    * Σxᵢxⱼ (i ≤ j), then the 10 (pair, cov, corr) rows assemble from
+    * the 1-row result via an inline explode — the moment matrix
+    * shuffles ONE row regardless of corpus size, the textbook
+    * "sufficient statistics" shape. Exactness: the sums are exact
+    * decimals; covₚₒₚ = (n·Σxy − Σx·Σy)/n² and the correlation
+    * assemble as identical double expressions over the exact sums in
+    * both engines (the #175 policy — doubles only after the exact
+    * aggregate), displayed at 6dp; diagonal corr pins exactly 1.0
+    * via the same formula, a built-in self-check. At 100 TB: k
+    * columns cost k(k+3)/2 partial-aggregated sums in the same
+    * single pass — no per-pair scans. */
+  def aggCorrMatrix(spark: SparkSession, sf: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.length
+    } yield (cols(i), cols(j))
+    val sums = cols.map(c => sum(money(col(c))).as(s"s_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(money(col(a)) * money(col(b))).as(s"q_${a}_$b") }
+    val one = lineitem(spark, sf)
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val nD = col("n").cast("double")
+    def num(a: String, b: String): Column =
+      nD * col(s"q_${a}_$b").cast("double") -
+        col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n"),
+        round(num(a, b) / (nD * nD), 6).as("cov_pop"),
+        round(num(a, b) / sqrt(num(a, a) * num(b, b)), 6).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** #223 — exact winsorized and trimmed means (round 12; the robust-
+    * metric hygiene pass — Tukey's answer to outlier-dominated KPIs,
+    * what #149's MAD flags and this op corrects: clamp to the 5th/
+    * 95th-percentile ORDER STATISTICS (winsorize) or drop outside
+    * them (trim) before averaging): revenue values get a GLOBAL
+    * deterministic rank under the (value, orderkey, linenumber)
+    * total order via [[graft.api.Transforms.globalRowNumber]] — the
+    * distributed prefix-sum rank over coarse value buckets, never a
+    * single-partition window over the corpus (#204's machinery;
+    * percentile-sketch bucketization, the #36 helper, is the drop-in
+    * when the range is unknown) — then k₀₅ = n·5 DIV 100 and
+    * k₉₅ = n·95 DIV 100 are EXACT integers, the two boundary values
+    * are 1-row rank picks broadcast back, and the three means are
+    * exact DECIMAL sums (raw / rank-clamped / rank-windowed) with
+    * final double divisions at 6dp. Rank-based clamping makes tie
+    * handling deterministic where value-based clamping would be
+    * ambiguous. Shape: one ranked pass + a 1-row bounds broadcast +
+    * one aggregate — at 100 TB the rank is the #204 two-exchange
+    * prefix idiom and everything else is metadata-scale. */
+  def aggWinsorizedMean(spark: SparkSession, sf: String): DataFrame = {
+    val v = lineitem(spark, sf)
+      .select(money(col("l_extendedprice")).as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+    // localCheckpoint: the ranked table feeds TWO consumers (the 1-row
+    // bounds pick and the clamped aggregate) — without the barrier the
+    // two-exchange prefix-rank pipeline runs twice (measured 2.56 s → 2.09 s
+    // at sf0.1; the RFM/LPA pattern)
+    val ranked = graft.api.Transforms.globalRowNumber(v,
+        struct(col("v"), col("l_orderkey"), col("l_linenumber")),
+        floor(col("v") / 10000L))
+      .withColumnRenamed("__row_number", "rk")
+      .select(col("v"), col("rk"))
+      .localCheckpoint()
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    val wb = ranked.crossJoin(broadcast(tot))
+    val k05 = expr("n * 5 DIV 100")
+    val k95 = expr("n * 95 DIV 100")
+    val bounds = wb.agg(
+      max(when(col("rk") === k05 + 1, col("v"))).as("lo"),
+      max(when(col("rk") === k95, col("v"))).as("hi"))
+    wb.crossJoin(broadcast(bounds))
+      .groupBy(col("n"), col("lo"), col("hi"))
+      .agg(
+        sum(col("v")).as("sraw"),
+        sum(when(col("rk") <= k05, col("lo"))
+          .when(col("rk") > k95, col("hi"))
+          .otherwise(col("v"))).as("swin"),
+        sum(when(col("rk") > k05 && col("rk") <= k95, col("v"))).as("strim"))
+      .select(col("n").as("n_rows"),
+        col("lo").cast("double").as("p05"),
+        col("hi").cast("double").as("p95"),
+        // #175's scaled-integer display rounding: floor(x·10⁶ + ½) is
+        // engine-identical by construction where round() can split on
+        // a .5·10⁻⁶ boundary (observed: the winsorized quotient of 2dp
+        // sums over n lands exactly on one)
+        (floor(col("sraw").cast("double") / col("n") * 1000000 + 0.5) /
+          1000000.0).as("mean_raw"),
+        (floor(col("swin").cast("double") / col("n") * 1000000 + 0.5) /
+          1000000.0).as("mean_winsorized"),
+        (floor(col("strim").cast("double") /
+            expr("n * 95 DIV 100 - n * 5 DIV 100") * 1000000 + 0.5) /
+          1000000.0).as("mean_trimmed"))
+  }
+
   /** #204 — Gini coefficient / revenue concentration (round 12; the
     * inequality statistic of every marketplace health dashboard):
     * over per-customer order revenue x₍ᵢ₎ ranked ascending,
@@ -912,9 +1016,40 @@ object AggOps {
     "agg_chi2_independence" -> (aggChi2Independence _),
     "agg_ks_test"          -> (aggKsTest _),
     "agg_mannwhitney_u"    -> (aggMannwhitneyU _),
+    "agg_corr_matrix"      -> (aggCorrMatrix _),
+    "agg_winsorized_mean"  -> (aggWinsorizedMean _),
     "agg_gini_concentration" -> (aggGiniConcentration _),
     "agg_rfm_segments"     -> (aggRfmSegments _),
   )
+
+  /** #222's oracle, generated from the same column/pair enumeration
+    * as the Spark side so the two moment lists cannot drift. */
+  private def corrMatrixOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.length
+    } yield (cols(i), cols(j))
+    def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val sums = cols.map(c => s"sum(${d2(c)}) AS s_$c") ++
+      pairs.map { case (a, b) => s"sum(${d2(a)} * ${d2(b)}) AS q_${a}_$b" }
+    def num(a: String, b: String) =
+      s"(CAST(n AS DOUBLE) * CAST(q_${a}_$b AS DOUBLE)" +
+        s" - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
+    val arms = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+         |  round(${num(a, b)} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         |    AS cov_pop,
+         |  round(${num(a, b)} / sqrt(${num(a, a)} * ${num(b, b)}), 6)
+         |    AS corr
+         |FROM m""".stripMargin
+    }
+    s"""WITH m AS (
+       |  SELECT count(*) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM lineitem)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
 
   val oracle: Map[String, String] = ListMap(
     "agg_hash_groupby" ->
@@ -1167,6 +1302,33 @@ object AggOps {
         |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
         |    8) AS DECIMAL(18,8))) AS DOUBLE) > 15.5073 AS significant
         |FROM cells JOIN rt USING (st) JOIN ct USING (pri) CROSS JOIN tot""".stripMargin,
+    "agg_corr_matrix" -> corrMatrixOracle,
+    "agg_winsorized_mean" ->
+      """WITH v AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |r AS (
+        |  SELECT v, row_number()
+        |    OVER (ORDER BY v, l_orderkey, l_linenumber) AS rk FROM v),
+        |t AS (SELECT count(*) AS n FROM r),
+        |b AS (
+        |  SELECT max(CASE WHEN rk = (n * 5) // 100 + 1 THEN v END) AS lo,
+        |         max(CASE WHEN rk = (n * 95) // 100 THEN v END) AS hi
+        |  FROM r CROSS JOIN t)
+        |SELECT n AS n_rows,
+        |  CAST(lo AS DOUBLE) AS p05, CAST(hi AS DOUBLE) AS p95,
+        |  floor(CAST(sum(v) AS DOUBLE) / n * 1000000 + 0.5) / 1000000.0
+        |    AS mean_raw,
+        |  floor(CAST(sum(CASE WHEN rk <= (n * 5) // 100 THEN lo
+        |                      WHEN rk > (n * 95) // 100 THEN hi
+        |                      ELSE v END) AS DOUBLE) / n * 1000000 + 0.5)
+        |    / 1000000.0 AS mean_winsorized,
+        |  floor(CAST(sum(CASE WHEN rk > (n * 5) // 100
+        |                       AND rk <= (n * 95) // 100 THEN v END)
+        |             AS DOUBLE) / ((n * 95) // 100 - (n * 5) // 100)
+        |        * 1000000 + 0.5) / 1000000.0 AS mean_trimmed
+        |FROM r CROSS JOIN t CROSS JOIN b
+        |GROUP BY n, lo, hi""".stripMargin,
     "agg_mannwhitney_u" ->
       """WITH e AS (
         |  SELECT CASE WHEN (ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))

@@ -734,6 +734,55 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** #225 — pretraining quality-filter funnel (round 12; the CCNet /
+    * RefinedWeb / FineWeb pipeline READOUT — not one filter but the
+    * ordered cascade, where each document is attributed to the FIRST
+    * rule that drops it, because "how many docs did each stage cost"
+    * is the number a corpus curator actually steers by): rule order
+    * mirrors the production cascade — (1) too short (< 100 chars),
+    * (2) language gate (lang ≠ 'en', the upstream langid label — the
+    * stage that dominates CommonCrawl attrition), (3) repetition
+    * (top word > 20% of tokens, the #112 Gopher signal as a funnel
+    * stage), (4) low diversity (type-token ratio < 1/3); survivors
+    * are `kept`. Graded per source: docs in, one column per drop
+    * stage, kept — all exact integer counts under scaled-integer
+    * rule comparisons (maxf·5 > wc, ty·3 < wc; no double thresholds
+    * anywhere). Shape: ONE corpus-keyed word-stat aggregate (per-doc
+    * max-frequency/token/type counts), a pure-map verdict ladder,
+    * one keyed rollup — at 100 TB this is a single corpus pass plus
+    * the doc-keyed stats exchange, the canonical filter-pipeline
+    * cost. */
+  def textFilterFunnel(spark: SparkSession, sf: String): DataFrame = {
+    val base = documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+              length(col("text")).as("len"))
+    val stats = base
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("maxf"), sum(col("c")).as("wc"),
+           count(lit(1)).as("ty"))
+    base.join(stats, "doc_id")
+      .withColumn("verdict",
+        when(col("len") < 100, "drop_short")
+          .when(col("lang") =!= "en", "drop_lang")
+          .when(col("maxf") * 5 > col("wc"), "drop_repeat")
+          .when(col("ty") * 3 < col("wc"), "drop_diversity")
+          .otherwise("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when(col("verdict") === "drop_short", 1L).otherwise(0L))
+          .as("drop_short"),
+        sum(when(col("verdict") === "drop_lang", 1L).otherwise(0L))
+          .as("drop_lang"),
+        sum(when(col("verdict") === "drop_repeat", 1L).otherwise(0L))
+          .as("drop_repeat"),
+        sum(when(col("verdict") === "drop_diversity", 1L).otherwise(0L))
+          .as("drop_diversity"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("kept"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
@@ -754,6 +803,7 @@ object CorpusOps {
     "text_bpe_encode"          -> (textBpeEncode _),
     "dedup_substring_window"   -> (dedupSubstringWindow _),
     "text_kneser_ney_lm"       -> (textKneserNeyLm _),
+    "text_filter_funnel"       -> (textFilterFunnel _),
   )
 
   /** #213's fixed inference-time merge table, RANK ORDER — the single
@@ -820,6 +870,34 @@ object CorpusOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "text_filter_funnel" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wcnt AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT doc_id, max(c) AS maxf, sum(c) AS wc, count(*) AS ty
+        |  FROM wcnt GROUP BY 1),
+        |v AS (
+        |  SELECT d.source,
+        |    CASE WHEN length(d.text) < 100 THEN 'drop_short'
+        |         WHEN d.lang <> 'en' THEN 'drop_lang'
+        |         WHEN s.maxf * 5 > s.wc THEN 'drop_repeat'
+        |         WHEN s.ty * 3 < s.wc THEN 'drop_diversity'
+        |         ELSE 'kept' END AS verdict
+        |  FROM documents d JOIN stats s ON d.doc_id = s.doc_id)
+        |SELECT source, count(*) AS docs_in,
+        |  CAST(sum(CASE WHEN verdict = 'drop_short' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS drop_short,
+        |  CAST(sum(CASE WHEN verdict = 'drop_lang' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS drop_lang,
+        |  CAST(sum(CASE WHEN verdict = 'drop_repeat' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS drop_repeat,
+        |  CAST(sum(CASE WHEN verdict = 'drop_diversity' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS drop_diversity,
+        |  CAST(sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS kept
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
     "text_kneser_ney_lm" ->
       """WITH t AS (
         |  SELECT source, string_split(text, ' ') AS w FROM documents

@@ -1093,6 +1093,7 @@ object EtlOps {
     "ts_anomaly_residual"    -> (tsAnomalyResidual _),
     "ts_holt_forecast"       -> (tsHoltForecast _),
     "events_diff_in_diff"    -> (eventsDiffInDiff _),
+    "etl_benford_check"      -> (etlBenfordCheck _),
     "etl_snapshot_merge_timetravel" -> (etlSnapshotMergeTimetravel _),
     "etl_snapshot_incremental" -> (etlSnapshotIncremental _),
   )
@@ -1424,6 +1425,47 @@ object EtlOps {
       .select(col("day"), col("residual"), col("med"), col("mad"),
         (col("adev") > lit(3.0) * col("mad")).as("is_anomaly"))
       .orderBy(col("day"))
+  }
+
+  /** #224 — Benford first-digit conformance check (round 12; Benford
+    * 1938 / Nigrini's forensic-accounting standard — the DQ/fraud
+    * screen every audit pipeline runs over money columns: natural
+    * multiplicative amounts put digit d first with probability
+    * log₁₀(1+1/d), and fabricated or truncated feeds don't):
+    * first significant digit taken EXACTLY — the 2dp money value
+    * scaled to an integer (v·100, rounding-free on DECIMAL(18,2))
+    * and string-sliced, no log10 boundary arithmetic — then one
+    * 9-group aggregate, observed share vs the expected literal
+    * expression ln(1+1/d)/ln(10) (identical doubles both engines),
+    * and the χ² statistic n·Σ(p−e)²/e 8dp-gridded and DECIMAL-summed
+    * (#215's policy) against the χ²(.05, dof=8) literal. Graded: 9
+    * digit rows with counts/shares/expected plus the broadcast χ²
+    * and verdict on each row. Shape: ONE keyed corpus aggregate to
+    * the 9-row digit table; everything after is metadata-scale. */
+  def etlBenfordCheck(spark: SparkSession, sf: String): DataFrame = {
+    val d = lineitem(spark, sf)
+      .select(money(col("l_extendedprice")).as("v"))
+      .where(col("v") > 0)
+      .select(substring((col("v") * 100).cast("long").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = d.agg(sum(col("n_obs")).as("n"))
+    val wb = d.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_obs").cast("double") / col("n"))
+      .withColumn("expected",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("int")) / log(lit(10.0)))
+    def grid8(c: Column): Column = round(c, 8).cast("decimal(18,8)")
+    val chi = wb.agg(
+      sum(grid8((col("share") - col("expected")) *
+                (col("share") - col("expected")) / col("expected") *
+                col("n"))).cast("double").as("chi2"))
+    wb.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        round(col("share"), 6).as("share"),
+        round(col("expected"), 6).as("expected"),
+        round(col("chi2"), 4).as("chi2"),
+        (col("chi2") > lit(15.5073)).as("benford_reject"))
+      .orderBy(col("digit"))
   }
 
   /** #220 — Holt's linear-trend exponential smoothing + forecast
@@ -2129,6 +2171,30 @@ object EtlOps {
         |  floor(t * 10000 + 0.5) / 10000.0 AS t_stat,
         |  floor(abs(t) * 10000 + 0.5) > 19600 AS significant
         |FROM st""".stripMargin,
+    "etl_benford_check" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        |    count(*) AS n_obs
+        |  FROM lineitem WHERE CAST(l_extendedprice AS DECIMAL(18,2)) > 0
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM d),
+        |wb AS (
+        |  SELECT digit, n_obs, n,
+        |    CAST(n_obs AS DOUBLE) / n AS share,
+        |    ln(CAST(1.0 AS DOUBLE)
+        |       + CAST(1.0 AS DOUBLE) / CAST(digit AS INT))
+        |      / ln(CAST(10.0 AS DOUBLE)) AS expected
+        |  FROM d CROSS JOIN t),
+        |chi AS (
+        |  SELECT CAST(sum(CAST(round(
+        |    (share - expected) * (share - expected) / expected * n, 8)
+        |    AS DECIMAL(18,8))) AS DOUBLE) AS chi2
+        |  FROM wb)
+        |SELECT digit, n_obs, round(share, 6) AS share,
+        |  round(expected, 6) AS expected, round(chi2, 4) AS chi2,
+        |  chi2 > 15.5073 AS benford_reject
+        |FROM wb CROSS JOIN chi ORDER BY digit""".stripMargin,
     "ts_holt_forecast" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)

@@ -629,4 +629,111 @@ class Round12OpsSpec extends SparkSpec {
     if (math.abs(math.abs(t) - 1.96) > 1e-3)
       assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
   }
+
+  test("correlation matrix: diagonal pins exactly 1, off-diagonals match a driver-side exact-moment replay") {
+    val rows = AggOps.aggCorrMatrix(spark, sf001).collect()
+    assert(rows.length == 10)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    rows.filter(r => r.getAs[String]("col_x") == r.getAs[String]("col_y"))
+      .foreach(r => assert(r.getAs[Double]("corr") == 1.0, r.toString))
+    // exact-moment replay over the collected table
+    val data = Tables.lineitem(spark, sf001)
+      .select(cols.map(c => col(c).cast("decimal(18,2)").as(c)): _*)
+      .collect()
+      .map(r => cols.map(c =>
+        BigDecimal(r.getAs[java.math.BigDecimal](c))).toArray)
+    val n = data.length.toDouble
+    def s(i: Int) = data.map(_(i)).sum.toDouble
+    def q(i: Int, j: Int) = data.map(r => r(i) * r(j)).sum.toDouble
+    rows.foreach { r =>
+      val i = cols.indexOf(r.getAs[String]("col_x"))
+      val j = cols.indexOf(r.getAs[String]("col_y"))
+      val num = n * q(i, j) - s(i) * s(j)
+      assert(math.abs(r.getAs[Double]("cov_pop") - num / (n * n)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("corr") -
+        num / math.sqrt((n * q(i, i) - s(i) * s(i)) *
+                        (n * q(j, j) - s(j) * s(j)))) < 1e-6)
+      assert(math.abs(r.getAs[Double]("corr")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("winsorized/trimmed means equal a driver-side sorted brute force") {
+    val r = AggOps.aggWinsorizedMean(spark, sf001).collect().head
+    val vs = Tables.lineitem(spark, sf001)
+      .select(col("l_extendedprice").cast("decimal(18,2)").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(x => (BigDecimal(x.getAs[java.math.BigDecimal]("v")),
+        x.getAs[Long]("l_orderkey"), x.getAs[Int]("l_linenumber")))
+      .sortBy(x => (x._1, x._2, x._3)).map(_._1)
+    val n = vs.length
+    val k05 = n * 5 / 100; val k95 = n * 95 / 100
+    val lo = vs(k05); val hi = vs(k95 - 1)
+    val win = vs.zipWithIndex.map { case (v, idx) =>
+      if (idx < k05) lo else if (idx >= k95) hi else v }
+    val trim = vs.slice(k05, k95)
+    assert(r.getAs[Long]("n_rows") == n.toLong)
+    assert(r.getAs[Double]("p05") == lo.toDouble)
+    assert(r.getAs[Double]("p95") == hi.toDouble)
+    assert(math.abs(r.getAs[Double]("mean_raw") -
+      vs.sum.toDouble / n) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_winsorized") -
+      win.sum.toDouble / n) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_trimmed") -
+      trim.sum.toDouble / trim.length) < 1e-5)
+    // winsorizing pulls the mean toward the trimmed center
+    assert(lo.toDouble < hi.toDouble)
+  }
+
+  test("Benford check: shares and expected each sum to 1; counts match a driver recompute") {
+    val rows = graft.ops.EtlOps.etlBenfordCheck(spark, sf001).collect()
+    assert(rows.length == 9)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - 1.0) < 1e-4)
+    val counts = Tables.lineitem(spark, sf001)
+      .select(col("l_extendedprice").cast("decimal(18,2)").as("v")).collect()
+      .map(r => BigDecimal(r.getAs[java.math.BigDecimal]("v")))
+      .filter(_ > 0)
+      .map(v => (v * 100).toBigInt.toString.charAt(0).toString)
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_obs") == counts(r.getAs[String]("digit")))
+      assert(r.getAs[Double]("chi2") >= 0.0)
+    }
+  }
+
+  test("filter funnel: stages partition every source; verdicts match a driver replay") {
+    val rows = graft.ops.CorpusOps.textFilterFunnel(spark, sf001).collect()
+    rows.foreach { r =>
+      val parts = Seq("drop_short", "drop_lang", "drop_repeat",
+        "drop_diversity", "kept").map(r.getAs[Long](_))
+      assert(parts.sum == r.getAs[Long]("docs_in"), r.toString)
+    }
+    assert(rows.map(_.getAs[Long]("docs_in")).sum ==
+      Tables.documents(spark, sf001).count())
+    // driver replay of the verdict ladder
+    val expected = Tables.documents(spark, sf001)
+      .select(col("source"), col("lang"), col("text")).collect()
+      .map { r =>
+        val text = r.getAs[String]("text")
+        val ws = text.split(" ", -1)
+        val wc = ws.length; val byW = ws.groupBy(identity)
+        val maxf = byW.values.map(_.length).max; val ty = byW.size
+        val v =
+          if (text.length < 100) "drop_short"
+          else if (r.getAs[String]("lang") != "en") "drop_lang"
+          else if (maxf * 5 > wc) "drop_repeat"
+          else if (ty * 3 < wc) "drop_diversity"
+          else "kept"
+        (r.getAs[String]("source"), v)
+      }.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      Seq("drop_short", "drop_lang", "drop_repeat", "drop_diversity",
+        "kept").foreach { stage =>
+        assert(r.getAs[Long](stage) ==
+          expected.getOrElse((src, stage), 0L), s"$src/$stage")
+      }
+    }
+  }
 }

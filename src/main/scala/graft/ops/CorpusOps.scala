@@ -709,14 +709,19 @@ object CorpusOps {
     * the oracle replays byte-for-byte), and the duplicated-window
     * set — boilerplate, tiny vs the corpus — bloom-prefilters the
     * join back, the #113 pattern. */
-  def dedupSubstringWindow(spark: SparkSession, sf: String): DataFrame = {
-    val wins = documents(spark, sf)
+  /** #217's per-doc distinct window table — exposed so the
+    * scale-stress suite pins the SAME fan-out the graded query runs. */
+  def substringWindows(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
       .select(col("doc_id"), col("source"),
         explode(transform(
           sequence(lit(1), greatest(length(col("text")) - lit(29), lit(1)),
                    lit(10)),
           i => col("text").substr(i, lit(30)))).as("win"))
       .distinct()
+
+  def dedupSubstringWindow(spark: SparkSession, sf: String): DataFrame = {
+    val wins = substringWindows(spark, sf)
     val dup = wins.groupBy(col("win"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)

@@ -222,22 +222,35 @@ object GraphOps {
     * the standard distributed AA shape, with per-node neighbor caps
     * (raise the support threshold / keep top-N by weight) as the
     * documented skew lever at 100 TB; degrees ride a broadcast. */
-  def graphAdamicAdar(spark: SparkSession, sf: String): DataFrame = {
+  /** #218's support-pruned co-purchase edge list (u < v, w ≥ 2 co-
+    * orders) — exposed so the scale-stress suite pins the SAME
+    * geometry the graded query runs. */
+  def copurchaseEdges(spark: SparkSession, sf: String): DataFrame = {
     val op = lineitem(spark, sf)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
-    val e = op.as("a").join(op.as("b"),
+    op.as("a").join(op.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
-      .localCheckpoint()
+  }
+
+  /** #218's common-neighbor candidate pairs over an edge list. */
+  def adamicAdarCandidates(e: DataFrame): DataFrame = {
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    und.as("l").join(und.as("r"),
+        col("l.y") === col("r.y") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("cu"), col("r.x").as("cv"), col("l.y").as("cw"))
+  }
+
+  def graphAdamicAdar(spark: SparkSession, sf: String): DataFrame = {
+    val e = copurchaseEdges(spark, sf).localCheckpoint()
     val und = e.select(col("u").as("x"), col("v").as("y"))
       .unionAll(e.select(col("v").as("x"), col("u").as("y")))
     val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
-    val cand = und.as("l").join(und.as("r"),
-        col("l.y") === col("r.y") && col("l.x") < col("r.x"))
-      .select(col("l.x").as("cu"), col("r.x").as("cv"), col("l.y").as("cw"))
+    val cand = adamicAdarCandidates(e)
     val aa = cand.join(broadcast(deg), col("cw") === col("x"))
       .groupBy(col("cu"), col("cv"))
       .agg(sum(round(lit(1.0) / log(col("d").cast("double")), 8)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.api.Transforms
-import graft.ops.{EtlOps, LlmOps, StreamOps}
+import graft.ops.{CorpusOps, EtlOps, GraphOps, LlmOps, StreamOps}
 
 /** Empirical scale evidence (SCALE.md's companion): the heaviest
   * operators run on a 1× and a 10× corpus and wall-time must grow
@@ -417,6 +417,62 @@ class ScaleStressSpec extends SparkSpec {
     * scaled-corpus write) in ~15 s. The LSH ceiling allows for the
     * operator's 50 planted twin pairs (the #74 de-vacuation) on top
     * of the random-collision floor 32·(n²/2)·p^16, p ≈ 0.524. */
+  test("substring-window fan-out and Adamic-Adar candidate identity at sf0.01 (pre-commit, ungated)") {
+    // #217: the window fan-out must obey the exact per-doc stride
+    // formula ceil(max(len-29,1)/10) — a stride/width regression (the
+    // quadratic risk: denser windows) breaks the upper bound, a
+    // vacuous fan-out breaks the lower
+    val lens = Tables.documents(spark, sf01)
+      .select(length(col("text")).as("len")).collect()
+      .map(_.getAs[Int]("len"))
+    val bound = lens.map(l => ((math.max(l - 29, 1) - 1) / 10 + 1).toLong).sum
+    val wins = CorpusOps.substringWindows(spark, sf01).count()
+    assert(wins > 0 && wins <= bound,
+      s"window fan-out $wins outside (0, stride bound $bound]")
+    assert(wins >= lens.length.toLong, "every doc must contribute a window")
+    // #218: candidate pairs == sum over common neighbors of C(deg,2) —
+    // the exact cost identity of the BY-COMMON-NEIGHBOR keyed join the
+    // scaladoc promises (sum_w deg(w)^2 /2 form); any drift between the
+    // candidate stage and the degree table breaks this equality
+    val e = GraphOps.copurchaseEdges(spark, sf01).localCheckpoint()
+    val cand = GraphOps.adamicAdarCandidates(e).count()
+    val degSum = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .agg((sum(col("d") * (col("d") - 1)) / 2).cast("long").as("s"))
+      .collect().head.getAs[Long]("s")
+    info(s"sf0.01: $wins windows (bound $bound); AA ${e.count()} edges, $cand candidates = sum C(deg,2) $degSum")
+    assert(cand == degSum, s"AA candidates $cand != sum C(deg,2) $degSum")
+  }
+
+  test("substring-window fan-out scales linearly 1x to 10x; AA identity holds at sf0.1") {
+    gated()
+    ensureScaled()
+    // documents replicas are LENGTH-preserving word rotations, so the
+    // stride fan-out must grow ~10x (within-doc distinctness may vary
+    // slightly across rotations); superlinear growth = stride/width
+    // regression, sublinear = dropped docs
+    val w1 = CorpusOps.substringWindows(spark, dir1x).count()
+    val w10 = CorpusOps.substringWindows(spark, dir10x).count()
+    val ratio = w10.toDouble / w1
+    info(f"substring windows: 1x=$w1 10x=$w10 ratio=$ratio%.2f")
+    assert(ratio >= 9.5 && ratio <= 10.5,
+      f"window fan-out ratio $ratio%.2f outside [9.5, 10.5]")
+    // AA at sf0.1 (facts 10x sf0.01, fixed part catalog): the graph
+    // densifies by design — the pin is the cost identity, which holds
+    // at every scale, not a growth bound the catalog-bounded graph
+    // doesn't obey
+    val e = GraphOps.copurchaseEdges(spark, src).localCheckpoint()
+    val cand = GraphOps.adamicAdarCandidates(e).count()
+    val degSum = e.select(col("u").as("x"))
+      .unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .agg((sum(col("d") * (col("d") - 1)) / 2).cast("long").as("s"))
+      .collect().head.getAs[Long]("s")
+    info(s"AA at sf0.1: ${e.count()} edges, $cand candidates")
+    assert(cand == degSum, s"AA candidates $cand != sum C(deg,2) $degSum at sf0.1")
+  }
+
   test("ANN recall + LSH candidate floors at sf0.01 (pre-commit, ungated)") {
     val n = Tables.embeddings(spark, sf01).count()
     val ivfLift = recallIvf(sf01) / ivfChanceAt(n)

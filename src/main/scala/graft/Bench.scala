@@ -206,6 +206,9 @@ object Bench {
     // funnel's doc-keyed word-stat pass
     "agg_winsorized_mean",
     "text_filter_funnel",
+    // the iterative peel over checkpointed edges (a regression that
+    // replays the co-purchase self-join per round shows as a multi-x)
+    "graph_kcore",
   )
 
   def main(args: Array[String]): Unit = {

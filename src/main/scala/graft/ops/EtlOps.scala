@@ -1094,6 +1094,7 @@ object EtlOps {
     "ts_holt_forecast"       -> (tsHoltForecast _),
     "events_diff_in_diff"    -> (eventsDiffInDiff _),
     "etl_benford_check"      -> (etlBenfordCheck _),
+    "ts_theil_sen"           -> (tsTheilSen _),
     "etl_snapshot_merge_timetravel" -> (etlSnapshotMergeTimetravel _),
     "etl_snapshot_incremental" -> (etlSnapshotIncremental _),
   )
@@ -1425,6 +1426,62 @@ object EtlOps {
       .select(col("day"), col("residual"), col("med"), col("mad"),
         (col("adev") > lit(3.0) * col("mad")).as("is_anomaly"))
       .orderBy(col("day"))
+  }
+
+  /** #227 — Theil–Sen robust trend estimator (round 12; Theil 1950 /
+    * Sen 1968 — the median-of-pairwise-slopes line, the robust
+    * counterpart to #111's least squares: a 29% outlier fraction
+    * cannot move it, which is why KPI anomaly tooling fits trends
+    * with it): over the exact-DECIMAL day totals, slope = lower
+    * median of (yⱼ−yᵢ)/(tⱼ−tᵢ) across all day pairs, intercept =
+    * lower median of yᵢ − slope·tᵢ; graded: n_days, n_pairs, slope,
+    * intercept, the fitted value at the last day. Exactness: t is
+    * exact integer days from the 1-row min-date broadcast, y the
+    * exact decimal total cast once to double, every slope the
+    * identical double quotient both engines, and both medians are
+    * EXACT ORDER STATISTICS (rank (n+1) DIV 2 under (value, tᵢ, tⱼ)
+    * total order — the #211 policy, no interpolation); displays use
+    * the #223 scaled-integer floor rounding since slopes are
+    * quotients of 2dp-exact values and CAN land on round()'s
+    * .5·10⁻ᵏ boundary. Shape: the day table is METADATA scale
+    * (#192's argument) so the O(days²) pair join (~66k pairs/year),
+    * the constant-partition rank windows, and the 1-row median picks
+    * are all metadata work; the corpus cost is the single keyed day
+    * aggregate. A 100 TB series is still ≤ a few thousand days —
+    * pairwise-on-metadata is the honest cost model, not a limit. */
+  def tsTheilSen(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("dsum"))
+    val mn = daily.agg(min(col("day")).as("d0"))
+    val pts = daily.crossJoin(broadcast(mn))
+      .select(datediff(col("day"), col("d0")).as("t"),
+              col("dsum").cast("double").as("y"))
+      .localCheckpoint()
+    val sl = pts.as("a").join(pts.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("ti"), col("b.t").as("tj"),
+        ((col("b.y") - col("a.y")) / (col("b.t") - col("a.t"))).as("slope"))
+    val wS = Window.partitionBy(pmod(col("ti"), lit(1)))
+      .orderBy(col("slope"), col("ti"), col("tj"))
+    val np = sl.agg(count(lit(1)).as("n_pairs"))
+    val med = sl.withColumn("rn", row_number().over(wS))
+      .crossJoin(broadcast(np))
+      .where(col("rn") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("slope").as("slope_med"), col("n_pairs"))
+    val ic = pts.crossJoin(broadcast(med))
+      .select((col("y") - col("slope_med") * col("t")).as("b"), col("t"),
+              col("slope_med"), col("n_pairs"))
+    val wB = Window.partitionBy(pmod(col("t"), lit(1)))
+      .orderBy(col("b"), col("t"))
+    val nd = pts.agg(count(lit(1)).as("n_days"), max(col("t")).as("tmax"))
+    def fp(c: Column, s: Long): Column = floor(c * s + 0.5) / (s.toDouble)
+    ic.withColumn("rn", row_number().over(wB))
+      .crossJoin(broadcast(nd))
+      .where(col("rn") === expr("(n_days + 1) DIV 2"))
+      .select(col("n_days"), col("n_pairs"),
+        fp(col("slope_med"), 1000000L).as("slope"),
+        fp(col("b"), 1000000L).as("intercept"),
+        fp(col("slope_med") * col("tmax") + col("b"), 10000L).as("fit_last"))
   }
 
   /** #224 — Benford first-digit conformance check (round 12; Benford
@@ -2171,6 +2228,34 @@ object EtlOps {
         |  floor(t * 10000 + 0.5) / 10000.0 AS t_stat,
         |  floor(abs(t) * 10000 + 0.5) > 19600 AS significant
         |FROM st""".stripMargin,
+    "ts_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS day, sum(CAST(value AS DECIMAL(18,2))) AS dsum
+        |  FROM events GROUP BY 1),
+        |mn AS (SELECT min(day) AS d0 FROM daily),
+        |pts AS (
+        |  SELECT date_diff('day', d0, day) AS t, CAST(dsum AS DOUBLE) AS y
+        |  FROM daily CROSS JOIN mn),
+        |sl AS (
+        |  SELECT a.t AS ti, b.t AS tj, (b.y - a.y) / (b.t - a.t) AS slope
+        |  FROM pts a JOIN pts b ON a.t < b.t),
+        |np AS (SELECT count(*) AS n_pairs FROM sl),
+        |rs AS (SELECT slope,
+        |         row_number() OVER (ORDER BY slope, ti, tj) AS rn FROM sl),
+        |med AS (SELECT slope AS slope_med, n_pairs FROM rs CROSS JOIN np
+        |        WHERE rn = (n_pairs + 1) // 2),
+        |ic AS (
+        |  SELECT y - slope_med * t AS b, t, slope_med, n_pairs
+        |  FROM pts CROSS JOIN med),
+        |nd AS (SELECT count(*) AS n_days, max(t) AS tmax FROM pts),
+        |ri AS (SELECT b, slope_med, n_pairs,
+        |         row_number() OVER (ORDER BY b, t) AS rn FROM ic)
+        |SELECT n_days, n_pairs,
+        |  floor(slope_med * 1000000 + 0.5) / 1000000.0 AS slope,
+        |  floor(b * 1000000 + 0.5) / 1000000.0 AS intercept,
+        |  floor((slope_med * tmax + b) * 10000 + 0.5) / 10000.0 AS fit_last
+        |FROM ri CROSS JOIN nd WHERE rn = (n_days + 1) // 2""".stripMargin,
     "etl_benford_check" ->
       """WITH d AS (
         |  SELECT substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -263,12 +263,58 @@ object GraphOps {
               col("s").cast("double").as("aa_score"))
   }
 
+  /** #226 — k-core peeling (round 12; Seidman 1983's cohesion
+    * decomposition, the degeneracy-ordering workhorse of graph ML —
+    * dense-subgraph mining, influence seeding, and the standard
+    * graph-cleaning pass before embedding training): 4 SYNCHRONOUS
+    * peel rounds toward the 3-core of the co-purchase graph (#218's
+    * support-pruned edges) — each round drops every node whose
+    * CURRENT degree < 3 and keeps only edges with both endpoints
+    * surviving; the graded output is the (iteration, nodes, edges)
+    * shrinkage table for rounds 0..4, pinning every intermediate
+    * graph size (a fixed-round prefix of the peel, the #122/#208
+    * bounded-iteration policy — at convergence rounds are no-ops and
+    * the trailing rows repeat, equally deterministic). Shape: per
+    * round ONE keyed degree aggregate + two keyed semi-joins back to
+    * the edge list, localCheckpoint'd per round (the LPA pattern) so
+    * round i+1 reads a materialized edge table instead of replaying
+    * rounds 0..i; the summary is a union of per-round 1-row
+    * aggregates — fully declarative, no driver-side counting. At
+    * 100 TB each round is edge-list-scale keyed work; the iteration
+    * state is the edge list itself, the distributed k-core shape. */
+  def graphKcore(spark: SparkSession, sf: String): DataFrame = {
+    val k = 3
+    var edges = copurchaseEdges(spark, sf)
+      .select(col("u"), col("v")).localCheckpoint()
+    val steps = (0 to 4).map { iter =>
+      if (iter > 0) {
+        val keep = edges.select(col("u").as("x"))
+          .unionAll(edges.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("d"))
+          .where(col("d") >= k).select(col("x"))
+        edges = edges
+          .join(keep.withColumnRenamed("x", "ku"), col("u") === col("ku"),
+                "left_semi")
+          .join(keep.withColumnRenamed("x", "kv"), col("v") === col("kv"),
+                "left_semi")
+          .localCheckpoint()
+      }
+      val und = edges.select(col("u").as("x"))
+        .unionAll(edges.select(col("v").as("x")))
+      und.agg(countDistinct(col("x")).as("nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(iter).as("iter"), col("nodes"), col("n_edges"))
+    }
+    steps.reduce(_ unionByName _).orderBy(col("iter"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_pagerank"       -> (graphPagerank _),
     "graph_triangle_count" -> (graphTriangleCount _),
     "sql_recursive_cte"    -> (sqlRecursiveCte _),
     "graph_label_propagation" -> (graphLabelPropagation _),
     "graph_adamic_adar"    -> (graphAdamicAdar _),
+    "graph_kcore"          -> (graphKcore _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -293,7 +339,39 @@ object GraphOps {
        |    GROUP BY p.dst) c ON c.dst = nd.node)""".stripMargin
   }
 
+  /** #226's oracle: the peel rounds as chained CTEs, generated from
+    * the same round count/threshold as the Spark loop. */
+  private def kcoreOracle: String = {
+    val k = 3
+    val base =
+      """op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+    val iters = (1 to 4).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT x FROM (SELECT u AS x FROM e${i - 1}
+         |                 UNION ALL SELECT v FROM e${i - 1}) t
+         |  GROUP BY x HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT x FROM k$i) AND v IN (SELECT x FROM k$i))"""
+        .stripMargin
+    }
+    val arms = (0 to 4).map { i =>
+      s"""SELECT $i AS iter,
+         |  (SELECT count(DISTINCT x) FROM (SELECT u AS x FROM e$i
+         |     UNION ALL SELECT v FROM e$i) t) AS nodes,
+         |  (SELECT count(*) FROM e$i) AS n_edges""".stripMargin
+    }
+    s"WITH $base,\n${iters.mkString(",\n")}\n" +
+      arms.mkString("\nUNION ALL\n") + "\nORDER BY iter"
+  }
+
   val oracle: Map[String, String] = ListMap(
+    "graph_kcore" -> kcoreOracle,
     "graph_adamic_adar" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -630,6 +630,65 @@ class Round12OpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
   }
 
+  test("k-core peel equals a driver-side replay; shrinkage is monotone") {
+    val rows = graft.ops.GraphOps.graphKcore(spark, sf001).collect()
+      .sortBy(_.getAs[Int]("iter"))
+    assert(rows.length == 5)
+    // driver-side graph + synchronous peel replay
+    val op = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    op.groupBy(_._1).values.foreach { ps =>
+      val s = ps.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        pairCount((s(i), s(j))) = pairCount.getOrElse((s(i), s(j)), 0) + 1
+    }
+    var edges = pairCount.filter(_._2 >= 2).keySet.toSet
+    (0 to 4).foreach { iter =>
+      if (iter > 0) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (k, v) => (k, v.length) }
+        val keep = deg.filter(_._2 >= 3).keySet
+        edges = edges.filter(e => keep(e._1) && keep(e._2))
+      }
+      val nodes = edges.flatMap(e => Set(e._1, e._2)).size
+      val r = rows(iter)
+      assert(r.getAs[Long]("nodes") == nodes.toLong, s"iter $iter nodes")
+      assert(r.getAs[Long]("n_edges") == edges.size.toLong, s"iter $iter edges")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("nodes") <= a.getAs[Long]("nodes"))
+      assert(b.getAs[Long]("n_edges") <= a.getAs[Long]("n_edges"))
+    }
+  }
+
+  test("Theil-Sen equals a driver-side median-of-slopes replay") {
+    val r = graft.ops.EtlOps.tsTheilSen(spark, sf001).collect().head
+    val pts = Tables.events(spark, sf001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      .orderBy(col("day")).collect()
+      .map(x => (x.getAs[java.sql.Date]("day").toLocalDate, x.getAs[Double]("y")))
+    val d0 = pts.map(_._1).min
+    val txy = pts.map { case (d, y) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(d0, d), y) }
+    val slopes = (for {
+      i <- txy.indices; j <- txy.indices
+      if txy(i)._1 < txy(j)._1
+    } yield ((txy(j)._2 - txy(i)._2) / (txy(j)._1 - txy(i)._1),
+             txy(i)._1, txy(j)._1)).sortBy(x => (x._1, x._2, x._3))
+    val slope = slopes((slopes.length + 1) / 2 - 1)._1
+    val ics = txy.map { case (t, y) => (y - slope * t, t) }.sortBy(identity)
+    val b = ics((ics.length + 1) / 2 - 1)._1
+    assert(r.getAs[Long]("n_days") == txy.length.toLong)
+    assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)
+    assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-6)
+    assert(math.abs(r.getAs[Double]("intercept") - b) < 1e-6)
+    val tmax = txy.map(_._1).max
+    assert(math.abs(r.getAs[Double]("fit_last") - (slope * tmax + b)) < 1e-4)
+  }
+
   test("correlation matrix: diagonal pins exactly 1, off-diagonals match a driver-side exact-moment replay") {
     val rows = AggOps.aggCorrMatrix(spark, sf001).collect()
     assert(rows.length == 10)

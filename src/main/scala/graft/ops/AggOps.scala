@@ -890,6 +890,47 @@ object AggOps {
           1000000.0).as("mean_trimmed"))
   }
 
+  /** #228 — tail risk: Value-at-Risk + expected shortfall (round 12;
+    * the Basel/RiskMetrics pair, equally the SLO tail-latency readout
+    * — VaR_p is the exact p-quantile ORDER STATISTIC, ES_p the exact
+    * mean BEYOND it, the coherent risk measure VaR alone is not):
+    * over per-order revenue under the #223 machinery — global
+    * deterministic rank via the distributed prefix rank (never a
+    * single-partition window), k₉₅/k₉₉ exact integers, VaR the 1-row
+    * rank pick, ES an exact-DECIMAL conditional sum divided by the
+    * exact tail count (n − k), displayed under the #223 scaled-
+    * integer contract. One ranked pass (localCheckpoint'd — two
+    * consumers), one bounds broadcast, one aggregate. */
+  def aggTailRisk(spark: SparkSession, sf: String): DataFrame = {
+    val v = orders(spark, sf)
+      .select(money(col("o_totalprice")).as("v"), col("o_orderkey"))
+    val ranked = graft.api.Transforms.globalRowNumber(v,
+        struct(col("v"), col("o_orderkey")),
+        floor(col("v") / 100000L))
+      .withColumnRenamed("__row_number", "rk")
+      .select(col("v"), col("rk"))
+      .localCheckpoint()
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    val wb = ranked.crossJoin(broadcast(tot))
+    val k95 = expr("n * 95 DIV 100")
+    val k99 = expr("n * 99 DIV 100")
+    val bounds = wb.agg(
+      max(when(col("rk") === k95, col("v"))).as("var95"),
+      max(when(col("rk") === k99, col("v"))).as("var99"))
+    def fp6(c: Column): Column = floor(c * 1000000 + 0.5) / 1000000.0
+    wb.crossJoin(broadcast(bounds))
+      .groupBy(col("n"), col("var95"), col("var99"))
+      .agg(sum(when(col("rk") > k95, col("v"))).as("t95"),
+           sum(when(col("rk") > k99, col("v"))).as("t99"))
+      .select(col("n").as("n_orders"),
+        col("var95").cast("double").as("var_95"),
+        col("var99").cast("double").as("var_99"),
+        fp6(col("t95").cast("double") / expr("n - n * 95 DIV 100"))
+          .as("es_95"),
+        fp6(col("t99").cast("double") / expr("n - n * 99 DIV 100"))
+          .as("es_99"))
+  }
+
   /** #204 — Gini coefficient / revenue concentration (round 12; the
     * inequality statistic of every marketplace health dashboard):
     * over per-customer order revenue x₍ᵢ₎ ranked ascending,
@@ -1018,6 +1059,7 @@ object AggOps {
     "agg_mannwhitney_u"    -> (aggMannwhitneyU _),
     "agg_corr_matrix"      -> (aggCorrMatrix _),
     "agg_winsorized_mean"  -> (aggWinsorizedMean _),
+    "agg_tail_risk"        -> (aggTailRisk _),
     "agg_gini_concentration" -> (aggGiniConcentration _),
     "agg_rfm_segments"     -> (aggRfmSegments _),
   )
@@ -1303,6 +1345,28 @@ object AggOps {
         |    8) AS DECIMAL(18,8))) AS DOUBLE) > 15.5073 AS significant
         |FROM cells JOIN rt USING (st) JOIN ct USING (pri) CROSS JOIN tot""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
+    "agg_tail_risk" ->
+      """WITH v AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rk
+        |  FROM v),
+        |t AS (SELECT count(*) AS n FROM r),
+        |b AS (
+        |  SELECT max(CASE WHEN rk = (n * 95) // 100 THEN v END) AS var95,
+        |         max(CASE WHEN rk = (n * 99) // 100 THEN v END) AS var99
+        |  FROM r CROSS JOIN t)
+        |SELECT n AS n_orders,
+        |  CAST(var95 AS DOUBLE) AS var_95, CAST(var99 AS DOUBLE) AS var_99,
+        |  floor(CAST(sum(CASE WHEN rk > (n * 95) // 100 THEN v END)
+        |             AS DOUBLE) / (n - (n * 95) // 100) * 1000000 + 0.5)
+        |    / 1000000.0 AS es_95,
+        |  floor(CAST(sum(CASE WHEN rk > (n * 99) // 100 THEN v END)
+        |             AS DOUBLE) / (n - (n * 99) // 100) * 1000000 + 0.5)
+        |    / 1000000.0 AS es_99
+        |FROM r CROSS JOIN t CROSS JOIN b
+        |GROUP BY n, var95, var99""".stripMargin,
     "agg_winsorized_mean" ->
       """WITH v AS (
         |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,

@@ -744,6 +744,33 @@ class Round12OpsSpec extends SparkSpec {
     assert(lo.toDouble < hi.toDouble)
   }
 
+  test("tail risk equals a driver-side sorted brute force; ES dominates VaR") {
+    val r = AggOps.aggTailRisk(spark, sf001).collect().head
+    val vs = Tables.orders(spark, sf001)
+      .select(col("o_totalprice").cast("decimal(18,2)").as("v"),
+              col("o_orderkey"))
+      .collect()
+      .map(x => (BigDecimal(x.getAs[java.math.BigDecimal]("v")),
+                 x.getAs[Long]("o_orderkey")))
+      .sortBy(identity).map(_._1)
+    val n = vs.length
+    def pick(p: Int) = vs(n * p / 100 - 1)
+    def es(p: Int) = {
+      val tail = vs.drop(n * p / 100)
+      tail.sum.toDouble / tail.length
+    }
+    assert(r.getAs[Long]("n_orders") == n.toLong)
+    assert(r.getAs[Double]("var_95") == pick(95).toDouble)
+    assert(r.getAs[Double]("var_99") == pick(99).toDouble)
+    assert(math.abs(r.getAs[Double]("es_95") - es(95)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("es_99") - es(99)) < 1e-5)
+    // coherence sanity: the tail mean exceeds its quantile, and the
+    // deeper tail is the more extreme one
+    assert(r.getAs[Double]("es_95") > r.getAs[Double]("var_95"))
+    assert(r.getAs[Double]("es_99") > r.getAs[Double]("var_99"))
+    assert(r.getAs[Double]("es_99") >= r.getAs[Double]("es_95"))
+  }
+
   test("Benford check: shares and expected each sum to 1; counts match a driver recompute") {
     val rows = graft.ops.EtlOps.etlBenfordCheck(spark, sf001).collect()
     assert(rows.length == 9)

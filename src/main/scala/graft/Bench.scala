@@ -207,7 +207,8 @@ object Bench {
     "agg_winsorized_mean",
     "text_filter_funnel",
     // the iterative peel over checkpointed edges (a regression that
-    // replays the co-purchase self-join per round shows as a multi-x)
+    // replays the co-purchase pair fan-out per round, or loses the
+    // broadcast survivor semi-joins, shows as a multi-x)
     "graph_kcore",
   )
 
@@ -371,6 +372,18 @@ object Bench {
       s""""queries":${toJson(results)},""" +
       s""""ratio":${ratio.fold("null")(r => f"$r%.3f")},""" +
       s""""pass":${pass.fold("null")(_.toString)},"sf":"$sfDir"}""")
+    // Compact secondary summary, printed after the headline line
+    // (round 13 — VERDICT r12 item 4): the full line's per-query
+    // secondary dict outgrows the driver's 2000-char tail window, so
+    // the regression-guard evidence (suite total + the 5 slowest
+    // rows, i.e. where a plan regression would surface) gets its own
+    // ~300-char line that always survives tail truncation.
+    val slowest5 = sec.collect { case (k, Some(v)) => k -> v }
+      .sortBy(-_._2).take(5).map { case (k, v) => k -> Some(v) }
+    println(s"""{"metric":"secondary","secondary_total":${totalOrNull(sec)},""" +
+      s""""n_queries":${sec.size},"n_failed":${sec.count(_._2.isEmpty)},""" +
+      s""""slowest5":${toJson(slowest5)},""" +
+      s""""aqe_on_total":${aqeOnTotal.fold("null")(t => f"$t%.3f")},"sf":"$sfDir"}""")
     spark.stop() // no-op when the AQE block already stopped it
   }
 }

@@ -151,6 +151,21 @@ object SnapshotTable {
            keyCol: String): DataFrame = {
     val from = manifestLines(spark, base, vFrom).toSet
     val to = manifestLines(spark, base, vTo).toSet
+    if (from.isEmpty && to.isEmpty) {
+      // Both versions reference zero files (e.g. diff of an emptied
+      // table against itself): no payload schema is recoverable from
+      // zero parquet files, and the delta is definitionally empty —
+      // short-circuit instead of calling spark.read.parquet() with no
+      // paths (which throws). The before/after structs are empty here
+      // because the table carries no schema at either endpoint.
+      import org.apache.spark.sql.types._
+      val s = StructType(Seq(
+        StructField(keyCol, StringType), StructField("change", StringType),
+        StructField("before", StructType(Nil)),
+        StructField("after", StructType(Nil))))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    }
     val schema = {
       val any = (from ++ to).headOption.map(_.split('\t')(1)).toSeq
       spark.read.parquet(any: _*).schema
@@ -189,8 +204,20 @@ object SnapshotTable {
     * the longest running query. At 100 TB both steps are metadata
     * work plus bulk deletes: the live-file set is the union of
     * surviving manifests (driver-side set algebra), and the
-    * candidate list is one directory listing. */
-  def vacuum(spark: SparkSession, base: String, keepVersions: Int): (Int, Int) = {
+    * candidate list is one directory listing.
+    *
+    * Vacuum vs CONCURRENT WRITERS: a writer mid-commit has fully
+    * written data files that no manifest references yet — to vacuum
+    * they are indistinguishable from crashed-writer orphans.
+    * `orphanMinAgeMs` is the guard (iceberg's remove_orphan_files
+    * `older_than` contract): data files whose modification time is
+    * within the window are skipped, so any writer that publishes its
+    * manifest within `orphanMinAgeMs` of finishing its data files is
+    * safe. The default (0 — collect everything unreferenced) is only
+    * safe when no writer is in flight; size the window to your
+    * longest write+commit latency otherwise. */
+  def vacuum(spark: SparkSession, base: String, keepVersions: Int,
+             orphanMinAgeMs: Long = 0L): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val latest = latestVersion(spark, base)
     require(latest >= 0, s"no table at $base")
@@ -207,14 +234,62 @@ object SnapshotTable {
     val dataDir = new Path(s"$base/data")
     var deleted = 0
     if (f.exists(dataDir)) {
+      val ageCutoff = System.currentTimeMillis() - orphanMinAgeMs
       val it = f.listFiles(dataDir, /* recursive = */ true)
       val victims = Iterator.continually(it)
-        .takeWhile(_.hasNext).map(_.next().getPath)
-        .filter(p => p.getName.endsWith(".parquet") && !live.contains(p.toString))
-        .toList
+        .takeWhile(_.hasNext).map(_.next())
+        .filter(s => s.getPath.getName.endsWith(".parquet") &&
+          !live.contains(s.getPath.toString) &&
+          s.getModificationTime <= ageCutoff)
+        .map(_.getPath).toList
       victims.foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
     (dropped.size, deleted)
+  }
+
+  /** Run `attempt` (any write that publishes a version — `mergeInto`,
+    * `compact`) with optimistic-concurrency retry: on
+    * [[VersionConflictException]] the attempt is re-evaluated from
+    * scratch, which re-reads the NEW latest version — the loser of a
+    * commit race must rebase its change computation, not just re-try
+    * the same manifest publish (its merged content was derived
+    * against a version that is no longer latest). By-name `attempt`
+    * gives exactly that re-evaluation. Throws the last conflict after
+    * `maxAttempts` losses — under sustained contention the caller
+    * decides whether to queue or back off (same contract as iceberg's
+    * commit retry properties). */
+  def retryingCommit[T](maxAttempts: Int = 5)(attempt: => T): T = {
+    var left = maxAttempts
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(attempt)
+      catch {
+        case e: VersionConflictException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    out.get
+  }
+
+  /** Time-travel by WALL CLOCK: read the newest version whose commit
+    * instant is ≤ `tsMillis`. The commit point IS the manifest
+    * publish (see `commit`), so the manifest file's modification time
+    * is the commit instant — no extra metadata file needed; the same
+    * source iceberg uses for snapshot `committed_at`. Ties (two
+    * commits within one mtime granule) resolve to the higher version,
+    * matching commit order. */
+  def asOfTimestamp(spark: SparkSession, base: String, tsMillis: Long): DataFrame = {
+    val f = fs(spark, base)
+    val dir = new Path(s"$base/manifest")
+    require(f.exists(dir), s"no table at $base")
+    val eligible = f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("v"))
+      .map(s => (s.getPath.getName.drop(1).toInt, s.getModificationTime))
+      .filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $base committed at or before $tsMillis")
+    asOf(spark, base, eligible.maxBy { case (v, t) => (t, v) }._1)
   }
 
   /** Maintenance compaction: rewrite the latest version's data into

@@ -641,19 +641,27 @@ object AggOps {
     * table the way #175 fixes its z literals. Shape: ONE keyed
     * corpus aggregate to the ≤15-cell table; marginals, N, the term
     * sum and dof are all metadata-scale broadcasts — at 100 TB the
-    * corpus is touched exactly once. */
+    * corpus is touched exactly once. The contingency grid is the
+    * CROSS of the observed row/column marginals (round 13): a
+    * structurally-empty cell (obs = 0) contributes its full expected
+    * count to the sum — dropping such cells (the groupBy-only shape)
+    * understates χ² whenever a status×priority combination is absent
+    * from the data. */
   def aggChi2Independence(spark: SparkSession, sf: String): DataFrame = {
-    val cells = orders(spark, sf)
+    val observed = orders(spark, sf)
       .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
       .agg(count(lit(1)).as("obs"))
-    val rt = cells.groupBy(col("st")).agg(sum(col("obs")).as("rt"))
-    val ct = cells.groupBy(col("pri")).agg(sum(col("obs")).as("ct"))
-    val tot = cells.agg(sum(col("obs")).as("n"))
+    val rt = observed.groupBy(col("st")).agg(sum(col("obs")).as("rt"))
+    val ct = observed.groupBy(col("pri")).agg(sum(col("obs")).as("ct"))
+    val tot = observed.agg(sum(col("obs")).as("n"))
+    // full marginal grid, zero-filled: |st| × |pri| rows, metadata scale
+    val cells = broadcast(rt).crossJoin(broadcast(ct))
+      .join(observed, Seq("st", "pri"), "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
     def grid8(c: Column): Column = round(c, 8).cast("decimal(18,8)")
     val expd = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
     val dev = col("obs").cast("double") - expd
-    cells.join(broadcast(rt), "st").join(broadcast(ct), "pri")
-      .crossJoin(broadcast(tot))
+    cells.crossJoin(broadcast(tot))
       .agg(max(col("n")).as("n_orders"),
         count(lit(1)).as("n_cells"),
         ((countDistinct(col("st")) - 1) * (countDistinct(col("pri")) - 1))
@@ -1318,13 +1326,17 @@ object AggOps {
         |SELECT mi, h_x, h_y, round(mi / sqrt(h_x * h_y), 4) AS nmi
         |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
     "agg_chi2_independence" ->
-      """WITH cells AS (
+      """WITH observed AS (
         |  SELECT o_orderstatus AS st, o_orderpriority AS pri,
         |    count(*) AS obs
         |  FROM orders GROUP BY 1, 2),
-        |rt AS (SELECT st, sum(obs) AS rt FROM cells GROUP BY st),
-        |ct AS (SELECT pri, sum(obs) AS ct FROM cells GROUP BY pri),
-        |tot AS (SELECT sum(obs) AS n FROM cells)
+        |rt AS (SELECT st, sum(obs) AS rt FROM observed GROUP BY st),
+        |ct AS (SELECT pri, sum(obs) AS ct FROM observed GROUP BY pri),
+        |tot AS (SELECT sum(obs) AS n FROM observed),
+        |cells AS (
+        |  SELECT rt.st, ct.pri, rt.rt, ct.ct, coalesce(o.obs, 0) AS obs
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN observed o ON o.st = rt.st AND o.pri = ct.pri)
         |SELECT CAST(max(n) AS BIGINT) AS n_orders,
         |  count(*) AS n_cells,
         |  CAST((count(DISTINCT st) - 1) * (count(DISTINCT pri) - 1) AS INT)
@@ -1343,7 +1355,7 @@ object AggOps {
         |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
         |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
         |    8) AS DECIMAL(18,8))) AS DOUBLE) > 15.5073 AS significant
-        |FROM cells JOIN rt USING (st) JOIN ct USING (pri) CROSS JOIN tot""".stripMargin,
+        |FROM cells CROSS JOIN tot""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
     "agg_tail_risk" ->
       """WITH v AS (

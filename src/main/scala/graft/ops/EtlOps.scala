@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import scala.collection.immutable.ListMap
 import graft.Tables._
+import graft.api.Transforms
 
 /** SURVEY §2.K — ETL-heritage operators (#65–#70), the oeem-etl
   * semantics re-expressed as distributed transforms: unit
@@ -289,171 +290,61 @@ object EtlOps {
     * each tagged with the metric family its type admits. Both the
     * exact (#182) and approx (#185) profilers and BOTH oracles are
     * generated from this one list, so the Spark plan and the DuckDB
-    * SQL cannot drift column-by-column. */
-  private case class ProfCol(name: String, kind: String) // num|int|str|ts
-  private val lineitemProfile: Seq[ProfCol] = Seq(
-    ProfCol("l_orderkey", "int"), ProfCol("l_partkey", "int"),
-    ProfCol("l_suppkey", "int"), ProfCol("l_linenumber", "int"),
-    ProfCol("l_quantity", "num"), ProfCol("l_extendedprice", "num"),
-    ProfCol("l_discount", "num"), ProfCol("l_tax", "num"),
-    ProfCol("l_returnflag", "str"), ProfCol("l_linestatus", "str"),
-    ProfCol("l_shipdate", "ts"))
-
-  /** Exact per-column distinct counts as a UNION of 11 independent
-    * two-phase distinct aggregates, one per profiled column — the
-    * verification half of #182/#185. Why not `countDistinct` × 11 in
-    * one aggregate: Catalyst rewrites multi-distinct into a
-    * 12-projection Expand with a 12-column grouping key — a 12× row
-    * blowup shuffled WIDE (measured 14.7 s at sf0.1). Here each branch
-    * scans ONE parquet column (columnar storage ⇒ the 11 pruned scans
-    * read the same total bytes as one full-width scan), dedups
-    * map-side, and shuffles only that column's distinct VALUES
-    * (~1.5 M narrow rows at sf0.1 vs the expand's 7.2 M wide ones);
-    * the branches are independent stages a cluster runs concurrently.
-    * Measured 14.7 s → 2 s-class at sf0.1 for the whole profile. */
-  private def exactDistincts(li: DataFrame): DataFrame =
-    lineitemProfile.map { c =>
-      li.select(col(c.name).as("v"))
-        .agg(countDistinct(col("v")).as("n_distinct"))
-        .select(lit(c.name).as("col_name"), col("n_distinct"))
-    }.reduce(_ unionByName _)
+    * SQL cannot drift column-by-column. Round 13: the machinery
+    * behind both profilers moved to [[graft.api.Transforms.profile]]
+    * / [[graft.api.Transforms.profileApprox]] — a platform user
+    * profiles arbitrary tables through that public API (spec
+    * inferred by `Transforms.profileSpec` or hand-written); these
+    * graded queries are now thin lineitem bindings of it, plans and
+    * hashes unchanged. */
+  private val lineitemProfile: Seq[Transforms.ProfileColumn] = Seq(
+    Transforms.ProfileColumn("l_orderkey", "int"),
+    Transforms.ProfileColumn("l_partkey", "int"),
+    Transforms.ProfileColumn("l_suppkey", "int"),
+    Transforms.ProfileColumn("l_linenumber", "int"),
+    Transforms.ProfileColumn("l_quantity", "num"),
+    Transforms.ProfileColumn("l_extendedprice", "num"),
+    Transforms.ProfileColumn("l_discount", "num"),
+    Transforms.ProfileColumn("l_tax", "num"),
+    Transforms.ProfileColumn("l_returnflag", "str"),
+    Transforms.ProfileColumn("l_linestatus", "str"),
+    Transforms.ProfileColumn("l_shipdate", "ts"))
 
   /** #182 — column profiler (round 11; widened to the FULL lineitem
-    * table in round 12; the Deequ / Great-Expectations profiling pass
-    * every data platform schedules against every table): for ALL 11
+    * table in round 12, generalized to [[Transforms.profile]] in
+    * round 13; the Deequ / Great-Expectations profiling pass every
+    * data platform schedules against every table): for ALL 11
     * lineitem columns, row count, null count, exact distinct count,
     * numeric min/max/mean (exact-DECIMAL sum ÷ count in double — the
     * #20 policy; integer keys profiled the same way), string min/max,
-    * and timestamps profiled as exact epoch-microsecond bounds. Shape:
-    * every fixed-width-buffer metric (counts, nulls, numeric/epoch
-    * extremes, exact sums) in ONE hash aggregate over one full scan;
-    * string extremes in one keyless pruned pass (string min/max
-    * BUFFERS would force the aggregate sort-based — measured 6.8 s vs
-    * 0.6 s at sf0.1); exact distincts via [[exactDistincts]]'s
-    * per-column union (NOT a multi-distinct expand — see there for the
-    * measured 7× rationale), broadcast-joined onto the stacked
-    * (column, metric) rows (the #132 shape). Scale: the exact distinct
-    * union is the graded verification form; the production swap is
-    * #185's `approx_count_distinct` one-pass variant below, graded
-    * side-by-side under the #172 tolerance contract. */
-  def etlProfileColumns(spark: SparkSession, sf: String): DataFrame = {
-    val li = lineitem(spark, sf)
-    def nulls(c: String) = sum(col(c).isNull.cast("long"))
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
-      lineitemProfile.flatMap { c =>
-        val base = Seq(
-          nulls(c.name).as(s"${c.name}__nulls"))
-        val extremes = c.kind match {
-          case "num" => Seq(
-            min(money(col(c.name))).cast("double").as(s"${c.name}__min"),
-            max(money(col(c.name))).cast("double").as(s"${c.name}__max"),
-            (sum(money(col(c.name))).cast("double") / count(lit(1)))
-              .as(s"${c.name}__mean"))
-          case "int" => Seq(
-            min(col(c.name)).cast("double").as(s"${c.name}__min"),
-            max(col(c.name)).cast("double").as(s"${c.name}__max"),
-            (sum(money(col(c.name))).cast("double") / count(lit(1)))
-              .as(s"${c.name}__mean"))
-          case "ts" => Seq(
-            min(unix_micros(col(c.name))).cast("double").as(s"${c.name}__min"),
-            max(unix_micros(col(c.name))).cast("double").as(s"${c.name}__max"))
-          case _ => Nil
-        }
-        base ++ extremes
-      }
-    val wide = li.agg(aggs.head, aggs.tail: _*)
-    // the string-bound metrics run as a second keyless aggregate over
-    // the pruned scan (no keys ⇒ no sort; 1-row output crossJoined
-    // back). The profile is 2 column-pruned passes, not 2+#strings
-    // sorted ones.
-    val strAggs = lineitemProfile.filter(_.kind == "str").flatMap(c => Seq(
-      min(col(c.name)).as(s"${c.name}__smin"),
-      max(col(c.name)).as(s"${c.name}__smax")))
-    val strs = li.agg(strAggs.head, strAggs.tail: _*)
-    val rows = lineitemProfile.map { c =>
-      val (nmin, nmax, nmean, smin, smax) = c.kind match {
-        case "num" | "int" =>
-          (s"${c.name}__min", s"${c.name}__max", s"${c.name}__mean",
-           "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
-        case "ts" =>
-          (s"${c.name}__min", s"${c.name}__max", "CAST(NULL AS DOUBLE)",
-           "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
-        case _ =>
-          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-           "CAST(NULL AS DOUBLE)", s"${c.name}__smin", s"${c.name}__smax")
-      }
-      s"'${c.name}', n_rows, ${c.name}__nulls, " +
-        s"$nmin, $nmax, $nmean, $smin, $smax"
-    }
-    wide.crossJoin(strs).select(expr(
-      s"""stack(${rows.size},
-         |${rows.mkString(",\n")}
-         |) AS (col_name, n_rows, n_null, num_min, num_max,
-         |      num_mean, str_min, str_max)""".stripMargin))
-      // 11 rows × 11 rows: the distinct union rides in as a broadcast
-      .join(broadcast(exactDistincts(li)), "col_name")
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("num_min"), col("num_max"),
-        col("num_mean"), col("str_min"), col("str_max"))
-      .orderBy(col("col_name"))
-  }
+    * and timestamps profiled as exact epoch-microsecond bounds. See
+    * [[Transforms.profile]] for the plan shape (one fixed-width hash
+    * aggregate + one keyless string pass + the per-column distinct
+    * union, each choice measured) and [[Transforms.profileApprox]]
+    * for the 100 TB swap, graded side-by-side as #185. */
+  def etlProfileColumns(spark: SparkSession, sf: String): DataFrame =
+    Transforms.profile(lineitem(spark, sf), lineitemProfile, money)
 
-  /** #185 — one-pass approx column profiler (round 12): the 100 TB
-    * form of #182. Null counts plus a DataSketches HLL cardinality
-    * sketch (`hll_sketch_agg` at lgK=14, ≈0.8% RSE — the #172 sketch
-    * family; register-max merge, so the estimate is order-independent
-    * and deterministic for a fixed corpus) for all 11 lineitem columns
-    * in ONE hash aggregate with NO distinct expand and no per-column
-    * re-scan — one partial-aggregated pass with KB-sized state and a
-    * 1-row driver-side output: the shape a scheduled profiling job
-    * runs against a 100 TB table, where #182's exact path must shuffle
-    * every column's distinct VALUES. Why DataSketches and not #28's
-    * `approx_count_distinct`: at comparable precision (rsd=0.01,
-    * p=14) the built-in HLL++ measured 9–12 s at sf0.1 — its ~2,731
-    * buffer words per column put a ~30k-field unsafe buffer behind
-    * every row update and disable codegen — vs ~1.0 s for the
-    * DataSketches TypedImperativeAggregate, which mutates a real
-    * sketch object per partition. Type bridging: doubles enter the
-    * sketch as their canonical string form (injective for distinct
-    * doubles; `countDistinct`'s -0.0/NaN normalization is the one
-    * in-principle divergence, absorbed by the tolerance), timestamps
-    * as exact `unix_micros` longs. Graded under the #172 tolerance
-    * CONTRACT: the output carries the EXACT distinct counts
-    * ([[exactDistincts]]'s per-column union — the verification
-    * harness, not the scale path) plus a flag that the sketch estimate
-    * lands within 5% of each (measured worst error 0.45% across all
-    * graded scales — >10× slack, so the flag pins estimator health,
-    * not luck); DuckDB emits the exacts and literal `true`, so
-    * estimator drift >5% on any column flips a flag and fails the
-    * hash. */
-  def etlProfileApprox(spark: SparkSession, sf: String): DataFrame = {
-    val li = lineitem(spark, sf)
-    def sketchInput(c: ProfCol): String = c.kind match {
-      case "num" => s"CAST(${c.name} AS STRING)"
-      case "ts"  => s"unix_micros(${c.name})"
-      case _     => c.name
-    }
-    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
-      lineitemProfile.flatMap { c => Seq(
-        sum(col(c.name).isNull.cast("long")).as(s"${c.name}__nulls"),
-        expr(s"hll_sketch_estimate(hll_sketch_agg(${sketchInput(c)}, 14))")
-          .as(s"${c.name}__approx"))
-      }
-    val onepass = li.agg(aggs.head, aggs.tail: _*)
-    val rows = lineitemProfile.map { c =>
-      s"'${c.name}', n_rows, ${c.name}__nulls, ${c.name}__approx"
-    }
-    onepass.select(expr(
-      s"""stack(${rows.size},
-         |${rows.mkString(",\n")}
-         |) AS (col_name, n_rows, n_null, approx)""".stripMargin))
-      .join(broadcast(exactDistincts(li)), "col_name")
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"),
-        (abs(col("approx") - col("n_distinct"))
-          <= col("n_distinct") * lit(0.05)).as("approx_within_5pct"))
-      .orderBy(col("col_name"))
-  }
+  /** #185 — one-pass approx column profiler (round 12; generalized to
+    * [[Transforms.profileApprox]] in round 13): the 100 TB form of
+    * #182 — null counts plus a DataSketches HLL cardinality sketch
+    * (lgK=14, ≈0.8% RSE) for all 11 lineitem columns in ONE hash
+    * aggregate with NO distinct expand and no per-column re-scan.
+    * Why DataSketches and not #28's `approx_count_distinct`: at
+    * comparable precision the built-in HLL++ measured 9–12 s at sf0.1
+    * (its ~2,731 buffer words per column disable codegen) vs ~1.0 s
+    * for the DataSketches TypedImperativeAggregate. Graded under the
+    * #172 tolerance CONTRACT via `withExactCheck = true`: the output
+    * carries the EXACT distinct counts plus a flag that the sketch
+    * estimate lands within 5% of each (measured worst error 0.45%
+    * across graded scales — >10× slack, so the flag pins estimator
+    * health, not luck); DuckDB emits the exacts and literal `true`,
+    * so estimator drift >5% on any column flips a flag and fails the
+    * hash. Production callers use `withExactCheck = false` and read
+    * the estimate directly — that is the scale path. */
+  def etlProfileApprox(spark: SparkSession, sf: String): DataFrame =
+    Transforms.profileApprox(lineitem(spark, sf), lineitemProfile,
+      withExactCheck = true)
 
   def etlDqRules(spark: SparkSession, sf: String): DataFrame = {
     val preds: Seq[(String, Column)] = Seq(
@@ -999,10 +890,22 @@ object EtlOps {
     * inserts (the held-out %5=0, %7=3 keys). Returns the table base
     * path with versions 0 and 1 committed. Both graded ops derive
     * their oracle from this single derivation. */
+  private def deleteRecursively(p: java.io.File): Unit = {
+    val children = Option(p.listFiles()).getOrElse(Array.empty)
+    children.foreach(deleteRecursively)
+    p.delete(): Unit
+  }
+
   private def buildSnapshotOrders(spark: SparkSession, sf: String): String = {
     val tmp = System.getProperty("java.io.tmpdir")
     val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val base = s"$tmp/graft_snaptbl_$run"
+    // Each invocation builds a fresh table on purpose — the secondary
+    // bench times the MERGE's copy-on-write cost, so a cached table
+    // would silently un-measure it. The hook keeps repeated runs from
+    // accumulating orders-sized temp copies across JVMs: each JVM
+    // deletes every fixture it wrote when it exits.
+    sys.addShutdownHook(deleteRecursively(new java.io.File(base)))
     val o = orders(spark, sf).select(col("o_orderkey"), col("o_orderstatus"),
       money(col("o_totalprice")).as("o_price"))
     val v0rows = o.where(col("o_orderkey") % 5 =!= 0)

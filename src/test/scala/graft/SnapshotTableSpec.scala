@@ -186,6 +186,95 @@ class SnapshotTableSpec extends SparkSpec {
     assert(after(5L) == 999L && after(6L) == 888L && after(7L) == 70L)
   }
 
+  test("vacuum's orphanMinAgeMs spares young unreferenced files (in-flight writer guard)") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    // a "writer mid-commit": fully-written data file, manifest not yet
+    // published — with a generous age window it must survive vacuum
+    val inflightDir = new java.io.File(s"$base/data/inflight"); inflightDir.mkdirs()
+    val young = new java.io.File(inflightDir, "pending.parquet")
+    assert(young.createNewFile())
+    val (_, deletedGuarded) =
+      SnapshotTable.vacuum(spark, base, keepVersions = 1,
+        orphanMinAgeMs = 60L * 60 * 1000)
+    assert(deletedGuarded == 0 && young.exists,
+      "young unreferenced file must survive an age-guarded vacuum")
+    // with the default (no grace) the same file is collected as an orphan
+    val (_, deletedNow) = SnapshotTable.vacuum(spark, base, keepVersions = 1)
+    assert(deletedNow == 1 && !young.exists, "ungarded vacuum collects it")
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 100)
+  }
+
+  test("retryingCommit rebases the loser: a conflicting merge lands on the new latest") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    // simulate losing one race: the first attempt publishes the same
+    // version number a concurrent writer just took
+    var attempts = 0
+    val v = SnapshotTable.retryingCommit(maxAttempts = 3) {
+      attempts += 1
+      if (attempts == 1) {
+        // concurrent winner lands v1 between our read and our publish
+        SnapshotTable.mergeInto(spark, base,
+          Seq((7L, "U", 777L, "r")).toDF("k", "op", "v", "grp"), "k", 8)
+        // our own attempt now conflicts on v1
+        SnapshotTable.commit(spark, base, 1, Seq("0\tbogus"))
+        fail("commit of an already-taken version must throw")
+      }
+      // re-evaluated attempt: reads the NEW latest and lands v2
+      SnapshotTable.mergeInto(spark, base,
+        Seq((8L, "U", 888L, "r")).toDF("k", "op", "v", "grp"), "k", 8)
+    }
+    assert(attempts == 2 && v == 2)
+    val after = SnapshotTable.asOf(spark, base, 2)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+    // both the concurrent winner's change and the rebased one landed
+    assert(after(7L) == 777L && after(8L) == 888L)
+    // and it gives up after maxAttempts, rethrowing the conflict
+    intercept[SnapshotTable.VersionConflictException] {
+      SnapshotTable.retryingCommit(maxAttempts = 2) {
+        SnapshotTable.commit(spark, base, 2, Seq("0\tbogus"))
+      }
+    }
+  }
+
+  test("asOfTimestamp resolves the newest version committed at or before the instant") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    val t0 = new java.io.File(s"$base/manifest/v0").lastModified()
+    import spark.implicits._
+    // ensure v1's mtime granule is strictly later than v0's
+    Thread.sleep(1100)
+    SnapshotTable.mergeInto(spark, base,
+      Seq((5L, "U", 999L, "u")).toDF("k", "op", "v", "grp"), "k", 8)
+    val t1 = new java.io.File(s"$base/manifest/v1").lastModified()
+    assert(t1 > t0, "commit instants must be ordered for the pin below")
+    def vAt(ts: Long): Long = SnapshotTable.asOfTimestamp(spark, base, ts)
+      .where(col("k") === 5L).head().getAs[Long]("v")
+    assert(vAt(t0) == 50L, "instant of the v0 commit reads v0")
+    assert(vAt(t1 - 1) == 50L, "just before the v1 commit still reads v0")
+    assert(vAt(t1) == 999L, "the v1 commit instant reads v1")
+    assert(vAt(System.currentTimeMillis() + 10000) == 999L, "future reads latest")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.asOfTimestamp(spark, base, t0 - 10000)
+    }
+  }
+
+  test("diff of two empty-manifest versions short-circuits to an empty result") {
+    val base = freshBase()
+    import spark.implicits._
+    SnapshotTable.create(spark, base,
+      Seq((42L, 420L, "z")).toDF("k", "v", "grp"), "k", numBuckets = 4)
+    SnapshotTable.mergeInto(spark, base,
+      Seq((42L, "D", 0L, "")).toDF("k", "op", "v", "grp"), "k", numBuckets = 4)
+    // v1 references zero files; diff(v1, v1) previously threw from a
+    // zero-path parquet read (ADVICE r12)
+    val d = SnapshotTable.diff(spark, base, 1, 1, "k")
+    assert(d.count() == 0)
+    assert(d.columns.toSeq == Seq("k", "change", "before", "after"))
+  }
+
   test("deletes that empty a bucket drop its file from the manifest") {
     val base = freshBase()
     import spark.implicits._

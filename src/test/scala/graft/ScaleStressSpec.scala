@@ -555,6 +555,14 @@ class ScaleStressSpec extends SparkSpec {
       ("agg_corr_matrix", d => AggOps.aggCorrMatrix(spark, d), LIN),
       // three chained customer-scale sketch-ntile passes
       ("agg_rfm_segments", d => AggOps.aggRfmSegments(spark, d), LIN))
+    // Ops whose candidate tables are DATA-scale: Spark auto-broadcasts
+    // them at 1× and correctly switches to sort-merge once the side
+    // outgrows the broadcast threshold at 10× — a size-adaptive
+    // strategy shift that ADDS exchanges by design (the behavior a
+    // 100 TB run needs), so the exchange-count pin would flag exactly
+    // the right plan. For these, only the genuine scale-killers fail
+    // the shape check.
+    val sizeAdaptiveJoins = Set("graph_adamic_adar")
     val report = new StringBuilder(
       "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
     val failures = ops.flatMap { case (name, op, expected) =>
@@ -567,9 +575,12 @@ class ScaleStressSpec extends SparkSpec {
       val s1 = shape(op(dir1x))
       val s10 = shape(op(dir10x))
       val degraded =
-        s10.count(_ == "Exchange") > s1.count(_ == "Exchange") ||
-        s10.contains("BroadcastNestedLoopJoin") && !s1.contains("BroadcastNestedLoopJoin") ||
-        s10.contains("CartesianProduct")
+        if (sizeAdaptiveJoins(name))
+          s10.contains("BroadcastNestedLoopJoin") || s10.contains("CartesianProduct")
+        else
+          s10.count(_ == "Exchange") > s1.count(_ == "Exchange") ||
+          s10.contains("BroadcastNestedLoopJoin") && !s1.contains("BroadcastNestedLoopJoin") ||
+          s10.contains("CartesianProduct")
       val shapeNote = if (s1 == s10) None
         else Some(s"$name: plan shape drifted (1x=${s1.mkString(">")} vs 10x=${s10.mkString(">")})")
       Seq(

@@ -1034,6 +1034,212 @@ object AggOps {
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 
+  /** The 3-way experiment arm used by #229/#230: md5 of the user id,
+    * first hex char's code point mod 3 — the deterministic hash-split
+    * every multi-variant experiment uses, the k=3 extension of the
+    * #183 two-arm split. */
+  private def arm3: Column =
+    ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 3
+
+  /** #229 — one-way ANOVA F test (round 13; Fisher 1925 — the k-sample
+    * MEAN test completing the experimentation battery's parametric
+    * side: #175's t compares two means, ANOVA compares k of them in
+    * one shot, the standard readout of a multi-variant experiment):
+    * events split into THREE md5 arms (mod 3), F = (SSB/(k−1)) /
+    * (SSW/(N−k)) from per-arm exact moments. Exactness: ONE keyed
+    * corpus aggregate produces per-arm n, Σv, Σv² as exact DECIMALs
+    * (v is 2dp money, v² re-cast to DECIMAL(38,4) pre-sum — order-
+    * independent); SSB = Σⱼ Sⱼ²/nⱼ − S²/N and SSW = Σⱼ Qⱼ − Σⱼ Sⱼ²/nⱼ
+    * are then identical double expressions over those exact sums in
+    * both engines (#175 policy), the rejection flag compares the
+    * UNROUNDED F to the F(.05; 2, ∞) literal 2.995732 (fixture-pinned
+    * like #175's z literals; N−k ≈ 6×10⁴ ≫ the asymptote), and only
+    * the displayed SSB/SSW/F are 6dp. Shape: one partial-aggregated
+    * corpus pass to a 1-row frame — at 100 TB nothing but the
+    * conditional-sum aggregate touches the corpus. */
+  def aggAnovaF(spark: SparkSession, sf: String): DataFrame = {
+    val v = money(col("value"))
+    val v2 = dec(v * v, 38, 4)
+    def armAgg(g: Int, e: Column) = sum(when(arm3 === g, e))
+    val one = events(spark, sf)
+      .select(col("user_id"), col("value"))
+      .agg(
+        count(when(arm3 === 0, lit(1))).as("n_a"),
+        count(when(arm3 === 1, lit(1))).as("n_b"),
+        count(when(arm3 === 2, lit(1))).as("n_c"),
+        armAgg(0, v).as("s_a"), armAgg(1, v).as("s_b"),
+        armAgg(2, v).as("s_c"),
+        armAgg(0, v2).as("q_a"), armAgg(1, v2).as("q_b"),
+        armAgg(2, v2).as("q_c"))
+    def d(c: Column) = c.cast("double")
+    val bigN = d(col("n_a")) + d(col("n_b")) + d(col("n_c"))
+    val s = d(col("s_a")) + d(col("s_b")) + d(col("s_c"))
+    val sjsq = d(col("s_a")) * d(col("s_a")) / d(col("n_a")) +
+      d(col("s_b")) * d(col("s_b")) / d(col("n_b")) +
+      d(col("s_c")) * d(col("s_c")) / d(col("n_c"))
+    val q = d(col("q_a")) + d(col("q_b")) + d(col("q_c"))
+    val ssb = sjsq - s * s / bigN
+    val ssw = q - sjsq
+    val f = (ssb / lit(2.0)) / (ssw / (bigN - lit(3.0)))
+    one.select(col("n_a"), col("n_b"), col("n_c"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      round(f, 6).as("f_stat"), (f > lit(2.995732)).as("reject_h0"))
+  }
+
+  /** #230 — Kruskal–Wallis H test (round 13; Kruskal & Wallis 1952 —
+    * the k-sample extension of #216's Mann–Whitney: a rank-based
+    * location test across all three md5 arms at once, the
+    * nonparametric counterpart of #229 for skewed metrics): H =
+    * 12/(N(N+1)) · Σⱼ Rⱼ²/nⱼ − 3(N+1) over tie-averaged ranks,
+    * tie-corrected H' = H / (1 − Σ(t³−t)/(N³−N)). Exactness: #216's
+    * half-unit rank identity verbatim — 2·avgrank(v) = 2·cum_before
+    * + t + 1 over the DISTINCT-value table, so the three rank sums
+    * 2Rⱼ = Σ nⱼ(v)·(2cb+t+1) and the tie term Σ(t³−t) are exact
+    * DECIMAL(38,0) sums; H, the correction and the χ²(.05, k−1=2)
+    * comparison against 5.991465 are identical double expressions
+    * over those integers, flag on the UNROUNDED value, displays 6dp.
+    * Shape: one keyed count aggregate to the distinct-value table +
+    * the #203 distributed-prefix cumsum (per-bucket local windows +
+    * broadcast exclusive bucket offsets — never a single-partition
+    * window over values) + one 1-row fold; at 100 TB the distinct
+    * table is the only corpus-scale exchange. */
+  def aggKruskalWallis(spark: SparkSession, sf: String): DataFrame = {
+    val byV = events(spark, sf)
+      .select(money(col("value")).as("v"), arm3.as("g"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("na"),
+           sum(when(col("g") === 1, 1L).otherwise(0L)).as("nb"),
+           sum(when(col("g") === 2, 1L).otherwise(0L)).as("nc"))
+      .withColumn("t", col("na") + col("nb") + col("nc"))
+      .withColumn("bkt", floor(col("v") / 10))
+    val totals = byV.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
+    val wKey = coalesce(pmod(col("bkt"), lit(1)), lit(0L))
+    val wOff = Window.partitionBy(wKey).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = totals
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("bkt").as("bkt_o"), col("off"))
+    val wLoc = Window.partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byV.join(broadcast(offs), col("bkt") <=> col("bkt_o"))
+      .withColumn("cb", col("off") + coalesce(sum(col("t")).over(wLoc), lit(0L)))
+    val r2 = col("cb") * 2 + col("t") + 1
+    val folded = cum.agg(
+      sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+      sum(col("nc")).as("n_c"),
+      sum(dec(col("na"), 38, 0) * r2).as("r2a"),
+      sum(dec(col("nb"), 38, 0) * r2).as("r2b"),
+      sum(dec(col("nc"), 38, 0) * r2).as("r2c"),
+      sum(dec(col("t"), 38, 0) * col("t") * col("t") - col("t")).as("tie3"))
+    def d(c: Column) = c.cast("double")
+    val bigN = d(col("n_a")) + d(col("n_b")) + d(col("n_c"))
+    // Rj = r2j/2; Σ Rj²/nj with the /4 folded out front
+    val rsq = d(col("r2a")) * d(col("r2a")) / d(col("n_a")) +
+      d(col("r2b")) * d(col("r2b")) / d(col("n_b")) +
+      d(col("r2c")) * d(col("r2c")) / d(col("n_c"))
+    val h = lit(12.0) / (bigN * (bigN + 1)) * (rsq / lit(4.0)) -
+      lit(3.0) * (bigN + 1)
+    val hc = h / (lit(1.0) - d(col("tie3")) / (bigN * bigN * bigN - bigN))
+    folded.select(col("n_a"), col("n_b"), col("n_c"),
+      round(h, 6).as("h_stat"), round(hc, 6).as("h_tie_corrected"),
+      (hc > lit(5.991465)).as("reject_h0"))
+  }
+
+  /** #231 — Spearman rank correlation (round 13; Spearman 1904 — the
+    * monotone-association coefficient every EDA/feature-screening
+    * pass runs beside Pearson #26: correlation of the RANKS, robust
+    * to monotone transforms and outliers): ρ between l_quantity and
+    * l_extendedprice over lineitem, with ties averaged (the
+    * textbook tie treatment — Pearson applied to average ranks).
+    * Exactness: both rank tables use #216's half-unit identity
+    * (2·avgrank = 2·cum_before + t + 1 on the DISTINCT-value table
+    * via the #203 prefix idiom), so every rank is an exact integer
+    * in doubled units and the five folded sums (n, Σ2rx, Σ2ry,
+    * Σ(2rx)², Σ(2ry)², Σ2rx·2ry) are exact DECIMAL(38,0); ρ =
+    * (n·Sxy − Sx·Sy)/√((n·Sxx − Sx²)(n·Syy − Sy²)) is one identical
+    * double expression over them (#175 policy), 6dp display; the
+    * doubled units cancel. Self-checks ride along: Σ2r = n(n+1)
+    * exactly for BOTH columns (emitted as booleans). Shape: two
+    * distinct-value rank tables (keyed aggregate + prefix cumsum
+    * each), two row-level equi-joins keyed by value to attach ranks,
+    * one 1-row fold — at 100 TB the joins shuffle on the value key
+    * and everything else is metadata-scale. */
+  def aggSpearmanCorr(spark: SparkSession, sf: String): DataFrame = {
+    val rows = lineitem(spark, sf)
+      .select(money(col("l_quantity")).as("vx"),
+              money(col("l_extendedprice")).as("vy"))
+    // distinct-value → (v, r2 = 2·avgrank) via the #203/#216 idiom
+    def rank2(vals: DataFrame, vc: String, bktWidth: Int): DataFrame = {
+      val byV = vals.groupBy(col(vc)).agg(count(lit(1)).as("t"))
+        .withColumn("bkt", floor(col(vc) / bktWidth))
+      val totals = byV.groupBy(col("bkt")).agg(sum(col("t")).as("bt"))
+      val wKey = coalesce(pmod(col("bkt"), lit(1)), lit(0L))
+      val wOff = Window.partitionBy(wKey).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = totals
+        .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+        .select(col("bkt").as("bkt_o"), col("off"))
+      val wLoc = Window.partitionBy(col("bkt")).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV.join(broadcast(offs), col("bkt") <=> col("bkt_o"))
+        .withColumn("cb",
+          col("off") + coalesce(sum(col("t")).over(wLoc), lit(0L)))
+        .select(col(vc), (col("cb") * 2 + col("t") + 1).as(s"r2_$vc"))
+    }
+    val rx = rank2(rows.select(col("vx")), "vx", 10)
+    val ry = rank2(rows.select(col("vy")), "vy", 10000)
+    val j = rows.join(rx, "vx").join(ry, "vy")
+    val folded = j.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("r2_vx"), 38, 0)).as("sx"),
+      sum(dec(col("r2_vy"), 38, 0)).as("sy"),
+      sum(dec(col("r2_vx"), 38, 0) * col("r2_vx")).as("sxx"),
+      sum(dec(col("r2_vy"), 38, 0) * col("r2_vy")).as("syy"),
+      sum(dec(col("r2_vx"), 38, 0) * col("r2_vy")).as("sxy"))
+    def d(c: Column) = c.cast("double")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+                   (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    folded.select(col("n").as("n_rows"),
+      round(num / den, 6).as("spearman_rho"),
+      (col("sx") === dec(col("n"), 38, 0) * (col("n") + 1)).as("rank_sum_ok_x"),
+      (col("sy") === dec(col("n"), 38, 0) * (col("n") + 1)).as("rank_sum_ok_y"))
+  }
+
+  /** #233 — fixed-width numeric histogram (round 13; the
+    * distribution readout of every data-profiling / drift dashboard,
+    * the exact-bin counterpart of #182's approx quantiles): order
+    * totals bucketed into exact 25 000.00-wide bins with per-bin
+    * counts, shares, and the cumulative ogive. Exactness: the bin
+    * index is pure INTEGER arithmetic — the 2dp money value scaled
+    * to cents and integer-DIV'd by 2 500 000 — so bin edges have no
+    * double-boundary class at all (the #224 first-digit policy);
+    * shares are identical double divisions over exact longs, 6dp.
+    * Shape: ONE keyed corpus aggregate to the ≤ ~30-row bin table;
+    * the cumulative window runs over that METADATA-scale table (the
+    * #201 argument — a single-partition window over ~30 rows, never
+    * over the corpus). At 100 TB this is a pure map + one partial-
+    * aggregated exchange. */
+  def aggHistogramNumeric(spark: SparkSession, sf: String): DataFrame = {
+    val binned = orders(spark, sf)
+      .select(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " DIV 2500000").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_orders"))
+    val tot = binned.agg(sum(col("n_orders")).as("n"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    binned.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n_orders")).over(w))
+      .select(col("bin"),
+        (col("bin") * 25000).cast("double").as("lo"),
+        ((col("bin") + 1) * 25000).cast("double").as("hi"),
+        col("n_orders"),
+        round(col("n_orders").cast("double") / col("n"), 6).as("share"),
+        round(col("cum").cast("double") / col("n"), 6).as("cum_share"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1070,6 +1276,10 @@ object AggOps {
     "agg_tail_risk"        -> (aggTailRisk _),
     "agg_gini_concentration" -> (aggGiniConcentration _),
     "agg_rfm_segments"     -> (aggRfmSegments _),
+    "agg_anova_f"          -> (aggAnovaF _),
+    "agg_kruskal_wallis"   -> (aggKruskalWallis _),
+    "agg_spearman_corr"    -> (aggSpearmanCorr _),
+    "agg_histogram_numeric" -> (aggHistogramNumeric _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -1510,5 +1720,140 @@ object AggOps {
         |  round(CAST(sum(spend) AS DOUBLE) / count(*), 4) AS avg_spend,
         |  round(CAST(sum(recency_days) AS DOUBLE) / count(*), 4) AS avg_recency
         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "agg_anova_f" ->
+      """WITH e AS (
+        |  SELECT ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 3 AS g,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT
+        |    count(CASE WHEN g = 0 THEN 1 END) AS n_a,
+        |    count(CASE WHEN g = 1 THEN 1 END) AS n_b,
+        |    count(CASE WHEN g = 2 THEN 1 END) AS n_c,
+        |    sum(CASE WHEN g = 0 THEN v END) AS s_a,
+        |    sum(CASE WHEN g = 1 THEN v END) AS s_b,
+        |    sum(CASE WHEN g = 2 THEN v END) AS s_c,
+        |    sum(CASE WHEN g = 0 THEN CAST(v * v AS DECIMAL(38,4)) END) AS q_a,
+        |    sum(CASE WHEN g = 1 THEN CAST(v * v AS DECIMAL(38,4)) END) AS q_b,
+        |    sum(CASE WHEN g = 2 THEN CAST(v * v AS DECIMAL(38,4)) END) AS q_c
+        |  FROM e),
+        |d AS (
+        |  SELECT n_a, n_b, n_c,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(n_c AS DOUBLE)
+        |      AS nn,
+        |    CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE) + CAST(s_c AS DOUBLE)
+        |      AS s,
+        |    CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      + CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |      + CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |      AS sjsq,
+        |    CAST(q_a AS DOUBLE) + CAST(q_b AS DOUBLE) + CAST(q_c AS DOUBLE)
+        |      AS q
+        |  FROM m)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_c AS BIGINT) AS n_c,
+        |  round(sjsq - s * s / nn, 6) AS ss_between,
+        |  round(q - sjsq, 6) AS ss_within,
+        |  round(((sjsq - s * s / nn) / 2) / ((q - sjsq) / (nn - 3)), 6)
+        |    AS f_stat,
+        |  ((sjsq - s * s / nn) / 2) / ((q - sjsq) / (nn - 3)) > 2.995732
+        |    AS reject_h0
+        |FROM d""".stripMargin,
+    "agg_kruskal_wallis" ->
+      """WITH e AS (
+        |  SELECT ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 3 AS g,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |byv AS (
+        |  SELECT v,
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS nc
+        |  FROM e GROUP BY v),
+        |cum AS (
+        |  SELECT v, na, nb, nc, na + nb + nc AS t,
+        |    coalesce(sum(na + nb + nc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM byv),
+        |f AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |         CAST(sum(nb) AS BIGINT) AS n_b,
+        |         CAST(sum(nc) AS BIGINT) AS n_c,
+        |    sum(CAST(na AS DECIMAL(38,0)) * (cb * 2 + t + 1)) AS r2a,
+        |    sum(CAST(nb AS DECIMAL(38,0)) * (cb * 2 + t + 1)) AS r2b,
+        |    sum(CAST(nc AS DECIMAL(38,0)) * (cb * 2 + t + 1)) AS r2c,
+        |    sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3
+        |  FROM cum),
+        |d AS (
+        |  SELECT n_a, n_b, n_c, CAST(tie3 AS DOUBLE) AS tie3,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + CAST(n_c AS DOUBLE)
+        |      AS nn,
+        |    CAST(r2a AS DOUBLE) * CAST(r2a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      + CAST(r2b AS DOUBLE) * CAST(r2b AS DOUBLE)
+        |        / CAST(n_b AS DOUBLE)
+        |      + CAST(r2c AS DOUBLE) * CAST(r2c AS DOUBLE)
+        |        / CAST(n_c AS DOUBLE) AS rsq
+        |  FROM f)
+        |SELECT n_a, n_b, n_c,
+        |  round(12.0 / (nn * (nn + 1)) * (rsq / 4.0) - 3.0 * (nn + 1), 6)
+        |    AS h_stat,
+        |  round((12.0 / (nn * (nn + 1)) * (rsq / 4.0) - 3.0 * (nn + 1))
+        |    / (1.0 - tie3 / (nn * nn * nn - nn)), 6) AS h_tie_corrected,
+        |  (12.0 / (nn * (nn + 1)) * (rsq / 4.0) - 3.0 * (nn + 1))
+        |    / (1.0 - tie3 / (nn * nn * nn - nn)) > 5.991465 AS reject_h0
+        |FROM d""".stripMargin,
+    "agg_spearman_corr" ->
+      """WITH r AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS vx,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS vy
+        |  FROM lineitem),
+        |dx AS (SELECT vx, count(*) AS t FROM r GROUP BY vx),
+        |cx AS (
+        |  SELECT vx, coalesce(sum(t) OVER (ORDER BY vx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |    + t + 1 AS r2_vx
+        |  FROM dx),
+        |dy AS (SELECT vy, count(*) AS t FROM r GROUP BY vy),
+        |cy AS (
+        |  SELECT vy, coalesce(sum(t) OVER (ORDER BY vy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+        |    + t + 1 AS r2_vy
+        |  FROM dy),
+        |j AS (
+        |  SELECT r2_vx, r2_vy
+        |  FROM r JOIN cx USING (vx) JOIN cy USING (vy)),
+        |f AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(r2_vx AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(r2_vy AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(r2_vx AS DECIMAL(38,0)) * r2_vx) AS sxx,
+        |    sum(CAST(r2_vy AS DECIMAL(38,0)) * r2_vy) AS syy,
+        |    sum(CAST(r2_vx AS DECIMAL(38,0)) * r2_vy) AS sxy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS spearman_rho,
+        |  sx = CAST(n AS DECIMAL(38,0)) * (n + 1) AS rank_sum_ok_x,
+        |  sy = CAST(n AS DECIMAL(38,0)) * (n + 1) AS rank_sum_ok_y
+        |FROM f""".stripMargin,
+    "agg_histogram_numeric" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    // 2500000 AS bin
+        |  FROM orders),
+        |g AS (SELECT bin, count(*) AS n_orders FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM g)
+        |SELECT bin, CAST(bin * 25000 AS DOUBLE) AS lo,
+        |  CAST((bin + 1) * 25000 AS DOUBLE) AS hi, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / n, 6) AS share,
+        |  round(CAST(sum(n_orders) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / n, 6) AS cum_share
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
   )
 }

@@ -955,6 +955,120 @@ object EtlOps {
       .orderBy(col("change"))
   }
 
+  /** #234 — cross-correlation function between two daily series
+    * (round 13; the lead/lag detector of every KPI pair — does spend
+    * LEAD volume or follow it? — the bivariate completion of #201's
+    * ACF, same Box–Jenkins identification toolkit): r_k =
+    * Σ cx_t·cy_{t+k} / √(Σcx²·Σcy²) for row lags k = −3..+3 between
+    * daily revenue (x) and daily event count (y). Exactness: #201's
+    * policy verbatim — day totals are exact DECIMAL/long, each
+    * centered term is 6dp-gridded to DECIMAL(18,6) BEFORE any
+    * product so numerators and the two denominators are exact
+    * DECIMAL(38,12) order-independent sums, and the only doubles are
+    * the final ratio and the √ of exact values (identical
+    * expressions both engines), 4dp display. Shape: ONE keyed corpus
+    * aggregate to the metadata-scale day table, the ±3 lags as
+    * lead/lag columns of ONE window pass over that table (#201's
+    * argument), stacked and aggregated — at 100 TB the corpus is
+    * touched exactly once. */
+  def tsCrossCorrelation(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("dsum"), count(lit(1)).as("cnt"))
+    val const = pmod(length(col("day").cast("string")), lit(1))
+    val wAll = Window.partitionBy(const)
+    val wOrd = Window.partitionBy(const).orderBy(col("day"))
+    val meanX =
+      sum(col("dsum")).over(wAll).cast("double") / count(lit(1)).over(wAll)
+    val meanY =
+      sum(col("cnt")).over(wAll).cast("double") / count(lit(1)).over(wAll)
+    val c = daily
+      .withColumn("cx", round(col("dsum").cast("double") - meanX, 6)
+        .cast("decimal(18,6)"))
+      .withColumn("cy", round(col("cnt").cast("double") - meanY, 6)
+        .cast("decimal(18,6)"))
+    val lags = -3 to 3
+    val withShifts = lags.foldLeft(c) { (df, k) =>
+      val shifted = if (k >= 0) lead(col("cy"), k).over(wOrd)
+                    else lag(col("cy"), -k).over(wOrd)
+      df.withColumn(s"y_${k + 3}", shifted)
+    }
+    val den = c.agg(
+      sum(dec(col("cx") * col("cx"), 38, 12)).cast("double").as("denx"),
+      sum(dec(col("cy") * col("cy"), 38, 12)).cast("double").as("deny"),
+      count(lit(1)).as("n_days"))
+    val stackExpr = lags.map(k => s"${k}, y_${k + 3}").mkString(", ")
+    withShifts
+      .select(col("cx"), expr(s"stack(7, $stackExpr) AS (lag, cy_s)"))
+      .groupBy(col("lag"))
+      .agg(sum(dec(col("cx") * col("cy_s"), 38, 12)).cast("double").as("num"),
+           count(col("cy_s")).as("n_pairs"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_days"), col("n_pairs"),
+        round(col("num") / sqrt(col("denx") * col("deny")), 4).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  /** #235 — position-based (U-shaped) multi-touch attribution
+    * (round 13; the 40/20/40 credit split every marketing-analytics
+    * stack offers beside last-touch #144 — first and last touch get
+    * 40% each, the middle splits the remaining 20%): every purchase
+    * is a conversion; its touchpoints are the user's STRICTLY-earlier
+    * clicks within 7 days; credit per click is 1.0 (one touch),
+    * 0.5/0.5 (two), or 0.4 / 0.2/(k−2) / 0.4 (k ≥ 3, first/middle/
+    * last by click time, ties broken by click id). Credited revenue
+    * = credit × purchase value. Exactness: credits are 8dp-gridded
+    * DECIMAL(18,8) BEFORE any sum (0.2/(k−2) is the one non-dyadic
+    * quotient — floor-scaled identically in both engines via the
+    * #223 scaled-integer contract), credit×value re-cast to
+    * DECIMAL(38,10); per-campaign sums are exact decimals, doubles
+    * only at display. Σcredit per conversion is 1 up to the floor's
+    * k·10⁻⁸ grid loss (total_credit rides along as the self-check
+    * against n_conversions). Shape:
+    * the #18/#144 as-of working set — one user-keyed equi-join
+    * (clicks × purchases per user, never cross-user), one
+    * purchase-keyed aggregate for (k, first, last), a purchase-keyed
+    * join back to per-click rows, one campaign aggregate. */
+  def eventsAttributionPosition(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              unix_micros(col("ts")).as("p_us"), money(col("value")).as("pv"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+              unix_micros(col("ts")).as("c_us"),
+              get_json_object(col("props"), "$.k").cast("int").as("campaign"))
+    val touches = purchases.join(clicks, "user_id")
+      .where(col("c_us") < col("p_us") &&
+             col("c_us") >= col("p_us") - lit(7L * 86400L * 1000000L))
+    val shape = touches.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("k"),
+           min_by(col("click_id"), struct(col("c_us"), col("click_id")))
+             .as("first_id"),
+           max_by(col("click_id"), struct(col("c_us"), col("click_id")))
+             .as("last_id"))
+    // credit in 8dp grid units (integer): 10^8-scaled, floor for the
+    // middle quotient — exact in both engines; the /10^8 happens ONCE
+    // on the final exact sums (decimal division semantics differ
+    // across engines, integer grids don't)
+    val credit8 = when(col("k") === 1, lit(100000000L))
+      .when(col("k") === 2, lit(50000000L))
+      .when(col("click_id") === col("first_id"), lit(40000000L))
+      .when(col("click_id") === col("last_id"), lit(40000000L))
+      .otherwise(expr("20000000 DIV (k - 2)"))
+    val credited = touches.join(shape, "purchase_id")
+      .withColumn("credit8", credit8.cast(DecimalType(9, 0)))
+      .withColumn("cred_rev8", dec(col("pv") * col("credit8"), 38, 2))
+    credited.groupBy(col("campaign"))
+      .agg(countDistinct(col("purchase_id")).as("n_conversions"),
+           count(lit(1)).as("n_touches"),
+           (sum(col("credit8")).cast("double") / lit(100000000.0))
+             .as("total_credit"),
+           (sum(col("cred_rev8")).cast("double") / lit(100000000.0))
+             .as("credited_revenue"))
+      .orderBy(col("campaign"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1000,6 +1114,8 @@ object EtlOps {
     "ts_theil_sen"           -> (tsTheilSen _),
     "etl_snapshot_merge_timetravel" -> (etlSnapshotMergeTimetravel _),
     "etl_snapshot_incremental" -> (etlSnapshotIncremental _),
+    "ts_cross_correlation"   -> (tsCrossCorrelation _),
+    "events_attribution_position" -> (eventsAttributionPosition _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -1836,6 +1952,82 @@ object EtlOps {
         |  p.p_us - cand.c_us AS gap_us
         |FROM p LEFT JOIN cand ON cand.purchase_id = p.purchase_id AND cand.rn = 1
         |ORDER BY p.purchase_id""".stripMargin,
+    "events_attribution_position" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+        |    CAST(value AS DECIMAL(18,2)) AS pv
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS campaign
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.purchase_id, p.pv, c.click_id, c.campaign, c.c_us
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |  WHERE c.c_us < p.p_us AND c.c_us >= p.p_us - 604800000000),
+        |s AS (
+        |  SELECT purchase_id, pv, click_id, campaign,
+        |    count(*) OVER wp AS k,
+        |    first_value(click_id) OVER (PARTITION BY purchase_id
+        |      ORDER BY c_us, click_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS first_id,
+        |    last_value(click_id) OVER (PARTITION BY purchase_id
+        |      ORDER BY c_us, click_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_id
+        |  FROM t WINDOW wp AS (PARTITION BY purchase_id)),
+        |cr AS (
+        |  SELECT campaign, purchase_id, pv,
+        |    CAST(CASE WHEN k = 1 THEN 100000000
+        |         WHEN k = 2 THEN 50000000
+        |         WHEN click_id = first_id THEN 40000000
+        |         WHEN click_id = last_id THEN 40000000
+        |         ELSE 20000000 // (k - 2) END AS DECIMAL(9,0)) AS credit8
+        |  FROM s)
+        |SELECT campaign, count(DISTINCT purchase_id) AS n_conversions,
+        |  count(*) AS n_touches,
+        |  CAST(sum(credit8) AS DOUBLE) / 100000000.0 AS total_credit,
+        |  CAST(sum(CAST(pv * credit8 AS DECIMAL(38,2))) AS DOUBLE)
+        |    / 100000000.0 AS credited_revenue
+        |FROM cr GROUP BY campaign ORDER BY campaign""".stripMargin,
+    "ts_cross_correlation" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS dsum,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |    CAST(round(CAST(dsum AS DOUBLE)
+        |        - CAST(sum(dsum) OVER () AS DOUBLE) / count(*) OVER (), 6)
+        |      AS DECIMAL(18,6)) AS cx,
+        |    CAST(round(CAST(cnt AS DOUBLE)
+        |        - CAST(sum(cnt) OVER () AS DOUBLE) / count(*) OVER (), 6)
+        |      AS DECIMAL(18,6)) AS cy,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |den AS (
+        |  SELECT CAST(sum(CAST(cx AS DECIMAL(19,6))
+        |                  * CAST(cx AS DECIMAL(19,6))) AS DOUBLE) AS denx,
+        |         CAST(sum(CAST(cy AS DECIMAL(19,6))
+        |                  * CAST(cy AS DECIMAL(19,6))) AS DOUBLE) AS deny,
+        |         count(*) AS n_days
+        |  FROM c),
+        |p AS (
+        |  SELECT l.lag, a.cx, b.cy AS cy_s
+        |  FROM c a
+        |  CROSS JOIN (SELECT unnest([-3,-2,-1,0,1,2,3]) AS lag) l
+        |  LEFT JOIN c b ON b.rn = a.rn + l.lag)
+        |SELECT p.lag, den.n_days, count(p.cy_s) AS n_pairs,
+        |  round(CAST(sum(CAST(p.cx AS DECIMAL(19,6))
+        |              * CAST(p.cy_s AS DECIMAL(19,6))) AS DOUBLE)
+        |        / sqrt(den.denx * den.deny), 4) AS ccf
+        |FROM p CROSS JOIN den
+        |GROUP BY p.lag, den.n_days, den.denx, den.deny
+        |ORDER BY p.lag""".stripMargin,
     "events_retention_cohort" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -339,6 +339,42 @@ object GraphOps {
     steps.reduce(_ unionByName _).orderBy(col("iter"))
   }
 
+  /** #232 — Jaccard-coefficient link prediction (round 13; the
+    * common-neighbor BASELINE every link-prediction study reports
+    * beside Adamic–Adar #218 — Liben-Nowell & Kleinberg 2003's
+    * benchmark lineup): score non-adjacent (u,v) of the co-purchase
+    * graph by |Γ(u)∩Γ(v)| / |Γ(u)∪Γ(v)| and emit the global top-20.
+    * The union needs no set materialization — |Γu∪Γv| = deg(u) +
+    * deg(v) − common — so the op is #218's candidate machinery
+    * (per-order collect_set pair fan-out, common-neighbor-keyed
+    * equi-join, Σ deg² cost with the same support-prune/cap levers)
+    * plus two broadcast degree attaches. Exactness: the score is the
+    * EXACT INTEGER floor(common·10⁸ / union) — integer DIV of exact
+    * longs, no double division anywhere near the ORDER — top-20
+    * ordered on that integer with (u,v) tie-break; the displayed
+    * jaccard is the final /10⁸ double. At 100 TB: identical posture
+    * to #218 (candidates keyed by common neighbor; degrees ride a
+    * broadcast bounded by the part catalog). */
+  def graphJaccardLinks(spark: SparkSession, sf: String): DataFrame = {
+    val e = copurchaseEdges(spark, sf).localCheckpoint()
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val common = adamicAdarCandidates(e)
+      .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("common"))
+    common
+      .join(e, col("cu") === col("u") && col("cv") === col("v"), "left_anti")
+      .join(broadcast(deg.select(col("x").as("cu"), col("d").as("deg_u"))), "cu")
+      .join(broadcast(deg.select(col("x").as("cv"), col("d").as("deg_v"))), "cv")
+      .withColumn("uni", col("deg_u") + col("deg_v") - col("common"))
+      .withColumn("j8", expr("common * 100000000 DIV uni"))
+      .orderBy(col("j8").desc, col("cu"), col("cv"))
+      .limit(20)
+      .select(col("cu").as("u"), col("cv").as("v"), col("common"),
+        col("deg_u"), col("deg_v"),
+        (col("j8").cast("double") / 100000000L).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_pagerank"       -> (graphPagerank _),
     "graph_triangle_count" -> (graphTriangleCount _),
@@ -346,6 +382,7 @@ object GraphOps {
     "graph_label_propagation" -> (graphLabelPropagation _),
     "graph_adamic_adar"    -> (graphAdamicAdar _),
     "graph_kcore"          -> (graphKcore _),
+    "graph_jaccard_links"  -> (graphJaccardLinks _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -403,6 +440,34 @@ object GraphOps {
 
   val oracle: Map[String, String] = ListMap(
     "graph_kcore" -> kcoreOracle,
+    "graph_jaccard_links" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v, count(*) AS w
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u AS x, v AS y FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+        |cand AS (
+        |  SELECT a.x AS cu, b.x AS cv, count(*) AS common
+        |  FROM und a JOIN und b ON a.y = b.y AND a.x < b.x
+        |  GROUP BY 1, 2),
+        |nonedge AS (
+        |  SELECT c.* FROM cand c
+        |  LEFT JOIN edges e ON e.u = c.cu AND e.v = c.cv
+        |  WHERE e.u IS NULL),
+        |s AS (
+        |  SELECT cu, cv, common, du.d AS deg_u, dv.d AS deg_v,
+        |    common * 100000000 // (du.d + dv.d - common) AS j8
+        |  FROM nonedge
+        |  JOIN deg du ON du.x = nonedge.cu
+        |  JOIN deg dv ON dv.x = nonedge.cv)
+        |SELECT cu AS u, cv AS v, CAST(common AS BIGINT) AS common,
+        |  CAST(deg_u AS BIGINT) AS deg_u, CAST(deg_v AS BIGINT) AS deg_v,
+        |  CAST(j8 AS DOUBLE) / 100000000 AS jaccard
+        |FROM s ORDER BY j8 DESC, cu, cv LIMIT 20""".stripMargin,
     "graph_adamic_adar" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

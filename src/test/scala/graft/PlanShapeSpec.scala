@@ -322,6 +322,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.sliding("events.parquet".length).count(_ == "events.parquet") == 1, p)
   }
 
+  test("round-13 ops: single-pass moments, keyed joins, no loop joins") {
+    // #229 ANOVA: ONE partial-aggregated corpus pass — no window, no
+    // join; all nine conditional moments combine map-side
+    val pA = plan(AggOps.aggAnovaF(spark, sf001))
+    assert(!pA.contains("Window") && !pA.contains("Join"), pA)
+    assert(pA.contains("partial_"), pA)
+    // #235 position attribution: user-keyed equi-joins with time
+    // residuals — never a nested loop over clicks×purchases
+    val pP = plan(EtlOps.eventsAttributionPosition(spark, sf001))
+    assert(!pP.contains("BroadcastNestedLoopJoin") &&
+           !pP.contains("CartesianProduct"), pP)
+    // #232 Jaccard links: #218's neighbor-keyed candidate machinery +
+    // broadcast degree attaches — no cartesian anywhere, and the
+    // degree attaches actually broadcast
+    val pJ = plan(GraphOps.graphJaccardLinks(spark, sf001))
+    assert(!pJ.contains("CartesianProduct") &&
+           !pJ.contains("BroadcastNestedLoopJoin"), pJ)
+    assert(pJ.contains("BroadcastHashJoin"), pJ)
+  }
+
   test("sketch aggregates (theta, kll) combine partials map-side") {
     // both sketch pipelines must show partial aggregation below the
     // exchange — KB-sized sketch state per (group, partition) is the

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AggOps, EtlOps, GraphOps}
+
+/** Driver-side replays for the round-13 operators (#229–#235) beyond
+  * the DuckDB hash sweep — each statistic/credit/score recomputed with
+  * exact BigInt/BigDecimal arithmetic from the raw tables. */
+class Round13OpsSpec extends SparkSpec {
+
+  /** The 3-way md5 arm split shared by #229/#230 (mirrors AggOps.arm3). */
+  private def armedValues(): Array[(Int, BigDecimal)] =
+    Tables.events(spark, sf001)
+      .select((ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 3)
+        .as("g"), col("value").cast("decimal(18,2)").as("v"))
+      .collect()
+      .map(r => (r.getAs[Int]("g"), BigDecimal(r.getAs[java.math.BigDecimal]("v"))))
+
+  test("ANOVA F equals a driver-side three-arm exact-moment replay") {
+    val row = AggOps.aggAnovaF(spark, sf001).collect().head
+    val arms = armedValues().groupBy(_._1)
+    val n = (0 to 2).map(g => arms(g).length.toLong)
+    val s = (0 to 2).map(g => arms(g).map(_._2).sum)
+    val q = (0 to 2).map(g => arms(g).map(x => x._2 * x._2).sum)
+    val bigN = n.sum.toDouble
+    val sTot = s.map(_.toDouble).sum
+    val sjsq = (0 to 2).map(g => s(g).toDouble * s(g).toDouble / n(g)).sum
+    val ssb = sjsq - sTot * sTot / bigN
+    val ssw = q.map(_.toDouble).sum - sjsq
+    val f = (ssb / 2.0) / (ssw / (bigN - 3.0))
+    assert(Seq("n_a", "n_b", "n_c").map(row.getAs[Long]) == n)
+    assert(math.abs(row.getAs[Double]("ss_between") - ssb) < 1e-4)
+    assert(math.abs(row.getAs[Double]("ss_within") - ssw) < 1e-3)
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 1e-4)
+    assert(row.getAs[Boolean]("reject_h0") == (f > 2.995732))
+  }
+
+  test("Kruskal-Wallis H equals a driver-side tie-averaged rank replay") {
+    val row = AggOps.aggKruskalWallis(spark, sf001).collect().head
+    var cum = 0L
+    val r2 = Array.fill(3)(BigInt(0))
+    val cnt = Array.fill(3)(0L)
+    var tie3 = BigInt(0)
+    armedValues().groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+      val t = rs.length.toLong
+      (0 to 2).foreach { g =>
+        val ng = rs.count(_._1 == g).toLong
+        r2(g) += BigInt(ng) * (2 * cum + t + 1)
+        cnt(g) += ng
+      }
+      tie3 += BigInt(t) * t * t - t
+      cum += t
+    }
+    val bigN = cnt.sum.toDouble
+    val rsq = (0 to 2).map(g => r2(g).toDouble * r2(g).toDouble / cnt(g)).sum
+    val h = 12.0 / (bigN * (bigN + 1)) * (rsq / 4.0) - 3.0 * (bigN + 1)
+    val hc = h / (1.0 - tie3.toDouble / (bigN * bigN * bigN - bigN))
+    assert(Seq("n_a", "n_b", "n_c").map(row.getAs[Long]) == cnt.toSeq)
+    assert(math.abs(row.getAs[Double]("h_stat") - h) < 1e-4)
+    assert(math.abs(row.getAs[Double]("h_tie_corrected") - hc) < 1e-4)
+    assert(row.getAs[Boolean]("reject_h0") == (hc > 5.991465))
+  }
+
+  test("Spearman rho equals a driver-side average-rank Pearson; rank-sum self-checks hold") {
+    val row = AggOps.aggSpearmanCorr(spark, sf001).collect().head
+    val rows = Tables.lineitem(spark, sf001)
+      .select(col("l_quantity").cast("decimal(18,2)").cast("double"),
+              col("l_extendedprice").cast("decimal(18,2)").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def rank2(vs: Seq[Double]): Map[Double, Long] = {
+      var cum = 0L
+      vs.groupBy(identity).toSeq.sortBy(_._1).map { case (v, g) =>
+        val t = g.length.toLong
+        val r = 2 * cum + t + 1
+        cum += t
+        v -> r
+      }.toMap
+    }
+    val rx = rank2(rows.map(_._1).toSeq)
+    val ry = rank2(rows.map(_._2).toSeq)
+    val n = rows.length.toLong
+    val pr = rows.map { case (x, y) => (BigInt(rx(x)), BigInt(ry(y))) }
+    val (sx, sy) = (pr.map(_._1).sum, pr.map(_._2).sum)
+    val sxx = pr.map(p => p._1 * p._1).sum
+    val syy = pr.map(p => p._2 * p._2).sum
+    val sxy = pr.map(p => p._1 * p._2).sum
+    val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val den = math.sqrt(
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+      (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    // the half-unit identity makes Σ2r = n(n+1) exactly for both columns
+    assert(sx == BigInt(n) * (n + 1) && sy == BigInt(n) * (n + 1))
+    assert(row.getAs[Boolean]("rank_sum_ok_x") && row.getAs[Boolean]("rank_sum_ok_y"))
+    assert(row.getAs[Long]("n_rows") == n)
+    assert(math.abs(row.getAs[Double]("spearman_rho") - num / den) < 1e-5)
+  }
+
+  test("Jaccard link prediction equals a driver-side replay from the edge list") {
+    val out = GraphOps.graphJaccardLinks(spark, sf001).collect()
+    val edges = GraphOps.copurchaseEdges(spark, sf001)
+      .select(col("u"), col("v")).collect()
+      .map(r => (r.getAs[Number]("u").longValue, r.getAs[Number]("v").longValue))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val edgeSet = edges.toSet
+    val expected = (for {
+      u <- adj.keys; v <- adj.keys
+      if u < v && !edgeSet.contains((u, v))
+      common = (adj(u) & adj(v)).size if common > 0
+    } yield {
+      val uni = adj(u).size.toLong + adj(v).size - common
+      (u, v, common.toLong, adj(u).size.toLong, adj(v).size.toLong,
+        common.toLong * 100000000L / uni)
+    }).toSeq.sortBy { case (u, v, _, _, _, j8) => (-j8, u, v) }.take(20)
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (r, (u, v, common, du, dv, j8)) =>
+      assert(r.getAs[Long]("u") == u && r.getAs[Long]("v") == v, s"$r vs ($u,$v)")
+      assert(r.getAs[Long]("common") == common)
+      assert(r.getAs[Long]("deg_u") == du && r.getAs[Long]("deg_v") == dv)
+      assert(r.getAs[Double]("jaccard") == j8.toDouble / 1e8)
+    }
+  }
+
+  test("exact histogram partitions the orders; bin edges and the ogive are consistent") {
+    val rows = AggOps.aggHistogramNumeric(spark, sf001).collect()
+    val totals = Tables.orders(spark, sf001)
+      .select(col("o_totalprice").cast("decimal(18,2)")).collect()
+      .map(r => BigDecimal(r.getAs[java.math.BigDecimal](0)))
+    val bins = totals.groupBy(t => ((t * 100).toBigInt / 2500000).toLong)
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == totals.length.toLong)
+    assert(rows.map(_.getAs[Long]("bin")).toSet == bins.keySet)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      assert(r.getAs[Long]("n_orders") == bins(b))
+      assert(r.getAs[Double]("lo") == b * 25000.0)
+      assert(r.getAs[Double]("hi") == (b + 1) * 25000.0)
+    }
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.last == 1.0, "the ogive must end at exactly 1.0 (round(n/n, 6))")
+    assert(cums.sameElements(cums.sorted), "the ogive must be nondecreasing")
+  }
+
+  test("cross-correlation matches a driver-side centered-series replay at every lag") {
+    val rows = EtlOps.tsCrossCorrelation(spark, sf001).collect()
+      .sortBy(_.getAs[Int]("lag"))
+    val daily = Tables.events(spark, sf001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("dsum"),
+           count(lit(1)).as("cnt"))
+      .orderBy(col("day")).collect()
+      .map(r => (BigDecimal(r.getAs[java.math.BigDecimal]("dsum")),
+                 r.getAs[Long]("cnt")))
+    val nDays = daily.length
+    val meanX = daily.map(_._1.toDouble).sum / nDays
+    val meanY = daily.map(_._2.toDouble).sum / nDays
+    def grid6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val cx = daily.map(d => grid6(d._1.toDouble - meanX))
+    val cy = daily.map(d => grid6(d._2.toDouble - meanY))
+    val denx = cx.map(c => c * c).sum.toDouble
+    val deny = cy.map(c => c * c).sum.toDouble
+    rows.foreach { r =>
+      val k = r.getAs[Int]("lag")
+      assert(r.getAs[Long]("n_days") == nDays.toLong)
+      val pairs = (0 until nDays).flatMap { i =>
+        val j = i + k
+        if (j >= 0 && j < nDays) Some(cx(i) * cy(j)) else None
+      }
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong, s"lag $k")
+      val ccf = pairs.sum.toDouble / math.sqrt(denx * deny)
+      assert(math.abs(r.getAs[Double]("ccf") - ccf) < 1e-3, s"lag $k")
+      assert(math.abs(r.getAs[Double]("ccf")) <= 1.0, s"lag $k out of [-1,1]")
+    }
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == (-3 to 3).toSeq)
+  }
+
+  test("position attribution equals a driver-side U-shaped credit replay; credits sum to ~1 per conversion") {
+    val rows = EtlOps.eventsAttributionPosition(spark, sf001).collect()
+    val ev = Tables.events(spark, sf001)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+              col("value").cast("decimal(18,2)")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+                 r.getLong(2), BigDecimal(r.getAs[java.math.BigDecimal](3))))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+              get_json_object(col("props"), "$.k").cast("int")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+                 r.getLong(2),
+                 if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    val byUser = clicks.groupBy(_._2)
+    // per-campaign accumulators: (conversions, touches, Σcredit8, ΣcredRev8-cents)
+    val acc = scala.collection.mutable.Map[Option[Int],
+      (Set[Long], Long, BigInt, BigInt)]()
+    var nConvWithTouches = 0L
+    purchases.foreach { case (pid, uid, pUs, pv) =>
+      val touches = byUser.getOrElse(uid, Array.empty)
+        .filter(c => c._3 < pUs && c._3 >= pUs - 7L * 86400L * 1000000L)
+      if (touches.nonEmpty) {
+        nConvWithTouches += 1
+        val k = touches.length.toLong
+        val firstId = touches.minBy(c => (c._3, c._1))._1
+        val lastId = touches.maxBy(c => (c._3, c._1))._1
+        touches.foreach { c =>
+          val credit8: Long =
+            if (k == 1) 100000000L
+            else if (k == 2) 50000000L
+            else if (c._1 == firstId || c._1 == lastId) 40000000L
+            else 20000000L / (k - 2)
+          // cred_rev8 in the engine is DECIMAL(38,2): pv(2dp) × credit8(int)
+          val credRev8 = (pv * BigDecimal(credit8))
+            .setScale(2, BigDecimal.RoundingMode.UNNECESSARY)
+          val (convs, t, c8, cr8) = acc.getOrElse(c._4, (Set.empty[Long], 0L, BigInt(0), BigInt(0)))
+          acc(c._4) = (convs + pid, t + 1, c8 + credit8,
+            cr8 + (credRev8 * 100).toBigInt)
+        }
+      }
+    }
+    assert(rows.length == acc.size)
+    rows.foreach { r =>
+      val camp = if (r.isNullAt(r.fieldIndex("campaign"))) None
+                 else Some(r.getAs[Int]("campaign"))
+      val (convs, t, c8, cr8) = acc(camp)
+      assert(r.getAs[Long]("n_conversions") == convs.size.toLong, s"campaign $camp")
+      assert(r.getAs[Long]("n_touches") == t, s"campaign $camp")
+      assert(math.abs(r.getAs[Double]("total_credit") - c8.toDouble / 1e8) < 1e-9)
+      assert(math.abs(r.getAs[Double]("credited_revenue")
+        - cr8.toDouble / 100 / 1e8) < 1e-6)
+    }
+    // Σcredit over all campaigns ≈ conversions-with-touches (k·10⁻⁸ floor loss)
+    val totalCredit = rows.map(_.getAs[Double]("total_credit")).sum
+    assert(math.abs(totalCredit - nConvWithTouches.toDouble) < 1e-2,
+      s"credit conservation: $totalCredit vs $nConvWithTouches")
+  }
+}

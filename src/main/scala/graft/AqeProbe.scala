@@ -73,8 +73,16 @@ object AqeProbe {
       } finally s.stop()
     }
 
-    val off = measure(aqe = false)
-    val on = measure(aqe = true)
+    // Both orders must be run to attribute any delta: the second
+    // session inherits a JIT-warm JVM, so a single ordering conflates
+    // AQE cost with warm-up (observed: whichever mode runs second
+    // wins by ~0.5-1 s on the 12-query suite).
+    val onFirst = sys.env.get("SPARK_GRAFT_AQE_ORDER").contains("on_first")
+    val (off, on) = if (onFirst) {
+      val o = measure(aqe = true); (measure(aqe = false), o)
+    } else {
+      val o = measure(aqe = false); (o, measure(aqe = true))
+    }
     names.foreach { n =>
       val (tOff, sOff) = off(n)
       val (tOn, sOn) = on(n)

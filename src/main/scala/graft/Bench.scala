@@ -210,6 +210,17 @@ object Bench {
     // replays the co-purchase pair fan-out per round, or loses the
     // broadcast survivor semi-joins, shows as a multi-x)
     "graph_kcore",
+    // round 13 (#229–#235): the rank-machinery pair (Kruskal–Wallis /
+    // Spearman — a regression from the per-bucket prefix cumsum to a
+    // single-partition window over the distinct-value table, or a
+    // de-broadcast of the bucket offsets, shows only here), the
+    // Jaccard candidate machinery (same Σ deg² contract as
+    // Adamic–Adar), and the user-keyed multi-touch join (a lost user
+    // key degenerates to clicks×purchases)
+    "agg_kruskal_wallis",
+    "agg_spearman_corr",
+    "graph_jaccard_links",
+    "events_attribution_position",
   )
 
   def main(args: Array[String]): Unit = {
@@ -314,8 +325,13 @@ object Bench {
     // AQE-on parity rows (non-graded): the graded suite runs AQE-off
     // (see builder note — fixed per-stage latency at sub-second
     // stages), but production defaults leave AQE ON, so its cost is
-    // measured every round instead of assumed. One pass, best-of-1
-    // per headline query, on a fresh session with only AQE flipped.
+    // measured every round instead of assumed. Two passes, best-of-2
+    // per headline query — the SAME protocol as the graded suite
+    // (round 13: the r12 "AQE-on gap" of 4.02 vs 2.70 s turned out to
+    // be this row's former best-of-1 protocol plus end-of-JVM GC
+    // pressure, not AQE — graft.AqeProbe measured AQE-on <= AQE-off
+    // per query in BOTH session orderings with zero structural plan
+    // changes; see BASELINE.md "AQE-on gap").
     // Per-query times are emitted (not just the total) so a future
     // AQE-sensitive plan regression is attributable to its query.
     // Only meaningful for the full-suite run (driver invocation).
@@ -334,11 +350,13 @@ object Bench {
       try {
         headline.foreach(n =>                       // warm-up, untimed
           try { qs(n)(s2, warmDir).count() } catch { case _: Throwable => () })
-        headline.map { n =>
+        def pass(): Map[String, Option[Double]] = headline.map { n =>
           val t0 = System.nanoTime()
           try { qs(n)(s2, sfDir).count(); n -> Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => n -> None }
-        }
+          catch { case _: Throwable => n -> Option.empty[Double] }
+        }.toMap
+        val (p1, p2) = (pass(), pass())
+        headline.map(n => n -> (p1(n).toSeq ++ p2(n).toSeq).minOption)
       } finally s2.stop()
     }
     val aqeOnTotal: Option[Double] =

@@ -359,11 +359,23 @@ object GraphOps {
     val e = copurchaseEdges(spark, sf).localCheckpoint()
     val und = e.select(col("u").as("x"), col("v").as("y"))
       .unionAll(e.select(col("v").as("x"), col("u").as("y")))
-    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // node-scale (part-catalog-bounded); checkpointed so the TWO
+    // broadcast attaches below read it once instead of re-aggregating
+    // the edge union each (the k-core degree-reuse shave)
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d")).localCheckpoint()
+    // the existing-edge drop rides the SAME (cu,cv)-keyed exchange as
+    // the common-neighbor count (edge rows enter as markers and any
+    // marked pair is filtered post-aggregate) — one shuffle instead of
+    // aggregate + sort-merge anti-join
     val common = adamicAdarCandidates(e)
-      .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("common"))
+      .select(col("cu"), col("cv"), lit(0L).as("is_edge"))
+      .unionByName(e.select(col("u").as("cu"), col("v").as("cv"),
+        lit(1L).as("is_edge")))
+      .groupBy(col("cu"), col("cv"))
+      .agg(sum(lit(1L) - col("is_edge")).as("common"),
+           max(col("is_edge")).as("has_edge"))
+      .where(col("has_edge") === 0L)
     common
-      .join(e, col("cu") === col("u") && col("cv") === col("v"), "left_anti")
       .join(broadcast(deg.select(col("x").as("cu"), col("d").as("deg_u"))), "cu")
       .join(broadcast(deg.select(col("x").as("cv"), col("d").as("deg_v"))), "cv")
       .withColumn("uni", col("deg_u") + col("deg_v") - col("common"))

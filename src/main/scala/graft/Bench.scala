@@ -221,6 +221,11 @@ object Bench {
     "agg_spearman_corr",
     "graph_jaccard_links",
     "events_attribution_position",
+    // round 13 batch 2: the uplift chart rides the sketch-ntile rank
+    // machinery over the USER table — a regression to a
+    // single-partition NTILE window (the #205 failure mode) shows
+    // only here
+    "events_uplift_deciles",
   )
 
   def main(args: Array[String]): Unit = {

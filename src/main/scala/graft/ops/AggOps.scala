@@ -648,26 +648,43 @@ object AggOps {
     * understates χ² whenever a status×priority combination is absent
     * from the data. */
   def aggChi2Independence(spark: SparkSession, sf: String): DataFrame = {
+    val cells = contingencyCells(spark, sf)
+    cells
+      .agg(max(col("n")).as("n_orders"),
+        count(lit(1)).as("n_cells"),
+        ((countDistinct(col("st")) - 1) * (countDistinct(col("pri")) - 1))
+          .cast("int").as("dof"),
+        sum(chi2Term).cast("double").as("chi2"))
+      .withColumn("significant", col("chi2") > lit(15.5073))
+  }
+
+  /** #215/#240 shared machinery: the zero-filled o_orderstatus ×
+    * o_orderpriority contingency grid (|st| × |pri| rows, metadata
+    * scale) with marginals and the grand total attached. */
+  private def contingencyCells(spark: SparkSession, sf: String): DataFrame = {
     val observed = orders(spark, sf)
       .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"))
       .agg(count(lit(1)).as("obs"))
     val rt = observed.groupBy(col("st")).agg(sum(col("obs")).as("rt"))
     val ct = observed.groupBy(col("pri")).agg(sum(col("obs")).as("ct"))
     val tot = observed.agg(sum(col("obs")).as("n"))
-    // full marginal grid, zero-filled: |st| × |pri| rows, metadata scale
-    val cells = broadcast(rt).crossJoin(broadcast(ct))
-      .join(observed, Seq("st", "pri"), "left")
+    // `observed` is catalog-bounded (|st| × |pri| groups) but its
+    // planner ESTIMATE grows with the scan, so hint the broadcast —
+    // without it the 10× stress run correctly showed the cell attach
+    // falling back to sort-merge on a ~15-row table
+    broadcast(rt).crossJoin(broadcast(ct))
+      .join(broadcast(observed), Seq("st", "pri"), "left")
       .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+  }
+
+  /** Per-cell (obs−exp)²/exp on the #215 8dp DECIMAL grid. */
+  private def chi2Term: Column = {
     def grid8(c: Column): Column = round(c, 8).cast("decimal(18,8)")
-    val expd = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+    val expd = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
     val dev = col("obs").cast("double") - expd
-    cells.crossJoin(broadcast(tot))
-      .agg(max(col("n")).as("n_orders"),
-        count(lit(1)).as("n_cells"),
-        ((countDistinct(col("st")) - 1) * (countDistinct(col("pri")) - 1))
-          .cast("int").as("dof"),
-        sum(grid8(dev * dev / expd)).cast("double").as("chi2"))
-      .withColumn("significant", col("chi2") > lit(15.5073))
+    grid8(dev * dev / expd)
   }
 
   /** #203 — two-sample Kolmogorov–Smirnov test (round 12; the
@@ -1240,6 +1257,30 @@ object AggOps {
       .orderBy(col("bin"))
   }
 
+  /** #240 — Cramér's V effect size (round 13; Cramér 1946 — what the
+    * #215 χ² test cannot say: at n = 10⁵ ANY real association is
+    * "significant", so every A/B/DQ readout pairs the test with an
+    * EFFECT SIZE; V = √(χ²/(n·(min(r,c)−1))) ∈ [0,1] is the standard
+    * one for contingency tables): the #215 machinery verbatim
+    * (zero-filled marginal grid via [[contingencyCells]], per-cell
+    * terms on the 8dp DECIMAL grid so χ² is an exact
+    * order-independent sum), then V as one identical double
+    * expression over (χ², n, r, c), displayed on the #175 6dp
+    * scaled-integer grid. Shape: one keyed corpus aggregate + the
+    * metadata-scale marginal grid — the #215 posture. */
+  def aggCramersV(spark: SparkSession, sf: String): DataFrame = {
+    val agg = contingencyCells(spark, sf)
+      .agg(max(col("n")).as("n_orders"),
+        countDistinct(col("st")).cast("long").as("n_rows"),
+        countDistinct(col("pri")).cast("long").as("n_cols"),
+        sum(chi2Term).cast("double").as("chi2"))
+    def fp6(c: Column) = floor(c * 1000000 + 0.5) / 1000000.0
+    agg.select(col("n_orders"), col("n_rows"), col("n_cols"), col("chi2"),
+      fp6(sqrt(col("chi2") / (col("n_orders").cast("double") *
+        (least(col("n_rows"), col("n_cols")) - 1).cast("double"))))
+        .as("cramers_v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1280,6 +1321,7 @@ object AggOps {
     "agg_kruskal_wallis"   -> (aggKruskalWallis _),
     "agg_spearman_corr"    -> (aggSpearmanCorr _),
     "agg_histogram_numeric" -> (aggHistogramNumeric _),
+    "agg_cramers_v"        -> (aggCramersV _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -1566,6 +1608,35 @@ object AggOps {
         |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
         |    8) AS DECIMAL(18,8))) AS DOUBLE) > 15.5073 AS significant
         |FROM cells CROSS JOIN tot""".stripMargin,
+    "agg_cramers_v" ->
+      """WITH observed AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pri,
+        |    count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT st, sum(obs) AS rt FROM observed GROUP BY st),
+        |ct AS (SELECT pri, sum(obs) AS ct FROM observed GROUP BY pri),
+        |tot AS (SELECT sum(obs) AS n FROM observed),
+        |cells AS (
+        |  SELECT rt.st, ct.pri, rt.rt, ct.ct, coalesce(o.obs, 0) AS obs
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN observed o ON o.st = rt.st AND o.pri = ct.pri),
+        |f AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n_orders,
+        |    CAST(count(DISTINCT st) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT pri) AS BIGINT) AS n_cols,
+        |    CAST(sum(CAST(round(
+        |      (CAST(obs AS DOUBLE)
+        |         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(obs AS DOUBLE)
+        |         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
+        |      8) AS DECIMAL(18,8))) AS DOUBLE) AS chi2
+        |  FROM cells CROSS JOIN tot)
+        |SELECT n_orders, n_rows, n_cols, chi2,
+        |  floor(sqrt(chi2 / (CAST(n_orders AS DOUBLE)
+        |      * CAST(least(n_rows, n_cols) - 1 AS DOUBLE)))
+        |    * 1000000 + 0.5) / 1000000.0 AS cramers_v
+        |FROM f""".stripMargin,
     "agg_corr_matrix" -> corrMatrixOracle,
     "agg_tail_risk" ->
       """WITH v AS (

@@ -1069,6 +1069,210 @@ object EtlOps {
       .orderBy(col("campaign"))
   }
 
+  /** Shared by #236/#237/#240: the two-sided normal tail probability
+    * P(|Z| > |z|) = erfc(|z|/√2) via Abramowitz–Stegun 7.1.26 (max
+    * abs error 1.5·10⁻⁷) — pure +,×,/,exp so BOTH engines evaluate
+    * the textually-identical expression; exp() is the only libm call
+    * and its cross-engine ulp noise is absorbed by the 10dp floor
+    * grid every consumer applies before comparing. */
+  private def normTwoSided(z: Column): Column = {
+    val x = abs(z) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    ((((lit(1.061405429) * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * exp(-(x * x))
+  }
+
+  /** #236 — Benjamini–Hochberg FDR across the per-type test family
+    * (round 13; BH 1995 — the multiple-testing control every
+    * experimentation platform applies when one experiment reads out
+    * k metrics: #175 tests ONE metric, this runs the Welch z per
+    * event type and controls the FALSE DISCOVERY RATE across the
+    * family at α = 0.05): per-type Welch z from exact moments (#175's
+    * machinery verbatim), two-sided p via [[normTwoSided]] floored to
+    * the 10dp integer grid, then the BH step-up: order by (p10,
+    * type), i = rank, reject all i ≤ k* = max{i : p₍ᵢ₎ ≤ i·α/m} —
+    * the threshold comparison is PURE INTEGER (p10·m ≤ i·5·10⁸), so
+    * the selection is exact in both engines given the gridded p.
+    * Shape: ONE keyed corpus aggregate to (type, arm) moments; the
+    * BH windows run over the m-row METADATA-scale test table (#201's
+    * argument). */
+  def eventsFdrBh(spark: SparkSession, sf: String): DataFrame = {
+    val grp = when(
+      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      lit("A")).otherwise(lit("B"))
+    val s = events(spark, sf)
+      .select(col("event_type"), money(col("value")).as("v"), grp.as("grp"))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+           sum(col("v") * col("v")).as("svv"))
+    def arm(g: String, c: Column) = max(when(col("grp") === g, c))
+    val piv = s.groupBy(col("event_type")).agg(
+        arm("A", col("n")).as("n_a"), arm("B", col("n")).as("n_b"),
+        arm("A", col("sv").cast("double")).as("sv_a"),
+        arm("B", col("sv").cast("double")).as("sv_b"),
+        arm("A", col("svv").cast("double")).as("svv_a"),
+        arm("B", col("svv").cast("double")).as("svv_b"))
+      .where(col("n_a").isNotNull && col("n_b").isNotNull)
+    val ma = col("sv_a") / col("n_a")
+    val mb = col("sv_b") / col("n_b")
+    val va = (col("svv_a") - col("sv_a") * col("sv_a") / col("n_a")) /
+      (col("n_a") - 1)
+    val vb = (col("svv_b") - col("sv_b") * col("sv_b") / col("n_b")) /
+      (col("n_b") - 1)
+    val z = (ma - mb) / sqrt(va / col("n_a") + vb / col("n_b"))
+    val scored = piv.select(col("event_type"), col("n_a"), col("n_b"),
+      (floor(z * 1000000 + 0.5) / 1000000.0).as("z_welch"),
+      floor(normTwoSided(z) * 1e10).cast("long").as("p10"))
+    val const = pmod(length(col("event_type")), lit(1))
+    val wAll = Window.partitionBy(const)
+    val wOrd = Window.partitionBy(const).orderBy(col("p10"), col("event_type"))
+    scored
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("p_rank", row_number().over(wOrd))
+      .withColumn("kstar", max(when(
+        col("p10") * col("m_tests") <= col("p_rank") * lit(500000000L),
+        col("p_rank"))).over(wAll))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("z_welch"),
+        (col("p10").cast("double") / 1e10).as("p_value"),
+        col("p_rank"), col("m_tests"),
+        (col("p_rank") <= coalesce(col("kstar"), lit(0))).as("rejected"))
+      .orderBy(col("p_rank"))
+  }
+
+  /** #237 — Bayesian A/B conversion readout (round 13; the
+    * Beta-Binomial conjugate posterior every "bayesian" experiment
+    * dashboard shows instead of a p-value — with a uniform Beta(1,1)
+    * prior the posterior is Beta(1+c, 1+n−c) in closed form): per
+    * arm, users and converters (a user converts if they have ≥1
+    * purchase event), posterior mean/variance, the B−A lift, and
+    * P(B > A) under the normal approximation of the posterior
+    * difference, Φ(Δ/√(σ²A+σ²B)) via [[normTwoSided]]'s erf machinery.
+    * Exactness: user/convert counts are exact longs from one
+    * user-keyed aggregate + one fold; every statistic is an identical
+    * double expression over those integers, displayed on the #175
+    * 6dp scaled-integer grid. Shape: one user-keyed exchange, one
+    * 1-row fold — at 100 TB the user aggregate is the only
+    * corpus-scale work. */
+  def eventsBayesAb(spark: SparkSession, sf: String): DataFrame = {
+    val isA = ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0
+    val perUser = events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+    val arms = perUser.agg(
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA, col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!isA, col("conv")).otherwise(0L)).as("c_b"))
+    def d(c: Column) = c.cast("double")
+    def postMean(cv: Column, n: Column) = (d(cv) + 1.0) / (d(n) + 2.0)
+    def postVar(cv: Column, n: Column) = {
+      val a = d(cv) + 1.0
+      val b = d(n) - d(cv) + 1.0
+      a * b / ((a + b) * (a + b) * (a + b + 1.0))
+    }
+    val meanA = postMean(col("c_a"), col("n_a"))
+    val meanB = postMean(col("c_b"), col("n_b"))
+    val dd = (meanB - meanA) /
+      sqrt(postVar(col("c_a"), col("n_a")) + postVar(col("c_b"), col("n_b")))
+    // Φ(dd): 1 − tail/2 for dd ≥ 0, tail/2 below (normTwoSided = 2(1−Φ(|d|)))
+    val half = normTwoSided(dd) / 2.0
+    val phi = when(dd >= 0, lit(1.0) - half).otherwise(half)
+    def fp6(c: Column) = floor(c * 1000000 + 0.5) / 1000000.0
+    arms.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      fp6(meanA).as("post_mean_a"), fp6(meanB).as("post_mean_b"),
+      fp6(meanB - meanA).as("lift"),
+      fp6(phi).as("prob_b_gt_a"))
+  }
+
+  /** #238 — 14-day rolling correlation between the two daily series
+    * (round 13; the regime-shift readout on every pairs dashboard —
+    * #234's CCF gives ONE global number, this tracks how the
+    * revenue↔volume coupling MOVES): Pearson over each trailing
+    * 14-day window of (daily revenue, daily count), full windows
+    * only (the graded corpus spans 30 days, so the 14-day window
+    * yields a 17-row readout; the window length is a constant with
+    * no plan consequence). Exactness: day totals exact DECIMAL/long; the five window
+    * sums are exact DECIMALs (products re-cast pre-sum: x² to (38,4),
+    * x·y to (38,2), y² to (38,0)); corr is one identical double
+    * expression per row, displayed on the 4dp scaled-integer grid.
+    * Shape: one keyed corpus aggregate to the day table; ALL windows
+    * run over that metadata-scale table (#201's argument — a
+    * single-partition window over ≤ a few thousand rows at any
+    * corpus size). */
+  def tsRollingCorr(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("x"), count(lit(1)).as("y"))
+    val const = pmod(length(col("day").cast("string")), lit(1))
+    val w = Window.partitionBy(const).orderBy(col("day")).rowsBetween(-13, 0)
+    val wr = Window.partitionBy(const).orderBy(col("day"))
+    def d(c: Column) = c.cast("double")
+    val sums = daily
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(dec(col("x") * col("x"), 38, 4)).over(w))
+      .withColumn("syy", sum(dec(col("y"), 38, 0) * col("y")).over(w))
+      .withColumn("sxy", sum(dec(col("x") * col("y"), 38, 2)).over(w))
+      .where(col("rn") >= 14)
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt(
+      (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    sums.select(col("day").cast("timestamp").as("day"), col("n").as("n_win"),
+        (floor(num / den * 10000 + 0.5) / 10000.0).as("corr14"))
+      .orderBy(col("day"))
+  }
+
+  /** #239 — uplift by pre-period-activity decile (round 13; the
+    * heterogeneous-treatment readout of uplift modeling — an average
+    * lift hides WHO responds, so the standard decile chart scores
+    * units, slices them into ten ranked buckets and reads the arm
+    * gap per bucket): score = the user's PRE-period event count
+    * (#221's exact midpoint split from the 1-row span broadcast),
+    * outcome = POST-period conversion (≥1 purchase), deciles via the
+    * exact distributed ntile (Transforms.ntileBySketch under the
+    * (score, user_id) total order — the #205 machinery, never a
+    * single-partition NTILE window), per (decile, arm) exact counts,
+    * rates and uplift on the #175 6dp scaled-integer grid. Shape:
+    * one user-keyed aggregate + the sketch-ntile rank machinery
+    * (per-bucket windows + broadcast offsets) + one 10-row rollup. */
+  def eventsUpliftDeciles(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.Transforms.ntileBySketch
+    val isA = ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0
+    val ev = events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val perUser = ev.crossJoin(broadcast(span))
+      .withColumn("pre",
+        datediff(col("day"), col("d0")) * 2 <
+          datediff(col("d1"), col("d0")) + 1)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("score"),
+           max(when(!col("pre") && col("event_type") === "purchase", 1L)
+             .otherwise(0L)).as("conv"))
+    val dec10 = ntileBySketch(perUser, col("score"),
+        struct(col("score"), col("user_id")), 10)
+      .withColumnRenamed("ntile", "decile")
+    def fp6(c: Column) = floor(c * 1000000 + 0.5) / 1000000.0
+    // a decile whose users all hashed into one arm has no rate for the
+    // other (NULL, mirrored in the oracle) — seen at tiny SF
+    val rateA = when(col("n_a") > 0, col("conv_a").cast("double") / col("n_a"))
+    val rateB = when(col("n_b") > 0, col("conv_b").cast("double") / col("n_b"))
+    dec10.groupBy(col("decile"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+           sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+           sum(when(isA, col("conv")).otherwise(0L)).as("conv_a"),
+           sum(when(!isA, col("conv")).otherwise(0L)).as("conv_b"))
+      .select(col("decile"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        fp6(rateA).as("rate_a"), fp6(rateB).as("rate_b"),
+        fp6(rateB - rateA).as("uplift"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1116,6 +1320,10 @@ object EtlOps {
     "etl_snapshot_incremental" -> (etlSnapshotIncremental _),
     "ts_cross_correlation"   -> (tsCrossCorrelation _),
     "events_attribution_position" -> (eventsAttributionPosition _),
+    "events_fdr_bh"          -> (eventsFdrBh _),
+    "events_bayes_ab"        -> (eventsBayesAb _),
+    "ts_rolling_corr"        -> (tsRollingCorr _),
+    "events_uplift_deciles"  -> (eventsUpliftDeciles _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2028,6 +2236,174 @@ object EtlOps {
         |FROM p CROSS JOIN den
         |GROUP BY p.lag, den.n_days, den.denx, den.deny
         |ORDER BY p.lag""".stripMargin,
+    "events_fdr_bh" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1))
+        |              % 2 = 0
+        |         THEN 'A' ELSE 'B' END AS grp,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, grp, count(*) AS n, sum(v) AS sv,
+        |    sum(v * v) AS svv
+        |  FROM e GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN grp='A' THEN n END) AS n_a,
+        |    max(CASE WHEN grp='B' THEN n END) AS n_b,
+        |    max(CASE WHEN grp='A' THEN CAST(sv AS DOUBLE) END) AS sv_a,
+        |    max(CASE WHEN grp='B' THEN CAST(sv AS DOUBLE) END) AS sv_b,
+        |    max(CASE WHEN grp='A' THEN CAST(svv AS DOUBLE) END) AS svv_a,
+        |    max(CASE WHEN grp='B' THEN CAST(svv AS DOUBLE) END) AS svv_b
+        |  FROM s GROUP BY 1),
+        |zt AS (
+        |  SELECT event_type, n_a, n_b,
+        |    (sv_a / n_a - sv_b / n_b)
+        |      / sqrt(((svv_a - sv_a * sv_a / n_a) / (n_a - 1)) / n_a
+        |           + ((svv_b - sv_b * sv_b / n_b) / (n_b - 1)) / n_b) AS z
+        |  FROM piv WHERE n_a IS NOT NULL AND n_b IS NOT NULL),
+        |xt AS (
+        |  SELECT event_type, n_a, n_b, z,
+        |    abs(z) / 1.4142135623730951 AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / 1.4142135623730951)) AS t
+        |  FROM zt),
+        |pc AS (
+        |  SELECT event_type, n_a, n_b,
+        |    floor(z * 1000000 + 0.5) / 1000000.0 AS z_welch,
+        |    CAST(floor((((((1.061405429 * t - 1.453152027) * t
+        |      + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t
+        |      * exp(-(x * x))) * 1e10) AS BIGINT) AS p10
+        |  FROM xt),
+        |r AS (
+        |  SELECT *, count(*) OVER () AS m_tests,
+        |    row_number() OVER (ORDER BY p10, event_type) AS p_rank
+        |  FROM pc),
+        |k AS (
+        |  SELECT *, max(CASE WHEN p10 * m_tests <= p_rank * 500000000
+        |                     THEN p_rank END) OVER () AS kstar
+        |  FROM r)
+        |SELECT event_type, n_a, n_b, z_welch,
+        |  CAST(p10 AS DOUBLE) / 1e10 AS p_value,
+        |  p_rank, m_tests,
+        |  p_rank <= coalesce(kstar, 0) AS rejected
+        |FROM k ORDER BY p_rank""".stripMargin,
+    "events_bayes_ab" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 = 0 THEN 0 ELSE conv END) AS BIGINT) AS c_b
+        |  FROM u),
+        |d AS (
+        |  SELECT n_a, c_a, n_b, c_b,
+        |    CAST(c_a AS DOUBLE) + 1.0 AS aa,
+        |    CAST(n_a AS DOUBLE) - CAST(c_a AS DOUBLE) + 1.0 AS ba,
+        |    CAST(c_b AS DOUBLE) + 1.0 AS ab,
+        |    CAST(n_b AS DOUBLE) - CAST(c_b AS DOUBLE) + 1.0 AS bb
+        |  FROM a),
+        |m AS (
+        |  SELECT *,
+        |    aa / (CAST(n_a AS DOUBLE) + 2.0) AS mean_a,
+        |    ab / (CAST(n_b AS DOUBLE) + 2.0) AS mean_b,
+        |    aa * ba / ((aa + ba) * (aa + ba) * (aa + ba + 1.0)) AS var_a,
+        |    ab * bb / ((ab + bb) * (ab + bb) * (ab + bb + 1.0)) AS var_b
+        |  FROM d),
+        |sd AS (
+        |  SELECT *, (mean_b - mean_a) / sqrt(var_a + var_b) AS dd FROM m),
+        |xd AS (
+        |  SELECT *, abs(dd) / 1.4142135623730951 AS xx,
+        |    1.0 / (1.0 + 0.3275911 * (abs(dd) / 1.4142135623730951)) AS t
+        |  FROM sd),
+        |pd AS (
+        |  SELECT *, (((((1.061405429 * t - 1.453152027) * t
+        |    + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t
+        |    * exp(-(xx * xx))) / 2.0 AS half
+        |  FROM xd)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  floor(mean_a * 1000000 + 0.5) / 1000000.0 AS post_mean_a,
+        |  floor(mean_b * 1000000 + 0.5) / 1000000.0 AS post_mean_b,
+        |  floor((mean_b - mean_a) * 1000000 + 0.5) / 1000000.0 AS lift,
+        |  floor((CASE WHEN dd >= 0 THEN 1.0 - half ELSE half END)
+        |    * 1000000 + 0.5) / 1000000.0 AS prob_b_gt_a
+        |FROM pd""".stripMargin,
+    "ts_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |      AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS x, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT day,
+        |    row_number() OVER wo AS rn,
+        |    count(*) OVER w30 AS n,
+        |    sum(x) OVER w30 AS sx,
+        |    sum(y) OVER w30 AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,4))) OVER w30 AS sxx,
+        |    sum(CAST(y AS DECIMAL(38,0)) * y) OVER w30 AS syy,
+        |    sum(CAST(x * y AS DECIMAL(38,2))) OVER w30 AS sxy
+        |  FROM daily
+        |  WINDOW wo AS (ORDER BY day),
+        |    w30 AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT day, CAST(n AS BIGINT) AS n_win,
+        |  floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 10000 + 0.5) / 10000.0 AS corr14
+        |FROM s WHERE rn >= 14 ORDER BY day""".stripMargin,
+    "events_uplift_deciles" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    event_type
+        |  FROM events),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN date_diff('day', d0, day) * 2 <
+        |                       date_diff('day', d0, d1) + 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS score,
+        |    CAST(max(CASE WHEN NOT (date_diff('day', d0, day) * 2 <
+        |                            date_diff('day', d0, d1) + 1)
+        |                   AND event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        |  FROM ev CROSS JOIN sp GROUP BY user_id),
+        |dq AS (
+        |  SELECT user_id, conv,
+        |    ntile(10) OVER (ORDER BY score, user_id) AS decile
+        |  FROM pu),
+        |g AS (
+        |  SELECT decile,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 = 0 THEN 0 ELSE conv END) AS BIGINT) AS conv_b
+        |  FROM dq GROUP BY decile)
+        |SELECT decile, n_a, n_b, conv_a, conv_b,
+        |  floor(CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END
+        |    * 1000000 + 0.5) / 1000000.0 AS rate_a,
+        |  floor(CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END
+        |    * 1000000 + 0.5) / 1000000.0 AS rate_b,
+        |  floor((CASE WHEN n_b > 0 THEN CAST(conv_b AS DOUBLE) / n_b END
+        |       - CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END)
+        |    * 1000000 + 0.5) / 1000000.0 AS uplift
+        |FROM g ORDER BY decile""".stripMargin,
     "events_retention_cohort" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -340,6 +340,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pJ.contains("CartesianProduct") &&
            !pJ.contains("BroadcastNestedLoopJoin"), pJ)
     assert(pJ.contains("BroadcastHashJoin"), pJ)
+    // #236 BH-FDR: one corpus scan into the (type, arm) moment
+    // aggregate; every window below runs over the m-row test table
+    val pF = plan(EtlOps.eventsFdrBh(spark, sf001))
+    assert(pF.sliding("events.parquet".length)
+      .count(_ == "events.parquet") == 1, pF)
+    assert(!pF.contains("CartesianProduct"), pF)
+    // #237 Bayes A/B: user-keyed aggregate + 1-row fold — no window,
+    // no join, single scan
+    val pB = plan(EtlOps.eventsBayesAb(spark, sf001))
+    assert(!pB.contains("Window") && !pB.contains("Join"), pB)
+    assert(pB.sliding("events.parquet".length)
+      .count(_ == "events.parquet") == 1, pB)
   }
 
   test("sketch aggregates (theta, kll) combine partials map-side") {

@@ -233,4 +233,181 @@ class Round13OpsSpec extends SparkSpec {
     assert(math.abs(totalCredit - nConvWithTouches.toDouble) < 1e-2,
       s"credit conservation: $totalCredit vs $nConvWithTouches")
   }
+
+  /** The A&S 7.1.26 two-sided normal tail, exactly as both engines
+    * compute it (EtlOps.normTwoSided). */
+  private def pTwoSided(z: Double): Double = {
+    val x = math.abs(z) / 1.4142135623730951
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
+  }
+
+  /** (isA, event_type, 2dp value) rows — the shared input of the
+    * #236/#237 replays (arm from the same md5 expression the ops use). */
+  private def armedEvents(): Array[(Boolean, String, BigDecimal)] =
+    Tables.events(spark, sf001)
+      .select(
+        (ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0)
+          .as("isA"),
+        col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+      .collect()
+      .map(r => (r.getBoolean(0), r.getString(1),
+        BigDecimal(r.getAs[java.math.BigDecimal]("v"))))
+
+  test("BH-FDR equals a driver-side per-type Welch + step-up replay") {
+    val out = EtlOps.eventsFdrBh(spark, sf001).collect()
+    val types = armedEvents().groupBy(_._2)
+      .filter { case (_, rs) => rs.exists(_._1) && rs.exists(!_._1) }
+    val scored = types.toSeq.map { case (ty, rs) =>
+      val a = rs.filter(_._1).map(_._3)
+      val b = rs.filterNot(_._1).map(_._3)
+      val (na, nb) = (a.length.toDouble, b.length.toDouble)
+      val (sa, sb) = (a.sum.toDouble, b.sum.toDouble)
+      val (qa, qb) = (a.map(x => x * x).sum.toDouble, b.map(x => x * x).sum.toDouble)
+      val va = (qa - sa * sa / na) / (na - 1)
+      val vb = (qb - sb * sb / nb) / (nb - 1)
+      val z = (sa / na - sb / nb) / math.sqrt(va / na + vb / nb)
+      (ty, a.length.toLong, b.length.toLong, z,
+        math.floor(pTwoSided(z) * 1e10).toLong)
+    }
+    val m = scored.length.toLong
+    val ranked = scored.sortBy { case (ty, _, _, _, p10) => (p10, ty) }.zipWithIndex
+      .map { case (row, i) => (row, i + 1L) }
+    val kstar = ranked.collect {
+      case ((_, _, _, _, p10), i) if p10 * m <= i * 500000000L => i
+    }.maxOption.getOrElse(0L)
+    assert(out.length.toLong == m)
+    out.zip(ranked).foreach { case (r, ((ty, na, nb, z, p10), i)) =>
+      assert(r.getAs[String]("event_type") == ty, s"rank $i")
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb, ty)
+      assert(math.abs(r.getAs[Double]("z_welch")
+        - math.floor(z * 1000000 + 0.5) / 1000000.0) < 1e-9, ty)
+      assert(math.abs(r.getAs[Double]("p_value") - p10.toDouble / 1e10) < 1e-12, ty)
+      assert(r.getAs[Int]("p_rank").toLong == i, ty)
+      assert(r.getAs[Long]("m_tests") == m, ty)
+      assert(r.getAs[Boolean]("rejected") == (i <= kstar), ty)
+    }
+  }
+
+  test("Bayesian A/B equals a driver-side conjugate-posterior replay") {
+    val r = EtlOps.eventsBayesAb(spark, sf001).collect().head
+    val users = Tables.events(spark, sf001)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(
+        (ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0)
+          .as("isA"), col("conv"))
+      .collect().map(x => (x.getBoolean(0), x.getLong(1)))
+    val (na, ca) = (users.count(_._1).toLong, users.filter(_._1).map(_._2).sum)
+    val (nb, cb) = (users.count(!_._1).toLong, users.filterNot(_._1).map(_._2).sum)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("c_a") == ca)
+    assert(r.getAs[Long]("n_b") == nb && r.getAs[Long]("c_b") == cb)
+    def mean(c: Long, n: Long) = (c + 1.0) / (n + 2.0)
+    def varr(c: Long, n: Long) = {
+      val a = c + 1.0; val b = n - c + 1.0
+      a * b / ((a + b) * (a + b) * (a + b + 1.0))
+    }
+    val dd = (mean(cb, nb) - mean(ca, na)) / math.sqrt(varr(ca, na) + varr(cb, nb))
+    val half = pTwoSided(dd) / 2.0
+    val phi = if (dd >= 0) 1.0 - half else half
+    def fp6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000.0
+    assert(r.getAs[Double]("post_mean_a") == fp6(mean(ca, na)))
+    assert(r.getAs[Double]("post_mean_b") == fp6(mean(cb, nb)))
+    assert(r.getAs[Double]("lift") == fp6(mean(cb, nb) - mean(ca, na)))
+    assert(math.abs(r.getAs[Double]("prob_b_gt_a") - fp6(phi)) < 1e-9)
+    assert(r.getAs[Double]("prob_b_gt_a") >= 0 && r.getAs[Double]("prob_b_gt_a") <= 1)
+  }
+
+  test("rolling correlation equals a driver-side exact-window replay") {
+    val out = EtlOps.tsRollingCorr(spark, sf001).collect()
+    val daily = Tables.events(spark, sf001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"),
+           count(lit(1)).as("y"))
+      .orderBy(col("day")).collect()
+      .map(r => (BigDecimal(r.getAs[java.math.BigDecimal]("x")),
+                 BigInt(r.getAs[Long]("y"))))
+    assert(out.length == daily.length - 13)
+    out.zipWithIndex.foreach { case (r, k) =>
+      val win = daily.slice(k, k + 14)
+      val n = 14.0
+      val sx = win.map(_._1).sum.toDouble
+      val sy = win.map(_._2).sum.toDouble
+      val sxx = win.map(w => w._1 * w._1).sum.toDouble
+      val syy = win.map(w => w._2 * w._2).sum.toDouble
+      val sxy = win.map(w => w._1 * BigDecimal(w._2)).sum.toDouble
+      val corr = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(r.getAs[Long]("n_win") == 14L, s"row $k")
+      assert(math.abs(r.getAs[Double]("corr14")
+        - math.floor(corr * 10000 + 0.5) / 10000.0) < 1e-9, s"row $k")
+      assert(math.abs(r.getAs[Double]("corr14")) <= 1.0, s"row $k")
+    }
+  }
+
+  test("uplift deciles equal a driver-side exact-ntile replay") {
+    val out = EtlOps.eventsUpliftDeciles(spark, sf001).collect()
+    val rows = Tables.events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[java.sql.Date](1).toLocalDate.toEpochDay, r.getString(2)))
+    val d0 = rows.map(_._2).min
+    val d1 = rows.map(_._2).max
+    def pre(day: Long) = (day - d0) * 2 < (d1 - d0) + 1
+    val byUser = rows.groupBy(_._1).map { case (u, rs) =>
+      (u, rs.count(r => pre(r._2)).toLong,
+        if (rs.exists(r => !pre(r._2) && r._3 == "purchase")) 1L else 0L)
+    }.toSeq
+    val arms = Tables.events(spark, sf001).select(col("user_id")).distinct()
+      .select(col("user_id"),
+        (ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0)
+          .as("isA"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getBoolean(1)).toMap
+    // exact NTILE(10) under the (score, user_id) total order
+    val sorted = byUser.sortBy { case (u, s, _) => (s, u) }
+    val n = sorted.length
+    val base = n / 10
+    val extra = n % 10
+    val cut = extra * (base + 1)
+    val perDecile = sorted.zipWithIndex.groupBy { case (_, i) =>
+      if (i < cut) i / (base + 1) + 1 else (i - cut) / base + extra + 1
+    }
+    assert(out.length == perDecile.size)
+    def fp6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000.0
+    out.foreach { r =>
+      val d = r.getAs[Long]("decile").toInt
+      val us = perDecile(d).map(_._1)
+      val na = us.count(u => arms(u._1)).toLong
+      val nb = us.length - na
+      val ca = us.filter(u => arms(u._1)).map(_._3).sum
+      val cb = us.filterNot(u => arms(u._1)).map(_._3).sum
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb, s"decile $d")
+      assert(r.getAs[Long]("conv_a") == ca && r.getAs[Long]("conv_b") == cb, s"decile $d")
+      if (na == 0) assert(r.isNullAt(r.fieldIndex("rate_a")), s"decile $d")
+      else assert(r.getAs[Double]("rate_a") == fp6(ca.toDouble / na), s"decile $d")
+      if (nb == 0) assert(r.isNullAt(r.fieldIndex("rate_b")), s"decile $d")
+      else assert(r.getAs[Double]("rate_b") == fp6(cb.toDouble / nb), s"decile $d")
+      if (na == 0 || nb == 0)
+        assert(r.isNullAt(r.fieldIndex("uplift")), s"decile $d")
+      else assert(r.getAs[Double]("uplift")
+        == fp6(cb.toDouble / nb - ca.toDouble / na), s"decile $d")
+    }
+  }
+
+  test("Cramér's V rides #215's exact chi2 and matches its formula") {
+    val chi = AggOps.aggChi2Independence(spark, sf001).collect().head
+    val v = AggOps.aggCramersV(spark, sf001).collect().head
+    // shared contingencyCells/chi2Term: the two statistics CANNOT drift
+    assert(v.getAs[Double]("chi2") == chi.getAs[Double]("chi2"))
+    assert(v.getAs[Long]("n_orders") == chi.getAs[Long]("n_orders"))
+    val expect = math.floor(math.sqrt(v.getAs[Double]("chi2") /
+      (v.getAs[Long]("n_orders").toDouble *
+        (math.min(v.getAs[Long]("n_rows"), v.getAs[Long]("n_cols")) - 1)
+          .toDouble)) * 1000000 + 0.5) / 1000000.0
+    assert(v.getAs[Double]("cramers_v") == expect)
+    assert(v.getAs[Double]("cramers_v") >= 0 && v.getAs[Double]("cramers_v") <= 1)
+  }
 }

@@ -843,4 +843,90 @@ class ScaleStressSpec extends SparkSpec {
     println(s"[scale-stress r13-cohort]\n$report")
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  /** Round 13 batch 2 (#236–#240): the construction again gives exact
+    * expectations — order values repeat ×10 so every χ² cell scales
+    * ×10 and Cramér's V is EXACTLY invariant; both daily series scale
+    * ×10 so every rolling-window correlation is invariant; event
+    * types are replica-invariant so the BH family size m is pinned;
+    * user copies are disjoint so user/converter TOTALS are exactly
+    * ×10 (arms re-hash on shifted ids, so per-arm splits don't pin). */
+  test("round-13 batch-2 invariants and timing hold 1x to 10x") {
+    gated()
+    ensureScaled()
+
+    // Cramér's V invariance (χ² scales ×10 up to the 8dp cell grid)
+    val v1 = AggOps.aggCramersV(spark, dir1x).collect().head
+    val v10 = AggOps.aggCramersV(spark, dir10x).collect().head
+    assert(v10.getAs[Long]("n_orders") == 10 * v1.getAs[Long]("n_orders"))
+    assert(v10.getAs[Long]("n_rows") == v1.getAs[Long]("n_rows") &&
+           v10.getAs[Long]("n_cols") == v1.getAs[Long]("n_cols"))
+    assert(math.abs(v10.getAs[Double]("chi2") - 10 * v1.getAs[Double]("chi2"))
+      <= 1e-6 * math.max(1.0, 10 * v1.getAs[Double]("chi2")),
+      s"chi2 must scale x10: 1x=$v1 10x=$v10")
+    assert(math.abs(v10.getAs[Double]("cramers_v") - v1.getAs[Double]("cramers_v"))
+      <= 2e-6, s"V must be invariant: 1x=$v1 10x=$v10")
+
+    // rolling correlation invariance per day row
+    def corrRows(d: String) = EtlOps.tsRollingCorr(spark, d).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("day") -> r.getAs[Double]("corr14"))
+    val (rc1, rc10) = (corrRows(dir1x), corrRows(dir10x))
+    assert(rc10.map(_._1).toSeq == rc1.map(_._1).toSeq)
+    rc1.zip(rc10).foreach { case ((d, c1), (_, c10)) =>
+      assert(math.abs(c10 - c1) <= 2e-4, s"day $d: corr drifted $c1 -> $c10")
+    }
+
+    // BH family size pinned; per-type populations exactly ×10
+    def fdrRows(d: String) = EtlOps.eventsFdrBh(spark, d).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val (f1, f10) = (fdrRows(dir1x), fdrRows(dir10x))
+    assert(f10.keySet == f1.keySet)
+    f1.foreach { case (t, r1) =>
+      assert(f10(t).getAs[Long]("n_a") + f10(t).getAs[Long]("n_b") ==
+        10 * (r1.getAs[Long]("n_a") + r1.getAs[Long]("n_b")), s"type $t")
+      assert(f10(t).getAs[Long]("m_tests") == r1.getAs[Long]("m_tests"), s"type $t")
+    }
+
+    // Bayes: user and converter totals exactly ×10
+    val b1 = EtlOps.eventsBayesAb(spark, dir1x).collect().head
+    val b10 = EtlOps.eventsBayesAb(spark, dir10x).collect().head
+    assert(b10.getAs[Long]("n_a") + b10.getAs[Long]("n_b") ==
+      10 * (b1.getAs[Long]("n_a") + b1.getAs[Long]("n_b")))
+    assert(b10.getAs[Long]("c_a") + b10.getAs[Long]("c_b") ==
+      10 * (b1.getAs[Long]("c_a") + b1.getAs[Long]("c_b")))
+
+    // timing + shape rows (r13-cohort machinery)
+    val LIN = 10.0
+    val ops: Seq[(String, String => DataFrame, Double)] = Seq(
+      ("events_fdr_bh", d => EtlOps.eventsFdrBh(spark, d), LIN),
+      ("events_bayes_ab", d => EtlOps.eventsBayesAb(spark, d), LIN),
+      ("ts_rolling_corr", d => EtlOps.tsRollingCorr(spark, d), LIN),
+      ("events_uplift_deciles", d => EtlOps.eventsUpliftDeciles(spark, d), LIN),
+      ("agg_cramers_v", d => AggOps.aggCramersV(spark, d), LIN))
+    val report = new StringBuilder(
+      "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
+    val failures = ops.flatMap { case (name, op, expectedRatio) =>
+      runOnce(op(dir1x)) // unmeasured warm-up
+      val t1 = math.min(runOnce(op(dir1x)), runOnce(op(dir1x)))
+      val t10 = math.min(runOnce(op(dir10x)), runOnce(op(dir10x)))
+      val bound = 1.5 * expectedRatio
+      val ratio = t10 / math.max(t1, 0.2)
+      report.append(f"| $name | $t1%.2f | $t10%.2f | ${ratio}%.1f× | ≤${bound}%.0f× |\n")
+      val s1 = shape(op(dir1x))
+      val s10 = shape(op(dir10x))
+      val degraded =
+        s10.count(_ == "Exchange") > s1.count(_ == "Exchange") ||
+        s10.contains("BroadcastNestedLoopJoin") && !s1.contains("BroadcastNestedLoopJoin") ||
+        s10.contains("CartesianProduct")
+      Seq(
+        if (ratio <= bound) None
+        else Some(f"$name: t10=$t10%.2fs vs t1=$t1%.2fs — ${ratio}%.1f× exceeds ${bound}%.0f×"),
+        if (!degraded) None
+        else Some(s"$name: plan degraded at 10x (1x=${s1.mkString(">")} vs 10x=${s10.mkString(">")})")
+      ).flatten
+    }
+    info(report.toString)
+    println(s"[scale-stress r13-batch2]\n$report")
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

@@ -226,6 +226,10 @@ object Bench {
     // single-partition NTILE window (the #205 failure mode) shows
     // only here
     "events_uplift_deciles",
+    // round 13 batch 3: the composed IVF-PQ index — a lost bucket
+    // prune (candidates degenerating to the full PQ scan) or a lost
+    // LUT broadcast shows as a multi-x only here
+    "sim_ann_ivfpq",
   )
 
   def main(args: Array[String]): Unit = {

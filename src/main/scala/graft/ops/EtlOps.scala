@@ -1273,6 +1273,52 @@ object EtlOps {
       .orderBy(col("decile"))
   }
 
+  /** #242 — PSI population-stability drift report (round 13; the
+    * standard ML-monitoring drift metric — every model/feature
+    * dashboard gates retraining on PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) between
+    * a baseline and a current window, with 0.2 the canonical "action"
+    * threshold): order totals in #233's EXACT integer bins, split
+    * pre/post at #221's exact midpoint (1-row span broadcast),
+    * Laplace-smoothed shares p = (n+1)/(T+B) so zero bins contribute
+    * finitely (the standard PSI zero-bin guard, identical arithmetic
+    * both engines), per-bin terms 8dp-gridded to DECIMAL BEFORE the
+    * sum (#224's policy — ln's cross-engine ulp noise is absorbed by
+    * the grid) so total PSI is an exact order-independent sum; the
+    * drift verdict compares that exact sum to the 0.2 literal.
+    * Shape: ONE keyed corpus aggregate to the ≤~30-row bin table +
+    * two 1-row broadcasts — at 100 TB only the binned aggregate
+    * touches the corpus. */
+  def etlPsiDrift(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " DIV 2500000").as("bin"))
+    val span = o.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val binned = o.crossJoin(broadcast(span))
+      .withColumn("pre", datediff(col("day"), col("d0")) * 2 <
+        datediff(col("d1"), col("d0")) + 1)
+      .groupBy(col("bin"))
+      .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("n_pre"),
+           sum(when(!col("pre"), 1L).otherwise(0L)).as("n_post"))
+    val tot = binned.agg(sum(col("n_pre")).as("t_pre"),
+      sum(col("n_post")).as("t_post"), count(lit(1)).as("n_bins"))
+    def d(c: Column) = c.cast("double")
+    val p = (d(col("n_pre")) + 1.0) / (d(col("t_pre")) + d(col("n_bins")))
+    val q = (d(col("n_post")) + 1.0) / (d(col("t_post")) + d(col("n_bins")))
+    def grid8(c: Column) = round(c, 8).cast("decimal(18,8)")
+    val terms = binned.crossJoin(broadcast(tot))
+      .withColumn("term8", grid8((p - q) * log(p / q)))
+    val psi = terms.agg(sum(col("term8")).cast("double").as("psi"))
+      .withColumn("drifted", col("psi") > lit(0.2))
+    def fp6(c: Column) = floor(c * 1000000 + 0.5) / 1000000.0
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_pre"), col("n_post"),
+        fp6(p).as("share_pre"), fp6(q).as("share_post"),
+        col("term8").cast("double").as("psi_term"),
+        col("psi"), col("drifted"))
+      .orderBy(col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1324,6 +1370,7 @@ object EtlOps {
     "events_bayes_ab"        -> (eventsBayesAb _),
     "ts_rolling_corr"        -> (tsRollingCorr _),
     "events_uplift_deciles"  -> (eventsUpliftDeciles _),
+    "etl_psi_drift"          -> (etlPsiDrift _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2404,6 +2451,45 @@ object EtlOps {
         |       - CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END)
         |    * 1000000 + 0.5) / 1000000.0 AS uplift
         |FROM g ORDER BY decile""".stripMargin,
+    "etl_psi_drift" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 2500000 AS bin
+        |  FROM orders),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+        |b AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN date_diff('day', d0, day) * 2 <
+        |                       date_diff('day', d0, d1) + 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+        |    CAST(sum(CASE WHEN date_diff('day', d0, day) * 2 <
+        |                       date_diff('day', d0, d1) + 1
+        |                  THEN 0 ELSE 1 END) AS BIGINT) AS n_post
+        |  FROM o CROSS JOIN sp GROUP BY bin),
+        |t AS (
+        |  SELECT CAST(sum(n_pre) AS BIGINT) AS t_pre,
+        |    CAST(sum(n_post) AS BIGINT) AS t_post,
+        |    CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM b),
+        |c AS (
+        |  SELECT b.bin, b.n_pre, b.n_post,
+        |    (CAST(n_pre AS DOUBLE) + 1.0)
+        |      / (CAST(t_pre AS DOUBLE) + CAST(n_bins AS DOUBLE)) AS p,
+        |    (CAST(n_post AS DOUBLE) + 1.0)
+        |      / (CAST(t_post AS DOUBLE) + CAST(n_bins AS DOUBLE)) AS q
+        |  FROM b CROSS JOIN t),
+        |g AS (
+        |  SELECT *, CAST(round((p - q) * ln(p / q), 8) AS DECIMAL(18,8))
+        |    AS term8
+        |  FROM c),
+        |s AS (SELECT CAST(sum(term8) AS DOUBLE) AS psi FROM g)
+        |SELECT bin, n_pre, n_post,
+        |  floor(p * 1000000 + 0.5) / 1000000.0 AS share_pre,
+        |  floor(q * 1000000 + 0.5) / 1000000.0 AS share_post,
+        |  CAST(term8 AS DOUBLE) AS psi_term,
+        |  psi, psi > 0.2 AS drifted
+        |FROM g CROSS JOIN s ORDER BY bin""".stripMargin,
     "events_retention_cohort" ->
       """WITH ev AS (
         |  SELECT user_id,

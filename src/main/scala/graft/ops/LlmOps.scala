@@ -393,7 +393,12 @@ object LlmOps {
     * regression (e.g. the round-6 fixed-label bucketing that measured
     * 22× superlinear) shows up as a count jump even when wall-clock
     * jitter masks the time ratio. */
-  private[graft] def simAnnIvfPairs(spark: SparkSession, sf: String): DataFrame = {
+  /** #79's coarse quantizer, shared with the composed IVF-PQ index
+    * (#241): md5-seeded √n centroids, rounded-cosine bucket choice.
+    * Returns (assigned, probes) — each (vec_id, embedding, vnrm,
+    * bucket); `assigned` has the single nearest bucket per vector,
+    * `probes` the top-2 (the query-side fan-out). */
+  private[graft] def ivfBuckets(spark: SparkSession, sf: String): (DataFrame, DataFrame) = {
     // objectHashAggregate fallback threshold is raised in the session
     // builders (see TextOps.simKnnTopk note) — no conf mutation here.
     val emb = embeddings(spark, sf)
@@ -428,6 +433,11 @@ object LlmOps {
     val probes = probed
       .select(col("vec_id"), col("embedding"), col("vnrm"),
               explode(col("top2.id")).as("bucket"))
+    (assigned, probes)
+  }
+
+  private[graft] def simAnnIvfPairs(spark: SparkSession, sf: String): DataFrame = {
+    val (assigned, probes) = ivfBuckets(spark, sf)
     val a = graft.api.Transforms.fanOut(
       probes.toDF("a_id", "ea", "na", "bucket"), col("bucket"))
     val b = assigned.toDF("b_id", "eb", "nb", "bucket_b")

@@ -195,29 +195,89 @@ object VecOps {
   def simAnnPq(spark: SparkSession, sf: String): DataFrame =
     pqTopK(embeddings(spark, sf), NQ)
 
+  /** #241 — IVF-PQ composed index (round 13; the production FAISS
+    * default `IVFx,PQy`: #79's coarse quantizer prunes WHICH vectors
+    * are scored, #136's product quantizer compresses HOW each
+    * candidate is scored — composed, the scan touches nprobe/√n of
+    * the corpus AND reads 8 bytes per candidate instead of the raw
+    * vector): queries are the #136 md5-seeded 8; candidates come from
+    * the #79 bucket equi-join (top-2 probed buckets vs single-bucket
+    * assignment, rounded-cosine choice); each candidate's ADC
+    * distance is the #136 LUT sum over its 8 codes; top-5 per query
+    * via the bounded heap on the negated rounded distance (ties
+    * toward the smaller id, matching the oracle's row_number).
+    * Exactness: both stages reuse the graded #79/#136 machinery
+    * verbatim (shared `ivfBuckets` / `pqEncode` / `pqLut` helpers),
+    * so determinism is inherited — seeds by md5, assignment on
+    * 4dp-rounded cosine, per-code distances 6dp-rounded, ADC sums
+    * 4dp. At 100 TB: the LUT (nq·128 rows) and probe table broadcast;
+    * the only data-scale exchanges are the encode aggregate and the
+    * bucket equi-join — candidates are bucket-mates, never n². */
+  def simAnnIvfPq(spark: SparkSession, sf: String): DataFrame =
+    ivfPqTopK(spark, sf, NQ)
+
+  /** [[simAnnIvfPq]]'s machinery with the query count as a parameter —
+    * the graded operator binds nq = NQ = 8 (byte-identical output);
+    * the recall floor runs the SAME geometry at nq = 64 (the #136
+    * policy: floors rest on ~320 ground-truth slots, not 40). */
+  private[graft] def ivfPqTopK(spark: SparkSession, sf: String, nq: Int): DataFrame = {
+    val emb = embeddings(spark, sf)
+    val (assigned, probes) = LlmOps.ivfBuckets(spark, sf)
+    val cb = trainedCodebook(emb)
+    val enc = pqEncode(emb, cb)
+    val lut = pqLut(emb, cb, nq)
+    val qIds = hashSeeds(emb, nq, "#q").select(col("vec_id").as("q_id"))
+    // a query's two probed buckets are distinct and each index vector
+    // sits in exactly one bucket, so (q_id, i_id) pairs are unique
+    val cand = probes.select(col("vec_id").as("q_id"), col("bucket"))
+      .join(broadcast(qIds), "q_id")
+      .join(assigned.select(col("vec_id").as("i_id"), col("bucket")), "bucket")
+      .where(col("q_id") =!= col("i_id"))
+      .select(col("q_id"), col("i_id"))
+    cand.join(enc.withColumnRenamed("vec_id", "i_id"), "i_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("i_id"))
+      .agg(round(sum(col("pd")), 4).as("adc"))
+      .groupBy(col("q_id"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topK(-col("adc"), col("i_id"), 5).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.id").as("vec_id"), (-col("col.score")).as("adc_dist"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** [[simAnnPq]]'s machinery with the query count as a parameter —
     * the graded operator binds nq = NQ = 8 (byte-identical output);
     * the recall pins run the SAME geometry at nq = 64 so the
     * ≥10×-chance floor rests on ~320 ground-truth slots instead of 40
     * (round 12 — VERDICT r11 item 2: the 8-query pin passed by exactly
     * one hit). */
-  private[graft] def pqTopK(emb: DataFrame, nq: Int): DataFrame = {
-    // codebook: Lloyd-refined 16 codewords × 8 subspaces ≤ 128 rows
-    val cb = trainedCodebook(emb)
-    // encode: nearest codeword per (vector, subspace); the n·M·K scored
-    // rows collapse map-side (min_by partials), shuffling only n·M rows
-    val sv = emb.select(col("vec_id"), subvecs(col("embedding")).as(Seq("sub", "svec")))
-    val enc = sv.join(broadcast(cb), "sub")
+  /** PQ encode stage: nearest codeword per (vector, subspace); the
+    * n·M·K scored rows collapse map-side (min_by partials), shuffling
+    * only n·M rows. Output: (vec_id, sub, code). */
+  private def pqEncode(emb: DataFrame, cb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), subvecs(col("embedding")).as(Seq("sub", "svec")))
+      .join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         round(l2sq(col("svec"), col("cvec")), 6).as("d"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-    // ADC lookup table: nq queries × 128 codebook rows of partial
-    // distances (unrounded; only the final sum is rounded)
-    val lut = hashSeeds(emb, nq, "#q")
+
+  /** ADC lookup table: nq queries × M·K codebook rows of partial
+    * distances (unrounded; only the final sum is rounded). Output:
+    * (q_id, sub, code, pd). */
+  private def pqLut(emb: DataFrame, cb: DataFrame, nq: Int): DataFrame =
+    hashSeeds(emb, nq, "#q")
       .select(col("vec_id").as("q_id"), subvecs(col("embedding")).as(Seq("sub", "qsub")))
       .join(broadcast(cb), "sub")
       .select(col("q_id"), col("sub"), col("code"), l2sq(col("qsub"), col("cvec")).as("pd"))
+
+  private[graft] def pqTopK(emb: DataFrame, nq: Int): DataFrame = {
+    // codebook: Lloyd-refined 16 codewords × 8 subspaces ≤ 128 rows
+    val cb = trainedCodebook(emb)
+    val enc = pqEncode(emb, cb)
+    val lut = pqLut(emb, cb, nq)
     enc.join(broadcast(lut), Seq("sub", "code"))
       .where(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -606,6 +666,7 @@ object VecOps {
     "sim_maxsim_multivec"   -> (simMaxsimMultivec _),
     "sim_mmr_diversify"     -> (simMmrDiversify _),
     "sim_ann_lsh_rp"        -> (simAnnLshRp _),
+    "sim_ann_ivfpq"         -> (simAnnIvfPq _),
   )
 
   /** Shared oracle CTE: embeddings unnested to (vec_id, idx, e) plus
@@ -618,60 +679,106 @@ object VecOps {
       |sv AS (SELECT vec_id, CAST(floor((idx - 1) / 8) AS INT) AS sub, idx, e FROM v)"""
       .stripMargin
 
+  /** #136's codebook-train + encode + LUT CTE chain, shared verbatim
+    * by the #241 composition (same seeds/rounding, so the two graded
+    * oracles cannot drift). Expects `v`/`sv` from [[unnestCte]]. */
+  private val pqCbCtes =
+    """cbseed AS (
+      |  SELECT vec_id AS c_id,
+      |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#cb'), vec_id) - 1 AS code
+      |  FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#cb'), vec_id) <= 16),
+      |cb0 AS (SELECT s.code, sv.sub, sv.idx, sv.e FROM cbseed s
+      |        JOIN sv ON sv.vec_id = s.c_id),
+      |tr AS (
+      |  SELECT vec_id FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#tr'), vec_id) <= 2048),
+      |tsv AS (SELECT sv.* FROM sv JOIN tr USING (vec_id)),
+      |d1 AS (
+      |  SELECT a.vec_id, a.sub, c.code,
+      |    round(sum((a.e - c.e) * (a.e - c.e)), 6) AS d
+      |  FROM tsv a JOIN cb0 c ON c.sub = a.sub AND c.idx = a.idx
+      |  GROUP BY a.vec_id, a.sub, c.code),
+      |a1 AS (
+      |  SELECT vec_id, sub, code FROM d1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) = 1),
+      |cb1 AS (
+      |  SELECT a1.code, a1.sub, s.idx, round(avg(s.e), 10) AS e
+      |  FROM a1 JOIN sv s ON s.vec_id = a1.vec_id AND s.sub = a1.sub
+      |  GROUP BY a1.code, a1.sub, s.idx),
+      |d2 AS (
+      |  SELECT a.vec_id, a.sub, c.code,
+      |    round(sum((a.e - c.e) * (a.e - c.e)), 6) AS d
+      |  FROM tsv a JOIN cb1 c ON c.sub = a.sub AND c.idx = a.idx
+      |  GROUP BY a.vec_id, a.sub, c.code),
+      |a2 AS (
+      |  SELECT vec_id, sub, code FROM d2
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) = 1),
+      |cb AS (
+      |  SELECT a2.code, a2.sub, s.idx, round(avg(s.e), 10) AS e
+      |  FROM a2 JOIN sv s ON s.vec_id = a2.vec_id AND s.sub = a2.sub
+      |  GROUP BY a2.code, a2.sub, s.idx),
+      |encd AS (
+      |  SELECT a.vec_id, a.sub, c.code,
+      |    round(sum((a.e - c.e) * (a.e - c.e)), 6) AS d
+      |  FROM sv a JOIN cb c ON c.sub = a.sub AND c.idx = a.idx
+      |  GROUP BY a.vec_id, a.sub, c.code),
+      |enc AS (
+      |  SELECT vec_id, sub, code FROM encd
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) = 1),
+      |qseed AS (
+      |  SELECT vec_id AS q_id FROM embeddings
+      |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#q'), vec_id) <= 8),
+      |lut AS (
+      |  SELECT q.q_id, c.sub, c.code, sum((a.e - c.e) * (a.e - c.e)) AS pd
+      |  FROM qseed q JOIN sv a ON a.vec_id = q.q_id
+      |  JOIN cb c ON c.sub = a.sub AND c.idx = a.idx
+      |  GROUP BY q.q_id, c.sub, c.code)""".stripMargin
+
   val oracle: Map[String, String] = ListMap(
+    "sim_ann_ivfpq" ->
+      s"""WITH $unnestCte,
+        |vn AS (SELECT vec_id, sqrt(sum(e * e)) AS vnrm FROM v GROUP BY vec_id),
+        |seeds AS (
+        |  SELECT vec_id AS c_id,
+        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cl
+        |  FROM embeddings
+        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |    <= (SELECT ceil(sqrt(count(*))) FROM embeddings)),
+        |cn AS (SELECT s.cl, s.c_id, vn.vnrm AS cnrm
+        |       FROM seeds s JOIN vn ON vn.vec_id = s.c_id),
+        |dctr AS (
+        |  SELECT a.vec_id, s.cl, sum(a.e * b.e) AS dp
+        |  FROM v a JOIN v b ON a.idx = b.idx
+        |  JOIN seeds s ON s.c_id = b.vec_id
+        |  GROUP BY a.vec_id, s.cl),
+        |assignr AS (
+        |  SELECT dctr.vec_id, dctr.cl,
+        |    row_number() OVER (PARTITION BY dctr.vec_id
+        |      ORDER BY round(dctr.dp / (vn.vnrm * cn.cnrm), 4) DESC, dctr.cl) AS rn
+        |  FROM dctr JOIN vn ON vn.vec_id = dctr.vec_id JOIN cn ON cn.cl = dctr.cl),
+        |assign AS (SELECT vec_id, cl AS bucket FROM assignr WHERE rn = 1),
+        |probe AS (SELECT vec_id, cl AS bucket FROM assignr WHERE rn <= 2),
+        |$pqCbCtes,
+        |cand AS (
+        |  SELECT p.vec_id AS cq_id, a.vec_id AS i_id
+        |  FROM probe p JOIN qseed q ON q.q_id = p.vec_id
+        |  JOIN assign a ON a.bucket = p.bucket AND a.vec_id <> p.vec_id),
+        |adc AS (
+        |  SELECT c.cq_id AS q_id, c.i_id, round(sum(l.pd), 4) AS adc_dist
+        |  FROM cand c
+        |  JOIN enc e ON e.vec_id = c.i_id
+        |  JOIN lut l ON l.q_id = c.cq_id AND l.sub = e.sub AND l.code = e.code
+        |  GROUP BY c.cq_id, c.i_id),
+        |ranked AS (
+        |  SELECT q_id, i_id, adc_dist,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, i_id) AS rnk
+        |  FROM adc)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, i_id AS vec_id, adc_dist
+        |FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "sim_ann_pq" ->
       s"""WITH $unnestCte,
-        |cbseed AS (
-        |  SELECT vec_id AS c_id,
-        |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#cb'), vec_id) - 1 AS code
-        |  FROM embeddings
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#cb'), vec_id) <= 16),
-        |cb0 AS (SELECT s.code, sv.sub, sv.idx, sv.e FROM cbseed s
-        |        JOIN sv ON sv.vec_id = s.c_id),
-        |tr AS (
-        |  SELECT vec_id FROM embeddings
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#tr'), vec_id) <= 2048),
-        |tsv AS (SELECT sv.* FROM sv JOIN tr USING (vec_id)),
-        |d1 AS (
-        |  SELECT a.vec_id, a.sub, c.code,
-        |    round(sum((a.e - c.e) * (a.e - c.e)), 6) AS d
-        |  FROM tsv a JOIN cb0 c ON c.sub = a.sub AND c.idx = a.idx
-        |  GROUP BY a.vec_id, a.sub, c.code),
-        |a1 AS (
-        |  SELECT vec_id, sub, code FROM d1
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) = 1),
-        |cb1 AS (
-        |  SELECT a1.code, a1.sub, s.idx, round(avg(s.e), 10) AS e
-        |  FROM a1 JOIN sv s ON s.vec_id = a1.vec_id AND s.sub = a1.sub
-        |  GROUP BY a1.code, a1.sub, s.idx),
-        |d2 AS (
-        |  SELECT a.vec_id, a.sub, c.code,
-        |    round(sum((a.e - c.e) * (a.e - c.e)), 6) AS d
-        |  FROM tsv a JOIN cb1 c ON c.sub = a.sub AND c.idx = a.idx
-        |  GROUP BY a.vec_id, a.sub, c.code),
-        |a2 AS (
-        |  SELECT vec_id, sub, code FROM d2
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) = 1),
-        |cb AS (
-        |  SELECT a2.code, a2.sub, s.idx, round(avg(s.e), 10) AS e
-        |  FROM a2 JOIN sv s ON s.vec_id = a2.vec_id AND s.sub = a2.sub
-        |  GROUP BY a2.code, a2.sub, s.idx),
-        |encd AS (
-        |  SELECT a.vec_id, a.sub, c.code,
-        |    round(sum((a.e - c.e) * (a.e - c.e)), 6) AS d
-        |  FROM sv a JOIN cb c ON c.sub = a.sub AND c.idx = a.idx
-        |  GROUP BY a.vec_id, a.sub, c.code),
-        |enc AS (
-        |  SELECT vec_id, sub, code FROM encd
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) = 1),
-        |qseed AS (
-        |  SELECT vec_id AS q_id FROM embeddings
-        |  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#q'), vec_id) <= 8),
-        |lut AS (
-        |  SELECT q.q_id, c.sub, c.code, sum((a.e - c.e) * (a.e - c.e)) AS pd
-        |  FROM qseed q JOIN sv a ON a.vec_id = q.q_id
-        |  JOIN cb c ON c.sub = a.sub AND c.idx = a.idx
-        |  GROUP BY q.q_id, c.sub, c.code),
+        |$pqCbCtes,
         |adc AS (
         |  SELECT l.q_id, e.vec_id, round(sum(l.pd), 4) AS adc_dist
         |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code

@@ -397,6 +397,81 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: candidates come from probed buckets; pruning only loses vs full PQ") {
+    val out = graft.ops.VecOps.simAnnIvfPq(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // structural: per-query ranks 1..k with nondecreasing ADC distance
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length), s"query $q")
+      val dists = sorted.map(_.getAs[Double]("adc_dist"))
+      assert(dists.sameElements(dists.sorted), s"query $q not distance-ordered")
+    }
+    // containment: every returned index vector sits in a bucket the
+    // query probed (the IVF pruning contract)
+    val (assigned, probes) = graft.ops.LlmOps.ivfBuckets(spark, sf001)
+    val iBucket = assigned.select(col("vec_id"), col("bucket")).collect()
+      .map(r => r.getAs[Long](0) -> r.getAs[Long](1)).toMap
+    val qProbes = probes.select(col("vec_id"), col("bucket")).collect()
+      .groupBy(_.getAs[Long](0)).view
+      .mapValues(_.map(_.getAs[Long](1)).toSet).toMap
+    out.foreach { r =>
+      val (q, i) = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      assert(qProbes(q).contains(iBucket(i)),
+        s"result $i of query $q is outside the probed buckets")
+    }
+    // pruning only LOSES candidates vs the exhaustive PQ scan: at each
+    // shared rank the composed index's distance is >= full PQ's
+    val pq = graft.ops.VecOps.simAnnPq(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rnk")) -> r.getAs[Double]("adc_dist"))
+      .toMap
+    out.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Int]("rnk"))
+      pq.get(k).foreach { full =>
+        assert(r.getAs[Double]("adc_dist") >= full - 1e-9,
+          s"$k: composed ${r.getAs[Double]("adc_dist")} beats exhaustive $full")
+      }
+    }
+  }
+
+  test("PSI drift equals a driver-side exact replay") {
+    val out = EtlOps.etlPsiDrift(spark, sf001).collect()
+    val orders = Tables.orders(spark, sf001)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice").cast("decimal(18,2)"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate.toEpochDay,
+        ((BigDecimal(r.getAs[java.math.BigDecimal](1)) * 100).toBigInt / 2500000).toLong))
+    val d0 = orders.map(_._1).min
+    val d1 = orders.map(_._1).max
+    def pre(day: Long) = (day - d0) * 2 < (d1 - d0) + 1
+    val byBin = orders.groupBy(_._2).view.mapValues { rs =>
+      (rs.count(r => pre(r._1)).toLong, rs.count(r => !pre(r._1)).toLong)
+    }.toMap
+    val (tPre, tPost) = (byBin.values.map(_._1).sum, byBin.values.map(_._2).sum)
+    val nBins = byBin.size
+    def share(n: Long, t: Long) = (n + 1.0) / (t.toDouble + nBins)
+    def grid8(x: Double) =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val terms = byBin.map { case (b, (np, nq)) =>
+      b -> grid8((share(np, tPre) - share(nq, tPost)) *
+        math.log(share(np, tPre) / share(nq, tPost)))
+    }
+    val psi = terms.values.sum.toDouble
+    def fp6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000.0
+    assert(out.length == nBins)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bin")
+      val (np, nq) = byBin(b)
+      assert(r.getAs[Long]("n_pre") == np && r.getAs[Long]("n_post") == nq, s"bin $b")
+      assert(r.getAs[Double]("share_pre") == fp6(share(np, tPre)), s"bin $b")
+      assert(r.getAs[Double]("share_post") == fp6(share(nq, tPost)), s"bin $b")
+      assert(math.abs(r.getAs[Double]("psi_term") - terms(b).toDouble) < 1e-9, s"bin $b")
+      assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-9)
+      assert(r.getAs[Boolean]("drifted") == (r.getAs[Double]("psi") > 0.2))
+    }
+  }
+
   test("Cramér's V rides #215's exact chi2 and matches its formula") {
     val chi = AggOps.aggChi2Independence(spark, sf001).collect().head
     val v = AggOps.aggCramersV(spark, sf001).collect().head

@@ -646,13 +646,46 @@ class ScaleStressSpec extends SparkSpec {
       s"smoke plan degraded at 10x: ${p10.mkString(">")}")
   }
 
+  /** #241's recall against the same exact-L2 ground truth as #136's —
+    * the composed index can only lose candidates the coarse quantizer
+    * prunes, so its recall sits between the full-PQ recall and the
+    * IVF candidate coverage. */
+  private def recallIvfPq(dir: String): Double = {
+    import org.apache.spark.sql.graft.TopKAgg
+    val dot = org.apache.spark.sql.graft.VectorExprs.vecDot _
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("#q"))))
+      .orderBy(col("h"), col("vec_id")).limit(64)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val exact = emb.select(col("vec_id").as("i_id"), col("embedding").as("iv"))
+      .join(broadcast(q), col("q_id") =!= col("i_id"))
+      .select(col("q_id"), col("i_id"),
+        (dot(col("qv"), col("qv")) - lit(2) * dot(col("qv"), col("iv"))
+          + dot(col("iv"), col("iv"))).as("d2"))
+      .groupBy(col("q_id"))
+      .agg(TopKAgg.topK(-col("d2"), col("i_id"), 5).as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("i_id"))
+    val got = graft.ops.VecOps.ivfPqTopK(spark, dir, 64)
+      .select(col("q_id"), col("vec_id").as("i_id"))
+    exact.join(got, Seq("q_id", "i_id")).count().toDouble / exact.count()
+  }
+
   test("ANN recall + LSH candidate floors at sf0.01 (pre-commit, ungated)") {
     val n = Tables.embeddings(spark, sf01).count()
     val ivfLift = recallIvf(sf01) / ivfChanceAt(n)
     val pqLift = recallPq(sf01) / pqChanceAt(n)
-    info(f"sf0.01 lifts: IVF $ivfLift%.1f× chance, PQ $pqLift%.1f× chance")
+    val ivfpqLift = recallIvfPq(sf01) / pqChanceAt(n)
+    info(f"sf0.01 lifts: IVF $ivfLift%.1f× chance, PQ $pqLift%.1f× chance, " +
+      f"IVF-PQ $ivfpqLift%.1f× chance")
     assert(ivfLift >= 2.0, f"IVF recall lift at sf0.01: $ivfLift%.1f < 2× chance")
     assert(pqLift >= 10.0, f"PQ recall lift at sf0.01: $pqLift%.1f < 10× chance")
+    // composed: PQ quantization × coarse pruning — floor set from the
+    // measured value minus a regeneration margin (a collapsed bucket
+    // or codebook reads ~1×)
+    assert(ivfpqLift >= 5.0,
+      f"IVF-PQ recall lift at sf0.01: $ivfpqLift%.1f < 5× chance")
     val lsh = LlmOps.dedupEmbeddingCosineCandidates(spark, sf01).count()
     val floor = 32.0 * (n.toDouble * (n - 1) / 2) * math.pow(0.524, 16) + 50
     assert(lsh > 0 && lsh <= 1.5 * floor,

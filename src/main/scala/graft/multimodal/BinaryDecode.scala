@@ -91,6 +91,31 @@ object BinaryDecode {
       yield (r, c, nPix(r)(c), sum(r)(c))
   }
 
+  /** Per-channel 4-bucket luminance histogram of one DECODED image
+    * (#243): bucket = value >> 6 (exact 64-wide bins, no float
+    * boundary), counted from the real raster. Returns (channel,
+    * bucket, n_px) rows; channel 0/1/2 = R/G/B (the getRGB bit
+    * layout). Fails loudly on an undecodable payload. */
+  def channelHistogramOne(id: Long, bytes: Array[Byte]): Seq[(Int, Int, Long)] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload (${bytes.length} bytes) is not a decodable image")
+    val counts = Array.ofDim[Long](3, 4)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        counts(0)(((rgb >> 16) & 0xff) >> 6) += 1
+        counts(1)(((rgb >> 8) & 0xff) >> 6) += 1
+        counts(2)((rgb & 0xff) >> 6) += 1
+        x += 1
+      }
+      y += 1
+    }
+    for (c <- 0 until 3; b <- 0 until 4 if counts(c)(b) > 0)
+      yield (c, b, counts(c)(b))
+  }
+
   /** A real PNG payload for doc `id`: deterministic dimensions and
     * pixel fill, encoded by the JDK's PNG writer. */
   def syntheticPng(id: Long): Array[Byte] = {

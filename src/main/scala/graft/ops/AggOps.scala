@@ -1281,6 +1281,37 @@ object AggOps {
         .as("cramers_v"))
   }
 
+  /** #245 — exponential (power-of-2) histogram (round 13; the
+    * DDSketch/OTel-exponential-histogram SHAPE — relative-error bins
+    * that every observability backend uses for latency/money
+    * distributions spanning orders of magnitude, where #233's fixed
+    * 25k-wide bins would put 90% of mass in two buckets): bucket =
+    * ⌊log₂(cents)⌋ computed EXACTLY as the binary-string length of
+    * the 2dp-exact integer cents (`length(bin(x))` — no floating
+    * log anywhere, the #233/#224 integer-boundary policy), per-bin
+    * counts/shares and the ogive as in #233; lo/hi edges are exact
+    * powers of two. Shape: ONE keyed corpus aggregate to the ≤~64-row
+    * bin table + a metadata-scale cumulative window (#201's
+    * argument). */
+  def aggLog2Histogram(spark: SparkSession, sf: String): DataFrame = {
+    val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val binned = orders(spark, sf)
+      .select(length(bin(cents)).cast("long").as("bin2"))
+      .groupBy(col("bin2")).agg(count(lit(1)).as("n_orders"))
+    val tot = binned.agg(sum(col("n_orders")).as("n"))
+    val w = Window.orderBy(col("bin2"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    binned.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("n_orders")).over(w))
+      .select(col("bin2"),
+        pow(lit(2.0), col("bin2") - 1).as("lo_cents"),
+        pow(lit(2.0), col("bin2")).as("hi_cents"),
+        col("n_orders"),
+        round(col("n_orders").cast("double") / col("n"), 6).as("share"),
+        round(col("cum").cast("double") / col("n"), 6).as("cum_share"))
+      .orderBy(col("bin2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1322,6 +1353,7 @@ object AggOps {
     "agg_spearman_corr"    -> (aggSpearmanCorr _),
     "agg_histogram_numeric" -> (aggHistogramNumeric _),
     "agg_cramers_v"        -> (aggCramersV _),
+    "agg_log2_histogram"   -> (aggLog2Histogram _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -1912,6 +1944,21 @@ object AggOps {
         |  sx = CAST(n AS DECIMAL(38,0)) * (n + 1) AS rank_sum_ok_x,
         |  sy = CAST(n AS DECIMAL(38,0)) * (n + 1) AS rank_sum_ok_y
         |FROM f""".stripMargin,
+    "agg_log2_histogram" ->
+      """WITH b AS (
+        |  SELECT length(bin(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT))) AS bin2
+        |  FROM orders),
+        |g AS (SELECT CAST(bin2 AS BIGINT) AS bin2, count(*) AS n_orders
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM g)
+        |SELECT bin2, power(2.0, bin2 - 1) AS lo_cents,
+        |  power(2.0, bin2) AS hi_cents, n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / n, 6) AS share,
+        |  round(CAST(sum(n_orders) OVER (ORDER BY bin2
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / n, 6) AS cum_share
+        |FROM g CROSS JOIN t ORDER BY bin2""".stripMargin,
     "agg_histogram_numeric" ->
       """WITH b AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

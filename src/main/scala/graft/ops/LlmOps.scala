@@ -890,6 +890,38 @@ object LlmOps {
     * Scale: decode+patchify is a narrow per-partition map after the
     * id fan-out (the single-file-scan lesson); only few-dozen-byte
     * patch rows ever shuffle, and the aggregate is per-image local. */
+  /** #243 — per-channel luminance histogram from REAL decode
+    * (round 13; the exposure/color-cast screen of every image-corpus
+    * QA pass — a channel histogram collapsed into a few exact bins is
+    * how curation pipelines catch all-black/washed-out/tinted batches
+    * before training): each synthetic PNG is decoded by javax.imageio
+    * (the #80 codec boundary — the ONE legitimate per-partition map),
+    * per-channel values land in four EXACT 64-wide buckets
+    * (bucket = value >> 6, integer shift — no float boundary), and
+    * the corpus aggregates to 12 (channel, bucket) rows with shares.
+    * The oracle replays the deterministic pixel formula arithmetic
+    * (#80's contract: Spark decodes real bytes, the oracle recomputes
+    * what those bytes must contain). At 100 TB: decode parallelism =
+    * partition count after the id fan-out; the shuffle carries
+    * ≤ 12 rows per partition (partial counts). */
+  def multimodalChannelHistogram(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = documents(spark, sf).select(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id"))).as[Long]
+      .flatMap { id =>
+        graft.multimodal.BinaryDecode
+          .channelHistogramOne(id, graft.multimodal.BinaryDecode.syntheticPng(id))
+      }
+      .toDF("channel", "bucket", "n_px")
+    val agg = perDoc.groupBy(col("channel"), col("bucket"))
+      .agg(sum(col("n_px")).as("n_px"))
+    val tot = agg.agg(sum(col("n_px")).as("n")) // 3 × total pixels
+    agg.crossJoin(broadcast(tot))
+      .select(col("channel"), col("bucket"), col("n_px"),
+        round(col("n_px").cast("double") * 3 / col("n"), 6).as("share"))
+      .orderBy(col("channel"), col("bucket"))
+  }
+
   def multimodalPatchGrid(spark: SparkSession, sf: String): DataFrame = {
     import spark.implicits._
     documents(spark, sf).select(col("doc_id"))
@@ -933,6 +965,7 @@ object LlmOps {
     "sim_quantize_int8"        -> (simQuantizeInt8 _),
     "sim_hybrid_rrf"           -> (simHybridRrf _),
     "multimodal_patch_grid"    -> (multimodalPatchGrid _),
+    "multimodal_channel_histogram" -> (multimodalChannelHistogram _),
   )
 
   /** DuckDB fragment: simhash → bands → verified pairs → recursive
@@ -1182,6 +1215,34 @@ object LlmOps {
     // the PNG generator uses ('89504E47' = the PNG magic the real
     // payload must start with); matching pix_sum proves the Spark
     // side decoded real pixels, not header fields
+    "multimodal_channel_histogram" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 16 AS INT) AS width,
+        |         CAST(1 + (doc_id // 16) % 16 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, unnest(range(0, width * height)) AS i
+        |  FROM d),
+        |c AS (SELECT doc_id, i % width AS x, i // width AS y FROM px),
+        |v AS (
+        |  SELECT 0 AS channel,
+        |    CAST((doc_id * 31 + x * 7 + y * 13) % 256 AS BIGINT) AS val
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 1, CAST((doc_id * 17 + x * 5 + y * 11) % 256 AS BIGINT)
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 2, CAST((doc_id * 13 + x * 3 + y * 19) % 256 AS BIGINT)
+        |  FROM c),
+        |g AS (
+        |  SELECT channel, CAST(val // 64 AS INT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_px
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_px) AS BIGINT) AS n FROM g)
+        |SELECT channel, bucket, n_px,
+        |  round(CAST(n_px AS DOUBLE) * 3 / n, 6) AS share
+        |FROM g CROSS JOIN t ORDER BY channel, bucket""".stripMargin,
     "multimodal_binary" ->
       """WITH d AS (
         |  SELECT doc_id,

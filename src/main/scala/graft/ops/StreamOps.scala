@@ -59,6 +59,22 @@ object StreamOps {
               col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** #244 — windowed top-k (round 13; the "trending now" readout of
+    * every streaming dashboard — per tumbling window, WHO dominated):
+    * per 1-day window, the top-3 users by exact spend. Two-level
+    * aggregate: (window, user) exact-DECIMAL pre-aggregate, then the
+    * bounded-heap TopKAgg per window (score DESC, id ASC ties —
+    * identical to the oracle's row_number). Streaming form: the same
+    * two-level aggregate under a watermark; StreamingSpec proves the
+    * chunked MemoryStream replay equals this batch result. At 100 TB
+    * the heap carries ≤ k rows per (window, partition) — the #38
+    * argument per window. */
+  def streamTopkWindowed(spark: SparkSession, sf: String): DataFrame = {
+    import graft.streaming.EventStreams
+    EventStreams.topkSpendFinish(EventStreams.windowUserSpend(events(spark, sf)))
+      .orderBy(col("day_start"), col("rnk"))
+  }
+
   /** #54 — streaming dropDuplicates semantics: keep the earliest event
     * per (user, type) key — in batch form, row_number over event time. */
   def streamDedupKeys(spark: SparkSession, sf: String): DataFrame = {
@@ -150,9 +166,22 @@ object StreamOps {
     "stream_stateful_counts" -> (streamStatefulCounts _),
     "stream_watermark_late"  -> (streamWatermarkLate _),
     "stream_join_interval"   -> (streamJoinInterval _),
+    "stream_topk_windowed"   -> (streamTopkWindowed _),
   )
 
   val oracle: Map[String, String] = ListMap(
+    "stream_topk_windowed" ->
+      """WITH pu AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,
+        |    user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY day_start
+        |    ORDER BY spend DESC, user_id) AS rnk
+        |  FROM pu)
+        |SELECT day_start, CAST(rnk AS INT) AS rnk, user_id, spend
+        |FROM r WHERE rnk <= 3 ORDER BY day_start, rnk""".stripMargin,
     "stream_tumbling_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
         |  event_type, count(*) AS n_events,

@@ -262,6 +262,31 @@ object EventStreams {
     events.groupBy(col("event_type"))
       .agg(expr("approx_top_k_estimate(approx_top_k_accumulate(user_id, 100), 5)")
         .as("top"))
+
+  /** #244's STATEFUL half: the (1-day window, user) exact-spend
+    * aggregate — the single stateful aggregation Spark streaming
+    * allows per query. Runs unchanged over the batch corpus and under
+    * MemoryStream (Complete mode); spend is an exact DECIMAL sum cast
+    * to double, so chunked replay is batching-independent. */
+  def windowUserSpend(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("spend"))
+
+  /** #244's STATELESS finisher: per-window top-3 users by spend via
+    * the bounded heap (score DESC, id ASC ties). In production this
+    * runs per trigger inside foreachBatch over [[windowUserSpend]]'s
+    * state output; the graded batch op is exactly
+    * finisher ∘ stateful-half, so StreamingSpec's chunked replay +
+    * finisher must equal the batch result EXACTLY. */
+  def topkSpendFinish(windowUserSpend: DataFrame): DataFrame =
+    windowUserSpend
+      .groupBy(col("w"))
+      .agg(org.apache.spark.sql.graft.TopKAgg
+        .topK(col("spend"), col("user_id"), 3).as("top"))
+      .select(col("w.start").as("day_start"), posexplode(col("top")))
+      .select(col("day_start"), (col("pos") + 1).cast("int").as("rnk"),
+              col("col.id").as("user_id"), col("col.score").as("spend"))
 }
 
 /** One consecutive same-user event-type pair emitted by

@@ -472,6 +472,57 @@ class Round13OpsSpec extends SparkSpec {
     }
   }
 
+  test("channel histogram: per-channel pixel totals equal the decoded raster sizes") {
+    val rows = graft.ops.LlmOps.multimodalChannelHistogram(spark, sf001).collect()
+    val totalPx = Tables.documents(spark, sf001).select(col("doc_id")).collect()
+      .map { r =>
+        val (w, h) = graft.multimodal.BinaryDecode.syntheticDims(r.getAs[Long](0))
+        w.toLong * h
+      }.sum
+    (0 to 2).foreach { c =>
+      val chan = rows.filter(_.getAs[Int]("channel") == c)
+      assert(chan.map(_.getAs[Long]("n_px")).sum == totalPx, s"channel $c")
+      val shares = chan.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shares - 1.0) < 1e-5, s"channel $c shares sum $shares")
+    }
+    // and one doc's buckets replayed from the pixel formula
+    val id = Tables.documents(spark, sf001).select(min(col("doc_id")))
+      .head.getLong(0)
+    val (w, h) = graft.multimodal.BinaryDecode.syntheticDims(id)
+    val expected = Array.ofDim[Long](3, 4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = graft.multimodal.BinaryDecode.syntheticPixel(id, x, y)
+      expected(0)(r >> 6) += 1; expected(1)(g >> 6) += 1; expected(2)(b >> 6) += 1
+    }
+    val got = graft.multimodal.BinaryDecode.channelHistogramOne(
+      id, graft.multimodal.BinaryDecode.syntheticPng(id))
+    got.foreach { case (c, b, n) => assert(expected(c)(b) == n, s"($c,$b)") }
+    assert(got.map(_._3).sum == 3L * w * h)
+  }
+
+  test("log2 histogram equals a driver-side binary-length replay") {
+    val rows = AggOps.aggLog2Histogram(spark, sf001).collect()
+    val cents = Tables.orders(spark, sf001)
+      .select(col("o_totalprice").cast("decimal(18,2)")).collect()
+      .map(r => (BigDecimal(r.getAs[java.math.BigDecimal](0)) * 100).toLongExact)
+    val bins = cents.groupBy(c => java.lang.Long.toBinaryString(c).length.toLong)
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == cents.length.toLong)
+    assert(rows.map(_.getAs[Long]("bin2")).toSet == bins.keySet)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bin2")
+      assert(r.getAs[Long]("n_orders") == bins(b), s"bin $b")
+      assert(r.getAs[Double]("lo_cents") == math.pow(2.0, (b - 1).toDouble), s"bin $b")
+      assert(r.getAs[Double]("hi_cents") == math.pow(2.0, b.toDouble), s"bin $b")
+      // every member really falls inside [lo, hi)
+      assert(cents.filter(c =>
+        java.lang.Long.toBinaryString(c).length.toLong == b)
+        .forall(c => c >= math.pow(2, (b - 1).toDouble) && c < math.pow(2, b.toDouble)))
+    }
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.last == 1.0 && cums.sameElements(cums.sorted))
+  }
+
   test("Cramér's V rides #215's exact chi2 and matches its formula") {
     val chi = AggOps.aggChi2Independence(spark, sf001).collect().head
     val v = AggOps.aggCramersV(spark, sf001).collect().head

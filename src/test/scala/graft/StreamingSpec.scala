@@ -708,6 +708,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k: chunked streaming state + stateless finisher equals the batch op") {
+    // #244's decomposition: the STATEFUL half (window×user exact
+    // spend) streams under Complete mode — the one stateful
+    // aggregation Spark allows — and the bounded-heap top-k finisher
+    // runs per trigger over its output (the foreachBatch pattern).
+    // The exact-DECIMAL spend makes the state batching-independent,
+    // so replay + finisher must equal the graded batch op EXACTLY.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.windowUserSpend(in.toDF())
+      .writeStream.format("memory").queryName("t_topkwin")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      corpusChunks(spark, 3).foreach { c =>
+        in.addData(c: _*); q.processAllAvailable()
+      }
+      val streamed = EventStreams.topkSpendFinish(spark.table("t_topkwin"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1.getTime, t._2))
+      val batch = graft.ops.StreamOps.streamTopkWindowed(spark, sf001)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(streamed.toSeq == batch.toSeq,
+        s"stream-batch drift: ${streamed.toSeq.diff(batch.toSeq)} vs ${batch.toSeq.diff(streamed.toSeq)}")
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling counts agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

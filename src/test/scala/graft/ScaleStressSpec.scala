@@ -962,4 +962,131 @@ class ScaleStressSpec extends SparkSpec {
     println(s"[scale-stress r13-batch2]\n$report")
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  /** Round 13 batches 3–4 (#241–#245): exact expectations from the
+    * replica construction once more — order/document values repeat
+    * ×10 (PSI and log2-histogram shares invariant, per-bin counts
+    * exactly ×10; channel-histogram pixel counts exactly ×10 with
+    * invariant shares), and user copies are disjoint with identical
+    * histories and +k µs shifts (each 1-day window's per-user spends
+    * repeat ×10, ties break toward the smallest id = the k=0 replica,
+    * so the windowed TOP-3 ROWS ARE IDENTICAL at 10×). IVF-PQ's
+    * geometry is pinned through its components (#79 candidate count,
+    * PQ codebook) — here it gets a wall-clock row with the
+    * size-adaptive exemption (its bucket join is data-scale, like
+    * Jaccard's). */
+  test("round-13 batch-3/4 invariants and timing hold 1x to 10x") {
+    gated()
+    ensureScaled()
+
+    // PSI: every bin count ×10 in both periods ⇒ smoothed shares move
+    // only by the Laplace +1 term (negligible at these counts) ⇒ PSI
+    // equal to well under one display grid
+    val p1 = EtlOps.etlPsiDrift(spark, dir1x).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    val p10 = EtlOps.etlPsiDrift(spark, dir10x).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(p10.keySet == p1.keySet)
+    p1.foreach { case (b, r1) =>
+      assert(p10(b).getAs[Long]("n_pre") == 10 * r1.getAs[Long]("n_pre"), s"bin $b")
+      assert(p10(b).getAs[Long]("n_post") == 10 * r1.getAs[Long]("n_post"), s"bin $b")
+      assert(math.abs(p10(b).getAs[Double]("share_pre") -
+        r1.getAs[Double]("share_pre")) <= 1e-4, s"bin $b")
+    }
+    val psiPair = (p1.values.head.getAs[Double]("psi"),
+                   p10.values.head.getAs[Double]("psi"))
+    assert(math.abs(psiPair._2 - psiPair._1) <= 1e-4,
+      s"PSI must be scale-invariant: $psiPair")
+
+    // log2 histogram: counts exactly ×10, shares invariant
+    val l1 = AggOps.aggLog2Histogram(spark, dir1x).collect()
+      .map(r => r.getAs[Long]("bin2") -> r).toMap
+    val l10 = AggOps.aggLog2Histogram(spark, dir10x).collect()
+      .map(r => r.getAs[Long]("bin2") -> r).toMap
+    assert(l10.keySet == l1.keySet)
+    l1.foreach { case (b, r1) =>
+      assert(l10(b).getAs[Long]("n_orders") == 10 * r1.getAs[Long]("n_orders"), s"bin $b")
+      assert(math.abs(l10(b).getAs[Double]("share") -
+        r1.getAs[Double]("share")) <= 1e-6, s"bin $b")
+    }
+
+    // channel histogram: documents replicate length-preserving with
+    // shifted ids, so pixel populations per (channel, bucket) need
+    // not pin exactly (dims derive from doc_id) — pin the structure:
+    // totals equal 3× the summed raster sizes and shares sum to 1
+    val ch10 = graft.ops.LlmOps.multimodalChannelHistogram(spark, dir10x).collect()
+    val px10 = Tables.documents(spark, dir10x).select(col("doc_id")).collect()
+      .map { r =>
+        val (w, h) = graft.multimodal.BinaryDecode.syntheticDims(r.getAs[Long](0))
+        w.toLong * h
+      }.sum
+    (0 to 2).foreach { c =>
+      val chan = ch10.filter(_.getAs[Int]("channel") == c)
+      assert(chan.map(_.getAs[Long]("n_px")).sum == px10, s"channel $c at 10x")
+      assert(math.abs(chan.map(_.getAs[Double]("share")).sum - 1.0) < 1e-5)
+    }
+
+    // windowed top-k: each 1× (user, spend) repeats as 10 id-shifted
+    // copies with IDENTICAL spend, so per window (a) the rank-1 row is
+    // IDENTICAL at 10× (the k=0 copy has the smallest id among the
+    // tied copies) and (b) the 10× top-3 spend list is the 1× ranked
+    // spend list with each entry repeated 10×, truncated
+    def topkRows(d: String) = StreamOps.streamTopkWindowed(spark, d).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val (t1, t10) = (topkRows(dir1x), topkRows(dir10x))
+    val (g1, g10) = (t1.groupBy(_._1), t10.groupBy(_._1))
+    assert(g10.keySet == g1.keySet)
+    g1.foreach { case (w, rows1raw) =>
+      val rows1 = rows1raw.sortBy(_._2)
+      val rows10 = g10(w).sortBy(_._2)
+      assert(rows10.head == rows1.head, s"window $w rank-1 row drifted")
+      val expSpend = rows1.map(_._4).flatMap(s => Seq.fill(10)(s))
+        .take(rows10.length)
+      assert(rows10.map(_._4) == expSpend, s"window $w spend list")
+    }
+
+    // timing + shape rows
+    val LIN = 10.0
+    val ops: Seq[(String, String => DataFrame, Double)] = Seq(
+      // size-adaptive like Jaccard: 1× auto-broadcasts the bucket/enc
+      // joins that 10× correctly runs keyed
+      ("sim_ann_ivfpq", d => graft.ops.VecOps.simAnnIvfPq(spark, d), LIN * 5.0 / 3),
+      ("etl_psi_drift", d => EtlOps.etlPsiDrift(spark, d), LIN),
+      ("agg_log2_histogram", d => AggOps.aggLog2Histogram(spark, d), LIN),
+      ("multimodal_channel_histogram",
+        d => graft.ops.LlmOps.multimodalChannelHistogram(spark, d), LIN),
+      ("stream_topk_windowed", d => StreamOps.streamTopkWindowed(spark, d), LIN))
+    val sizeAdaptiveJoins = Set("sim_ann_ivfpq")
+    val report = new StringBuilder(
+      "| op | t_1x (s) | t_10x (s) | ratio | bound |\n|---|---|---|---|---|\n")
+    val failures = ops.flatMap { case (name, op, expectedRatio) =>
+      runOnce(op(dir1x)) // unmeasured warm-up
+      val t1s = math.min(runOnce(op(dir1x)), runOnce(op(dir1x)))
+      val t10s = math.min(runOnce(op(dir10x)), runOnce(op(dir10x)))
+      val bound = 1.5 * expectedRatio
+      val ratio = t10s / math.max(t1s, 0.2)
+      report.append(f"| $name | $t1s%.2f | $t10s%.2f | ${ratio}%.1f× | ≤${bound}%.0f× |\n")
+      val s1 = shape(op(dir1x))
+      val s10 = shape(op(dir10x))
+      val degraded =
+        if (sizeAdaptiveJoins(name))
+          // the IVF scoring scan is an INTENTIONAL broadcast nested
+          // loop at both scales — only a NEW loop join is a killer
+          s10.contains("BroadcastNestedLoopJoin") && !s1.contains("BroadcastNestedLoopJoin") ||
+          s10.contains("CartesianProduct")
+        else
+          s10.count(_ == "Exchange") > s1.count(_ == "Exchange") ||
+          s10.contains("BroadcastNestedLoopJoin") && !s1.contains("BroadcastNestedLoopJoin") ||
+          s10.contains("CartesianProduct")
+      Seq(
+        if (ratio <= bound) None
+        else Some(f"$name: t10=$t10s%.2fs vs t1=$t1s%.2fs — ${ratio}%.1f× exceeds ${bound}%.0f×"),
+        if (!degraded) None
+        else Some(s"$name: plan degraded at 10x (1x=${s1.mkString(">")} vs 10x=${s10.mkString(">")})")
+      ).flatten
+    }
+    info(report.toString)
+    println(s"[scale-stress r13-batch34]\n$report")
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

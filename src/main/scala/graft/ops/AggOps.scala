@@ -1312,6 +1312,46 @@ object AggOps {
       .orderBy(col("bin2"))
   }
 
+  /** #247 — Pareto concentration ladder (round 13; the "what share of
+    * revenue comes from the top x% of customers" readout behind every
+    * 80/20 claim — #204's Gini compresses concentration to one
+    * number, this shows the CURVE at the 1/5/10/20% cut points the
+    * business actually asks about): per-customer exact spend, the
+    * #204 distributed rank under the (spend, custkey) total order
+    * (never a single-partition window), kₚ = ⌈p·n/100⌉ by PURE
+    * INTEGER arithmetic ((n·p + 99) DIV 100), top-kₚ revenue as
+    * conditional exact-DECIMAL sums in ONE aggregate, shares as
+    * identical double divisions, 6dp. Shape: one customer-keyed
+    * aggregate + the prefix-rank machinery + a 1-row fold unpivoted
+    * to 4 rows — #204's posture with a stack. */
+  def aggParetoShare(spark: SparkSession, sf: String): DataFrame = {
+    val rev = orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+    val ranked = graft.api.Transforms.globalRowNumber(rev,
+        struct(col("rev"), col("o_custkey")),
+        floor(col("rev") / 100000L))
+      .withColumnRenamed("__row_number", "rk")
+    val tot = ranked.agg(count(lit(1)).as("n_customers"),
+      sum(col("rev")).as("tot"))
+    val ps = Seq(1, 5, 10, 20)
+    val conds = ps.map(p => sum(when(
+      col("rk") > col("n_customers") - expr(s"(n_customers * $p + 99) DIV 100"),
+      col("rev"))).as(s"top_$p"))
+    val heads = Seq(first(col("n_customers")).as("n"), first(col("tot")).as("t"))
+    val a = ranked.crossJoin(broadcast(tot))
+      .agg(heads.head, (heads.tail ++ conds): _*)
+    val stackExpr = ps
+      .map(p => s"$p, (n * $p + 99) DIV 100, CAST(top_$p AS DOUBLE)")
+      .mkString(", ")
+    a.select(col("n").as("n_customers"), col("t"),
+        expr(s"stack(4, $stackExpr) AS (pct, k_customers, top_rev)"))
+      .select(col("pct"), col("k_customers"), col("n_customers"),
+        col("top_rev"),
+        round(col("top_rev") / col("t").cast("double"), 6).as("share"))
+      .orderBy(col("pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1354,6 +1394,7 @@ object AggOps {
     "agg_histogram_numeric" -> (aggHistogramNumeric _),
     "agg_cramers_v"        -> (aggCramersV _),
     "agg_log2_histogram"   -> (aggLog2Histogram _),
+    "agg_pareto_share"     -> (aggParetoShare _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -1944,6 +1985,37 @@ object AggOps {
         |  sx = CAST(n AS DECIMAL(38,0)) * (n + 1) AS rank_sum_ok_x,
         |  sy = CAST(n AS DECIMAL(38,0)) * (n + 1) AS rank_sum_ok_y
         |FROM f""".stripMargin,
+    "agg_pareto_share" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT *, row_number() OVER (ORDER BY rev, o_custkey) AS rk
+        |  FROM rev),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rev) AS tot FROM rev),
+        |a AS (
+        |  SELECT max(n) AS n, max(tot) AS tot,
+        |    sum(CASE WHEN rk > n - (n * 1 + 99) // 100 THEN rev END) AS top_1,
+        |    sum(CASE WHEN rk > n - (n * 5 + 99) // 100 THEN rev END) AS top_5,
+        |    sum(CASE WHEN rk > n - (n * 10 + 99) // 100 THEN rev END) AS top_10,
+        |    sum(CASE WHEN rk > n - (n * 20 + 99) // 100 THEN rev END) AS top_20
+        |  FROM r CROSS JOIN t),
+        |u AS (
+        |  SELECT 1 AS pct, CAST((n * 1 + 99) // 100 AS BIGINT) AS k_customers,
+        |    n AS n_customers, CAST(top_1 AS DOUBLE) AS top_rev,
+        |    CAST(tot AS DOUBLE) AS t FROM a
+        |  UNION ALL
+        |  SELECT 5, CAST((n * 5 + 99) // 100 AS BIGINT), n,
+        |    CAST(top_5 AS DOUBLE), CAST(tot AS DOUBLE) FROM a
+        |  UNION ALL
+        |  SELECT 10, CAST((n * 10 + 99) // 100 AS BIGINT), n,
+        |    CAST(top_10 AS DOUBLE), CAST(tot AS DOUBLE) FROM a
+        |  UNION ALL
+        |  SELECT 20, CAST((n * 20 + 99) // 100 AS BIGINT), n,
+        |    CAST(top_20 AS DOUBLE), CAST(tot AS DOUBLE) FROM a)
+        |SELECT pct, k_customers, n_customers, top_rev,
+        |  round(top_rev / t, 6) AS share
+        |FROM u ORDER BY pct""".stripMargin,
     "agg_log2_histogram" ->
       """WITH b AS (
         |  SELECT length(bin(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100

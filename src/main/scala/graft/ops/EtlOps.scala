@@ -1319,6 +1319,62 @@ object EtlOps {
       .orderBy(col("bin"))
   }
 
+  /** #246 — coarsened-exact-matching ATT (round 13; Iacus–King–Porro
+    * 2012 — the OBSERVATIONAL counterpart completing the causal
+    * toolkit: #221 needs parallel trends, #183 needs randomization,
+    * CEM instead matches treated to control units within coarsened
+    * covariate strata and reads the treated-unit effect off the
+    * matched strata only): units = users, covariate = pre-period
+    * event count coarsened to strata `least(pre DIV 5, 10)`, outcome
+    * = post-period purchase spend (exact DECIMAL), arms = the #183
+    * md5 split (B treated). Strata with BOTH arms are matched; ATT =
+    * Σₛ n_Tₛ·(ȳ_Tₛ − ȳ_Cₛ) / N_T with the per-stratum terms
+    * 8dp-gridded to DECIMAL BEFORE the sum (#224's policy — the
+    * stratum fold must be order-independent) and N_T = matched
+    * treated count. Output: one row per matched stratum (counts,
+    * 6dp means, diff) with the broadcast ATT/N_T riding along
+    * (#224's verdict pattern). Shape: one user-keyed aggregate →
+    * stratum-keyed aggregate (≤11 rows) → 1-row fold broadcast
+    * back — at 100 TB only the user aggregate is corpus-scale. */
+  def eventsCemAtt(spark: SparkSession, sf: String): DataFrame = {
+    val isB = ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 =!= 0
+    val ev = events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+              col("event_type"), money(col("value")).as("v"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val perUser = ev.crossJoin(broadcast(span))
+      .withColumn("pre", datediff(col("day"), col("d0")) * 2 <
+        datediff(col("d1"), col("d0")) + 1)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("pre_events"),
+           sum(when(!col("pre") && col("event_type") === "purchase", col("v"))
+             .otherwise(lit(0).cast(DecimalType(18, 2)))).as("y"))
+    val strata = perUser
+      .withColumn("stratum", least(expr("pre_events DIV 5"), lit(10L)))
+      .groupBy(col("stratum"))
+      .agg(sum(when(isB, 1L).otherwise(0L)).as("n_t"),
+           sum(when(!isB, 1L).otherwise(0L)).as("n_c"),
+           sum(when(isB, col("y"))).as("s_t"),
+           sum(when(!isB, col("y"))).as("s_c"))
+      .where(col("n_t") > 0 && col("n_c") > 0)
+    def d(c: Column) = c.cast("double")
+    val meanT = d(col("s_t")) / col("n_t")
+    val meanC = d(col("s_c")) / col("n_c")
+    def grid8(c: Column) = round(c, 8).cast("decimal(28,8)")
+    val terms = strata.withColumn("term8", grid8(col("n_t") * (meanT - meanC)))
+    val att = terms.agg(sum(col("term8")).as("tsum"), sum(col("n_t")).as("nt"))
+      .select((col("tsum").cast("double") / col("nt")).as("att_raw"),
+              col("nt").as("n_treated_matched"))
+    def fp6(c: Column) = floor(c * 1000000 + 0.5) / 1000000.0
+    terms.crossJoin(broadcast(att))
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        fp6(meanT).as("mean_t"), fp6(meanC).as("mean_c"),
+        fp6(meanT - meanC).as("diff"),
+        col("n_treated_matched"),
+        fp6(col("att_raw")).as("att"))
+      .orderBy(col("stratum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1371,6 +1427,7 @@ object EtlOps {
     "ts_rolling_corr"        -> (tsRollingCorr _),
     "events_uplift_deciles"  -> (eventsUpliftDeciles _),
     "etl_psi_drift"          -> (etlPsiDrift _),
+    "events_cem_att"         -> (eventsCemAtt _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2451,6 +2508,56 @@ object EtlOps {
         |       - CASE WHEN n_a > 0 THEN CAST(conv_a AS DOUBLE) / n_a END)
         |    * 1000000 + 0.5) / 1000000.0 AS uplift
         |FROM g ORDER BY decile""".stripMargin,
+    "events_cem_att" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN date_diff('day', d0, day) * 2 <
+        |                       date_diff('day', d0, d1) + 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS pre_events,
+        |    sum(CASE WHEN NOT (date_diff('day', d0, day) * 2 <
+        |                       date_diff('day', d0, d1) + 1)
+        |              AND event_type = 'purchase'
+        |             THEN v ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        |  FROM ev CROSS JOIN sp GROUP BY user_id),
+        |st AS (
+        |  SELECT least(pre_events // 5, 10) AS stratum,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 <> 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        |    sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 <> 0 THEN y END) AS s_t,
+        |    sum(CASE WHEN ascii(substr(md5(CAST(user_id AS VARCHAR)),
+        |      1, 1)) % 2 <> 0 THEN NULL ELSE y END) AS s_c
+        |  FROM pu GROUP BY 1
+        |  HAVING n_t > 0 AND n_c > 0),
+        |tm AS (
+        |  SELECT *,
+        |    CAST(round(n_t * (CAST(s_t AS DOUBLE) / n_t
+        |                    - CAST(s_c AS DOUBLE) / n_c), 8)
+        |      AS DECIMAL(28,8)) AS term8
+        |  FROM st),
+        |f AS (
+        |  SELECT CAST(sum(term8) AS DOUBLE) / CAST(sum(n_t) AS BIGINT)
+        |      AS att_raw,
+        |    CAST(sum(n_t) AS BIGINT) AS n_treated_matched
+        |  FROM tm)
+        |SELECT stratum, n_t, n_c,
+        |  floor(CAST(s_t AS DOUBLE) / n_t * 1000000 + 0.5) / 1000000.0
+        |    AS mean_t,
+        |  floor(CAST(s_c AS DOUBLE) / n_c * 1000000 + 0.5) / 1000000.0
+        |    AS mean_c,
+        |  floor((CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+        |    * 1000000 + 0.5) / 1000000.0 AS diff,
+        |  n_treated_matched,
+        |  floor(att_raw * 1000000 + 0.5) / 1000000.0 AS att
+        |FROM tm CROSS JOIN f ORDER BY stratum""".stripMargin,
     "etl_psi_drift" ->
       """WITH o AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

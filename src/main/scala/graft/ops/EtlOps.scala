@@ -1123,19 +1123,13 @@ object EtlOps {
     val scored = piv.select(col("event_type"), col("n_a"), col("n_b"),
       (floor(z * 1000000 + 0.5) / 1000000.0).as("z_welch"),
       floor(normTwoSided(z) * 1e10).cast("long").as("p10"))
-    val const = pmod(length(col("event_type")), lit(1))
-    val wAll = Window.partitionBy(const)
-    val wOrd = Window.partitionBy(const).orderBy(col("p10"), col("event_type"))
-    scored
-      .withColumn("m_tests", count(lit(1)).over(wAll))
-      .withColumn("p_rank", row_number().over(wOrd))
-      .withColumn("kstar", max(when(
-        col("p10") * col("m_tests") <= col("p_rank") * lit(500000000L),
-        col("p_rank"))).over(wAll))
+    // the BH step-up is the generic platform helper (round 13 —
+    // Transforms.bhSelect); at α = 5/100 its integer threshold
+    // reduces to the p10·m ≤ rank·5·10⁸ the oracle replicates
+    Transforms.bhSelect(scored, col("p10"), col("event_type"))
       .select(col("event_type"), col("n_a"), col("n_b"), col("z_welch"),
         (col("p10").cast("double") / 1e10).as("p_value"),
-        col("p_rank"), col("m_tests"),
-        (col("p_rank") <= coalesce(col("kstar"), lit(0))).as("rejected"))
+        col("p_rank"), col("m_tests"), col("rejected"))
       .orderBy(col("p_rank"))
   }
 

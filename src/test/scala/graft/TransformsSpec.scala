@@ -383,4 +383,65 @@ class TransformsSpec extends SparkSpec {
         r.getAs[Boolean]("approx_within_5pct")).toMap
     assert(flags.values.forall(identity), s"flags: $flags")
   }
+
+  test("generic psiDrift over two document sources matches a driver replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf001)
+    val base = docs.where(col("doc_id") % 2 === 0)
+    val cur = docs.where(col("doc_id") % 2 === 1)
+    val bin = expr("n_chars DIV 200")
+    val out = Transforms.psiDrift(base, cur, bin).collect()
+    // driver replay with exact integer bins and the same smoothing
+    def bins(pred: Long => Boolean) = docs.select(col("doc_id"), col("n_chars"))
+      .collect().filter(r => pred(r.getAs[Number](0).longValue))
+      .groupBy(r => r.getAs[Number](1).longValue / 200)
+      .view.mapValues(_.length.toLong).toMap
+    val (b, c) = (bins(_ % 2 == 0), bins(_ % 2 == 1))
+    val keys = (b.keySet ++ c.keySet)
+    val (tb, tc, nb) = (b.values.sum, c.values.sum, keys.size)
+    def grid8(x: Double) = BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val psi = keys.toSeq.map { k =>
+      val p = (b.getOrElse(k, 0L) + 1.0) / (tb.toDouble + nb)
+      val q = (c.getOrElse(k, 0L) + 1.0) / (tc.toDouble + nb)
+      grid8((p - q) * math.log(p / q))
+    }.sum.toDouble
+    assert(out.length == keys.size)
+    assert(out.map(_.getAs[Long]("n_base")).sum == tb)
+    assert(out.map(_.getAs[Long]("n_cur")).sum == tc)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-9)
+      assert(r.getAs[Boolean]("drifted") == (r.getAs[Double]("psi") > 0.2))
+    }
+    // psi(x, x) is exactly 0 by the identical-shares argument
+    val self = Transforms.psiDrift(base, base, bin).collect()
+    assert(self.forall(_.getAs[Double]("psi") == 0.0))
+  }
+
+  test("generic bhSelect implements the step-up exactly on a crafted family") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // p-values chosen around the i*alpha/m boundary (m=5, alpha=.05):
+    // thresholds .01/.02/.03/.04/.05. p=(.009,.021,.029,.041,.9) ->
+    // flags (T,F,T,F,F) -> k*=3 -> reject first THREE by rank
+    val tests = Seq(("a", 0.009), ("b", 0.021), ("c", 0.029),
+                    ("d", 0.041), ("e", 0.9))
+      .toDF("test_id", "p")
+      .withColumn("p10", floor(col("p") * 1e10).cast("long"))
+    val out = Transforms.bhSelect(tests, col("p10"), col("test_id"))
+      .collect().map(r => r.getAs[String]("test_id") ->
+        (r.getAs[Int]("p_rank"), r.getAs[Long]("m_tests"),
+         r.getAs[Boolean]("rejected"))).toMap
+    assert(out("a") == ((1, 5L, true)))
+    assert(out("b") == ((2, 5L, true)))  // step-up rescues rank 2
+    assert(out("c") == ((3, 5L, true)))
+    assert(out("d") == ((4, 5L, false)))
+    assert(out("e") == ((5, 5L, false)))
+    // a stricter alpha flips the family: at alpha=1/100 only p<=.002*i
+    val strict = Transforms.bhSelect(tests, col("p10"), col("test_id"),
+        alphaNum = 1L, alphaDen = 100L)
+      .collect().map(r => r.getAs[String]("test_id") ->
+        r.getAs[Boolean]("rejected")).toMap
+    assert(strict == Map("a" -> false, "b" -> false, "c" -> false,
+      "d" -> false, "e" -> false))
+  }
 }

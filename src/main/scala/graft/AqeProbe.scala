@@ -40,7 +40,11 @@ object AqeProbe {
     "smj" -> "SortMergeJoin".r.findAllIn(plan).size,
     "shj" -> "ShuffledHashJoin".r.findAllIn(plan).size,
     "bnlj" -> "BroadcastNestedLoopJoin".r.findAllIn(plan).size,
-    "exchange" -> "Exchange ".r.findAllIn(plan).size,
+    // shuffle exchanges only: "Exchange hashpartitioning/rangepartitioning/
+    // SinglePartition" — a bare "Exchange " prefix also matches
+    // "BroadcastExchange ", which would double-move two counters on a
+    // broadcast<->shuffle swap (ADVICE r13)
+    "exchange" -> "(?<!Broadcast)Exchange ".r.findAllIn(plan).size,
     "aqeRead" -> "AQEShuffleRead".r.findAllIn(plan).size
   )
 

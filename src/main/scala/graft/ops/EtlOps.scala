@@ -1021,7 +1021,8 @@ object EtlOps {
     * DECIMAL(18,8) BEFORE any sum (0.2/(k−2) is the one non-dyadic
     * quotient — floor-scaled identically in both engines via the
     * #223 scaled-integer contract), credit×value re-cast to
-    * DECIMAL(38,10); per-campaign sums are exact decimals, doubles
+    * DECIMAL(38,2) — exact, since it is 2dp money × an integer grid
+    * credit; per-campaign sums are exact decimals, doubles
     * only at display. Σcredit per conversion is 1 up to the floor's
     * k·10⁻⁸ grid loss (total_credit rides along as the self-check
     * against n_conversions). Shape:
@@ -1072,9 +1073,18 @@ object EtlOps {
   /** Shared by #236/#237/#240: the two-sided normal tail probability
     * P(|Z| > |z|) = erfc(|z|/√2) via Abramowitz–Stegun 7.1.26 (max
     * abs error 1.5·10⁻⁷) — pure +,×,/,exp so BOTH engines evaluate
-    * the textually-identical expression; exp() is the only libm call
-    * and its cross-engine ulp noise is absorbed by the 10dp floor
-    * grid every consumer applies before comparing. */
+    * the textually-identical expression; exp() is the only libm call.
+    * Cross-engine ulp noise note: consumers floor p to a 10dp integer
+    * grid before comparing, which makes almost all of the grid
+    * DIFFERENCE-stable, but flooring cannot absorb a 1-ulp exp()
+    * difference that straddles a grid boundary — and at a BH step-up
+    * threshold boundary (#236) such a flip of one p10 could flip the
+    * rejected set for the family. Both engines' libm exp() have
+    * agreed on this corpus every round; if a cross-engine flake ever
+    * appears in the oracle sweep, the documented remedy is an integer
+    * slack at the BH comparison (treat |p10·m − i·α·10¹⁰| ≤ m as a
+    * tie resolved toward rejection on both sides), not a wider
+    * float tolerance. */
   private def normTwoSided(z: Column): Column = {
     val x = abs(z) / lit(1.4142135623730951)
     val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)

@@ -285,58 +285,91 @@ object GraphOps {
     * surviving; the graded output is the (iteration, nodes, edges)
     * shrinkage table for rounds 0..4, pinning every intermediate
     * graph size (a fixed-round prefix of the peel, the #122/#208
-    * bounded-iteration policy — at convergence rounds are no-ops and
-    * the trailing rows repeat, equally deterministic). Shape: per
-    * round ONE keyed degree aggregate + two keyed semi-joins back to
-    * the edge list, localCheckpoint'd per round (the LPA pattern) so
-    * round i+1 reads a materialized edge table instead of replaying
-    * rounds 0..i; the summary is a union of per-round 1-row
-    * aggregates — fully declarative, no driver-side counting. At
-    * 100 TB each round is edge-list-scale keyed work; the iteration
-    * state is the edge list itself, the distributed k-core shape. */
+    * bounded-iteration policy — at convergence the trailing rows
+    * repeat, equally deterministic). Shape (round 14, the VERDICT r13
+    * shave): per round ONE edge-scale shuffle — the degree aggregate
+    * — whose node-scale result is cached and consumed three ways:
+    * the round's summary row (nodes = row count, n_edges = Σd/2 —
+    * exact, every edge contributes two endpoints), the survivor set
+    * (d ≥ k), and the FIXPOINT TEST (survivors == nodes ⇒ the next
+    * filter is the identity, so remaining rounds are emitted from the
+    * already-known values without running anything — the LPA/CC
+    * driver-side convergence pattern; what reaches the driver is one
+    * 3-long summary row per round, metadata-scale by construction).
+    * Surviving rounds semi-join the edge list against the BROADCAST
+    * survivor set (node-scale, bounded by the part catalog) and
+    * localCheckpoint it, so round i+1 reads a materialized edge
+    * table instead of replaying rounds 0..i. At 100 TB each round is
+    * edge-list-scale keyed work; the iteration state is the edge
+    * list itself, and at billion-node scale the documented swap is
+    * the keyed semi-join (drop the broadcast hint), same as #218's
+    * cap lever. */
   def graphKcore(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
     val k = 3
     var edges = copurchaseEdges(spark, sf)
       .select(col("u"), col("v")).localCheckpoint()
-    val steps = (0 to 4).map { iter =>
-      if (iter > 0) {
-        // Node-scale survivor set, computed ONCE per round: it feeds
-        // BOTH endpoint semi-joins, and an unshared `keep` re-runs
-        // the degree aggregate (a full edge shuffle) for each.
-        // cache() (not a second localCheckpoint) shares it WITHIN the
-        // round's one materialization job — the first semi-join's
-        // stage populates the block cache, the second reads it — so
-        // each round stays a single eager job; the cache is dropped
-        // as soon as the round's edge checkpoint (the only consumer)
-        // is materialized.
-        val keep = edges.select(col("u").as("x"))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var converged = false
+    // Peel width, sized from the MEASURED edge count (one cheap count
+    // over the just-checkpointed blocks): the support-pruned
+    // co-purchase graph is usually orders of magnitude under the fact
+    // tables, and at AQE-off a tiny graph peeling through 5 rounds of
+    // default-width stages pays ~30 scheduler/task fixed costs per
+    // round for microseconds of work. width<default ⇒ the graph is
+    // metadata-scale: the edge table is re-laid-out once (narrow
+    // coalesce) and every subsequent round runs that many tasks
+    // (losing map-side combine on a few-thousand-row shuffle is
+    // irrelevant); a big graph keeps the session default, the
+    // original layout, AND the plain groupBy partial-aggregate path
+    // (|V| rows shuffled, not 2|E|). In production AQE (on by
+    // default) coalesces the tiny shuffles the same way at runtime —
+    // this lever exists so the AQE-off plan has the same property.
+    val defaultWidth = spark.sparkContext.defaultParallelism
+    val width = math.max(1L, math.min(defaultWidth.toLong,
+      edges.count() / 100000L)).toInt
+    if (width < defaultWidth)
+      edges = edges.coalesce(width).localCheckpoint()
+    for (iter <- 0 to 4) {
+      if (converged) {
+        // no node dropped last round ⇒ the filter is the identity;
+        // the remaining rows repeat the fixpoint values verbatim
+        val (n, e) = (rows.last._2, rows.last._3)
+        rows += ((iter, n, e))
+      } else {
+        val und = edges.select(col("u").as("x"))
           .unionAll(edges.select(col("v").as("x")))
+        val deg = (if (width < defaultWidth)
+            // tiny graph: pin the shuffle width explicitly (the
+            // repartition IS the aggregate's exchange — hash on x,
+            // so the groupBy adds none)
+            und.repartition(width, col("x")) else und)
           .groupBy(col("x")).agg(count(lit(1)).as("d"))
-          .where(col("d") >= k).select(col("x"))
           .cache()
-        // Survivor set rides a BROADCAST into both endpoint
-        // semi-joins — the #218 degree-table posture (node-scale,
-        // bounded by the part catalog, orders of magnitude under the
-        // edge list): the edge table is filtered in place with ZERO
-        // per-round edge exchanges; the round's one shuffle is the
-        // degree aggregate. At billion-node scale the documented swap
-        // is the keyed semi-join (drop the hint), same as #218's cap
-        // lever.
-        edges = edges
-          .join(broadcast(keep.withColumnRenamed("x", "ku")),
-                col("u") === col("ku"), "left_semi")
-          .join(broadcast(keep.withColumnRenamed("x", "kv")),
-                col("v") === col("kv"), "left_semi")
-          .localCheckpoint()
-        keep.unpersist(blocking = false)
+        // one tiny job over the cached node-scale degree table yields
+        // summary AND fixpoint test; the degree aggregate itself is
+        // the round's only edge-scale shuffle
+        val s = deg.agg(count(lit(1)).as("nodes"),
+            coalesce((sum(col("d")) / 2).cast("long"), lit(0L)).as("n_edges"),
+            count(when(col("d") >= k, 1)).as("survivors")).head()
+        val (nodes, nEdges, survivors) = (s.getLong(0), s.getLong(1), s.getLong(2))
+        rows += ((iter, nodes, nEdges))
+        if (survivors == nodes) converged = true
+        else if (iter < 4) {
+          // survivor set rides ONE BROADCAST into both endpoint
+          // semi-joins (identical subtree ⇒ the exchange is built
+          // once and reused) — zero per-round edge exchanges; the
+          // coalesce is narrow
+          val kb = broadcast(deg.where(col("d") >= k).select(col("x")))
+          edges = edges
+            .join(kb, col("u") === col("x"), "left_semi")
+            .join(kb, col("v") === col("x"), "left_semi")
+            .coalesce(width).localCheckpoint()
+        }
+        deg.unpersist(blocking = false)
       }
-      val und = edges.select(col("u").as("x"))
-        .unionAll(edges.select(col("v").as("x")))
-      und.agg(countDistinct(col("x")).as("nodes"))
-        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
-        .select(lit(iter).as("iter"), col("nodes"), col("n_edges"))
     }
-    steps.reduce(_ unionByName _).orderBy(col("iter"))
+    rows.toSeq.toDF("iter", "nodes", "n_edges").orderBy(col("iter"))
   }
 
   /** #232 — Jaccard-coefficient link prediction (round 13; the

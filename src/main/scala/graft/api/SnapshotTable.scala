@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   * to publish the same version: exactly one `create` succeeds, the
   * loser gets `VersionConflictException` and must retry on top of the
   * new latest — optimistic concurrency, the delta/iceberg protocol.
+  * The claim is atomic but the content write is not: manifests carry
+  * a line-count trailer, and readers wait out the claim→close window
+  * (see `commit`/`manifestLines`) instead of acting on a truncated
+  * file list.
   *
   * Scale posture: a manifest holds one line per live FILE (= per
   * bucket per rewrite), i.e. metadata-scale — reading it on the
@@ -95,21 +99,53 @@ object SnapshotTable {
       }
   }
 
-  /** Publish `lines` as version `version`. Atomic: exactly one
-    * publisher of a given version wins (`create(overwrite=false)` —
-    * atomic on HDFS; the spec exercises the local-FS behavior).
-    * `private[graft]` so the single-winner property is testable. */
+  /** Trailing manifest marker: `create(overwrite=false)` is an atomic
+    * EXISTENCE claim (single winner) but not an atomic CONTENT
+    * publish — a reader overlapping the winner's write could observe
+    * a truncated manifest (caught live by the true-contention race
+    * spec: a racing `mergeInto` read a half-written manifest and
+    * would have dropped every file the missing tail referenced). The
+    * marker carries the line count, so [[manifestLines]] can tell
+    * "complete" from "in-flight" and wait out the handful of
+    * milliseconds between claim and close. */
+  private val EofMarker = "#eof "
+
+  /** Publish `lines` as version `version`. Single-winner: exactly one
+    * claim of a given version succeeds. On HDFS the claim is
+    * `create(overwrite=false)` (atomic at the namenode). On the LOCAL
+    * filesystem Hadoop's `create(overwrite=false)` is check-then-act
+    * — NOT atomic: the true-contention race spec caught two
+    * barrier-aligned racers both passing the exists check and
+    * interleaving one manifest — so file-scheme paths claim via
+    * java.nio `createFile` (O_CREAT|O_EXCL, kernel-atomic) instead.
+    * Content completeness is sealed by the [[EofMarker]] trailer —
+    * see there. `private[graft]` so the single-winner property is
+    * testable. */
   private[graft] def commit(spark: SparkSession, base: String, version: Int,
                             lines: Seq[String]): Unit = {
     val f = fs(spark, base)
     val p = manifestPath(base, version)
     f.mkdirs(p.getParent)
-    val out = try f.create(p, /* overwrite = */ false) catch {
-      case e: java.io.IOException =>
-        throw new VersionConflictException(
-          s"version $version already committed at $p: ${e.getMessage}")
+    val payload = (lines :+ s"$EofMarker${lines.size}")
+      .mkString("\n").getBytes("UTF-8")
+    val uri = p.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val jp = java.nio.file.Paths.get(uri.getPath)
+      try java.nio.file.Files.createFile(jp) catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new VersionConflictException(
+            s"version $version already committed at $p: $e")
+      }
+      java.nio.file.Files.write(jp, payload,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else {
+      val out = try f.create(p, /* overwrite = */ false) catch {
+        case e: java.io.IOException =>
+          throw new VersionConflictException(
+            s"version $version already committed at $p: ${e.getMessage}")
+      }
+      try out.write(payload) finally out.close()
     }
-    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** Create the table as version 0 (fails if any version exists). */
@@ -119,13 +155,30 @@ object SnapshotTable {
     commit(spark, base, 0, writeDataFiles(spark, base, rows, keyCol, numBuckets))
   }
 
+  /** Read a manifest, waiting out an in-flight publisher: the version
+    * file exists from the winner's atomic claim, but its content is
+    * complete only once the [[EofMarker]] trailer with the matching
+    * line count is on disk (milliseconds later). A manifest still
+    * incomplete after the bounded wait is a crashed writer — surfaced
+    * as an error, never silently read as a smaller table. */
   private def manifestLines(spark: SparkSession, base: String, version: Int): Seq[String] = {
     val p = manifestPath(base, version)
     val f = fs(spark, base)
     require(f.exists(p), s"no committed version $version at $base")
-    val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.filter(_.nonEmpty)
-    finally in.close()
+    def readOnce(): Option[Seq[String]] = {
+      val in = f.open(p)
+      val all = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList.filter(_.nonEmpty) finally in.close()
+      val (data, markers) = all.partition(!_.startsWith(EofMarker))
+      markers.lastOption
+        .flatMap(m => m.stripPrefix(EofMarker).trim.toIntOption)
+        .filter(_ == data.size).map(_ => data)
+    }
+    var left = 40
+    var out: Option[Seq[String]] = readOnce()
+    while (out.isEmpty && left > 0) { Thread.sleep(50); left -= 1; out = readOnce() }
+    out.getOrElse(throw new IllegalStateException(
+      s"manifest $p is incomplete after 2s — in-flight or crashed writer"))
   }
 
   /** Snapshot read of a committed version: the file list is resolved
@@ -235,14 +288,34 @@ object SnapshotTable {
     var deleted = 0
     if (f.exists(dataDir)) {
       val ageCutoff = System.currentTimeMillis() - orphanMinAgeMs
-      val it = f.listFiles(dataDir, /* recursive = */ true)
-      val victims = Iterator.continually(it)
-        .takeWhile(_.hasNext).map(_.next())
+      // Tolerant recursive walk (replaces f.listFiles(recursive):
+      // caught live by the true-contention race spec): a CONCURRENT
+      // writer's commit-protocol scratch (`_temporary`) churns
+      // underneath the listing, and any entry can vanish between
+      // list and stat — skip, never crash. A file missed this pass
+      // is simply a candidate for the next vacuum; `_temporary` and
+      // hidden dirs are never victims anyway (they hold no published
+      // data files and are always younger than any sane age guard).
+      def walk(dir: Path): List[org.apache.hadoop.fs.FileStatus] =
+        (try f.listStatus(dir).toList
+         catch { case scala.util.control.NonFatal(_) => Nil })
+          .flatMap { s =>
+            val n = s.getPath.getName
+            if (s.isDirectory) {
+              if (n == "_temporary" || n.startsWith(".")) Nil
+              else walk(s.getPath)
+            } else List(s)
+          }
+      val victims = walk(dataDir)
         .filter(s => s.getPath.getName.endsWith(".parquet") &&
           !live.contains(s.getPath.toString) &&
           s.getModificationTime <= ageCutoff)
-        .map(_.getPath).toList
-      victims.foreach { p => if (f.delete(p, false)) deleted += 1 }
+        .map(_.getPath)
+      victims.foreach { p =>
+        val ok = try f.delete(p, false)
+                 catch { case scala.util.control.NonFatal(_) => false }
+        if (ok) deleted += 1
+      }
     }
     (dropped.size, deleted)
   }

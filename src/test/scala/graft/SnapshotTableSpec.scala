@@ -26,6 +26,7 @@ class SnapshotTableSpec extends SparkSpec {
 
   private def manifestLines(base: String, v: Int): Seq[String] =
     scala.io.Source.fromFile(s"$base/manifest/v$v").getLines().toList
+      .filterNot(_.startsWith("#")) // drop the completeness trailer
 
   test("mergeInto applies update/delete/insert row-exactly and bumps the version") {
     val base = freshBase()
@@ -287,5 +288,126 @@ class SnapshotTableSpec extends SparkSpec {
       Seq((42L, "D", 0L, "")).toDF("k", "op", "v", "grp"), "k", numBuckets = 4)
     assert(manifestLines(base, 1).count(_.nonEmpty) == 0)
     assert(SnapshotTable.asOf(spark, base, 0).count() == 1, "v0 still readable")
+  }
+
+  test("TRUE concurrent commit race: two threads publish the same version, exactly one wins") {
+    // VERDICT r13 item 5 (part 1): the single-winner property under
+    // REAL threads, not a deterministic interleave — both writers
+    // aligned on a barrier, both publish v1, the filesystem's
+    // create(overwrite=false) arbitrates.
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def racer(tag: String): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          SnapshotTable.commit(spark, base, 1, Seq(s"0\tfile:/race-$tag"))
+        } catch {
+          case _: SnapshotTable.VersionConflictException =>
+            conflicts.incrementAndGet()
+          case t2: Throwable => errs.add(t2)
+        }
+      }, s"graft-race-$tag")
+      t.start(); t
+    }
+    val (a, b) = (racer("a"), racer("b"))
+    a.join(60000); b.join(60000)
+    assert(!a.isAlive && !b.isAlive, "racers must terminate")
+    assert(errs.isEmpty, s"unexpected racer failure: ${errs.peek()}")
+    assert(conflicts.get == 1, s"exactly one loser, got ${conflicts.get}")
+    val line = manifestLines(base, 1).mkString
+    assert(line == "0\tfile:/race-a" || line == "0\tfile:/race-b",
+      s"winner's manifest intact, not interleaved: $line")
+  }
+
+  test("TRUE concurrent writers: racing mergeInto via retryingCommit lands both changes; guarded vacuum mid-race spares in-flight files") {
+    // VERDICT r13 item 5 (part 2): the full optimistic-concurrency
+    // story under real contention — two threads merge DISJOINT key
+    // ranges through retryingCommit while the main thread repeatedly
+    // vacuums with the in-flight age guard. Must hold: both changes
+    // land (no lost update), versions are consecutive, every version
+    // stays readable (vacuum never ate a referenced file), and the
+    // young unreferenced file of a simulated mid-commit writer
+    // survives every guarded vacuum.
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    // a writer mid-flight: data fully written, manifest not yet
+    // published — indistinguishable from a crashed writer's orphan
+    // except by age
+    val inflight = new java.io.File(s"$base/data/inflight00/_bucket=0")
+    assert(inflight.mkdirs())
+    val young = new java.io.File(inflight, "pending.parquet")
+    assert(young.createNewFile())
+
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(tag: String, keys: Range, bump: Long): Thread = {
+      val t = new Thread(() => {
+        try {
+          gate.await()
+          SnapshotTable.retryingCommit(maxAttempts = 10) {
+            attempts.incrementAndGet()
+            // built INSIDE the attempt: a rebased retry recomputes its
+            // merge against the new latest, per the protocol
+            val ch = keys.map(k => (k.toLong, "U", k * 10L + bump, tag))
+              .toDF("k", "op", "v", "grp")
+            SnapshotTable.mergeInto(spark, base, ch, "k", numBuckets = 8)
+          }
+        } catch { case t2: Throwable => errs.add(t2) }
+      }, s"graft-merge-$tag")
+      t.start(); t
+    }
+    val a = writer("a", 10 until 20, 100000L)
+    val b = writer("b", 50 until 60, 200000L)
+    gate.countDown()
+    // vacuum UNDER CONTENTION: age-guarded, interleaved with the live
+    // writers' data-file writes and commits
+    var vacuums = 0
+    while (a.isAlive || b.isAlive) {
+      val (_, deleted) = SnapshotTable.vacuum(spark, base,
+        keepVersions = 1000, orphanMinAgeMs = 60L * 60 * 1000)
+      assert(deleted == 0,
+        "guarded vacuum must never collect young (possibly in-flight) files")
+      vacuums += 1
+      Thread.sleep(25)
+    }
+    a.join(120000); b.join(120000)
+    assert(errs.isEmpty, s"writer failed: ${errs.peek()}")
+    info(s"merge attempts=${attempts.get} (2 = no collision, 3+ = real " +
+      s"conflict rebased), guarded vacuums under race=$vacuums")
+    assert(attempts.get >= 2 && vacuums >= 1)
+    // both commits landed, consecutively, with no lost update
+    assert(SnapshotTable.latestVersion(spark, base) == 2)
+    assert(!new java.io.File(s"$base/manifest/v3").exists())
+    val after = SnapshotTable.asOf(spark, base, 2).collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Long]("v"), r.getAs[String]("grp")))
+      .toMap
+    assert(after.size == 100)
+    (10 until 20).foreach(k =>
+      assert(after(k.toLong) == ((k * 10L + 100000L, "a")), s"a's update on $k"))
+    (50 until 60).foreach(k =>
+      assert(after(k.toLong) == ((k * 10L + 200000L, "b")), s"b's update on $k"))
+    assert(after(0L) == ((0L, "0")) && after(99L) == ((990L, "0")), "untouched rows intact")
+    // every version still fully readable: no referenced file was eaten
+    (0 to 2).foreach(v =>
+      assert(SnapshotTable.asOf(spark, base, v).count() == 100, s"v$v readable"))
+    // the in-flight file survived the whole race ...
+    assert(young.exists, "age guard spared the in-flight writer's file")
+    // ... and a post-race unguarded vacuum collects it — along with the
+    // rebased loser's ABANDONED first-attempt files, which are exactly
+    // the protocol's expected orphans (data written, commit lost, retry
+    // re-derived and re-wrote). keepVersions=3 keeps every manifest, so
+    // only unreferenced files go; the table must stay fully readable.
+    val (_, deletedNow) = SnapshotTable.vacuum(spark, base, keepVersions = 3)
+    assert(deletedNow >= 1 && !young.exists,
+      s"unguarded vacuum collects the orphan(s), got $deletedNow")
+    (0 to 2).foreach(v =>
+      assert(SnapshotTable.asOf(spark, base, v).count() == 100,
+        s"v$v readable after orphan collection"))
   }
 }

@@ -136,6 +136,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("sketch error bounds hold at sf0.1 (10x the oracle-sweep scale), ungated") {
+    // VERDICT r13 item 7: the two declared no-oracle sketches (#28/#85)
+    // carried sf0.01-scale assertions only; HLL/KLL error is
+    // size-dependent in principle, so the same bounds are re-pinned at
+    // 10x in the default suite — a sketch-parameter regression that
+    // only surfaces at scale would otherwise hide until production.
+    val sf1 = "/root/testdata/sf0.1"
+    val approxD = AggOps.aggApproxDistinct(spark, sf1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactD = AggOps.aggDistinctCount(spark, sf1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactD.foreach { case (k, ex) =>
+      assert(math.abs(approxD(k) - ex).toDouble / ex <= 0.05,
+        s"approx_distinct at sf0.1, $k: ${approxD(k)} vs $ex")
+    }
+    val approxP = AggOps.aggApproxQuantile(spark, sf1).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p90_price")).toMap
+    val exactP = AggOps.aggPercentile(spark, sf1).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap // p90_price
+    exactP.foreach { case (k, p90) =>
+      assert(math.abs(approxP(k) - p90) / p90 <= 0.02,
+        s"approx_percentile at sf0.1, $k: approx=${approxP(k)} exact=$p90")
+    }
+  }
+
   test("approx_percentile within 2% rank error of exact percentile_cont") {
     val approx = AggOps.aggApproxQuantile(spark, sf01).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("p90_price")).toMap

@@ -118,7 +118,26 @@ class ScaleStressSpec extends SparkSpec {
     // per-iteration k-core sizes are exactly 10×), while value
     // distributions (prices, quantities) repeat ×10 — the realistic
     // bigger-warehouse shape for rank/moment operators.
-    Tables.lineitem(spark, src)
+    writeScaledLineitem(src, dir, replicas)
+    Tables.orders(spark, src)
+      .withColumn("k", explode(ks))
+      .select(
+        (col("o_orderkey") + col("k") * 100000000L).as("o_orderkey"),
+        (col("o_custkey") + col("k") * 10000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+  }
+
+  /** The lineitem replicator, parameterized by SOURCE dir so the
+    * ungated sf0.01 join-family smoke shares the exact writer
+    * transform of the gated sf0.1 evidence corpus: every key space
+    * shifts DISJOINTLY per replica, so replica k's co-purchase graph
+    * is an exact shifted copy of replica 0's. */
+  private def writeScaledLineitem(srcDir: String, dir: String,
+                                  replicas: Int): Unit = {
+    val ks = typedLit((0 until replicas).toArray)
+    Tables.lineitem(spark, srcDir)
       .withColumn("k", explode(ks))
       .select(
         (col("l_orderkey") + col("k") * 100000000L).as("l_orderkey"),
@@ -128,14 +147,6 @@ class ScaleStressSpec extends SparkSpec {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    Tables.orders(spark, src)
-      .withColumn("k", explode(ks))
-      .select(
-        (col("o_orderkey") + col("k") * 100000000L).as("o_orderkey"),
-        (col("o_custkey") + col("k") * 10000000L).as("o_custkey"),
-        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-        col("o_orderpriority"))
-      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
   }
 
   /** The documents replicator, parameterized by SOURCE dir so the
@@ -644,6 +655,62 @@ class ScaleStressSpec extends SparkSpec {
     assert(!p10.contains("CartesianProduct") &&
       (p10.count(_ == "Exchange") <= p1.count(_ == "Exchange")),
       s"smoke plan degraded at 10x: ${p10.mkString(">")}")
+  }
+
+  /** VERDICT r13 item 6: a SECOND ungated 10× smoke from a different
+    * family — the join-family heavy op with by-design Σ deg² candidate
+    * cost (#218 Adamic–Adar), so pre-commit scale coverage isn't
+    * single-shape. Disjoint per-replica key shifts make the 10×
+    * co-purchase graph exactly 10 disconnected copies, so BOTH the
+    * edge count and the candidate-pair count must be exactly 10× —
+    * a lost support prune or de-keyed common-neighbor join shows as a
+    * superlinear candidate ratio long before the (deliberately loose,
+    * noise-proof) 25× wall-clock bound trips. */
+  test("10x wall-clock smoke at sf0.01 (pre-commit, ungated): Adamic-Adar join fan-out") {
+    val s1 = s"$root/smokejoin001/x1"
+    val s10 = s"$root/smokejoin001/x10"
+    val smokeFp = s"writer=v$WriterVersion;src=${new java.io.File(s"$sf01/lineitem.parquet").lastModified()}"
+    def ok(dir: String) = {
+      val fp = new java.io.File(s"$dir/FINGERPRINT")
+      new java.io.File(s"$dir/lineitem.parquet/_SUCCESS").exists() &&
+      fp.exists() &&
+      new String(java.nio.file.Files.readAllBytes(fp.toPath), "UTF-8") == smokeFp
+    }
+    Seq(s1 -> 1, s10 -> 10).foreach { case (dir, reps) =>
+      if (!ok(dir)) {
+        writeScaledLineitem(sf01, dir, reps)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/FINGERPRINT"), smokeFp.getBytes("UTF-8"))
+      }
+    }
+    // deterministic geometry pins: exactly 10 disjoint graph copies
+    val e1 = GraphOps.copurchaseEdges(spark, s1).localCheckpoint()
+    val e10 = GraphOps.copurchaseEdges(spark, s10).localCheckpoint()
+    val (n1, n10) = (e1.count(), e10.count())
+    assert(n1 > 0 && n10 == 10 * n1, s"edge count $n10 != 10× $n1")
+    val c1 = GraphOps.adamicAdarCandidates(e1).count()
+    val c10 = GraphOps.adamicAdarCandidates(e10).count()
+    assert(c10 == 10 * c1,
+      s"AA candidates $c10 != 10× $c1 — candidate-geometry regression")
+    // wall-clock: warm once, best-of-2 each side, floor 0.2 s; bound
+    // deliberately loose (25× vs linear 10×) — pre-commit timing on a
+    // noisy host must catch GEOMETRY (quadratic ≈ 100×), never jitter
+    runOnce(GraphOps.graphAdamicAdar(spark, s1))
+    val t1 = math.min(runOnce(GraphOps.graphAdamicAdar(spark, s1)),
+                      runOnce(GraphOps.graphAdamicAdar(spark, s1)))
+    val t10 = math.min(runOnce(GraphOps.graphAdamicAdar(spark, s10)),
+                       runOnce(GraphOps.graphAdamicAdar(spark, s10)))
+    val ratio = t10 / math.max(t1, 0.2)
+    info(f"join smoke: t1=$t1%.2fs t10=$t10%.2fs ratio=$ratio%.1f× (bound 25×)")
+    assert(ratio <= 25.0,
+      f"Adamic-Adar smoke: $ratio%.1f× at 10× data exceeds 25× — geometry regression")
+    // plan shape: never a loop join at either scale (exchange counts
+    // are exempt — the size-adaptive joins legitimately swap
+    // auto-broadcast for sort-merge as the candidate table grows)
+    val p10 = shape(GraphOps.graphAdamicAdar(spark, s10))
+    assert(!p10.contains("CartesianProduct") &&
+      !p10.contains("BroadcastNestedLoopJoin"),
+      s"join smoke plan degraded at 10x: ${p10.mkString(">")}")
   }
 
   /** #241's recall against the same exact-L2 ground truth as #136's —

@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * /root/repo/BASELINE.md (DuckDB 1.0.0, 4 threads, sf0.1) — the 2×
   * envelope is judged on the suite TOTAL against that table. The
   * first query absorbs JVM/codegen warm-up.
+  *
+  * Round 14: beyond the graded headline and the pinned secondary
+  * list, the FULL SWEEP times every other registered operator too
+  * (min of two warm single runs), writes the complete per-op table
+  * to FULLBENCH.json (committed, diffable round-over-round), and
+  * emits a dense centisecond array line so the evidence also lives
+  * in the driver's stdout-tail artifact.
   */
 object Bench {
 
@@ -275,7 +282,18 @@ object Bench {
       val p = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
       if (java.nio.file.Files.isDirectory(p)) p.toString else sfDir
     }
-    (keep(headline ++ secondary) ++ (only -- headline -- secondary).toSeq.sorted.filter(qs.contains)).foreach { name =>
+    // full-sweep rows (VERDICT r13 item 1): beyond the graded headline
+    // and the pinned secondaries, EVERY other registered operator gets
+    // a wall-time row each round — 157 ops previously had zero timing
+    // evidence, the one place a real perf regression could hide.
+    // Protocol is lighter (min of two single runs, warm) than the
+    // graded best-of-6: these rows exist to catch multi-x regressions,
+    // not to grade sub-100ms deltas.
+    val remainder: Seq[String] =
+      if (only.nonEmpty) Nil
+      else (qs.keySet -- headline -- secondary).toSeq.sorted
+    (keep(headline ++ secondary) ++ remainder ++
+      (only -- headline -- secondary).toSeq.sorted.filter(qs.contains)).foreach { name =>
       try { qs(name)(spark, warmDir).count() } catch { case _: Throwable => () }
     }
     // Best-of-3 per query (consecutive attempts) — one PASS; the
@@ -292,8 +310,8 @@ object Bench {
     // runs keep page cache and JIT state warm per query.)
     // A query whose count() throws records None — a failure marker in
     // the JSON (null), never its misleading time-to-exception.
-    def bestOf3(name: String): Option[Double] = {
-      val ts = (1 to 3).flatMap { _ =>
+    def bestOfN(name: String, n: Int): Option[Double] = {
+      val ts = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { qs(name)(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
@@ -302,6 +320,7 @@ object Bench {
       }
       ts.minOption
     }
+    def bestOf3(name: String): Option[Double] = bestOfN(name, 3)
     def toJson(rs: Seq[(String, Option[Double])]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
         .mkString("{", ",", "}")
@@ -329,6 +348,15 @@ object Bench {
     val mins = twoPass(allNames)
     val results = keep(headline).map(n => n -> mins(n))
     val sec = (keep(secondary) ++ adhoc).map(n => n -> mins(n))
+    // the full-sweep remainder: two passes of best-of-1, per-query min
+    // (same stall-window rationale as twoPass, lighter per-pass cost)
+    val remMins: Map[String, Option[Double]] =
+      if (remainder.isEmpty) Map.empty
+      else {
+        val p1 = remainder.map(n => n -> bestOfN(n, 1)).toMap
+        val p2 = remainder.map(n => n -> bestOfN(n, 1)).toMap
+        remainder.map(n => n -> (p1(n).toSeq ++ p2(n).toSeq).minOption).toMap
+      }
     val failed = (results ++ sec).collect { case (k, None) => "\"" + k + "\"" }
     // a suite with a crashed query must not grade FASTER than a working
     // one: any failure poisons that suite's total to null (the per-query
@@ -393,6 +421,48 @@ object Bench {
       s""""pass":${pass.fold("null")(_.toString)},""" +
       s""""aqe_on":${toJson(aqeOn)},""" +
       s""""aqe_on_total":${aqeOnTotal.fold("null")(t => f"$t%.3f")},"sf":"$sfDir"}""")
+    // Full-sweep artifact + dense line (round 14 — VERDICT r13 item 1):
+    // per-op times for ALL registered operators every round. Full
+    // detail (names, protocol, slowest list) goes to FULLBENCH.json in
+    // the repo so it is committed and diffable round-over-round; the
+    // stdout line additionally carries every time as an INTEGER
+    // CENTISECOND array in sorted-query-name order (~0.9k chars — 10ms
+    // resolution spots any multi-x regression; sub-10ms deltas are
+    // below this protocol's noise floor anyway). Printed BEFORE the
+    // headline/secondary lines: the driver's tail window keeps the
+    // LAST ~2.4k chars, so if anything is clipped it is this line's
+    // head, never the graded evidence below it.
+    if (remainder.nonEmpty) {
+      val all = (results ++ sec ++ remainder.map(n => n -> remMins(n))).toMap
+      val names = all.keys.toSeq.sorted
+      val failedAll = names.filter(all(_).isEmpty)
+      val fullTotal =
+        if (failedAll.nonEmpty) None else Some(names.flatMap(all(_)).sum)
+      val slow10 = names.collect { case n if all(n).nonEmpty => n -> all(n).get }
+        .sortBy(-_._2).take(10)
+      val fileJson = new StringBuilder
+      fileJson.append("{\n")
+        .append(s"""  "sf": "$sfDir",\n""")
+        .append(s"""  "cpus": $cpus,\n""")
+        .append("""  "protocol": {"headline_secondary": "per-query min over two passes of warm best-of-3", "remainder": "per-query min over two passes of single warm runs"},""")
+        .append("\n")
+        .append(s"""  "n": ${names.size},\n""")
+        .append(s"""  "failed": [${failedAll.map("\"" + _ + "\"").mkString(",")}],\n""")
+        .append(s"""  "total_sec": ${fullTotal.fold("null")(t => f"$t%.3f")},\n""")
+        .append(s"""  "slowest10": {${slow10.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }.mkString(",")}},\n""")
+        .append("  \"times_sec\": {\n")
+        .append(names.map(n => s"""    "$n": ${all(n).fold("null")(v => f"$v%.4f")}""").mkString(",\n"))
+        .append("\n  }\n}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get("FULLBENCH.json"),
+        fileJson.toString.getBytes("UTF-8"))
+      val denseCs = names
+        .map(n => all(n).fold("null")(v => math.round(v * 100).toString))
+        .mkString("[", ",", "]")
+      println(s"""{"metric":"fullsweep","n":${names.size},"n_failed":${failedAll.size},""" +
+        s""""total":${fullTotal.fold("null")(t => f"$t%.2f")},""" +
+        s""""order":"sorted-query-names","unit":"centisec","t_cs":$denseCs,""" +
+        s""""file":"FULLBENCH.json","sf":"$sfDir"}""")
+    }
     // Compact headline-only line, printed LAST (round 12 — VERDICT r11
     // item 7): the driver's BENCH artifact keeps only the final 2000
     // chars of stdout, and round 11's full line outgrew that window,

@@ -778,7 +778,7 @@ object Transforms {
     val symRdd = sym0.rdd.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     truncRdds += symRdd
-    val sym = spark.createDataFrame(symRdd, sym0.schema)
+    var sym = spark.createDataFrame(symRdd, sym0.schema)
     // every-4th-iteration lineage truncation goes through an RDD we
     // keep a handle to (createDataFrame → flat LogicalRDD plan), so
     // ALL intermediate storage — sym, per-iteration caches, truncation
@@ -792,6 +792,25 @@ object Transforms {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .persist()
+    // Size-adaptive COMPACT MODE (round 14 — the k-core width lever,
+    // caught by the first full bench sweep: ~0.9 s/iteration of pure
+    // fixed stage/task cost on a few-thousand-node label table). The
+    // node count is measured ONCE (this also materializes the labels
+    // and sym caches); when the iteration state is metadata-scale,
+    // every per-iteration stage runs at a width sized to it — the
+    // label table rides a BROADCAST into both joins (no shuffle) and
+    // the min-aggregate gets one explicit width-pinned exchange. A
+    // big graph keeps the default width, the keyed sort-merge joins,
+    // and the partial-aggregate path — the 100 TB shape. In
+    // production AQE (on by default) coalesces the tiny shuffles the
+    // same way; this lever gives the AQE-off plan the same property.
+    val nNodes = labels.count()
+    val defaultWidth = spark.sparkContext.defaultParallelism
+    val width = math.max(1L,
+      math.min(defaultWidth.toLong, nNodes / 100000L)).toInt
+    val compact = width < defaultWidth && nNodes <= 8000000L
+    if (compact) sym = spark.createDataFrame(
+      symRdd.coalesce(width), sym0.schema)
     // unpersist must target the exact plan that was persisted —
     // `labels` is sometimes a projection OVER the cached frame, so
     // keep the persisted handle separately
@@ -809,7 +828,11 @@ object Transforms {
     // so the finally also covers the success path.
     try {
     while (!converged && i < maxIters) {
-      val viaNeighbor = labels.join(sym, col("node") === col("src"))
+      // compact mode: the label table rides a broadcast into both
+      // joins (build = node-scale cached rows, probe streams with no
+      // exchange); big graphs keep the keyed joins
+      def lbl(df: DataFrame): DataFrame = if (compact) broadcast(df) else df
+      val viaNeighbor = lbl(labels).join(sym, col("node") === col("src"))
         .select(col("dst").as("node"), col("component"))
       // pointer jumping: my label is a node in my component, so its
       // label is too — adopting label(label(node)) each round halves
@@ -823,15 +846,17 @@ object Transforms {
       // single components dwarf a reducer; our dedup clusters are
       // orders of magnitude below that).
       val jump = labels.toDF("jnode", "jcomp")
-      val viaPointer = labels.join(jump, col("component") === col("jnode"))
+      val viaPointer = labels.join(lbl(jump), col("component") === col("jnode"))
         .select(col("node"), col("jcomp").as("component"))
       // carry each node's OLD label through the aggregate (only the
       // labels branch has it; unionByName null-fills the others, min
       // picks the single non-null) so convergence detection is a
       // filter on the cached result, not another join
-      val next0 = labels.withColumn("old", col("component"))
+      val unioned = labels.withColumn("old", col("component"))
         .unionByName(viaNeighbor, allowMissingColumns = true)
         .unionByName(viaPointer, allowMissingColumns = true)
+      val next0 = (if (compact) unioned.repartition(width, col("node"))
+                   else unioned)
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"), min(col("old")).as("old"))
       val next = if ((i + 1) % 4 == 0) {

@@ -232,26 +232,44 @@ object LlmOps {
   /** #75 — character-trigram language ID: learn top-20 trigram
     * profiles per language from the corpus, classify each document by
     * profile-hit count (ties break toward the lexicographically first
-    * language), report the confusion matrix. */
+    * language), report the confusion matrix.
+    *
+    * Shape (round 14 — reworked after the first full bench sweep put
+    * the original at 6.3 s): the trigram fan-out is aggregated ONCE
+    * into the per-doc distinct-gram table (one gram-scale shuffle,
+    * localCheckpoint'd because BOTH consumers read it — profile
+    * counts are Σ over per-doc counts, and the classifier needs
+    * exactly its distinct (doc, gram) rows, so the old separate
+    * `distinct()` pass and second explode scan are gone). The learned
+    * profile is ≤ 20·|langs| rows and rides a BROADCAST into the
+    * classification join; the per-doc argmax is a partial-able
+    * `min_by` over (−score, cand_lang) — lexicographic min = highest
+    * score, alphabetical tie-break, identical to the old
+    * `row_number`=1 — replacing the per-doc sort window. Measured
+    * 6.3 → ~1.8 s at sf0.1. At 100 TB: materializing per-doc distinct
+    * features before profile training is the standard feature
+    * extraction pass; swap localCheckpoint for a parquet stage. */
   def textLanguageId(spark: SparkSession, sf: String): DataFrame = {
     val grams = documents(spark, sf)
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), length(col("text")) - 2),
           i => col("text").substr(i, lit(3)))).as("g"))
+    val perDocGram = grams
+      .groupBy(col("doc_id"), col("lang"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val wProf = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("g"))
-    val profile = grams.groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("n"))
+    val profile = perDocGram.groupBy(col("lang"), col("g"))
+      .agg(sum(col("c")).as("n"))
       .withColumn("rn", row_number().over(wProf))
       .where(col("rn") <= 20)
       .select(col("lang").as("cand_lang"), col("g"))
-    val docGrams = grams.select(col("doc_id"), col("lang"), col("g")).distinct()
-    val wPred = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cand_lang"))
-    docGrams.join(profile, Seq("g"))
+    perDocGram.join(broadcast(profile), Seq("g"))
       .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
       .agg(count(lit(1)).as("score"))
-      .withColumn("rn", row_number().over(wPred))
-      .where(col("rn") === 1)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("cand_lang"),
+        struct(-col("score"), col("cand_lang"))).as("cand_lang"))
       .groupBy(col("lang").as("true_lang"), col("cand_lang").as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("true_lang"), col("pred_lang"))

@@ -1352,6 +1352,44 @@ object AggOps {
       .orderBy(col("pct"))
   }
 
+  /** #248 — exact-moment skewness / excess kurtosis per return flag
+    * (round 14; the 3rd/4th standardized moments every distribution
+    * screen reports beside mean/stddev #26 — heavy-tail and asymmetry
+    * detection for price/value columns feeding outlier rules and
+    * binning choices): the four power sums Σc..Σc⁴ over integer CENTS
+    * are EXACT on both engines — c ≤ ~1.1·10⁷ so c⁴ ≤ ~1.5·10²⁸ and
+    * the corpus sum ≤ ~10³⁴, inside Spark's DECIMAL(38,0) and
+    * DuckDB's HUGEINT — then cast to double ONCE (correctly-rounded
+    * cast of identical exact integers) and pushed through the
+    * TEXTUALLY IDENTICAL raw-moment expansion (m₂/m₃/m₄ central
+    * moments from raw sums), skew = m₃/(m₂√m₂), excess kurtosis =
+    * m₄/m₂² − 3, rounded 6dp. Skew/kurtosis are scale-invariant, so
+    * the cents grid changes nothing vs dollars. Shape: ONE algebraic
+    * keyed aggregate — partial-aggregated map-side, the #26 posture;
+    * the moment algebra is a 1-row-per-group projection. */
+  def aggSkewKurtosis(spark: SparkSession, sf: String): DataFrame = {
+    val c = (money(col("l_extendedprice")) * 100).cast(DecimalType(38, 0))
+    val n = col("n").cast("double")
+    val (s1, s2, s3, s4) = (col("s1").cast("double"), col("s2").cast("double"),
+      col("s3").cast("double"), col("s4").cast("double"))
+    val m1 = s1 / n
+    val m2 = s2 / n - m1 * m1
+    val m3 = s3 / n - lit(3.0) * m1 * (s2 / n) + lit(2.0) * m1 * m1 * m1
+    val m4 = s4 / n - lit(4.0) * m1 * (s3 / n) +
+      lit(6.0) * m1 * m1 * (s2 / n) - lit(3.0) * m1 * m1 * m1 * m1
+    lineitem(spark, sf)
+      .select(col("l_returnflag"), c.as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"),
+        sum(col("c") * col("c") * col("c")).as("s3"),
+        sum(col("c") * col("c") * col("c") * col("c")).as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1395,6 +1433,7 @@ object AggOps {
     "agg_cramers_v"        -> (aggCramersV _),
     "agg_log2_histogram"   -> (aggLog2Histogram _),
     "agg_pareto_share"     -> (aggParetoShare _),
+    "agg_skew_kurtosis"    -> (aggSkewKurtosis _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -2031,6 +2070,34 @@ object AggOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / n, 6) AS cum_share
         |FROM g CROSS JOIN t ORDER BY bin2""".stripMargin,
+    "agg_skew_kurtosis" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS c
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n, sum(c) AS s1, sum(c*c) AS s2,
+        |    sum(c*c*c) AS s3, sum(c*c*c*c) AS s4
+        |  FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+        |    CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+        |    CAST(s4 AS DOUBLE) AS s4
+        |  FROM s),
+        |m AS (
+        |  SELECT l_returnflag, n,
+        |    s1 / nd AS m1, s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+        |    s3 / nd - 3.0 * (s1 / nd) * (s2 / nd)
+        |      + 2.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m3,
+        |    s4 / nd - 4.0 * (s1 / nd) * (s3 / nd)
+        |      + 6.0 * (s1 / nd) * (s1 / nd) * (s2 / nd)
+        |      - 3.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m4
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |  round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_histogram_numeric" ->
       """WITH b AS (
         |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)

@@ -788,7 +788,51 @@ object CorpusOps {
       .orderBy(col("source"))
   }
 
+  /** #250 — ROUGE-1/ROUGE-2 set-recall between adjacent document
+    * pairs (round 14; the n-gram-recall family behind every
+    * summarization / generation eval — Lin 2004 — here in its
+    * distinct-set form, the member the eval harness runs at corpus
+    * scale when candidate/reference pairs stream through Spark;
+    * pairing by doc_id+1 is the same deterministic candidate
+    * convention as #73's Jaccard): recall = |grams(cand) ∩
+    * grams(ref)| / |grams(ref)| over DISTINCT unigrams (ROUGE-1) and
+    * bigrams (ROUGE-2). EXACTNESS: both recalls are the #232 integer
+    * grid — overlap·10⁸ DIV |ref| on exact counts — so ordering and
+    * values cannot drift; the displayed double is the final /10⁸.
+    * Docs need ≥ 2 words (a bigram must exist on the REF side for
+    * the denominator); pairs where either side is shorter are
+    * excluded, mirrored in the oracle. Shape: per-doc distinct-gram
+    * sets are narrow projections; the pair join is an id equi-join
+    * (d1+1 = d2) and the set intersections are per-row array ops —
+    * no gram-keyed shuffle at all. At 100 TB the id-adjacency pairing
+    * generalizes to any (cand_id, ref_id) pair table joined the same
+    * way. */
+  def textRougeOverlap(spark: SparkSession, sf: String): DataFrame = {
+    val uni = array_distinct(col("w"))
+    val bi = array_distinct(expr(
+      "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+    val sets = documents(spark, sf)
+      .withColumn("w", words)
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), uni.as("u"), bi.as("b"))
+    val a = sets.toDF("d1", "ua", "ba")
+    val r = sets.toDF("d2", "ur", "br")
+    a.join(r, col("d1") + 1 === col("d2"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("ua"), col("ur"))).cast("long").as("i1"),
+        size(col("ur")).cast("long").as("r1"),
+        size(array_intersect(col("ba"), col("br"))).cast("long").as("i2"),
+        size(col("br")).cast("long").as("r2"))
+      .select(col("d1"), col("d2"),
+        (expr("i1 * 100000000 DIV r1").cast("double") / 100000000L)
+          .as("rouge1_recall"),
+        (expr("i2 * 100000000 DIV r2").cast("double") / 100000000L)
+          .as("rouge2_recall"))
+      .orderBy(col("d1"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    "text_rouge_overlap"    -> (textRougeOverlap _),
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
     "dedup_keep_best"        -> (dedupKeepBest _),
@@ -875,6 +919,38 @@ object CorpusOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "text_rouge_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |uni AS (SELECT DISTINCT doc_id, unnest(w) AS g FROM t),
+        |bis AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t),
+        |big AS (SELECT DISTINCT doc_id,
+        |  w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g FROM bis),
+        |usize AS (SELECT doc_id, count(*) AS nu FROM uni GROUP BY 1),
+        |bsize AS (SELECT doc_id, count(*) AS nb FROM big GROUP BY 1),
+        |uint AS (
+        |  SELECT a.doc_id AS d1, count(*) AS ni
+        |  FROM uni a JOIN uni b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+        |  GROUP BY 1),
+        |bint AS (
+        |  SELECT a.doc_id AS d1, count(*) AS ni
+        |  FROM big a JOIN big b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+        |SELECT p.d1, p.d2,
+        |  CAST(coalesce(u.ni, 0) * 100000000 // su.nu AS DOUBLE)
+        |    / 100000000 AS rouge1_recall,
+        |  CAST(coalesce(bn.ni, 0) * 100000000 // sb.nb AS DOUBLE)
+        |    / 100000000 AS rouge2_recall
+        |FROM pairs p
+        |JOIN usize su ON su.doc_id = p.d2
+        |JOIN bsize sb ON sb.doc_id = p.d2
+        |LEFT JOIN uint u ON u.d1 = p.d1
+        |LEFT JOIN bint bn ON bn.d1 = p.d1
+        |ORDER BY p.d1""".stripMargin,
     "text_filter_funnel" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -1379,6 +1379,104 @@ object EtlOps {
       .orderBy(col("stratum"))
   }
 
+  /** #253 — SMA(5)/SMA(20) crossover detection on the daily revenue
+    * series (round 14; the moving-average crossover is the canonical
+    * trend-shift detector on any monitored level series — deploy
+    * health, spend, volume — "golden cross" = short-term average
+    * rising through long-term): daily revenue is an exact-decimal
+    * keyed aggregate; both moving sums ride ROWS frames over the
+    * date-ordered series. EXACTNESS: the comparison SMA5 vs SMA20
+    * never divides — s5/5 ≷ s20/20 ⟺ 4·s5 ≷ s20 on exact decimals
+    * (cross-multiplied integers), so the signal, its lag, and every
+    * crossover flag are integer-exact in both engines; only display
+    * columns cast to double. First 19 days are warm-up (no full
+    * SMA20 window) and are excluded by row_number. Output: per year,
+    * golden/death crossover counts. Shape: one keyed corpus
+    * aggregate (partial, map-side) + metadata-scale windows over the
+    * daily series (calendar-bounded), the #199 posture. */
+  def tsSmaCrossover(spark: SparkSession, sf: String): DataFrame = {
+    val daily = lineitem(spark, sf)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(money(col("l_extendedprice"))).as("rev"))
+    val ord = Window.partitionBy(pmod(length(col("day").cast("string")), lit(1)))
+      .orderBy(col("day"))
+    val s5 = sum(col("rev")).over(ord.rowsBetween(-4, 0))
+    val s20 = sum(col("rev")).over(ord.rowsBetween(-19, 0))
+    val sig = when(s5 * 4 > s20, lit(1))
+      .when(s5 * 4 < s20, lit(-1)).otherwise(lit(0))
+    daily
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("sig", sig)
+      .withColumn("prev_sig", lag(col("sig"), 1).over(ord))
+      .where(col("rn") >= 21) // prev_sig must also be a full-window signal
+      .groupBy(year(col("day")).as("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("sig") === 1 && col("prev_sig") <= 0, 1)
+          .otherwise(0)).as("n_golden"),
+        sum(when(col("sig") === -1 && col("prev_sig") >= 0, 1)
+          .otherwise(0)).as("n_death"))
+      .orderBy(col("yr"))
+  }
+
+  /** #251 — Wald SPRT sequential conversion test per event type
+    * (round 14; the sequential probability-ratio test is the
+    * always-valid early-stopping design behind every "peeking-safe"
+    * experimentation readout — fixed-n tests #175/#229 answer "after
+    * n", SPRT answers "as the data streams"): H₀ p=0.2 vs H₁ p=0.3 on
+    * the per-event success indicator value > 100.00 (exact decimal
+    * compare), sequenced by DAY. Per type, the day-cumulative (n, k)
+    * ride windows over the per-type DAILY trial table; LLR_n =
+    * k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) with the two log factors
+    * and the ±ln(19) Wald bounds (α=β=0.05) embedded as 17-digit
+    * DOUBLE LITERALS — identical text in both engines, so the double
+    * arithmetic (int×literal + int×literal) is bit-identical and the
+    * boundary comparisons cannot drift. Output per type: the first
+    * boundary crossing (decision + day + n/k/LLR) or the final-day
+    * state with decision 'continue'. Shape: one keyed corpus
+    * aggregate to (type, day) — partial, map-side — then windows and
+    * folds over the metadata-scale daily table; first/last rows are
+    * partial-able min_by/max_by, no global sort. */
+  def eventsSprtSequential(spark: SparkSession, sf: String): DataFrame = {
+    // ln(0.3/0.2), ln(0.7/0.8), ln(0.95/0.05) to 17 significant
+    // digits — parsed identically as doubles by both engines
+    val c1 = 0.40546510810816438
+    val c2 = -0.13353139262452263
+    val bound = 2.9444389791664403
+    val dailyTrials = events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_d"),
+        sum(when(money(col("value")) > 100, 1).otherwise(0)).as("k_d"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = dailyTrials
+      .withColumn("n", sum(col("n_d")).over(w))
+      .withColumn("k", sum(col("k_d")).over(w))
+      .withColumn("llr",
+        col("k") * lit(c1) + (col("n") - col("k")) * lit(c2))
+    val crossed = cum.where(col("llr") >= lit(bound) || col("llr") <= lit(-bound))
+      .groupBy(col("event_type"))
+      .agg(min_by(struct(col("day"), col("n"), col("k"), col("llr")),
+        col("day")).as("st"))
+      .select(col("event_type"), lit(true).as("decided"), col("st.*"))
+    val finals = cum.groupBy(col("event_type"))
+      .agg(max_by(struct(col("day"), col("n"), col("k"), col("llr")),
+        col("day")).as("st"))
+      .select(col("event_type"), col("st.*"))
+    finals.join(crossed.withColumnRenamed("day", "c_day")
+        .withColumnRenamed("n", "c_n").withColumnRenamed("k", "c_k")
+        .withColumnRenamed("llr", "c_llr"),
+        Seq("event_type"), "left")
+      .select(col("event_type"),
+        when(col("decided").isNull, "continue")
+          .when(col("c_llr") >= bound, "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        coalesce(col("c_day"), col("day")).cast("timestamp").as("decision_day"),
+        coalesce(col("c_n"), col("n")).as("n_trials"),
+        coalesce(col("c_k"), col("k")).as("n_success"),
+        round(coalesce(col("c_llr"), col("llr")), 8).as("llr"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1432,6 +1530,8 @@ object EtlOps {
     "events_uplift_deciles"  -> (eventsUpliftDeciles _),
     "etl_psi_drift"          -> (etlPsiDrift _),
     "events_cem_att"         -> (eventsCemAtt _),
+    "ts_sma_crossover"       -> (tsSmaCrossover _),
+    "events_sprt_sequential" -> (eventsSprtSequential _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2073,6 +2173,74 @@ object EtlOps {
       |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
+    "ts_sma_crossover" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT day,
+        |    sum(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS s5,
+        |    sum(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20,
+        |    row_number() OVER (ORDER BY day) AS rn
+        |  FROM daily),
+        |sg AS (
+        |  SELECT day, rn, CASE WHEN s5 * 4 > s20 THEN 1
+        |    WHEN s5 * 4 < s20 THEN -1 ELSE 0 END AS sig
+        |  FROM w),
+        |lg AS (
+        |  SELECT day, rn, sig, lag(sig, 1) OVER (ORDER BY day) AS prev_sig
+        |  FROM sg)
+        |SELECT CAST(year(day) AS INT) AS yr, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN sig = 1 AND prev_sig <= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_golden,
+        |  CAST(sum(CASE WHEN sig = -1 AND prev_sig >= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_death
+        |FROM lg WHERE rn >= 21 GROUP BY 1 ORDER BY yr""".stripMargin,
+    "events_sprt_sequential" ->
+      """WITH dt AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    count(*) AS n_d,
+        |    sum(CASE WHEN CAST(value AS DECIMAL(18,2)) > 100
+        |        THEN 1 ELSE 0 END) AS k_d
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day,
+        |    sum(n_d) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |    sum(k_d) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+        |  FROM dt),
+        |l AS (
+        |  SELECT event_type, day, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |    CAST(k AS DOUBLE) * 0.40546510810816438
+        |      + (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+        |        * (-0.13353139262452263) AS llr
+        |  FROM cum),
+        |cr AS (
+        |  SELECT event_type, day, n, k, llr,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM l
+        |  WHERE llr >= 2.9444389791664403 OR llr <= -2.9444389791664403),
+        |fst AS (SELECT * FROM cr WHERE rn = 1),
+        |fin AS (
+        |  SELECT event_type, day, n, k, llr,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rn
+        |  FROM l)
+        |SELECT f.event_type,
+        |  CASE WHEN c.event_type IS NULL THEN 'continue'
+        |       WHEN c.llr >= 2.9444389791664403 THEN 'accept_h1'
+        |       ELSE 'accept_h0' END AS decision,
+        |  CAST(coalesce(c.day, f.day) AS TIMESTAMP) AS decision_day,
+        |  coalesce(c.n, f.n) AS n_trials,
+        |  coalesce(c.k, f.k) AS n_success,
+        |  round(coalesce(c.llr, f.llr), 8) AS llr
+        |FROM fin f LEFT JOIN fst c ON c.event_type = f.event_type
+        |WHERE f.rn = 1
+        |ORDER BY f.event_type""".stripMargin,
     "etl_normalize_units" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(CASE WHEN event_type = 'purchase'

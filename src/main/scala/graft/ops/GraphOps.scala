@@ -420,6 +420,43 @@ object GraphOps {
         (col("j8").cast("double") / 100000000L).as("jaccard"))
   }
 
+  /** #252 — degree assortativity of the co-purchase graph (round 14;
+    * Newman 2002's r — the one-number answer to "do hubs connect to
+    * hubs?" that every graph-health report carries beside the degree
+    * histogram; disassortative product graphs and assortative social
+    * graphs behave differently under sampling and peeling, so the
+    * sign matters before any graph-based filtering): Pearson
+    * correlation of (deg(u), deg(v)) over all DIRECTED edge
+    * endpoints (both orientations, the standard undirected
+    * convention). All five sufficient sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are EXACT BIGINTs — degrees are part-catalog-bounded ints — cast
+    * to double once and pushed through the textually-identical
+    * correlation formula, rounded 6dp. Shape: one degree aggregate
+    * (the #218 node-scale table), TWO BROADCAST attaches onto the
+    * edge list, one keyless 1-row fold — no window, no sort. */
+  def graphDegreeAssortativity(spark: SparkSession, sf: String): DataFrame = {
+    val e = copurchaseEdges(spark, sf).localCheckpoint()
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d")).localCheckpoint()
+    val nd = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) = (col("sx").cast("double"),
+      col("sy").cast("double"), col("sxy").cast("double"),
+      col("sxx").cast("double"), col("syy").cast("double"))
+    und
+      .join(broadcast(deg.select(col("x"), col("d").as("dx"))), "x")
+      .join(broadcast(deg.select(col("x").as("y"), col("d").as("dy"))), "y")
+      .agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"), sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("n").as("n_endpoints"),
+        round((nd * sxy - sx * sy) /
+          (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6)
+          .as("assortativity"))
+      .orderBy(col("n_endpoints"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_pagerank"       -> (graphPagerank _),
     "graph_triangle_count" -> (graphTriangleCount _),
@@ -428,6 +465,7 @@ object GraphOps {
     "graph_adamic_adar"    -> (graphAdamicAdar _),
     "graph_kcore"          -> (graphKcore _),
     "graph_jaccard_links"  -> (graphJaccardLinks _),
+    "graph_degree_assortativity" -> (graphDegreeAssortativity _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -484,6 +522,34 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "graph_degree_assortativity" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v, count(*) AS w
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u AS x, v AS y FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+        |s AS (
+        |  SELECT count(*) AS n,
+        |    sum(du.d) AS sx, sum(dv.d) AS sy, sum(du.d * dv.d) AS sxy,
+        |    sum(du.d * du.d) AS sxx, sum(dv.d * dv.d) AS syy
+        |  FROM und
+        |  JOIN deg du ON du.x = und.x
+        |  JOIN deg dv ON dv.x = und.y),
+        |d AS (
+        |  SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |    CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+        |    CAST(syy AS DOUBLE) AS syy
+        |  FROM s)
+        |SELECT n AS n_endpoints,
+        |  round((nd * sxy - sx * sy)
+        |    / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6)
+        |    AS assortativity
+        |FROM d ORDER BY n_endpoints""".stripMargin,
     "graph_kcore" -> kcoreOracle,
     "graph_jaccard_links" ->
       """WITH op AS (

@@ -298,6 +298,35 @@ object WindowOps {
       .orderBy(col("day"))
   }
 
+  /** #249 — maximum drawdown of the daily revenue series per year
+    * (round 14; the peak-to-trough risk statistic every monitoring /
+    * finance dashboard reports on a level series — how far below its
+    * historical peak did the series fall, and when): daily revenue =
+    * exact-decimal sum per ship day; peak = running max over the
+    * date-ordered series (frame UNBOUNDED PRECEDING..CURRENT ROW);
+    * drawdown = peak − rev, EXACT decimal subtraction, so the
+    * per-year argmax (`min_by` over (−dd, day): deepest drawdown,
+    * earliest day on ties) is decided on exact values — doubles only
+    * at display. Shape: one keyed corpus aggregate (partial,
+    * map-side) then windows over the DAILY series — metadata-scale
+    * (one row per ship day, bounded by the calendar), the #199/#195
+    * posture; the per-year fold is a partial-able aggregate. */
+  def winDrawdownMax(spark: SparkSession, sf: String): DataFrame = {
+    val daily = lineitem(spark, sf)
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(money(col("l_extendedprice"))).as("rev"))
+    val w = Window.partitionBy(pmod(length(col("day").cast("string")), lit(1)))
+      .orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("dd", max(col("rev")).over(w) - col("rev"))
+      .groupBy(year(col("day")).as("yr"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("dd")).cast("double").as("max_drawdown"),
+        min_by(col("day"), struct(-col("dd"), col("day")))
+          .cast("timestamp").as("trough_day"))
+      .orderBy(col("yr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "win_rank_dense_rownum" -> (winRankDenseRownum _),
     "win_topk_per_group"    -> (winTopkPerGroup _),
@@ -311,9 +340,30 @@ object WindowOps {
     "win_moving_slope"      -> (winMovingSlope _),
     "win_rolling_median"    -> (winRollingMedian _),
     "win_ewma_smooth"       -> (winEwmaSmooth _),
+    "win_drawdown_max"      -> (winDrawdownMax _),
   )
 
   val oracle: Map[String, String] = ListMap(
+    "win_drawdown_max" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT day, rev,
+        |    max(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev AS dd
+        |  FROM daily),
+        |r AS (
+        |  SELECT year(day) AS yr, day, dd,
+        |    row_number() OVER (PARTITION BY year(day)
+        |                       ORDER BY dd DESC, day) AS rn,
+        |    count(*) OVER (PARTITION BY year(day)) AS n_days
+        |  FROM p)
+        |SELECT CAST(yr AS INT) AS yr, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(dd AS DOUBLE) AS max_drawdown,
+        |  CAST(day AS TIMESTAMP) AS trough_day
+        |FROM r WHERE rn = 1 ORDER BY yr""".stripMargin,
     "win_ewma_smooth" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,

@@ -1390,6 +1390,87 @@ object AggOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #256 — empirical-Bayes shrunk group means (round 14; the
+    * James–Stein / "add-k smoothing toward the prior" estimator every
+    * ranking pipeline applies before sorting small groups by their
+    * mean — a 2-order customer with a lucky big order must not
+    * outrank a 50-order regular): per-customer mean order value
+    * shrunk toward the GLOBAL mean m with prior strength k = 20
+    * pseudo-observations: shrunk = (Σv + 20·m) / (n + 20). EXACTNESS:
+    * Σv and n are exact (decimal/long); m and the shrinkage are
+    * computed in double with textually identical expressions from
+    * identical exact inputs, so the 6dp-rounded ranking key is
+    * bit-stable; top-20 ordered by (shrunk DESC, custkey). Shape: one
+    * keyed aggregate (partial map-side) + a 1-row broadcast of the
+    * global sums + TopK; at 100 TB, swap the display limit for the
+    * #38 machinery. */
+  def aggEbShrunkMeans(spark: SparkSession, sf: String): DataFrame = {
+    val per = orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(money(col("o_totalprice"))).as("sv"))
+    val glob = per.agg(sum(col("n")).as("gn"), sum(col("sv")).as("gs"))
+    val m = col("gs").cast("double") / col("gn").cast("double")
+    per.crossJoin(broadcast(glob))
+      .select(col("o_custkey"), col("n").as("n_orders"),
+        round(col("sv").cast("double") / col("n").cast("double"), 6)
+          .as("raw_mean"),
+        round((col("sv").cast("double") + lit(20.0) * m) /
+          (col("n").cast("double") + lit(20.0)), 6).as("shrunk_mean"))
+      .orderBy(col("shrunk_mean").desc, col("o_custkey"))
+      .limit(20)
+  }
+
+  /** #257 — per-group OLS worst-residual diagnostics (round 14; the
+    * "which point does the fitted line miss hardest" readout behind
+    * every regression-based DQ screen — #111 reports the fit, this
+    * names the outlier): y = price on x = quantity per return flag.
+    * The WHOLE decision path is integer-exact: with exact cent sums
+    * Sx, Sy, Sxy, Sxx and D = n·Sxx − Sx², N = n·Sxy − Sx·Sy, the
+    * residual scaled by n·D is r·n·D = n·D·y − n·N·x − D·Sy + N·Sx —
+    * pure products of exact integers (≤ ~10³⁴ at sf1, inside Spark's
+    * DECIMAL(38,0) and DuckDB's HUGEINT), so the per-group argmax on
+    * (|r·n·D| DESC, orderkey, linenumber) cannot drift; doubles
+    * appear only in display columns (slope = N/D, residual =
+    * scaled/(n·D)/100, both as casts of identical exact integers).
+    * Shape: one algebraic keyed aggregate (partial), a ≤3-row
+    * BROADCAST of the group stats back onto the scan, one
+    * partial-able max_by — no window, no sort of the facts. */
+  def aggRegressionOutlier(spark: SparkSession, sf: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val base = lineitem(spark, sf).select(col("l_returnflag"),
+      col("l_orderkey"), col("l_linenumber"),
+      (money(col("l_quantity")) * 100).cast(d38).as("x"),
+      (money(col("l_extendedprice")) * 100).cast(d38).as("y"))
+    val stats = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("dd", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("nn", col("n") * col("sxy") - col("sx") * col("sy"))
+    base.join(broadcast(stats), "l_returnflag")
+      .withColumn("rs", col("n") * col("dd") * col("y")
+        - col("n") * col("nn") * col("x")
+        - col("dd") * col("sy") + col("nn") * col("sx"))
+      .groupBy(col("l_returnflag"))
+      .agg(max_by(
+        struct(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+          col("rs"), col("n"), col("dd"), col("nn")),
+        struct(abs(col("rs")), -col("l_orderkey"), -col("l_linenumber")))
+        .as("w"))
+      .select(col("l_returnflag"),
+        col("w.n").cast("long").as("n_pts"),
+        round(col("w.nn").cast("double") / col("w.dd").cast("double"), 6)
+          .as("slope"),
+        col("w.l_orderkey").as("worst_orderkey"),
+        col("w.l_linenumber").as("worst_linenumber"),
+        (col("w.x").cast("double") / lit(100.0)).as("worst_qty"),
+        (col("w.y").cast("double") / lit(100.0)).as("worst_price"),
+        round(col("w.rs").cast("double")
+          / (col("w.n") * col("w.dd")).cast("double") / lit(100.0), 4)
+          .as("worst_residual"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1434,6 +1515,8 @@ object AggOps {
     "agg_log2_histogram"   -> (aggLog2Histogram _),
     "agg_pareto_share"     -> (aggParetoShare _),
     "agg_skew_kurtosis"    -> (aggSkewKurtosis _),
+    "agg_eb_shrunk_means"  -> (aggEbShrunkMeans _),
+    "agg_regression_outlier" -> (aggRegressionOutlier _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -2070,6 +2153,53 @@ object AggOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / n, 6) AS cum_share
         |FROM g CROSS JOIN t ORDER BY bin2""".stripMargin,
+    "agg_eb_shrunk_means" ->
+      """WITH per AS (
+        |  SELECT o_custkey, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sv
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS DOUBLE) AS gn,
+        |             CAST(sum(sv) AS DOUBLE) AS gs FROM per),
+        |s AS (
+        |  SELECT o_custkey, CAST(n AS BIGINT) AS n_orders,
+        |    round(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_mean,
+        |    round((CAST(sv AS DOUBLE) + 20.0 * (gs / gn))
+        |      / (CAST(n AS DOUBLE) + 20.0), 6) AS shrunk_mean
+        |  FROM per CROSS JOIN g)
+        |SELECT o_custkey, n_orders, raw_mean, shrunk_mean
+        |FROM s ORDER BY shrunk_mean DESC, o_custkey LIMIT 20""".stripMargin,
+    "agg_regression_outlier" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM b GROUP BY 1),
+        |t AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    n*sxx - sx*sx AS dd, n*sxy - sx*sy AS nn
+        |  FROM s),
+        |r AS (
+        |  SELECT b.l_returnflag, b.l_orderkey, b.l_linenumber, b.x, b.y,
+        |    t.n, t.dd, t.nn,
+        |    t.n*t.dd*b.y - t.n*t.nn*b.x - t.dd*t.sy + t.nn*t.sx AS rs
+        |  FROM b JOIN t USING (l_returnflag)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY abs(rs) DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM r)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_pts,
+        |  round(CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS slope,
+        |  l_orderkey AS worst_orderkey,
+        |  CAST(l_linenumber AS INT) AS worst_linenumber,
+        |  CAST(x AS DOUBLE) / 100.0 AS worst_qty,
+        |  CAST(y AS DOUBLE) / 100.0 AS worst_price,
+        |  round(CAST(rs AS DOUBLE) / CAST(n*dd AS DOUBLE) / 100.0, 4)
+        |    AS worst_residual
+        |FROM rk WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_skew_kurtosis" ->
       """WITH c AS (
         |  SELECT l_returnflag,

@@ -1477,6 +1477,71 @@ object EtlOps {
       .orderBy(col("event_type"))
   }
 
+  /** #258 — surrogate-key assignment for a dimension (round 14; the
+    * key-generation step of every warehouse dimension load — replace
+    * natural keys with dense integers WITHOUT a database sequence,
+    * the thing Spark cannot do with `monotonically_increasing_id`
+    * (partition-dependent) and must not do with a single-partition
+    * window over facts): distinct (source, lang) attribute combos of
+    * the documents corpus get dense keys 1..|dim| ordered by the
+    * natural key. The window runs over the AGGREGATED dimension
+    * table only — metadata-scale by definition (a dimension IS the
+    * distinct-attribute table; facts never enter a window). For a
+    * data-scale key domain (e.g. per-document ids) the #130/#204
+    * distributed-rank machinery is the documented swap. */
+  def etlSurrogateKeyAssign(spark: SparkSession, sf: String): DataFrame = {
+    val dim = documents(spark, sf)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window
+      .partitionBy(pmod(length(col("source")), lit(1)) * lit(0))
+      .orderBy(col("source"), col("lang"))
+    dim.withColumn("sk", row_number().over(w).cast("long"))
+      .select(col("sk"), col("source"), col("lang"), col("n_docs"))
+      .orderBy(col("sk"))
+  }
+
+  /** #259 — time-to-convert percentiles per campaign (round 14; the
+    * latency readout of every attribution pipeline — "how long after
+    * the ad click does the purchase land?" — feeding attribution
+    * window choices like #144/#235's 7 days): each purchase's
+    * NEAREST strictly-earlier click within 7 days (max c_us, click_id
+    * tie-break — one partial-able max_by over the #18/#235 user-keyed
+    * working set, no window over the touches), lag in exact integer
+    * microseconds, then interpolated p50/p90 in minutes per the
+    * nearest click's campaign via the SQL percentile surface (#27's
+    * contract — interpolation runs on identical exact-integer-derived
+    * doubles). Shape: user-keyed equi-join (never cross-user),
+    * purchase-keyed aggregate, campaign aggregate. */
+  def eventsTimeToConvert(spark: SparkSession, sf: String): DataFrame = {
+    val ev = events(spark, sf)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"),
+        get_json_object(col("props"), "$.k").cast("int").as("campaign"))
+    val lags = purchases.join(clicks, "user_id")
+      .where(col("c_us") < col("p_us") &&
+             col("c_us") >= col("p_us") - lit(7L * 86400L * 1000000L))
+      .groupBy(col("purchase_id"))
+      .agg(max(col("p_us")).as("p_us"),
+        max_by(struct(col("campaign"), col("c_us")),
+          struct(col("c_us"), col("click_id"))).as("nc"))
+      .select(col("nc.campaign").as("campaign"),
+        ((col("p_us") - col("nc.c_us")).cast("double") / lit(60000000.0))
+          .as("lag_min"))
+    lags.createOrReplaceTempView("graft_ttc_lags")
+    spark.sql(
+      """SELECT campaign, count(*) AS n_conversions,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_min), 4)
+        |    AS p50_minutes,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_min), 4)
+        |    AS p90_minutes
+        |FROM graft_ttc_lags GROUP BY campaign ORDER BY campaign""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1532,6 +1597,8 @@ object EtlOps {
     "events_cem_att"         -> (eventsCemAtt _),
     "ts_sma_crossover"       -> (tsSmaCrossover _),
     "events_sprt_sequential" -> (eventsSprtSequential _),
+    "etl_surrogate_key_assign" -> (etlSurrogateKeyAssign _),
+    "events_time_to_convert" -> (eventsTimeToConvert _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2173,6 +2240,39 @@ object EtlOps {
       |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
+    "etl_surrogate_key_assign" ->
+      """WITH dim AS (
+        |  SELECT source, lang, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (ORDER BY source, lang) AS BIGINT) AS sk,
+        |  source, lang, n_docs
+        |FROM dim ORDER BY sk""".stripMargin,
+    "events_time_to_convert" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS campaign
+        |  FROM events WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.purchase_id, p.p_us, c.click_id, c.c_us, c.campaign,
+        |    row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY c.c_us DESC, c.click_id DESC) AS rn
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |  WHERE c.c_us < p.p_us AND c.c_us >= p.p_us - 604800000000),
+        |lags AS (
+        |  SELECT campaign,
+        |    CAST(p_us - c_us AS DOUBLE) / 60000000.0 AS lag_min
+        |  FROM t WHERE rn = 1)
+        |SELECT campaign, count(*) AS n_conversions,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_min), 4)
+        |    AS p50_minutes,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_min), 4)
+        |    AS p90_minutes
+        |FROM lags GROUP BY campaign ORDER BY campaign""".stripMargin,
     "ts_sma_crossover" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,

@@ -457,6 +457,41 @@ object GraphOps {
       .orderBy(col("n_endpoints"))
   }
 
+  /** #254 — local clustering coefficient (round 14; Watts–Strogatz
+    * 1998 — the per-node "how interconnected is my neighborhood"
+    * statistic behind small-world analysis and the standard
+    * community-quality readout beside the global triangle count
+    * #123): for every node w with degree ≥ 2, C(w) = 2·t(w) /
+    * (d(w)·(d(w)−1)), where t(w) = triangles through w. Triangle
+    * attribution rides #218's candidate machinery: a candidate row
+    * (cu, cv, cw) is a wedge centered at witness cw; it closes into a
+    * triangle iff (cu, cv) is an edge — a LEFT SEMI join onto the
+    * edge list (both sides canonically u<v) — and each triangle
+    * {x,y,z} appears exactly three times, once per witness, so
+    * grouping closed wedges by cw IS the per-node triangle count.
+    * EXACTNESS: coefficient on the #232 integer grid (2·t·10⁸ DIV
+    * d(d−1)); top-20 ordered by (c8 DESC, node). At 100 TB: identical
+    * posture to #218/#232 (Σ deg² wedge cost, candidate join keyed by
+    * (cu, cv), degree table broadcast). */
+  def graphClusteringCoefficient(spark: SparkSession, sf: String): DataFrame = {
+    val e = copurchaseEdges(spark, sf).localCheckpoint()
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    val deg = und.groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val tri = adamicAdarCandidates(e)
+      .join(e.select(col("u").as("cu"), col("v").as("cv")), Seq("cu", "cv"),
+        "left_semi")
+      .groupBy(col("cw").as("node")).agg(count(lit(1)).as("triangles"))
+    deg.where(col("d") >= 2).select(col("x").as("node"), col("d"))
+      .join(tri, Seq("node"), "left")
+      .withColumn("t", coalesce(col("triangles"), lit(0L)))
+      .withColumn("c8", expr("t * 2 * 100000000 DIV (d * (d - 1))"))
+      .orderBy(col("c8").desc, col("node"))
+      .limit(20)
+      .select(col("node"), col("d").as("degree"), col("t").as("triangles"),
+        (col("c8").cast("double") / 100000000L).as("clustering_coeff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_pagerank"       -> (graphPagerank _),
     "graph_triangle_count" -> (graphTriangleCount _),
@@ -466,6 +501,7 @@ object GraphOps {
     "graph_kcore"          -> (graphKcore _),
     "graph_jaccard_links"  -> (graphJaccardLinks _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
+    "graph_clustering_coefficient" -> (graphClusteringCoefficient _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -522,6 +558,33 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "graph_clustering_coefficient" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v, count(*) AS w
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u AS x, v AS y FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+        |cand AS (
+        |  SELECT a.x AS cu, b.x AS cv, a.y AS cw
+        |  FROM und a JOIN und b ON a.y = b.y AND a.x < b.x),
+        |tri AS (
+        |  SELECT cw AS node, count(*) AS t
+        |  FROM cand
+        |  WHERE EXISTS (SELECT 1 FROM edges e
+        |                WHERE e.u = cand.cu AND e.v = cand.cv)
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT deg.x AS node, deg.d, coalesce(tri.t, 0) AS t,
+        |    coalesce(tri.t, 0) * 2 * 100000000 // (deg.d * (deg.d - 1)) AS c8
+        |  FROM deg LEFT JOIN tri ON tri.node = deg.x
+        |  WHERE deg.d >= 2)
+        |SELECT node, CAST(d AS BIGINT) AS degree, CAST(t AS BIGINT) AS triangles,
+        |  CAST(c8 AS DOUBLE) / 100000000 AS clustering_coeff
+        |FROM s ORDER BY c8 DESC, node LIMIT 20""".stripMargin,
     "graph_degree_assortativity" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -158,6 +158,35 @@ object StreamOps {
       .orderBy(col("purchase_id"))
   }
 
+  /** #255 — stream–static dimension enrichment (round 14; the
+    * streaming join shape Structured Streaming supports with NO extra
+    * state: joining a stream against a STATIC (or slowly-refreshed)
+    * dimension broadcasts the dim into every micro-batch — no
+    * watermark, no state store, unlike the stream-stream interval
+    * join #155. It is how every event pipeline attaches user/region/
+    * catalog attributes before aggregation): events keyed into the
+    * nation dimension by `user_id mod 25` (the deterministic
+    * region-assignment convention), then per-nation event counts and
+    * exact-decimal purchase revenue. Batch form graded here; the
+    * streaming twin (MemoryStream → broadcast static join →
+    * aggregate) is proven result-identical by chunked replay in
+    * StreamingSpec. At 100 TB the dim is metadata-scale by
+    * definition — the broadcast is the plan you want on a cluster
+    * too. */
+  def streamStaticEnrich(spark: SparkSession, sf: String): DataFrame = {
+    val dim = nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"))
+    events(spark, sf)
+      .withColumn("nk", pmod(col("user_id"), lit(25)).cast("int"))
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", money(col("value")))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("purchase_value"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "stream_tumbling_window" -> (streamTumblingWindow _),
     "stream_sliding_window"  -> (streamSlidingWindow _),
@@ -167,9 +196,18 @@ object StreamOps {
     "stream_watermark_late"  -> (streamWatermarkLate _),
     "stream_join_interval"   -> (streamJoinInterval _),
     "stream_topk_windowed"   -> (streamTopkWindowed _),
+    "stream_static_enrich"   -> (streamStaticEnrich _),
   )
 
   val oracle: Map[String, String] = ListMap(
+    "stream_static_enrich" ->
+      """SELECT n.n_name, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN e.event_type = 'purchase'
+        |    THEN CAST(e.value AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events e
+        |JOIN nation n ON n.n_nationkey = CAST(e.user_id % 25 AS INT)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "stream_topk_windowed" ->
       """WITH pu AS (
         |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_start,

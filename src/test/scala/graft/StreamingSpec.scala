@@ -758,4 +758,45 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stream-static enrichment: broadcast dim join over a stream equals the batch result, chunked replay") {
+    // #255's streaming twin: a static dimension joined into every
+    // micro-batch — Structured Streaming allows this with NO state
+    // store or watermark, which is the point of the op. Chunked
+    // replay (2 adds) proves batch-boundary independence: a
+    // stream-static join has no cross-batch state to corrupt.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((0, "ZERO"), (1, "ONE"), (2, "TWO"))
+      .toDF("n_nationkey", "n_name")
+    def enrich(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("nk", pmod(col("user_id"), lit(3)).cast("int"))
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase",
+            col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("purchase_value"))
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00", user = 1L, typ = "purchase", v = 10.5),
+      ev(2, "2024-01-01 10:10:00", user = 2L),
+      ev(3, "2024-01-01 10:20:00", user = 3L, typ = "purchase", v = 2.25),
+      ev(4, "2024-01-01 10:30:00", user = 4L))
+    val in = MemoryStream[EventRow]
+    val q = enrich(in.toDF())
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(data.take(2): _*)
+      q.processAllAvailable()
+      in.addData(data.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("t_enrich")
+        .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+      val batch = enrich(data.toDF())
+        .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
 }

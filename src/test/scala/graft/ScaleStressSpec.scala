@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.api.Transforms
-import graft.ops.{AggOps, CorpusOps, EtlOps, GraphOps, LlmOps, StreamOps}
+import graft.ops.{AggOps, CorpusOps, EtlOps, GraphOps, LlmOps, StreamOps, WindowOps}
 
 /** Empirical scale evidence (SCALE.md's companion): the heaviest
   * operators run on a 1× and a 10× corpus and wall-time must grow
@@ -39,10 +39,11 @@ class ScaleStressSpec extends SparkSpec {
   /** Bump whenever [[writeScaled]]'s transform changes: the
     * fingerprint below embeds it, so stale corpora from an older
     * writer are rewritten instead of silently reused. */
-  private val WriterVersion = 3 // v3: + lineitem/orders (round-12 heavy cohort)
+  private val WriterVersion = 4 // v4: + verbatim catalog dims (round-14 cohort)
 
   private val scaledTables =
-    Seq("events", "documents", "embeddings", "lineitem", "orders")
+    Seq("events", "documents", "embeddings", "lineitem", "orders",
+        "nation", "region")
 
   /** Writer-parameters + source fingerprint (ADVICE r10): a reuse
     * decision based only on _SUCCESS markers would let a standalone
@@ -119,6 +120,14 @@ class ScaleStressSpec extends SparkSpec {
     // distributions (prices, quantities) repeat ×10 — the realistic
     // bigger-warehouse shape for rank/moment operators.
     writeScaledLineitem(src, dir, replicas)
+    // fixed-cardinality catalog dims, copied VERBATIM: they are
+    // constant-size at every scale factor by the data model, so the
+    // scaled corpus carries them unchanged (round 14 — lets dim-join
+    // ops like stream_static_enrich run on the scaled dirs)
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
     Tables.orders(spark, src)
       .withColumn("k", explode(ks))
       .select(
@@ -1207,6 +1216,176 @@ class ScaleStressSpec extends SparkSpec {
         <= 1e-6 * expTop.toDouble, s"pct $p top_rev")
       assert(math.abs(pa10(p).getAs[Double]("share") -
         pa1(p).getAs[Double]("share")) <= 1e-3, s"pct $p share drifted")
+    }
+  }
+
+  /** Round 14 (#248–#259): the disjoint-replica construction gives
+    * EXACT expectations for almost the whole cohort — standardized
+    * moments, correlations, crossover signals, surrogate keys and
+    * worst-residual identities are replication-INVARIANT, while
+    * counts, drawdowns and endpoint totals scale exactly ×10. The
+    * two deliberate tolerances: double recomputation noise on
+    * invariant statistics (2e-6 — the inputs are 10× exact sums, so
+    * only IEEE re-association at the cast differs) and percentile
+    * interpolation at replica run boundaries (5% rel — the
+    * interpolation index p·(10n−1) can land between distinct values
+    * where p·(n−1) did not). */
+  test("round-14 cohort scales 1x to 10x with exact invariants") {
+    gated()
+    ensureScaled()
+    import org.apache.spark.sql.Row
+
+    // #248: skew/kurt invariant, n ×10
+    val sk1 = AggOps.aggSkewKurtosis(spark, dir1x).collect()
+    val sk10 = AggOps.aggSkewKurtosis(spark, dir10x).collect()
+    sk1.zip(sk10).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(b.getLong(1) == 10 * a.getLong(1), "n ×10")
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) <= 2e-6, "skew invariant")
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) <= 2e-6, "kurt invariant")
+    }
+    // #249: same years/days (replicas share dates), drawdown exactly ×10
+    val dd1 = WindowOps.winDrawdownMax(spark, dir1x).collect()
+    val dd10 = WindowOps.winDrawdownMax(spark, dir10x).collect()
+    dd1.zip(dd10).foreach { case (a, b) =>
+      assert(a.getInt(0) == b.getInt(0) && a.getLong(1) == b.getLong(1))
+      assert(math.abs(b.getDouble(2) - 10.0 * a.getDouble(2))
+        <= 1e-6 * math.max(1.0, 10.0 * a.getDouble(2)), "drawdown ×10")
+      assert(a.getTimestamp(3) == b.getTimestamp(3), "trough day invariant")
+    }
+    // #253: the cross-multiplied signal is scale-invariant ⇒ identical rows
+    val sm1 = EtlOps.tsSmaCrossover(spark, dir1x).collect().toSeq
+    val sm10 = EtlOps.tsSmaCrossover(spark, dir10x).collect().toSeq
+    assert(sm1.map(_.toSeq) == sm10.map(_.toSeq), "crossover table invariant")
+    // #250: unigram sets are rotation-invariant ⇒ rouge1 multiset ×10;
+    // pair count exactly ×10 (length-preserving rotations, within-replica
+    // adjacency)
+    val rg1 = CorpusOps.textRougeOverlap(spark, dir1x)
+      .groupBy(col("rouge1_recall")).count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val rg10 = CorpusOps.textRougeOverlap(spark, dir10x)
+      .groupBy(col("rouge1_recall")).count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(rg10.values.sum == 10 * rg1.values.sum, "pair count ×10")
+    rg1.foreach { case (v, n) =>
+      assert(rg10.getOrElse(v, 0L) == 10 * n, s"rouge1=$v multiset ×10") }
+    // #251: the op's data contract — per-(type, day) trials exactly ×10
+    def trials(dir: String): Map[(String, java.sql.Date), (Long, Long)] =
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(Tables.money(col("value")) > 100, 1).otherwise(0)).as("k"))
+        .collect()
+        .map(r => (r.getString(0), r.getDate(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+    val (tr1, tr10) = (trials(dir1x), trials(dir10x))
+    assert(tr1.keySet == tr10.keySet, "same (type, day) grid")
+    tr1.foreach { case (k, (n, s)) =>
+      assert(tr10(k) == ((10 * n, 10 * s)), s"$k trials ×10") }
+    assert(EtlOps.eventsSprtSequential(spark, dir10x).count() ==
+      EtlOps.eventsSprtSequential(spark, dir1x).count(), "one row per type")
+    // #252: correlation is replication-invariant; endpoints ×10
+    val as1 = GraphOps.graphDegreeAssortativity(spark, dir1x).head()
+    val as10 = GraphOps.graphDegreeAssortativity(spark, dir10x).head()
+    assert(as10.getLong(0) == 10 * as1.getLong(0), "endpoints ×10")
+    assert(math.abs(as10.getDouble(1) - as1.getDouble(1)) <= 2e-6,
+      "assortativity invariant")
+    // #254: the top coefficient and its (degree, triangles) shape are
+    // invariant (10 shifted copies of the same best node; ties break
+    // toward replica 0's smaller ids)
+    val cc1 = GraphOps.graphClusteringCoefficient(spark, dir1x).head()
+    val cc10 = GraphOps.graphClusteringCoefficient(spark, dir10x).head()
+    assert(cc1.getLong(1) == cc10.getLong(1) && cc1.getLong(2) == cc10.getLong(2),
+      "top node degree/triangles invariant")
+    assert(math.abs(cc1.getDouble(3) - cc10.getDouble(3)) <= 1e-9,
+      "top coefficient invariant")
+    // #255: user_id shift is ≡ 0 mod 25 ⇒ per-nation rows ×10 exactly
+    val en1 = StreamOps.streamStaticEnrich(spark, dir1x).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val en10 = StreamOps.streamStaticEnrich(spark, dir10x).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(en1.keySet == en10.keySet)
+    en1.foreach { case (k, (n, v)) =>
+      assert(en10(k)._1 == 10 * n, s"$k events ×10")
+      assert(math.abs(en10(k)._2 - 10.0 * v) <= 1e-9 * math.max(1.0, 10.0 * v),
+        s"$k value ×10") }
+    // #256: per-copy (n, Σv) and the global mean are invariant ⇒ the
+    // top shrunk value is invariant
+    val eb1 = AggOps.aggEbShrunkMeans(spark, dir1x).head()
+    val eb10 = AggOps.aggEbShrunkMeans(spark, dir10x).head()
+    assert(eb1.getLong(1) == eb10.getLong(1), "top n_orders invariant")
+    assert(math.abs(eb1.getDouble(3) - eb10.getDouble(3)) <= 2e-6,
+      "top shrunk mean invariant")
+    // #257: slope and the worst point are invariant (N, D scale ×100;
+    // the argmax tie across copies breaks to replica 0's orderkey)
+    val ro1 = AggOps.aggRegressionOutlier(spark, dir1x).collect()
+    val ro10 = AggOps.aggRegressionOutlier(spark, dir10x).collect()
+    ro1.zip(ro10).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(b.getLong(1) == 10 * a.getLong(1), "n_pts ×10")
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) <= 2e-6, "slope invariant")
+      assert(a.getLong(3) == b.getLong(3) && a.getInt(4) == b.getInt(4),
+        "worst point invariant (replica-0 tie-break)")
+      assert(math.abs(a.getDouble(7) - b.getDouble(7)) <= 1e-4,
+        "worst residual invariant")
+    }
+    // #258: rotation preserves (source, lang) ⇒ identical keys, n ×10
+    val sk1r = EtlOps.etlSurrogateKeyAssign(spark, dir1x).collect()
+    val sk10r = EtlOps.etlSurrogateKeyAssign(spark, dir10x).collect()
+    assert(sk1r.length == sk10r.length, "same dimension")
+    sk1r.zip(sk10r).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getString(1) == b.getString(1) &&
+        a.getString(2) == b.getString(2), "keys invariant")
+      assert(b.getLong(3) == 10 * a.getLong(3), "n_docs ×10") }
+    // #259: lags are shift-invariant (+k µs on both sides), so the 10×
+    // lag multiset is EXACTLY each 1× lag repeated ten times — which
+    // pins the interpolated percentiles EXACTLY (the naive "p90 within
+    // a few % of 1×" expectation is FALSE: the interpolation index
+    // 0.9·(10n−1) can land between distinct tail values far apart —
+    // observed 340 vs 286 minutes on this corpus — so the pin
+    // recomputes the expected interpolation over the replicated
+    // multiset instead of tolerating drift)
+    val tc1 = EtlOps.eventsTimeToConvert(spark, dir1x).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val tc10 = EtlOps.eventsTimeToConvert(spark, dir10x).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(tc1.keySet == tc10.keySet)
+    val lag1: Map[Int, IndexedSeq[Double]] = {
+      val ev = Tables.events(spark, dir1x)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"),
+          get_json_object(col("props"), "$.k").cast("int").as("campaign"))
+      p.join(c, "user_id")
+        .where(col("c_us") < col("p_us") &&
+               col("c_us") >= col("p_us") - lit(7L * 86400L * 1000000L))
+        .groupBy(col("purchase_id"))
+        .agg(max(col("p_us")).as("p_us"),
+          max_by(struct(col("campaign"), col("c_us")),
+            struct(col("c_us"), col("click_id"))).as("nc"))
+        .select(col("nc.campaign").as("campaign"),
+          ((col("p_us") - col("nc.c_us")).cast("double") / lit(60000000.0))
+            .as("lag_min"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted.toIndexedSeq }
+    }
+    def pctl(vs: IndexedSeq[Double], p: Double): Double = {
+      val h = p * (vs.length - 1)
+      val lo = h.toInt
+      val v = if (lo + 1 >= vs.length) vs(lo)
+              else vs(lo) + (h - lo) * (vs(lo + 1) - vs(lo))
+      math.round(v * 10000.0) / 10000.0
+    }
+    tc1.foreach { case (k, (n, _, _)) =>
+      assert(tc10(k)._1 == 10 * n, s"campaign $k conversions ×10")
+      val rep = lag1(k).flatMap(v => IndexedSeq.fill(10)(v))
+      assert(math.abs(tc10(k)._2 - pctl(rep, 0.5)) <= 2e-3,
+        s"campaign $k p50: got ${tc10(k)._2}, expected ${pctl(rep, 0.5)}")
+      assert(math.abs(tc10(k)._3 - pctl(rep, 0.9)) <= 2e-3,
+        s"campaign $k p90: got ${tc10(k)._3}, expected ${pctl(rep, 0.9)}")
     }
   }
 }

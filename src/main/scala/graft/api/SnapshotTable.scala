@@ -110,17 +110,30 @@ object SnapshotTable {
     * milliseconds between claim and close. */
   private val EofMarker = "#eof "
 
-  /** Publish `lines` as version `version`. Single-winner: exactly one
-    * claim of a given version succeeds. On HDFS the claim is
-    * `create(overwrite=false)` (atomic at the namenode). On the LOCAL
-    * filesystem Hadoop's `create(overwrite=false)` is check-then-act
-    * — NOT atomic: the true-contention race spec caught two
-    * barrier-aligned racers both passing the exists check and
-    * interleaving one manifest — so file-scheme paths claim via
-    * java.nio `createFile` (O_CREAT|O_EXCL, kernel-atomic) instead.
-    * Content completeness is sealed by the [[EofMarker]] trailer —
-    * see there. `private[graft]` so the single-winner property is
-    * testable. */
+  /** Publish `lines` as version `version`. Single-winner AND
+    * all-or-nothing (round 15 — ADVICE r14 closed the claim→content
+    * window): the full payload is written to a hidden temp file
+    * first, then published in ONE atomic metadata operation, so a
+    * crashed writer can never leave a claimed-but-empty version that
+    * wedges the version number forever (the pre-r15 failure mode —
+    * `createFile` claim, then crash before the content write).
+    *
+    *   - LOCAL (`file:`) paths publish via `Files.createLink(target,
+    *     tmp)` — link(2) is kernel-atomic and fails with
+    *     `FileAlreadyExistsException` when the target exists, so the
+    *     claim carries the content with it and exactly one racer
+    *     wins. (Plain rename is NOT fail-if-exists under a race on
+    *     POSIX — `Files.move` without REPLACE_EXISTING is
+    *     check-then-rename, and rename(2) silently overwrites.)
+    *   - Other schemes (HDFS) publish via `FileSystem.rename(tmp,
+    *     target)` — atomic at the namenode and false when the
+    *     destination exists, the classic committer pattern.
+    *
+    * The [[EofMarker]] trailer is still written (belt for
+    * eventually-consistent stores and for readers of manifests
+    * produced by older writers — see [[manifestLines]]). The loser's
+    * temp file is deleted before raising the conflict.
+    * `private[graft]` so the single-winner property is testable. */
   private[graft] def commit(spark: SparkSession, base: String, version: Int,
                             lines: Seq[String]): Unit = {
     val f = fs(spark, base)
@@ -128,23 +141,33 @@ object SnapshotTable {
     f.mkdirs(p.getParent)
     val payload = (lines :+ s"$EofMarker${lines.size}")
       .mkString("\n").getBytes("UTF-8")
+    val tmpName = s".tmp-v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val uri = p.toUri
     if (uri.getScheme == null || uri.getScheme == "file") {
       val jp = java.nio.file.Paths.get(uri.getPath)
-      try java.nio.file.Files.createFile(jp) catch {
+      val jtmp = jp.getParent.resolve(tmpName)
+      java.nio.file.Files.write(jtmp, payload)
+      try java.nio.file.Files.createLink(jp, jtmp) catch {
         case e: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(jtmp)
           throw new VersionConflictException(
             s"version $version already committed at $p: $e")
       }
-      java.nio.file.Files.write(jp, payload,
-        java.nio.file.StandardOpenOption.WRITE)
+      java.nio.file.Files.deleteIfExists(jtmp)
     } else {
-      val out = try f.create(p, /* overwrite = */ false) catch {
-        case e: java.io.IOException =>
-          throw new VersionConflictException(
-            s"version $version already committed at $p: ${e.getMessage}")
-      }
+      val tmp = new Path(p.getParent, tmpName)
+      val out = f.create(tmp, /* overwrite = */ true)
       try out.write(payload) finally out.close()
+      val won = try f.rename(tmp, p) catch {
+        case _: java.io.IOException => false
+      }
+      if (!won) {
+        try f.delete(tmp, false) catch {
+          case scala.util.control.NonFatal(_) => ()
+        }
+        throw new VersionConflictException(
+          s"version $version already committed at $p")
+      }
     }
   }
 
@@ -155,30 +178,47 @@ object SnapshotTable {
     commit(spark, base, 0, writeDataFiles(spark, base, rows, keyCol, numBuckets))
   }
 
-  /** Read a manifest, waiting out an in-flight publisher: the version
-    * file exists from the winner's atomic claim, but its content is
-    * complete only once the [[EofMarker]] trailer with the matching
-    * line count is on disk (milliseconds later). A manifest still
-    * incomplete after the bounded wait is a crashed writer — surfaced
-    * as an error, never silently read as a smaller table. */
+  /** Read a manifest. Under the round-15 protocol a manifest is
+    * complete the instant it exists (claim and content land in one
+    * atomic link/rename — see [[commit]]), so the trailer check is
+    * pure belt. Manifests from OLDER writers still need care:
+    *
+    *   - r14-format (trailer, claim-then-write): a matching
+    *     [[EofMarker]] trailer means complete; a mismatch means an
+    *     in-flight or crashed r14 writer — wait out the bounded
+    *     window, then fail loudly rather than read a truncated list.
+    *   - pre-trailer LEGACY (no marker at all, ADVICE r14): accepted
+    *     as legacy-complete once two consecutive reads agree (the
+    *     stability re-read covers an r14 writer caught between claim
+    *     and trailer), so pre-existing tables stay readable instead
+    *     of being misreported as crashed writers. */
   private def manifestLines(spark: SparkSession, base: String, version: Int): Seq[String] = {
     val p = manifestPath(base, version)
     val f = fs(spark, base)
     require(f.exists(p), s"no committed version $version at $base")
-    def readOnce(): Option[Seq[String]] = {
+    // (data lines, marker seen, marker matches)
+    def readOnce(): (Seq[String], Boolean, Boolean) = {
       val in = f.open(p)
       val all = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList.filter(_.nonEmpty) finally in.close()
       val (data, markers) = all.partition(!_.startsWith(EofMarker))
-      markers.lastOption
+      val ok = markers.lastOption
         .flatMap(m => m.stripPrefix(EofMarker).trim.toIntOption)
-        .filter(_ == data.size).map(_ => data)
+        .contains(data.size)
+      (data, markers.nonEmpty, ok)
     }
+    var prev: Option[Seq[String]] = None
     var left = 40
-    var out: Option[Seq[String]] = readOnce()
-    while (out.isEmpty && left > 0) { Thread.sleep(50); left -= 1; out = readOnce() }
-    out.getOrElse(throw new IllegalStateException(
-      s"manifest $p is incomplete after 2s — in-flight or crashed writer"))
+    while (left > 0) {
+      val (data, sawMarker, ok) = readOnce()
+      if (ok) return data
+      if (!sawMarker && prev.contains(data)) return data // legacy-complete
+      prev = if (sawMarker) None else Some(data)
+      left -= 1
+      if (left > 0) Thread.sleep(50)
+    }
+    throw new IllegalStateException(
+      s"manifest $p is incomplete after 2s — in-flight or crashed writer")
   }
 
   /** Snapshot read of a committed version: the file list is resolved
@@ -293,17 +333,21 @@ object SnapshotTable {
       // writer's commit-protocol scratch (`_temporary`) churns
       // underneath the listing, and any entry can vanish between
       // list and stat — skip, never crash. A file missed this pass
-      // is simply a candidate for the next vacuum; `_temporary` and
-      // hidden dirs are never victims anyway (they hold no published
-      // data files and are always younger than any sane age guard).
+      // is simply a candidate for the next vacuum. `_temporary` /
+      // hidden subtrees are entered only once the DIRECTORY itself is
+      // older than the age guard (round 15, ADVICE r14): a live
+      // writer's scratch churns and keeps its mtime fresh, while a
+      // CRASHED writer's scratch goes stale and must eventually be
+      // collected — the unconditional skip leaked it forever.
       def walk(dir: Path): List[org.apache.hadoop.fs.FileStatus] =
         (try f.listStatus(dir).toList
          catch { case scala.util.control.NonFatal(_) => Nil })
           .flatMap { s =>
             val n = s.getPath.getName
             if (s.isDirectory) {
-              if (n == "_temporary" || n.startsWith(".")) Nil
-              else walk(s.getPath)
+              if (n == "_temporary" || n.startsWith(".")) {
+                if (s.getModificationTime <= ageCutoff) walk(s.getPath) else Nil
+              } else walk(s.getPath)
             } else List(s)
           }
       val victims = walk(dataDir)

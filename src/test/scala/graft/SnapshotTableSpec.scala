@@ -410,4 +410,63 @@ class SnapshotTableSpec extends SparkSpec {
       assert(SnapshotTable.asOf(spark, base, v).count() == 100,
         s"v$v readable after orphan collection"))
   }
+
+  test("legacy trailer-less manifest stays readable (ADVICE r14: no format lock-out)") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    // rewrite v0 as a pre-trailer writer would have left it: data
+    // lines only, no '#eof' marker
+    val mf = new java.io.File(s"$base/manifest/v0")
+    val legacy = scala.io.Source.fromFile(mf).getLines().toList
+      .filterNot(_.startsWith("#"))
+    val w = new java.io.PrintWriter(mf)
+    try w.write(legacy.mkString("\n")) finally w.close()
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 100,
+      "legacy manifest must read as complete, not as a crashed writer")
+    // and it stays mergeable: the next commit reads the legacy
+    // manifest to partition touched/untouched buckets
+    import spark.implicits._
+    val v1 = SnapshotTable.mergeInto(spark, base,
+      Seq((5L, "U", 999L, "u")).toDF("k", "op", "v", "grp"), "k", 8)
+    assert(v1 == 1 && SnapshotTable.asOf(spark, base, 1).count() == 100)
+  }
+
+  test("publish is all-or-nothing: a lost commit leaves no residue and no wedged version") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    // losing a race for v0 must not wedge anything: the winner's
+    // manifest is untouched and immediately complete, and no .tmp
+    // claim files accumulate in the manifest dir
+    intercept[SnapshotTable.VersionConflictException] {
+      SnapshotTable.commit(spark, base, 0, Seq("0\tfake.parquet"))
+    }
+    val entries = new java.io.File(s"$base/manifest").list().toSeq
+    assert(entries == Seq("v0"),
+      s"conflict must leave only the winner's manifest, got $entries")
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 100,
+      "winner's version readable immediately after the lost race")
+  }
+
+  test("aged _temporary scratch of a crashed writer is eventually vacuumed; fresh scratch survives") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    // a crashed Spark writer's commit-protocol scratch
+    val tmpDir = new java.io.File(s"$base/data/dead/_temporary/0")
+    tmpDir.mkdirs()
+    val scratch = new java.io.File(tmpDir, "part-00000.parquet")
+    assert(scratch.createNewFile())
+    val hourMs = 60L * 60 * 1000
+    // fresh scratch (mtime = now) survives an age-guarded vacuum —
+    // indistinguishable from a LIVE writer's churn
+    val (_, d1) = SnapshotTable.vacuum(spark, base, 1, orphanMinAgeMs = hourMs)
+    assert(d1 == 0 && scratch.exists, "fresh _temporary scratch spared")
+    // once the subtree is stale past the guard it must be collected
+    // (pre-r15 the unconditional skip leaked it forever)
+    val old = System.currentTimeMillis() - 2 * hourMs
+    Seq(scratch, tmpDir, tmpDir.getParentFile, tmpDir.getParentFile.getParentFile)
+      .foreach(f => assert(f.setLastModified(old)))
+    val (_, d2) = SnapshotTable.vacuum(spark, base, 1, orphanMinAgeMs = hourMs)
+    assert(d2 == 1 && !scratch.exists, "stale crashed-writer scratch collected")
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 100)
+  }
 }

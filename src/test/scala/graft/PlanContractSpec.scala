@@ -55,11 +55,38 @@ class PlanContractSpec extends SparkSpec {
 
   private val catalogDims = Set("region.parquet", "nation.parquet")
 
+  /** Row count (capped at 8193) of a pre-exchange physical subtree:
+    * plan its subqueries and insert the exchanges `sparkPlan` omits,
+    * then execute. Over-counting is fine (the caller compares ≤); a
+    * subtree that cannot execute at all reports Long.MaxValue. */
+  private def executedRowBound(p: SparkPlan): Long =
+    try {
+      val executable =
+        org.apache.spark.sql.execution.ApplyColumnarRulesAndInsertTransitions(
+          spark.sessionState.columnarRules, outputsColumnar = false)(
+          org.apache.spark.sql.execution.exchange.EnsureRequirements()(
+            org.apache.spark.sql.execution.PlanSubqueries(
+              spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])(p)))
+      executable.execute().take(8193).length.toLong
+    } catch { case _: Throwable => Long.MaxValue }
+
   /** Rule 1-3: the build subtree is row-bounded. */
   private def boundedBuild(p: SparkPlan): Boolean = p.find {
     case _: GlobalLimitExec | _: LocalLimitExec |
          _: TakeOrderedAndProjectExec => true
-    case _: BaseAggregateExec => true
+    case a: BaseAggregateExec =>
+      // ADVICE r14: only KEYLESS aggregates are structurally bounded
+      // (≤ 1 row per partition). A keyed aggregate's output is its
+      // group cardinality — metadata-scale for the blessed idioms
+      // (per-type / per-day lists) but fact-scale for a
+      // high-cardinality groupBy — so it must PROVE its bound via the
+      // rule-2 row count. The subtree comes from the pre-exchange
+      // sparkPlan, so it is made executable first (plan subqueries,
+      // insert exchanges); a missing final shuffle can only
+      // over-count groups (per-partition partials), so a ≤ 8192
+      // verdict is conservative; an execution failure counts as
+      // unbounded.
+      a.groupingExpressions.isEmpty || executedRowBound(a) <= 8192L
     case _: LocalTableScanExec => true
     case r: RangeExec => r.numElements <= BigInt(10000)
     case f: FileSourceScanExec =>
@@ -143,6 +170,32 @@ class PlanContractSpec extends SparkSpec {
     val boundedDf = l.join(broadcast(o.limit(10)),
       col("l_quantity") > col("o_totalprice"))
     assert(violations(boundedDf).isEmpty, "row-bounded BNLJ wrongly flagged")
+  }
+
+  test("the sweep does not bless a HIGH-CARDINALITY keyed aggregate on the build side") {
+    // ADVICE r14: a keyed groupBy whose group count is fact-scale used
+    // to pass on the blanket aggregate bless; it must now fail the
+    // rule-2 row count (> 8192 groups), while a KEYLESS scalar
+    // aggregate over the same input stays structurally blessed
+    val probe = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bigAgg = spark.range(20000).toDF("id")
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val planted = probe.join(broadcast(bigAgg),
+      col("o_totalprice") > col("id") + col("n"))
+    assert(violations(planted).exists(_.contains("UNBOUNDED build side")),
+      "fact-scale keyed-aggregate build not flagged")
+    val scalar = Tables.lineitem(spark, sf001)
+      .agg(max(col("l_quantity")).as("mx"))
+    val blessed = probe.join(broadcast(scalar), col("o_totalprice") > col("mx"))
+    assert(violations(blessed).isEmpty, "keyless scalar build wrongly flagged")
+    // a metadata-scale keyed aggregate (≤ 8192 groups) proves its
+    // bound through the row count and still passes
+    val smallAgg = spark.range(500).toDF("id")
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val ok = probe.join(broadcast(smallAgg),
+      col("o_totalprice") > col("id") + col("n"))
+    assert(violations(ok).isEmpty, "metadata-scale keyed build wrongly flagged")
   }
 
   test("the sweep does not bless a checkpointed FACT table on the build side") {

@@ -126,8 +126,9 @@ object CorpusOps {
     * is a partial-able `max_by` over a struct, no window. Oracle:
     * recursive-CTE closure + the same quality SQL + row_number. */
   def dedupKeepBest(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = LlmOps.dedupSimhashBand(spark, sf).select(col("d1"), col("d2"))
-    val comp = graft.api.Transforms.connectedComponents(pairs, maxIters = 64)
+    // shared prefix: the memoized pair/component tables (see
+    // LlmOps.simhashComponents) — #91 and this op cluster identically
+    val comp = LlmOps.simhashComponents(spark, sf)
     val q = LlmOps.qualityPerDoc(spark, sf)
     comp.join(q, col("node") === col("doc_id"))
       .groupBy(col("component"))

@@ -259,12 +259,21 @@ class ScaleStressSpec extends SparkSpec {
       ("sim_ann_ivf_graded", d => LlmOps.simAnnIvf(spark, d), 31.6),
       ("stream_session_window_fixedusers", sessionFixedUsers _, LIN),
       ("dedup_embedding_cosine", d => LlmOps.dedupEmbeddingCosine(spark, d), LIN),
-      ("dedup_simhash_band", d => LlmOps.dedupSimhashBand(spark, d), LIN),
+      // round 15: the graded #72/#91 surfaces memoize the shared pair
+      // /component prefix per (session, dir) — measure the UNmemoized
+      // builders here so the 1×/10× ratio stays real work, not a
+      // checkpoint re-read
+      ("dedup_simhash_band",
+        d => LlmOps.buildVerifiedSimhashPairs(spark, d)
+          .orderBy(col("d1"), col("d2")), LIN),
       // round 6 (post-repartition-fix): the shingle/md5-heaviest dedup
       ("dedup_minhash_near", d => graft.ops.TextOps.dedupMinhashNear(spark, d), LIN),
       // round 6: gram-volume-linear corpus novelty (distinct + window by gram)
       ("text_ngram_novelty", d => graft.ops.TextOps.textNgramNovelty(spark, d), LIN),
-      ("dedup_cluster_components", d => LlmOps.dedupClusterComponents(spark, d), LIN),
+      ("dedup_cluster_components",
+        d => Transforms.connectedComponents(
+          LlmOps.buildVerifiedSimhashPairs(spark, d)
+            .select(col("d1"), col("d2")), maxIters = 64), LIN),
       ("text_pack_sequences", d => LlmOps.textPackSequences(spark, d), LIN),
       ("etl_chunk_batches", d => EtlOps.etlChunkBatches(spark, d), LIN),
       ("stream_session_window", d => StreamOps.streamSessionWindow(spark, d), LIN),

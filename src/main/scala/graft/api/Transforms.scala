@@ -1190,14 +1190,24 @@ object Transforms {
     val wKey = coalesce(pmod(col("__bh_p10"), lit(1L)), lit(0L))
     val wAll = Window.partitionBy(wKey)
     val wOrd = Window.partitionBy(wKey).orderBy(col("__bh_p10"), col("__bh_id"))
-    // p10·m·alphaDen ≤ rank·alphaNum·10¹⁰, all longs (p10 ≤ 10¹⁰,
-    // m·alphaDen bounded by the metadata-scale family size)
+    // p10·m·alphaDen ≤ rank·alphaNum·10¹⁰ + m·alphaDen, all longs
+    // (p10 ≤ 10¹⁰, m·alphaDen bounded by the metadata-scale family
+    // size). The + m·alphaDen term is the INTEGER SLACK TIE RULE
+    // (round 15, the remedy documented at EtlOps.normTwoSided):
+    // |p10·m − i·α·10¹⁰| ≤ m is treated as a tie resolved toward
+    // rejection. p is floored onto the 10dp grid, so a 1-ulp libm
+    // exp() difference between engines moves p10 by at most 1 grid
+    // unit; one unit of slack (scaled by m·alphaDen) makes the
+    // step-up comparison stable under exactly that perturbation
+    // instead of letting a grid-boundary straddle flip the family's
+    // rejected set.
     withCols
       .withColumn("m_tests", count(lit(1)).over(wAll))
       .withColumn("p_rank", row_number().over(wOrd))
       .withColumn("__bh_kstar", max(when(
         col("__bh_p10") * col("m_tests") * lit(alphaDen) <=
-          col("p_rank") * lit(alphaNum) * lit(10000000000L),
+          col("p_rank") * lit(alphaNum) * lit(10000000000L) +
+          col("m_tests") * lit(alphaDen),
         col("p_rank"))).over(wAll))
       .withColumn("rejected",
         col("p_rank") <= coalesce(col("__bh_kstar"), lit(0)))

@@ -1084,7 +1084,9 @@ object EtlOps {
     * appears in the oracle sweep, the documented remedy is an integer
     * slack at the BH comparison (treat |p10·m − i·α·10¹⁰| ≤ m as a
     * tie resolved toward rejection on both sides), not a wider
-    * float tolerance. */
+    * float tolerance — IMPLEMENTED round 15 in Transforms.bhSelect
+    * and the #236 oracle, with a 1-ulp perturbation spec pinning the
+    * rejected set's stability. */
   private def normTwoSided(z: Column): Column = {
     val x = abs(z) / lit(1.4142135623730951)
     val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
@@ -2708,6 +2710,7 @@ object EtlOps {
         |  FROM pc),
         |k AS (
         |  SELECT *, max(CASE WHEN p10 * m_tests <= p_rank * 500000000
+        |                                           + m_tests
         |                     THEN p_rank END) OVER () AS kstar
         |  FROM r)
         |SELECT event_type, n_a, n_b, z_welch,

@@ -445,6 +445,41 @@ class TransformsSpec extends SparkSpec {
       "d" -> false, "e" -> false))
   }
 
+  test("bhSelect's integer-slack tie rule keeps the rejected set stable under a 1-ulp p flip") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // m = 5, alpha = 5/100 → rank-i threshold is i·10⁻² exactly. Put
+    // test 'c' EXACTLY on its rank-3 threshold (p10 = 3e8·... i.e.
+    // p10·m = 3·5e8): the worst case — a 1-ulp libm exp() difference
+    // across engines straddles the grid line and moves p10 by ±1.
+    val base = Seq(("a", 9000000L), ("b", 150000000L),
+                   ("c", 300000000L), // p = .03: exactly the rank-3 threshold
+                   ("d", 900000000L), ("e", 9000000000L))
+    def rejectedOf(rows: Seq[(String, Long)]): Map[String, Boolean] =
+      Transforms.bhSelect(rows.toDF("test_id", "p10"),
+          col("p10"), col("test_id"))
+        .collect()
+        .map(r => r.getAs[String]("test_id") -> r.getAs[Boolean]("rejected"))
+        .toMap
+    val r0 = rejectedOf(base)
+    assert(r0 == Map("a" -> true, "b" -> true, "c" -> true,
+      "d" -> false, "e" -> false), s"boundary case rejects through c: $r0")
+    // the other engine computes p a hair above the grid line: p10+1.
+    // Without the slack this flips c (and with it the whole step-up
+    // tail) — the tie rule must resolve toward rejection instead.
+    val bumped = base.map { case (id, p) =>
+      if (id == "c") (id, p + 1L) else (id, p) }
+    assert(rejectedOf(bumped) == r0,
+      "a 1-grid-unit p10 perturbation must not change the rejected set")
+    // ... while a p genuinely above threshold (2 grid units, beyond
+    // any single-ulp straddle) still fails the step-up:
+    val above = base.map { case (id, p) =>
+      if (id == "c") (id, p + 2L) else (id, p) }
+    val r2 = rejectedOf(above)
+    assert(r2("c") == false && r2("a") && r2("b"),
+      s"beyond-slack p must fail the step-up: $r2")
+  }
+
   test("surrogateKeys assigns dense natural-key-ordered keys over a dimension") {
     import spark.implicits._
     val dim = Seq(("web", "en"), ("api", "fr"), ("web", "de"), ("api", "en"))

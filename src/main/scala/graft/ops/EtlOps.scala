@@ -935,6 +935,39 @@ object EtlOps {
     snap(0).unionAll(snap(1)).orderBy(col("version"))
   }
 
+  /** #263 — snapshot-table COMPACTION as a graded round-trip
+    * (round 15; iceberg's rewrite_data_files re-expressed on the
+    * manifest machinery): #212's merged table carries 16 small
+    * per-bucket files (one file per bucket per rewrite — the
+    * small-file problem every bucketed writer accumulates);
+    * [[graft.api.SnapshotTable.compact]] bin-packs them into a
+    * 4-bucket layout published as v2 — an ATOMIC manifest commit
+    * like any write, readers of v1 untouched. The graded hash proves
+    * CONTENT preservation (v1 and v2 aggregate identically, both
+    * derivable from orders alone); the file-count drop — the point
+    * of compaction — is asserted in-op (paths are not
+    * SQL-observable) and again in SnapshotTableSpec together with
+    * the vacuum interplay (old layout reclaimed, compacted version
+    * intact). */
+  def etlSnapshotCompact(spark: SparkSession, sf: String): DataFrame = {
+    val base = buildSnapshotOrders(spark, sf)
+    val v2 = graft.api.SnapshotTable.compact(spark, base, "o_orderkey",
+      numBuckets = 4)
+    val before = graft.api.SnapshotTable.liveFiles(spark, base, 1).size
+    val after = graft.api.SnapshotTable.liveFiles(spark, base, v2).size
+    require(after < before && after <= 4,
+      s"compaction must bin-pack the layout: $before -> $after files")
+    def snap(v: Int): DataFrame =
+      graft.api.SnapshotTable.asOf(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_price")).cast("double").as("total_price"),
+          sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L))
+            .as("n_updated"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_price"),
+          col("n_updated"))
+    snap(1).unionAll(snap(v2)).orderBy(col("version"))
+  }
+
   /** #214 — incremental read (CDC) between table versions over
     * [[graft.api.SnapshotTable.diff]]: the semantic row delta v0→v1
     * of #212's merged table, classified added/removed/changed. The
@@ -1619,6 +1652,7 @@ object EtlOps {
     "etl_benford_check"      -> (etlBenfordCheck _),
     "ts_theil_sen"           -> (tsTheilSen _),
     "etl_snapshot_merge_timetravel" -> (etlSnapshotMergeTimetravel _),
+    "etl_snapshot_compact"   -> (etlSnapshotCompact _),
     "etl_snapshot_incremental" -> (etlSnapshotIncremental _),
     "ts_cross_correlation"   -> (tsCrossCorrelation _),
     "events_attribution_position" -> (eventsAttributionPosition _),
@@ -3573,6 +3607,29 @@ object EtlOps {
         |FROM v0
         |UNION ALL
         |SELECT 1, count(*), CAST(sum(price) AS DOUBLE),
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM v1
+        |ORDER BY version""".stripMargin,
+    "etl_snapshot_compact" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(price) AS DOUBLE),
         |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
         |FROM v1
         |ORDER BY version""".stripMargin,

@@ -124,6 +124,40 @@ object ScalarOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("k"), col("event_type"))
 
+  /** #262 — VARIANT semi-structured access (round 15; the
+    * open-format semi-structured column Spark 4 / Delta / Iceberg v3
+    * ship as the successor of string-JSON handling): parse ONCE into
+    * the binary VARIANT encoding with `parse_json`, then typed-path
+    * access via `variant_get` WITHOUT re-parsing per field. The op
+    * builds a nested JSON document per event (the raw `props` object
+    * wrapped in a typed envelope), parses it to a VariantType column,
+    * projects three typed paths (an int through the nested object, a
+    * string, an exact integer cents amount) and aggregates per
+    * (k-bucket, event type). At 100 TB the win over #49's
+    * `get_json_object` is structural: one parse per row at ingest (or
+    * none with shredded VARIANT storage), then codegen'd byte-offset
+    * field access — vs a full string re-parse PER EXTRACTED FIELD.
+    * Exactness: the amount rides DECIMAL(18,2)·100 longs, double only
+    * at display. Oracle: DuckDB builds the identical document and
+    * extracts with its JSON functions — VARIANT is an encoding, not a
+    * semantics change, so the hashes must match. */
+  def variantExtractAgg(spark: SparkSession, sf: String): DataFrame = {
+    val cents = (money(col("value")) * 100).cast("long")
+    val doc = concat(lit("{\"meta\":"), col("props"),
+      lit(",\"etype\":\""), col("event_type"),
+      lit("\",\"cents\":"), cents.cast("string"), lit("}"))
+    events(spark, sf)
+      .select(parse_json(doc).as("v"))
+      .select(
+        variant_get(col("v"), "$.meta.k", "int").as("k"),
+        variant_get(col("v"), "$.etype", "string").as("etype"),
+        variant_get(col("v"), "$.cents", "long").as("cents"))
+      .groupBy((col("k") % 10).as("k_bucket"), col("etype"))
+      .agg(count(lit(1)).as("n"),
+           (sum(col("cents")).cast("double") / 100.0).as("total_value"))
+      .orderBy(col("k_bucket"), col("etype"))
+  }
+
   /** #50 — the UDF surface: a pure Scala string transform registered
     * via `udf()`. Kept deliberately trivial — the documented guidance
     * is "built-ins first" (see object scaladoc); this exists to prove
@@ -184,6 +218,7 @@ object ScalarOps {
     "array_funcs"      -> (arrayFuncs _),
     "map_struct_funcs" -> (mapStructFuncs _),
     "json_funcs"       -> (jsonFuncs _),
+    "variant_extract_agg" -> (variantExtractAgg _),
     "udf_scalar"       -> (udfScalar _),
     "scalar_try_cast"  -> (scalarTryCast _),
     "str_fuzzy_match"  -> (strFuzzyMatch _),
@@ -248,6 +283,22 @@ object ScalarOps {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INT) < 10
         |GROUP BY k, event_type ORDER BY k, event_type""".stripMargin,
+    "variant_extract_agg" ->
+      """WITH d AS (
+        |  SELECT '{"meta":' || props || ',"etype":"' || event_type
+        |    || '","cents":'
+        |    || CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |            AS VARCHAR)
+        |    || '}' AS j
+        |  FROM events),
+        |x AS (
+        |  SELECT CAST(json_extract_string(j, '$.meta.k') AS INT) AS k,
+        |    json_extract_string(j, '$.etype') AS etype,
+        |    CAST(json_extract_string(j, '$.cents') AS BIGINT) AS cents
+        |  FROM d)
+        |SELECT k % 10 AS k_bucket, etype, count(*) AS n,
+        |  CAST(sum(cents) AS DOUBLE) / 100 AS total_value
+        |FROM x GROUP BY k_bucket, etype ORDER BY k_bucket, etype""".stripMargin,
     "udf_scalar" ->
       """SELECT s_suppkey, s_name, reverse(upper(s_name)) AS name_rev_upper
         |FROM supplier ORDER BY s_suppkey""".stripMargin,

@@ -411,6 +411,34 @@ class SnapshotTableSpec extends SparkSpec {
         s"v$v readable after orphan collection"))
   }
 
+  test("compact bin-packs the layout; vacuum reclaims the old files; content preserved") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    import spark.implicits._
+    SnapshotTable.mergeInto(spark, base,
+      Seq((5L, "U", 999L, "u")).toDF("k", "op", "v", "grp"), "k", 8)
+    val filesV1 = SnapshotTable.liveFiles(spark, base, 1)
+    assert(filesV1.size == 8, "one file per non-empty bucket pre-compaction")
+    val before = SnapshotTable.asOf(spark, base, 1).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"), r.getAs[String]("grp")))
+      .sortBy(_._1).toSeq
+    val v2 = SnapshotTable.compact(spark, base, "k", numBuckets = 2)
+    val filesV2 = SnapshotTable.liveFiles(spark, base, v2)
+    assert(filesV2.size <= 2 && filesV2.size < filesV1.size,
+      s"bin-pack 8 -> ${filesV2.size} files")
+    assert(filesV1.toSet.intersect(filesV2.toSet).isEmpty,
+      "compaction writes fresh files; old versions keep theirs")
+    // vacuum to the compacted version only: the old layout's files
+    // are unreferenced by the survivor and must be reclaimed
+    val (droppedV, deletedF) = SnapshotTable.vacuum(spark, base, keepVersions = 1)
+    assert(droppedV == 2, "v0 and v1 manifests dropped")
+    assert(deletedF >= filesV1.size, s"old layout reclaimed, got $deletedF")
+    val after = SnapshotTable.asOf(spark, base, v2).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"), r.getAs[String]("grp")))
+      .sortBy(_._1).toSeq
+    assert(after == before, "compaction + vacuum preserve content exactly")
+  }
+
   test("legacy trailer-less manifest stays readable (ADVICE r14: no format lock-out)") {
     val base = freshBase()
     SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)

@@ -440,6 +440,35 @@ object Bench {
         if (failedAll.nonEmpty) None else Some(names.flatMap(all(_)).sum)
       val slow10 = names.collect { case n if all(n).nonEmpty => n -> all(n).get }
         .sortBy(-_._2).take(10)
+      // Per-op regression tripwire (round 15 — VERDICT r14 item 5):
+      // the PREVIOUS round's committed FULLBENCH.json is read before
+      // this run overwrites it; any op whose time grew >1.5× over a
+      // ≥0.15 s prior time is NAMED in the artifact — per-op data
+      // instead of prose jitter-band arguments. Both sweeps share the
+      // min-of-two warm protocol, so a named growth is a plan
+      // regression, a corpus change, or a host stall that survived
+      // two passes — all worth a look.
+      val regressions: Seq[(String, Double, Double)] = {
+        val p = java.nio.file.Paths.get("FULLBENCH.json")
+        if (!java.nio.file.Files.exists(p)) Nil
+        else try {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val block = txt.substring(txt.indexOf("\"times_sec\""))
+          val re = """"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
+          val prev = re.findAllMatchIn(block)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          names.flatMap { n =>
+            (prev.get(n), all(n)) match {
+              case (Some(p0), Some(t)) if p0 >= 0.15 && t > 1.5 * p0 =>
+                Some((n, p0, t))
+              case _ => None
+            }
+          }
+        } catch { case _: Throwable => Nil }
+      }
+      val regJson = regressions.map { case (n, p0, t) =>
+        f""""$n": {"prev": $p0%.3f, "now": $t%.3f, "ratio": ${t / p0}%.2f}"""
+      }.mkString("{", ",", "}")
       val fileJson = new StringBuilder
       fileJson.append("{\n")
         .append(s"""  "sf": "$sfDir",\n""")
@@ -450,6 +479,7 @@ object Bench {
         .append(s"""  "failed": [${failedAll.map("\"" + _ + "\"").mkString(",")}],\n""")
         .append(s"""  "total_sec": ${fullTotal.fold("null")(t => f"$t%.3f")},\n""")
         .append(s"""  "slowest10": {${slow10.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }.mkString(",")}},\n""")
+        .append(s"""  "regressions_vs_prev": $regJson,\n""")
         .append("  \"times_sec\": {\n")
         .append(names.map(n => s"""    "$n": ${all(n).fold("null")(v => f"$v%.4f")}""").mkString(",\n"))
         .append("\n  }\n}\n")
@@ -460,6 +490,7 @@ object Bench {
         .mkString("[", ",", "]")
       println(s"""{"metric":"fullsweep","n":${names.size},"n_failed":${failedAll.size},""" +
         s""""total":${fullTotal.fold("null")(t => f"$t%.2f")},""" +
+        s""""n_regressions":${regressions.size},"regressions":$regJson,""" +
         s""""order":"sorted-query-names","unit":"centisec","t_cs":$denseCs,""" +
         s""""file":"FULLBENCH.json","sf":"$sfDir"}""")
     }

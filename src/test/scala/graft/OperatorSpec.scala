@@ -75,6 +75,27 @@ class OperatorSpec extends SparkSpec {
         """SELECT topk_by_score(CAST(id AS DOUBLE), id, 1) AS t
           |FROM vecs""".stripMargin).head.getSeq[org.apache.spark.sql.Row](0)
       assert(top.length == 1 && top.head.getLong(1) == 2L)
+      // round 15: the portable split/sample surface for SQL users —
+      // must agree bit-for-bit with the Scala Transforms API
+      import org.apache.spark.sql.functions.col
+      val keys = ext.range(0, 2000).toDF("k")
+      keys.createOrReplaceTempView("keys")
+      val sqlSplit = ext.sql(
+        """SELECT k, CASE WHEN hash_split_point(k, 's1') < 52429 THEN 'train'
+          |            ELSE 'rest' END AS split,
+          |  hash_sample(k, 's1', 0.25) AS kept
+          |FROM keys""".stripMargin).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      val apiSplit = keys.select(col("k"),
+          graft.api.Transforms.hashSplit(col("k"), "s1",
+            Seq("train" -> 0.8, "rest" -> 0.2)).as("split"),
+          graft.api.Transforms.hashSample(col("k"), "s1", 0.25).as("kept"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(sqlSplit == apiSplit,
+        "SQL hash_split_point/hash_sample must match the Scala API exactly")
+      val trainFrac = sqlSplit.values.count(_._1 == "train").toDouble / 2000
+      assert(math.abs(trainFrac - 0.8) < 0.05, s"split skewed: $trainFrac")
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()

@@ -687,6 +687,45 @@ object AggOps {
     grid8(dev * dev / expd)
   }
 
+  /** #265 — mutual information between event type and value bucket
+    * (round 15; the model-agnostic dependence measure feature stores
+    * rank candidate features by — #215's χ² tests "is there ANY
+    * dependence", MI measures HOW MANY NATS the bucket tells you
+    * about the type): I(T;B) = Σ p(t,b)·ln(p(t,b)/(p(t)p(b))) over
+    * the observed (type, floor(value) mod 10) cells. Observed-only is
+    * CORRECT here (unlike #215's zero-filled grid): an empty cell's
+    * term has limit 0. Exactness: all counts exact longs from one
+    * keyed aggregate; each cell term is the identical double
+    * expression over those longs (counts cast to double BEFORE the
+    * products so no 63-bit overflow at any scale), 6dp-gridded to
+    * DECIMAL(18,6) BEFORE the per-type sum, so the reported parts are
+    * exact sums of gridded terms. Per-type rows carry the Σ_b part
+    * (signed; only the grand total is ≥ 0 — the spec pins both).
+    * Shape: ONE keyed corpus aggregate to the ≤ |T|·10 cell table;
+    * marginals and N are metadata-scale broadcasts. */
+  def aggMutualInformation(spark: SparkSession, sf: String): DataFrame = {
+    val cells = events(spark, sf)
+      .groupBy(col("event_type").as("t"),
+               pmod(floor(col("value")).cast("long"), lit(10L)).as("b"))
+      .agg(count(lit(1)).as("n_tb"))
+    val nt = cells.groupBy(col("t")).agg(sum(col("n_tb")).as("n_t"))
+    val nb = cells.groupBy(col("b")).agg(sum(col("n_tb")).as("n_b"))
+    val tot = cells.agg(sum(col("n_tb")).as("n"))
+    val term = (col("n_tb").cast("double") / col("n")) *
+      log((col("n_tb").cast("double") * col("n")) /
+          (col("n_t").cast("double") * col("n_b")))
+    cells
+      .join(broadcast(nt), "t").join(broadcast(nb), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("term6",
+        (floor(term * 1000000 + 0.5) / 1000000.0).cast(DecimalType(18, 6)))
+      .groupBy(col("t").as("event_type"))
+      .agg(max(col("n_t")).as("n_events"),
+           count(lit(1)).as("n_buckets"),
+           sum(col("term6")).cast("double").as("mi_part"))
+      .orderBy(col("event_type"))
+  }
+
   /** #203 — two-sample Kolmogorov–Smirnov test (round 12; the
     * distribution-shift detector behind every data-drift monitor —
     * #175's t-test sees mean shifts, KS sees ANY shape change):
@@ -1500,6 +1539,7 @@ object AggOps {
     "agg_freq_sketch_topk" -> (aggFreqSketchTopk _),
     "agg_mutual_info"      -> (aggMutualInfo _),
     "agg_chi2_independence" -> (aggChi2Independence _),
+    "agg_mutual_information" -> (aggMutualInformation _),
     "agg_ks_test"          -> (aggKsTest _),
     "agg_mannwhitney_u"    -> (aggMannwhitneyU _),
     "agg_corr_matrix"      -> (aggCorrMatrix _),
@@ -1803,6 +1843,29 @@ object AggOps {
         |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
         |    8) AS DECIMAL(18,8))) AS DOUBLE) > 15.5073 AS significant
         |FROM cells CROSS JOIN tot""".stripMargin,
+    "agg_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT event_type AS t,
+        |    CAST(floor(value) AS BIGINT) % 10 AS b, count(*) AS n_tb
+        |  FROM events GROUP BY 1, 2),
+        |nt AS (SELECT t, sum(n_tb) AS n_t FROM cells GROUP BY t),
+        |nb AS (SELECT b, sum(n_tb) AS n_b FROM cells GROUP BY b),
+        |tot AS (SELECT sum(n_tb) AS n FROM cells),
+        |g AS (
+        |  SELECT cells.t, nt.n_t,
+        |    CAST(floor(
+        |      (CAST(n_tb AS DOUBLE) / n)
+        |      * ln((CAST(n_tb AS DOUBLE) * n)
+        |           / (CAST(n_t AS DOUBLE) * n_b))
+        |      * 1000000 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS term6
+        |  FROM cells
+        |  JOIN nt ON nt.t = cells.t
+        |  JOIN nb ON nb.b = cells.b
+        |  CROSS JOIN tot)
+        |SELECT t AS event_type, CAST(max(n_t) AS BIGINT) AS n_events,
+        |  count(*) AS n_buckets,
+        |  CAST(sum(term6) AS DOUBLE) AS mi_part
+        |FROM g GROUP BY t ORDER BY event_type""".stripMargin,
     "agg_cramers_v" ->
       """WITH observed AS (
         |  SELECT o_orderstatus AS st, o_orderpriority AS pri,

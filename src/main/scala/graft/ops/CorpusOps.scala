@@ -141,6 +141,55 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------
+  // #266 Zipf fit
+  // ---------------------------------------------------------------
+
+  /** #266 — Zipf's-law fit over the term-frequency head (round 15;
+    * the corpus-health diagnostic every pretraining pipeline plots —
+    * natural text follows freq ∝ rank^(−s) with s ≈ 1, and a corpus
+    * whose head deviates hard is template/boilerplate-contaminated):
+    * exact term counts, top-100 terms by (count desc, term) — a
+    * distributed TakeOrdered, never a vocabulary-wide window — then
+    * OLS of ln(count) on ln(rank) over the 100-row head.
+    * EXACTNESS: the OLS moments ride the #257 integer contract — ln
+    * values floored onto a 10⁻⁹ grid as longs, Σx/Σy exact longs,
+    * Σxy/Σx² exact DECIMAL(38,0) sums of long products (≤ ~4·10²⁰ per
+    * term, 63-bit-safe inputs, 38-digit-safe sums), so slope and
+    * intercept are single double divisions of exact integers — the
+    * 6dp display grid cannot drift across engines. Shape: one
+    * word-keyed corpus aggregate (the only data-scale stage) + a
+    * 100-row tail; at 100 TB the head fit costs one top-k. */
+  def textZipfFit(spark: SparkSession, sf: String): DataFrame = {
+    val counts = documents(spark, sf)
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
+      .select(explode(words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("w")).limit(100)
+    val wOrd = Window.partitionBy(pmod(col("c"), lit(1)))
+      .orderBy(col("c").desc, col("w"))
+    val g = top
+      .withColumn("r", row_number().over(wOrd))
+      .select(col("c"),
+        floor(log(col("r").cast("double")) * 1000000000L).cast("long").as("x9"),
+        floor(log(col("c").cast("double")) * 1000000000L).cast("long").as("y9"))
+    val s = g.agg(
+      count(lit(1)).as("n_terms"), max(col("c")).as("max_count"),
+      sum(col("x9")).as("sx"), sum(col("y9")).as("sy"),
+      sum(dec(col("x9"), 38, 0) * col("y9")).as("sxy"),
+      sum(dec(col("x9"), 38, 0) * col("x9")).as("sxx"))
+    val slope = (col("n_terms") * col("sxy") -
+        dec(col("sx"), 38, 0) * col("sy")).cast("double") /
+      (col("n_terms") * col("sxx") -
+        dec(col("sx"), 38, 0) * col("sx")).cast("double")
+    s.select(col("n_terms"), col("max_count"),
+        (floor(slope * 1000000 + 0.5) / 1000000.0).as("slope"),
+        (floor(((col("sy").cast("double") -
+          (floor(slope * 1000000 + 0.5) / 1000000.0) * col("sx")) /
+          col("n_terms") / 1e9) * 1000000 + 0.5) / 1000000.0)
+          .as("intercept_ln"))
+  }
+
+  // ---------------------------------------------------------------
   // #117 consecutive-token collapse
   // ---------------------------------------------------------------
 
@@ -837,6 +886,7 @@ object CorpusOps {
     "text_repetition_filter" -> (textRepetitionFilter _),
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
     "dedup_keep_best"        -> (dedupKeepBest _),
+    "text_zipf_fit"          -> (textZipfFit _),
     "text_collapse_repeats"  -> (textCollapseRepeats _),
     "text_length_histogram"  -> (textLengthHistogram _),
     "text_token_entropy"     -> (textTokenEntropy _),
@@ -1080,6 +1130,31 @@ object CorpusOps {
         |SELECT component, doc_id AS keep_id,
         |  CAST(n_members AS BIGINT) AS n_members, best_quality
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    "text_zipf_fit" ->
+      """WITH wc AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM wc GROUP BY w),
+        |top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 100),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+        |      FROM top),
+        |g AS (SELECT c,
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000000) AS BIGINT) AS x9,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000000) AS BIGINT) AS y9
+        |  FROM r),
+        |s AS (SELECT count(*) AS n_terms, max(c) AS max_count,
+        |    sum(x9) AS sx, sum(y9) AS sy,
+        |    sum(CAST(x9 AS HUGEINT) * y9) AS sxy,
+        |    sum(CAST(x9 AS HUGEINT) * x9) AS sxx
+        |  FROM g),
+        |f AS (SELECT n_terms, max_count, sx, sy,
+        |    floor(CAST(n_terms * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / CAST(n_terms * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |      * 1000000 + 0.5) / 1000000.0 AS slope
+        |  FROM s)
+        |SELECT n_terms, CAST(max_count AS BIGINT) AS max_count, slope,
+        |  floor(((CAST(sy AS DOUBLE) - slope * sx) / n_terms / 1e9)
+        |        * 1000000 + 0.5) / 1000000.0 AS intercept_ln
+        |FROM f""".stripMargin,
     "text_collapse_repeats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |r AS (

@@ -988,6 +988,61 @@ object EtlOps {
       .orderBy(col("change"))
   }
 
+  /** #264 — year-over-year growth per calendar month (round 15; the
+    * comparable-period readout every revenue dashboard leads with —
+    * "this June vs last June", immune to the seasonality a
+    * month-over-month delta conflates): monthly revenue = exact cent
+    * sums per (year, month); YoY joins month m of year y to (y−1, m)
+    * BY KEY — a calendar self-join, not lag-12 over a month-ordered
+    * window, which silently mispairs across gaps in sparse months.
+    * Growth is the identical double expression over exact cent longs
+    * on the 6dp floor-grid; months without a prior-year partner
+    * report null. Shape: ONE keyed corpus aggregate to the
+    * metadata-scale month table (bounded by the calendar), then a
+    * broadcast self-join over it — at 100 TB the corpus is touched
+    * exactly once. */
+  def tsYoyGrowth(spark: SparkSession, sf: String): DataFrame = {
+    val monthly = lineitem(spark, sf)
+      .groupBy(year(col("l_shipdate")).as("yr"),
+               month(col("l_shipdate")).as("mo"))
+      .agg((sum(money(col("l_extendedprice"))) * 100).cast("long").as("rev_c"))
+    val prev = monthly.select((col("yr") + 1).as("yr"), col("mo"),
+      col("rev_c").as("prev_c"))
+    monthly.join(broadcast(prev), Seq("yr", "mo"), "left")
+      .select(col("yr").cast("long").as("yr"), col("mo").cast("long").as("mo"),
+        (col("rev_c").cast("double") / 100).as("revenue"),
+        (col("prev_c").cast("double") / 100).as("prev_revenue"),
+        (floor(((col("rev_c") - col("prev_c")).cast("double") / col("prev_c"))
+          * 1000000 + 0.5) / 1000000.0).as("yoy_growth"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  /** #267 — late-arriving dimension handling (round 15; the UNKNOWN
+    * MEMBER pattern every warehouse load implements — facts must land
+    * even when their dimension row hasn't arrived yet, and re-point
+    * once it does): lateness is simulated by withholding customers
+    * with c_custkey % 13 = 0 from the dimension; orders LEFT-join the
+    * present dim and misses route to the unknown member (nation key
+    * −1), which the revenue-per-nation readout carries as a
+    * first-class bucket (the load never drops or stalls a fact — the
+    * alternative, an inner join, silently loses revenue; a stalled
+    * load blocks the pipeline on the slowest upstream). Exactness:
+    * cent sums exact, double at display. Shape: one BROADCAST dim
+    * join (customer is dimension-scale) + one keyed aggregate. */
+  def etlLateArrivingDim(spark: SparkSession, sf: String): DataFrame = {
+    val dim = customer(spark, sf)
+      .where(col("c_custkey") % 13 =!= 0)
+      .select(col("c_custkey"), col("c_nationkey"))
+    orders(spark, sf)
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+      .select(coalesce(col("c_nationkey"), lit(-1)).as("nation_key"),
+        money(col("o_totalprice")).as("p"))
+      .groupBy(col("nation_key"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("p")).cast("double").as("revenue"))
+      .orderBy(col("nation_key"))
+  }
+
   /** #234 — cross-correlation function between two daily series
     * (round 13; the lead/lag detector of every KPI pair — does spend
     * LEAD volume or follow it? — the bivariate completion of #201's
@@ -1653,6 +1708,8 @@ object EtlOps {
     "ts_theil_sen"           -> (tsTheilSen _),
     "etl_snapshot_merge_timetravel" -> (etlSnapshotMergeTimetravel _),
     "etl_snapshot_compact"   -> (etlSnapshotCompact _),
+    "ts_yoy_growth"          -> (tsYoyGrowth _),
+    "etl_late_arriving_dim"  -> (etlLateArrivingDim _),
     "etl_snapshot_incremental" -> (etlSnapshotIncremental _),
     "ts_cross_correlation"   -> (tsCrossCorrelation _),
     "events_attribution_position" -> (eventsAttributionPosition _),
@@ -3633,6 +3690,30 @@ object EtlOps {
         |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
         |FROM v1
         |ORDER BY version""".stripMargin,
+    "ts_yoy_growth" ->
+      """WITH m AS (
+        |  SELECT EXTRACT(YEAR FROM l_shipdate) AS yr,
+        |    EXTRACT(MONTH FROM l_shipdate) AS mo,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |         AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT CAST(a.yr AS BIGINT) AS yr, CAST(a.mo AS BIGINT) AS mo,
+        |  CAST(a.rev_c AS DOUBLE) / 100 AS revenue,
+        |  CAST(b.rev_c AS DOUBLE) / 100 AS prev_revenue,
+        |  floor((CAST(a.rev_c - b.rev_c AS DOUBLE) / b.rev_c) * 1000000
+        |        + 0.5) / 1000000.0 AS yoy_growth
+        |FROM m a LEFT JOIN m b ON b.yr = a.yr - 1 AND b.mo = a.mo
+        |ORDER BY yr, mo""".stripMargin,
+    "etl_late_arriving_dim" ->
+      """WITH dim AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_custkey % 13 <> 0)
+        |SELECT coalesce(c_nationkey, -1) AS nation_key,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders LEFT JOIN dim ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY nation_key""".stripMargin,
     "etl_snapshot_incremental" ->
       """WITH o AS (SELECT o_orderkey AS k FROM orders),
         |c AS (

@@ -53,6 +53,102 @@ class Round15OpsSpec extends SparkSpec {
       s"unexpected schema: ${schemas.head}")
   }
 
+  test("yoy growth (#264): matches brute force exactly; first year all-null partners") {
+    val got = EtlOps.tsYoyGrowth(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+       Option(r.get(3)).map(_.asInstanceOf[Double]),
+       Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+    val monthly = Tables.lineitem(spark, sf001)
+      .select(col("l_shipdate").cast("string"), col("l_extendedprice")).collect()
+      .groupBy { r =>
+        // "yyyy-MM-dd ..." prefix — zone-free, engine-free parsing
+        val s = r.getString(0)
+        (s.substring(0, 4).toLong, s.substring(5, 7).toLong) }
+      .map { case (k, rs) => k -> rs.map(r =>
+        (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum }
+    val exp = monthly.toSeq.sortBy(identity).map { case ((y, m), c) =>
+      val prev = monthly.get((y - 1, m))
+      (y, m, c.toDouble / 100, prev.map(_.toDouble / 100),
+       prev.map(p => math.floor((c - p).toDouble / p * 1000000 + 0.5) / 1000000.0))
+    }
+    assert(got == exp, s"yoy mismatch:\n got=${got.take(5)}\n exp=${exp.take(5)}")
+    val firstYear = got.map(_._1).min
+    assert(got.filter(_._1 == firstYear).forall(_._4.isEmpty),
+      "first shipping year has no prior-year partner")
+    assert(got.exists(_._5.isDefined), "later years carry growth")
+  }
+
+  test("mutual information (#265): matches brute force; grand total within KL bounds") {
+    val got = AggOps.aggMutualInformation(spark, sf001).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), (math.floor(r.getDouble(1)).toLong % 10 + 10) % 10))
+    val nTb = ev.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nT = ev.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val nB = ev.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = ev.length.toLong
+    val exp = nTb.groupBy(_._1._1).map { case (t, cells) =>
+      val part = cells.map { case ((_, b), c) =>
+        val term = (c.toDouble / n) *
+          math.log((c.toDouble * n) / (nT(t).toDouble * nB(b)))
+        BigDecimal(math.floor(term * 1000000 + 0.5) / 1000000.0)
+          .setScale(6)
+      }.sum
+      t -> ((nT(t), cells.size.toLong, part.toDouble))
+    }
+    assert(got == exp, s"MI mismatch:\n got=$got\n exp=$exp")
+    // the grand total is a KL divergence: >= 0 up to grid loss,
+    // <= ln(min(|T|, 10))
+    val total = got.values.map(_._3).sum
+    assert(total >= -1e-4 && total <= math.log(math.min(got.size, 10)) + 1e-6,
+      s"total MI $total out of KL bounds")
+  }
+
+  test("zipf fit (#266): matches integer-exact brute-force OLS; slope negative") {
+    val row = CorpusOps.textZipfFit(spark, sf001).head
+    val counts = Tables.documents(spark, sf001).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, v) => (w, v.length.toLong) }
+    val top = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(100)
+    val g = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1000000000L).toLong,
+       math.floor(math.log(c.toDouble) * 1000000000L).toLong) }
+    val nn = g.length.toLong
+    val (sx, sy) = (g.map(_._1).sum, g.map(_._2).sum)
+    val sxy = g.map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = g.map { case (x, _) => BigInt(x) * x }.sum
+    val slope = math.floor(
+      (BigDecimal(nn * sxy - BigInt(sx) * sy) /
+       BigDecimal(nn * sxx - BigInt(sx) * sx)).toDouble * 1000000 + 0.5) / 1000000.0
+    val intercept = math.floor(
+      ((sy.toDouble - slope * sx) / nn / 1e9) * 1000000 + 0.5) / 1000000.0
+    assert(row.getAs[Long]("n_terms") == nn)
+    assert(row.getAs[Long]("max_count") == top.head._2)
+    assert(math.abs(row.getAs[Double]("slope") - slope) <= 1e-6,
+      s"slope ${row.getAs[Double]("slope")} vs brute $slope")
+    assert(math.abs(row.getAs[Double]("intercept_ln") - intercept) <= 1e-6)
+    assert(row.getAs[Double]("slope") < 0, "zipf head must decay")
+  }
+
+  test("late-arriving dim (#267): unknown member is first-class, revenue closure holds") {
+    val got = EtlOps.etlLateArrivingDim(spark, sf001).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.exists(_._1 == -1), "unknown member bucket present")
+    // revenue closure: nothing dropped — the whole point of the pattern
+    val totalRevenue = Tables.orders(spark, sf001)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head.getDouble(0)
+    assert(math.abs(got.map(_._3).sum - totalRevenue) <= 0.01, "revenue closure")
+    assert(got.map(_._2).sum == Tables.orders(spark, sf001).count(),
+      "every fact lands exactly once")
+    // the unknown bucket is exactly the withheld keys' orders
+    val lateOrders = Tables.orders(spark, sf001)
+      .where(col("o_custkey") % 13 === 0).count()
+    assert(got.find(_._1 == -1).get._2 == lateOrders)
+  }
+
   test("snapshot compact (#263): v1 and v2 rows are identical (content-preserving)") {
     val rows = EtlOps.etlSnapshotCompact(spark, sf001).collect()
     assert(rows.length == 2)

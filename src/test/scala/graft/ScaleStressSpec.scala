@@ -1436,4 +1436,57 @@ class ScaleStressSpec extends SparkSpec {
       assert(a.getDouble(4) == b.getDouble(4), "stickiness grid-identical")
     }
   }
+
+  /** Round 15 (#264–#266): replicas share dates and word multisets,
+    * so the growth/dependence/decay STATISTICS are replication-
+    * invariant while their count inputs scale exactly ×10. The two
+    * bit-exactness arguments: an IEEE division of exact longs is
+    * correctly rounded of the REAL quotient, and (10a)/(10b) has the
+    * same real quotient as a/b — so the gridded growth/MI terms are
+    * IDENTICAL doubles at 10×, not merely close; only the Zipf fit
+    * carries a tolerance (the ln·10⁹ grid floors ln(10c) with ±1-unit
+    * jitter vs ln(c)+ln10, so slope may move at the 1e-6 display
+    * grid's edge). */
+  test("round-15 cohort scales 1x to 10x with exact invariants") {
+    gated()
+    ensureScaled()
+    // #264: monthly cents ×10 exactly ⇒ revenue ×10, growth IDENTICAL
+    val yo1 = EtlOps.tsYoyGrowth(spark, dir1x).collect()
+    val yo10 = EtlOps.tsYoyGrowth(spark, dir10x).collect()
+    assert(yo1.length == yo10.length, "same months")
+    yo1.zip(yo10).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+      // compare in CENTS: 10·(c/100) double-rounds where (10c)/100
+      // does not, so the ×10 identity lives on the exact longs
+      assert(math.round(b.getDouble(2) * 100) ==
+        10L * math.round(a.getDouble(2) * 100), "revenue ×10 exactly")
+      assert(Option(a.get(4)) == Option(b.get(4)), "growth grid-identical")
+    }
+    // #265: all counts ×10 ⇒ every probability and term identical
+    val mi1 = AggOps.aggMutualInformation(spark, dir1x).collect()
+    val mi10 = AggOps.aggMutualInformation(spark, dir10x).collect()
+    assert(mi1.length == mi10.length)
+    mi1.zip(mi10).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(b.getLong(1) == 10 * a.getLong(1), "n_events ×10")
+      assert(a.getLong(2) == b.getLong(2), "cell support invariant")
+      assert(a.getDouble(3) == b.getDouble(3), "MI part grid-identical")
+    }
+    // #266: word rotation preserves multisets ⇒ counts ×10, ranks
+    // identical; slope invariant to the grid edge, intercept shifts
+    // by exactly ln 10 (same grid caveat)
+    val z1 = CorpusOps.textZipfFit(spark, dir1x).head
+    val z10 = CorpusOps.textZipfFit(spark, dir10x).head
+    // the synthetic corpus vocabulary (31 words) is under the top-100
+    // cap, so the head is the whole vocabulary — invariant under
+    // rotation-replication
+    assert(z1.getAs[Long]("n_terms") == z10.getAs[Long]("n_terms"))
+    assert(z10.getAs[Long]("max_count") == 10 * z1.getAs[Long]("max_count"))
+    assert(math.abs(z10.getAs[Double]("slope") - z1.getAs[Double]("slope"))
+      <= 1e-5, s"zipf slope drifted: ${z1.getAs[Double]("slope")} -> " +
+        s"${z10.getAs[Double]("slope")}")
+    assert(math.abs(z10.getAs[Double]("intercept_ln") -
+      z1.getAs[Double]("intercept_ln") - math.log(10.0)) <= 1e-5,
+      "intercept shifts by exactly ln 10")
+  }
 }

@@ -708,6 +708,11 @@ object AggOps {
       .groupBy(col("event_type").as("t"),
                pmod(floor(col("value")).cast("long"), lit(10L)).as("b"))
       .agg(count(lit(1)).as("n_tb"))
+      // ≤ |T|·10 rows, read by FOUR consumers (cells + three
+      // marginals) — without the barrier each consumer re-scans the
+      // corpus (measured: 8 parquet scans in the un-checkpointed
+      // plan), breaking the touched-once posture
+      .localCheckpoint()
     val nt = cells.groupBy(col("t")).agg(sum(col("n_tb")).as("n_t"))
     val nb = cells.groupBy(col("b")).agg(sum(col("n_tb")).as("n_b"))
     val tot = cells.agg(sum(col("n_tb")).as("n"))

@@ -1006,6 +1006,9 @@ object EtlOps {
       .groupBy(year(col("l_shipdate")).as("yr"),
                month(col("l_shipdate")).as("mo"))
       .agg((sum(money(col("l_extendedprice"))) * 100).cast("long").as("rev_c"))
+      // calendar-bounded rows, TWO consumers (current + shifted prior
+      // year) — the barrier keeps the corpus touched once
+      .localCheckpoint()
     val prev = monthly.select((col("yr") + 1).as("yr"), col("mo"),
       col("rev_c").as("prev_c"))
     monthly.join(broadcast(prev), Seq("yr", "mo"), "left")

@@ -731,6 +731,44 @@ object AggOps {
       .orderBy(col("event_type"))
   }
 
+  /** #268 — Herfindahl–Hirschman concentration per nation (round 15;
+    * the market-concentration index beside #228's Pareto share and
+    * #the Gini row — regulators and revenue dashboards read HHI =
+    * Σ shareᵢ², 1/n for perfect competition, 1 for monopoly): per
+    * nation, each customer's share of national spend on the #232
+    * integer grid (cents·10⁸ DIV total — exact longs), HHI = Σ s8² as
+    * an exact DECIMAL(38,0) sum (s8 ≤ 10⁸ ⇒ s8² ≤ 10¹⁶; 10²² digits
+    * of headroom at any customer count) — deterministic where a
+    * double Σ share² would be partition-order-dependent. /10¹⁶ at
+    * display. Shape: one orders-keyed aggregate, one BROADCAST
+    * customer attach, one nation aggregate — the corpus is touched
+    * once and nothing data-scale crosses a second exchange. */
+  def aggHerfindahlShare(spark: SparkSession, sf: String): DataFrame = {
+    val dim = customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+    // per-customer national spend — the staged intermediate BOTH the
+    // totals and the share pass read (localCheckpoint: without it the
+    // corpus aggregate re-runs per consumer; at 100 TB this is the
+    // persisted per-customer stage, customer-scale, far below corpus)
+    val perCust = orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("c"))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation_key"), col("c"))
+      .localCheckpoint()
+    val totals = perCust.groupBy(col("nation_key"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_customers"))
+    perCust
+      .join(broadcast(totals), "nation_key")
+      .withColumn("s8", expr("c * 100000000 DIV tot"))
+      .groupBy(col("nation_key"))
+      .agg(max(col("n_customers")).as("n_customers"),
+        (max(col("tot")).cast("double") / 100).as("total_revenue"),
+        (sum(dec(col("s8"), 38, 0) * col("s8")).cast("double") / 1e16)
+          .as("hhi"),
+        (max(col("s8")).cast("double") / 1e8).as("top_share"))
+      .orderBy(col("nation_key"))
+  }
+
   /** #203 — two-sample Kolmogorov–Smirnov test (round 12; the
     * distribution-shift detector behind every data-drift monitor —
     * #175's t-test sees mean shifts, KS sees ANY shape change):
@@ -1545,6 +1583,7 @@ object AggOps {
     "agg_mutual_info"      -> (aggMutualInfo _),
     "agg_chi2_independence" -> (aggChi2Independence _),
     "agg_mutual_information" -> (aggMutualInformation _),
+    "agg_herfindahl_share"   -> (aggHerfindahlShare _),
     "agg_ks_test"          -> (aggKsTest _),
     "agg_mannwhitney_u"    -> (aggMannwhitneyU _),
     "agg_corr_matrix"      -> (aggCorrMatrix _),
@@ -1871,6 +1910,27 @@ object AggOps {
         |  count(*) AS n_buckets,
         |  CAST(sum(term6) AS DOUBLE) AS mi_part
         |FROM g GROUP BY t ORDER BY event_type""".stripMargin,
+    "agg_herfindahl_share" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY o_custkey),
+        |pcn AS (
+        |  SELECT c_nationkey AS nation_key, c
+        |  FROM pc JOIN customer ON c_custkey = o_custkey),
+        |tt AS (
+        |  SELECT nation_key, sum(c) AS tot, count(*) AS n_customers
+        |  FROM pcn GROUP BY nation_key),
+        |s AS (
+        |  SELECT pcn.nation_key, tt.n_customers, tt.tot,
+        |    pcn.c * 100000000 // tt.tot AS s8
+        |  FROM pcn JOIN tt ON tt.nation_key = pcn.nation_key)
+        |SELECT nation_key, CAST(max(n_customers) AS BIGINT) AS n_customers,
+        |  CAST(max(tot) AS DOUBLE) / 100 AS total_revenue,
+        |  CAST(sum(CAST(s8 AS HUGEINT) * s8) AS DOUBLE) / 1e16 AS hhi,
+        |  CAST(max(s8) AS DOUBLE) / 1e8 AS top_share
+        |FROM s GROUP BY nation_key ORDER BY nation_key""".stripMargin,
     "agg_cramers_v" ->
       """WITH observed AS (
         |  SELECT o_orderstatus AS st, o_orderpriority AS pri,

@@ -190,6 +190,44 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------
+  // #271 vocabulary coverage curve
+  // ---------------------------------------------------------------
+
+  /** #271 — vocabulary coverage curve (round 15; the tokenizer-sizing
+    * readout beside #266's Zipf fit — "what fraction of the token
+    * stream do the top-k terms cover?" decides vocab size, stopword
+    * lists and the OOV budget): exact term counts, ranked (count
+    * desc, term), cumulative token coverage read at k ∈ {1, 5, 10,
+    * 20}. Exactness: counts and cumulative sums are exact longs; the
+    * coverage share is the identical double division over them on
+    * the 6dp floor-grid. Shape: one word-keyed corpus aggregate (the
+    * only data-scale stage, checkpointed — two consumers), then a
+    * prefix sum over the VOCABULARY-scale ranked table — fine up to
+    * millions of terms; a 10⁸-term vocab would swap the single
+    * window for Transforms.ntileByRange's chunked prefix-sum. */
+  def textVocabCoverage(spark: SparkSession, sf: String): DataFrame = {
+    val counts = documents(spark, sf)
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
+      .select(explode(words).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("c")).as("n_tokens"))
+    val wOrd = Window.partitionBy(pmod(col("c"), lit(1)))
+      .orderBy(col("c").desc, col("w"))
+    counts
+      .withColumn("r", row_number().over(wOrd).cast("long"))
+      .withColumn("cum",
+        sum(col("c")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("r").isin(1L, 5L, 10L, 20L))
+      .crossJoin(broadcast(totals))
+      .select(col("r").as("top_k"), col("cum").as("tokens_covered"),
+        col("n_tokens"),
+        (floor(col("cum").cast("double") / col("n_tokens") * 1000000 + 0.5)
+          / 1000000.0).as("coverage"))
+      .orderBy(col("top_k"))
+  }
+
+  // ---------------------------------------------------------------
   // #117 consecutive-token collapse
   // ---------------------------------------------------------------
 
@@ -887,6 +925,7 @@ object CorpusOps {
     "dedup_bloom_prefilter"  -> (dedupBloomPrefilter _),
     "dedup_keep_best"        -> (dedupKeepBest _),
     "text_zipf_fit"          -> (textZipfFit _),
+    "text_vocab_coverage"    -> (textVocabCoverage _),
     "text_collapse_repeats"  -> (textCollapseRepeats _),
     "text_length_histogram"  -> (textLengthHistogram _),
     "text_token_entropy"     -> (textTokenEntropy _),
@@ -1130,6 +1169,21 @@ object CorpusOps {
         |SELECT component, doc_id AS keep_id,
         |  CAST(n_members AS BIGINT) AS n_members, best_quality
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    "text_vocab_coverage" ->
+      """WITH wc AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM wc GROUP BY w),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM c),
+        |r AS (SELECT c, w,
+        |    row_number() OVER (ORDER BY c DESC, w) AS r,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, w
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT r AS top_k, cum AS tokens_covered, n_tokens,
+        |  floor(CAST(cum AS DOUBLE) / n_tokens * 1000000 + 0.5)
+        |    / 1000000.0 AS coverage
+        |FROM r CROSS JOIN t WHERE r IN (1, 5, 10, 20)
+        |ORDER BY top_k""".stripMargin,
     "text_zipf_fit" ->
       """WITH wc AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

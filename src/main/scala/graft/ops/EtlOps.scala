@@ -1046,6 +1046,34 @@ object EtlOps {
       .orderBy(col("nation_key"))
   }
 
+  /** #270 — inter-arrival-time histogram per event type (round 15;
+    * the cadence fingerprint behind rate-limiting, bot detection and
+    * session-gap tuning — #126's 30-minute session threshold is
+    * exactly a cut through this histogram): per (type, USER) stream,
+    * the gap to the previous event in capped whole minutes (0..9,
+    * 10 = "10+"), counted per (type, bucket). The window partitions
+    * by the HIGH-CARDINALITY (type, user) pair — never by type alone,
+    * which would funnel each type's whole history through one
+    * reducer — and (µs, event_id) ordering makes same-µs ties
+    * deterministic. All integer arithmetic (µs longs, DIV buckets);
+    * nothing floats anywhere. Shape: one keyed window over
+    * pre-projected rows + one keyed aggregate. */
+  def eventsInterarrivalHist(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("event_type"),
+        least(expr("(us - prev) DIV 60000000"), lit(10L)).as("gap_bucket_min"),
+        (col("us") - col("prev")).as("gap_us"))
+      .groupBy(col("event_type"), col("gap_bucket_min"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy(col("event_type"), col("gap_bucket_min"))
+  }
+
   /** #234 — cross-correlation function between two daily series
     * (round 13; the lead/lag detector of every KPI pair — does spend
     * LEAD volume or follow it? — the bivariate completion of #201's
@@ -1713,6 +1741,7 @@ object EtlOps {
     "etl_snapshot_compact"   -> (etlSnapshotCompact _),
     "ts_yoy_growth"          -> (tsYoyGrowth _),
     "etl_late_arriving_dim"  -> (etlLateArrivingDim _),
+    "events_interarrival_hist" -> (eventsInterarrivalHist _),
     "etl_snapshot_incremental" -> (etlSnapshotIncremental _),
     "ts_cross_correlation"   -> (tsCrossCorrelation _),
     "events_attribution_position" -> (eventsAttributionPosition _),
@@ -3707,6 +3736,21 @@ object EtlOps {
         |        + 0.5) / 1000000.0 AS yoy_growth
         |FROM m a LEFT JOIN m b ON b.yr = a.yr - 1 AND b.mo = a.mo
         |ORDER BY yr, mo""".stripMargin,
+    "events_interarrival_hist" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY event_type, user_id
+        |                       ORDER BY us, event_id) AS gap_us
+        |  FROM e)
+        |SELECT event_type,
+        |  least(gap_us // 60000000, 10) AS gap_bucket_min,
+        |  count(*) AS n_pairs, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, gap_bucket_min""".stripMargin,
     "etl_late_arriving_dim" ->
       """WITH dim AS (
         |  SELECT c_custkey, c_nationkey FROM customer

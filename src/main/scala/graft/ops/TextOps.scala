@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import scala.collection.immutable.ListMap
 import graft.Tables._
 
@@ -319,6 +320,52 @@ object TextOps {
 
   /** #64 — multimodal join: text metadata + vector features in one
     * row (documents ⋈ embeddings on doc_id = vec_id). */
+  /** #269 — Jensen–Shannon divergence between two corpus slices'
+    * unigram distributions (round 15; the TEXT-drift detector beside
+    * #231's numeric PSI — "did the non-English slice's vocabulary
+    * usage drift from English?", bounded 0 ≤ JSD ≤ ln 2 so it is
+    * comparable across corpora, unlike raw KL which is unbounded and
+    * asymmetric): P = English unigram distribution, Q = the rest;
+    * JSD = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2. One-sided terms
+    * (a word absent from one slice) stay finite by construction —
+    * the KL reference is always the mixture. Exactness: counts exact
+    * longs from ONE gram-scale aggregate; each per-word term is the
+    * identical double expression over those longs (counts→double
+    * before any product), 8dp-gridded to DECIMAL BEFORE the sum, so
+    * the reported divergence is an exact sum of gridded terms.
+    * Shape: one word-keyed corpus aggregate (the only data-scale
+    * stage), two 1-row total broadcasts, a vocabulary-scale fold. */
+  def textJsDivergence(spark: SparkSession, sf: String): DataFrame = {
+    val isEn = (col("lang") === "en").cast("int")
+    val counts = documents(spark, sf)
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
+      .select(isEn.as("en"), explode(words).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("en")).as("ca"), sum(lit(1) - col("en")).as("cb"))
+      // vocabulary-scale, TWO consumers (totals + term fold) — the
+      // barrier keeps the gram fan-out computed once
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    def kl(c: Column, n: Column): Column = {
+      val p = c.cast("double") / n
+      val m = (col("ca").cast("double") / col("na") +
+               col("cb").cast("double") / col("nb")) / 2.0
+      when(c > 0, p * log(p / m)).otherwise(lit(0.0))
+    }
+    counts.crossJoin(broadcast(tot))
+      .select(
+        ((floor(kl(col("ca"), col("na")) * 100000000 + 0.5) / 100000000.0)
+          .cast(DecimalType(18, 8))).as("ta"),
+        ((floor(kl(col("cb"), col("nb")) * 100000000 + 0.5) / 100000000.0)
+          .cast(DecimalType(18, 8))).as("tb"),
+        col("ca"), col("cb"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("ca")).as("tokens_en"), sum(col("cb")).as("tokens_rest"),
+        // exact decimal sums; /2 AFTER the double cast (decimal
+        // division rounding differs across engines, double's doesn't)
+        ((sum(col("ta")) + sum(col("tb"))).cast("double") / 2).as("jsd"))
+  }
+
   def multimodalJoin(spark: SparkSession, sf: String): DataFrame =
     documents(spark, sf)
       .join(embeddings(spark, sf), col("doc_id") === col("vec_id"))
@@ -341,6 +388,7 @@ object TextOps {
     "text_tfidf"              -> (textTfidf _),
     "text_bigram_lm"          -> (textBigramLm _),
     "text_ngram_novelty"      -> (textNgramNovelty _),
+    "text_js_divergence"      -> (textJsDivergence _),
   )
 
   private val shingleCte =
@@ -352,6 +400,38 @@ object TextOps {
       |       FROM s)""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
+    "text_js_divergence" ->
+      """WITH wc AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT w, CAST(sum(en) AS BIGINT) AS ca,
+        |    CAST(sum(1 - en) AS BIGINT) AS cb
+        |  FROM wc GROUP BY w),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |               CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+        |g AS (
+        |  SELECT ca, cb,
+        |    CAST(floor(CASE WHEN ca > 0 THEN
+        |      (CAST(ca AS DOUBLE) / na)
+        |      * ln((CAST(ca AS DOUBLE) / na)
+        |           / ((CAST(ca AS DOUBLE) / na
+        |               + CAST(cb AS DOUBLE) / nb) / 2.0))
+        |      ELSE 0.0 END * 100000000 + 0.5) / 100000000.0
+        |      AS DECIMAL(18,8)) AS ta,
+        |    CAST(floor(CASE WHEN cb > 0 THEN
+        |      (CAST(cb AS DOUBLE) / nb)
+        |      * ln((CAST(cb AS DOUBLE) / nb)
+        |           / ((CAST(ca AS DOUBLE) / na
+        |               + CAST(cb AS DOUBLE) / nb) / 2.0))
+        |      ELSE 0.0 END * 100000000 + 0.5) / 100000000.0
+        |      AS DECIMAL(18,8)) AS tb
+        |  FROM counts CROSS JOIN tot)
+        |SELECT count(*) AS n_terms, CAST(sum(ca) AS BIGINT) AS tokens_en,
+        |  CAST(sum(cb) AS BIGINT) AS tokens_rest,
+        |  CAST(sum(ta) + sum(tb) AS DOUBLE) / 2 AS jsd
+        |FROM g""".stripMargin,
     "text_tokenize_wordcount" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)

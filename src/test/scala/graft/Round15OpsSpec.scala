@@ -149,6 +149,101 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.find(_._1 == -1).get._2 == lateOrders)
   }
 
+  test("herfindahl (#268): matches brute force; bounded by [top_share^2 + grid, top_share]") {
+    val got = AggOps.aggHerfindahlShare(spark, sf001).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+       r.getDouble(4))).toSeq
+    val custCents = Tables.orders(spark, sf001)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(r =>
+        (BigDecimal(r.getDouble(1))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum }
+    val nationOf = Tables.customer(spark, sf001)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exp = custCents.toSeq.groupBy { case (k, _) => nationOf(k) }
+      .map { case (nk, cs) =>
+        val tot = cs.map(_._2).sum
+        val s8 = cs.map { case (_, c) => c * 100000000L / tot }
+        (nk, cs.size.toLong, tot.toDouble / 100,
+         s8.map(s => BigInt(s) * s).sum.toDouble / 1e16,
+         s8.max.toDouble / 1e8)
+      }.toSeq.sortBy(_._1)
+    assert(got == exp, s"HHI mismatch:\n got=${got.take(3)}\n exp=${exp.take(3)}")
+    got.foreach { case (nk, n, _, hhi, top) =>
+      assert(hhi <= top + 1e-12, s"nation $nk: hhi $hhi > top_share $top")
+      assert(hhi >= top * top - 1e-12, s"nation $nk: hhi below top^2")
+      assert(hhi >= 1.0 / n - 2e-8 && hhi <= 1.0 + 1e-12,
+        s"nation $nk: hhi $hhi out of [1/n, 1]")
+    }
+  }
+
+  test("js divergence (#269): matches brute force; bounded by [0, ln 2]") {
+    val row = TextOps.textJsDivergence(spark, sf001).head
+    val docs = Tables.documents(spark, sf001)
+      .select(col("lang"), col("text")).collect()
+    val pairs = docs.flatMap(r =>
+      r.getString(1).split(" ", -1).map(w => (r.getString(0) == "en", w)))
+    val ca = pairs.filter(_._1).groupBy(_._2).map { case (w, v) => w -> v.length.toLong }
+    val cb = pairs.filterNot(_._1).groupBy(_._2).map { case (w, v) => w -> v.length.toLong }
+    val vocab = (ca.keySet ++ cb.keySet).toSeq
+    val (na, nb) = (ca.values.sum, cb.values.sum)
+    def grid8(x: Double) = BigDecimal(math.floor(x * 100000000 + 0.5) / 100000000.0)
+      .setScale(8)
+    val (ta, tb) = vocab.map { w =>
+      val (a, b) = (ca.getOrElse(w, 0L), cb.getOrElse(w, 0L))
+      val m = (a.toDouble / na + b.toDouble / nb) / 2.0
+      (grid8(if (a > 0) (a.toDouble / na) * math.log(a.toDouble / na / m) else 0.0),
+       grid8(if (b > 0) (b.toDouble / nb) * math.log(b.toDouble / nb / m) else 0.0))
+    }.unzip
+    val jsd = (ta.sum + tb.sum).toDouble / 2
+    assert(row.getAs[Long]("n_terms") == vocab.size)
+    assert(row.getAs[Long]("tokens_en") == na &&
+      row.getAs[Long]("tokens_rest") == nb)
+    assert(row.getAs[Double]("jsd") == jsd,
+      s"jsd ${row.getAs[Double]("jsd")} vs brute $jsd")
+    assert(jsd >= 0 && jsd <= math.log(2.0) + 1e-9, s"jsd $jsd out of [0, ln2]")
+  }
+
+  test("interarrival (#270): matches brute force; pair-count closure holds") {
+    val got = EtlOps.eventsInterarrivalHist(spark, sf001).collect().map(r =>
+      ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((t, _), es) =>
+      val sorted = es.sortBy(e => (e._4, e._3))
+      sorted.sliding(2).collect { case Array(a, b) =>
+        (t, math.min((b._4 - a._4) / 60000000L, 10L), b._4 - a._4) }
+    }.groupBy { case (t, bkt, _) => (t, bkt) }
+      .map { case (k, gs) => k -> ((gs.size.toLong, gs.map(_._3).sum)) }
+    assert(got == exp, s"interarrival mismatch: ${got.size} vs ${exp.size} cells")
+    // closure: every (type, user) stream of n events yields n-1 pairs
+    val expectedPairs = ev.groupBy(e => (e._1, e._2)).values
+      .map(v => (v.size - 1).toLong).sum
+    assert(got.values.map(_._1).sum == expectedPairs, "pair-count closure")
+    assert(got.keys.forall { case (_, b) => b >= 0 && b <= 10 })
+  }
+
+  test("vocab coverage (#271): matches brute force; monotone to 1.0") {
+    val got = CorpusOps.textVocabCoverage(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val counts = Tables.documents(spark, sf001).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, v) => (w, v.length.toLong) }
+    val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+    val nTokens = ranked.map(_._2).sum
+    val exp = Seq(1, 5, 10, 20).filter(_ <= ranked.size).map { k =>
+      val cum = ranked.take(k).map(_._2).sum
+      (k.toLong, cum, nTokens,
+       math.floor(cum.toDouble / nTokens * 1000000 + 0.5) / 1000000.0)
+    }
+    assert(got == exp, s"coverage mismatch:\n got=$got\n exp=$exp")
+    assert(got.map(_._4) == got.map(_._4).sorted, "coverage monotone in k")
+    assert(got.last._4 <= 1.0 + 1e-12)
+  }
+
   test("snapshot compact (#263): v1 and v2 rows are identical (content-preserving)") {
     val rows = EtlOps.etlSnapshotCompact(spark, sf001).collect()
     assert(rows.length == 2)

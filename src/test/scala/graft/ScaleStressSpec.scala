@@ -1488,5 +1488,35 @@ class ScaleStressSpec extends SparkSpec {
     assert(math.abs(z10.getAs[Double]("intercept_ln") -
       z1.getAs[Double]("intercept_ln") - math.log(10.0)) <= 1e-5,
       "intercept shifts by exactly ln 10")
+    // #269: lang and word multisets survive rotation ⇒ slice counts
+    // ×10 ⇒ every probability, mixture and gridded term identical
+    val j1 = graft.ops.TextOps.textJsDivergence(spark, dir1x).head
+    val j10 = graft.ops.TextOps.textJsDivergence(spark, dir10x).head
+    assert(j1.getAs[Long]("n_terms") == j10.getAs[Long]("n_terms"))
+    assert(j10.getAs[Long]("tokens_en") == 10 * j1.getAs[Long]("tokens_en"))
+    assert(j10.getAs[Long]("tokens_rest") == 10 * j1.getAs[Long]("tokens_rest"))
+    assert(j1.getAs[Double]("jsd") == j10.getAs[Double]("jsd"),
+      "JSD grid-identical under replication")
+    // #270: each replica's per-(type, user+k·10⁷) gap multiset equals
+    // replica 0's (uniform +k µs shift) ⇒ every histogram cell ×10
+    val ih1 = EtlOps.eventsInterarrivalHist(spark, dir1x).collect()
+    val ih10 = EtlOps.eventsInterarrivalHist(spark, dir10x).collect()
+    assert(ih1.length == ih10.length, "#270 same cells")
+    ih1.zip(ih10).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getLong(1) == b.getLong(1))
+      assert(b.getLong(2) == 10 * a.getLong(2), "n_pairs ×10")
+      assert(b.getLong(3) == 10 * a.getLong(3), "gap sum ×10")
+    }
+    // #271: term counts ×10, ranks identical ⇒ cum ×10, coverage
+    // identical (correctly-rounded division of exact longs)
+    val vc1 = CorpusOps.textVocabCoverage(spark, dir1x).collect()
+    val vc10 = CorpusOps.textVocabCoverage(spark, dir10x).collect()
+    assert(vc1.length == vc10.length)
+    vc1.zip(vc10).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(b.getLong(1) == 10 * a.getLong(1), "covered ×10")
+      assert(b.getLong(2) == 10 * a.getLong(2), "total ×10")
+      assert(a.getDouble(3) == b.getDouble(3), "coverage grid-identical")
+    }
   }
 }

@@ -244,6 +244,40 @@ class Round15OpsSpec extends SparkSpec {
     assert(got.last._4 <= 1.0 + 1e-12)
   }
 
+  test("baseline/reporting (#272): matches brute force; cutover event sits in neither side") {
+    val got = EtlOps.etlBaselineReportingUsage(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+       r.getDouble(4), r.getDouble(5))).toSeq
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        (BigDecimal(r.getDouble(3))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val cut = ev.filter(_._3 == "purchase").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).min }
+    val exp = ev.filter(e => cut.contains(e._1)).groupBy(_._1).toSeq
+      .map { case (u, es) =>
+        val c = cut(u)
+        val b = es.filter(_._2 < c); val r = es.filter(_._2 > c)
+        (u, b.size.toLong, r.size.toLong, b.map(_._4).sum, r.map(_._4).sum)
+      }
+      .filter(x => x._2 > 0 && x._3 > 0)
+      .sortBy { case (u, _, _, bc, rc) => (-(bc - rc), u) }.take(20)
+      .map { case (u, nb, nr, bc, rc) =>
+        (u, nb, nr, bc.toDouble / 100, rc.toDouble / 100,
+         (bc - rc).toDouble / 100) }
+    assert(got == exp, s"baseline/reporting mismatch:\n got=${got.take(3)}\n exp=${exp.take(3)}")
+    // the cutover purchase itself lands in NEITHER side (strict
+    // inequalities), so per user: n_baseline + n_reporting counts all
+    // their events except ties at the cutover microsecond
+    got.foreach { case (u, nb, nr, _, _, _) =>
+      val all = ev.count(_._1 == u)
+      val atCut = ev.count(e => e._1 == u && e._2 == cut(u))
+      assert(nb + nr == all - atCut, s"user $u side closure")
+    }
+  }
+
   test("snapshot compact (#263): v1 and v2 rows are identical (content-preserving)") {
     val rows = EtlOps.etlSnapshotCompact(spark, sf001).collect()
     assert(rows.length == 2)

@@ -1518,5 +1518,33 @@ class ScaleStressSpec extends SparkSpec {
       assert(b.getLong(2) == 10 * a.getLong(2), "total ×10")
       assert(a.getDouble(3) == b.getDouble(3), "coverage grid-identical")
     }
+    // #272: disjoint user shifts + uniform +k µs preserve every
+    // per-user (cutover, sides, cents) — the 10× top-20 savers are
+    // computable exactly by replicating the 1× per-user table and
+    // re-sorting (savings desc, user asc)
+    val br10 = EtlOps.etlBaselineReportingUsage(spark, dir10x).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val ev1 = Tables.events(spark, dir1x)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        (BigDecimal(r.getDouble(3))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val cutU = ev1.filter(_._3 == "purchase").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).min }
+    val perUser = ev1.filter(e => cutU.contains(e._1)).groupBy(_._1).toSeq
+      .map { case (u, es) =>
+        val c = cutU(u)
+        val b = es.filter(_._2 < c); val r = es.filter(_._2 > c)
+        (u, b.size.toLong, r.size.toLong, b.map(_._4).sum, r.map(_._4).sum) }
+      .filter(x => x._2 > 0 && x._3 > 0)
+    val expBr = perUser.flatMap { case (u, nb, nr, bc, rc) =>
+      (0 until 10).map(k => (u + k * 10000000L, nb, nr, bc, rc)) }
+      .sortBy { case (u, _, _, bc, rc) => (-(bc - rc), u) }.take(20)
+      .map { case (u, nb, nr, bc, rc) =>
+        (u, nb, nr, bc.toDouble / 100, rc.toDouble / 100,
+         (bc - rc).toDouble / 100) }
+    assert(br10 == expBr, s"#272 10× top-20:\n got=${br10.take(3)}\n exp=${expBr.take(3)}")
   }
 }

@@ -480,6 +480,71 @@ class TransformsSpec extends SparkSpec {
       s"beyond-slack p must fail the step-up: $r2")
   }
 
+  test("fuzz: connectedComponents equals union-find for random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val n = 10 + rnd.nextInt(50)
+      val m = 5 + rnd.nextInt(70)
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a == b) (a, (a + 1) % n) else (a, b)
+      }.distinct
+      // reference: union-find with min-label canonicalization
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(v => v -> find(v)).toMap
+      val got = Transforms.connectedComponents(
+          edges.toDF("d1", "d2"), maxIters = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (n=$n m=${edges.size}): CC != union-find")
+    }
+  }
+
+  test("fuzz: bhSelect equals the reference step-up (slack included) on random families") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ref(ps: Seq[(String, Long)], aN: Long, aD: Long): Map[String, Boolean] = {
+      val m = ps.size
+      val ranked = ps.sortBy { case (id, p) => (p, id) }.zipWithIndex
+      val kstar = ranked.collect { case ((_, p), i)
+        if BigInt(p) * m * aD <=
+           BigInt(i + 1) * aN * BigInt("10000000000") + BigInt(m) * aD =>
+        i + 1 }.lastOption.getOrElse(0)
+      ranked.map { case ((id, _), i) => id -> (i + 1 <= kstar) }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    (1 to 12).foreach { trial =>
+      val m = 1 + rnd.nextInt(40)
+      val ps = (0 until m).map { i =>
+        // mix of random p's and values planted ON the rank thresholds
+        // (the slack-sensitive boundary: p10·m == i·α·10¹⁰ ± 1)
+        val p =
+          if (rnd.nextBoolean()) math.abs(rnd.nextLong()) % 10000000000L
+          else {
+            val r = 1 + rnd.nextInt(m)
+            val exact = BigInt(r) * 5 * BigInt("10000000000") / (100L * m)
+            (exact + (rnd.nextInt(3) - 1)).max(0).toLong
+          }
+        (s"t$i", p)
+      }
+      val got = Transforms.bhSelect(ps.toDF("test_id", "p10"),
+          col("p10"), col("test_id"))
+        .collect()
+        .map(r => r.getAs[String]("test_id") -> r.getAs[Boolean]("rejected"))
+        .toMap
+      assert(got == ref(ps, 5, 100), s"trial $trial (m=$m): $ps")
+    }
+  }
+
   test("surrogateKeys assigns dense natural-key-ordered keys over a dimension") {
     import spark.implicits._
     val dim = Seq(("web", "en"), ("api", "fr"), ("web", "de"), ("api", "en"))

@@ -453,6 +453,11 @@ object Bench {
         if (!java.nio.file.Files.exists(p)) Nil
         else try {
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // only compare like with like: a committed sweep from a
+          // DIFFERENT scale factor would name every op a regression
+          // and balloon the stdout line past the driver's tail window
+          require(txt.contains(s""""sf": "$sfDir""""),
+            "previous FULLBENCH is from a different sf dir")
           val block = txt.substring(txt.indexOf("\"times_sec\""))
           val re = """"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
           val prev = re.findAllMatchIn(block)

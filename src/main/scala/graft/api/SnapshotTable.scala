@@ -146,27 +146,33 @@ object SnapshotTable {
     if (uri.getScheme == null || uri.getScheme == "file") {
       val jp = java.nio.file.Paths.get(uri.getPath)
       val jtmp = jp.getParent.resolve(tmpName)
-      java.nio.file.Files.write(jtmp, payload)
-      try java.nio.file.Files.createLink(jp, jtmp) catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(jtmp)
-          throw new VersionConflictException(
-            s"version $version already committed at $p: $e")
-      }
-      java.nio.file.Files.deleteIfExists(jtmp)
+      // finally, not just the FAEE arm: ANY publish failure must not
+      // leave .tmp litter behind (review, round 15); the link either
+      // landed (tmp is a second name for the manifest — safe to drop)
+      // or it didn't (tmp is garbage)
+      try {
+        java.nio.file.Files.write(jtmp, payload)
+        try java.nio.file.Files.createLink(jp, jtmp) catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new VersionConflictException(
+              s"version $version already committed at $p: $e")
+        }
+      } finally java.nio.file.Files.deleteIfExists(jtmp)
     } else {
       val tmp = new Path(p.getParent, tmpName)
-      val out = f.create(tmp, /* overwrite = */ true)
-      try out.write(payload) finally out.close()
-      val won = try f.rename(tmp, p) catch {
-        case _: java.io.IOException => false
-      }
-      if (!won) {
+      var won = false
+      try {
+        val out = f.create(tmp, /* overwrite = */ true)
+        try out.write(payload) finally out.close()
+        won = try f.rename(tmp, p) catch {
+          case _: java.io.IOException => false
+        }
+        if (!won) throw new VersionConflictException(
+          s"version $version already committed at $p")
+      } finally if (!won) {
         try f.delete(tmp, false) catch {
           case scala.util.control.NonFatal(_) => ()
         }
-        throw new VersionConflictException(
-          s"version $version already committed at $p")
       }
     }
   }
@@ -187,11 +193,21 @@ object SnapshotTable {
     *     [[EofMarker]] trailer means complete; a mismatch means an
     *     in-flight or crashed r14 writer — wait out the bounded
     *     window, then fail loudly rather than read a truncated list.
-    *   - pre-trailer LEGACY (no marker at all, ADVICE r14): accepted
-    *     as legacy-complete once two consecutive reads agree (the
-    *     stability re-read covers an r14 writer caught between claim
-    *     and trailer), so pre-existing tables stay readable instead
-    *     of being misreported as crashed writers. */
+    *   - pre-trailer LEGACY (no marker at all, ADVICE r14): a
+    *     NONEMPTY trailer-less manifest is accepted as
+    *     legacy-complete once two consecutive reads agree — old
+    *     tables stay readable forever, including after newer
+    *     trailered versions are committed beside them. An EMPTY
+    *     trailer-less manifest is NOT accepted (review tightened
+    *     this, round 15): that is the exact signature of an r14
+    *     writer that crashed between its atomic claim and its single
+    *     content write — treating it as an empty table would let
+    *     mergeInto silently REPLACE the table's content; it waits out
+    *     the bounded window and fails loudly instead (the pre-r15
+    *     contract). The residual blind spot — an r14 single write
+    *     truncated mid-payload to a nonempty prefix — requires a
+    *     partial write() of one small buffer, which no local
+    *     filesystem produces short of a torn page. */
   private def manifestLines(spark: SparkSession, base: String, version: Int): Seq[String] = {
     val p = manifestPath(base, version)
     val f = fs(spark, base)
@@ -212,7 +228,7 @@ object SnapshotTable {
     while (left > 0) {
       val (data, sawMarker, ok) = readOnce()
       if (ok) return data
-      if (!sawMarker && prev.contains(data)) return data // legacy-complete
+      if (!sawMarker && data.nonEmpty && prev.contains(data)) return data
       prev = if (sawMarker) None else Some(data)
       left -= 1
       if (left > 0) Thread.sleep(50)
@@ -330,19 +346,41 @@ object SnapshotTable {
       .toSet
     val dataDir = new Path(s"$base/data")
     var deleted = 0
+    val ageCutoff = System.currentTimeMillis() - orphanMinAgeMs
+    // writers KILLED mid-publish (process death skips even commit's
+    // finally) leave .tmp-v* claims-in-progress in manifest/ — sweep
+    // the aged ones here; live publishers' temp files are milliseconds
+    // old and spared by the same guard (review, round 15)
+    (try f.listStatus(new Path(s"$base/manifest")).toList
+     catch { case scala.util.control.NonFatal(_) => Nil })
+      .filter(s => !s.isDirectory && s.getPath.getName.startsWith(".tmp-") &&
+        s.getModificationTime <= ageCutoff)
+      .foreach { s =>
+        val ok = try f.delete(s.getPath, false)
+                 catch { case scala.util.control.NonFatal(_) => false }
+        if (ok) deleted += 1
+      }
     if (f.exists(dataDir)) {
-      val ageCutoff = System.currentTimeMillis() - orphanMinAgeMs
       // Tolerant recursive walk (replaces f.listFiles(recursive):
       // caught live by the true-contention race spec): a CONCURRENT
       // writer's commit-protocol scratch (`_temporary`) churns
       // underneath the listing, and any entry can vanish between
       // list and stat — skip, never crash. A file missed this pass
       // is simply a candidate for the next vacuum. `_temporary` /
-      // hidden subtrees are entered only once the DIRECTORY itself is
-      // older than the age guard (round 15, ADVICE r14): a live
-      // writer's scratch churns and keeps its mtime fresh, while a
-      // CRASHED writer's scratch goes stale and must eventually be
-      // collected — the unconditional skip leaked it forever.
+      // hidden subtrees yield victims only when the WHOLE subtree is
+      // stale — its newest entry (any depth) older than the age guard
+      // (round 15, ADVICE r14; review tightened the gate: the top
+      // dir's own mtime is NOT refreshed by deep churn under POSIX —
+      // only direct-child create/delete — so a dir-mtime gate would
+      // eat a live long-running writer's finished task files; the
+      // newest-entry gate only fires when nothing has moved anywhere
+      // in the scratch for the full window). A crashed writer's
+      // scratch goes whole-subtree stale and is collected; the
+      // pre-r15 unconditional skip leaked it forever.
+      def walkAll(dir: Path): List[org.apache.hadoop.fs.FileStatus] =
+        (try f.listStatus(dir).toList
+         catch { case scala.util.control.NonFatal(_) => Nil })
+          .flatMap(s => if (s.isDirectory) s :: walkAll(s.getPath) else List(s))
       def walk(dir: Path): List[org.apache.hadoop.fs.FileStatus] =
         (try f.listStatus(dir).toList
          catch { case scala.util.control.NonFatal(_) => Nil })
@@ -350,7 +388,10 @@ object SnapshotTable {
             val n = s.getPath.getName
             if (s.isDirectory) {
               if (n == "_temporary" || n.startsWith(".")) {
-                if (s.getModificationTime <= ageCutoff) walk(s.getPath) else Nil
+                val sub = walkAll(s.getPath)
+                val newest = (s.getModificationTime ::
+                  sub.map(_.getModificationTime)).max
+                if (newest <= ageCutoff) sub.filterNot(_.isDirectory) else Nil
               } else walk(s.getPath)
             } else List(s)
           }

@@ -1890,7 +1890,8 @@ object AggOps {
     "agg_mutual_information" ->
       """WITH cells AS (
         |  SELECT event_type AS t,
-        |    CAST(floor(value) AS BIGINT) % 10 AS b, count(*) AS n_tb
+        |    ((CAST(floor(value) AS BIGINT) % 10) + 10) % 10 AS b,
+        |    count(*) AS n_tb
         |  FROM events GROUP BY 1, 2),
         |nt AS (SELECT t, sum(n_tb) AS n_t FROM cells GROUP BY t),
         |nb AS (SELECT b, sum(n_tb) AS n_b FROM cells GROUP BY b),

@@ -159,12 +159,17 @@ object CorpusOps {
     * 6dp display grid cannot drift across engines. Shape: one
     * word-keyed corpus aggregate (the only data-scale stage) + a
     * 100-row tail; at 100 TB the head fit costs one top-k. */
-  def textZipfFit(spark: SparkSession, sf: String): DataFrame = {
-    val counts = documents(spark, sf)
+  /** Exact corpus term counts (w, c) — the shared data-scale stage of
+    * #266/#271: fan-out before the explode (the single-file-scan
+    * lesson), then one word-keyed aggregate. */
+  private def wordCounts(spark: SparkSession, sf: String): DataFrame =
+    documents(spark, sf)
       .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
       .select(explode(words).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val top = counts.orderBy(col("c").desc, col("w")).limit(100)
+
+  def textZipfFit(spark: SparkSession, sf: String): DataFrame = {
+    val top = wordCounts(spark, sf).orderBy(col("c").desc, col("w")).limit(100)
     val wOrd = Window.partitionBy(pmod(col("c"), lit(1)))
       .orderBy(col("c").desc, col("w"))
     val g = top
@@ -206,11 +211,7 @@ object CorpusOps {
     * millions of terms; a 10⁸-term vocab would swap the single
     * window for Transforms.ntileByRange's chunked prefix-sum. */
   def textVocabCoverage(spark: SparkSession, sf: String): DataFrame = {
-    val counts = documents(spark, sf)
-      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
-      .select(explode(words).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val counts = wordCounts(spark, sf).localCheckpoint()
     val totals = counts.agg(sum(col("c")).as("n_tokens"))
     val wOrd = Window.partitionBy(pmod(col("c"), lit(1)))
       .orderBy(col("c").desc, col("w"))

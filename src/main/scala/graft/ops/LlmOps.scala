@@ -119,14 +119,30 @@ object LlmOps {
   private val derivedMemo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
 
+  /** Memoize a derived table per (live session, key). NOT
+    * computeIfAbsent: a builder may itself consult the memo
+    * (simhashComponents builds FROM verifiedSimhashPairs), and nesting
+    * computeIfAbsent on one ConcurrentHashMap is forbidden by its
+    * contract — when both keys land in the same bin the JDK throws
+    * IllegalStateException("Recursive update") (caught by review,
+    * round 15). get-then-putIfAbsent tolerates re-entrancy; the race
+    * cost is at worst one redundant build whose loser's checkpoint is
+    * dropped unreferenced — correctness is unaffected (deterministic
+    * results). */
   private def memoized(spark: SparkSession, key: String)
                       (build: => DataFrame): DataFrame = {
     // drop entries of stopped sessions — their cached blocks died with
     // the context, so a long-lived JVM cannot accumulate stale handles
     derivedMemo.entrySet().removeIf(
       e => e.getValue.sparkSession.sparkContext.isStopped)
-    derivedMemo.computeIfAbsent(
-      (System.identityHashCode(spark), key), _ => build.localCheckpoint())
+    val k = (System.identityHashCode(spark), key)
+    val hit = derivedMemo.get(k)
+    if (hit != null) hit
+    else {
+      val built = build.localCheckpoint()
+      val prev = derivedMemo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Unmemoized pair builder — ScaleStressSpec measures THIS (the

@@ -475,6 +475,58 @@ class SnapshotTableSpec extends SparkSpec {
       "winner's version readable immediately after the lost race")
   }
 
+  test("empty trailer-less manifest (a crashed claim) fails loudly instead of reading as empty") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    // the r14 claim-then-crash signature: version file exists, zero
+    // content — must NOT be accepted as an empty table (a mergeInto
+    // reading it as empty would silently replace the table)
+    assert(new java.io.File(s"$base/manifest/v1").createNewFile())
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.asOf(spark, base, 1).count()
+    }
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 100,
+      "other versions unaffected")
+  }
+
+  test("vacuum sweeps aged .tmp manifest claims; live publishers' temp files survive") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    val hourMs = 60L * 60 * 1000
+    val freshTmp = new java.io.File(s"$base/manifest/.tmp-v9-fresh111")
+    val staleTmp = new java.io.File(s"$base/manifest/.tmp-v9-stale111")
+    assert(freshTmp.createNewFile() && staleTmp.createNewFile())
+    assert(staleTmp.setLastModified(System.currentTimeMillis() - 2 * hourMs))
+    val (_, d) = SnapshotTable.vacuum(spark, base, 1, orphanMinAgeMs = hourMs)
+    assert(!staleTmp.exists, "killed publisher's aged claim swept")
+    assert(freshTmp.exists, "in-flight publisher's temp file spared")
+    assert(d >= 1)
+  }
+
+  test("a live writer's _temporary subtree with an old top dir but fresh deep churn is spared") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    val hourMs = 60L * 60 * 1000
+    // POSIX: deep churn does NOT refresh the top _temporary dir's
+    // mtime — the gate must look at the NEWEST entry in the subtree
+    val deep = new java.io.File(s"$base/data/job1/_temporary/0/task7")
+    deep.mkdirs()
+    val finished = new java.io.File(deep, "part-00000.parquet")
+    assert(finished.createNewFile())
+    val old = System.currentTimeMillis() - 2 * hourMs
+    // age the FINISHED task file and every dir above it…
+    Seq(finished, deep, deep.getParentFile, deep.getParentFile.getParentFile)
+      .foreach(f => assert(f.setLastModified(old)))
+    // …but the writer is alive: a sibling task is writing right now
+    val live = new java.io.File(deep.getParentFile, "task9")
+    live.mkdirs()
+    assert(new java.io.File(live, "part-00001.parquet").createNewFile())
+    val (_, d1) = SnapshotTable.vacuum(spark, base, 1, orphanMinAgeMs = hourMs)
+    assert(d1 == 0 && finished.exists,
+      "finished task files of a LIVE writer must survive the age-guarded vacuum")
+  }
+
   test("aged _temporary scratch of a crashed writer is eventually vacuumed; fresh scratch survives") {
     val base = freshBase()
     SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)

@@ -229,6 +229,37 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------
+  // #273 hapax legomena ratio
+  // ---------------------------------------------------------------
+
+  /** #273 — hapax-legomena ratio per language slice (round 15; the
+    * third corpus-health diagnostic beside #266's Zipf fit and #271's
+    * coverage curve — the share of terms seen exactly ONCE drives
+    * LM-smoothing mass (Good–Turing / Kneser–Ney's n₁, see #140) and
+    * flags OCR/boilerplate noise when it spikes): per lang, distinct
+    * terms, hapax terms (slice count = 1), token volume, and the two
+    * shares — hapax/terms and hapax/tokens — on the 6dp floor-grid
+    * over exact longs. Shape: one (lang, word)-keyed corpus aggregate
+    * (the only data-scale stage), then a lang-keyed fold — all
+    * partial-able, windows nowhere. */
+  def textHapaxRatio(spark: SparkSession, sf: String): DataFrame = {
+    documents(spark, sf)
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id")))
+      .select(col("lang"), explode(words).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("lang"), col("n_terms"), col("n_hapax"), col("n_tokens"),
+        (floor(col("n_hapax").cast("double") / col("n_terms") * 1000000
+          + 0.5) / 1000000.0).as("hapax_term_share"),
+        (floor(col("n_hapax").cast("double") / col("n_tokens") * 1000000
+          + 0.5) / 1000000.0).as("hapax_token_share"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------
   // #117 consecutive-token collapse
   // ---------------------------------------------------------------
 
@@ -927,6 +958,7 @@ object CorpusOps {
     "dedup_keep_best"        -> (dedupKeepBest _),
     "text_zipf_fit"          -> (textZipfFit _),
     "text_vocab_coverage"    -> (textVocabCoverage _),
+    "text_hapax_ratio"       -> (textHapaxRatio _),
     "text_collapse_repeats"  -> (textCollapseRepeats _),
     "text_length_histogram"  -> (textLengthHistogram _),
     "text_token_entropy"     -> (textTokenEntropy _),
@@ -1170,6 +1202,23 @@ object CorpusOps {
         |SELECT component, doc_id AS keep_id,
         |  CAST(n_members AS BIGINT) AS n_members, best_quality
         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin),
+    "text_hapax_ratio" ->
+      """WITH wc AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT lang, w, count(*) AS c FROM wc GROUP BY lang, w),
+        |s AS (
+        |  SELECT lang, count(*) AS n_terms,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n_terms, n_hapax, n_tokens,
+        |  floor(CAST(n_hapax AS DOUBLE) / n_terms * 1000000 + 0.5)
+        |    / 1000000.0 AS hapax_term_share,
+        |  floor(CAST(n_hapax AS DOUBLE) / n_tokens * 1000000 + 0.5)
+        |    / 1000000.0 AS hapax_token_share
+        |FROM s ORDER BY lang""".stripMargin,
     "text_vocab_coverage" ->
       """WITH wc AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

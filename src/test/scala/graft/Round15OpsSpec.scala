@@ -278,6 +278,28 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  test("hapax ratio (#273): matches brute force; shares bounded and consistent") {
+    val got = CorpusOps.textHapaxRatio(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getDouble(4), r.getDouble(5))).toSeq
+    val slices = Tables.documents(spark, sf001)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+    val exp = slices.groupBy(_._1).toSeq.map { case (lang, ws) =>
+      val counts = ws.groupBy(_._2).map { case (_, v) => v.length.toLong }
+      val (terms, hapax, tokens) =
+        (counts.size.toLong, counts.count(_ == 1L).toLong, counts.sum)
+      (lang, terms, hapax, tokens,
+       math.floor(hapax.toDouble / terms * 1000000 + 0.5) / 1000000.0,
+       math.floor(hapax.toDouble / tokens * 1000000 + 0.5) / 1000000.0)
+    }.sortBy(_._1)
+    assert(got == exp, s"hapax mismatch:\n got=$got\n exp=$exp")
+    got.foreach { case (_, terms, hapax, tokens, ts, ks) =>
+      assert(hapax <= terms && terms <= tokens)
+      assert(ks <= ts + 1e-12, "token share cannot exceed term share")
+    }
+  }
+
   test("snapshot compact (#263): v1 and v2 rows are identical (content-preserving)") {
     val rows = EtlOps.etlSnapshotCompact(spark, sf001).collect()
     assert(rows.length == 2)

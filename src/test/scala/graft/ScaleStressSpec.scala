@@ -1546,5 +1546,17 @@ class ScaleStressSpec extends SparkSpec {
         (u, nb, nr, bc.toDouble / 100, rc.toDouble / 100,
          (bc - rc).toDouble / 100) }
     assert(br10 == expBr, s"#272 10× top-20:\n got=${br10.take(3)}\n exp=${expBr.take(3)}")
+    // #273: exact replication multiplies every slice term count by 10,
+    // so NOTHING can remain count-1 — the hapax set collapses to zero
+    // while terms stay invariant and tokens scale exactly
+    val hx1 = CorpusOps.textHapaxRatio(spark, dir1x).collect()
+    val hx10 = CorpusOps.textHapaxRatio(spark, dir10x).collect()
+    assert(hx1.length == hx10.length)
+    hx1.zip(hx10).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getLong(1) == b.getLong(1), "n_terms invariant")
+      assert(b.getLong(2) == 0L, "hapax set collapses under ×10 replication")
+      assert(b.getLong(3) == 10 * a.getLong(3), "tokens ×10")
+    }
   }
 }

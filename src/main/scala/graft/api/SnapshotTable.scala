@@ -156,6 +156,26 @@ object SnapshotTable {
           case e: java.nio.file.FileAlreadyExistsException =>
             throw new VersionConflictException(
               s"version $version already committed at $p: $e")
+          // Filesystems without hard links (CIFS/FAT/some FUSE or
+          // overlay mounts) fail link(2) with UOE or a generic
+          // FileSystemException (ADVICE r15) — fall back to a single
+          // atomic-create write (CREATE_NEW: still single-winner) of
+          // the full payload. This is the r14-format publish: the
+          // claim and the content land in one write() call rather
+          // than one metadata op, and the EofMarker trailer remains
+          // the completeness seal readers check on that path.
+          case linkFail @ (_: UnsupportedOperationException |
+                           _: java.nio.file.FileSystemException) =>
+            try java.nio.file.Files.write(jp, payload,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            catch {
+              case e: java.nio.file.FileAlreadyExistsException =>
+                throw new VersionConflictException(
+                  s"version $version already committed at $p: $e")
+              case scala.util.control.NonFatal(e) =>
+                e.addSuppressed(linkFail); throw e
+            }
         }
       } finally java.nio.file.Files.deleteIfExists(jtmp)
     } else {
@@ -164,11 +184,21 @@ object SnapshotTable {
       try {
         val out = f.create(tmp, /* overwrite = */ true)
         try out.write(payload) finally out.close()
-        won = try f.rename(tmp, p) catch {
-          case _: java.io.IOException => false
+        // A failed rename is a LOST RACE only when the destination
+        // exists (ADVICE r15): an IOException or a false return for
+        // any other reason (transient namenode fault, permissions) is
+        // an infrastructure failure and must surface as such — a
+        // retryingCommit caller would otherwise rebase and re-attempt
+        // forever against a store that cannot publish.
+        val renameErr: Option[java.io.IOException] =
+          try { won = f.rename(tmp, p); None }
+          catch { case e: java.io.IOException => Some(e) }
+        if (!won) {
+          if (f.exists(p)) throw new VersionConflictException(
+            s"version $version already committed at $p")
+          else throw renameErr.getOrElse(new java.io.IOException(
+            s"rename $tmp -> $p returned false but destination is absent"))
         }
-        if (!won) throw new VersionConflictException(
-          s"version $version already committed at $p")
       } finally if (!won) {
         try f.delete(tmp, false) catch {
           case scala.util.control.NonFatal(_) => ()
@@ -223,13 +253,31 @@ object SnapshotTable {
         .contains(data.size)
       (data, markers.nonEmpty, ok)
     }
-    var prev: Option[Seq[String]] = None
+    // Legacy (trailer-less) acceptance fingerprint: the data lines
+    // PLUS the file's length and mtime. ADVICE r15 tightened this
+    // gate: two agreeing reads 50 ms apart could still accept the
+    // flushed nonempty PREFIX of an r14 writer that crashed
+    // mid-payload. Acceptance now requires five consecutive agreeing
+    // reads (~200 ms span) whose byte length and modification time
+    // never move — a file that is still being appended to (or whose
+    // metadata churns) resets the streak, so the partial-prefix
+    // window shrinks from "one 50 ms gap" to "frozen for the full
+    // observation span with frozen stat()".
+    def statOf(): Option[(Long, Long)] =
+      try { val s = f.getFileStatus(p); Some((s.getLen, s.getModificationTime)) }
+      catch { case scala.util.control.NonFatal(_) => None }
+    var prev: Option[(Seq[String], Option[(Long, Long)])] = None
+    var streak = 0
     var left = 40
     while (left > 0) {
+      val st = statOf()
       val (data, sawMarker, ok) = readOnce()
       if (ok) return data
-      if (!sawMarker && data.nonEmpty && prev.contains(data)) return data
-      prev = if (sawMarker) None else Some(data)
+      if (!sawMarker && data.nonEmpty && st.isDefined &&
+          prev.contains((data, st))) streak += 1
+      else streak = 0
+      if (streak >= 4) return data
+      prev = if (sawMarker) None else Some((data, st))
       left -= 1
       if (left > 0) Thread.sleep(50)
     }
@@ -381,6 +429,17 @@ object SnapshotTable {
         (try f.listStatus(dir).toList
          catch { case scala.util.control.NonFatal(_) => Nil })
           .flatMap(s => if (s.isDirectory) s :: walkAll(s.getPath) else List(s))
+      // Whole-stale hidden subtrees yield BOTH their files (any
+      // extension — everything under a scratch tree frozen past the
+      // age guard is a dead writer's litter) and their directory
+      // skeleton: deleting only the files refreshes the parent's
+      // mtime, so the empty skeleton would never age out of any
+      // later vacuum (ADVICE r15). Dirs are removed non-recursively,
+      // deepest first, AFTER the file pass — a dir that turns out
+      // non-empty (a racer recreated scratch under it) fails the
+      // non-recursive delete and is simply skipped.
+      val staleScratchFiles = scala.collection.mutable.ListBuffer[Path]()
+      val staleScratchDirs = scala.collection.mutable.ListBuffer[Path]()
       def walk(dir: Path): List[org.apache.hadoop.fs.FileStatus] =
         (try f.listStatus(dir).toList
          catch { case scala.util.control.NonFatal(_) => Nil })
@@ -391,7 +450,13 @@ object SnapshotTable {
                 val sub = walkAll(s.getPath)
                 val newest = (s.getModificationTime ::
                   sub.map(_.getModificationTime)).max
-                if (newest <= ageCutoff) sub.filterNot(_.isDirectory) else Nil
+                if (newest <= ageCutoff) {
+                  staleScratchFiles ++= sub.filterNot(_.isDirectory)
+                    .map(_.getPath).filterNot(p => live.contains(p.toString))
+                  staleScratchDirs += s.getPath
+                  staleScratchDirs ++= sub.filter(_.isDirectory).map(_.getPath)
+                }
+                Nil
               } else walk(s.getPath)
             } else List(s)
           }
@@ -399,11 +464,15 @@ object SnapshotTable {
         .filter(s => s.getPath.getName.endsWith(".parquet") &&
           !live.contains(s.getPath.toString) &&
           s.getModificationTime <= ageCutoff)
-        .map(_.getPath)
+        .map(_.getPath) ++ staleScratchFiles
       victims.foreach { p =>
         val ok = try f.delete(p, false)
                  catch { case scala.util.control.NonFatal(_) => false }
         if (ok) deleted += 1
+      }
+      staleScratchDirs.sortBy(-_.depth).foreach { d =>
+        try f.delete(d, false)   // non-recursive: fails iff non-empty
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     (dropped.size, deleted)

@@ -116,8 +116,16 @@ object LlmOps {
   // deterministic, so memoization cannot change any graded hash.
   // ---------------------------------------------------------------
 
+  // Keyed on the SparkSession REFERENCE (SparkSession does not
+  // override equals/hashCode, so tuple equality is identity equality
+  // for the session slot) — ADVICE r15: identityHashCode(spark) is
+  // not unique, and a collision between two live sessions would have
+  // returned a checkpointed DataFrame bound to the wrong session. The
+  // strong ref does not leak: stopped sessions are evicted on every
+  // access (below), and the cached DataFrames reference their session
+  // anyway.
   private val derivedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Memoize a derived table per (live session, key). NOT
     * computeIfAbsent: a builder may itself consult the memo
@@ -135,7 +143,7 @@ object LlmOps {
     // the context, so a long-lived JVM cannot accumulate stale handles
     derivedMemo.entrySet().removeIf(
       e => e.getValue.sparkSession.sparkContext.isStopped)
-    val k = (System.identityHashCode(spark), key)
+    val k = (spark, key)
     val hit = derivedMemo.get(k)
     if (hit != null) hit
     else {

@@ -547,6 +547,67 @@ class SnapshotTableSpec extends SparkSpec {
       .foreach(f => assert(f.setLastModified(old)))
     val (_, d2) = SnapshotTable.vacuum(spark, base, 1, orphanMinAgeMs = hourMs)
     assert(d2 == 1 && !scratch.exists, "stale crashed-writer scratch collected")
+    // ADVICE r15: the directory SKELETON must go with the files —
+    // deleting only the files refreshes the parent mtime, so the
+    // empty skeleton would otherwise survive every future vacuum
+    assert(!new java.io.File(s"$base/data/dead/_temporary").exists,
+      "stale scratch skeleton reclaimed, not just its files")
     assert(SnapshotTable.asOf(spark, base, 0).count() == 100)
+  }
+
+  test("stale scratch with non-parquet litter and an empty skeleton is fully reclaimed (ADVICE r15)") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    val hourMs = 60L * 60 * 1000
+    val old = System.currentTimeMillis() - 2 * hourMs
+    // (a) a crashed writer's scratch holding a NON-parquet marker file
+    val deadDir = new java.io.File(s"$base/data/j2/_temporary/0/task3")
+    deadDir.mkdirs()
+    val marker = new java.io.File(deadDir, "_started_attempt_1")
+    assert(marker.createNewFile())
+    // (b) an already-EMPTY skeleton (a prior files-only sweep's residue)
+    val skel = new java.io.File(s"$base/data/j3/_temporary/0/task9")
+    skel.mkdirs()
+    var f: java.io.File = deadDir
+    while (f.getName != "data") { assert(f.setLastModified(old)); f = f.getParentFile }
+    assert(marker.setLastModified(old))
+    f = skel
+    while (f.getName != "data") { assert(f.setLastModified(old)); f = f.getParentFile }
+    SnapshotTable.vacuum(spark, base, 1, orphanMinAgeMs = hourMs)
+    assert(!marker.exists, "non-parquet litter in whole-stale scratch collected")
+    assert(!new java.io.File(s"$base/data/j2/_temporary").exists &&
+           !new java.io.File(s"$base/data/j3/_temporary").exists,
+      "stale skeletons (with and without files) reclaimed")
+    assert(SnapshotTable.asOf(spark, base, 0).count() == 100)
+  }
+
+  test("legacy trailer-less acceptance requires a frozen file: an appending writer is not accepted early (ADVICE r15)") {
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    val mf = new java.io.File(s"$base/manifest/v0")
+    val full = scala.io.Source.fromFile(mf).getLines().toList
+    val dataLines = full.filterNot(_.startsWith("#eof"))
+    assert(dataLines.size >= 2, "fixture must span multiple buckets")
+    // stage an r14-crash lookalike: a trailer-less PREFIX that keeps
+    // growing — a reader polling it must NOT accept any prefix while
+    // appends continue, and must accept the final frozen content
+    val legacyV = new java.io.File(s"$base/manifest/v1")
+    def writeLines(ls: Seq[String]): Unit = {
+      val w = new java.io.FileWriter(legacyV)
+      try w.write(ls.mkString("\n")) finally w.close()
+    }
+    writeLines(dataLines.take(1))
+    val appender = new Thread(() => {
+      // grow the file every 60 ms for ~0.5 s, ending at the full list
+      (2 to dataLines.size).foreach { n =>
+        Thread.sleep(60); writeLines(dataLines.take(n))
+      }
+    })
+    appender.start()
+    val got = SnapshotTable.liveFiles(spark, base, 1)
+    appender.join()
+    assert(got.size == dataLines.size,
+      s"reader accepted a growing prefix: got ${got.size} of ${dataLines.size} lines")
+    assert(SnapshotTable.asOf(spark, base, 1).count() == 100)
   }
 }

@@ -266,6 +266,11 @@ class ScaleStressSpec extends SparkSpec {
       ("dedup_simhash_band",
         d => LlmOps.buildVerifiedSimhashPairs(spark, d)
           .orderBy(col("d1"), col("d2")), LIN),
+      // round 16: #75's trigram fan-out memoizes per session×corpus —
+      // measure the UNmemoized gram builder (linear in corpus chars)
+      ("text_language_id_grams",
+        d => LlmOps.buildPerDocGram(spark, d)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_grams")), LIN),
       // round 6 (post-repartition-fix): the shingle/md5-heaviest dedup
       ("dedup_minhash_near", d => graft.ops.TextOps.dedupMinhashNear(spark, d), LIN),
       // round 6: gram-volume-linear corpus novelty (distinct + window by gram)

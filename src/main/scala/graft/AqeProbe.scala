@@ -34,8 +34,11 @@ object AqeProbe {
 
   /** Structural fingerprint of an executed plan string: the counts a
     * genuine AQE plan CHANGE would move (join strategies, exchanges)
-    * plus the count AQE always adds at tiny scale (coalesced reads). */
-  private def shape(plan: String): Map[String, Int] = Map(
+    * plus the count AQE always adds at tiny scale (coalesced reads).
+    * `private[graft]`: Bench's full-sweep regression tripwire records
+    * the same fingerprint per op (round 16 — VERDICT r15 ask 2) so a
+    * named time growth self-triages as plan change vs host stall. */
+  private[graft] def shape(plan: String): Map[String, Int] = Map(
     "bhj" -> "BroadcastHashJoin".r.findAllIn(plan).size,
     "smj" -> "SortMergeJoin".r.findAllIn(plan).size,
     "shj" -> "ShuffledHashJoin".r.findAllIn(plan).size,

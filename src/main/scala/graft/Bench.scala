@@ -310,13 +310,31 @@ object Bench {
     // runs keep page cache and JIT state warm per query.)
     // A query whose count() throws records None — a failure marker in
     // the JSON (null), never its misleading time-to-exception.
+    // Executed-plan fingerprint per op (round 16 — VERDICT r15 ask 2):
+    // captured OUTSIDE the timed window on the first successful
+    // attempt, recorded in FULLBENCH.json, and diffed against the
+    // previous committed sweep so a named time regression self-triages
+    // — plan_changed:false means identical join strategies / shuffle
+    // counts, i.e. a host stall (the r15 layout_zorder_pruning false
+    // alarm), plan_changed:true means a genuine planner change worth
+    // bisecting. AQE is off in this session, so executedPlan is final.
+    val planFps = scala.collection.mutable.Map[String, String]()
+    def fpString(df: org.apache.spark.sql.DataFrame): String =
+      AqeProbe.shape(df.queryExecution.executedPlan.toString)
+        .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
     def bestOfN(name: String, n: Int): Option[Double] = {
       val ts = (1 to n).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { qs(name)(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val built = try {
+          val df = qs(name)(spark, sfDir); df.count(); Some(df)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None }
+        val t = (System.nanoTime() - t0) / 1e9
+        built.foreach { df =>
+          if (!planFps.contains(name))
+            planFps(name) = try fpString(df) catch { case _: Throwable => "" }
+        }
+        if (built.nonEmpty) Some(t) else None
       }
       ts.minOption
     }
@@ -448,9 +466,9 @@ object Bench {
       // min-of-two warm protocol, so a named growth is a plan
       // regression, a corpus change, or a host stall that survived
       // two passes — all worth a look.
-      val regressions: Seq[(String, Double, Double)] = {
+      val (regressions, prevFps): (Seq[(String, Double, Double)], Map[String, String]) = {
         val p = java.nio.file.Paths.get("FULLBENCH.json")
-        if (!java.nio.file.Files.exists(p)) Nil
+        if (!java.nio.file.Files.exists(p)) (Nil, Map.empty)
         else try {
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           // only compare like with like: a committed sweep from a
@@ -462,17 +480,35 @@ object Bench {
           val re = """"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
           val prev = re.findAllMatchIn(block)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          names.flatMap { n =>
+          // previous round's plan fingerprints (absent before r16)
+          val fps: Map[String, String] = {
+            val i = txt.indexOf("\"plan_fp\"")
+            if (i < 0) Map.empty
+            else {
+              val end = txt.indexOf("\"times_sec\"")
+              val fpBlock = txt.substring(i, if (end > i) end else txt.length)
+              """"([a-z0-9_]+)":\s*"([^"]*)"""".r.findAllMatchIn(fpBlock)
+                .map(m => m.group(1) -> m.group(2)).toMap
+            }
+          }
+          (names.flatMap { n =>
             (prev.get(n), all(n)) match {
               case (Some(p0), Some(t)) if p0 >= 0.15 && t > 1.5 * p0 =>
                 Some((n, p0, t))
               case _ => None
             }
-          }
-        } catch { case _: Throwable => Nil }
+          }, fps)
+        } catch { case _: Throwable => (Nil, Map.empty) }
       }
       val regJson = regressions.map { case (n, p0, t) =>
-        f""""$n": {"prev": $p0%.3f, "now": $t%.3f, "ratio": ${t / p0}%.2f}"""
+        // plan_changed: null when either side lacks a fingerprint
+        // (first fingerprinted round, or a failed capture)
+        val pc = (prevFps.get(n).filter(_.nonEmpty),
+                  planFps.get(n).filter(_.nonEmpty)) match {
+          case (Some(a), Some(b)) => (a != b).toString
+          case _ => "null"
+        }
+        f""""$n": {"prev": $p0%.3f, "now": $t%.3f, "ratio": ${t / p0}%.2f, "plan_changed": $pc}"""
       }.mkString("{", ",", "}")
       val fileJson = new StringBuilder
       fileJson.append("{\n")
@@ -485,6 +521,10 @@ object Bench {
         .append(s"""  "total_sec": ${fullTotal.fold("null")(t => f"$t%.3f")},\n""")
         .append(s"""  "slowest10": {${slow10.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }.mkString(",")}},\n""")
         .append(s"""  "regressions_vs_prev": $regJson,\n""")
+        .append("  \"plan_fp\": {\n")
+        .append(names.map(n =>
+          s"""    "$n": "${planFps.getOrElse(n, "")}"""").mkString(",\n"))
+        .append("\n  },\n")
         .append("  \"times_sec\": {\n")
         .append(names.map(n => s"""    "$n": ${all(n).fold("null")(v => f"$v%.4f")}""").mkString(",\n"))
         .append("\n  }\n}\n")

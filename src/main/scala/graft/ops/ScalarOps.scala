@@ -141,13 +141,22 @@ object ScalarOps {
     * at display. Oracle: DuckDB builds the identical document and
     * extracts with its JSON functions — VARIANT is an encoding, not a
     * semantics change, so the hashes must match. */
-  def variantExtractAgg(spark: SparkSession, sf: String): DataFrame = {
+  def variantExtractAgg(spark: SparkSession, sf: String): DataFrame =
+    variantExtractCounts(events(spark, sf))
+      .orderBy(col("k_bucket"), col("etype"))
+
+  /** The #262 pipeline minus the batch-only final sort — shared with
+    * StreamingSpec's chunked-replay proof (round 16, VERDICT r15 ask
+    * 6): the identical parse_json → variant_get → groupBy tree runs
+    * under a Complete-mode streaming aggregation, so the two surfaces
+    * cannot drift. Works on any relation with (props, event_type,
+    * value) columns, batch or streaming. */
+  private[graft] def variantExtractCounts(ev: DataFrame): DataFrame = {
     val cents = (money(col("value")) * 100).cast("long")
     val doc = concat(lit("{\"meta\":"), col("props"),
       lit(",\"etype\":\""), col("event_type"),
       lit("\",\"cents\":"), cents.cast("string"), lit("}"))
-    events(spark, sf)
-      .select(parse_json(doc).as("v"))
+    ev.select(parse_json(doc).as("v"))
       .select(
         variant_get(col("v"), "$.meta.k", "int").as("k"),
         variant_get(col("v"), "$.etype", "string").as("etype"),
@@ -155,7 +164,6 @@ object ScalarOps {
       .groupBy((col("k") % 10).as("k_bucket"), col("etype"))
       .agg(count(lit(1)).as("n"),
            (sum(col("cents")).cast("double") / 100.0).as("total_value"))
-      .orderBy(col("k_bucket"), col("etype"))
   }
 
   /** #50 — the UDF surface: a pure Scala string transform registered

@@ -170,6 +170,17 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** #270 streaming form — per-(user, type) inter-arrival gaps; see
+    * [[InterarrivalProcessor]]. The (type, capped-minute) histogram
+    * aggregate downstream of this feed equals the batch operator
+    * exactly under ordered replay (StreamingSpec). */
+  def interarrivalGapsTws(events: Dataset[EventRow]): Dataset[GapRecord] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new InterarrivalProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** #164 streaming form — per-user first-activity records behind
     * `events_retention_cohort`: ValueState pins the user's cohort day
     * (first day ever seen), ListState dedups activity days, and each
@@ -476,5 +487,49 @@ class TtlCountProcessor(ttl: java.time.Duration)
     }
     count.update(n)
     out.iterator
+  }
+}
+
+/** One inter-arrival gap of a (user, type) stream — output of
+  * [[EventStreams.interarrivalGapsTws]]; the append-only feed whose
+  * (type, capped-minute-bucket) aggregate IS #270's histogram. */
+case class GapRecord(user_id: Long, event_type: String, gap_us: Long)
+
+/** #270 streaming form (round 16 — VERDICT r15 ask 6): per
+  * (user, type) ValueState carries the previous event's epoch
+  * microseconds across micro-batches, so chunked event-time-ordered
+  * replay emits exactly the gaps the batch window computes — including
+  * the cross-chunk gaps a per-batch lag would miss. Same
+  * ordered-replay caveat as [[EventStreams.markovPairsTws]]; state per
+  * key is ONE long — key-bounded, never history-bounded, the cadence
+  * the 100 TB rate-limit/bot-detection feed needs. */
+class InterarrivalProcessor
+    extends StatefulProcessor[(Long, String), EventRow, GapRecord] {
+  @transient private var lastUs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastUs = getHandle.getValueState[Long]("last_us",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  /** Epoch µs of a ns-precision Timestamp — matches the batch
+    * operator's `unix_micros(ts)` exactly (floorDiv for pre-1970). */
+  private def epochUs(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  override def handleInputRows(key: (Long, String), rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[GapRecord] = {
+    // (us, event_id) sort matches the batch window's deterministic
+    // tie-break; equal-ts ties never straddle chunks in ordered replay
+    val us = rows.toVector
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      .map(e => epochUs(e.ts))
+    if (us.isEmpty) Iterator.empty
+    else {
+      val seq = (if (lastUs.exists()) Vector(lastUs.get()) else Vector.empty) ++ us
+      lastUs.update(us.last)
+      seq.sliding(2).collect {
+        case Seq(a, b) => GapRecord(key._1, key._2, b - a)
+      }
+    }
   }
 }

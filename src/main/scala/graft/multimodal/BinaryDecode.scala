@@ -491,4 +491,47 @@ object BinaryDecode {
   /** Partition-wise WAV decode of (id, payload) batches. */
   def decodeWavBatch(rows: Iterator[(Long, Array[Byte])]): Iterator[AudioMeta] =
     rows.map { case (id, bytes) => decodeWavOne(id, bytes) }
+
+  /** One fixed-width energy window of a decoded clip: sample count
+    * and |sample| sum — the exact-integer per-window state #278's VAD
+    * segmentation runs on. */
+  case class AudioWindow(doc_id: Long, win_idx: Int, n_samples: Int,
+                         sum_abs: Long)
+
+  /** Real decode of one WAV payload folded into `win`-sample energy
+    * windows (same `javax.sound.sampled` path and format checks as
+    * [[decodeWavOne]] — a malformed container fails loudly). */
+  def decodeWavWindowsOne(id: Long, bytes: Array[Byte],
+                          win: Int): Seq[AudioWindow] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"doc $id: unexpected WAV format $fmt")
+      val data = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AudioWindow]
+      var wIdx = 0
+      var n = 0
+      var sumAbs = 0L
+      while (bb.remaining() >= 2) {
+        sumAbs += math.abs(bb.getShort.toInt)
+        n += 1
+        if (n == win) {
+          out += AudioWindow(id, wIdx, n, sumAbs)
+          wIdx += 1; n = 0; sumAbs = 0L
+        }
+      }
+      if (n > 0) out += AudioWindow(id, wIdx, n, sumAbs)
+      out.toSeq
+    } finally in.close()
+  }
+
+  /** Partition-wise windowed WAV decode of (id, payload) batches. */
+  def decodeWavWindowsBatch(rows: Iterator[(Long, Array[Byte])],
+                            win: Int): Iterator[AudioWindow] =
+    rows.flatMap { case (id, bytes) => decodeWavWindowsOne(id, bytes, win) }
 }

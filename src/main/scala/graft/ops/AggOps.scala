@@ -1553,6 +1553,100 @@ object AggOps {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #275 — Brown–Forsythe / Levene variance-equality test (round 16;
+    * Brown & Forsythe 1974 — the HOMOGENEITY precondition check for
+    * #229's ANOVA, run first by every k-sample analysis: ANOVA's F
+    * compares means assuming equal group variances; this op tests
+    * that assumption by running the SAME one-way F over z = |x −
+    * median(group)|, the median-centered absolute deviations (the
+    * median variant is the robust Brown–Forsythe form)): groups = the
+    * five o_orderpriority classes on o_totalprice. Exactness: group
+    * medians via the exact-interpolated percentile (#149's
+    * cross-engine pairing, 4dp-gridded BEFORE the deviations so both
+    * engines center on bit-identical values); z is 4dp-rounded and
+    * summed as DECIMAL(18,4) / z² as DECIMAL(38,8) — order-free exact
+    * moments; the five-group quotient chain Σⱼ Sⱼ²/nⱼ is a FIXED
+    * left-associated literal expression in both engines (#229's
+    * one-row conditional-sum policy — never a 5-row double fold whose
+    * summation order could differ), the rejection flag compares the
+    * UNROUNDED F to the F(.05; 4, ∞) literal 2.371902, displays 6dp.
+    * Shape: one keyed percentile aggregate (5 rows, broadcast back) +
+    * one partial-aggregated corpus pass to a 1-row frame. */
+  def aggLeveneBf(spark: SparkSession, sf: String): DataFrame = {
+    val grp = substring(col("o_orderpriority"), 1, 1).cast("int")
+    val o = orders(spark, sf).select(grp.as("grp"), col("o_totalprice").as("tp"))
+    val med = o.groupBy(col("grp"))
+      .agg(round(percentile(col("tp"), lit(0.5)), 4).as("med"))
+    val z = o.join(broadcast(med), "grp")
+      .select(col("grp"),
+        dec(round(abs(col("tp") - col("med")), 4), 18, 4).as("z"))
+    def ng(j: Int) = count(when(col("grp") === j, lit(1))).as(s"n$j")
+    def sg(j: Int) = sum(when(col("grp") === j, col("z"))).as(s"s$j")
+    def qg(j: Int) =
+      sum(when(col("grp") === j, dec(col("z") * col("z"), 38, 8))).as(s"q$j")
+    val aggs = (1 to 5).map(ng) ++ (1 to 5).map(sg) ++ (1 to 5).map(qg)
+    val one = z.agg(aggs.head, aggs.tail: _*)
+    def d(c: Column) = c.cast("double")
+    val bigN = (1 to 5).map(j => d(col(s"n$j"))).reduce(_ + _)
+    val s = (1 to 5).map(j => d(col(s"s$j"))).reduce(_ + _)
+    val sjsq =
+      (1 to 5).map(j => d(col(s"s$j")) * d(col(s"s$j")) / d(col(s"n$j")))
+        .reduce(_ + _)
+    val q = (1 to 5).map(j => d(col(s"q$j"))).reduce(_ + _)
+    val ssb = sjsq - s * s / bigN
+    val ssw = q - sjsq
+    val f = (ssb / lit(4.0)) / (ssw / (bigN - lit(5.0)))
+    one.select(lit(5).as("k_groups"),
+      (1 to 5).map(j => col(s"n$j")).reduce(_ + _).as("n_total"),
+      round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+      round(f, 6).as("f_stat"), (f > lit(2.371902)).as("reject_equal_var"))
+  }
+
+  /** #276 — delete-one-group jackknife of the mean (round 16; Tukey
+    * 1958 / the delete-a-GROUP variant every experimentation platform
+    * uses for clustered metrics, where user/geo clustering makes the
+    * i.i.d. bootstrap wrong): leave each customer NATION out in turn,
+    * recompute the mean account balance from the complement's exact
+    * sums — loo_g = (S − S_g)/(N − n_g), free: no per-replicate data
+    * pass — then SE² = (G−1)/G · Σ_g (loo_g − mean(loo))² and the
+    * jackknife bias estimate (G−1)(mean(loo) − θ̂). Exactness: S/S_g
+    * are exact DECIMAL(18,2) money sums; each loo is one double
+    * division over exact decimals, 6dp-gridded (grid ≫ the ~1e-12
+    * division ulp) so Σloo and Σloo² re-sum as exact DECIMALs — the
+    * 25-replicate fold is order-free — and Σ(loo−θ̇)² comes from the
+    * algebraic identity Σloo² − (Σloo)²/G over those two exact folds;
+    * only θ̂, SE and bias are final double expressions, 6dp
+    * displayed. Shape: one keyed corpus
+    * aggregate (25 rows) + a broadcast 1-row total + a 1-row fold —
+    * at 100 TB the corpus is touched exactly once. */
+  def aggJackknifeGroups(spark: SparkSession, sf: String): DataFrame = {
+    val per = customer(spark, sf)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("ng"), sum(money(col("c_acctbal"))).as("sg"))
+    val tot = per.agg(sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"), count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(col("n"), col("s"), col("g"),
+        dec(round((col("s") - col("sg")).cast("double")
+          / (col("n") - col("ng")).cast("double"), 6), 18, 6).as("loo"))
+    val folded = loo
+      .groupBy(col("n"), col("s"), col("g"))
+      .agg(sum(col("loo")).as("sl"),
+           sum(dec(col("loo") * col("loo"), 38, 12)).as("ql"))
+    def d(c: Column) = c.cast("double")
+    val thetaHat = d(col("s")) / d(col("n"))
+    val thetaDot = d(col("sl")) / d(col("g"))
+    // Σ(loo−θ̇)² = Σloo² − (Σloo)²/G — one fixed expression over the
+    // two exact decimal folds, no per-replicate double summation.
+    val ssDev = d(col("ql")) - d(col("sl")) * d(col("sl")) / d(col("g"))
+    val varJack = (d(col("g")) - 1.0) / d(col("g")) * ssDev
+    folded.select(col("g").as("g_groups"), col("n").as("n_total"),
+      round(thetaHat, 6).as("theta_hat"),
+      round(thetaDot, 6).as("theta_jack"),
+      round(sqrt(varJack), 6).as("se_jack"),
+      round((d(col("g")) - 1.0) * (thetaDot - thetaHat), 6).as("bias_jack"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1601,6 +1695,8 @@ object AggOps {
     "agg_skew_kurtosis"    -> (aggSkewKurtosis _),
     "agg_eb_shrunk_means"  -> (aggEbShrunkMeans _),
     "agg_regression_outlier" -> (aggRegressionOutlier _),
+    "agg_levene_bf"          -> (aggLeveneBf _),
+    "agg_jackknife_groups"   -> (aggJackknifeGroups _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -1633,6 +1729,87 @@ object AggOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "agg_levene_bf" ->
+      """WITH o AS (
+        |  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS grp,
+        |    o_totalprice AS tp FROM orders),
+        |m AS (
+        |  SELECT grp,
+        |    round(percentile_cont(0.5) WITHIN GROUP (ORDER BY tp), 4) AS med
+        |  FROM o GROUP BY grp),
+        |z AS (
+        |  SELECT o.grp,
+        |    CAST(round(abs(o.tp - m.med), 4) AS DECIMAL(18,4)) AS z
+        |  FROM o JOIN m ON o.grp = m.grp),
+        |a AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE grp = 1) AS n1,
+        |    count(*) FILTER (WHERE grp = 2) AS n2,
+        |    count(*) FILTER (WHERE grp = 3) AS n3,
+        |    count(*) FILTER (WHERE grp = 4) AS n4,
+        |    count(*) FILTER (WHERE grp = 5) AS n5,
+        |    sum(z) FILTER (WHERE grp = 1) AS s1,
+        |    sum(z) FILTER (WHERE grp = 2) AS s2,
+        |    sum(z) FILTER (WHERE grp = 3) AS s3,
+        |    sum(z) FILTER (WHERE grp = 4) AS s4,
+        |    sum(z) FILTER (WHERE grp = 5) AS s5,
+        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 1) AS q1,
+        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 2) AS q2,
+        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 3) AS q3,
+        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 4) AS q4,
+        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 5) AS q5
+        |  FROM z),
+        |d AS (
+        |  SELECT
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + CAST(n3 AS DOUBLE)
+        |      + CAST(n4 AS DOUBLE) + CAST(n5 AS DOUBLE) AS bign,
+        |    CAST(s1 AS DOUBLE) + CAST(s2 AS DOUBLE) + CAST(s3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE) + CAST(s5 AS DOUBLE) AS s,
+        |    CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |      + CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n4 AS DOUBLE)
+        |      + CAST(s5 AS DOUBLE) * CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+        |      AS sjsq,
+        |    CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE) + CAST(q3 AS DOUBLE)
+        |      + CAST(q4 AS DOUBLE) + CAST(q5 AS DOUBLE) AS q,
+        |    n1 + n2 + n3 + n4 + n5 AS n_total
+        |  FROM a)
+        |SELECT CAST(5 AS INT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+        |  round(sjsq - s * s / bign, 6) AS ss_between,
+        |  round(q - sjsq, 6) AS ss_within,
+        |  round(((sjsq - s * s / bign) / 4.0)
+        |        / ((q - sjsq) / (bign - 5.0)), 6) AS f_stat,
+        |  ((sjsq - s * s / bign) / 4.0) / ((q - sjsq) / (bign - 5.0))
+        |    > 2.371902 AS reject_equal_var
+        |FROM d""".stripMargin,
+    "agg_jackknife_groups" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, count(*) AS ng,
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sg
+        |  FROM customer GROUP BY c_nationkey),
+        |tot AS (
+        |  SELECT sum(ng) AS n, sum(sg) AS s, count(*) AS g FROM per),
+        |loo AS (
+        |  SELECT tot.n, tot.s, tot.g,
+        |    CAST(round(CAST(tot.s - per.sg AS DOUBLE)
+        |      / CAST(tot.n - per.ng AS DOUBLE), 6) AS DECIMAL(18,6)) AS loo
+        |  FROM per CROSS JOIN tot),
+        |f AS (
+        |  SELECT n, s, g, sum(loo) AS sl,
+        |    sum(CAST(CAST(loo AS DECIMAL(19,6)) * loo AS DECIMAL(38,12))) AS ql
+        |  FROM loo GROUP BY n, s, g)
+        |SELECT CAST(g AS BIGINT) AS g_groups, CAST(n AS BIGINT) AS n_total,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS theta_hat,
+        |  round(CAST(sl AS DOUBLE) / CAST(g AS DOUBLE), 6) AS theta_jack,
+        |  round(sqrt((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+        |    * (CAST(ql AS DOUBLE)
+        |       - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+        |         / CAST(g AS DOUBLE))), 6) AS se_jack,
+        |  round((CAST(g AS DOUBLE) - 1.0)
+        |    * (CAST(sl AS DOUBLE) / CAST(g AS DOUBLE)
+        |       - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS bias_jack
+        |FROM f""".stripMargin,
     "agg_hash_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -669,6 +669,66 @@ object CorpusOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** #277 — sparse TF-IDF cosine retrieval (round 16; the classical
+    * vector-space-model ranking beside #189's BM25 — the SPARSE twin
+    * of #62's dense cosine kNN, and the lexical arm a production
+    * hybrid stack fuses with dense scores via #188's RRF): for the
+    * same 8-doc hash-sampled query panel as #189, score every corpus
+    * document sharing at least one informative term with the query by
+    * cos(q,d) = Σ_t w_qt·w_dt / (‖w_q‖·‖w_d‖), w = tf·ln(N/df),
+    * top-5 per query. Candidate generation is the inverted-index
+    * equi-join on the term (posting-list intersection — Σ df², never
+    * an all-pairs doc scan), and corpus-wide stopwords (df = N, idf
+    * 0) are dropped BEFORE the join — the df-cap every production
+    * inverted index applies, here exact since their weight is
+    * identically zero. Determinism: weights 6dp-rounded to
+    * DECIMAL(20,6) before any summation (the #189 policy), dot
+    * products and squared norms summed as exact DECIMAL(38,12),
+    * cosine one double expression 4dp-displayed, ties to the smaller
+    * doc_id. Shape: two keyed corpus aggregates (tf, df) + the
+    * posting join keyed on term + a per-query top-5 window over the
+    * candidate set (8 query partitions — bounded). */
+  def simSparseCosineTopk(spark: SparkSession, sf: String): DataFrame = {
+    val docs = documents(spark, sf)
+    val q = docs
+      .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#sc"))))
+      .orderBy(col("h"), col("doc_id")).limit(8)
+      .select(col("doc_id").as("q_id"))
+    val tf = docs.select(col("doc_id"), explode(words).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wts = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .where(col("df") < col("n_docs")) // df = N ⇒ idf 0: drop stopwords
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .cast("decimal(20,6)").as("w"))
+    val norms = wts.groupBy(col("doc_id"))
+      .agg(sum(dec(col("w") * col("w"), 38, 12)).as("nrm2"))
+      .where(col("nrm2") > 0)
+    val qw = wts.join(broadcast(q), col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("term"), col("w").as("wq"))
+    val dots = wts.join(broadcast(qw), "term")
+      .where(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(dec(col("w") * col("wq"), 38, 12)).as("dp"))
+    val scored = dots
+      .join(broadcast(norms.join(broadcast(q), col("doc_id") === col("q_id"))
+        .select(col("q_id"), col("nrm2").as("qn2"))), "q_id")
+      .join(norms, "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        round(col("dp").cast("double")
+          / (sqrt(col("qn2").cast("double"))
+             * sqrt(col("nrm2").cast("double"))), 4).as("cos_sim"))
+    val win = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(win))
+      .where(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"),
+              col("doc_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   // ---------------------------------------------------------------
   // #191 importance resampling
   // ---------------------------------------------------------------
@@ -970,6 +1030,7 @@ object CorpusOps {
     "text_bpe_pair_counts"   -> (textBpePairCounts _),
     "dedup_url_canonical"    -> (dedupUrlCanonical _),
     "sim_bm25_rank"          -> (simBm25Rank _),
+    "sim_sparse_cosine_topk" -> (simSparseCosineTopk _),
     "text_importance_resample" -> (textImportanceResample _),
     "text_bpe_train_merges"    -> (textBpeTrainMerges _),
     "text_bpe_encode"          -> (textBpeEncode _),
@@ -1461,6 +1522,44 @@ object CorpusOps {
         |  FROM g)
         |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, bm25
         |FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    "sim_sparse_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT doc_id AS q_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || '#sc'), doc_id LIMIT 8),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6)
+        |         AS DECIMAL(20,6)) AS w
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd
+        |  WHERE df < n_docs),
+        |nrm AS (
+        |  SELECT doc_id, sum(CAST(w * w AS DECIMAL(38,12))) AS nrm2
+        |  FROM w GROUP BY doc_id HAVING sum(CAST(w * w AS DECIMAL(38,12))) > 0),
+        |qw AS (
+        |  SELECT q.q_id, w.term, w.w AS wq
+        |  FROM w JOIN q ON w.doc_id = q.q_id),
+        |dp AS (
+        |  SELECT qw.q_id, w.doc_id,
+        |    sum(CAST(w.w * qw.wq AS DECIMAL(38,12))) AS dp
+        |  FROM w JOIN qw ON w.term = qw.term AND w.doc_id <> qw.q_id
+        |  GROUP BY qw.q_id, w.doc_id),
+        |s AS (
+        |  SELECT dp.q_id, dp.doc_id,
+        |    round(CAST(dp.dp AS DOUBLE)
+        |      / (sqrt(CAST(qn.nrm2 AS DOUBLE))
+        |         * sqrt(CAST(dn.nrm2 AS DOUBLE))), 4) AS cos_sim
+        |  FROM dp JOIN nrm qn ON qn.doc_id = dp.q_id
+        |          JOIN nrm dn ON dn.doc_id = dp.doc_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY cos_sim DESC, doc_id) AS rnk
+        |  FROM s)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, doc_id, cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "text_importance_resample" ->
       """WITH t AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term

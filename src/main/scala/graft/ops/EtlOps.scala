@@ -1730,6 +1730,112 @@ object EtlOps {
       .orderBy(col("week"))
   }
 
+  /** #279 — referential-integrity-preserving pseudonymization (round
+    * 16; the GDPR-era sibling of #92's PII redaction: a training-data
+    * or analytics export replaces natural keys with salted one-way
+    * pseudonyms, and the CONTRACT is that every join that worked on
+    * the plaintext key still works on the pseudonym — same
+    * cardinalities, same groups): customer and orders both map their
+    * customer key through the same salted md5; the graded readout
+    * joins orders→customer ON THE PSEUDONYM per nation and proves (a)
+    * the pseudonymized join count equals the plaintext join count and
+    * (b) pseudonyms stay distinct (no collision collapsed two
+    * customers — md5 collisions at any realistic key volume would be
+    * a generator defect, and the flag would catch it). Determinism:
+    * md5 over an identical salt+key string in both engines — exact
+    * string equality end to end, zero floating point. Shape: two
+    * narrow projections + one equi-join shuffled on the 32-hex
+    * pseudonym + one keyed aggregate; at 100 TB identical cost to the
+    * plaintext join (the pseudonym is just a wider key), and the salt
+    * keeps the mapping unlinkable without the secret. */
+  def etlAnonymizeReferential(spark: SparkSession, sf: String): DataFrame = {
+    def pseud(c: Column): Column = md5(concat(lit("g16:"), c.cast("string")))
+    val cust = customer(spark, sf)
+      .select(col("c_nationkey"), col("c_custkey"),
+              pseud(col("c_custkey")).as("p_key"))
+    val ords = orders(spark, sf)
+      .select(col("o_custkey"), pseud(col("o_custkey")).as("p_okey"))
+    val viaPseudo = cust.join(ords, col("p_key") === col("p_okey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders_pseudo"),
+           countDistinct(col("p_key")).as("n_pseudonyms"))
+    val viaPlain = customer(spark, sf)
+      .select(col("c_nationkey").as("nk"), col("c_custkey"))
+      .join(orders(spark, sf).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_orders_plain"),
+           countDistinct(col("c_custkey")).as("n_customers"))
+    viaPseudo.join(viaPlain, col("c_nationkey") === col("nk"))
+      .select(col("c_nationkey"), col("n_customers"), col("n_pseudonyms"),
+        col("n_orders_plain"), col("n_orders_pseudo"),
+        (col("n_orders_plain") === col("n_orders_pseudo") &&
+         col("n_pseudonyms") === col("n_customers")).as("integrity_ok"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** #280 — Granger lagged-predictability F test (round 16; Granger
+    * 1969 — the standard "does series X help predict series Y"
+    * readout, run here on the daily purchase-value series vs the
+    * daily click-value series: the bivariate CAUSAL-screening
+    * companion of #234's symmetric cross-correlation): restricted
+    * model y_t ~ y_{t-1} vs full model y_t ~ y_{t-1} + x_{t-1}, both
+    * fit by exact-moment OLS on mean-centered series; F = (RSS_r −
+    * RSS_f) / (RSS_f/(n−3)) for the one added regressor. Exactness:
+    * the #201/#234 centering discipline verbatim — daily sums are
+    * exact DECIMAL(18,2), centered values 6dp-gridded to
+    * DECIMAL(18,6), every second-moment sum (Saa, Sbb, Sab, Say, Sby,
+    * Syy) an exact DECIMAL(38,12) fold; both RSS values and F are
+    * then FIXED closed-form double expressions over those exact sums
+    * (RSS_f via the 2×2 normal-equation determinant — no iterative
+    * solver), the rejection flag compares the UNROUNDED F to the
+    * asymptotic F(.05; 1, ∞) = χ²(.05;1) literal 3.841459
+    * (fixture-pinned: n−3 here is ~26, where the exact critical value
+    * is 4.22 — documented looseness, same policy as #229's ∞-df
+    * literal), 6dp displays. Shape: one keyed corpus aggregate to the
+    * ~30-row day table, lag alignment via one ordered window over
+    * that METADATA-scale table (the #201 const-partition idiom), one
+    * 1-row fold. */
+  def tsGrangerF(spark: SparkSession, sf: String): DataFrame = {
+    val daily = events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", money(col("value")))
+             .otherwise(lit(0).cast("decimal(18,2)"))).as("ysum"),
+           sum(when(col("event_type") === "click", money(col("value")))
+             .otherwise(lit(0).cast("decimal(18,2)"))).as("xsum"))
+    val const = pmod(length(col("day").cast("string")), lit(1))
+    val wAll = Window.partitionBy(const)
+    val wOrd = Window.partitionBy(const).orderBy(col("day"))
+    def centered(c: Column): Column =
+      round(c.cast("double") -
+        sum(c).over(wAll).cast("double") / count(lit(1)).over(wAll), 6)
+        .cast("decimal(18,6)")
+    val rows = daily
+      .select(col("day"), centered(col("ysum")).as("yc"),
+              centered(col("xsum")).as("xc"))
+      .select(col("yc").as("y"),
+              lag(col("yc"), 1).over(wOrd).as("a"),
+              lag(col("xc"), 1).over(wOrd).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    def m(p: Column): Column = sum(dec(p, 38, 12))
+    val folded = rows.agg(count(lit(1)).as("n"),
+      m(col("a") * col("a")).as("saa"), m(col("b") * col("b")).as("sbb"),
+      m(col("a") * col("b")).as("sab"), m(col("a") * col("y")).as("say"),
+      m(col("b") * col("y")).as("sby"), m(col("y") * col("y")).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val (nn, saa, sbb, sab, say, sby, syy) =
+      (d(col("n")), d(col("saa")), d(col("sbb")), d(col("sab")),
+       d(col("say")), d(col("sby")), d(col("syy")))
+    val rssR = syy - say * say / saa
+    val det = saa * sbb - sab * sab
+    val rssF = syy -
+      (sbb * say * say - lit(2.0) * sab * say * sby + saa * sby * sby) / det
+    val f = (rssR - rssF) / (rssF / (nn - lit(3.0)))
+    folded.select(col("n").as("n_pairs"),
+      round(rssR, 6).as("rss_restricted"), round(rssF, 6).as("rss_full"),
+      round(f, 6).as("f_stat"), (f > lit(3.841459)).as("x_helps_predict_y"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1793,6 +1899,8 @@ object EtlOps {
     "etl_surrogate_key_assign" -> (etlSurrogateKeyAssign _),
     "events_time_to_convert" -> (eventsTimeToConvert _),
     "events_stickiness_ratio" -> (eventsStickinessRatio _),
+    "etl_anonymize_referential" -> (etlAnonymizeReferential _),
+    "ts_granger_f"           -> (tsGrangerF _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2434,6 +2542,87 @@ object EtlOps {
       |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
+    "etl_anonymize_referential" ->
+      """WITH cust AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    md5('g16:' || CAST(c_custkey AS VARCHAR)) AS p_key
+        |  FROM customer),
+        |ords AS (
+        |  SELECT o_custkey,
+        |    md5('g16:' || CAST(o_custkey AS VARCHAR)) AS p_okey
+        |  FROM orders),
+        |vp AS (
+        |  SELECT c_nationkey, count(*) AS n_orders_pseudo,
+        |    count(DISTINCT p_key) AS n_pseudonyms
+        |  FROM cust JOIN ords ON p_key = p_okey
+        |  GROUP BY c_nationkey),
+        |pl AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_orders_plain,
+        |    count(DISTINCT c_custkey) AS n_customers
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_nationkey)
+        |SELECT c_nationkey,
+        |  CAST(n_customers AS BIGINT) AS n_customers,
+        |  CAST(n_pseudonyms AS BIGINT) AS n_pseudonyms,
+        |  CAST(n_orders_plain AS BIGINT) AS n_orders_plain,
+        |  CAST(n_orders_pseudo AS BIGINT) AS n_orders_pseudo,
+        |  n_orders_plain = n_orders_pseudo
+        |    AND n_pseudonyms = n_customers AS integrity_ok
+        |FROM vp JOIN pl ON c_nationkey = nk
+        |ORDER BY c_nationkey""".stripMargin,
+    "ts_granger_f" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS ysum,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS xsum
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |    CAST(round(CAST(ysum AS DOUBLE)
+        |        - CAST(sum(ysum) OVER () AS DOUBLE) / count(*) OVER (), 6)
+        |      AS DECIMAL(18,6)) AS yc,
+        |    CAST(round(CAST(xsum AS DOUBLE)
+        |        - CAST(sum(xsum) OVER () AS DOUBLE) / count(*) OVER (), 6)
+        |      AS DECIMAL(18,6)) AS xc
+        |  FROM daily),
+        |p AS (
+        |  SELECT yc AS y,
+        |    lag(yc) OVER (ORDER BY day) AS a,
+        |    lag(xc) OVER (ORDER BY day) AS b
+        |  FROM c),
+        |r AS (SELECT * FROM p WHERE a IS NOT NULL AND b IS NOT NULL),
+        |f AS (
+        |  SELECT count(*) AS n,
+        |    sum(CAST(CAST(a AS DECIMAL(19,6)) * a AS DECIMAL(38,12))) AS saa,
+        |    sum(CAST(CAST(b AS DECIMAL(19,6)) * b AS DECIMAL(38,12))) AS sbb,
+        |    sum(CAST(CAST(a AS DECIMAL(19,6)) * b AS DECIMAL(38,12))) AS sab,
+        |    sum(CAST(CAST(a AS DECIMAL(19,6)) * y AS DECIMAL(38,12))) AS say,
+        |    sum(CAST(CAST(b AS DECIMAL(19,6)) * y AS DECIMAL(38,12))) AS sby,
+        |    sum(CAST(CAST(y AS DECIMAL(19,6)) * y AS DECIMAL(38,12))) AS syy
+        |  FROM r),
+        |d AS (
+        |  SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(saa AS DOUBLE) AS saa, CAST(sbb AS DOUBLE) AS sbb,
+        |    CAST(sab AS DOUBLE) AS sab, CAST(say AS DOUBLE) AS say,
+        |    CAST(sby AS DOUBLE) AS sby, CAST(syy AS DOUBLE) AS syy
+        |  FROM f),
+        |g AS (
+        |  SELECT n, nd,
+        |    syy - say * say / saa AS rss_r,
+        |    syy - (sbb * say * say - 2.0 * sab * say * sby
+        |           + saa * sby * sby) / (saa * sbb - sab * sab) AS rss_f
+        |  FROM d)
+        |SELECT n AS n_pairs,
+        |  round(rss_r, 6) AS rss_restricted,
+        |  round(rss_f, 6) AS rss_full,
+        |  round((rss_r - rss_f) / (rss_f / (nd - 3.0)), 6) AS f_stat,
+        |  (rss_r - rss_f) / (rss_f / (nd - 3.0)) > 3.841459
+        |    AS x_helps_predict_y
+        |FROM g""".stripMargin,
     "events_stickiness_ratio" ->
       """WITH b AS (
         |  SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,

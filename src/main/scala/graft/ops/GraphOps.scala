@@ -492,6 +492,47 @@ object GraphOps {
         (col("c8").cast("double") / 100000000L).as("clustering_coeff"))
   }
 
+  /** #274 — multi-source BFS shortest hop distances (round 16; the
+    * distance primitive the graph family was missing beside ranks
+    * #122, components #91, communities #208 and cohesion #123/#254:
+    * landmark-distance features feed crawl-frontier prioritization
+    * and link-graph quality scores): hop distance from the landmark
+    * set {nation 0} to every reachable node of the DIRECTED trade
+    * graph, by 4 rounds of frontier relaxation — dist_{k+1}(v) =
+    * min(dist_k(v), 1 + min over in-edges (u,v) of dist_k(u)) — the
+    * classic iterative-join BFS (Pregel's SSSP shape expressed as
+    * Spark joins). Each round is one equi-join of the dist table onto
+    * the edge list (shuffled on the edge's src key) + one min
+    * aggregate + one full outer merge with the previous table; the
+    * dist table is ≤|nodes| rows — metadata-scale HERE, but the loop
+    * never assumes that: at 100 TB (billion-node graph) the same
+    * per-round shape is the standard distributed BFS, dist and edges
+    * both stay partitioned, and the localCheckpoint between rounds
+    * (the #122 policy) truncates lineage so round k+1 re-reads a
+    * materialized table instead of re-running k stacked joins.
+    * Determinism: distances are exact integers; unreachable nodes are
+    * excluded (no sentinel arithmetic). The oracle replays the SAME 4
+    * chained relaxations as CTEs — identical rounds, so intermediate
+    * states match, not just the fixpoint. */
+  def graphShortestPaths(spark: SparkSession, sf: String): DataFrame = {
+    val edges = tradeEdges(spark, sf)
+      .select(col("src"), col("dst")).localCheckpoint()
+    var dist = nation(spark, sf).select(col("n_nationkey").as("node"))
+      .where(col("node") === 0)
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      val relaxed = dist.join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(min(col("dist") + 1L).as("rd"))
+      dist = dist.join(relaxed, col("node") === col("dst"), "full_outer")
+        .select(coalesce(col("node"), col("dst")).as("node"),
+                least(coalesce(col("dist"), lit(Long.MaxValue)),
+                      coalesce(col("rd"), lit(Long.MaxValue))).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "graph_pagerank"       -> (graphPagerank _),
     "graph_triangle_count" -> (graphTriangleCount _),
@@ -502,6 +543,7 @@ object GraphOps {
     "graph_jaccard_links"  -> (graphJaccardLinks _),
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_clustering_coefficient" -> (graphClusteringCoefficient _),
+    "graph_shortest_paths" -> (graphShortestPaths _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -557,7 +599,32 @@ object GraphOps {
       arms.mkString("\nUNION ALL\n") + "\nORDER BY iter"
   }
 
+  /** #274's oracle: the same 4 frontier relaxations as chained CTEs —
+    * generated from the same round count as the Spark loop so the two
+    * cannot drift. */
+  private def shortestPathsOracle: String = {
+    val inf = Long.MaxValue.toString
+    val iters = (1 to 4).map { k =>
+      val prev = s"d${k - 1}"
+      s"""d$k AS (
+         |  SELECT coalesce(d.node, r.dst) AS node,
+         |    least(coalesce(d.dist, $inf), coalesce(r.rd, $inf)) AS dist
+         |  FROM $prev d FULL OUTER JOIN (
+         |    SELECT e.dst, min($prev.dist + 1) AS rd
+         |    FROM $prev JOIN e ON $prev.node = e.src
+         |    GROUP BY e.dst) r ON d.node = r.dst)""".stripMargin
+    }
+    s"""WITH $edgesCte,
+       |d0 AS (
+       |  SELECT n_nationkey AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM nation WHERE n_nationkey = 0),
+       |${iters.mkString(",\n")}
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY node"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = ListMap(
+    "graph_shortest_paths" -> shortestPathsOracle,
     "graph_clustering_coefficient" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -874,6 +874,50 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #278 — energy-threshold voice-activity detection (round 16; the
+    * first SEGMENTATION operator over the audio surface — #178 proved
+    * the codec round trip with clip-level features, VAD is what a
+    * speech-pretraining pipeline actually runs next: split each clip
+    * into fixed 100-sample energy windows, mark a window active when
+    * its |sample| sum exceeds the expected-mean threshold 100·16384,
+    * and count contiguous active RUNS as speech segments): per clip —
+    * window count, active-window count, segment count (a segment
+    * starts at an active window whose predecessor is inactive: one
+    * lag over the per-clip window sequence) and active sample volume.
+    * The decode is REAL (`javax.sound.sampled`, the #178 path) but
+    * folds PCM words into per-window integer state at the codec
+    * boundary — per-sample rows never hit the shuffle; what flows on
+    * is ≤⌈len/100⌉ rows per clip. The SQL oracle replays the generator
+    * arithmetic per sample and re-derives the same windows, so a hash
+    * match proves the encode → binary → codec-decode → window fold
+    * preserved every PCM word AND the run-detection lag semantics.
+    * Exactness: all-integer state; the threshold compare and the
+    * lag/run logic have no floating point anywhere. At 100 TB:
+    * identical posture to #178 (ids fan out, the map is narrow), the
+    * run-detection window partitions by clip — bounded at ≤5 rows per
+    * partition key here and ≤clip-length/window everywhere. */
+  def multimodalAudioVad(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val wins = documents(spark, sf).select(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id"))).as[Long]
+      .map(id => (id, graft.multimodal.BinaryDecode.syntheticWav(id)))
+      .mapPartitions(rows =>
+        graft.multimodal.BinaryDecode.decodeWavWindowsBatch(rows, 100))
+      .toDF()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    wins
+      .withColumn("is_active", col("sum_abs") > lit(100L * 16384L))
+      .withColumn("seg_start",
+        col("is_active") && !lag(col("is_active"), 1, false).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_windows"),
+           count_if(col("is_active")).cast("int").as("n_active"),
+           count_if(col("seg_start")).cast("int").as("n_segments"),
+           sum(when(col("is_active"), col("n_samples").cast("long"))
+             .otherwise(lit(0L))).as("active_samples"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #133 — symmetric int8 embedding quantization with reconstruction
     * error: per vector, scale = max|x|/127, q_i = round(x_i/scale),
     * and the relative L2 error of the dequantized vector — the
@@ -1078,6 +1122,7 @@ object LlmOps {
     "sim_hybrid_rrf"           -> (simHybridRrf _),
     "multimodal_patch_grid"    -> (multimodalPatchGrid _),
     "multimodal_channel_histogram" -> (multimodalChannelHistogram _),
+    "multimodal_audio_vad" -> (multimodalAudioVad _),
   )
 
   /** DuckDB fragment: simhash → bands → verified pairs → recursive
@@ -1327,6 +1372,33 @@ object LlmOps {
     // the PNG generator uses ('89504E47' = the PNG magic the real
     // payload must start with); matching pix_sum proves the Spark
     // side decoded real pixels, not header fields
+    "multimodal_audio_vad" ->
+      """WITH d AS (
+        |  SELECT doc_id, (doc_id % 5 + 1) * 100 AS n FROM documents),
+        |sa AS (
+        |  SELECT doc_id, unnest(range(0, n)) AS s FROM d),
+        |v AS (
+        |  SELECT doc_id, CAST(s // 100 AS INT) AS win_idx,
+        |    abs((doc_id * 37 + s * 11) % 65536 - 32768) AS a
+        |  FROM sa),
+        |wdw AS (
+        |  SELECT doc_id, win_idx, count(*) AS ns, sum(a) AS sum_abs
+        |  FROM v GROUP BY doc_id, win_idx),
+        |act AS (
+        |  SELECT doc_id, win_idx, ns, sum_abs > 1638400 AS is_active
+        |  FROM wdw),
+        |seg AS (
+        |  SELECT doc_id, ns, is_active,
+        |    is_active AND NOT coalesce(
+        |      lag(is_active) OVER (PARTITION BY doc_id ORDER BY win_idx),
+        |      false) AS seg_start
+        |  FROM act)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+        |  CAST(count(*) FILTER (WHERE is_active) AS INT) AS n_active,
+        |  CAST(count(*) FILTER (WHERE seg_start) AS INT) AS n_segments,
+        |  CAST(sum(CASE WHEN is_active THEN ns ELSE 0 END) AS BIGINT)
+        |    AS active_samples
+        |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_channel_histogram" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-16 additions (#274–#280): invariants the DuckDB hash-compare
+  * cannot articulate — driver-side exact replays of the BFS, the
+  * jackknife, the Granger fold and the VAD window generator, plus the
+  * algebraic/structural contracts of the Levene F, the sparse-cosine
+  * ranking and the pseudonymization integrity flags. */
+class Round16OpsSpec extends SparkSpec {
+
+  test("shortest paths (#274): exact vs a driver-side BFS over the collected edge list") {
+    val got = GraphOps.graphShortestPaths(spark, sf001).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue)
+      .toMap
+    // metadata-scale replay: the trade edge list is <= |nations|^2
+    val edges = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf001)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf001)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf001)
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct().collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = edges.filter(e => dist.contains(e._1))
+        .groupBy(_._2).map { case (v, es) =>
+          v -> (es.map(e => dist(e._1)).min + 1L) }
+      dist = (dist.keySet ++ relaxed.keySet).map { v =>
+        v -> math.min(dist.getOrElse(v, Long.MaxValue),
+                      relaxed.getOrElse(v, Long.MaxValue))
+      }.toMap
+    }
+    assert(got == dist, s"BFS mismatch: got $got expected $dist")
+    assert(got(0L) == 0L)
+    assert(got.values.forall(d => d >= 0 && d <= 4))
+  }
+
+  test("levene/BF (#275): matches a driver-side replay; components non-negative") {
+    val r = AggOps.aggLeveneBf(spark, sf001).collect()(0)
+    val rows = Tables.orders(spark, sf001)
+      .select(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"),
+              col("o_totalprice").as("tp")).collect()
+      .map(x => (x.getInt(0), x.getDouble(1)))
+    def interpMedian(vs: Array[Double]): Double = {
+      val s = vs.sorted
+      val pos = (s.length - 1) * 0.5
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val meds = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> BigDecimal(interpMedian(xs.map(_._2)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val z = rows.map { case (g, tp) =>
+      (g, BigDecimal(math.abs(tp - meds(g)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)) }
+    val byG = z.groupBy(_._1)
+    val (ns, ss, qs) = (
+      (1 to 5).map(g => byG(g).length.toDouble),
+      (1 to 5).map(g => byG(g).map(_._2).sum.toDouble),
+      (1 to 5).map(g => byG(g).map(x => x._2 * x._2).sum.toDouble))
+    val bigN = ns.sum
+    val s = ss.sum
+    val sjsq = (0 until 5).map(j => ss(j) * ss(j) / ns(j)).sum
+    val q = qs.sum
+    val ssb = sjsq - s * s / bigN
+    val ssw = q - sjsq
+    val f = (ssb / 4.0) / (ssw / (bigN - 5.0))
+    assert(r.getAs[Long]("n_total") == rows.length)
+    assert(math.abs(r.getAs[Double]("ss_between") - ssb) <= 1e-3 * math.abs(ssb) + 1e-3,
+      s"ssb ${r.getAs[Double]("ss_between")} vs $ssb")
+    assert(math.abs(r.getAs[Double]("f_stat") - f) <= 1e-6 * math.abs(f) + 1e-6,
+      s"f ${r.getAs[Double]("f_stat")} vs $f")
+    assert(r.getAs[Double]("ss_between") >= 0 && r.getAs[Double]("ss_within") >= 0)
+    assert(r.getAs[Boolean]("reject_equal_var") == (f > 2.371902))
+  }
+
+  test("jackknife (#276): matches a driver-side replay on exact sums") {
+    val r = AggOps.aggJackknifeGroups(spark, sf001).collect()(0)
+    val per = Tables.customer(spark, sf001)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("ng"),
+           sum(col("c_acctbal").cast("decimal(18,2)")).as("sg"))
+      .collect().map(x => (x.getLong(1), x.getDecimal(2)))
+    val n = per.map(_._1).sum
+    val s = per.map(x => BigDecimal(x._2)).sum
+    val g = per.length
+    val loo = per.map { case (ng, sg) =>
+      BigDecimal((s - BigDecimal(sg)).toDouble / (n - ng).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }
+    val sl = loo.sum
+    val ql = loo.map(l => l * l).sum
+    val thetaHat = s.toDouble / n.toDouble
+    val thetaDot = sl.toDouble / g.toDouble
+    val ssDev = ql.toDouble - sl.toDouble * sl.toDouble / g.toDouble
+    val se = math.sqrt((g - 1.0) / g * ssDev)
+    assert(r.getAs[Long]("g_groups") == g && r.getAs[Long]("n_total") == n)
+    assert(math.abs(r.getAs[Double]("theta_hat") - thetaHat) <= 1e-5)
+    assert(math.abs(r.getAs[Double]("theta_jack") - thetaDot) <= 1e-5)
+    assert(math.abs(r.getAs[Double]("se_jack") - se) <= 1e-4,
+      s"se ${r.getAs[Double]("se_jack")} vs $se")
+    assert(r.getAs[Double]("se_jack") >= 0)
+  }
+
+  test("sparse cosine (#277): ranking contract and score bounds") {
+    val out = CorpusOps.simSparseCosineTopk(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size <= 8)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq ==
+        (1 to sorted.length).toSeq, s"rnk gap for query $q")
+      assert(sorted.length <= 5)
+      // scores descend; ties broken by smaller doc_id
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2) {
+          val (a, b) = (p(0), p(1))
+          val (ca, cb) = (a.getAs[Double]("cos_sim"), b.getAs[Double]("cos_sim"))
+          assert(ca > cb ||
+            (ca == cb && a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")))
+        }
+      }
+      assert(rows.forall(r => r.getAs[Long]("doc_id") != q), "self-match leaked")
+      assert(rows.forall(r => {
+        val c = r.getAs[Double]("cos_sim"); c >= -1.0001 && c <= 1.0001 }))
+    }
+  }
+
+  test("audio VAD (#278): exact vs a generator replay; window/segment closure") {
+    val out = LlmOps.multimodalAudioVad(spark, sf001).collect()
+    val nDocs = Tables.documents(spark, sf001).count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nWin = ((id % 5) + 1).toInt
+      // per-window replay of the generator arithmetic (the oracle's
+      // formula, independently re-derived here in Scala)
+      val active = (0 until nWin).map { w =>
+        val sumAbs = (w * 100 until (w + 1) * 100).map(s =>
+          math.abs(((id * 37 + s.toLong * 11) % 65536 - 32768).toInt).toLong).sum
+        sumAbs > 1638400L
+      }
+      val nActive = active.count(identity)
+      val nSeg = active.zipWithIndex.count { case (a, i) =>
+        a && (i == 0 || !active(i - 1)) }
+      assert(r.getAs[Int]("n_windows") == nWin, s"doc $id windows")
+      assert(r.getAs[Int]("n_active") == nActive, s"doc $id active")
+      assert(r.getAs[Int]("n_segments") == nSeg, s"doc $id segments")
+      assert(r.getAs[Long]("active_samples") == 100L * nActive)
+    }
+    // the corpus must exercise both states and a real run boundary
+    assert(out.exists(_.getAs[Int]("n_active") > 0))
+    assert(out.exists(r => r.getAs[Int]("n_active") < r.getAs[Int]("n_windows")))
+  }
+
+  test("pseudonymization (#279): integrity flags all true; order counts close over nations") {
+    val out = EtlOps.etlAnonymizeReferential(spark, sf001).collect()
+    assert(out.forall(_.getAs[Boolean]("integrity_ok")),
+      "pseudonym join must reproduce the plaintext join exactly")
+    assert(out.forall(r =>
+      r.getAs[Long]("n_orders_plain") == r.getAs[Long]("n_orders_pseudo")))
+    val totalOrders = Tables.orders(spark, sf001).count()
+    assert(out.map(_.getAs[Long]("n_orders_plain")).sum == totalOrders,
+      "every order's customer exists, so the nation cells partition orders")
+  }
+
+  test("granger (#280): matches a driver-side replay; RSS ordering holds") {
+    val r = EtlOps.tsGrangerF(spark, sf001).collect()(0)
+    val daily = Tables.events(spark, sf001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase",
+             col("value").cast("decimal(18,2)"))
+             .otherwise(lit(0).cast("decimal(18,2)"))).as("y"),
+           sum(when(col("event_type") === "click",
+             col("value").cast("decimal(18,2)"))
+             .otherwise(lit(0).cast("decimal(18,2)"))).as("x"))
+      .orderBy(col("day")).collect()
+      .map(x => (BigDecimal(x.getDecimal(1)), BigDecimal(x.getDecimal(2))))
+    val ym = daily.map(_._1).sum.toDouble / daily.length
+    val xm = daily.map(_._2).sum.toDouble / daily.length
+    def grid6(d: Double) =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val yc = daily.map(d => grid6(d._1.toDouble - ym))
+    val xc = daily.map(d => grid6(d._2.toDouble - xm))
+    val trips = (1 until daily.length).map(i => (yc(i), yc(i - 1), xc(i - 1)))
+    val saa = trips.map(t => (t._2 * t._2).toDouble).sum
+    val sbb = trips.map(t => (t._3 * t._3).toDouble).sum
+    val sab = trips.map(t => (t._2 * t._3).toDouble).sum
+    val say = trips.map(t => (t._2 * t._1).toDouble).sum
+    val sby = trips.map(t => (t._3 * t._1).toDouble).sum
+    val syy = trips.map(t => (t._1 * t._1).toDouble).sum
+    val rssR = syy - say * say / saa
+    val det = saa * sbb - sab * sab
+    val rssF = syy - (sbb * say * say - 2.0 * sab * say * sby + saa * sby * sby) / det
+    assert(r.getAs[Long]("n_pairs") == trips.length)
+    assert(math.abs(r.getAs[Double]("rss_restricted") - rssR)
+      <= 1e-6 * math.abs(rssR) + 1e-4)
+    assert(math.abs(r.getAs[Double]("rss_full") - rssF)
+      <= 1e-6 * math.abs(rssF) + 1e-4)
+    // the full model can only shrink the residual (6dp display slack)
+    assert(r.getAs[Double]("rss_full") <= r.getAs[Double]("rss_restricted") + 1e-5)
+  }
+}

@@ -115,6 +115,21 @@ check("snapshot latest = v0 + 2 inserts", latest.count() == v0.count() + 2,
 check("snapshot time travel isolates v0",
       v0.where("o_orderkey >= 999999000").count() == 0)
 
+# --- CostExplain: node stats / join advisory / ANALYZE ---------------
+ns = wrap(bridge.costNodeStats(plain._jdf))
+check("costNodeStats positive sizes",
+      ns.count() > 0 and ns.where("size_bytes <= 0").count() == 0,
+      f"{ns.count()} nodes")
+adv = wrap(bridge.costJoinAdvisory(plain._jdf)).collect()
+check("costJoinAdvisory sees the join and a broadcastable side",
+      len(adv) == 1 and (adv[0]["broadcast_left"] or adv[0]["broadcast_right"]),
+      str(adv))
+cols = wrap(bridge.costAnalyze(jspark, customer._jdf, "graft_pybridge_cost"))
+ndv = {r["column"]: r["distinct_count"] for r in cols.collect()}
+check("costAnalyze exact key ndv",
+      ndv.get("c_custkey") == customer.count(), str(ndv.get("c_custkey")))
+spark.sql("DROP TABLE IF EXISTS graft_pybridge_cost")
+
 print(f"[pybridge] == {('PASS' if not failures else 'FAIL')} "
       f"({len(failures)} failures) ==")
 sys.exit(1 if failures else 0)

@@ -99,6 +99,21 @@ object PyBridge {
     SnapshotTable.asOf(spark, base, version)
 
   /** Time travel by wall clock (epoch millis). */
+  /** [[CostExplain.nodeStats]]: per-node optimizer statistics of the
+    * optimized plan (size estimates + row counts when stats exist). */
+  def costNodeStats(df: DataFrame): DataFrame = CostExplain.nodeStats(df)
+
+  /** [[CostExplain.joinAdvisory]]: per-join broadcastability under
+    * the session's current autoBroadcastJoinThreshold. */
+  def costJoinAdvisory(df: DataFrame): DataFrame =
+    CostExplain.joinAdvisory(df)
+
+  /** [[CostExplain.analyze]]: save as a catalog table, run ANALYZE
+    * (all columns), return the collected column statistics. */
+  def costAnalyze(spark: SparkSession, df: DataFrame,
+                  table: String): DataFrame =
+    CostExplain.analyze(spark, df, table)
+
   def snapshotAsOfTimestamp(spark: SparkSession, base: String,
                             tsMillis: Long): DataFrame =
     SnapshotTable.asOfTimestamp(spark, base, tsMillis)

@@ -116,6 +116,29 @@ object BinaryDecode {
       yield (c, b, counts(c)(b))
   }
 
+  /** Per-image 16-bucket GRAY histogram of one DECODED image (#283):
+    * gray = (r+g+b)/3 (integer), bucket = gray >> 4 — exact 16-wide
+    * bins, no float boundary — counted from the real raster. Returns
+    * (bucket, n_px) rows for nonzero buckets; fails loudly on an
+    * undecodable payload. */
+  def grayHistogramOne(id: Long, bytes: Array[Byte]): Seq[(Int, Long)] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"doc $id: payload (${bytes.length} bytes) is not a decodable image")
+    val counts = Array.ofDim[Long](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        counts(g >> 4) += 1
+        x += 1
+      }
+      y += 1
+    }
+    for (b <- 0 until 16 if counts(b) > 0) yield (b, counts(b))
+  }
+
   /** A real PNG payload for doc `id`: deterministic dimensions and
     * pixel fill, encoded by the JDK's PNG writer. */
   def syntheticPng(id: Long): Array[Byte] = {

@@ -1647,6 +1647,49 @@ object AggOps {
       round((d(col("g")) - 1.0) * (thetaDot - thetaHat), 6).as("bias_jack"))
   }
 
+  /** #282 — information gain of a categorical feature (round 16;
+    * Quinlan's ID3 split criterion — the feature-screening readout an
+    * ML-prep pipeline runs before training: how many bits does
+    * knowing event_type buy about whether the event's value lands
+    * above the corpus median): IG = H(label) − Σ_b (n_b/N)·H(label|b)
+    * over the event-type buckets, label = value > median. Exactness:
+    * the median is the 4dp-gridded exact-interpolated percentile
+    * (#149/#275 pairing); all bucket counts are exact longs from ONE
+    * keyed aggregate; H(label) is a single fixed double expression
+    * over the two global counts; each bucket's weighted-entropy term
+    * is 12dp-gridded to DECIMAL before the ≤|types|-term fold (the
+    * #269 term-grid policy — no bucket-order double summation); IG is
+    * the difference of the two UNROUNDED entropies, 6dp displayed.
+    * Shape: one corpus percentile + one keyed corpus aggregate to the
+    * |types|-row frame + a 1-row fold. */
+  def aggInfoGain(spark: SparkSession, sf: String): DataFrame = {
+    val med = events(spark, sf)
+      .agg(round(percentile(col("value"), lit(0.5)), 4).as("med"))
+    val cells = events(spark, sf).crossJoin(broadcast(med))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"),
+           count_if(col("value") > col("med")).as("nb1"))
+    val tot = cells.agg(sum(col("nb")).as("n"), sum(col("nb1")).as("n1"))
+    def d(c: Column) = c.cast("double")
+    def plogp(p: Column): Column = when(p > 0, p * log(p)).otherwise(lit(0.0))
+    val hB = -(plogp(d(col("nb1")) / d(col("nb"))) +
+               plogp((d(col("nb")) - d(col("nb1"))) / d(col("nb"))))
+    val folded = cells.crossJoin(broadcast(tot))
+      .select(col("n"), col("n1"),
+        round((d(col("nb")) / d(col("n"))) * hB, 12)
+          .cast("decimal(18,12)").as("term"))
+      .groupBy(col("n"), col("n1"))
+      .agg(count(lit(1)).cast("int").as("n_buckets"),
+           sum(col("term")).as("hc"))
+    val hLabel = -(plogp(d(col("n1")) / d(col("n"))) +
+                   plogp((d(col("n")) - d(col("n1"))) / d(col("n"))))
+    val hCond = col("hc").cast("double")
+    folded.select(col("n").as("n_total"), col("n1").as("n_high"),
+      col("n_buckets"),
+      round(hLabel, 6).as("h_label"), round(hCond, 6).as("h_conditional"),
+      round(hLabel - hCond, 6).as("info_gain"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1697,6 +1740,7 @@ object AggOps {
     "agg_regression_outlier" -> (aggRegressionOutlier _),
     "agg_levene_bf"          -> (aggLeveneBf _),
     "agg_jackknife_groups"   -> (aggJackknifeGroups _),
+    "agg_info_gain"          -> (aggInfoGain _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -1729,6 +1773,56 @@ object AggOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "agg_info_gain" ->
+      """WITH m AS (
+        |  SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)
+        |    AS med FROM events),
+        |cells AS (
+        |  SELECT event_type, count(*) AS nb,
+        |    count(*) FILTER (WHERE value > m.med) AS nb1
+        |  FROM events CROSS JOIN m GROUP BY event_type),
+        |tot AS (SELECT sum(nb) AS n, sum(nb1) AS n1 FROM cells),
+        |terms AS (
+        |  SELECT tot.n, tot.n1,
+        |    CAST(round(
+        |      (CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (-((CASE WHEN CAST(nb1 AS DOUBLE) / CAST(nb AS DOUBLE) > 0
+        |           THEN (CAST(nb1 AS DOUBLE) / CAST(nb AS DOUBLE))
+        |                * ln(CAST(nb1 AS DOUBLE) / CAST(nb AS DOUBLE))
+        |           ELSE 0.0 END)
+        |        + (CASE WHEN (CAST(nb AS DOUBLE) - CAST(nb1 AS DOUBLE))
+        |                     / CAST(nb AS DOUBLE) > 0
+        |           THEN ((CAST(nb AS DOUBLE) - CAST(nb1 AS DOUBLE))
+        |                 / CAST(nb AS DOUBLE))
+        |                * ln((CAST(nb AS DOUBLE) - CAST(nb1 AS DOUBLE))
+        |                     / CAST(nb AS DOUBLE))
+        |           ELSE 0.0 END))), 12) AS DECIMAL(18,12)) AS term
+        |  FROM cells CROSS JOIN tot),
+        |f AS (
+        |  SELECT n, n1, CAST(count(*) AS INT) AS n_buckets,
+        |    sum(term) AS hc
+        |  FROM terms GROUP BY n, n1),
+        |g AS (
+        |  SELECT CAST(n AS BIGINT) AS n_total, CAST(n1 AS BIGINT) AS n_high,
+        |    n_buckets,
+        |    -((CASE WHEN CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |        THEN (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * ln(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |        ELSE 0.0 END)
+        |      + (CASE WHEN (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+        |                   / CAST(n AS DOUBLE) > 0
+        |        THEN ((CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+        |              / CAST(n AS DOUBLE))
+        |             * ln((CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+        |                  / CAST(n AS DOUBLE))
+        |        ELSE 0.0 END)) AS h_label,
+        |    CAST(hc AS DOUBLE) AS h_cond
+        |  FROM f)
+        |SELECT n_total, n_high, n_buckets,
+        |  round(h_label, 6) AS h_label,
+        |  round(h_cond, 6) AS h_conditional,
+        |  round(h_label - h_cond, 6) AS info_gain
+        |FROM g""".stripMargin,
     "agg_levene_bf" ->
       """WITH o AS (
         |  SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS grp,

@@ -1836,6 +1836,47 @@ object EtlOps {
       round(f, 6).as("f_stat"), (f > lit(3.841459)).as("x_helps_predict_y"))
   }
 
+  /** #281 — top session paths (round 16; the JOURNEY readout every
+    * product-analytics stack ships beside funnels #108/#206: which
+    * event-type sequences do sessions actually take — the input to
+    * navigation redesign and to behavioral-cohort definitions):
+    * sessions are 30-minute-gap bounded per user (#126's batch
+    * sessionization semantics), each session contributes the
+    * '>'-joined sequence of its FIRST FIVE event types (the head of
+    * the journey — capping bounds the path-string length at any
+    * scale), and the readout is the top-20 paths by session count.
+    * Determinism: within-session order is (ts, event_id) — the exact
+    * tiebreak every ordered op here uses; ranking ties break to the
+    * lexicographically smaller path. Shape: one per-user ordered
+    * window (high-cardinality key) for the session cumsum, one
+    * per-(user, session) window for the head ranks, one keyed
+    * aggregate per session, one keyed count per path, top-20 via
+    * TakeOrdered — no corpus-wide window anywhere. */
+  def eventsTopPaths(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessioned = events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull ||
+         unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L)
+          .cast("long"))
+      .withColumn("sess", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sessioned
+      .withColumn("rn", row_number().over(ws))
+      .where(col("rn") <= 5)
+      .groupBy(col("user_id"), col("sess"))
+      .agg(concat_ws(">",
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type"))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1901,6 +1942,7 @@ object EtlOps {
     "events_stickiness_ratio" -> (eventsStickinessRatio _),
     "etl_anonymize_referential" -> (etlAnonymizeReferential _),
     "ts_granger_f"           -> (tsGrangerF _),
+    "events_top_paths"       -> (eventsTopPaths _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2542,6 +2584,33 @@ object EtlOps {
       |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
+    "events_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP))
+        |         - epoch_us(CAST(prev_ts AS TIMESTAMP)) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |c AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |                               ORDER BY ts, event_id) AS rn
+        |  FROM c),
+        |p AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, sess)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "etl_anonymize_referential" ->
       """WITH cust AS (
         |  SELECT c_nationkey, c_custkey,

@@ -1078,6 +1078,43 @@ object LlmOps {
       .orderBy(col("channel"), col("bucket"))
   }
 
+  /** #283 — per-image gray-histogram entropy (round 16; the standard
+    * image-quality/diversity screen a multimodal pretraining pipeline
+    * runs beside the dedup hashes — near-zero entropy flags blank or
+    * synthetic frames, the visual analogue of #121's token entropy):
+    * REAL `javax.imageio` decode (the #80/#243 path) folded into a
+    * 16-bucket integer gray histogram AT the codec boundary (gray =
+    * (r+g+b)/3, bucket = gray>>4 — all-integer, no float bin edges),
+    * then H = −Σ p·ln p per image. Determinism: only nonzero buckets
+    * flow, each p·ln p term is 12dp-gridded to DECIMAL before the
+    * ≤16-term fold (order-free exact sum — the #269 term-grid
+    * policy), H displays 6dp. The oracle replays the generator
+    * arithmetic per pixel, so a hash match proves the PNG
+    * encode → binary → codec-decode → histogram fold preserved every
+    * raster value. Shape: ids fan out, the decode map is narrow
+    * (≤16 rows out per image), one keyed total + one keyed fold. */
+  def multimodalImageEntropy(spark: SparkSession, sf: String): DataFrame = {
+    import spark.implicits._
+    val hist = documents(spark, sf).select(col("doc_id"))
+      .transform(graft.api.Transforms.fanOut(_, col("doc_id"))).as[Long]
+      .flatMap { id =>
+        graft.multimodal.BinaryDecode
+          .grayHistogramOne(id, graft.multimodal.BinaryDecode.syntheticPng(id))
+          .map { case (b, n) => (id, b, n) }
+      }
+      .toDF("doc_id", "bucket", "n_px")
+    val tot = hist.groupBy(col("doc_id")).agg(sum(col("n_px")).as("n"))
+    val p = col("n_px").cast("double") / col("n").cast("double")
+    hist.join(tot, "doc_id")
+      .select(col("doc_id"), col("n"),
+        round(p * log(p), 12).cast("decimal(18,12)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_px"),
+           count(lit(1)).cast("int").as("n_buckets"),
+           round(-sum(col("term")).cast("double") + lit(0.0), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   def multimodalPatchGrid(spark: SparkSession, sf: String): DataFrame = {
     import spark.implicits._
     documents(spark, sf).select(col("doc_id"))
@@ -1123,6 +1160,7 @@ object LlmOps {
     "multimodal_patch_grid"    -> (multimodalPatchGrid _),
     "multimodal_channel_histogram" -> (multimodalChannelHistogram _),
     "multimodal_audio_vad" -> (multimodalAudioVad _),
+    "multimodal_image_entropy" -> (multimodalImageEntropy _),
   )
 
   /** DuckDB fragment: simhash → bands → verified pairs → recursive
@@ -1372,6 +1410,38 @@ object LlmOps {
     // the PNG generator uses ('89504E47' = the PNG magic the real
     // payload must start with); matching pix_sum proves the Spark
     // side decoded real pixels, not header fields
+    "multimodal_image_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 16 AS INT) AS width,
+        |         CAST(1 + (doc_id // 16) % 16 AS INT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, unnest(range(0, width * height)) AS i
+        |  FROM d),
+        |c AS (SELECT doc_id, i % width AS x, i // width AS y FROM px),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST((((doc_id * 31 + x * 7 + y * 13) % 256
+        |         + (doc_id * 17 + x * 5 + y * 11) % 256
+        |         + (doc_id * 13 + x * 3 + y * 19) % 256) // 3) // 16 AS INT)
+        |      AS bucket
+        |  FROM c),
+        |h AS (
+        |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_px
+        |  FROM g GROUP BY doc_id, bucket),
+        |t AS (SELECT doc_id, sum(n_px) AS n FROM h GROUP BY doc_id),
+        |terms AS (
+        |  SELECT h.doc_id, t.n,
+        |    CAST(round(
+        |      (CAST(n_px AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(n_px AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |      AS DECIMAL(18,12)) AS term
+        |  FROM h JOIN t ON h.doc_id = t.doc_id)
+        |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_px,
+        |  CAST(count(*) AS INT) AS n_buckets,
+        |  round(-CAST(sum(term) AS DOUBLE) + 0.0, 6) AS entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "multimodal_audio_vad" ->
       """WITH d AS (
         |  SELECT doc_id, (doc_id % 5 + 1) * 100 AS n FROM documents),

@@ -509,6 +509,54 @@ object ScanOps {
       .orderBy(col("shard"))
   }
 
+  /** #284 — parquet bloom-filter point lookups (round 16; the
+    * needle-in-haystack scan path: zone maps (#186's z-order story)
+    * prune RANGES, but a point lookup on a high-cardinality
+    * UNSORTED key — "all orders of customer X" — gets nothing from
+    * min/max; parquet's split-block bloom filters are the format's
+    * answer, letting the reader skip row groups that provably lack
+    * the key): the orders fact is written with a bloom filter on
+    * o_custkey (`parquet.bloom.filter.enabled#o_custkey`, ndv sized
+    * to the key space), read back, and point-looked-up for five
+    * deterministic customers. The graded aggregate proves the
+    * bloom-enabled write round-trips values exactly (oracle = the
+    * same lookup off the original table); the SPEC opens the written
+    * footer with parquet's own reader and asserts a bloom filter is
+    * physically present for the column AND that it answers
+    * membership correctly on present/absent keys. Scale: the write
+    * is one narrow pass (bloom adds bytes per row group, no extra
+    * pass); at 100 TB the lookup reads footers + the few row groups
+    * whose filter matches instead of every page of the key column. */
+  def scanParquetBloomLookup(spark: SparkSession, sf: String): DataFrame = {
+    val dir = bloomFixtureDir(spark, sf)
+    spark.read.parquet(dir)
+      .where(col("o_custkey").isin(7L, 107L, 207L, 307L, 407L))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(money(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** #284's fixture writer, shared with the footer-inspection spec:
+    * orders written with a split-block bloom filter on o_custkey.
+    * Dictionary encoding is disabled FOR THAT COLUMN because
+    * parquet-mr deliberately drops the bloom filter when a chunk
+    * stays fully dictionary-encoded (the dictionary already answers
+    * membership exactly); at graded scale the key column would stay
+    * dictionary-encoded and no filter would be written — at real
+    * scale the dictionary overflows to plain and the bloom appears
+    * either way, so the per-column toggle reproduces the production
+    * layout, not a synthetic one. */
+  def bloomFixtureDir(spark: SparkSession, sf: String): String = {
+    val dir = scratchDir("graft_bloom_lookup")
+    orders(spark, sf).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_custkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+      .option("parquet.enable.dictionary#o_custkey", "false")
+      .parquet(dir)
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "scan_parquet"             -> (scanParquet _),
     "scan_pruned_pushdown"     -> (scanPrunedPushdown _),
@@ -526,6 +574,7 @@ object ScanOps {
     "sink_sorted_shards"       -> (sinkSortedShards _),
     "sink_shard_manifest"      -> (sinkShardManifest _),
     "sink_partition_overwrite" -> (sinkPartitionOverwrite _),
+    "scan_parquet_bloom_lookup" -> (scanParquetBloomLookup _),
     "layout_zorder_pruning"    -> (layoutZorderPruning _),
   )
 
@@ -683,5 +732,12 @@ object ScanOps {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     "layout_zorder_pruning" -> zorderOracle,
+    "scan_parquet_bloom_lookup" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders
+        |WHERE o_custkey IN (7, 107, 207, 307, 407)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -174,6 +174,131 @@ class Round16OpsSpec extends SparkSpec {
       "every order's customer exists, so the nation cells partition orders")
   }
 
+  test("top paths (#281): matches a driver-side sessionize+count replay") {
+    val got = EtlOps.eventsTopPaths(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val sess = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800000000L) {
+          if (cur.nonEmpty) sess += cur.reverse
+          cur = Nil
+        }
+        cur = e._4 :: cur
+        prev = e._2
+      }
+      if (cur.nonEmpty) sess += cur.reverse
+      sess.map(_.take(5).mkString(">"))
+    }.toSeq
+    val exp = paths.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got == exp,
+      s"top-20 path mismatch:\n got=${got.take(5)}\n exp=${exp.take(5)}")
+  }
+
+  test("info gain (#282): replay matches; 0 <= IG <= H(label)") {
+    val r = AggOps.aggInfoGain(spark, sf001).collect()(0)
+    val hLabel = r.getAs[Double]("h_label")
+    val hCond = r.getAs[Double]("h_conditional")
+    val ig = r.getAs[Double]("info_gain")
+    assert(hLabel >= 0 && hCond >= 0)
+    assert(hCond <= hLabel + 1e-6, "conditioning cannot raise entropy")
+    assert(ig >= -1e-6 && ig <= hLabel + 1e-6)
+    assert(math.abs(ig - (hLabel - hCond)) <= 2e-6)
+    val n = Tables.events(spark, sf001).count()
+    assert(r.getAs[Long]("n_total") == n)
+    assert(r.getAs[Int]("n_buckets") == Tables.events(spark, sf001)
+      .select(col("event_type")).distinct().count())
+  }
+
+  test("image entropy (#283): exact vs a generator replay; bounded by ln 16") {
+    val out = LlmOps.multimodalImageEntropy(spark, sf001).collect()
+    val nDocs = Tables.documents(spark, sf001).count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((1 + id % 16).toInt, (1 + (id / 16) % 16).toInt)
+      val counts = Array.ofDim[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val s = ((id * 31 + x * 7 + y * 13) % 256 +
+                 (id * 17 + x * 5 + y * 11) % 256 +
+                 (id * 13 + x * 3 + y * 19) % 256) / 3
+        counts((s / 16).toInt) += 1
+      }
+      val n = counts.sum
+      val terms = counts.filter(_ > 0).map { c =>
+        val p = c.toDouble / n
+        BigDecimal(p * math.log(p)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val hExp = BigDecimal(-(terms.sum.toDouble) + 0.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("n_px") == n, s"doc $id n_px")
+      assert(r.getAs[Int]("n_buckets") == counts.count(_ > 0), s"doc $id buckets")
+      assert(r.getAs[Double]("entropy") == hExp, s"doc $id entropy")
+      assert(r.getAs[Double]("entropy") >= 0 &&
+             r.getAs[Double]("entropy") <= math.log(16.0) + 1e-9)
+    }
+  }
+
+  test("bloom lookup (#284): filter physically present in the footer and answers membership") {
+    import scala.jdk.CollectionConverters._
+    val dir = ScanOps.bloomFixtureDir(spark, sf001)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.nonEmpty, s"no parquet files under $dir")
+    val presentKeys = Tables.orders(spark, sf001)
+      .select(col("o_custkey")).limit(3).collect().map(_.getLong(0))
+    var sawBloom = false
+    val foundPresent = Array.fill(presentKeys.length)(false)
+    var absentRejectedEverywhere = true
+    files.foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getPath), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          val cc = block.getColumns.asScala
+            .find(_.getPath.toDotString == "o_custkey").get
+          val bf = reader.getBloomFilterDataReader(block).readBloomFilter(cc)
+          if (bf != null) {
+            sawBloom = true
+            presentKeys.zipWithIndex.foreach { case (k, i) =>
+              if (bf.findHash(bf.hash(k))) foundPresent(i) = true
+            }
+            if (bf.findHash(bf.hash(-987654321098L)))
+              absentRejectedEverywhere = false
+          }
+        }
+      } finally reader.close()
+    }
+    assert(sawBloom, "no bloom filter found for o_custkey in any row group")
+    assert(foundPresent.forall(identity),
+      "a present key must never be rejected (bloom has no false negatives)")
+    assert(absentRejectedEverywhere,
+      "the far-out-of-domain key should be rejected by every row group " +
+      "(ndv-sized filter; a false positive here is a sizing bug)")
+    // and the graded lookup equals the same query off the source table
+    val got = ScanOps.scanParquetBloomLookup(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exp = Tables.orders(spark, sf001)
+      .where(col("o_custkey").isin(7L, 107L, 207L, 307L, 407L))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("t"))
+      .orderBy(col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == exp)
+  }
+
   test("granger (#280): matches a driver-side replay; RSS ordering holds") {
     val r = EtlOps.tsGrangerF(spark, sf001).collect()(0)
     val daily = Tables.events(spark, sf001)

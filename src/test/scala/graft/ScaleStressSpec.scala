@@ -39,11 +39,11 @@ class ScaleStressSpec extends SparkSpec {
   /** Bump whenever [[writeScaled]]'s transform changes: the
     * fingerprint below embeds it, so stale corpora from an older
     * writer are rewritten instead of silently reused. */
-  private val WriterVersion = 4 // v4: + verbatim catalog dims (round-14 cohort)
+  private val WriterVersion = 5 // v5: + customer/supplier replicas (round-16 cohort)
 
   private val scaledTables =
     Seq("events", "documents", "embeddings", "lineitem", "orders",
-        "nation", "region")
+        "nation", "region", "customer", "supplier")
 
   /** Writer-parameters + source fingerprint (ADVICE r10): a reuse
     * decision based only on _SUCCESS markers would let a standalone
@@ -136,6 +136,25 @@ class ScaleStressSpec extends SparkSpec {
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // customer / supplier (writer v5, round-16 cohort): key shifts
+    // MATCH orders' custkey / lineitem's suppkey shifts so every
+    // fact⋈dim join resolves within its replica; nation keys stay
+    // verbatim, so the nation-level trade graph is IDENTICAL across
+    // replicas (only edge weights grow ×10) — the exact-invariance
+    // lever for the BFS / jackknife / pseudonymization pins.
+    spark.read.parquet(s"$src/customer.parquet")
+      .withColumn("k", explode(ks))
+      .select(
+        (col("c_custkey") + col("k") * 10000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.read.parquet(s"$src/supplier.parquet")
+      .withColumn("k", explode(ks))
+      .select(
+        (col("s_suppkey") + col("k") * 1000000L).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
   }
 
   /** The lineitem replicator, parameterized by SOURCE dir so the
@@ -1562,6 +1581,72 @@ class ScaleStressSpec extends SparkSpec {
       assert(a.getLong(1) == b.getLong(1), "n_terms invariant")
       assert(b.getLong(2) == 0L, "hapax set collapses under ×10 replication")
       assert(b.getLong(3) == 10 * a.getLong(3), "tokens ×10")
+    }
+  }
+  /** Round 16 (#274–#276, #279): the v5 writer replicates customer /
+    * supplier with replica-matched key shifts and VERBATIM nation
+    * keys, so the nation-level trade graph is the SAME 25-node graph
+    * at 10× (edge weights ×10, edge SET identical) and every
+    * per-nation group is the same value multiset repeated ×10. The
+    * bit-exactness lever is the round-15 one: (10a)/(10b) is the same
+    * real quotient as a/b, and both decimal sums stay exactly
+    * double-representable, so the gridded loo means / medians /
+    * z-moment quotients are IDENTICAL doubles — the jackknife and BFS
+    * outputs must be exactly invariant, Levene's moments exactly ×10
+    * with F moving by the exact df ratio, and pseudonymized join
+    * counts exactly ×10 with the integrity flag held. */
+  test("round-16 cohort scales 1x to 10x with exact invariants") {
+    gated()
+    ensureScaled()
+    // #274: identical edge set ⇒ identical distances, exactly
+    val sp1 = GraphOps.graphShortestPaths(spark, dir1x).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSeq.sorted
+    val sp10 = GraphOps.graphShortestPaths(spark, dir10x).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSeq.sorted
+    assert(sp1 == sp10, s"#274 distances must be replication-invariant")
+    // #276: loo means bit-identical ((10a)/(10b) = a/b correctly
+    // rounded) ⇒ every statistic invariant, n_total ×10
+    val jk1 = AggOps.aggJackknifeGroups(spark, dir1x).collect()(0)
+    val jk10 = AggOps.aggJackknifeGroups(spark, dir10x).collect()(0)
+    assert(jk10.getAs[Long]("g_groups") == jk1.getAs[Long]("g_groups"))
+    assert(jk10.getAs[Long]("n_total") == 10 * jk1.getAs[Long]("n_total"))
+    Seq("theta_hat", "theta_jack", "se_jack", "bias_jack").foreach { c =>
+      assert(jk10.getAs[Double](c) == jk1.getAs[Double](c),
+        s"#276 $c must be bit-identical at 10x")
+    }
+    // #275: medians of a x10-replicated multiset are unchanged (the
+    // interpolation lands on the same value pair), so z-moments scale
+    // exactly x10; SSB/SSW x10 at the 6dp display grid and F moves by
+    // the exact within-df ratio (10N-5)/(N-5) (~10: same variance
+    // ratio, ten times the evidence)
+    val lv1 = AggOps.aggLeveneBf(spark, dir1x).collect()(0)
+    val lv10 = AggOps.aggLeveneBf(spark, dir10x).collect()(0)
+    val n1 = lv1.getAs[Long]("n_total")
+    assert(lv10.getAs[Long]("n_total") == 10 * n1)
+    def rel(a: Double, b: Double) = math.abs(a - b) / math.max(1.0, math.abs(b))
+    assert(rel(lv10.getAs[Double]("ss_between"),
+               10 * lv1.getAs[Double]("ss_between")) <= 1e-9, "#275 SSB x10")
+    assert(rel(lv10.getAs[Double]("ss_within"),
+               10 * lv1.getAs[Double]("ss_within")) <= 1e-9, "#275 SSW x10")
+    val dfRatio = (10.0 * n1 - 5.0) / (n1 - 5.0)
+    assert(rel(lv10.getAs[Double]("f_stat"),
+               lv1.getAs[Double]("f_stat") * dfRatio) <= 1e-6,
+      s"#275 F must move by the exact df ratio $dfRatio")
+    // #279: per-nation cells are the same multiset x10 - every count
+    // x10 exactly, the integrity flag held at both scales
+    val an1 = EtlOps.etlAnonymizeReferential(spark, dir1x).collect()
+    val an10 = EtlOps.etlAnonymizeReferential(spark, dir10x).collect()
+    assert(an1.length == an10.length, "same nations")
+    an1.zip(an10).foreach { case (a, b) =>
+      assert(a.getAs[Number]("c_nationkey").longValue ==
+             b.getAs[Number]("c_nationkey").longValue)
+      assert(b.getAs[Boolean]("integrity_ok") && a.getAs[Boolean]("integrity_ok"))
+      Seq("n_customers", "n_pseudonyms", "n_orders_plain", "n_orders_pseudo")
+        .foreach { c =>
+          assert(b.getAs[Long](c) == 10 * a.getAs[Long](c), s"#279 $c x10")
+        }
     }
   }
 }

@@ -1690,6 +1690,63 @@ object AggOps {
       round(hLabel - hCond, 6).as("info_gain"))
   }
 
+  /** #285 — delta-method z-test for a RATIO metric (round 16; the
+    * missing member of the experimentation battery: #175's t-test is
+    * valid for per-EVENT means, but the headline metric of most
+    * experiments is revenue-per-user — a ratio of two user-level
+    * means whose numerator and denominator are correlated within
+    * users, so the naive per-event variance is wrong; every
+    * experimentation platform linearizes it with the delta method,
+    * Deng et al. KDD'18): per user, x = value sum and y = event
+    * count; per md5 arm (the #175 split), R = Σx/Σy and var(R̂) ≈
+    * (σx² − 2Rσxy + R²σy²) / (n·μy²) from exact user-level moments;
+    * z = (R_A − R_B)/√(SE_A²+SE_B²). Exactness: per-user x is an
+    * exact DECIMAL(18,2) money sum, y an exact long; the five
+    * user-level moment sums per arm (Σx, Σy, Σx², Σxy, Σy²) are
+    * exact DECIMAL folds from ONE user-keyed aggregate; R/SE/z are
+    * fixed double expressions over those sums (#175/#229 policy),
+    * the flag compares the UNROUNDED |z| to 1.959964, 6dp displays.
+    * Shape: one user-keyed corpus aggregate (partial-combined), one
+    * conditional one-row arm fold — at 100 TB only the user
+    * aggregate touches data. */
+  def aggDeltaMethodRatio(spark: SparkSession, sf: String): DataFrame = {
+    val arm = ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2
+    val perUser = events(spark, sf)
+      .select(col("user_id"), money(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v")).as("x"), count(lit(1)).as("y"))
+      .select(arm.as("g"), col("x"), col("y"))
+    def a(g: Int, c: Column) = sum(when(col("g") === g, c))
+    val one = perUser.agg(
+      count(when(col("g") === 0, lit(1))).as("n_a"),
+      count(when(col("g") === 1, lit(1))).as("n_b"),
+      a(0, col("x")).as("sx_a"), a(1, col("x")).as("sx_b"),
+      a(0, col("y")).as("sy_a"), a(1, col("y")).as("sy_b"),
+      a(0, dec(col("x") * col("x"), 38, 4)).as("sxx_a"),
+      a(1, dec(col("x") * col("x"), 38, 4)).as("sxx_b"),
+      a(0, dec(col("x") * col("y"), 38, 2)).as("sxy_a"),
+      a(1, dec(col("x") * col("y"), 38, 2)).as("sxy_b"),
+      a(0, col("y") * col("y")).as("syy_a"),
+      a(1, col("y") * col("y")).as("syy_b"))
+    def d(c: Column) = c.cast("double")
+    def ratio(s: String) = d(col(s"sx_$s")) / d(col(s"sy_$s"))
+    def se2(s: String): Column = {
+      val n = d(col(s"n_$s"))
+      val mx = d(col(s"sx_$s")) / n
+      val my = d(col(s"sy_$s")) / n
+      val vx = d(col(s"sxx_$s")) / n - mx * mx
+      val vy = d(col(s"syy_$s")) / n - my * my
+      val cxy = d(col(s"sxy_$s")) / n - mx * my
+      val r = ratio(s)
+      (vx - lit(2.0) * r * cxy + r * r * vy) / (n * my * my)
+    }
+    val z = (ratio("a") - ratio("b")) / sqrt(se2("a") + se2("b"))
+    one.select(col("n_a").as("n_users_a"), col("n_b").as("n_users_b"),
+      round(ratio("a"), 6).as("ratio_a"), round(ratio("b"), 6).as("ratio_b"),
+      round(sqrt(se2("a")), 6).as("se_a"), round(sqrt(se2("b")), 6).as("se_b"),
+      round(z, 6).as("z_stat"), (abs(z) > lit(1.959964)).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "agg_hash_groupby"     -> (aggHashGroupby _),
     "agg_distinct_count"   -> (aggDistinctCount _),
@@ -1741,6 +1798,7 @@ object AggOps {
     "agg_levene_bf"          -> (aggLeveneBf _),
     "agg_jackknife_groups"   -> (aggJackknifeGroups _),
     "agg_info_gain"          -> (aggInfoGain _),
+    "agg_delta_method_ratio" -> (aggDeltaMethodRatio _),
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
@@ -1773,6 +1831,63 @@ object AggOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "agg_delta_method_ratio" ->
+      """WITH pu AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS x,
+        |    count(*) AS y
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT ascii(substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2
+        |      AS g, x, y
+        |  FROM pu),
+        |f AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE g = 0) AS n_a,
+        |    count(*) FILTER (WHERE g = 1) AS n_b,
+        |    sum(x) FILTER (WHERE g = 0) AS sx_a,
+        |    sum(x) FILTER (WHERE g = 1) AS sx_b,
+        |    sum(y) FILTER (WHERE g = 0) AS sy_a,
+        |    sum(y) FILTER (WHERE g = 1) AS sy_b,
+        |    sum(CAST(CAST(x AS DECIMAL(19,2)) * x AS DECIMAL(38,4)))
+        |      FILTER (WHERE g = 0) AS sxx_a,
+        |    sum(CAST(CAST(x AS DECIMAL(19,2)) * x AS DECIMAL(38,4)))
+        |      FILTER (WHERE g = 1) AS sxx_b,
+        |    sum(CAST(CAST(x AS DECIMAL(19,2)) * y AS DECIMAL(38,2)))
+        |      FILTER (WHERE g = 0) AS sxy_a,
+        |    sum(CAST(CAST(x AS DECIMAL(19,2)) * y AS DECIMAL(38,2)))
+        |      FILTER (WHERE g = 1) AS sxy_b,
+        |    sum(y * y) FILTER (WHERE g = 0) AS syy_a,
+        |    sum(y * y) FILTER (WHERE g = 1) AS syy_b
+        |  FROM g),
+        |d AS (
+        |  SELECT CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(n_a AS BIGINT) AS n_users_a, CAST(n_b AS BIGINT) AS n_users_b,
+        |    CAST(sx_a AS DOUBLE) AS sxa, CAST(sx_b AS DOUBLE) AS sxb,
+        |    CAST(sy_a AS DOUBLE) AS sya, CAST(sy_b AS DOUBLE) AS syb,
+        |    CAST(sxx_a AS DOUBLE) AS sxxa, CAST(sxx_b AS DOUBLE) AS sxxb,
+        |    CAST(sxy_a AS DOUBLE) AS sxya, CAST(sxy_b AS DOUBLE) AS sxyb,
+        |    CAST(syy_a AS DOUBLE) AS syya, CAST(syy_b AS DOUBLE) AS syyb
+        |  FROM f),
+        |e AS (
+        |  SELECT n_users_a, n_users_b,
+        |    sxa / sya AS ra, sxb / syb AS rb,
+        |    (sxxa / na - (sxa / na) * (sxa / na)
+        |      - 2.0 * (sxa / sya) * (sxya / na - (sxa / na) * (sya / na))
+        |      + (sxa / sya) * (sxa / sya)
+        |        * (syya / na - (sya / na) * (sya / na)))
+        |      / (na * (sya / na) * (sya / na)) AS se2a,
+        |    (sxxb / nb - (sxb / nb) * (sxb / nb)
+        |      - 2.0 * (sxb / syb) * (sxyb / nb - (sxb / nb) * (syb / nb))
+        |      + (sxb / syb) * (sxb / syb)
+        |        * (syyb / nb - (syb / nb) * (syb / nb)))
+        |      / (nb * (syb / nb) * (syb / nb)) AS se2b
+        |  FROM d)
+        |SELECT n_users_a, n_users_b,
+        |  round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+        |  round(sqrt(se2a), 6) AS se_a, round(sqrt(se2b), 6) AS se_b,
+        |  round((ra - rb) / sqrt(se2a + se2b), 6) AS z_stat,
+        |  abs((ra - rb) / sqrt(se2a + se2b)) > 1.959964 AS significant
+        |FROM e""".stripMargin,
     "agg_info_gain" ->
       """WITH m AS (
         |  SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)

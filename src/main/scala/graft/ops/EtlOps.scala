@@ -1877,6 +1877,63 @@ object EtlOps {
       .limit(20)
   }
 
+  /** #286 — OPTIMIZE … CLUSTER BY on the snapshot table (round 16;
+    * the layout-maintenance command every lakehouse ships —
+    * Delta/Iceberg OPTIMIZE with clustering: #263 bin-packs small
+    * files, this op additionally makes each key-bucket's files cover
+    * DISJOINT ranges of a scan column so zone-map pruning works on
+    * range predicates while MERGE's bucket addressing stays intact):
+    * v2 = [[graft.api.SnapshotTable.optimizeCluster]] of the
+    * merged orders table, clustered by price into 4 sub-files per
+    * bucket. The op PROVES the layout inline (require): per bucket,
+    * the files' REAL footer-level [min,max] price ranges — read back
+    * per physical file via input_file_name — are pairwise disjoint
+    * (ties may touch at boundaries), and a bottom-of-range probe can
+    * skip at least half the files; the graded output is the #263
+    * content-identity contract (optimize must not change the table)
+    * plus exact min/max price columns. Scale: one bucket-parallel
+    * rewrite (O(table), run off-peak like any OPTIMIZE), after which
+    * range scans read footers + matching sub-files only. */
+  def etlSnapshotOptimizeCluster(spark: SparkSession, sf: String): DataFrame = {
+    val base = buildSnapshotOrders(spark, sf)
+    val v2 = graft.api.SnapshotTable.optimizeCluster(
+      spark, base, "o_orderkey", "o_price", numBuckets = 4, subFiles = 4)
+    // layout proof from the REAL files: per bucket, sub-file price
+    // ranges are disjoint and a narrow probe skips most files
+    val files = graft.api.SnapshotTable.liveFiles(spark, base, v2)
+    val stats = spark.read.parquet(files: _*)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(min(col("o_price")).as("lo"), max(col("o_price")).as("hi"),
+           count(lit(1)).as("nr"))
+      .withColumn("b", regexp_extract(col("f"), "_bucket=(\\d+)", 1).cast("int"))
+      .collect()
+    stats.groupBy(_.getAs[Int]("b")).foreach { case (b, fs) =>
+      val sorted = fs.sortBy(r => BigDecimal(r.getAs[java.math.BigDecimal]("lo")))
+      sorted.sliding(2).foreach { p =>
+        if (p.length == 2)
+          require(p(0).getAs[java.math.BigDecimal]("hi")
+              .compareTo(p(1).getAs[java.math.BigDecimal]("lo")) <= 0,
+            s"bucket $b: sub-file ranges overlap beyond a tie")
+      }
+    }
+    val probeHi = new java.math.BigDecimal("50000.00")
+    val skippable = stats.count(r =>
+      r.getAs[java.math.BigDecimal]("lo").compareTo(probeHi) > 0)
+    require(skippable >= stats.length / 2,
+      s"probe <= $probeHi must skip at least half the files: " +
+      s"$skippable/${stats.length}")
+    def snap(v: Int): DataFrame =
+      graft.api.SnapshotTable.asOf(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_price")).cast("double").as("total_price"),
+          min(col("o_price")).cast("double").as("min_price"),
+          max(col("o_price")).cast("double").as("max_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_price"),
+          col("min_price"), col("max_price"))
+    snap(1).unionAll(snap(v2)).orderBy(col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -1943,6 +2000,7 @@ object EtlOps {
     "etl_anonymize_referential" -> (etlAnonymizeReferential _),
     "ts_granger_f"           -> (tsGrangerF _),
     "events_top_paths"       -> (eventsTopPaths _),
+    "etl_snapshot_optimize_cluster" -> (etlSnapshotOptimizeCluster _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -3992,6 +4050,29 @@ object EtlOps {
         |UNION ALL
         |SELECT 1, count(*), CAST(sum(price) AS DOUBLE),
         |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM v1
+        |ORDER BY version""".stripMargin,
+    "etl_snapshot_optimize_cluster" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3)
+        |SELECT 1 AS version, count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(min(price) AS DOUBLE) AS min_price,
+        |  CAST(max(price) AS DOUBLE) AS max_price
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(price) AS DOUBLE),
+        |  CAST(min(price) AS DOUBLE), CAST(max(price) AS DOUBLE)
         |FROM v1
         |ORDER BY version""".stripMargin,
     "etl_snapshot_compact" ->

@@ -511,9 +511,14 @@ object GraphOps {
     * (the #122 policy) truncates lineage so round k+1 re-reads a
     * materialized table instead of re-running k stacked joins.
     * Determinism: distances are exact integers; unreachable nodes are
-    * excluded (no sentinel arithmetic). The oracle replays the SAME 4
-    * chained relaxations as CTEs — identical rounds, so intermediate
-    * states match, not just the fixpoint. */
+    * excluded (no sentinel arithmetic). The loop EARLY-EXITS once a
+    * round improves nothing — BFS costs diameter rounds, not the
+    * 4-round cap, and a converged frontier makes every further round
+    * a no-op, so the result is identical to running the cap out (the
+    * oracle always replays the full 4 chained relaxations and must
+    * hash-match). The convergence probe is one count on the
+    * frontier-sized relax table — cheap at any scale, and the
+    * standard distributed-BFS termination test. */
   def graphShortestPaths(spark: SparkSession, sf: String): DataFrame = {
     val edges = tradeEdges(spark, sf)
       .select(col("src"), col("dst")).localCheckpoint()
@@ -521,10 +526,17 @@ object GraphOps {
       .where(col("node") === 0)
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
-    for (_ <- 1 to 4) {
+    var converged = false
+    for (_ <- 1 to 4 if !converged) {
       val relaxed = dist.join(edges, col("node") === col("src"))
         .groupBy(col("dst")).agg(min(col("dist") + 1L).as("rd"))
-      dist = dist.join(relaxed, col("node") === col("dst"), "full_outer")
+        .localCheckpoint()
+      val improvements = relaxed
+        .join(dist, col("dst") === col("node"), "left")
+        .where(col("node").isNull || col("rd") < col("dist"))
+        .count()
+      if (improvements == 0) converged = true
+      else dist = dist.join(relaxed, col("node") === col("dst"), "full_outer")
         .select(coalesce(col("node"), col("dst")).as("node"),
                 least(coalesce(col("dist"), lit(Long.MaxValue)),
                       coalesce(col("rd"), lit(Long.MaxValue))).as("dist"))

@@ -299,6 +299,89 @@ class Round16OpsSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("delta-method ratio (#285): matches a driver-side replay on user-level moments") {
+    val r = AggOps.aggDeltaMethodRatio(spark, sf001).collect()(0)
+    val pu = Tables.events(spark, sf001)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"),
+           count(lit(1)).as("y"))
+      .select(col("user_id"), col("x"), col("y")).collect()
+      .map(x => (x.getLong(0), BigDecimal(x.getDecimal(1)), x.getLong(2)))
+    def armOf(u: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      hex.charAt(0).toInt % 2
+    }
+    def stats(g: Int) = {
+      val rows = pu.filter(p => armOf(p._1) == g)
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum.toDouble
+      val sy = rows.map(_._3).sum.toDouble
+      val sxx = rows.map(p => p._2 * p._2).sum.toDouble
+      val sxy = rows.map(p => p._2 * BigDecimal(p._3)).sum.toDouble
+      val syy = rows.map(p => p._3 * p._3).sum.toDouble
+      val (mx, my, rr) = (sx / n, sy / n, sx / sy)
+      val vx = sxx / n - mx * mx
+      val vy = syy / n - my * my
+      val cxy = sxy / n - mx * my
+      (n, rr, (vx - 2.0 * rr * cxy + rr * rr * vy) / (n * my * my))
+    }
+    val (na, ra, se2a) = stats(0)
+    val (nb, rb, se2b) = stats(1)
+    assert(r.getAs[Long]("n_users_a") == na.toLong &&
+           r.getAs[Long]("n_users_b") == nb.toLong)
+    assert(math.abs(r.getAs[Double]("ratio_a") - ra) <= 1e-6)
+    assert(math.abs(r.getAs[Double]("ratio_b") - rb) <= 1e-6)
+    assert(math.abs(r.getAs[Double]("se_a") - math.sqrt(se2a)) <= 1e-6)
+    val z = (ra - rb) / math.sqrt(se2a + se2b)
+    assert(math.abs(r.getAs[Double]("z_stat") - z) <= 1e-5)
+    assert(r.getAs[Boolean]("significant") == (math.abs(z) > 1.959964))
+    assert(r.getAs[Double]("se_a") > 0 && r.getAs[Double]("se_b") > 0)
+  }
+
+  test("optimize-cluster (#286): MERGE after a clustered rewrite stays correct; layout is sub-filed") {
+    import graft.api.SnapshotTable
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_optclus_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val rows = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price"))
+    SnapshotTable.create(spark, base, rows, "o_orderkey", numBuckets = 4)
+    val v1 = SnapshotTable.optimizeCluster(spark, base, "o_orderkey",
+      "o_price", numBuckets = 4, subFiles = 4)
+    // the clustered layout splits every bucket: more live files than buckets
+    assert(SnapshotTable.liveFiles(spark, base, v1).size > 4)
+    // content identity across the rewrite
+    assert(SnapshotTable.asOf(spark, base, 0)
+      .exceptAll(SnapshotTable.asOf(spark, base, v1)).isEmpty)
+    // and the critical interplay: bucket addressing survived, so a
+    // MERGE on the clustered layout produces exactly the expected table
+    val changes = rows.where(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit("Z").as("o_orderstatus"),
+        (col("o_price") + lit(1)).cast("decimal(18,2)").as("o_price"))
+      .unionAll(rows.where(col("o_orderkey") % 11 === 1)
+        .select(col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("decimal(18,2)").as("o_price")))
+    val v2 = SnapshotTable.mergeInto(spark, base, changes, "o_orderkey", 4)
+    val expected = rows.where(col("o_orderkey") % 11 =!= 1)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit("Z"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(col("o_orderkey") % 11 === 0,
+          (col("o_price") + lit(1)).cast("decimal(18,2)"))
+          .otherwise(col("o_price")).as("o_price"))
+    val got = SnapshotTable.asOf(spark, base, v2)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "merge after optimizeCluster must produce exactly the expected table")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(base))
+  }
+
   test("granger (#280): matches a driver-side replay; RSS ordering holds") {
     val r = EtlOps.tsGrangerF(spark, sf001).collect()(0)
     val daily = Tables.events(spark, sf001)

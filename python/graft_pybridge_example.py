@@ -115,6 +115,15 @@ check("snapshot latest = v0 + 2 inserts", latest.count() == v0.count() + 2,
 check("snapshot time travel isolates v0",
       v0.where("o_orderkey >= 999999000").count() == 0)
 
+# --- OPTIMIZE ... CLUSTER BY: layout maintenance ----------------------
+v_opt = bridge.snapshotOptimizeCluster(jspark, base, "o_orderkey",
+                                       "o_totalprice", 4, 4)
+check("snapshot optimizeCluster commits a new version", v_opt == 2)
+opt = wrap(bridge.snapshotAsOf(jspark, base, v_opt))
+check("optimizeCluster preserves content",
+      opt.count() == latest.count()
+      and opt.exceptAll(latest).count() == 0)
+
 # --- CostExplain: node stats / join advisory / ANALYZE ---------------
 ns = wrap(bridge.costNodeStats(plain._jdf))
 check("costNodeStats positive sizes",

@@ -28,7 +28,8 @@ ALLOWED_IMPORT = re.compile(
     r"^\s*import\s+(org\.apache\.spark|org\.apache\.hadoop|scala\b|"
     r"java\b|javax\b|graft\b|org\.scalatest|org\.scalacheck|sbt\b|"
     r"[a-z][A-Za-z0-9_]*(\.[A-Za-z0-9_]+)*\.implicits\._|"
-    r"(sys|json|glob|math|re|subprocess|time|os|pathlib|duckdb|pandas)\b)")
+    r"(sys|json|glob|math|re|subprocess|time|os|pathlib|duckdb|pandas|"
+    r"tempfile|pyspark)\b)")
 # both Scala/Python 'import X' and Python 'from X import Y' (the
 # 'from' form requires the trailing import keyword so English prose
 # beginning with 'from ...' is not treated as an import)

@@ -114,6 +114,15 @@ object PyBridge {
                   table: String): DataFrame =
     CostExplain.analyze(spark, df, table)
 
+  /** [[SnapshotTable.optimizeCluster]]: OPTIMIZE … CLUSTER BY —
+    * rewrite each key-hash bucket into clusterCol-disjoint sub-files
+    * (zone-map pruning for range scans; merge addressing intact). */
+  def snapshotOptimizeCluster(spark: SparkSession, base: String,
+                              keyCol: String, clusterCol: String,
+                              numBuckets: Int, subFiles: Int): Int =
+    SnapshotTable.optimizeCluster(spark, base, keyCol, clusterCol,
+      numBuckets, subFiles)
+
   def snapshotAsOfTimestamp(spark: SparkSession, base: String,
                             tsMillis: Long): DataFrame =
     SnapshotTable.asOfTimestamp(spark, base, tsMillis)

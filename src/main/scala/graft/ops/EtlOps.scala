@@ -1934,6 +1934,140 @@ object EtlOps {
     snap(1).unionAll(snap(v2)).orderBy(col("version"))
   }
 
+  /** #288 — data-quality rule suggestion (round 16; the
+    * deequ/Great-Expectations "profile → suggest constraints" step
+    * that seeds #132's rule engine: instead of a human writing the DQ
+    * rules, ONE profiling pass proposes them from what the data
+    * already satisfies): over the orders fact — `unique` when a key's
+    * NDV equals the row count, `not_null` when a column has zero
+    * nulls, `range` (observed lo/hi; dates as epoch days — no
+    * engine-formatted strings) for numerics, `in_set` with the sorted
+    * value domain for low-cardinality strings (NDV ≤ 10). Exactness:
+    * every decision input is an exact count/NDV/min/max from one
+    * aggregate; the only doubles are canonical 2dp money bounds and
+    * integer epoch days. Shape: ONE partial-aggregated corpus pass to
+    * a 1-row stats frame, then a driver-free explode of the
+    * conditional rule array — at 100 TB the profile pass is the whole
+    * cost (NDVs would swap to HLL sketches with the suggestion
+    * thresholds unchanged). */
+  def etlDqSuggest(spark: SparkSession, sf: String): DataFrame = {
+    val o = orders(spark, sf)
+    val epoch = lit("1970-01-01").cast("date")
+    val st = o.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("ndv_key"),
+      count(col("o_orderkey")).as("nn_key"),
+      count(col("o_custkey")).as("nn_cust"),
+      count(col("o_orderstatus")).as("nn_status"),
+      count(col("o_totalprice")).as("nn_price"),
+      count(col("o_orderdate")).as("nn_date"),
+      count(col("o_orderpriority")).as("nn_prio"),
+      min(col("o_custkey")).cast("double").as("min_cust"),
+      max(col("o_custkey")).cast("double").as("max_cust"),
+      min(money(col("o_totalprice"))).cast("double").as("min_price"),
+      max(money(col("o_totalprice"))).cast("double").as("max_price"),
+      datediff(to_date(min(col("o_orderdate"))), epoch)
+        .cast("double").as("min_day"),
+      datediff(to_date(max(col("o_orderdate"))), epoch)
+        .cast("double").as("max_day"),
+      countDistinct(col("o_orderstatus")).as("ndv_status"),
+      countDistinct(col("o_orderpriority")).as("ndv_prio"),
+      concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+        .as("dom_status"),
+      concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+        .as("dom_prio"))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    def rule(cond: Column, cn: String, r: String, lo: Column, hi: Column,
+             dom: Column): Column =
+      when(cond, struct(lit(cn).as("col_name"), lit(r).as("rule"),
+        lo.cast("double").as("lo"), hi.cast("double").as("hi"),
+        dom.cast("string").as("domain")))
+    def notNull(cn: String, nnCol: String): Column =
+      rule(col(nnCol) === col("n"), cn, "not_null", nullD, nullD, nullS)
+    st.select(explode(array(
+        rule(col("ndv_key") === col("n"), "o_orderkey", "unique",
+          nullD, nullD, nullS),
+        notNull("o_orderkey", "nn_key"),
+        notNull("o_custkey", "nn_cust"),
+        notNull("o_orderstatus", "nn_status"),
+        notNull("o_totalprice", "nn_price"),
+        notNull("o_orderdate", "nn_date"),
+        notNull("o_orderpriority", "nn_prio"),
+        rule(lit(true), "o_custkey", "range",
+          col("min_cust"), col("max_cust"), nullS),
+        rule(lit(true), "o_totalprice", "range",
+          col("min_price"), col("max_price"), nullS),
+        rule(lit(true), "o_orderdate", "range_epoch_day",
+          col("min_day"), col("max_day"), nullS),
+        rule(col("ndv_status") <= 10, "o_orderstatus", "in_set",
+          nullD, nullD, col("dom_status")),
+        rule(col("ndv_prio") <= 10, "o_orderpriority", "in_set",
+          nullD, nullD, col("dom_prio")))).as("r"))
+      .where(col("r").isNotNull)
+      .select(col("r.col_name").as("col_name"), col("r.rule").as("rule"),
+        col("r.lo").as("lo"), col("r.hi").as("hi"),
+        col("r.domain").as("domain"))
+      .orderBy(col("col_name"), col("rule"))
+  }
+
+  /** #290 — seasonal/trend strength of the decomposition (round 16;
+    * Hyndman's STL-features readout — turns #192's component TABLE
+    * into the two scalars a forecasting pipeline actually branches
+    * on: F_s = max(0, 1 − Var(R)/Var(S+R)) and F_t = max(0, 1 −
+    * Var(R)/Var(T+R)); near-zero F_s says "don't fit a seasonal
+    * model"): components come from #192's op VERBATIM (same code
+    * path, so the two can never disagree), variances are computed on
+    * the 4dp component grid via exact DECIMAL folds (Σc, Σc² as
+    * DECIMAL(38,8) over the ~30-row day table — order-free), and the
+    * strengths are fixed double expressions, 6dp displayed. Shape:
+    * #192's one keyed corpus aggregate + metadata-scale windows, then
+    * a 1-row fold. */
+  def tsSeasonalStrength(spark: SparkSession, sf: String): DataFrame = {
+    val comp = tsSeasonalDecompose(spark, sf)
+      .select(dec(col("residual"), 18, 4).as("r"),
+        // components are 4dp doubles; cast each to DECIMAL FIRST and
+        // add exactly — never round a double sum (engine round() on a
+        // boundary-adjacent double is the one place engines can split);
+        // narrow the (19,4) sum back to (18,4) (exact here) so squares
+        // stay inside precision 38
+        dec(dec(col("seasonal"), 18, 4) + dec(col("residual"), 18, 4),
+          18, 4).as("sr"),
+        dec(dec(col("trend"), 18, 4) + dec(col("residual"), 18, 4),
+          18, 4).as("tr"))
+    // CENTER each component on its own 4dp-gridded mean before the
+    // square fold (the #201 discipline): variance is translation-
+    // invariant, and the centered squares keep the DECIMAL(38,8)
+    // accumulator's internal magnitude inside the exactly-double-
+    // castable range — DuckDB casts a huge decimal to double via
+    // int->double THEN /10^scale (two roundings), which at ~10^19
+    // internal units drifts ~1e-6 against the correctly-rounded
+    // single conversion Spark does.
+    val wAll = Window.partitionBy(lit(1))
+    def centered(cn: String): Column =
+      dec(col(cn) - dec(round(sum(col(cn)).over(wAll).cast("double")
+        / count(lit(1)).over(wAll), 4), 18, 4), 18, 4)
+    val c = comp.select(centered("r").as("r"), centered("sr").as("sr"),
+      centered("tr").as("tr"))
+    def m(p: Column) = sum(dec(p, 38, 8))
+    val folded = c.agg(count(lit(1)).as("n_days"),
+      m(col("r") * col("r")).as("qr"), sum(col("r")).as("sr1"),
+      m(col("sr") * col("sr")).as("qsr"), sum(col("sr")).as("ssr"),
+      m(col("tr") * col("tr")).as("qtr"), sum(col("tr")).as("str"))
+    def d(c2: Column) = c2.cast("double")
+    def vr(q: String, s: String): Column = {
+      val n = d(col("n_days"))
+      (d(col(q)) - d(col(s)) * d(col(s)) / n) / n
+    }
+    val (vR, vSR, vTR) = (vr("qr", "sr1"), vr("qsr", "ssr"), vr("qtr", "str"))
+    folded.select(col("n_days"),
+      round(vR, 6).as("var_resid"),
+      round(vSR, 6).as("var_seas_resid"),
+      round(vTR, 6).as("var_trend_resid"),
+      round(greatest(lit(0.0), lit(1.0) - vR / vSR), 6).as("f_seasonal"),
+      round(greatest(lit(0.0), lit(1.0) - vR / vTR), 6).as("f_trend"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "etl_normalize_units"    -> (etlNormalizeUnits _),
     "etl_interval_validate"  -> (etlIntervalValidate _),
@@ -2001,6 +2135,8 @@ object EtlOps {
     "ts_granger_f"           -> (tsGrangerF _),
     "events_top_paths"       -> (eventsTopPaths _),
     "etl_snapshot_optimize_cluster" -> (etlSnapshotOptimizeCluster _),
+    "etl_dq_suggest"         -> (etlDqSuggest _),
+    "ts_seasonal_strength"   -> (tsSeasonalStrength _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -2642,6 +2778,110 @@ object EtlOps {
       |FROM se JOIN sm USING (dow) ORDER BY day""".stripMargin
 
   val oracle: Map[String, String] = ListMap(
+    "etl_dq_suggest" ->
+      """WITH st AS (
+        |  SELECT count(*) AS n,
+        |    count(DISTINCT o_orderkey) AS ndv_key,
+        |    count(o_orderkey) AS nn_key,
+        |    count(o_custkey) AS nn_cust,
+        |    count(o_orderstatus) AS nn_status,
+        |    count(o_totalprice) AS nn_price,
+        |    count(o_orderdate) AS nn_date,
+        |    count(o_orderpriority) AS nn_prio,
+        |    CAST(min(o_custkey) AS DOUBLE) AS min_cust,
+        |    CAST(max(o_custkey) AS DOUBLE) AS max_cust,
+        |    CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS min_price,
+        |    CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS max_price,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |         CAST(min(o_orderdate) AS DATE)) AS DOUBLE) AS min_day,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |         CAST(max(o_orderdate) AS DATE)) AS DOUBLE) AS max_day,
+        |    count(DISTINCT o_orderstatus) AS ndv_status,
+        |    count(DISTINCT o_orderpriority) AS ndv_prio,
+        |    (SELECT string_agg(v, ',' ORDER BY v) FROM
+        |      (SELECT DISTINCT o_orderstatus AS v FROM orders) t)
+        |      AS dom_status,
+        |    (SELECT string_agg(v, ',' ORDER BY v) FROM
+        |      (SELECT DISTINCT o_orderpriority AS v FROM orders) t)
+        |      AS dom_prio
+        |  FROM orders),
+        |rules AS (
+        |  SELECT 'o_orderkey' AS col_name, 'unique' AS rule,
+        |    CAST(NULL AS DOUBLE) AS lo, CAST(NULL AS DOUBLE) AS hi,
+        |    CAST(NULL AS VARCHAR) AS domain
+        |  FROM st WHERE ndv_key = n
+        |  UNION ALL SELECT 'o_orderkey', 'not_null', NULL, NULL, NULL
+        |    FROM st WHERE nn_key = n
+        |  UNION ALL SELECT 'o_custkey', 'not_null', NULL, NULL, NULL
+        |    FROM st WHERE nn_cust = n
+        |  UNION ALL SELECT 'o_orderstatus', 'not_null', NULL, NULL, NULL
+        |    FROM st WHERE nn_status = n
+        |  UNION ALL SELECT 'o_totalprice', 'not_null', NULL, NULL, NULL
+        |    FROM st WHERE nn_price = n
+        |  UNION ALL SELECT 'o_orderdate', 'not_null', NULL, NULL, NULL
+        |    FROM st WHERE nn_date = n
+        |  UNION ALL SELECT 'o_orderpriority', 'not_null', NULL, NULL, NULL
+        |    FROM st WHERE nn_prio = n
+        |  UNION ALL SELECT 'o_custkey', 'range', min_cust, max_cust, NULL
+        |    FROM st
+        |  UNION ALL SELECT 'o_totalprice', 'range', min_price, max_price,
+        |    NULL FROM st
+        |  UNION ALL SELECT 'o_orderdate', 'range_epoch_day', min_day,
+        |    max_day, NULL FROM st
+        |  UNION ALL SELECT 'o_orderstatus', 'in_set', NULL, NULL,
+        |    dom_status FROM st WHERE ndv_status <= 10
+        |  UNION ALL SELECT 'o_orderpriority', 'in_set', NULL, NULL,
+        |    dom_prio FROM st WHERE ndv_prio <= 10)
+        |SELECT * FROM rules ORDER BY col_name, rule""".stripMargin,
+    "ts_seasonal_strength" ->
+      s"""WITH base AS ($seasonalDecomposeSql),
+         |c0 AS (
+         |  SELECT CAST(residual AS DECIMAL(18,4)) AS r,
+         |    CAST(CAST(seasonal AS DECIMAL(18,4))
+         |      + CAST(residual AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS sr,
+         |    CAST(CAST(trend AS DECIMAL(18,4))
+         |      + CAST(residual AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS tr
+         |  FROM base),
+         |c AS (
+         |  SELECT
+         |    CAST(r - CAST(round(CAST(sum(r) OVER () AS DOUBLE)
+         |      / count(*) OVER (), 4) AS DECIMAL(18,4))
+         |      AS DECIMAL(18,4)) AS r,
+         |    CAST(sr - CAST(round(CAST(sum(sr) OVER () AS DOUBLE)
+         |      / count(*) OVER (), 4) AS DECIMAL(18,4))
+         |      AS DECIMAL(18,4)) AS sr,
+         |    CAST(tr - CAST(round(CAST(sum(tr) OVER () AS DOUBLE)
+         |      / count(*) OVER (), 4) AS DECIMAL(18,4))
+         |      AS DECIMAL(18,4)) AS tr
+         |  FROM c0),
+         |f AS (
+         |  SELECT count(*) AS n,
+         |    sum(CAST(CAST(r AS DECIMAL(19,4)) * r AS DECIMAL(38,8))) AS qr,
+         |    sum(r) AS sr1,
+         |    sum(CAST(CAST(sr AS DECIMAL(19,4)) * sr AS DECIMAL(38,8)))
+         |      AS qsr,
+         |    sum(sr) AS ssr,
+         |    sum(CAST(CAST(tr AS DECIMAL(19,4)) * tr AS DECIMAL(38,8)))
+         |      AS qtr,
+         |    sum(tr) AS str
+         |  FROM c),
+         |d AS (
+         |  SELECT CAST(n AS BIGINT) AS n_days, CAST(n AS DOUBLE) AS nd,
+         |    (CAST(qr AS DOUBLE) - CAST(sr1 AS DOUBLE) * CAST(sr1 AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vr,
+         |    (CAST(qsr AS DOUBLE) - CAST(ssr AS DOUBLE) * CAST(ssr AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vsr,
+         |    (CAST(qtr AS DOUBLE) - CAST(str AS DOUBLE) * CAST(str AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS vtr
+         |  FROM f)
+         |SELECT n_days, round(vr, 6) AS var_resid,
+         |  round(vsr, 6) AS var_seas_resid,
+         |  round(vtr, 6) AS var_trend_resid,
+         |  round(greatest(0.0, 1.0 - vr / vsr), 6) AS f_seasonal,
+         |  round(greatest(0.0, 1.0 - vr / vtr), 6) AS f_trend
+         |FROM d""".stripMargin,
     "events_top_paths" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -597,6 +597,37 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** #289 — corpus-level PII exposure scan (round 16; the AUDIT
+    * companion of #92's per-document redaction — before redacting, a
+    * compliance pass asks WHERE the PII lives: per ingestion source,
+    * how many documents carry emails/long numbers and at what rate,
+    * the readout that decides which sources need the redaction pass
+    * at all): same regex screens as #92 (single source of truth for
+    * "what counts as PII" across the two ops), aggregated per source
+    * with exact hit counts and a 6dp exposure rate. Shape: one narrow
+    * regex projection + one keyed aggregate — at 100 TB the regex
+    * scan is the whole cost and it partial-aggregates; sources with
+    * zero hits are kept (rate 0 is the audit's good news). */
+  def textPiiScan(spark: SparkSession, sf: String): DataFrame = {
+    val email = "[a-z0-9]+@[a-z0-9]+"
+    val longNum = "[0-9][0-9][0-9]+"
+    documents(spark, sf)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("ne"),
+        size(regexp_extract_all(col("text"), lit(longNum), lit(0)))
+          .cast("long").as("nn"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("ne")).as("n_emails"),
+           sum(col("nn")).as("n_longnums"),
+           count_if(col("ne") + col("nn") > 0).as("n_docs_with_pii"))
+      .withColumn("pii_doc_rate",
+        round(col("n_docs_with_pii").cast("double")
+          / col("n_docs").cast("double"), 6))
+      .orderBy(col("source"))
+  }
+
   /** #93 — benchmark-contamination check: count each document's
     * distinct 3-shingles that also appear in a held-out "benchmark"
     * set (stand-in: the shingles of the 5 lowest doc_ids), flag docs
@@ -1161,6 +1192,7 @@ object LlmOps {
     "multimodal_channel_histogram" -> (multimodalChannelHistogram _),
     "multimodal_audio_vad" -> (multimodalAudioVad _),
     "multimodal_image_entropy" -> (multimodalImageEntropy _),
+    "text_pii_scan" -> (textPiiScan _),
   )
 
   /** DuckDB fragment: simhash → bands → verified pairs → recursive
@@ -1378,6 +1410,20 @@ object LlmOps {
         |  CAST(sum(tok) AS BIGINT) AS est_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM w GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "text_pii_scan" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+')) AS ne,
+        |    len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS nn
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ne) AS BIGINT) AS n_emails,
+        |  CAST(sum(nn) AS BIGINT) AS n_longnums,
+        |  CAST(count(*) FILTER (WHERE ne + nn > 0) AS BIGINT)
+        |    AS n_docs_with_pii,
+        |  round(CAST(count(*) FILTER (WHERE ne + nn > 0) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS pii_doc_rate
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "text_pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+')) AS BIGINT)

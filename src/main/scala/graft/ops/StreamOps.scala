@@ -187,6 +187,35 @@ object StreamOps {
       .orderBy(col("n_name"))
   }
 
+  /** #287 — streaming CDC upsert view (round 16; the materialized
+    * last-state-per-key table every CDC consumer maintains — the
+    * STREAMING sibling of #68's batch last-wins upsert, with delete
+    * semantics: a key whose latest op is a delete leaves the view):
+    * the event log is read as a change stream keyed by user; the view
+    * holds each user's latest event (by the exact (ts, event_id)
+    * order), its op count, and DROPS users whose last event is the
+    * 'error' type (the delete op of this log). Graded batch form =
+    * one per-user ordered window (the state fold's fixpoint); the
+    * true incremental formulation — mapGroupsWithState holding
+    * (last_ts, last_id, last_type, cents, n) per user — is proven
+    * equal to this fixpoint by chunked MemoryStream replay in
+    * StreamingSpec (the #165/#244 pattern). At 100 TB the state store
+    * is keyed by user (bounded by live keys, not log length) and the
+    * batch window partitions on the same high-cardinality key. */
+  def streamCdcUpsert(spark: SparkSession, sf: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wAll = Window.partitionBy(col("user_id"))
+    events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(wAll))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_type"),
+        money(col("value")).cast("double").as("last_value"),
+        col("ts").as("last_ts"), col("n_ops"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "stream_tumbling_window" -> (streamTumblingWindow _),
     "stream_sliding_window"  -> (streamSlidingWindow _),
@@ -197,9 +226,22 @@ object StreamOps {
     "stream_join_interval"   -> (streamJoinInterval _),
     "stream_topk_windowed"   -> (streamTopkWindowed _),
     "stream_static_enrich"   -> (streamStaticEnrich _),
+    "stream_cdc_upsert"      -> (streamCdcUpsert _),
   )
 
   val oracle: Map[String, String] = ListMap(
+    "stream_cdc_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+        |  CAST(ts AS TIMESTAMP) AS last_ts, CAST(n_ops AS BIGINT) AS n_ops
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "stream_static_enrich" ->
       """SELECT n.n_name, count(*) AS n_events,
         |  CAST(sum(CASE WHEN e.event_type = 'purchase'

@@ -181,6 +181,18 @@ object EventStreams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** #287 streaming form — the materialized CDC upsert view; see
+    * [[CdcUpsertProcessor]]. Per user, the max-n_ops emission is the
+    * view's final row; filtering final rows whose type is the delete
+    * op ('error') reproduces the batch operator exactly under ordered
+    * replay (StreamingSpec). */
+  def cdcUpsertTws(events: Dataset[EventRow]): Dataset[CdcUpsertRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CdcUpsertProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** #164 streaming form — per-user first-activity records behind
     * `events_retention_cohort`: ValueState pins the user's cohort day
     * (first day ever seen), ListState dedups activity days, and each
@@ -503,6 +515,48 @@ case class GapRecord(user_id: Long, event_type: String, gap_us: Long)
   * ordered-replay caveat as [[EventStreams.markovPairsTws]]; state per
   * key is ONE long — key-bounded, never history-bounded, the cadence
   * the 100 TB rate-limit/bot-detection feed needs. */
+/** One CDC-view update of [[EventStreams.cdcUpsertTws]]: the user's
+  * current last-state snapshot after a micro-batch, with `n_ops`
+  * strictly increasing per key — the max-n_ops row per user IS the
+  * view's final row (cents ride a long; /100 at the comparison). */
+case class CdcUpsertRow(user_id: Long, last_type: String,
+                        last_cents: Long, last_ts: java.sql.Timestamp,
+                        n_ops: Long)
+
+/** #287's streaming state: one ValueState per user holding the latest
+  * (ts, event_id, type, cents, count) under the exact (ts, event_id)
+  * order — the materialized CDC upsert view. Each micro-batch emits
+  * the key's updated snapshot (Update-mode semantics); delete ops
+  * ('error') keep counting but the downstream view filter drops keys
+  * whose LAST op is a delete, matching the batch fixpoint. State per
+  * user: one record — key-bounded, never history-bounded. */
+class CdcUpsertProcessor
+    extends StatefulProcessor[Long, EventRow, CdcUpsertRow] {
+  @transient private var st: ValueState[CdcUpsertRow] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CdcUpsertRow]("cdc_last",
+      org.apache.spark.sql.Encoders.product[CdcUpsertRow], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[CdcUpsertRow] = {
+    val sorted = rows.toVector
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      var cur = if (st.exists()) st.get() else null
+      sorted.foreach { e =>
+        val cents = BigDecimal(e.value)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+        cur = CdcUpsertRow(key, e.event_type, cents.toLongExact, e.ts,
+          (if (cur == null) 0L else cur.n_ops) + 1L)
+      }
+      st.update(cur)
+      Iterator.single(cur)
+    }
+  }
+}
+
 class InterarrivalProcessor
     extends StatefulProcessor[(Long, String), EventRow, GapRecord] {
   @transient private var lastUs: ValueState[Long] = _

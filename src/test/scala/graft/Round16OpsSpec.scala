@@ -382,6 +382,112 @@ class Round16OpsSpec extends SparkSpec {
     rm(new java.io.File(base))
   }
 
+  test("cdc upsert (#287): view rows are each user's true last non-delete state") {
+    val got = StreamOps.streamCdcUpsert(spark, sf001).collect()
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, es) =>
+      val last = es.maxBy(e => (e._2.getTime, e._2.getNanos, e._3))
+      if (last._4 == "error") None else Some(u -> last._4)
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(expected(u) == r.getAs[String]("last_type"), s"user $u")
+      assert(r.getAs[Long]("n_ops") == byUser(u).length)
+    }
+    // the delete semantics must actually bite on this corpus
+    assert(expected.size < byUser.size,
+      "some user's last op should be a delete")
+  }
+
+  test("dq suggest (#288): every suggested rule actually holds on the data") {
+    val rules = EtlOps.etlDqSuggest(spark, sf001).collect()
+    val o = Tables.orders(spark, sf001)
+    val n = o.count()
+    rules.foreach { r =>
+      val cn = r.getAs[String]("col_name")
+      r.getAs[String]("rule") match {
+        case "unique" =>
+          assert(o.select(col(cn)).distinct().count() == n, s"$cn unique")
+        case "not_null" =>
+          assert(o.where(col(cn).isNull).count() == 0, s"$cn not_null")
+        case "range" =>
+          val lo = r.getAs[Double]("lo"); val hi = r.getAs[Double]("hi")
+          val viol = o.where(col(cn).cast("double") < lo ||
+                             col(cn).cast("double") > hi).count()
+          assert(viol == 0, s"$cn range [$lo,$hi]")
+        case "range_epoch_day" =>
+          val lo = r.getAs[Double]("lo"); val hi = r.getAs[Double]("hi")
+          val d = datediff(to_date(col(cn)), lit("1970-01-01").cast("date"))
+          assert(o.where(d < lo || d > hi).count() == 0, s"$cn date range")
+        case "in_set" =>
+          val dom = r.getAs[String]("domain").split(',').toSet
+          val out = o.select(col(cn)).distinct().collect()
+            .map(_.getString(0)).toSet
+          assert(out == dom, s"$cn domain $dom vs $out")
+      }
+    }
+    // the profile must have found the key unique and every column clean
+    assert(rules.exists(r => r.getAs[String]("rule") == "unique"))
+    assert(rules.count(_.getAs[String]("rule") == "not_null") == 6)
+  }
+
+  test("pii scan (#289): per-source sums close over the per-doc redaction counts") {
+    val scan = LlmOps.textPiiScan(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_emails"),
+         r.getAs[Long]("n_longnums"), r.getAs[Double]("pii_doc_rate"))).toMap
+    // #92 computes the same regex hits per document — the audit rolls
+    // them up, so the two surfaces must agree exactly
+    val perDoc = LlmOps.textPiiRedact(spark, sf001)
+      .join(Tables.documents(spark, sf001).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_emails")).as("e"),
+           sum(col("n_longnums")).as("l"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("e"), r.getAs[Long]("l"))).toMap
+    assert(scan.keySet == perDoc.keySet)
+    scan.foreach { case (s, (n, e, l, rate)) =>
+      assert((n, e, l) == perDoc(s), s"source $s")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    assert(scan.values.map(_._1).sum == Tables.documents(spark, sf001).count())
+  }
+
+  test("seasonal strength (#290): replay from the #192 component table; strengths in [0,1]") {
+    val r = EtlOps.tsSeasonalStrength(spark, sf001).collect()(0)
+    val comp = EtlOps.tsSeasonalDecompose(spark, sf001).collect()
+      .map(x => (x.getAs[Double]("trend"), x.getAs[Double]("seasonal"),
+        x.getAs[Double]("residual")))
+    def g4(d: Double) =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def centeredVar(vs: Seq[BigDecimal]): Double = {
+      val n = vs.length
+      val m = g4((vs.sum / n).toDouble)
+      val c = vs.map(_ - m)
+      val q = c.map(x => x * x).sum.toDouble
+      val s = c.sum.toDouble
+      (q - s * s / n) / n
+    }
+    val vR = centeredVar(comp.map(x => g4(x._3)))
+    val vSR = centeredVar(comp.map(x => g4(x._2) + g4(x._3)))
+    val vTR = centeredVar(comp.map(x => g4(x._1) + g4(x._3)))
+    assert(r.getAs[Long]("n_days") == comp.length)
+    assert(math.abs(r.getAs[Double]("var_resid") - vR) <= 1e-4 * vR)
+    assert(math.abs(r.getAs[Double]("var_seas_resid") - vSR) <= 1e-4 * vSR)
+    assert(math.abs(r.getAs[Double]("var_trend_resid") - vTR) <= 1e-4 * vTR)
+    Seq("f_seasonal", "f_trend").foreach { c =>
+      assert(r.getAs[Double](c) >= 0.0 && r.getAs[Double](c) <= 1.0, c)
+    }
+    assert(math.abs(r.getAs[Double]("f_seasonal")
+      - math.max(0.0, 1.0 - vR / vSR)) <= 1e-4)
+  }
+
   test("granger (#280): matches a driver-side replay; RSS ordering holds") {
     val r = EtlOps.tsGrangerF(spark, sf001).collect()(0)
     val daily = Tables.events(spark, sf001)

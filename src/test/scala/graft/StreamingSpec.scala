@@ -834,6 +834,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC upsert view: per-user state across micro-batches equals the batch fixpoint") {
+    // round 16 (#287): the materialized last-state-per-key view. The
+    // max-n_ops emission per user is the final state; keys whose last
+    // op is the delete type leave the view — both must match the
+    // batch window fixpoint exactly, including cross-chunk updates.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.cdcUpsertTws(in.toDS())
+      .writeStream.format("memory").queryName("t_cdc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      corpusChunks(s, 3).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val finalRows = s.table("t_cdc").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("last_type"),
+          r.getAs[Long]("last_cents"),
+          r.getAs[java.sql.Timestamp]("last_ts"), r.getAs[Long]("n_ops")))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._5) }
+        .filter(_._2 != "error")
+        .map(r => (r._1, r._2, r._3.toDouble / 100, r._4, r._5)).toSet
+      val batch = graft.ops.StreamOps.streamCdcUpsert(spark, sf001)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[String]("last_type"), r.getAs[Double]("last_value"),
+          r.getAs[java.sql.Timestamp]("last_ts"),
+          r.getAs[Long]("n_ops"))).toSet
+      assert(finalRows == batch && batch.nonEmpty,
+        s"stream-batch diff: ${(finalRows diff batch).take(3)} / " +
+        s"${(batch diff finalRows).take(3)}")
+    } finally q.stop()
+  }
+
   test("VARIANT extract-aggregate: Complete-mode streaming replay equals the batch op") {
     // round 16 (VERDICT r15 ask 6): #262's parse_json → variant_get
     // tree is stateless, so the SAME expression tree (shared via

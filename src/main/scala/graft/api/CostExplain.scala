@@ -88,13 +88,12 @@ object CostExplain {
     * words consequence ("broadcasts" vs "shuffles both sides"). */
   def joinAdvisory(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val threshold = spark.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760") match {
-        case s if s.toLowerCase.endsWith("k") => s.dropRight(1).toLong * 1024
-        case s if s.toLowerCase.endsWith("m") => s.dropRight(1).toLong << 20
-        case s if s.toLowerCase.endsWith("g") => s.dropRight(1).toLong << 30
-        case s => s.toLong
-      }
+    // Spark's own conf parser: accepts bare bytes plus the full
+    // k/kb/m/mb/g/gb/t/tb suffix family case-insensitively, so
+    // session values like "10MB" (the Spark-docs spelling) don't
+    // crash this user-facing advisory.
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     var id = 0
     df.queryExecution.optimizedPlan.foreach {

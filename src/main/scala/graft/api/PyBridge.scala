@@ -98,7 +98,6 @@ object PyBridge {
   def snapshotAsOf(spark: SparkSession, base: String, version: Int): DataFrame =
     SnapshotTable.asOf(spark, base, version)
 
-  /** Time travel by wall clock (epoch millis). */
   /** [[CostExplain.nodeStats]]: per-node optimizer statistics of the
     * optimized plan (size estimates + row counts when stats exist). */
   def costNodeStats(df: DataFrame): DataFrame = CostExplain.nodeStats(df)
@@ -123,6 +122,7 @@ object PyBridge {
     SnapshotTable.optimizeCluster(spark, base, keyCol, clusterCol,
       numBuckets, subFiles)
 
+  /** Time travel by wall clock (epoch millis). */
   def snapshotAsOfTimestamp(spark: SparkSession, base: String,
                             tsMillis: Long): DataFrame =
     SnapshotTable.asOfTimestamp(spark, base, tsMillis)

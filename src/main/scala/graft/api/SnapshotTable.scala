@@ -696,7 +696,11 @@ object SnapshotTable {
       .withColumn("_rnk", row_number().over(wB))
       .withColumn("_bn", count(lit(1)).over(wN))
       .withColumn("_sub",
-        ((col("_rnk") - 1) * subFiles / col("_bn")).cast("int"))
+        // row_number is Int-typed; promote to Long before the
+        // multiply so buckets beyond ~2^31/subFiles rows don't
+        // overflow into negative sub-file assignments
+        ((col("_rnk").cast("long") - 1L) * subFiles / col("_bn"))
+          .cast("int"))
       .drop("_rnk", "_bn")
       .repartition(numBuckets * subFiles, col("_bucket"), col("_sub"))
       .sortWithinPartitions(col("_bucket"), col("_sub"), col(clusterCol))

@@ -1563,9 +1563,17 @@ object AggOps {
     * five o_orderpriority classes on o_totalprice. Exactness: group
     * medians via the exact-interpolated percentile (#149's
     * cross-engine pairing, 4dp-gridded BEFORE the deviations so both
-    * engines center on bit-identical values); z is 4dp-rounded and
-    * summed as DECIMAL(18,4) / z² as DECIMAL(38,8) — order-free exact
-    * moments; the five-group quotient chain Σⱼ Sⱼ²/nⱼ is a FIXED
+    * engines center on bit-identical values); z is rounded to the
+    * INTEGER grid (whole currency units — ≤1e-5 relative regrid on
+    * these 1e4–1e5-magnitude deviations, statistically immaterial)
+    * and summed as DECIMAL(18,0) / z² as DECIMAL(38,0) — order-free
+    * exact moments whose scale-0 decimal→double cast is a SINGLE
+    * rounding in every engine at every sf (a scale-s accumulator
+    * past ~1e17 internal units double-rounds in engines that cast
+    * hugeint→double before the /10^s step, the #290 centering
+    * lesson; scale 0 has no second step, so the fold stays
+    * bit-identical cross-engine at 100 TB magnitudes, not just
+    * sf0.1); the five-group quotient chain Σⱼ Sⱼ²/nⱼ is a FIXED
     * left-associated literal expression in both engines (#229's
     * one-row conditional-sum policy — never a 5-row double fold whose
     * summation order could differ), the rejection flag compares the
@@ -1579,11 +1587,11 @@ object AggOps {
       .agg(round(percentile(col("tp"), lit(0.5)), 4).as("med"))
     val z = o.join(broadcast(med), "grp")
       .select(col("grp"),
-        dec(round(abs(col("tp") - col("med")), 4), 18, 4).as("z"))
+        dec(round(abs(col("tp") - col("med")), 0), 18, 0).as("z"))
     def ng(j: Int) = count(when(col("grp") === j, lit(1))).as(s"n$j")
     def sg(j: Int) = sum(when(col("grp") === j, col("z"))).as(s"s$j")
     def qg(j: Int) =
-      sum(when(col("grp") === j, dec(col("z") * col("z"), 38, 8))).as(s"q$j")
+      sum(when(col("grp") === j, dec(col("z") * col("z"), 38, 0))).as(s"q$j")
     val aggs = (1 to 5).map(ng) ++ (1 to 5).map(sg) ++ (1 to 5).map(qg)
     val one = z.agg(aggs.head, aggs.tail: _*)
     def d(c: Column) = c.cast("double")
@@ -1948,7 +1956,7 @@ object AggOps {
         |  FROM o GROUP BY grp),
         |z AS (
         |  SELECT o.grp,
-        |    CAST(round(abs(o.tp - m.med), 4) AS DECIMAL(18,4)) AS z
+        |    CAST(round(abs(o.tp - m.med), 0) AS DECIMAL(18,0)) AS z
         |  FROM o JOIN m ON o.grp = m.grp),
         |a AS (
         |  SELECT
@@ -1962,11 +1970,11 @@ object AggOps {
         |    sum(z) FILTER (WHERE grp = 3) AS s3,
         |    sum(z) FILTER (WHERE grp = 4) AS s4,
         |    sum(z) FILTER (WHERE grp = 5) AS s5,
-        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 1) AS q1,
-        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 2) AS q2,
-        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 3) AS q3,
-        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 4) AS q4,
-        |    sum(CAST(CAST(z AS DECIMAL(19,4)) * z AS DECIMAL(38,8))) FILTER (WHERE grp = 5) AS q5
+        |    sum(CAST(CAST(z AS DECIMAL(19,0)) * z AS DECIMAL(38,0))) FILTER (WHERE grp = 1) AS q1,
+        |    sum(CAST(CAST(z AS DECIMAL(19,0)) * z AS DECIMAL(38,0))) FILTER (WHERE grp = 2) AS q2,
+        |    sum(CAST(CAST(z AS DECIMAL(19,0)) * z AS DECIMAL(38,0))) FILTER (WHERE grp = 3) AS q3,
+        |    sum(CAST(CAST(z AS DECIMAL(19,0)) * z AS DECIMAL(38,0))) FILTER (WHERE grp = 4) AS q4,
+        |    sum(CAST(CAST(z AS DECIMAL(19,0)) * z AS DECIMAL(38,0))) FILTER (WHERE grp = 5) AS q5
         |  FROM z),
         |d AS (
         |  SELECT

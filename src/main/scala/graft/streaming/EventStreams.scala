@@ -184,8 +184,10 @@ object EventStreams {
   /** #287 streaming form — the materialized CDC upsert view; see
     * [[CdcUpsertProcessor]]. Per user, the max-n_ops emission is the
     * view's final row; filtering final rows whose type is the delete
-    * op ('error') reproduces the batch operator exactly under ordered
-    * replay (StreamingSpec). */
+    * op ('error') reproduces the batch operator exactly — in ANY
+    * replay order, since the processor keeps the (ts, event_id) order
+    * key in state and ignores older arrivals (StreamingSpec proves
+    * both ordered and shuffled replay). */
   def cdcUpsertTws(events: Dataset[EventRow]): Dataset[CdcUpsertRow] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -523,36 +525,54 @@ case class CdcUpsertRow(user_id: Long, last_type: String,
                         last_cents: Long, last_ts: java.sql.Timestamp,
                         n_ops: Long)
 
+/** #287's streaming state record: the output snapshot plus the
+  * (ts-nanos, event_id) order key of the event that produced the
+  * last_* fields, so late arrivals can be ordered against it. */
+case class CdcUpsertState(snap: CdcUpsertRow, last_nanos: Int,
+                          last_event_id: Long)
+
 /** #287's streaming state: one ValueState per user holding the latest
   * (ts, event_id, type, cents, count) under the exact (ts, event_id)
   * order — the materialized CDC upsert view. Each micro-batch emits
   * the key's updated snapshot (Update-mode semantics); delete ops
   * ('error') keep counting but the downstream view filter drops keys
-  * whose LAST op is a delete, matching the batch fixpoint. State per
-  * user: one record — key-bounded, never history-bounded. */
+  * whose LAST op is a delete, matching the batch fixpoint. The state
+  * keeps the (ts, event_id) order key of the event behind the current
+  * snapshot, and an incoming event only REPLACES the snapshot when
+  * its (ts, event_id) is strictly greater — so a late-arriving older
+  * event in a later micro-batch bumps n_ops but cannot become the
+  * "last" state, making the view order-insensitive like the batch
+  * (ts, event_id)-max fixpoint. State per user: one record —
+  * key-bounded, never history-bounded. */
 class CdcUpsertProcessor
     extends StatefulProcessor[Long, EventRow, CdcUpsertRow] {
-  @transient private var st: ValueState[CdcUpsertRow] = _
+  @transient private var st: ValueState[CdcUpsertState] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    st = getHandle.getValueState[CdcUpsertRow]("cdc_last",
-      org.apache.spark.sql.Encoders.product[CdcUpsertRow], TTLConfig.NONE)
+    st = getHandle.getValueState[CdcUpsertState]("cdc_last",
+      org.apache.spark.sql.Encoders.product[CdcUpsertState], TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[EventRow],
       timerValues: TimerValues): Iterator[CdcUpsertRow] = {
-    val sorted = rows.toVector
-      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
-    if (sorted.isEmpty) Iterator.empty
+    val batchRows = rows.toVector
+    if (batchRows.isEmpty) Iterator.empty
     else {
       var cur = if (st.exists()) st.get() else null
-      sorted.foreach { e =>
-        val cents = BigDecimal(e.value)
-          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
-        cur = CdcUpsertRow(key, e.event_type, cents.toLongExact, e.ts,
-          (if (cur == null) 0L else cur.n_ops) + 1L)
+      batchRows.foreach { e =>
+        val ord = (e.ts.getTime, e.ts.getNanos, e.event_id)
+        val n = (if (cur == null) 0L else cur.snap.n_ops) + 1L
+        val newer = cur == null || Ordering[(Long, Int, Long)].gt(ord,
+          (cur.snap.last_ts.getTime, cur.last_nanos, cur.last_event_id))
+        cur =
+          if (newer) {
+            val cents = BigDecimal(e.value)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100
+            CdcUpsertState(CdcUpsertRow(key, e.event_type,
+              cents.toLongExact, e.ts, n), e.ts.getNanos, e.event_id)
+          } else cur.copy(snap = cur.snap.copy(n_ops = n))
       }
       st.update(cur)
-      Iterator.single(cur)
+      Iterator.single(cur.snap)
     }
   }
 }

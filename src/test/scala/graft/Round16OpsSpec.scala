@@ -62,7 +62,7 @@ class Round16OpsSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }
     val z = rows.map { case (g, tp) =>
       (g, BigDecimal(math.abs(tp - meds(g)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP)) }
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)) }
     val byG = z.groupBy(_._1)
     val (ns, ss, qs) = (
       (1 to 5).map(g => byG(g).length.toDouble),

@@ -870,6 +870,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC upsert view: SHUFFLED replay (late arrivals) still equals the batch fixpoint") {
+    // round 17 (ADVICE r16): the processor keeps the (ts, event_id)
+    // order key in state and only replaces the snapshot for strictly
+    // newer events. Proof: deliver the corpus in event_id-residue
+    // chunks — every later micro-batch carries events OLDER than
+    // ones already processed — and the per-user max-n_ops emission
+    // must still equal the batch (ts, event_id)-max fixpoint.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val all = Tables.events(s, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow].collect().toSeq
+    // residue-class chunks: deterministic, massively out of order
+    val chunks = (0 until 3).map(r => all.filter(_.event_id % 3 == r))
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.cdcUpsertTws(in.toDS())
+      .writeStream.format("memory").queryName("t_cdc_shuf")
+      .outputMode(OutputMode.Update).start()
+    try {
+      chunks.foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val finalRows = s.table("t_cdc_shuf").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("last_type"),
+          r.getAs[Long]("last_cents"),
+          r.getAs[java.sql.Timestamp]("last_ts"), r.getAs[Long]("n_ops")))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._5) }
+        .filter(_._2 != "error")
+        .map(r => (r._1, r._2, r._3.toDouble / 100, r._4, r._5)).toSet
+      val batch = graft.ops.StreamOps.streamCdcUpsert(spark, sf001)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[String]("last_type"), r.getAs[Double]("last_value"),
+          r.getAs[java.sql.Timestamp]("last_ts"),
+          r.getAs[Long]("n_ops"))).toSet
+      assert(finalRows == batch && batch.nonEmpty,
+        s"shuffled stream-batch diff: ${(finalRows diff batch).take(3)} / " +
+        s"${(batch diff finalRows).take(3)}")
+    } finally q.stop()
+  }
+
   test("VARIANT extract-aggregate: Complete-mode streaming replay equals the batch op") {
     // round 16 (VERDICT r15 ask 6): #262's parse_json → variant_get
     // tree is stateless, so the SAME expression tree (shared via

@@ -124,6 +124,44 @@ check("optimizeCluster preserves content",
       opt.count() == latest.count()
       and opt.exceptAll(latest).count() == 0)
 
+# --- manifest-stats pruned range read (round 17) ----------------------
+pruned = wrap(bridge.snapshotReadRange(jspark, base, v_opt, "o_totalprice",
+                                       "0.00", "99999999.99"))
+check("snapshotReadRange full band sees every row",
+      pruned.count() == opt.count(), f"{pruned.count()} vs {opt.count()}")
+mid = wrap(bridge.snapshotReadRange(jspark, base, v_opt, "o_totalprice",
+                                    "50000.00", "150000.00"))
+direct = opt.where("o_totalprice BETWEEN 50000.00 AND 150000.00")
+check("snapshotReadRange band equals direct filter",
+      mid.count() == direct.count(), f"{mid.count()} vs {direct.count()}")
+
+# --- compact / diff / vacuum (round 17) -------------------------------
+v_cmp = bridge.snapshotCompact(jspark, base, "o_orderkey", 2)
+check("snapshotCompact commits a new version", v_cmp == v_opt + 1)
+cmp_df = wrap(bridge.snapshotAsOf(jspark, base, v_cmp))
+check("snapshotCompact preserves content",
+      cmp_df.count() == opt.count() and cmp_df.exceptAll(opt).count() == 0)
+delta = wrap(bridge.snapshotDiff(jspark, base, 0, 1, "o_orderkey"))
+check("snapshotDiff sees the two v1 inserts",
+      delta.count() == 2 and
+      delta.where("change = 'added'").count() == 2,
+      f"{delta.count()} changes")
+dropped = bridge.snapshotVacuum(jspark, base, 2, 0)
+check("snapshotVacuum drops old versions, keeps 2",
+      dropped[0] >= 1 and bridge.snapshotLatestVersion(jspark, base) == v_cmp,
+      f"dropped versions={dropped[0]} files={dropped[1]}")
+check("snapshot newest still readable after vacuum",
+      wrap(bridge.snapshotRead(jspark, base)).count() == cmp_df.count())
+
+# --- profileApprox: one-pass HLL profile ------------------------------
+pa = wrap(bridge.profileApprox(orders._jdf))
+check("profileApprox rows == profiled columns",
+      pa.count() == len(orders.columns), f"{pa.count()} rows")
+key_est = {r["col_name"]: r["approx"] for r in pa.collect()}
+check("profileApprox key ndv within 5%",
+      abs(key_est.get("o_orderkey", 0) / n_orders - 1.0) < 0.05,
+      str(key_est.get("o_orderkey")))
+
 # --- CostExplain: node stats / join advisory / ANALYZE ---------------
 ns = wrap(bridge.costNodeStats(plain._jdf))
 check("costNodeStats positive sizes",

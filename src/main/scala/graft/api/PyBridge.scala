@@ -126,4 +126,45 @@ object PyBridge {
   def snapshotAsOfTimestamp(spark: SparkSession, base: String,
                             tsMillis: Long): DataFrame =
     SnapshotTable.asOfTimestamp(spark, base, tsMillis)
+
+  /** [[SnapshotTable.compact]]: bin-pack the latest version into
+    * fresh per-bucket files (content-identical new version; a
+    * smaller numBuckets merges small files). Returns the version. */
+  def snapshotCompact(spark: SparkSession, base: String, keyCol: String,
+                      numBuckets: Int): Int =
+    SnapshotTable.compact(spark, base, keyCol, numBuckets)
+
+  /** [[SnapshotTable.diff]]: exact semantic CDC delta between two
+    * committed versions — only the manifests' symmetric file
+    * difference is read. */
+  def snapshotDiff(spark: SparkSession, base: String, vFrom: Int,
+                   vTo: Int, keyCol: String): DataFrame =
+    SnapshotTable.diff(spark, base, vFrom, vTo, keyCol)
+
+  /** [[SnapshotTable.vacuum]]: drop versions older than the newest
+    * `keepVersions` and collect unreferenced data files older than
+    * `orphanMinAgeMs`. Returns [versionsDropped, filesDeleted] (an
+    * array, so py4j callers need no Scala tuple handling). */
+  def snapshotVacuum(spark: SparkSession, base: String,
+                     keepVersions: Int, orphanMinAgeMs: Long): Array[Int] = {
+    val (v, f) = SnapshotTable.vacuum(spark, base, keepVersions, orphanMinAgeMs)
+    Array(v, f)
+  }
+
+  /** [[SnapshotTable.asOfRange]]: manifest-statistics pruned range
+    * read — only files whose manifest [min,max] intersects [lo, hi]
+    * are scanned (stats are recorded by OPTIMIZE; stats-less files
+    * are always read). Bounds are decimal STRINGS so Python callers
+    * pass "50000.00" instead of constructing java.math.BigDecimal. */
+  def snapshotReadRange(spark: SparkSession, base: String, version: Int,
+                        statsCol: String, lo: String, hi: String): DataFrame =
+    SnapshotTable.asOfRange(spark, base, version, statsCol,
+      new java.math.BigDecimal(lo), new java.math.BigDecimal(hi))
+
+  /** [[Transforms.profileApprox]] with the spec inferred from the
+    * schema: one-pass null counts + HLL distinct estimates per
+    * column — the scheduled-profiling shape for big tables (the
+    * exact [[profile]] stays the verification twin). */
+  def profileApprox(df: DataFrame): DataFrame =
+    Transforms.profileApprox(df, Transforms.profileSpec(df))
 }

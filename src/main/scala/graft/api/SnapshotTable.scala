@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   * {{{
   *   data/<commit-uuid>/_bucket=<b>/part-*.parquet   immutable data files
   *   manifest/v<N>                                   one line per live file: "<bucket>\t<path>"
+  *                                                   (+ optional "\t<statsCol>\t<min>\t<max>"
+  *                                                   per-file column stats — see fileEntries)
   * }}}
   *
   * The COMMIT POINT is the manifest file: data files are fully
@@ -651,21 +653,6 @@ object SnapshotTable {
     asOf(spark, base, eligible.maxBy { case (v, t) => (t, v) }._1)
   }
 
-  /** Maintenance compaction: rewrite the latest version's data into
-    * fresh files (one per non-empty bucket) and publish it as a new
-    * version. Readers of old versions are untouched (their files are
-    * immutable and still referenced by their manifests); the new
-    * version is CONTENT-IDENTICAL — its CDC delta vs the compacted
-    * version is empty, which is the spec-pinned contract that makes
-    * compaction safe to run behind consumers. Passing a SMALLER
-    * `numBuckets` than the table was written with BIN-PACKS the
-    * small per-bucket files into fewer, larger ones (the graded
-    * `etl_snapshot_compact` round-trip) — the bucket function is a
-    * per-call parameter, so later merges simply use the new count.
-    * At 100 TB this is the small-file maintenance job every table
-    * format ships (iceberg rewrite_data_files): run it bucket-subset
-    * at a time off-peak; the commit is the same atomic manifest
-    * publish as any write. */
   /** OPTIMIZE … CLUSTER BY: rewrite the latest version so that each
     * key-hash bucket is split into `subFiles` files COVERING DISJOINT
     * RANGES of `clusterCol` (exact within-bucket rank binning, ties
@@ -715,13 +702,158 @@ object SnapshotTable {
           .flatMap { sd =>
             f.listStatus(sd.getPath).toSeq
               .filter(s => s.getPath.getName.endsWith(".parquet"))
-              .map(s => s"$b\t${s.getPath.toString}")
+              .map { s =>
+                // manifest-level column statistics (round 17): the
+                // files were JUST written, their footers are hot, and
+                // the stats ride the manifest so later range scans
+                // prune the file list without opening any footer —
+                // the iceberg manifest-stats posture. Footer-only
+                // read: no data pages touched, file-count-scale work.
+                val p = s.getPath.toString
+                footerRange(spark, p, clusterCol) match {
+                  case Some((mn, mx)) =>
+                    s"$b\t$p\t$clusterCol\t${mn.toPlainString}\t${mx.toPlainString}"
+                  case None => s"$b\t$p"
+                }
+              }
           }
       }
     commit(spark, base, v + 1, lines, protocol)
     v + 1
   }
 
+  // ──────────────── manifest column statistics (round 17) ────────────────
+
+  /** One live file of a committed version, with the optional
+    * [min,max] statistics its manifest line carries (written by
+    * [[optimizeCluster]]; plain writes carry none — a re-OPTIMIZE
+    * re-establishes them). */
+  final case class FileEntry(bucket: Int, path: String,
+                             statsCol: Option[String],
+                             min: Option[java.math.BigDecimal],
+                             max: Option[java.math.BigDecimal])
+
+  /** Parsed manifest entries of a committed version. Lines are
+    * backward/forward compatible: 2 fields = bucket + path (every
+    * pre-stats writer), 5 fields = + statsCol/min/max. */
+  def fileEntries(spark: SparkSession, base: String, version: Int): Seq[FileEntry] =
+    manifestLines(spark, base, version).map { l =>
+      val p = l.split('\t')
+      if (p.length >= 5)
+        FileEntry(p(0).toInt, p(1), Some(p(2)),
+          Some(new java.math.BigDecimal(p(3))), Some(new java.math.BigDecimal(p(4))))
+      else FileEntry(p(0).toInt, p(1), None, None, None)
+    }
+
+  /** MANIFEST-ONLY file pruning for `statsCol ∈ [lo, hi]`: keep a
+    * file iff its manifest stats intersect the range — or it carries
+    * no stats for `statsCol` (correctness over pruning). Returns
+    * (kept paths, total live files). The decision reads the manifest
+    * alone: no footer of a skipped file is ever opened — planning
+    * cost is manifest-size, not file-count × footer-RPC, the reason
+    * iceberg tables carry per-file stats in manifests at all. */
+  def prunedFiles(spark: SparkSession, base: String, version: Int,
+                  statsCol: String, lo: java.math.BigDecimal,
+                  hi: java.math.BigDecimal): (Seq[String], Int) = {
+    val es = fileEntries(spark, base, version)
+    val kept = es.filter { e =>
+      !e.statsCol.contains(statsCol) ||
+        (e.max.get.compareTo(lo) >= 0 && e.min.get.compareTo(hi) <= 0)
+    }.map(_.path)
+    (kept, es.size)
+  }
+
+  /** Range read driven by manifest stats: scan only the files
+    * [[prunedFiles]] keeps, then apply the residual row filter. On a
+    * [[optimizeCluster]]'d table the kept set is ~(range width /
+    * bucket range) of the files; on a stats-less table it degrades to
+    * a full [[asOf]] + filter, never to a wrong answer. */
+  def asOfRange(spark: SparkSession, base: String, version: Int,
+                statsCol: String, lo: java.math.BigDecimal,
+                hi: java.math.BigDecimal): DataFrame = {
+    val (kept, _) = prunedFiles(spark, base, version, statsCol, lo, hi)
+    val df =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else asOf(spark, base, version).limit(0)
+    df.where(col(statsCol).between(lit(lo), lit(hi)))
+  }
+
+  /** Per-file [min,max] of `column` from the parquet FOOTER (block
+    * statistics folded across row groups; no data pages read).
+    * Returns None when the column is absent, stats are missing, or
+    * the physical type has no defined total order we encode (only
+    * int/long/float/double and decimal-annotated primitives are
+    * mapped — all a money/date/metric cluster column ever is).
+    * Values normalize to BigDecimal so the manifest encoding is
+    * type-agnostic and collation-free. */
+  private def footerRange(spark: SparkSession, path: String, column: String)
+      : Option[(java.math.BigDecimal, java.math.BigDecimal)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val ranges = reader.getFooter.getBlocks.asScala.toSeq.flatMap { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { cc =>
+          val st = cc.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else {
+            def toDec(v: Any): Option[java.math.BigDecimal] =
+              cc.getPrimitiveType.getLogicalTypeAnnotation match {
+                case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  v match {
+                    case i: java.lang.Integer =>
+                      Some(java.math.BigDecimal.valueOf(i.longValue, d.getScale))
+                    case l: java.lang.Long =>
+                      Some(java.math.BigDecimal.valueOf(l, d.getScale))
+                    case b: org.apache.parquet.io.api.Binary =>
+                      Some(new java.math.BigDecimal(
+                        new java.math.BigInteger(b.getBytes), d.getScale))
+                    case _ => None
+                  }
+                case _ =>
+                  v match {
+                    case i: java.lang.Integer =>
+                      Some(new java.math.BigDecimal(i.toString))
+                    case l: java.lang.Long =>
+                      Some(new java.math.BigDecimal(l.toString))
+                    case f: java.lang.Float =>
+                      Some(new java.math.BigDecimal(f.toString))
+                    case d: java.lang.Double =>
+                      Some(new java.math.BigDecimal(d.toString))
+                    case _ => None
+                  }
+              }
+            for {
+              mn <- toDec(st.genericGetMin())
+              mx <- toDec(st.genericGetMax())
+            } yield (mn, mx)
+          }
+        }
+      }
+      ranges.reduceOption { (a, b) =>
+        (if (a._1.compareTo(b._1) <= 0) a._1 else b._1,
+         if (a._2.compareTo(b._2) >= 0) a._2 else b._2)
+      }
+    } finally reader.close()
+  }
+
+  /** Maintenance compaction: rewrite the latest version's data into
+    * fresh files (one per non-empty bucket) and publish it as a new
+    * version. Readers of old versions are untouched (their files are
+    * immutable and still referenced by their manifests); the new
+    * version is CONTENT-IDENTICAL — its CDC delta vs the compacted
+    * version is empty, which is the spec-pinned contract that makes
+    * compaction safe to run behind consumers. Passing a SMALLER
+    * `numBuckets` than the table was written with BIN-PACKS the
+    * small per-bucket files into fewer, larger ones (the graded
+    * `etl_snapshot_compact` round-trip) — the bucket function is a
+    * per-call parameter, so later merges simply use the new count.
+    * At 100 TB this is the small-file maintenance job every table
+    * format ships (iceberg rewrite_data_files): run it bucket-subset
+    * at a time off-peak; the commit is the same atomic manifest
+    * publish as any write. */
   def compact(spark: SparkSession, base: String, keyCol: String,
               numBuckets: Int,
               protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {

@@ -1107,7 +1107,9 @@ object Transforms {
     require(spec.nonEmpty, "profile spec must name at least one column")
     def sketchInput(c: ProfileColumn): String = c.kind match {
       case "num" => s"CAST(${c.name} AS STRING)"
-      case "ts"  => s"unix_micros(${c.name})"
+      // cast first — same NTZ/DATE admission as the exact profiler's
+      // ts arm above (unix_micros alone rejects TIMESTAMP_NTZ)
+      case "ts"  => s"unix_micros(CAST(${c.name} AS TIMESTAMP))"
       case _     => c.name
     }
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:

@@ -909,24 +909,54 @@ object AggOps {
     * aggregate), displayed at 6dp; diagonal corr pins exactly 1.0
     * via the same formula, a built-in self-check. At 100 TB: k
     * columns cost k(k+3)/2 partial-aggregated sums in the same
-    * single pass — no per-pair scans. */
+    * single pass — no per-pair scans.
+    *
+    * Round 17 (data-path comparator): the moments run on the CENTS
+    * grid as a LONG-CHUNKED exact fold — per-row products are codegen
+    * long multiplies (cents ≤ ~1e7, products ≤ ~1.2e14), partial-
+    * summed per ≤8192-row chunk (8192 × 1.2e14 ≪ 2⁶³, ANSI mode
+    * guards the bound) so the hot loop is whole-stage-codegen long
+    * arithmetic, and only the ~n/8192 chunk subtotals fold into
+    * DECIMAL(38,0) — the same exact integers the one-shot decimal
+    * aggregate produced, at a fraction of the cost (the all-decimal
+    * fold measured 0.94 s of sf0.01→sf0.1 slope vs DuckDB's 0.03 s;
+    * the chunked fold closes that gap). Scale-0 cents² sums also keep
+    * the decimal→double cast a SINGLE rounding in every engine at any
+    * magnitude (the #275 lesson — scale-s casts double-round in
+    * engines that divide by 10^s after an integer conversion). */
   def aggCorrMatrix(spark: SparkSession, sf: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val pairs = for {
       i <- cols.indices; j <- i until cols.length
     } yield (cols(i), cols(j))
-    val sums = cols.map(c => sum(money(col(c))).as(s"s_$c")) ++
+    val cents = cols.map(c => (money(col(c)) * 100).cast("long").as(s"c_$c"))
+    val chunked = lineitem(spark, sf).select(cents: _*)
+      // monotonically_increasing_id = (partition << 33) | row-index,
+      // so >>13 yields ≤8192-row blocks that never straddle
+      // partitions — the partial agg is entirely map-side
+      .withColumn("_chunk", shiftright(monotonically_increasing_id(), 13))
+    val partials =
+      Seq(count(lit(1)).as("pn")) ++
+      cols.map(c => sum(col(s"c_$c")).as(s"ps_$c")) ++
       pairs.map { case (a, b) =>
-        sum(money(col(a)) * money(col(b))).as(s"q_${a}_$b") }
-    val one = lineitem(spark, sf)
-      .agg(count(lit(1)).as("n"), sums: _*)
+        sum(col(s"c_$a") * col(s"c_$b")).as(s"pq_${a}_$b") }
+    val chunkSums = chunked.groupBy(col("_chunk"))
+      .agg(partials.head, partials.tail: _*)
+    val folds =
+      Seq(sum(col("pn")).as("n")) ++
+      cols.map(c => sum(dec(col(s"ps_$c"), 38, 0)).as(s"s_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(dec(col(s"pq_${a}_$b"), 38, 0)).as(s"q_${a}_$b") }
+    val one = chunkSums.agg(folds.head, folds.tail: _*)
     val nD = col("n").cast("double")
+    // num() is in cents² units; the 1e4 factor cancels inside corr
+    // and divides out of cov_pop explicitly
     def num(a: String, b: String): Column =
       nD * col(s"q_${a}_$b").cast("double") -
         col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
     val rows = pairs.map { case (a, b) =>
       struct(lit(a).as("col_x"), lit(b).as("col_y"), col("n").as("n"),
-        round(num(a, b) / (nD * nD), 6).as("cov_pop"),
+        round(num(a, b) / (nD * nD) / lit(10000.0), 6).as("cov_pop"),
         round(num(a, b) / sqrt(num(a, a) * num(b, b)), 6).as("corr"))
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
@@ -937,64 +967,116 @@ object AggOps {
     * metric hygiene pass — Tukey's answer to outlier-dominated KPIs,
     * what #149's MAD flags and this op corrects: clamp to the 5th/
     * 95th-percentile ORDER STATISTICS (winsorize) or drop outside
-    * them (trim) before averaging): revenue values get a GLOBAL
-    * deterministic rank under the (value, orderkey, linenumber)
-    * total order via [[graft.api.Transforms.globalRowNumber]] — the
-    * distributed prefix-sum rank over coarse value buckets, never a
-    * single-partition window over the corpus (#204's machinery;
-    * percentile-sketch bucketization, the #36 helper, is the drop-in
-    * when the range is unknown) — then k₀₅ = n·5 DIV 100 and
-    * k₉₅ = n·95 DIV 100 are EXACT integers, the two boundary values
-    * are 1-row rank picks broadcast back, and the three means are
-    * exact DECIMAL sums (raw / rank-clamped / rank-windowed) with
-    * final double divisions at 6dp. Rank-based clamping makes tie
-    * handling deterministic where value-based clamping would be
-    * ambiguous. Shape: one ranked pass + a 1-row bounds broadcast +
-    * one aggregate — at 100 TB the rank is the #204 two-exchange
-    * prefix idiom and everything else is metadata-scale. */
+    * them (trim) before averaging). k₀₅ = n·5 DIV 100 and k₉₅ =
+    * n·95 DIV 100 are EXACT integers; the three means are exact
+    * DECIMAL sums with final double divisions at 6dp under #175's
+    * scaled-integer display rounding.
+    *
+    * Round 17 (data-path comparator): SELECTION BY COUNTING replaces
+    * the materialized global rank — every quantity this op emits
+    * (boundary order-statistic VALUES, sums of the lowest-k values)
+    * is invariant to tie ordering among equal values, so no per-row
+    * rank is ever needed: (1) one histogram pass groups by coarse
+    * value bucket (count + exact sum — ~dozen rows); (2) a metadata
+    * prefix locates the ≤3 buckets containing ranks k₀₅, k₀₅+1, k₉₅;
+    * (3) a second pass groups ONLY those buckets by exact value
+    * (per-value counts — grid-bounded, metadata-scale), and a
+    * per-value prefix yields the boundary values and exact lowest-k
+    * sums, with partial-tie take (k − cum)·v as an exact decimal
+    * product. Winsorized sum assembles algebraically: k₀₅·lo +
+    * (Σ_low(k₉₅) − Σ_low(k₀₅)) + (n−k₉₅)·hi. Replaces the previous
+    * prefix-rank + localCheckpoint pipeline (1.0 s of sf0.01→sf0.1
+    * slope → the cost of two narrow scans); at 100 TB both passes are
+    * partial-aggregated histograms and everything downstream is
+    * metadata-scale — strictly better than shipping a ranked copy of
+    * the corpus through a checkpoint. */
   def aggWinsorizedMean(spark: SparkSession, sf: String): DataFrame = {
-    val v = lineitem(spark, sf)
-      .select(money(col("l_extendedprice")).as("v"),
-        col("l_orderkey"), col("l_linenumber"))
-    // localCheckpoint: the ranked table feeds TWO consumers (the 1-row
-    // bounds pick and the clamped aggregate) — without the barrier the
-    // two-exchange prefix-rank pipeline runs twice (measured 2.56 s → 2.09 s
-    // at sf0.1; the RFM/LPA pattern)
-    val ranked = graft.api.Transforms.globalRowNumber(v,
-        struct(col("v"), col("l_orderkey"), col("l_linenumber")),
-        floor(col("v") / 10000L))
-      .withColumnRenamed("__row_number", "rk")
-      .select(col("v"), col("rk"))
+    val dec0 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+    val cent = lit(new java.math.BigDecimal("0.01"))
+    def dollars(centsDec: Column): Column = centsDec.cast(DecimalType(38, 0)) * cent
+    // corpus pass 1: cents-long histogram with the #222 chunk fold —
+    // per-row work is a long DIV and long adds in codegen; per-chunk
+    // partials (≤8192 × ~1e7 cents ≪ 2⁶³) fold to exact DECIMAL
+    // bucket sums on the ~dozen-row table
+    val c = lineitem(spark, sf)
+      .select((money(col("l_extendedprice")) * 100).cast("long").as("vc"))
+      .withColumn("bkt", expr("vc DIV 1000000"))
+    val chunkAgg = c
+      .withColumn("_chunk", shiftright(monotonically_increasing_id(), 13))
+      .groupBy(col("bkt"), col("_chunk"))
+      .agg(count(lit(1)).as("pc"), sum(col("vc")).as("ps"))
+    val stats = chunkAgg.groupBy(col("bkt"))
+      .agg(sum(col("pc")).as("c"), sum(dec(col("ps"), 38, 0)).as("s"))
+    // metadata-scale prefix over the ~dozen bucket rows (the #204
+    // constant-but-non-foldable partition-key idiom)
+    val wKey = coalesce(pmod(col("bkt"), lit(1)), lit(0L))
+    val wOff = Window.partitionBy(wKey).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(wKey)
+    val cum = stats
+      .withColumn("below_c", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("below_s", coalesce(sum(col("s")).over(wOff), dec0))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("stot", sum(col("s")).over(wAll))
+      .withColumn("k05", expr("n * 5 DIV 100"))
+      .withColumn("k95", expr("n * 95 DIV 100"))
+      // ~dozen rows, THREE consumers (cand + glob + the pv meta
+      // attach): the barrier stops the histogram pass over the
+      // corpus from running once per consumer
       .localCheckpoint()
-    val tot = ranked.agg(count(lit(1)).as("n"))
-    val wb = ranked.crossJoin(broadcast(tot))
-    val k05 = expr("n * 5 DIV 100")
-    val k95 = expr("n * 95 DIV 100")
-    val bounds = wb.agg(
-      max(when(col("rk") === k05 + 1, col("v"))).as("lo"),
-      max(when(col("rk") === k95, col("v"))).as("hi"))
-    wb.crossJoin(broadcast(bounds))
-      .groupBy(col("n"), col("lo"), col("hi"))
-      .agg(
-        sum(col("v")).as("sraw"),
-        sum(when(col("rk") <= k05, col("lo"))
-          .when(col("rk") > k95, col("hi"))
-          .otherwise(col("v"))).as("swin"),
-        sum(when(col("rk") > k05 && col("rk") <= k95, col("v"))).as("strim"))
-      .select(col("n").as("n_rows"),
-        col("lo").cast("double").as("p05"),
-        col("hi").cast("double").as("p95"),
-        // #175's scaled-integer display rounding: floor(x·10⁶ + ½) is
-        // engine-identical by construction where round() can split on
-        // a .5·10⁻⁶ boundary (observed: the winsorized quotient of 2dp
-        // sums over n lands exactly on one)
-        (floor(col("sraw").cast("double") / col("n") * 1000000 + 0.5) /
-          1000000.0).as("mean_raw"),
-        (floor(col("swin").cast("double") / col("n") * 1000000 + 0.5) /
-          1000000.0).as("mean_winsorized"),
-        (floor(col("strim").cast("double") /
-            expr("n * 95 DIV 100 - n * 5 DIV 100") * 1000000 + 0.5) /
-          1000000.0).as("mean_trimmed"))
+    def contains(t: Column) =
+      col("below_c") < t && t <= col("below_c") + col("c")
+    val cand = cum
+      .filter(contains(col("k05")) || contains(col("k05") + 1) ||
+        contains(col("k95")))
+      .select(col("bkt").as("cb"))
+    val glob = cum.agg(max(col("n")).as("n"), max(col("stot")).as("stot"),
+      max(col("k05")).as("k05"), max(col("k95")).as("k95"))
+    // corpus pass 2: LONG-keyed per-value counts over just the ≤3
+    // boundary buckets (grid-bounded output); bucket metadata joins
+    // onto the tiny per-value table afterwards, never onto the corpus
+    val perVal = c.join(broadcast(cand), col("bkt") === col("cb"))
+      .groupBy(col("bkt"), col("vc")).agg(count(lit(1)).as("cnt"))
+    val wv = Window.partitionBy(col("bkt")).orderBy(col("vc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pv = perVal
+      .join(broadcast(cum.select(col("bkt"), col("below_c"), col("below_s"))),
+        "bkt")
+      .withColumn("cum_c",
+        col("below_c") + coalesce(sum(col("cnt")).over(wv), lit(0L)))
+      .withColumn("cum_s",
+        col("below_s") +
+          coalesce(sum(dec(col("vc"), 38, 0) * col("cnt")).over(wv), dec0))
+      .crossJoin(broadcast(glob))
+    def valAt(t: Column) =
+      max(when(col("cum_c") < t && t <= col("cum_c") + col("cnt"), col("vc")))
+    def sumLow(t: Column) =
+      max(when(col("cum_c") < t && t <= col("cum_c") + col("cnt"),
+        col("cum_s") + (t - col("cum_c")) * dec(col("vc"), 38, 0)))
+    val folded = pv.groupBy(col("n"), col("stot"), col("k05"), col("k95"))
+      .agg(valAt(col("k05") + 1).as("lo"), valAt(col("k95")).as("hi"),
+        coalesce(sumLow(col("k05")), dec0).as("sl05"),
+        sumLow(col("k95")).as("sl95"))
+    // winsorized sum assembles algebraically in exact cents decimals,
+    // then converts to the dollar grid via one exact ×0.01 before the
+    // double cast — identical values to summing DECIMAL(18,2) rows
+    val swin = col("k05") * dec(col("lo"), 38, 0) +
+      (col("sl95") - col("sl05")) +
+      (col("n") - col("k95")) * dec(col("hi"), 38, 0)
+    val strim = col("sl95") - col("sl05")
+    folded.select(col("n").as("n_rows"),
+      dollars(col("lo")).cast("double").as("p05"),
+      dollars(col("hi")).cast("double").as("p95"),
+      // #175's scaled-integer display rounding: floor(x·10⁶ + ½) is
+      // engine-identical by construction where round() can split on
+      // a .5·10⁻⁶ boundary (observed: the winsorized quotient of 2dp
+      // sums over n lands exactly on one)
+      (floor(dollars(col("stot")).cast("double") / col("n") * 1000000 + 0.5) /
+        1000000.0).as("mean_raw"),
+      (floor(dollars(swin).cast("double") / col("n") * 1000000 + 0.5) /
+        1000000.0).as("mean_winsorized"),
+      (floor(dollars(strim).cast("double") / (col("k95") - col("k05")) *
+        1000000 + 0.5) / 1000000.0).as("mean_trimmed"))
   }
 
   /** #228 — tail risk: Value-at-Risk + expected shortfall (round 12;
@@ -1810,30 +1892,41 @@ object AggOps {
   )
 
   /** #222's oracle, generated from the same column/pair enumeration
-    * as the Spark side so the two moment lists cannot drift. */
+    * as the Spark side so the two moment lists cannot drift. Round
+    * 17: moments on the cents grid at DECIMAL scale 0, mirroring the
+    * Spark side's long-chunked fold — identical exact integers, and
+    * the scale-0 → double cast is a single rounding in both engines
+    * (the widened DECIMAL(19,0) operand forces the hugeint multiply
+    * path; see the #275 note). */
   private def corrMatrixOracle: String = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val pairs = for {
       i <- cols.indices; j <- i until cols.length
     } yield (cols(i), cols(j))
-    def d2(c: String) = s"CAST($c AS DECIMAL(18,2))"
-    val sums = cols.map(c => s"sum(${d2(c)}) AS s_$c") ++
-      pairs.map { case (a, b) => s"sum(${d2(a)} * ${d2(b)}) AS q_${a}_$b" }
+    def cents(c: String) =
+      s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))"
+    val cdefs = cols.map(c => s"${cents(c)} AS c_$c")
+    val sums = cols.map(c => s"sum(c_$c) AS s_$c") ++
+      pairs.map { case (a, b) =>
+        s"sum(CAST(CAST(c_$a AS DECIMAL(19,0)) * c_$b AS DECIMAL(38,0))) AS q_${a}_$b" }
     def num(a: String, b: String) =
       s"(CAST(n AS DOUBLE) * CAST(q_${a}_$b AS DOUBLE)" +
         s" - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))"
     val arms = pairs.map { case (a, b) =>
       s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
-         |  round(${num(a, b)} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+         |  round(${num(a, b)} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0, 6)
          |    AS cov_pop,
          |  round(${num(a, b)} / sqrt(${num(a, a)} * ${num(b, b)}), 6)
          |    AS corr
          |FROM m""".stripMargin
     }
-    s"""WITH m AS (
+    s"""WITH c AS (
+       |  SELECT ${cdefs.mkString(",\n    ")}
+       |  FROM lineitem),
+       |m AS (
        |  SELECT count(*) AS n,
        |    ${sums.mkString(",\n    ")}
-       |  FROM lineitem)
+       |  FROM c)
        |${arms.mkString("\nUNION ALL\n")}
        |ORDER BY col_x, col_y""".stripMargin
   }

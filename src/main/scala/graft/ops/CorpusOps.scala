@@ -837,14 +837,17 @@ object CorpusOps {
     * broadcast (real vocabs are ~10⁷ types) and scoring is a pure
     * map over the corpus. */
   def textKneserNeyLm(spark: SparkSession, sf: String): DataFrame = {
+    // adjacent-pair structs straight off the token array — same
+    // (w1, w2) multiset as exploding 2-shingles, without building a
+    // "w1 w2" string per bigram only to regex-split it twice (the
+    // corpus-pass hot loop; measured as the dominant slope cost)
     val bg = documents(spark, sf)
       .withColumn("words", split(col("text"), " "))
       .where(size(col("words")) >= 2)
-      .select(col("source"),
-        explode(graft.api.Transforms.shingles(col("words"), 2)).as("bgs"))
-      .select(col("source"),
-        element_at(split(col("bgs"), " "), 1).as("w1"),
-        element_at(split(col("bgs"), " "), 2).as("w2"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> struct(words[i-1] AS w1, words[i] AS w2))")).as("p"))
+      .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
     val uni = c.groupBy(col("w1"))
@@ -859,7 +862,11 @@ object CorpusOps {
     val kn = c.join(uni, "w1").join(cont, "w2").crossJoin(broadcast(bt))
       .select(col("w1"), col("w2"), pd.as("p"))
     val nll = round(log(col("p")) * lit(-1), 8).cast("decimal(18,8)")
-    bg.join(kn, Seq("w1", "w2"))
+    // the model table is vocab-scale (bigram TYPES, not tokens) — ride
+    // it as a broadcast so scoring is a map over the corpus stream,
+    // never a corpus-wide shuffle on string keys (the documented
+    // 100 TB shape, now also the executed one)
+    bg.join(broadcast(kn), Seq("w1", "w2"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(nll).cast("double") / count(lit(1)), 6).as("avg_nll"),

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import scala.jdk.CollectionConverters._
+
+/** Round-17 additions: manifest-level column statistics on the
+  * snapshot table (#291) — contracts the DuckDB hash-compare cannot
+  * articulate: that the manifest stats agree with the real footers,
+  * that pruning is decided from the manifest alone and loses no rows,
+  * and that stats survive a merge's carry-by-reference. */
+class Round17OpsSpec extends SparkSpec {
+
+  test("manifest stats (#291): manifest [min,max] equals the footer truth per file") {
+    val df = EtlOps.etlSnapshotStatsPruned(spark, sf001)
+    // the graded op's inline requires already ran; rebuild a table
+    // here to hold the base dir open for footer inspection
+    val base = java.nio.file.Files.createTempDirectory("graft_stats_spec").toString
+    val o = Tables.orders(spark, sf001).select(col("o_orderkey"),
+      Tables.money(col("o_totalprice")).as("o_price"))
+    graft.api.SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    val v2 = graft.api.SnapshotTable.optimizeCluster(
+      spark, base, "o_orderkey", "o_price", numBuckets = 4, subFiles = 3)
+    val entries = graft.api.SnapshotTable.fileEntries(spark, base, v2)
+    assert(entries.nonEmpty && entries.forall(_.statsCol.contains("o_price")),
+      "every OPTIMIZE-written line must carry o_price stats")
+    val conf = spark.sparkContext.hadoopConfiguration
+    entries.foreach { e =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(e.path), conf))
+      try {
+        val stats = reader.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala.filter(_.getPath.toDotString == "o_price")
+            .map(_.getStatistics)
+        }
+        val scale = 2
+        val mins = stats.map(s => java.math.BigDecimal.valueOf(
+          s.genericGetMin().asInstanceOf[java.lang.Long], scale))
+        val maxs = stats.map(s => java.math.BigDecimal.valueOf(
+          s.genericGetMax().asInstanceOf[java.lang.Long], scale))
+        assert(e.min.get.compareTo(mins.min) == 0 &&
+               e.max.get.compareTo(maxs.max) == 0,
+          s"manifest stats drift from footer for ${e.path}: " +
+          s"manifest [${e.min.get}, ${e.max.get}] vs footer " +
+          s"[${mins.min}, ${maxs.max}]")
+      } finally reader.close()
+    }
+    // manifest-only pruning loses no rows: pruned + residual filter
+    // equals the full filtered read, and the kept set is minimal wrt
+    // the manifest ranges (every kept file's range intersects)
+    val lo = new java.math.BigDecimal("50000.00")
+    val hi = new java.math.BigDecimal("150000.00")
+    val (kept, total) = graft.api.SnapshotTable.prunedFiles(
+      spark, base, v2, "o_price", lo, hi)
+    assert(kept.size < total, s"no pruning: $kept of $total")
+    val viaPruned = graft.api.SnapshotTable
+      .asOfRange(spark, base, v2, "o_price", lo, hi)
+      .agg(count(lit(1)), sum(col("o_price"))).collect()(0)
+    val full = graft.api.SnapshotTable.asOf(spark, base, v2)
+      .where(col("o_price").between(lit(lo), lit(hi)))
+      .agg(count(lit(1)), sum(col("o_price"))).collect()(0)
+    assert(viaPruned == full, s"pruned read lost rows: $viaPruned vs $full")
+    val keptSet = kept.toSet
+    entries.filter(e => keptSet.contains(e.path)).foreach { e =>
+      assert(e.max.get.compareTo(lo) >= 0 && e.min.get.compareTo(hi) <= 0,
+        s"kept file ${e.path} does not intersect the band (over-keeping)")
+    }
+    assert(df.collect().length == 1)
+  }
+
+  test("manifest stats (#291): stats ride a merge by reference; rewritten buckets degrade safely") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stats_merge").toString
+    val o = Tables.orders(spark, sf001).select(col("o_orderkey"),
+      Tables.money(col("o_totalprice")).as("o_price"))
+    graft.api.SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    val v2 = graft.api.SnapshotTable.optimizeCluster(
+      spark, base, "o_orderkey", "o_price", numBuckets = 4, subFiles = 3)
+    // touch ONE key → exactly one bucket rewrites; the other buckets'
+    // stats lines must be carried verbatim
+    val oneKey = o.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(1).collect()(0).getLong(0)
+    val changes = o.where(col("o_orderkey") === oneKey)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        (col("o_price") + lit(1)).cast("decimal(18,2)").as("o_price"))
+    val v3 = graft.api.SnapshotTable.mergeInto(spark, base, changes,
+      "o_orderkey", numBuckets = 4)
+    val before = graft.api.SnapshotTable.fileEntries(spark, base, v2)
+    val after = graft.api.SnapshotTable.fileEntries(spark, base, v3)
+    val carried = after.filter(e => before.exists(_.path == e.path))
+    assert(carried.nonEmpty && carried.forall(_.statsCol.contains("o_price")),
+      "carried-by-reference lines must keep their stats fields")
+    val rewritten = after.filterNot(e => before.exists(_.path == e.path))
+    assert(rewritten.nonEmpty && rewritten.forall(_.statsCol.isEmpty),
+      "freshly merged files carry no stats (re-OPTIMIZE re-adds them)")
+    // a range read on the post-merge version stays correct: the
+    // stats-less rewritten files are always kept
+    val lo = new java.math.BigDecimal("0.00")
+    val hi = new java.math.BigDecimal("999999.99")
+    val n = graft.api.SnapshotTable
+      .asOfRange(spark, base, v3, "o_price", lo, hi).count()
+    assert(n == graft.api.SnapshotTable.asOf(spark, base, v3).count(),
+      "full-range asOfRange must see every row incl. stats-less files")
+  }
+}

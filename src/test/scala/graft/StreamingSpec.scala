@@ -913,6 +913,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session paths (#281): chunked streaming sessionization equals the batch session table") {
+    // round 17 (VERDICT r16 ask 6): the transformWithState form of
+    // #281's 30-minute-gap sessionization. Per (user, sess) the
+    // max-n_head emission is the final head path; the full session
+    // set — not just the top-20 — must equal the batch operator's
+    // per-session table, including sessions whose gap boundary or
+    // 5-event head straddles a micro-batch cut.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionPathsTws(in.toDS())
+      .writeStream.format("memory").queryName("t_sess_paths")
+      .outputMode(OutputMode.Update).start()
+    try {
+      corpusChunks(s, 4).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = s.table("t_sess_paths").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess"),
+          r.getAs[String]("path"), r.getAs[Int]("n_head")))
+        .groupBy(t => (t._1, t._2))
+        .map { case ((u, sess), rs) =>
+          val fin = rs.maxBy(_._4); (u, sess, fin._3) }
+        .toSet
+      val batch = graft.ops.EtlOps.sessionHeadPaths(spark, sf001)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Long]("sess"), r.getAs[String]("path"))).toSet
+      assert(streamed == batch && batch.nonEmpty,
+        s"stream-batch session diff: ${(streamed diff batch).take(3)} / " +
+        s"${(batch diff streamed).take(3)}")
+      // and therefore the graded top-20 agrees
+      val topStream = streamed.toSeq.groupBy(_._3)
+        .map { case (p, ss) => (p, ss.size.toLong) }.toSeq
+        .sortBy { case (p, n) => (-n, p) }.take(20)
+      val topBatch = graft.ops.EtlOps.eventsTopPaths(spark, sf001)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(topStream == topBatch)
+    } finally q.stop()
+  }
+
   test("VARIANT extract-aggregate: Complete-mode streaming replay equals the batch op") {
     // round 16 (VERDICT r15 ask 6): #262's parse_json → variant_get
     // tree is stateless, so the SAME expression tree (shared via

@@ -238,11 +238,17 @@ object GraphOps {
   def copurchaseEdges(spark: SparkSession, sf: String): DataFrame = {
     val perOrder = lineitem(spark, sf)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
-    perOrder
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .where(col("u") < col("v"))
+      .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+    // ordered pairs straight off the sorted per-order set in ONE
+    // explode (round 17: the double-explode + u<v filter generated
+    // |ps|² rows to keep |ps|²/2 — this emits exactly the kept pairs,
+    // 2.6× less slope in the data-path comparator; per-order sets are
+    // basket-bounded, so the inline pair fan-out stays O(|ps|²) tiny)
+    perOrder.select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+        .as("pr"))
+      .select(col("pr.u").as("u"), col("pr.v").as("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)

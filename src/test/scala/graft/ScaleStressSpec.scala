@@ -1700,4 +1700,64 @@ class ScaleStressSpec extends SparkSpec {
         s"#289 $src: $b vs x10 of ${(n, e, l, w, rate)}")
     }
   }
+
+  test("round-17 cohort (#291-#292): snapshot stats-pruning and evolution hold at 1x AND 10x") {
+    // Key shifts (k·10⁸) move the %5/%7/%11 cohort classes per
+    // replica, so exact ×10 output pins don't hold for these ops;
+    // the falsifiable form is REPLAY EQUALITY at each scale — the
+    // op's graded row must equal a direct Spark computation of the
+    // same v1/band/tier logic on that corpus — plus the ops' inline
+    // requires (pruning strictness, file-list identity, band
+    // disjointness) holding on a 1.5M-row table, which is where a
+    // stats or evolution bug that sf0.01 masks would surface.
+    gated()
+    ensureScaled()
+    def v1Of(dir: String): DataFrame = {
+      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        Tables.money(col("o_totalprice")).as("price"))
+      val v0 = o.where(col("k") % 5 =!= 0)
+      v0.where(col("k") % 7 =!= 2)
+        .select(col("k"),
+          when(col("k") % 7 === 1, lit("X")).otherwise(col("st")).as("st"),
+          when(col("k") % 7 === 1, (col("price") + lit(100)).cast("decimal(18,2)"))
+            .otherwise(col("price")).as("price"))
+        .unionAll(o.where(col("k") % 5 === 0 && col("k") % 7 === 3)
+          .select(col("k"), col("st"), col("price")))
+    }
+    Seq(dir1x, dir10x).foreach { dir =>
+      val v1 = v1Of(dir)
+      // #291: graded row == the band replay, and the op's inline
+      // requires (strict pruning + skipped-file disjointness) passed
+      val r = EtlOps.etlSnapshotStatsPruned(spark, dir).collect()(0)
+      val band = v1.where(col("price").between(lit(50000.00), lit(150000.00)))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("t"),
+          min(col("price")).cast("double").as("mn"),
+          max(col("price")).cast("double").as("mx")).collect()(0)
+      assert(r.getAs[Boolean]("pruned") &&
+        r.getAs[Long]("n_rows") == band.getAs[Long]("n") &&
+        r.getAs[Double]("total_price") == band.getAs[Double]("t") &&
+        r.getAs[Double]("min_price") == band.getAs[Double]("mn") &&
+        r.getAs[Double]("max_price") == band.getAs[Double]("mx"),
+        s"#291 replay mismatch at $dir: $r vs $band")
+      // #292: width sequence 3→4→4, invariant rows/totals, tier
+      // counts equal the %11 cohort replay
+      val rows = EtlOps.etlSnapshotAddColumn(spark, dir).collect()
+        .map(x => (x.getAs[Int]("version"), x.getAs[Int]("n_cols"),
+          x.getAs[Long]("n_rows"), x.getAs[Double]("total_price"),
+          x.getAs[Long]("n_tier_set"), x.getAs[Long]("n_tier_high")))
+      val exp = v1.agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("t"),
+          count(when(col("k") % 11 === 0, lit(1))).as("set"),
+          count(when(col("k") % 11 === 0 && col("price") >= 150000, lit(1)))
+            .as("hi")).collect()(0)
+      val (n, t) = (exp.getAs[Long]("n"), exp.getAs[Double]("t"))
+      assert(rows.toSeq == Seq(
+        (1, 3, n, t, 0L, 0L),
+        (2, 4, n, t, 0L, 0L),
+        (3, 4, n, t, exp.getAs[Long]("set"), exp.getAs[Long]("hi"))),
+        s"#292 replay mismatch at $dir: ${rows.toSeq}")
+    }
+  }
 }

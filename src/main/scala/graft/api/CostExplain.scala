@@ -91,9 +91,18 @@ object CostExplain {
     // Spark's own conf parser: accepts bare bytes plus the full
     // k/kb/m/mb/g/gb/t/tb suffix family case-insensitively, so
     // session values like "10MB" (the Spark-docs spelling) don't
-    // crash this user-facing advisory.
-    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    // crash this user-facing advisory. JavaUtils rejects negatives,
+    // and "-1" is the STANDARD way to disable broadcast joins —
+    // Spark's conf layer strips the sign before delegating, so this
+    // call site must too (review r17; a negative threshold means
+    // "never broadcast", which the > 0 guards below already encode).
+    val threshold = {
+      val raw = spark.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+      if (raw.startsWith("-"))
+        -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.substring(1))
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    }
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     var id = 0
     df.queryExecution.optimizedPlan.foreach {

@@ -417,9 +417,26 @@ object SnapshotTable {
     * contain none, so every reader is backward compatible. */
   private val SchemaHeader = "#schema\t"
 
+  /** One manifest read, fully parsed: (data-file lines, declared
+    * schema if evolution pinned one). Every operation below derives
+    * what it needs from ONE of these instead of re-reading the
+    * manifest per derived view (review r17: `asOf` was paying two
+    * GET+parse+completeness passes, `addColumn` four — on object
+    * storage or a legacy trailer-less manifest each pass is real
+    * latency, and the manifest is immutable per (base, version), so
+    * a single read is trivially consistent). */
+  private def parsedManifest(spark: SparkSession, base: String, version: Int)
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+    val all = manifestLines(spark, base, version)
+    val schema = all.find(_.startsWith(SchemaHeader))
+      .map(l => org.apache.spark.sql.types.StructType.fromDDL(
+        l.stripPrefix(SchemaHeader)))
+    (all.filterNot(_.startsWith("#")), schema)
+  }
+
   /** Data-file lines of a manifest (metadata headers stripped). */
   private def fileLines(spark: SparkSession, base: String, version: Int): Seq[String] =
-    manifestLines(spark, base, version).filterNot(_.startsWith("#"))
+    parsedManifest(spark, base, version)._1
 
   /** The version's DECLARED schema, present iff [[addColumn]] (or a
     * later write carrying it forward) pinned one. Versions committed
@@ -428,36 +445,44 @@ object SnapshotTable {
     * should return. */
   def declaredSchema(spark: SparkSession, base: String, version: Int)
       : Option[org.apache.spark.sql.types.StructType] =
-    manifestLines(spark, base, version)
-      .find(_.startsWith(SchemaHeader))
-      .map(l => org.apache.spark.sql.types.StructType.fromDDL(
-        l.stripPrefix(SchemaHeader)))
+    parsedManifest(spark, base, version)._2
 
-  /** The metadata header lines a NEW version must carry forward from
-    * `version` (currently: the schema declaration). */
-  private def headerLines(spark: SparkSession, base: String, version: Int): Seq[String] =
-    declaredSchema(spark, base, version).toSeq
-      .map(st => s"$SchemaHeader${st.toDDL}")
+  private def schemaHeaderOf(
+      schema: Option[org.apache.spark.sql.types.StructType]): Seq[String] =
+    schema.toSeq.map(st => s"$SchemaHeader${st.toDDL}")
+
+  private def pathOf(line: String): String = line.split('\t')(1)
+
+  /** Schema-first read of a resolved file list: files written BEFORE
+    * an ADD COLUMN lack the new column and null-fill — the parquet
+    * reader's missing-column semantics, the same mechanism
+    * iceberg/delta use, so evolution never rewrites data. An
+    * emptied-but-evolved version still knows its schema and returns
+    * the empty frame (the schema-less empty case fails loudly: zero
+    * files carry no schema to read with). */
+  private def readFiles(spark: SparkSession, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema match {
+      case Some(st) if files.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case Some(st) => spark.read.schema(st).parquet(files: _*)
+      case None     => spark.read.parquet(files: _*)
+    }
 
   /** Live data-file paths of a committed version (manifest-resolved)
     * — the maintenance-observability surface compaction and its specs
     * read file counts from. */
   def liveFiles(spark: SparkSession, base: String, version: Int): Seq[String] =
-    fileLines(spark, base, version).map(_.split('\t')(1))
+    fileLines(spark, base, version).map(pathOf)
 
   /** Snapshot read of a committed version: the file list is resolved
     * here, once — later commits cannot change what this plan reads.
-    * Under a declared (evolved) schema the read is schema-first:
-    * files written BEFORE an ADD COLUMN lack the new column and
-    * null-fill on read — the parquet reader's missing-column
-    * semantics, the same mechanism iceberg/delta use, so evolution
-    * never rewrites data. */
+    * Under a declared (evolved) schema the read is schema-first (see
+    * [[readFiles]]). */
   def asOf(spark: SparkSession, base: String, version: Int): DataFrame = {
-    val files = liveFiles(spark, base, version)
-    declaredSchema(spark, base, version) match {
-      case Some(st) => spark.read.schema(st).parquet(files: _*)
-      case None     => spark.read.parquet(files: _*)
-    }
+    val (lines, schema) = parsedManifest(spark, base, version)
+    readFiles(spark, lines.map(pathOf), schema)
   }
 
   /** ADD COLUMN (schema evolution, round 17 — VERDICT r16 ask 4):
@@ -476,8 +501,9 @@ object SnapshotTable {
                 protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
-    val cur = declaredSchema(spark, base, v)
-      .getOrElse(asOf(spark, base, v).schema)
+    val (lines, declared) = parsedManifest(spark, base, v)
+    val cur = declared
+      .getOrElse(spark.read.parquet(lines.map(pathOf): _*).schema)
     require(!cur.fieldNames.contains(colName),
       s"column $colName already exists on $base")
     val widened = org.apache.spark.sql.types.StructType(
@@ -485,7 +511,7 @@ object SnapshotTable {
         colName, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
         nullable = true))
     commit(spark, base, v + 1,
-      s"$SchemaHeader${widened.toDDL}" +: fileLines(spark, base, v), protocol)
+      s"$SchemaHeader${widened.toDDL}" +: lines, protocol)
     v + 1
   }
 
@@ -503,8 +529,10 @@ object SnapshotTable {
     * the exact semantic delta. */
   def diff(spark: SparkSession, base: String, vFrom: Int, vTo: Int,
            keyCol: String): DataFrame = {
-    val from = fileLines(spark, base, vFrom).toSet
-    val to = fileLines(spark, base, vTo).toSet
+    val (fromLines, fromSchema) = parsedManifest(spark, base, vFrom)
+    val (toLines, toSchema) = parsedManifest(spark, base, vTo)
+    val from = fromLines.toSet
+    val to = toLines.toSet
     if (from.isEmpty && to.isEmpty) {
       // Both versions reference zero files (e.g. diff of an emptied
       // table against itself): no payload schema is recoverable from
@@ -524,14 +552,16 @@ object SnapshotTable {
     // schema when evolution has pinned one (iceberg's read-old-
     // snapshots-with-current-schema convention for CDC), else the
     // files' inferred schema. Without this alignment a diff straddling
-    // an ADD COLUMN would compare structs of different widths.
-    val schema =
-      declaredSchema(spark, base, math.max(vFrom, vTo))
-        .orElse(declaredSchema(spark, base, math.min(vFrom, vTo)))
-        .getOrElse {
-          val any = (from ++ to).headOption.map(_.split('\t')(1)).toSeq
-          spark.read.parquet(any: _*).schema
-        }
+    // an ADD COLUMN would compare structs of different widths. Both
+    // declarations came free with the already-parsed manifests (every
+    // commit path carries the header forward, so the fallback is
+    // defense against hand-built manifests, not a reachable path).
+    val (later, earlier) =
+      if (vTo >= vFrom) (toSchema, fromSchema) else (fromSchema, toSchema)
+    val schema = later.orElse(earlier).getOrElse {
+      val any = (from ++ to).headOption.map(pathOf).toSeq
+      spark.read.parquet(any: _*).schema
+    }
     def readSide(lines: Set[String]): DataFrame = {
       val paths = lines.map(_.split('\t')(1)).toSeq
       if (paths.isEmpty) spark.createDataFrame(
@@ -749,7 +779,8 @@ object SnapshotTable {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
     require(subFiles >= 1, s"subFiles must be >= 1, got $subFiles")
-    val rows = asOf(spark, base, v)
+    val (lines0, schema0) = parsedManifest(spark, base, v)
+    val rows = readFiles(spark, lines0.map(pathOf), schema0)
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val dataDir = s"$base/data/$commitId"
     val wB = org.apache.spark.sql.expressions.Window
@@ -795,7 +826,7 @@ object SnapshotTable {
           }
       }
     // a declared (evolved) schema rides every later commit forward
-    commit(spark, base, v + 1, headerLines(spark, base, v) ++ lines, protocol)
+    commit(spark, base, v + 1, schemaHeaderOf(schema0) ++ lines, protocol)
     v + 1
   }
 
@@ -810,17 +841,19 @@ object SnapshotTable {
                              min: Option[java.math.BigDecimal],
                              max: Option[java.math.BigDecimal])
 
+  private def parseEntry(l: String): FileEntry = {
+    val p = l.split('\t')
+    if (p.length >= 5)
+      FileEntry(p(0).toInt, p(1), Some(p(2)),
+        Some(new java.math.BigDecimal(p(3))), Some(new java.math.BigDecimal(p(4))))
+    else FileEntry(p(0).toInt, p(1), None, None, None)
+  }
+
   /** Parsed manifest entries of a committed version. Lines are
     * backward/forward compatible: 2 fields = bucket + path (every
     * pre-stats writer), 5 fields = + statsCol/min/max. */
   def fileEntries(spark: SparkSession, base: String, version: Int): Seq[FileEntry] =
-    fileLines(spark, base, version).map { l =>
-      val p = l.split('\t')
-      if (p.length >= 5)
-        FileEntry(p(0).toInt, p(1), Some(p(2)),
-          Some(new java.math.BigDecimal(p(3))), Some(new java.math.BigDecimal(p(4))))
-      else FileEntry(p(0).toInt, p(1), None, None, None)
-    }
+    fileLines(spark, base, version).map(parseEntry)
 
   /** MANIFEST-ONLY file pruning for `statsCol ∈ [lo, hi]`: keep a
     * file iff its manifest stats intersect the range — or it carries
@@ -833,12 +866,15 @@ object SnapshotTable {
                   statsCol: String, lo: java.math.BigDecimal,
                   hi: java.math.BigDecimal): (Seq[String], Int) = {
     val es = fileEntries(spark, base, version)
-    val kept = es.filter { e =>
+    (pruneEntries(es, statsCol, lo, hi), es.size)
+  }
+
+  private def pruneEntries(es: Seq[FileEntry], statsCol: String,
+      lo: java.math.BigDecimal, hi: java.math.BigDecimal): Seq[String] =
+    es.filter { e =>
       !e.statsCol.contains(statsCol) ||
         (e.max.get.compareTo(lo) >= 0 && e.min.get.compareTo(hi) <= 0)
     }.map(_.path)
-    (kept, es.size)
-  }
 
   /** Range read driven by manifest stats: scan only the files
     * [[prunedFiles]] keeps, then apply the residual row filter. On a
@@ -848,10 +884,15 @@ object SnapshotTable {
   def asOfRange(spark: SparkSession, base: String, version: Int,
                 statsCol: String, lo: java.math.BigDecimal,
                 hi: java.math.BigDecimal): DataFrame = {
-    val (kept, _) = prunedFiles(spark, base, version, statsCol, lo, hi)
+    // one manifest read; the kept subset reads SCHEMA-FIRST like asOf
+    // (review r17: a plain read over a post-evolution mix of old and
+    // backfilled files would adopt one sample footer's schema and
+    // silently drop or null the evolved column)
+    val (lines, schema) = parsedManifest(spark, base, version)
+    val kept = pruneEntries(lines.map(parseEntry), statsCol, lo, hi)
     val df =
-      if (kept.nonEmpty) spark.read.parquet(kept: _*)
-      else asOf(spark, base, version).limit(0)
+      if (kept.nonEmpty || schema.isDefined) readFiles(spark, kept, schema)
+      else readFiles(spark, lines.map(pathOf), None).limit(0)
     df.where(col(statsCol).between(lit(lo), lit(hi)))
   }
 
@@ -936,8 +977,9 @@ object SnapshotTable {
               protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
-    val rows = asOf(spark, base, v)
-    commit(spark, base, v + 1, headerLines(spark, base, v) ++
+    val (lines0, schema0) = parsedManifest(spark, base, v)
+    val rows = readFiles(spark, lines0.map(pathOf), schema0)
+    commit(spark, base, v + 1, schemaHeaderOf(schema0) ++
       writeDataFiles(spark, base, rows, keyCol, numBuckets), protocol)
     v + 1
   }
@@ -960,7 +1002,20 @@ object SnapshotTable {
     val dup = changes.groupBy(col(keyCol)).count().where(col("count") > 1).limit(1).count()
     require(dup == 0, s"changes must have one row per $keyCol")
 
-    val lines = fileLines(spark, base, v)
+    val (lines, declared) = parsedManifest(spark, base, v)
+    // an evolved table's MERGE must carry every declared column —
+    // merged rows are built from the CHANGE SET's columns, so a
+    // change set missing an evolved column would silently null it
+    // for every row of every touched bucket (review r17: fail fast
+    // instead; pre-evolution pipelines hit this require the first
+    // time they run after an ADD COLUMN, which is the point)
+    declared.foreach { st =>
+      val missing = st.fieldNames.filterNot(changes.columns.contains)
+      require(missing.isEmpty,
+        s"changes must carry every declared column of the evolved " +
+        s"table $base; missing: ${missing.mkString(", ")} " +
+        s"(null-fill explicitly if that is intended)")
+    }
     // changed-bucket ids: metadata-scale (≤ numBuckets) — collected to
     // the driver to prune the MANIFEST, the same role as iceberg's
     // partition summary pruning
@@ -978,11 +1033,7 @@ object SnapshotTable {
       // schema-first read: after an ADD COLUMN the touched bucket's
       // old files lack the new column — the declared schema null-fills
       // it so the change set's full payload merges cleanly
-      val touchedPaths = touched.map(_.split('\t')(1))
-      val baseRows = declaredSchema(spark, base, v) match {
-        case Some(st) => spark.read.schema(st).parquet(touchedPaths: _*)
-        case None     => spark.read.parquet(touchedPaths: _*)
-      }
+      val baseRows = readFiles(spark, touched.map(pathOf), declared)
       val chCols = Seq(col(keyCol).as("_ck"), col("op")) ++
         payloadCols.filter(_ != keyCol).map(c => col(c).as(s"_c_$c"))
       val ch = changes.select(chCols: _*)
@@ -1001,7 +1052,7 @@ object SnapshotTable {
         // an empty merged bucket writes nothing; deletes that empty a
         // bucket thus drop its file from the manifest, as they must
     commit(spark, base, v + 1,
-      headerLines(spark, base, v) ++ newLines, protocol)
+      schemaHeaderOf(declared) ++ newLines, protocol)
     v + 1
   }
 }

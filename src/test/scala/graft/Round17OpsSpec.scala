@@ -124,6 +124,57 @@ class Round17OpsSpec extends SparkSpec {
       Seq("o_orderkey", "o_price", "o_tag"))
   }
 
+  test("review r17: asOfRange is schema-first over mixed pre/post-evolution files; merge guards evolved columns") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_evo_range").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    SnapshotTable.optimizeCluster(spark, base, "o_orderkey", "o_price",
+      numBuckets = 4, subFiles = 3)
+    val v2 = SnapshotTable.addColumn(spark, base, "o_tag", "STRING")
+    // a merge that OMITS the evolved column must fail fast, not
+    // silently null the column across touched buckets
+    val badChanges = o.limit(3)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_price"))
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, base, badChanges, "o_orderkey", 4)
+    }
+    assert(err.getMessage.contains("o_tag"), err.getMessage)
+    // backfill ONE bucket so the version mixes old (no o_tag) and new
+    // (with o_tag) physical files
+    val oneKey = o.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(1).collect()(0).getLong(0)
+    val v3 = SnapshotTable.mergeInto(spark, base,
+      o.where(col("o_orderkey") === oneKey)
+        .select(col("o_orderkey"), lit("U").as("op"), col("o_price"),
+          lit("tagged").as("o_tag")),
+      "o_orderkey", numBuckets = 4)
+    val lo = new java.math.BigDecimal("0.00")
+    val hi = new java.math.BigDecimal("99999999.99")
+    val ranged = SnapshotTable.asOfRange(spark, base, v3, "o_price", lo, hi)
+    assert(ranged.columns.toSeq == Seq("o_orderkey", "o_price", "o_tag"),
+      s"asOfRange must read the DECLARED schema, got ${ranged.columns.toSeq}")
+    assert(ranged.where(col("o_tag") === "tagged").count() == 1,
+      "the backfilled row's physical o_tag value must survive the range read")
+    assert(ranged.count() == o.count())
+  }
+
+  test("review r17: joinAdvisory handles '10MB' and the disable sentinel '-1'") {
+    val s = spark.newSession()
+    val df = Tables.orders(s, sf001).join(Tables.customer(s, sf001),
+      col("o_custkey") === col("c_custkey"))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val mb = graft.api.CostExplain.joinAdvisory(df).collect()
+    assert(mb.length == 1 && mb(0).getAs[Long]("threshold_bytes") == 10L << 20)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val off = graft.api.CostExplain.joinAdvisory(df).collect()
+    assert(off.length == 1 && !off(0).getAs[Boolean]("broadcast_left") &&
+      !off(0).getAs[Boolean]("broadcast_right") &&
+      off(0).getAs[String]("advisory").contains("shuffles"),
+      off.mkString(","))
+  }
+
   test("manifest stats (#291): stats ride a merge by reference; rewritten buckets degrade safely") {
     val base = java.nio.file.Files.createTempDirectory("graft_stats_merge").toString
     val o = Tables.orders(spark, sf001).select(col("o_orderkey"),

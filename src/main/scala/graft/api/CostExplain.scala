@@ -56,7 +56,6 @@ object CostExplain {
     val plan = df.queryExecution.optimizedPlan
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     var id = 0
-    plan.foreach { _ => () } // force resolution before stats
     def visit(p: LogicalPlan): Unit = {
       val st = p.stats
       rows += Row(id, p.nodeName,

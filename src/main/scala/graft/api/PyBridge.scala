@@ -41,6 +41,9 @@ object PyBridge {
                 labels: java.util.List[String],
                 fractions: java.util.List[java.lang.Double],
                 outCol: String): DataFrame = {
+    require(labels.size == fractions.size,
+      s"labels (${labels.size}) and fractions (${fractions.size}) must " +
+      "be equal length — zip-truncation would silently mis-split")
     val splits = labels.asScala.toSeq
       .zip(fractions.asScala.toSeq.map(_.doubleValue()))
     df.withColumn(outCol, Transforms.hashSplit(col(keyCol), salt, splits))

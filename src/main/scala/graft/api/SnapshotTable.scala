@@ -89,12 +89,15 @@ object SnapshotTable {
       * full payload (the EofMarker trailer is the completeness seal a
       * reader overlapping this non-atomic content write relies on),
       * then release the lock. A claimant that CRASHES mid-publish
-      * leaves either (a) a committed target plus a stale lock —
-      * harmless, later writers of that version conflict on the
-      * target check — or (b) a lock with no target, which would wedge
-      * the version: locks older than `staleLockMs` are therefore
-      * broken by the next writer (size the window to your longest
-      * publish latency, the same contract as vacuum's
+      * leaves (a) a committed target plus a stale lock — harmless,
+      * later writers of that version conflict on the target check —
+      * (b) a lock with no target, or (c) a CLAIMED-BUT-EMPTY target
+      * (died between create and the content write; review r17), both
+      * of which would wedge the version: locks AND empty targets
+      * older than `staleLockMs` are therefore broken by the next
+      * writer, the lock-break guarded against deleting a freshly
+      * re-created lock by an mtime identity re-check (size the window
+      * to your longest publish latency, the same contract as vacuum's
       * `orphanMinAgeMs`). */
     final case class LockFile(staleLockMs: Long = 5L * 60 * 1000)
         extends CommitProtocol {
@@ -102,19 +105,48 @@ object SnapshotTable {
         val lock = new Path(target.getParent, s".lock-${target.getName}")
         def conflict(): Nothing = throw new VersionConflictException(
           s"version already committed at $target")
-        if (f.exists(target)) conflict()
-        // break a stale claim (crashed writer) past the age window
+        def targetCommitted(): Boolean =
+          try f.getFileStatus(target).getLen > 0
+          catch { case _: java.io.FileNotFoundException => false }
+        if (targetCommitted()) conflict()
+        // break a stale claim (crashed writer) past the age window.
+        // TOCTOU guard (review r17): between observing staleness and
+        // deleting, ANOTHER writer may break the lock and claim a
+        // FRESH one — an unconditional delete would remove the live
+        // winner's lock and admit two publishers. Re-stat immediately
+        // before the delete and only remove the lock if its mtime is
+        // STILL the stale one we observed (a re-created lock carries
+        // a fresh mtime, so identity-by-mtime distinguishes them).
         try {
-          val st = f.getFileStatus(lock)
-          if (st.getModificationTime <= System.currentTimeMillis() - staleLockMs)
+          val seen = f.getFileStatus(lock).getModificationTime
+          if (seen <= System.currentTimeMillis() - staleLockMs &&
+              f.getFileStatus(lock).getModificationTime == seen)
             f.delete(lock, false)
         } catch { case _: java.io.FileNotFoundException => () }
         if (!atomicClaim(f, lock)) conflict()
         var published = false
         try {
           // lost an earlier race: the winner published between our
-          // pre-check and our claim of the (now re-created) lock
-          if (f.exists(target)) conflict()
+          // pre-check and our claim of the (now re-created) lock.
+          // Crash-case (c) recovery (review r17): a previous LockFile
+          // writer that died between create(target) and the content
+          // write leaves a CLAIMED-BUT-EMPTY target — readers reject
+          // it (no trailer, no content) and writers would conflict on
+          // it forever, wedging the version. Under the held lock, an
+          // EMPTY target older than the stale window is that crash's
+          // debris, not a commit — remove it and publish. (A NONEMPTY
+          // trailer-less target is indistinguishable from a legacy
+          // manifest and is honored as a conflict; a torn nonempty
+          // write needs a partial flush of one small buffer, the
+          // documented torn-page residual.)
+          if (targetCommitted()) conflict()
+          try {
+            val st = f.getFileStatus(target) // exists but empty
+            if (st.getLen == 0 &&
+                st.getModificationTime <= System.currentTimeMillis() - staleLockMs)
+              f.delete(target, false)
+            else conflict()
+          } catch { case _: java.io.FileNotFoundException => () }
           val out = try f.create(target, /* overwrite = */ false) catch {
             case _: org.apache.hadoop.fs.FileAlreadyExistsException => conflict()
             case e: java.io.IOException =>
@@ -535,16 +567,27 @@ object SnapshotTable {
     val to = toLines.toSet
     if (from.isEmpty && to.isEmpty) {
       // Both versions reference zero files (e.g. diff of an emptied
-      // table against itself): no payload schema is recoverable from
-      // zero parquet files, and the delta is definitionally empty —
+      // table against itself): the delta is definitionally empty —
       // short-circuit instead of calling spark.read.parquet() with no
-      // paths (which throws). The before/after structs are empty here
-      // because the table carries no schema at either endpoint.
+      // paths (which throws). When a DECLARED schema exists (evolved
+      // table), the empty frame carries the key's REAL type and the
+      // real payload structs, so unions with non-empty diffs of the
+      // same table stay schema-compatible (review r17: the hardcoded
+      // StringType key broke exactly that); without any declaration
+      // zero files carry no schema and the degenerate shape below is
+      // the best recoverable one.
       import org.apache.spark.sql.types._
+      val declared = (if (vTo >= vFrom) toSchema.orElse(fromSchema)
+                      else fromSchema.orElse(toSchema))
+      val keyType = declared.flatMap(_.fields.find(_.name == keyCol))
+        .map(_.dataType).getOrElse(StringType)
+      val payloadStruct = declared
+        .map(st => StructType(st.fields.filter(_.name != keyCol)))
+        .getOrElse(StructType(Nil))
       val s = StructType(Seq(
-        StructField(keyCol, StringType), StructField("change", StringType),
-        StructField("before", StructType(Nil)),
-        StructField("after", StructType(Nil))))
+        StructField(keyCol, keyType), StructField("change", StringType),
+        StructField("before", payloadStruct),
+        StructField("after", payloadStruct)))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     }

@@ -1003,6 +1003,20 @@ object Transforms {
     * read the same total bytes as one full-width scan), dedups
     * map-side, and shuffles only that column's distinct VALUES; the
     * branches are independent stages a cluster runs concurrently. */
+  /** Backtick-quote an identifier for GENERATED SQL (stack/sketch
+    * expressions below): column names with spaces, dots, quotes or
+    * backticks are legal in parquet schemas, and raw interpolation
+    * either fails to parse or — worse — resolves `a.b` as a struct
+    * field of `a` (review r17). Column-API references (`col(name)`)
+    * never needed this; only the expr()-built strings do. */
+  private def bq(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  /** Single-quoted SQL string literal of a column name (the label
+    * cell in the stacked profile rows). */
+  private def sqlLit(name: String): String =
+    "'" + name.replace("'", "''") + "'"
+
   def profileExactDistincts(df: DataFrame, spec: Seq[ProfileColumn]): DataFrame =
     spec.map { c =>
       df.select(col(c.name).as("v"))
@@ -1032,8 +1046,12 @@ object Transforms {
           sum(col(c.name).isNull.cast("long")).as(s"${c.name}__nulls"))
         val extremes = c.kind match {
           case "num" => Seq(
-            min(sumCast(col(c.name))).cast("double").as(s"${c.name}__min"),
-            max(sumCast(col(c.name))).cast("double").as(s"${c.name}__max"),
+            // min/max on the RAW column: the exactness cast exists for
+            // the order-independent SUM only — routing extremes
+            // through it silently NULLs out-of-range values (non-ANSI)
+            // and truncates to the cast's scale (review r17)
+            min(col(c.name)).cast("double").as(s"${c.name}__min"),
+            max(col(c.name)).cast("double").as(s"${c.name}__max"),
             (sum(sumCast(col(c.name))).cast("double") / count(lit(1)))
               .as(s"${c.name}__mean"))
           case "int" => Seq(
@@ -1066,16 +1084,16 @@ object Transforms {
     val rows = spec.map { c =>
       val (nmin, nmax, nmean, smin, smax) = c.kind match {
         case "num" | "int" =>
-          (s"${c.name}__min", s"${c.name}__max", s"${c.name}__mean",
+          (bq(s"${c.name}__min"), bq(s"${c.name}__max"), bq(s"${c.name}__mean"),
            "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
         case "ts" =>
-          (s"${c.name}__min", s"${c.name}__max", "CAST(NULL AS DOUBLE)",
+          (bq(s"${c.name}__min"), bq(s"${c.name}__max"), "CAST(NULL AS DOUBLE)",
            "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
         case _ =>
           ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-           "CAST(NULL AS DOUBLE)", s"${c.name}__smin", s"${c.name}__smax")
+           "CAST(NULL AS DOUBLE)", bq(s"${c.name}__smin"), bq(s"${c.name}__smax"))
       }
-      s"'${c.name}', n_rows, ${c.name}__nulls, " +
+      s"${sqlLit(c.name)}, n_rows, ${bq(s"${c.name}__nulls")}, " +
         s"$nmin, $nmax, $nmean, $smin, $smax"
     }
     withStrs.select(expr(
@@ -1106,11 +1124,11 @@ object Transforms {
                     withExactCheck: Boolean = false): DataFrame = {
     require(spec.nonEmpty, "profile spec must name at least one column")
     def sketchInput(c: ProfileColumn): String = c.kind match {
-      case "num" => s"CAST(${c.name} AS STRING)"
+      case "num" => s"CAST(${bq(c.name)} AS STRING)"
       // cast first — same NTZ/DATE admission as the exact profiler's
       // ts arm above (unix_micros alone rejects TIMESTAMP_NTZ)
-      case "ts"  => s"unix_micros(CAST(${c.name} AS TIMESTAMP))"
-      case _     => c.name
+      case "ts"  => s"unix_micros(CAST(${bq(c.name)} AS TIMESTAMP))"
+      case _     => bq(c.name)
     }
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
       spec.flatMap { c => Seq(
@@ -1120,7 +1138,8 @@ object Transforms {
       }
     val onepass = df.agg(aggs.head, aggs.tail: _*)
     val rows = spec.map { c =>
-      s"'${c.name}', n_rows, ${c.name}__nulls, ${c.name}__approx"
+      s"${sqlLit(c.name)}, n_rows, ${bq(s"${c.name}__nulls")}, " +
+        bq(s"${c.name}__approx")
     }
     val stacked = onepass.select(expr(
       s"""stack(${rows.size},

@@ -20,10 +20,12 @@ case class UserRunningCount(user_id: Long, event_id: Long, running_count: Long)
   * streaming suite exercises these under MemoryStream with watermarks
   * and Update/Append output modes, including late-data drop.
   *
-  * Scale posture: each operator's state is watermark-bounded —
-  * (open windows × types), (open sessions × users), (dedup keys
-  * inside the watermark), one counter per user — so a 100 TB/day feed
-  * holds state proportional to key cardinality, never to history.
+  * Scale posture: each operator's state is key- or watermark-bounded —
+  * (open windows × types), (open sessions × users), (dedup keys:
+  * watermark-bounded in [[dedupFirstWithinWatermark]], ALL-keys-ever
+  * in the exact [[dedupFirstPerKey]] — see its state note), one
+  * counter per user — so a 100 TB/day feed holds state proportional
+  * to key cardinality, never to history.
   */
 object EventStreams {
 
@@ -48,11 +50,30 @@ object EventStreams {
               col("session_window.end").as("session_end"),
               col("n_events"))
 
-  /** #54 streaming form — keep the first event per (user, type);
-    * dedup state is dropped once the watermark passes. */
+  /** #54 streaming form — keep the first event per (user, type).
+    * STATE NOTE (review r17): dropDuplicates over keys that exclude
+    * the event-time column keeps one state entry per key FOREVER —
+    * the watermark here only drops late input rows, it does not evict
+    * dedup state (Spark only evicts when the event-time column is
+    * part of the dedup keys). This form is exact keep-first-ever with
+    * state ∝ key cardinality; use [[dedupFirstWithinWatermark]] when
+    * bounded state matters more than cross-epoch exactness. */
   def dedupFirstPerKey(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates(Seq("user_id", "event_type"))
+
+  /** The WATERMARK-BOUNDED production form of [[dedupFirstPerKey]]:
+    * `dropDuplicatesWithinWatermark` evicts a key's dedup state once
+    * the watermark passes its event time + delay, so state is
+    * ∝ (keys active inside the watermark window), never ∝ all keys
+    * ever seen — the 100 TB/day posture. The trade: a duplicate
+    * arriving after its first occurrence left the watermark window is
+    * emitted again (exactly the semantics every bounded-state
+    * streaming dedup has). */
+  def dedupFirstWithinWatermark(events: DataFrame,
+                                watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
   /** Stream-stream interval join (the streaming form of #19): clicks
     * joined to the same user's signup within 1 hour. Both sides carry
@@ -528,11 +549,22 @@ class RunningCountProcessor
 }
 
 /** Event-time-timer processor for [[EventStreams.sessionCloseTws]]:
-  * counts events per user and keeps exactly one armed timer at
-  * `last event ts + gap`. When the watermark passes the expiry,
-  * `handleExpiredTimer` emits the close record and clears ALL state
-  * for the key — proving the timer lifecycle (register / re-arm via
-  * delete / expire) of the Spark 4 arbitrary-state API. */
+  * sessionizes each user's events against the stored gap anchor —
+  * an event more than `gap` past the open session's last event
+  * CLOSES that session inline (emitting its record at the event-time
+  * close instant, anchor + gap) and opens a new one, so distinct
+  * sessions inside one micro-batch (or across batches, when the next
+  * event arrives before the timer fires) never merge (review r17;
+  * pre-fix the processor lumped them into one count). The idle case
+  * closes by timer: exactly one armed timer per key at
+  * `last event ts + gap`, monotone — the anchor only moves forward,
+  * so a late batch can never re-arm a live session EARLIER — and
+  * when the watermark passes the expiry, `handleExpiredTimer` emits
+  * the close record and clears ALL state for the key — proving the
+  * timer lifecycle (register / re-arm via delete / expire) of the
+  * Spark 4 arbitrary-state API. Same ordered-replay caveat as every
+  * gap sessionizer here: an event older than anchor − gap belongs to
+  * an already-closed session and is counted into the open one. */
 class SessionTimeoutProcessor(gapMs: Long)
     extends StatefulProcessor[Long, EventRow, SessionClose] {
   @transient private var count: ValueState[Long] = _
@@ -547,14 +579,28 @@ class SessionTimeoutProcessor(gapMs: Long)
 
   override def handleInputRows(user: Long, rows: Iterator[EventRow],
       timerValues: TimerValues): Iterator[SessionClose] = {
-    val evs = rows.toSeq
-    count.update((if (count.exists()) count.get() else 0L) + evs.size)
-    // one armed timer per key: re-arm at the newest event + gap
-    val expiry = evs.map(_.ts.getTime).max + gapMs
-    if (armed.exists()) getHandle.deleteTimer(armed.get())
-    getHandle.registerTimer(expiry)
+    val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val closes = scala.collection.mutable.ArrayBuffer.empty[SessionClose]
+    // anchor = last event of the open session (armed expiry − gap)
+    var anchor = if (armed.exists()) armed.get() - gapMs else Long.MinValue
+    var n = if (count.exists()) count.get() else 0L
+    evs.foreach { e =>
+      val t = e.ts.getTime
+      if (anchor != Long.MinValue && t > anchor + gapMs && n > 0) {
+        closes += SessionClose(user, n, anchor + gapMs)
+        n = 0L
+      }
+      n += 1L
+      anchor = math.max(anchor, t)
+    }
+    count.update(n)
+    // one armed timer per key, monotone re-arm at the open session's
+    // last event + gap
+    val expiry = anchor + gapMs
+    if (armed.exists() && armed.get() != expiry) getHandle.deleteTimer(armed.get())
+    if (!armed.exists() || armed.get() != expiry) getHandle.registerTimer(expiry)
     armed.update(expiry)
-    Iterator.empty
+    closes.iterator
   }
 
   override def handleExpiredTimer(user: Long, timerValues: TimerValues,
@@ -594,14 +640,6 @@ class TtlCountProcessor(ttl: java.time.Duration)
   * (type, capped-minute-bucket) aggregate IS #270's histogram. */
 case class GapRecord(user_id: Long, event_type: String, gap_us: Long)
 
-/** #270 streaming form (round 16 — VERDICT r15 ask 6): per
-  * (user, type) ValueState carries the previous event's epoch
-  * microseconds across micro-batches, so chunked event-time-ordered
-  * replay emits exactly the gaps the batch window computes — including
-  * the cross-chunk gaps a per-batch lag would miss. Same
-  * ordered-replay caveat as [[EventStreams.markovPairsTws]]; state per
-  * key is ONE long — key-bounded, never history-bounded, the cadence
-  * the 100 TB rate-limit/bot-detection feed needs. */
 /** One CDC-view update of [[EventStreams.cdcUpsertTws]]: the user's
   * current last-state snapshot after a micro-batch, with `n_ops`
   * strictly increasing per key — the max-n_ops row per user IS the
@@ -662,6 +700,14 @@ class CdcUpsertProcessor
   }
 }
 
+/** #270 streaming form (round 16 — VERDICT r15 ask 6): per
+  * (user, type) ValueState carries the previous event's epoch
+  * microseconds across micro-batches, so chunked event-time-ordered
+  * replay emits exactly the gaps the batch window computes — including
+  * the cross-chunk gaps a per-batch lag would miss. Same
+  * ordered-replay caveat as [[EventStreams.markovPairsTws]]; state per
+  * key is ONE long — key-bounded, never history-bounded, the cadence
+  * the 100 TB rate-limit/bot-detection feed needs. */
 class InterarrivalProcessor
     extends StatefulProcessor[(Long, String), EventRow, GapRecord] {
   @transient private var lastUs: ValueState[Long] = _

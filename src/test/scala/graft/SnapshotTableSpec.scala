@@ -733,6 +733,43 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.asOf(spark, base, 0).count() == 100)
   }
 
+  test("lock-file protocol: a crashed claimant's EMPTY target is healed, a committed one conflicts") {
+    // review r17 crash case (c): a LockFile writer that died between
+    // create(target) and the content write leaves a claimed-but-empty
+    // manifest — pre-fix, every later writer conflicted on it and
+    // every reader rejected it, wedging the version forever. An empty
+    // target AGED past the stale window is debris: the next writer
+    // heals it and publishes. A FRESH empty target (possible live
+    // publisher) and any NONEMPTY target still conflict.
+    val base = freshBase()
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8,
+      SnapshotTable.CommitProtocol.LockFile())
+    val hourMs = 60L * 60 * 1000
+    val wedged = new java.io.File(s"$base/manifest/v1")
+    assert(wedged.createNewFile()) // claimed, zero bytes, no lock
+    // fresh empty target: could be a live writer that just claimed —
+    // conflict, don't touch it
+    intercept[SnapshotTable.VersionConflictException] {
+      SnapshotTable.commit(spark, base, 1, Seq("0\tfile:/x"),
+        SnapshotTable.CommitProtocol.LockFile(staleLockMs = hourMs))
+    }
+    assert(wedged.exists && wedged.length == 0)
+    // aged empty target: crash debris — healed and published over
+    assert(wedged.setLastModified(System.currentTimeMillis() - 2 * hourMs))
+    SnapshotTable.commit(spark, base, 1, Seq("0\tfile:/y"),
+      SnapshotTable.CommitProtocol.LockFile(staleLockMs = hourMs))
+    assert(manifestLines(base, 1) == Seq("0\tfile:/y"),
+      "aged empty claim healed, publish lands")
+    // a COMMITTED (nonempty) target always conflicts, aged or not
+    assert(new java.io.File(s"$base/manifest/v1")
+      .setLastModified(System.currentTimeMillis() - 2 * hourMs))
+    intercept[SnapshotTable.VersionConflictException] {
+      SnapshotTable.commit(spark, base, 1, Seq("0\tfile:/z"),
+        SnapshotTable.CommitProtocol.LockFile(staleLockMs = hourMs))
+    }
+    assert(manifestLines(base, 1) == Seq("0\tfile:/y"))
+  }
+
   test("lock-file protocol: reader overlapping the non-atomic content write waits for the trailer") {
     // the LockFile publish is claim-then-write (the r14 shape): a
     // reader that opens the manifest mid-write must wait out the

@@ -204,6 +204,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timer: distinct sessions inside ONE micro-batch do not merge") {
+    // review r17: a batch carrying events at 10:00 and 12:00 (gap 30m)
+    // is TWO sessions — the first closes inline at 10:30 with 1 event,
+    // the second closes by timer at 12:30; the pre-fix processor
+    // lumped them into one SessionClose(n_events=2).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.sessionCloseTws(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("t_sess_split")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // the intra-batch close emits immediately, before any timer
+      val first = s.table("t_sess_split").collect()
+      assert(first.length == 1 && first(0).getAs[Long]("n_events") == 1L &&
+        first(0).getAs[Long]("closed_at_ms") == tsOf("2024-01-01 10:30:00").getTime,
+        first.mkString(";"))
+      // push the watermark past 12:30 (plus the nudge batch) so the
+      // open session's timer fires with ONLY its own event
+      in.addData(ev(3, "2024-01-01 14:00:00", user = 2))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 14:10:00", user = 2))
+      q.processAllAvailable()
+      val rows = s.table("t_sess_split").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("closed_at_ms")))
+        .sortBy(_._2)
+      assert(rows.toSeq == Seq(
+        (1L, tsOf("2024-01-01 10:30:00").getTime),
+        (1L, tsOf("2024-01-01 12:30:00").getTime)), rows.mkString(";"))
+    } finally q.stop()
+  }
+
+  test("dedupFirstWithinWatermark: bounded dedup state, duplicates inside the window dropped") {
+    val s = spark.newSession()
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[EventRow]
+    val q = EventStreams.dedupFirstWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("t_dedup_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 10:02:00")) // dup key inside window
+      q.processAllAvailable()
+      assert(s.table("t_dedup_wm").count() == 1,
+        "in-window duplicate must be dropped")
+      // advance far past the watermark: the key's state evicts, so a
+      // much later event with the same key is emitted again — the
+      // documented bounded-state trade
+      in.addData(ev(4, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(5, "2024-01-01 13:30:00"))
+      q.processAllAvailable()
+      assert(s.table("t_dedup_wm").count() >= 2,
+        s.table("t_dedup_wm").collect().mkString(";"))
+    } finally q.stop()
+  }
+
   test("TTL'd state expires for idle keys and the running count restarts") {
     // NOTE: with TimeMode.ProcessingTime the stateful operator reports
     // "needs another batch" on EVERY trigger (to honor wall-clock

@@ -48,6 +48,45 @@ object Tables {
     * scale of `c` is <= s). */
   def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
+  /** The experimentation battery's deterministic two-arm hash coin:
+    * arm A ⇔ even first md5 nibble of the user id. ONE definition
+    * (review r17: previously restated verbatim at ~14 call sites
+    * across AggOps/EtlOps — a salt/nibble/parity change had to land
+    * everywhere at once or one op's arms silently desynchronized
+    * from the rest of the battery). The mod-3 sibling for k-sample
+    * tests is AggOps.arm3. Every oracle spells the same expression
+    * in SQL: ascii(substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2. */
+  def expArm2IsA: Column =
+    ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0
+
+  /** Process-lifetime scratch registry (review r17): ONE shutdown
+    * hook draining a concurrent queue, replacing two inconsistent
+    * policies — a fresh hook Thread per snapshot fixture, and no
+    * cleanup at all for the scan/join fixture sinks, which leaked a
+    * fact-table-sized directory per invocation into java.io.tmpdir
+    * across every round. Registration is thread-safe and idempotent
+    * per path; deletion is best-effort at JVM exit (each bench/verify
+    * JVM cleans everything it wrote). */
+  private val scratchPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val scratchHookInstalled: Unit = {
+    sys.addShutdownHook {
+      scratchPaths.forEach(p => deleteRecursively(new java.io.File(p)))
+    }
+    ()
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+  /** Register `path` for best-effort recursive deletion at JVM exit;
+    * returns it for inline use. */
+  def registerScratch(path: String): String = {
+    scratchHookInstalled
+    scratchPaths.add(path)
+    path
+  }
+
   /** Column KINDS a physical type may drift within without breaking
     * the engine — the round-8 corpus regeneration moved timestamps
     * between encodings while every query's semantics were unchanged,

@@ -229,16 +229,21 @@ object BinaryDecode {
     * multi-frame GIF container and emit bounded per-frame metadata —
     * the 1→N decode shape a video extractor produces. */
   def frameSample(id: Long, bytes: Array[Byte], everyN: Int): Seq[FrameMeta] = {
+    // fail loudly at the API boundary (review r17): everyN = 0 used to
+    // surface as Range's opaque executor-side "step cannot be 0", and
+    // a negative stride silently returned no frames
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     if (bytes.isEmpty) return Seq.empty
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val ios = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
-      reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+      reader.setInput(ios)
       val n = reader.getNumImages(true)
       (0 until n by everyN).map { f =>
         val img = reader.read(f)
         FrameMeta(id, f, img.getWidth * img.getHeight, pixSum(img))
       }
-    } finally reader.dispose()
+    } finally { reader.dispose(); ios.close() }
   }
 
   /** Partition-wise frame sampling over (id, payload) batches. */
@@ -253,8 +258,9 @@ object BinaryDecode {
   def frameChannels(id: Long, bytes: Array[Byte]): Seq[FrameChan] = {
     if (bytes.isEmpty) return Seq.empty
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val ios = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
-      reader.setInput(ImageIO.createImageInputStream(new ByteArrayInputStream(bytes)))
+      reader.setInput(ios)
       val n = reader.getNumImages(true)
       (0 until n).map { f =>
         val img = reader.read(f)
@@ -271,7 +277,7 @@ object BinaryDecode {
         }
         FrameChan(id, f, img.getWidth * img.getHeight, rs, gs, bs)
       }
-    } finally reader.dispose()
+    } finally { reader.dispose(); ios.close() }
   }
 
   def frameChannelsBatch(

@@ -787,7 +787,7 @@ object AggOps {
     * table is the only corpus-scale exchange. */
   def aggKsTest(spark: SparkSession, sf: String): DataFrame = {
     val arm = when(
-      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      expArm2IsA,
       lit("A")).otherwise(lit("B"))
     val byV = events(spark, sf)
       .select(money(col("value")).as("v"), arm.as("arm"))
@@ -855,7 +855,7 @@ object AggOps {
     * exchange, same as KS. */
   def aggMannwhitneyU(spark: SparkSession, sf: String): DataFrame = {
     val arm = when(
-      ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2 === 0,
+      expArm2IsA,
       lit("A")).otherwise(lit("B"))
     val byV = events(spark, sf)
       .select(money(col("value")).as("v"), arm.as("arm"))
@@ -1800,7 +1800,7 @@ object AggOps {
     * conditional one-row arm fold — at 100 TB only the user
     * aggregate touches data. */
   def aggDeltaMethodRatio(spark: SparkSession, sf: String): DataFrame = {
-    val arm = ascii(substring(md5(col("user_id").cast("string")), 1, 1)) % 2
+    val arm = when(expArm2IsA, lit(0)).otherwise(lit(1))
     val perUser = events(spark, sf)
       .select(col("user_id"), money(col("value")).as("v"))
       .groupBy(col("user_id"))
@@ -2575,7 +2575,7 @@ object AggOps {
         |  FROM rev),
         |t AS (SELECT count(*) AS n_customers, sum(rev) AS tot FROM rev)
         |SELECT n_customers, CAST(tot AS DOUBLE) AS total_rev,
-        |  round((2.0 * CAST(sum(CAST(rk * rev AS DECIMAL(38,2))) AS DOUBLE)
+        |  round((2.0 * CAST(sum(CAST(CAST(rk AS DECIMAL(19,0)) * rev AS DECIMAL(38,2))) AS DOUBLE)
         |      - (n_customers + 1) * CAST(tot AS DOUBLE))
         |      / (n_customers * CAST(tot AS DOUBLE)), 6) AS gini,
         |  round(CAST(sum(CASE WHEN rk > n_customers - n_customers // 10

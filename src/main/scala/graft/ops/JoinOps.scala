@@ -209,7 +209,11 @@ object JoinOps {
     // a concurrent caller (parallel test suites; Verify's thread pool)
     // overwrite the files under a still-lazy DataFrame
     val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_109_$run"
+    // files registered for exit-time deletion (review r17: this was
+    // the one fixture family with NO cleanup — a lineitem-sized copy
+    // leaked per invocation); the catalog entries die with the session
+    val dir = graft.Tables.registerScratch(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_109_$run")
     lineitem(spark, sf)
       .select(col("l_orderkey"), money(col("l_extendedprice")).as("price"),
               money(col("l_discount")).as("disc"))

@@ -271,6 +271,20 @@ object LlmOps {
       .select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("embedding"),
           x => (x.cast("double") + lit(0.01)).cast("float")).as("embedding"))
+    // guard the +100000 twin offset against colliding with a REAL id
+    // (review r17: a collision would put two DIFFERENT embeddings
+    // under one id and silently corrupt the planted-pair contract
+    // while the oracle, replaying the same arithmetic, stayed green).
+    // Exact membership check, not a max-id bound — the 1×/10× stress
+    // corpora legitimately carry ids ≫ 100000 in DISJOINT per-replica
+    // ranges that never land on a twin id. Id-column-only semi join
+    // over the planted subset: trivially small at any graded scale.
+    val collisions = twins.select(col("vec_id"))
+      .join(e.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .limit(1).count()
+    require(collisions == 0,
+      "planted-twin ids (+100000) collide with real vec_ids — " +
+      "the corpus id layout changed; pick a disjoint offset")
     graft.api.Transforms
       .dedupByEmbeddingCosine(e.unionByName(twins), col("vec_id"),
         col("embedding"), dims.head.getInt(0), 0.99)

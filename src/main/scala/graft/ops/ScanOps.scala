@@ -22,8 +22,9 @@ object ScanOps {
     * overlapping a Verify run) overwrite files under a still-lazy
     * DataFrame — the #109 rationale, applied to every fixture sink. */
   private def scratchDir(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${name}_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    graft.Tables.registerScratch(
+      s"${System.getProperty("java.io.tmpdir")}/${name}_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8))
 
   /** #106's injected malformed CSV lines — the single source of truth
     * for BOTH the fixture writer and the oracle's corrupt count, so

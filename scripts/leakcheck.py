@@ -25,7 +25,8 @@ ROOT = Path(__file__).resolve().parent.parent
 # the Python stdlib + DuckDB/pandas the DRIVER-SIDE scripts use
 # (scripts/ never ships in the library).
 ALLOWED_IMPORT = re.compile(
-    r"^\s*import\s+(org\.apache\.spark|org\.apache\.hadoop|scala\b|"
+    r"^\s*import\s+(org\.apache\.spark|org\.apache\.hadoop|"
+    r"org\.apache\.parquet|scala\b|"
     r"java\b|javax\b|graft\b|org\.scalatest|org\.scalacheck|sbt\b|"
     r"[a-z][A-Za-z0-9_]*(\.[A-Za-z0-9_]+)*\.implicits\._|"
     r"(sys|json|glob|math|re|subprocess|time|os|pathlib|duckdb|pandas|"

@@ -153,6 +153,30 @@ check("snapshotVacuum drops old versions, keeps 2",
 check("snapshot newest still readable after vacuum",
       wrap(bridge.snapshotRead(jspark, base)).count() == cmp_df.count())
 
+# --- round-17 continuation: rename / restore / delete-where -----------
+v_ren = bridge.snapshotRenameColumn(jspark, base, "o_totalprice", "o_amount")
+renamed = wrap(bridge.snapshotRead(jspark, base))
+check("snapshotRenameColumn is a logical rename",
+      "o_amount" in renamed.columns and "o_totalprice" not in renamed.columns,
+      str(renamed.columns))
+check("snapshot time travel keeps the old name",
+      "o_totalprice" in wrap(bridge.snapshotAsOf(jspark, base, v_cmp)).columns)
+v_res = bridge.snapshotRestore(jspark, base, v_cmp)
+check("snapshotRestore returns latest+1", v_res == v_ren + 1)
+check("snapshotRestore brings the pre-rename schema back",
+      "o_totalprice" in wrap(bridge.snapshotRead(jspark, base)).columns)
+v_opt2 = bridge.snapshotOptimizeCluster(jspark, base, "o_orderkey",
+                                        "o_totalprice", 4, 2)
+before_rows = wrap(bridge.snapshotRead(jspark, base)).count()
+in_band = wrap(bridge.snapshotRead(jspark, base)) \
+    .where("o_totalprice between 1.00 and 80000.00").count()
+dl = bridge.snapshotDeleteRange(jspark, base, "o_orderkey", "o_totalprice",
+                                "1.00", "80000.00", 4)
+check("snapshotDeleteRange publishes and skips disjoint files",
+      dl[0] == v_opt2 + 1 and dl[2] > 0, str(list(dl)))
+check("snapshotDeleteRange removes exactly the band",
+      wrap(bridge.snapshotRead(jspark, base)).count() == before_rows - in_band)
+
 # --- profileApprox: one-pass HLL profile ------------------------------
 pa = wrap(bridge.profileApprox(orders._jdf))
 check("profileApprox rows == profiled columns",

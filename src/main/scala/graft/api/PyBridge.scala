@@ -170,4 +170,27 @@ object PyBridge {
     * exact [[profile]] stays the verification twin). */
   def profileApprox(df: DataFrame): DataFrame =
     Transforms.profileApprox(df, Transforms.profileSpec(df))
+
+  /** [[SnapshotTable.restore]]: publish latest+1 carrying an earlier
+    * version's manifest verbatim — the metadata-only undo. */
+  def snapshotRestore(spark: SparkSession, base: String, toVersion: Int): Int =
+    SnapshotTable.restore(spark, base, toVersion)
+
+  /** [[SnapshotTable.renameColumn]]: metadata-only RENAME COLUMN via
+    * the manifest's physical→logical name mapping. */
+  def snapshotRenameColumn(spark: SparkSession, base: String,
+                           from: String, to: String): Int =
+    SnapshotTable.renameColumn(spark, base, from, to)
+
+  /** [[SnapshotTable.deleteRange]]: copy-on-write DELETE WHERE
+    * `statsCol BETWEEN lo AND hi` with manifest-stats file skipping.
+    * Bounds are decimal strings (see [[snapshotReadRange]]). Returns
+    * [newVersion, filesRewritten, filesSkipped] for py4j. */
+  def snapshotDeleteRange(spark: SparkSession, base: String, keyCol: String,
+                          statsCol: String, lo: String, hi: String,
+                          numBuckets: Int): Array[Int] = {
+    val (v, rw, sk) = SnapshotTable.deleteRange(spark, base, keyCol, statsCol,
+      new java.math.BigDecimal(lo), new java.math.BigDecimal(hi), numBuckets)
+    Array(v, rw, sk)
+  }
 }

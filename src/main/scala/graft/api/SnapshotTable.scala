@@ -449,22 +449,76 @@ object SnapshotTable {
     * contain none, so every reader is backward compatible. */
   private val SchemaHeader = "#schema\t"
 
-  /** One manifest read, fully parsed: (data-file lines, declared
-    * schema if evolution pinned one). Every operation below derives
+  /** Header prefix for the COLUMN NAME MAPPING (round 17, RENAME
+    * COLUMN): `#colmap\tphys=logical,phys2=logical2`. Data files
+    * ALWAYS store their original PHYSICAL column names — a rename is
+    * a pure metadata commit that adds/updates a physical→logical pair
+    * — and every read renames physical→logical at the plan boundary,
+    * the iceberg column-mapping posture (theirs rides field ids; a
+    * stable physical name is the dependency-free equivalent for a
+    * parquet-only table). Pre-r17 manifests carry no mapping, so
+    * logical == physical everywhere and every reader is unchanged. */
+  private val ColMapHeader = "#colmap\t"
+
+  /** Parsed manifest metadata: raw data-file lines, the declared
+    * (evolved) schema in PHYSICAL column names, and the
+    * physical→logical rename mapping (empty = identity). */
+  private[graft] final case class ManifestMeta(
+      fileLines: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      colMap: Seq[(String, String)])
+
+  /** One manifest read, fully parsed. Every operation below derives
     * what it needs from ONE of these instead of re-reading the
     * manifest per derived view (review r17: `asOf` was paying two
     * GET+parse+completeness passes, `addColumn` four — on object
     * storage or a legacy trailer-less manifest each pass is real
     * latency, and the manifest is immutable per (base, version), so
     * a single read is trivially consistent). */
-  private def parsedManifest(spark: SparkSession, base: String, version: Int)
-      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+  private def parsedManifestAll(spark: SparkSession, base: String,
+      version: Int): ManifestMeta = {
     val all = manifestLines(spark, base, version)
     val schema = all.find(_.startsWith(SchemaHeader))
       .map(l => org.apache.spark.sql.types.StructType.fromDDL(
         l.stripPrefix(SchemaHeader)))
-    (all.filterNot(_.startsWith("#")), schema)
+    val cm = all.find(_.startsWith(ColMapHeader)).toSeq
+      .flatMap(_.stripPrefix(ColMapHeader).split(',').toSeq)
+      .filter(_.nonEmpty)
+      .map { p =>
+        val i = p.indexOf('=')
+        (p.substring(0, i), p.substring(i + 1))
+      }
+    ManifestMeta(all.filterNot(_.startsWith("#")), schema, cm)
   }
+
+  private def parsedManifest(spark: SparkSession, base: String, version: Int)
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+    val m = parsedManifestAll(spark, base, version)
+    (m.fileLines, m.schema)
+  }
+
+  /** The metadata header lines a commit must carry forward: the
+    * declared schema (if any) and the rename mapping (if any). Every
+    * commit path routes through this so no maintenance operation can
+    * silently drop an evolution. */
+  private def headersOf(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      colMap: Seq[(String, String)]): Seq[String] =
+    schemaHeaderOf(schema) ++ (
+      if (colMap.isEmpty) Nil
+      else Seq(ColMapHeader + colMap.map { case (p, l) => s"$p=$l" }
+        .mkString(",")))
+
+  /** Rename physical columns to their logical names (identity when
+    * the mapping is empty — the pre-rename fast path). */
+  private def applyRenames(df: DataFrame,
+      colMap: Seq[(String, String)]): DataFrame =
+    colMap.foldLeft(df) { case (d, (p, l)) => d.withColumnRenamed(p, l) }
+
+  /** Logical→physical name translation for caller-supplied column
+    * references (key columns, stats columns, change-set schemas). */
+  private def toPhysical(name: String, colMap: Seq[(String, String)]): String =
+    colMap.find(_._2 == name).map(_._1).getOrElse(name)
 
   /** Data-file lines of a manifest (metadata headers stripped). */
   private def fileLines(spark: SparkSession, base: String, version: Int): Seq[String] =
@@ -513,8 +567,8 @@ object SnapshotTable {
     * Under a declared (evolved) schema the read is schema-first (see
     * [[readFiles]]). */
   def asOf(spark: SparkSession, base: String, version: Int): DataFrame = {
-    val (lines, schema) = parsedManifest(spark, base, version)
-    readFiles(spark, lines.map(pathOf), schema)
+    val m = parsedManifestAll(spark, base, version)
+    applyRenames(readFiles(spark, m.fileLines.map(pathOf), m.schema), m.colMap)
   }
 
   /** ADD COLUMN (schema evolution, round 17 — VERDICT r16 ask 4):
@@ -533,17 +587,85 @@ object SnapshotTable {
                 protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
-    val (lines, declared) = parsedManifest(spark, base, v)
-    val cur = declared
-      .getOrElse(spark.read.parquet(lines.map(pathOf): _*).schema)
-    require(!cur.fieldNames.contains(colName),
-      s"column $colName already exists on $base")
+    val m = parsedManifestAll(spark, base, v)
+    val cur = m.schema
+      .getOrElse(spark.read.parquet(m.fileLines.map(pathOf): _*).schema)
+    // collision checks against BOTH name spaces: the logical names a
+    // user sees, and the physical names still present in old data
+    // files (adding `a` after `a`→`b` was renamed would make new
+    // files' physical `a` collide with old files' physical `a` of a
+    // different logical column)
+    val logicalNames = cur.fieldNames.map(p =>
+      m.colMap.find(_._1 == p).map(_._2).getOrElse(p))
+    require(!logicalNames.contains(colName) &&
+            !cur.fieldNames.contains(colName),
+      s"column $colName already exists on $base (as a logical or " +
+      "physical name)")
     val widened = org.apache.spark.sql.types.StructType(
       cur.fields :+ org.apache.spark.sql.types.StructField(
         colName, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
         nullable = true))
     commit(spark, base, v + 1,
-      s"$SchemaHeader${widened.toDDL}" +: lines, protocol)
+      headersOf(Some(widened), m.colMap) ++ m.fileLines, protocol)
+    v + 1
+  }
+
+  /** RENAME COLUMN (schema evolution, round 17): publish v+1 whose
+    * manifest maps the column's stable PHYSICAL name to a new LOGICAL
+    * name — a pure metadata commit over the SAME data files, the
+    * iceberg rename contract (no engine rewrites data for a rename;
+    * engines without a mapping layer corrupt old files' reads
+    * instead). Reads rename physical→logical at the plan boundary;
+    * writes ([[mergeInto]]/[[compact]]/[[optimizeCluster]]) keep
+    * writing the PHYSICAL name, so the table's files stay uniformly
+    * physical forever and time travel returns each version's own
+    * names. `from` is the CURRENT logical name; `to` must collide
+    * with no logical or physical name (see [[addColumn]]'s dual
+    * check). Rename-back (`to` == the physical name) simply drops the
+    * mapping entry. */
+  def renameColumn(spark: SparkSession, base: String, from: String,
+                   to: String,
+                   protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
+    require(!to.contains(',') && !to.contains('=') && !to.contains('\t') &&
+            !to.contains('\n') && to.nonEmpty,
+      s"invalid column name '$to'")
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    val m = parsedManifestAll(spark, base, v)
+    val phys = m.schema.map(_.fieldNames.toSeq)
+      .getOrElse(readFiles(spark, m.fileLines.map(pathOf), None)
+        .schema.fieldNames.toSeq)
+    val logical = phys.map(p => m.colMap.find(_._1 == p).map(_._2).getOrElse(p))
+    require(logical.contains(from), s"no column $from on $base")
+    val physName = toPhysical(from, m.colMap)
+    // `to` may equal THIS column's own physical name (rename-back,
+    // which drops the mapping) but no other logical or physical name
+    require(to == physName || (!logical.contains(to) && !phys.contains(to)),
+      s"column $to already exists on $base (as a logical or physical name)")
+    val newMap = m.colMap.filterNot(_._1 == physName) ++
+      (if (to == physName) Nil else Seq((physName, to)))
+    commit(spark, base, v + 1,
+      headersOf(m.schema, newMap) ++ m.fileLines, protocol)
+    v + 1
+  }
+
+  /** RESTORE to an earlier version (Delta `RESTORE TABLE … VERSION AS
+    * OF`): publish latest+1 carrying `toVersion`'s manifest VERBATIM —
+    * file lines, stats, schema and rename headers — a pure metadata
+    * commit, O(manifest). History is preserved: the intermediate
+    * versions remain time-travelable, and the restored files become
+    * live again, so a later [[vacuum]] keeps them (its live set is
+    * the union of SURVIVING manifests — restore re-references the old
+    * files in the newest manifest, which every retention window
+    * keeps). */
+  def restore(spark: SparkSession, base: String, toVersion: Int,
+              protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    require(toVersion >= 0 && toVersion <= v,
+      s"cannot restore $base to version $toVersion (latest is $v)")
+    commit(spark, base, v + 1,
+      manifestLines(spark, base, toVersion), protocol)
     v + 1
   }
 
@@ -561,10 +683,15 @@ object SnapshotTable {
     * the exact semantic delta. */
   def diff(spark: SparkSession, base: String, vFrom: Int, vTo: Int,
            keyCol: String): DataFrame = {
-    val (fromLines, fromSchema) = parsedManifest(spark, base, vFrom)
-    val (toLines, toSchema) = parsedManifest(spark, base, vTo)
-    val from = fromLines.toSet
-    val to = toLines.toSet
+    val fromMeta = parsedManifestAll(spark, base, vFrom)
+    val toMeta = parsedManifestAll(spark, base, vTo)
+    val (fromSchema, toSchema) = (fromMeta.schema, toMeta.schema)
+    val from = fromMeta.fileLines.toSet
+    val to = toMeta.fileLines.toSet
+    // both sides surface the LATER version's logical names (the same
+    // read-with-current-schema convention as the width alignment
+    // below), so a CDC consumer straddling a RENAME sees one name
+    val laterMap = (if (vTo >= vFrom) toMeta else fromMeta).colMap
     if (from.isEmpty && to.isEmpty) {
       // Both versions reference zero files (e.g. diff of an emptied
       // table against itself): the delta is definitionally empty —
@@ -579,10 +706,13 @@ object SnapshotTable {
       import org.apache.spark.sql.types._
       val declared = (if (vTo >= vFrom) toSchema.orElse(fromSchema)
                       else fromSchema.orElse(toSchema))
-      val keyType = declared.flatMap(_.fields.find(_.name == keyCol))
+      val physKey = toPhysical(keyCol, laterMap)
+      val keyType = declared.flatMap(_.fields.find(_.name == physKey))
         .map(_.dataType).getOrElse(StringType)
       val payloadStruct = declared
-        .map(st => StructType(st.fields.filter(_.name != keyCol)))
+        .map(st => StructType(st.fields.filter(_.name != physKey).map(f =>
+          f.copy(name = laterMap.find(_._1 == f.name).map(_._2)
+            .getOrElse(f.name)))))
         .getOrElse(StructType(Nil))
       val s = StructType(Seq(
         StructField(keyCol, keyType), StructField("change", StringType),
@@ -607,11 +737,15 @@ object SnapshotTable {
     }
     def readSide(lines: Set[String]): DataFrame = {
       val paths = lines.map(_.split('\t')(1)).toSeq
-      if (paths.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(paths: _*)
+      val raw =
+        if (paths.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(paths: _*)
+      applyRenames(raw, laterMap)
     }
-    val payload = schema.fieldNames.filter(_ != keyCol).toSeq
+    val payload = schema.fieldNames
+      .map(p => laterMap.find(_._1 == p).map(_._2).getOrElse(p))
+      .filter(_ != keyCol).toSeq
     val old = readSide(from -- to)
       .select(col(keyCol).as("_ko"), struct(payload.map(col): _*).as("_old"))
     val neu = readSide(to -- from)
@@ -816,13 +950,19 @@ object SnapshotTable {
     * rewrite of a giant bucket would swap in sketch-based range
     * binning (ntileBySketch) — exact ranks keep the graded layout
     * deterministic. */
-  def optimizeCluster(spark: SparkSession, base: String, keyCol: String,
-                      clusterCol: String, numBuckets: Int, subFiles: Int,
+  def optimizeCluster(spark: SparkSession, base: String, keyCol0: String,
+                      clusterCol0: String, numBuckets: Int, subFiles: Int,
                       protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
     require(subFiles >= 1, s"subFiles must be >= 1, got $subFiles")
-    val (lines0, schema0) = parsedManifest(spark, base, v)
+    val meta = parsedManifestAll(spark, base, v)
+    val (lines0, schema0) = (meta.fileLines, meta.schema)
+    // the rewrite runs in PHYSICAL names end to end (read, window,
+    // write, footer stats), so manifest stats stay physical like the
+    // files they describe
+    val keyCol = toPhysical(keyCol0, meta.colMap)
+    val clusterCol = toPhysical(clusterCol0, meta.colMap)
     val rows = readFiles(spark, lines0.map(pathOf), schema0)
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val dataDir = s"$base/data/$commitId"
@@ -868,8 +1008,9 @@ object SnapshotTable {
               }
           }
       }
-    // a declared (evolved) schema rides every later commit forward
-    commit(spark, base, v + 1, schemaHeaderOf(schema0) ++ lines, protocol)
+    // declared (evolved) schema + rename map ride every commit forward
+    commit(spark, base, v + 1, headersOf(schema0, meta.colMap) ++ lines,
+      protocol)
     v + 1
   }
 
@@ -908,8 +1049,9 @@ object SnapshotTable {
   def prunedFiles(spark: SparkSession, base: String, version: Int,
                   statsCol: String, lo: java.math.BigDecimal,
                   hi: java.math.BigDecimal): (Seq[String], Int) = {
-    val es = fileEntries(spark, base, version)
-    (pruneEntries(es, statsCol, lo, hi), es.size)
+    val m = parsedManifestAll(spark, base, version)
+    val es = m.fileLines.map(parseEntry)
+    (pruneEntries(es, toPhysical(statsCol, m.colMap), lo, hi), es.size)
   }
 
   private def pruneEntries(es: Seq[FileEntry], statsCol: String,
@@ -930,12 +1072,15 @@ object SnapshotTable {
     // one manifest read; the kept subset reads SCHEMA-FIRST like asOf
     // (review r17: a plain read over a post-evolution mix of old and
     // backfilled files would adopt one sample footer's schema and
-    // silently drop or null the evolved column)
-    val (lines, schema) = parsedManifest(spark, base, version)
-    val kept = pruneEntries(lines.map(parseEntry), statsCol, lo, hi)
-    val df =
-      if (kept.nonEmpty || schema.isDefined) readFiles(spark, kept, schema)
-      else readFiles(spark, lines.map(pathOf), None).limit(0)
+    // silently drop or null the evolved column). `statsCol` is the
+    // LOGICAL name; manifest stats are keyed by the physical one.
+    val m = parsedManifestAll(spark, base, version)
+    val phys = toPhysical(statsCol, m.colMap)
+    val kept = pruneEntries(m.fileLines.map(parseEntry), phys, lo, hi)
+    val df = applyRenames(
+      if (kept.nonEmpty || m.schema.isDefined) readFiles(spark, kept, m.schema)
+      else readFiles(spark, m.fileLines.map(pathOf), None).limit(0),
+      m.colMap)
     df.where(col(statsCol).between(lit(lo), lit(hi)))
   }
 
@@ -1020,10 +1165,11 @@ object SnapshotTable {
               protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
-    val (lines0, schema0) = parsedManifest(spark, base, v)
-    val rows = readFiles(spark, lines0.map(pathOf), schema0)
-    commit(spark, base, v + 1, schemaHeaderOf(schema0) ++
-      writeDataFiles(spark, base, rows, keyCol, numBuckets), protocol)
+    val m = parsedManifestAll(spark, base, v)
+    val rows = readFiles(spark, m.fileLines.map(pathOf), m.schema)
+    commit(spark, base, v + 1, headersOf(m.schema, m.colMap) ++
+      writeDataFiles(spark, base, rows, toPhysical(keyCol, m.colMap),
+        numBuckets), protocol)
     v + 1
   }
 
@@ -1037,15 +1183,24 @@ object SnapshotTable {
     * Copy-on-write: only buckets containing at least one change key
     * are read and rewritten; all other files are referenced
     * unchanged in the new manifest. Returns the new version. */
-  def mergeInto(spark: SparkSession, base: String, changes: DataFrame,
-                keyCol: String, numBuckets: Int,
+  def mergeInto(spark: SparkSession, base: String, changes0: DataFrame,
+                keyCol0: String, numBuckets: Int,
                 protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
+    val meta = parsedManifestAll(spark, base, v)
+    // the change set arrives in LOGICAL names (what asOf returns);
+    // translate to the stable PHYSICAL names once, here, so the whole
+    // merge — including the files it writes — stays physical and a
+    // renamed table's files never fork into two name dialects
+    val changes = meta.colMap.foldLeft(changes0) {
+      case (d, (p, l)) => d.withColumnRenamed(l, p)
+    }
+    val keyCol = toPhysical(keyCol0, meta.colMap)
     val dup = changes.groupBy(col(keyCol)).count().where(col("count") > 1).limit(1).count()
-    require(dup == 0, s"changes must have one row per $keyCol")
+    require(dup == 0, s"changes must have one row per $keyCol0")
 
-    val (lines, declared) = parsedManifest(spark, base, v)
+    val (lines, declared) = (meta.fileLines, meta.schema)
     // an evolved table's MERGE must carry every declared column —
     // merged rows are built from the CHANGE SET's columns, so a
     // change set missing an evolved column would silently null it
@@ -1095,7 +1250,54 @@ object SnapshotTable {
         // an empty merged bucket writes nothing; deletes that empty a
         // bucket thus drop its file from the manifest, as they must
     commit(spark, base, v + 1,
-      schemaHeaderOf(declared) ++ newLines, protocol)
+      headersOf(declared, meta.colMap) ++ newLines, protocol)
     v + 1
+  }
+
+  /** DELETE WHERE `statsCol ∈ [lo, hi]` — copy-on-write row deletion
+    * with MANIFEST-STATS file skipping (round 17; Delta's `DELETE
+    * FROM … WHERE` file-pruning behavior): a file whose manifest
+    * [min,max] for `statsCol` is DISJOINT from the band cannot hold a
+    * matching row, so it is carried into the new manifest BY
+    * REFERENCE — never opened, never rewritten (stats-less files are
+    * always rewritten: correctness over pruning). Candidate files are
+    * read in ONE scan, matching rows dropped (null `statsCol` rows
+    * are kept — SQL DELETE's three-valued WHERE), and survivors
+    * rewritten bucket-parallel under the same key addressing, so a
+    * later [[mergeInto]] works unchanged. Rewritten files lose their
+    * manifest stats (a re-OPTIMIZE re-establishes them); skipped
+    * files keep theirs verbatim. On a clustered table the rewrite
+    * cost is ~(band width / value range) of the data — the reason
+    * Delta runs OPTIMIZE before bulk deletes. `keyCol`/`statsCol` are
+    * LOGICAL names. Returns (new version, files rewritten, files
+    * skipped); a band no file can match publishes nothing and returns
+    * (current version, 0, total). */
+  def deleteRange(spark: SparkSession, base: String, keyCol: String,
+                  statsCol: String, lo: java.math.BigDecimal,
+                  hi: java.math.BigDecimal, numBuckets: Int,
+                  protocol: CommitProtocol = CommitProtocol.LinkRename)
+      : (Int, Int, Int) = {
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    require(lo.compareTo(hi) <= 0, s"empty band [$lo, $hi]")
+    val m = parsedManifestAll(spark, base, v)
+    val physKey = toPhysical(keyCol, m.colMap)
+    val physStats = toPhysical(statsCol, m.colMap)
+    val (candidates, skipped) = m.fileLines.partition { l =>
+      val e = parseEntry(l)
+      !e.statsCol.contains(physStats) ||
+        (e.max.get.compareTo(lo) >= 0 && e.min.get.compareTo(hi) <= 0)
+    }
+    if (candidates.isEmpty) return (v, 0, skipped.size)
+    val rows = readFiles(spark, candidates.map(pathOf), m.schema)
+    // three-valued WHERE: a null statsCol makes the predicate UNKNOWN,
+    // and DELETE removes only rows where it is TRUE — nulls survive
+    val survivors = rows.where(
+      !coalesce(col(physStats).between(lit(lo), lit(hi)), lit(false)))
+    val newLines = skipped ++
+      writeDataFiles(spark, base, survivors, physKey, numBuckets)
+    commit(spark, base, v + 1,
+      headersOf(m.schema, m.colMap) ++ newLines, protocol)
+    (v + 1, candidates.size, skipped.size)
   }
 }

@@ -2031,6 +2031,135 @@ object EtlOps {
         col("min_price"), col("max_price"))
   }
 
+  /** #293 — RESTORE TABLE … VERSION AS OF on the snapshot table
+    * (round 17; Delta's RESTORE — the bad-deploy undo every lakehouse
+    * operator reaches for: [[graft.api.SnapshotTable.restore]]
+    * publishes latest+1 carrying the target version's manifest
+    * VERBATIM, a pure metadata commit): v2 = restore(v0) on the
+    * merged orders table. The op PROVES the posture inline: the new
+    * version's file list is IDENTICAL to v0's (no data moved), and
+    * history is intact — v1 still time-travels to the merged state.
+    * Graded output = one row per version (0, 1, 2) with the content
+    * aggregate; v2's row must equal v0's exactly, v1's must still
+    * show the merge. Scale: O(manifest) — a 100 TB table restores in
+    * milliseconds, and the restored files are live again so retention
+    * GC keeps them ([[graft.api.SnapshotTable.vacuum]]'s live set is
+    * the union of surviving manifests). */
+  def etlSnapshotRestore(spark: SparkSession, sf: String): DataFrame = {
+    val base = buildSnapshotOrders(spark, sf)
+    val v2 = graft.api.SnapshotTable.restore(spark, base, 0)
+    require(v2 == 2, s"restore must publish latest+1, got $v2")
+    require(graft.api.SnapshotTable.liveFiles(spark, base, v2) ==
+            graft.api.SnapshotTable.liveFiles(spark, base, 0),
+      "RESTORE must be metadata-only (the target's file list, verbatim)")
+    def snap(v: Int): DataFrame =
+      graft.api.SnapshotTable.asOf(spark, base, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_price")).cast("double").as("total_price"),
+          sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L))
+            .as("n_updated"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_price"),
+          col("n_updated"))
+    snap(0).unionAll(snap(1)).unionAll(snap(2)).orderBy(col("version"))
+  }
+
+  /** #294 — RENAME COLUMN schema evolution on the snapshot table
+    * (round 17; the other half of #292's evolution contract and the
+    * half that separates real lakehouse formats from naive ones —
+    * without a name-mapping layer a rename either rewrites 100 TB or
+    * corrupts old files' reads; iceberg solves it with field ids,
+    * [[graft.api.SnapshotTable.renameColumn]] with a stable PHYSICAL
+    * name + a manifest `#colmap` physical→logical mapping): v2 =
+    * rename o_price→o_amount — a pure metadata commit (file-list
+    * identity proven inline) — then a MERGE ACROSS the rename
+    * boundary written in LOGICAL names (v3). Inline proofs: time
+    * travel returns each version's OWN names (v1 reads o_price, v2
+    * reads o_amount); post-rename writes still store the PHYSICAL
+    * name (read a v3-new file raw and find o_price), so the table's
+    * files never fork into two name dialects. Graded output = one row
+    * per version with the version-local column name pinned into the
+    * hash plus the content aggregate (v3 = +50 on the k%13 cohort).
+    * Scale: rename is O(manifest); every read pays one
+    * `withColumnRenamed` (plan-time alias, zero data cost). */
+  def etlSnapshotRenameColumn(spark: SparkSession, sf: String): DataFrame = {
+    val base = buildSnapshotOrders(spark, sf)
+    val v2 = graft.api.SnapshotTable.renameColumn(spark, base,
+      "o_price", "o_amount")
+    require(graft.api.SnapshotTable.liveFiles(spark, base, v2) ==
+            graft.api.SnapshotTable.liveFiles(spark, base, 1),
+      "RENAME COLUMN must be a metadata-only commit (identical file list)")
+    require(graft.api.SnapshotTable.asOf(spark, base, 1)
+      .columns.contains("o_price"),
+      "time travel to v1 must return the pre-rename name")
+    val v2cols = graft.api.SnapshotTable.asOf(spark, base, v2).columns
+    require(v2cols.contains("o_amount") && !v2cols.contains("o_price"),
+      "v2 must read under the new logical name")
+    val changes = graft.api.SnapshotTable.asOf(spark, base, v2)
+      .where(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        (col("o_amount") + lit(50)).cast(DEC2).as("o_amount"))
+    val v3 = graft.api.SnapshotTable.mergeInto(spark, base, changes,
+      "o_orderkey", numBuckets = 16)
+    val newFiles = (graft.api.SnapshotTable.liveFiles(spark, base, v3).toSet --
+      graft.api.SnapshotTable.liveFiles(spark, base, v2).toSet).toSeq
+    require(newFiles.nonEmpty &&
+      spark.read.parquet(newFiles: _*).columns.contains("o_price"),
+      "post-rename writes must keep the stable physical column name")
+    def snap(v: Int): DataFrame = {
+      val df = graft.api.SnapshotTable.asOf(spark, base, v)
+      val c = if (df.columns.contains("o_amount")) "o_amount" else "o_price"
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col(c)).cast("double").as("total_amount"))
+        .select(lit(v).as("version"), lit(c).as("col_name"),
+          col("n_rows"), col("total_amount"))
+    }
+    snap(1).unionAll(snap(v2)).unionAll(snap(v3)).orderBy(col("version"))
+  }
+
+  /** #295 — DELETE WHERE with manifest-stats file skipping on the
+    * snapshot table (round 17; Delta's `DELETE FROM … WHERE` pruning
+    * posture — the GDPR/bad-batch bulk delete that must NOT rewrite
+    * 100 TB: [[graft.api.SnapshotTable.deleteRange]] carries every
+    * file whose manifest [min,max] is band-disjoint into the new
+    * manifest BY REFERENCE — never opened — and rewrites only the
+    * candidates, in one scan, under the same bucket addressing):
+    * v2 = OPTIMIZE CLUSTER BY price (so the manifest carries stats),
+    * v3 = delete the [60k, 120k] price band. Inline proofs: some
+    * files were skipped AND some rewritten; every band-disjoint v2
+    * file appears VERBATIM (same path) in v3's manifest. Graded
+    * output = the surviving content aggregate with the in-band
+    * survivor count (0) pinned into the hash; oracle = the same
+    * NOT-BETWEEN off orders. Scale: rewrite cost is ~(band width /
+    * value range) of the table on a clustered layout — the reason
+    * Delta docs say OPTIMIZE before bulk deletes. */
+  def etlSnapshotDeleteWhere(spark: SparkSession, sf: String): DataFrame = {
+    val base = buildSnapshotOrders(spark, sf)
+    val v2 = graft.api.SnapshotTable.optimizeCluster(
+      spark, base, "o_orderkey", "o_price", numBuckets = 4, subFiles = 4)
+    val lo = new java.math.BigDecimal("60000.00")
+    val hi = new java.math.BigDecimal("120000.00")
+    val before = graft.api.SnapshotTable.fileEntries(spark, base, v2)
+    val (v3, rewritten, skipped) = graft.api.SnapshotTable.deleteRange(
+      spark, base, "o_orderkey", "o_price", lo, hi, numBuckets = 4)
+    require(v3 == v2 + 1 && rewritten > 0 && skipped > 0,
+      s"stats must split the file list: rewritten=$rewritten skipped=$skipped")
+    val after = graft.api.SnapshotTable.fileEntries(spark, base, v3)
+      .map(_.path).toSet
+    before.filter(e => e.min.isDefined &&
+        (e.max.get.compareTo(lo) < 0 || e.min.get.compareTo(hi) > 0))
+      .foreach(e => require(after.contains(e.path),
+        s"band-disjoint file ${e.path} must be carried by reference"))
+    graft.api.SnapshotTable.asOf(spark, base, v3)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_price")).cast("double").as("total_price"),
+        min(col("o_price")).cast("double").as("min_price"),
+        max(col("o_price")).cast("double").as("max_price"),
+        count(when(col("o_price").between(lit(lo), lit(hi)), lit(1)))
+          .as("n_in_band"))
+      .select(col("n_rows"), col("total_price"), col("min_price"),
+        col("max_price"), col("n_in_band"))
+  }
+
   /** #288 — data-quality rule suggestion (round 16; the
     * deequ/Great-Expectations "profile → suggest constraints" step
     * that seeds #132's rule engine: instead of a human writing the DQ
@@ -2245,6 +2374,9 @@ object EtlOps {
     "ts_seasonal_strength"   -> (tsSeasonalStrength _),
     "etl_snapshot_stats_pruned" -> (etlSnapshotStatsPruned _),
     "etl_snapshot_add_column" -> (etlSnapshotAddColumn _),
+    "etl_snapshot_restore"   -> (etlSnapshotRestore _),
+    "etl_snapshot_rename_column" -> (etlSnapshotRenameColumn _),
+    "etl_snapshot_delete_where" -> (etlSnapshotDeleteWhere _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -4471,6 +4603,81 @@ object EtlOps {
         |  CAST(max(price) AS DOUBLE) AS max_price
         |FROM v1
         |WHERE price BETWEEN 50000.00 AND 150000.00""".stripMargin,
+    "etl_snapshot_restore" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3)
+        |SELECT 0 AS version, count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM v0
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(price) AS DOUBLE),
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(price) AS DOUBLE),
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM v0
+        |ORDER BY version""".stripMargin,
+    "etl_snapshot_rename_column" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |v3 AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 13 = 0 THEN CAST(price + 50 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v1)
+        |SELECT CAST(1 AS INT) AS version, 'o_price' AS col_name,
+        |  count(*) AS n_rows, CAST(sum(price) AS DOUBLE) AS total_amount
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, 'o_amount', count(*), CAST(sum(price) AS DOUBLE) FROM v1
+        |UNION ALL
+        |SELECT 3, 'o_amount', count(*), CAST(sum(price) AS DOUBLE) FROM v3
+        |ORDER BY version""".stripMargin,
+    "etl_snapshot_delete_where" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |v3 AS (SELECT * FROM v1
+        |       WHERE price NOT BETWEEN 60000.00 AND 120000.00)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(min(price) AS DOUBLE) AS min_price,
+        |  CAST(max(price) AS DOUBLE) AS max_price,
+        |  count(CASE WHEN price BETWEEN 60000.00 AND 120000.00
+        |        THEN 1 END) AS n_in_band
+        |FROM v3""".stripMargin,
     "etl_snapshot_compact" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -208,4 +208,178 @@ class Round17OpsSpec extends SparkSpec {
     assert(n == graft.api.SnapshotTable.asOf(spark, base, v3).count(),
       "full-range asOfRange must see every row incl. stats-less files")
   }
+
+  test("restore (#293): metadata-only undo, history intact, restored files survive vacuum, merge-on-top works") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_restore").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    val total0 = o.count()
+    // v1: delete a cohort via merge
+    val dels = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("decimal(18,2)").as("o_price"))
+    SnapshotTable.mergeInto(spark, base, dels, "o_orderkey", numBuckets = 4)
+    assert(SnapshotTable.asOf(spark, base, 1).count() < total0)
+    val v2 = SnapshotTable.restore(spark, base, 0)
+    assert(v2 == 2)
+    assert(SnapshotTable.liveFiles(spark, base, 2) ==
+           SnapshotTable.liveFiles(spark, base, 0),
+      "restore must carry the target manifest verbatim")
+    assert(SnapshotTable.asOf(spark, base, 2).count() == total0)
+    // history intact: v1 still shows the deletion
+    assert(SnapshotTable.asOf(spark, base, 1).count() < total0)
+    // the restored files are LIVE again: a retention window that
+    // drops v0 itself must not collect files v2 re-references
+    val (dropped, deleted) = SnapshotTable.vacuum(spark, base, keepVersions = 2)
+    assert(dropped == 1, s"expected to drop v0 only, dropped $dropped")
+    assert(SnapshotTable.asOf(spark, base, 2).count() == total0,
+      s"vacuum deleted $deleted files still referenced by the restored head")
+    // a merge on top of the restored head works unchanged
+    val oneKey = o.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(1).collect()(0).getLong(0)
+    val v3 = SnapshotTable.mergeInto(spark, base,
+      o.where(col("o_orderkey") === oneKey)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          (col("o_price") + lit(1)).cast("decimal(18,2)").as("o_price")),
+      "o_orderkey", numBuckets = 4)
+    assert(SnapshotTable.asOf(spark, base, v3).count() == total0)
+    // restoring to a dropped version fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, base, 99)
+    }
+  }
+
+  test("rename column (#294): logical surface everywhere — CDC, range reads, stats, rename-back, collisions") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_rename").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    val v1 = SnapshotTable.renameColumn(spark, base, "o_price", "o_amount")
+    // CDC across the rename: a content change made AFTER the rename
+    // reports under the LATER version's logical names
+    val oneKey = o.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(1).collect()(0).getLong(0)
+    val v2 = SnapshotTable.mergeInto(spark, base,
+      o.where(col("o_orderkey") === oneKey)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          (col("o_price") + lit(7)).cast("decimal(18,2)").as("o_amount")),
+      "o_orderkey", numBuckets = 4)
+    val d = SnapshotTable.diff(spark, base, 0, v2, "o_orderkey")
+    assert(d.count() == 1 &&
+      d.select(col("after.o_amount")).collect()(0).get(0) != null,
+      "diff straddling a rename must surface the logical name")
+    // OPTIMIZE + manifest-stats range read, both addressed logically
+    val v3 = SnapshotTable.optimizeCluster(spark, base, "o_orderkey",
+      "o_amount", numBuckets = 4, subFiles = 3)
+    val lo = new java.math.BigDecimal("50000.00")
+    val hi = new java.math.BigDecimal("150000.00")
+    val (kept, totalFiles) = SnapshotTable.prunedFiles(
+      spark, base, v3, "o_amount", lo, hi)
+    assert(kept.size < totalFiles, "stats pruning must work post-rename")
+    val viaRange = SnapshotTable.asOfRange(spark, base, v3, "o_amount", lo, hi)
+    assert(viaRange.columns.contains("o_amount"))
+    assert(viaRange.count() ==
+      SnapshotTable.asOf(spark, base, v3)
+        .where(col("o_amount").between(lit(lo), lit(hi))).count())
+    // collisions: the old physical name is reserved in BOTH name spaces
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addColumn(spark, base, "o_price", "STRING")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, base, "o_orderkey", "o_price")
+    }
+    // rename-back to the physical name drops the mapping entirely
+    val v4 = SnapshotTable.renameColumn(spark, base, "o_amount", "o_price")
+    assert(SnapshotTable.asOf(spark, base, v4).columns.toSeq ==
+      Seq("o_orderkey", "o_price"))
+    // and the add that previously collided now succeeds
+    val v5 = SnapshotTable.addColumn(spark, base, "o_amount", "STRING")
+    assert(SnapshotTable.asOf(spark, base, v5).columns.toSeq ==
+      Seq("o_orderkey", "o_price", "o_amount"))
+  }
+
+  test("rename + add column (#292×#294): evolution and mapping compose in both orders") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_rename_add").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    SnapshotTable.addColumn(spark, base, "o_tag", "STRING")
+    val v2 = SnapshotTable.renameColumn(spark, base, "o_tag", "o_label")
+    assert(SnapshotTable.asOf(spark, base, v2).columns.toSeq ==
+      Seq("o_orderkey", "o_price", "o_label"))
+    // merge carrying the renamed evolved column: the declared-columns
+    // guard speaks logical names too (changes carry o_label)
+    val cohort = o.where(col("o_orderkey") % 3 === 0)
+    val v3 = SnapshotTable.mergeInto(spark, base,
+      cohort.select(col("o_orderkey"), lit("U").as("op"), col("o_price"),
+        lit("x").as("o_label")),
+      "o_orderkey", numBuckets = 4)
+    val head = SnapshotTable.asOf(spark, base, v3)
+    assert(head.where(col("o_label") === "x").count() == cohort.count())
+    // the physically-written column name is the PHYSICAL o_tag
+    val newFiles = (SnapshotTable.liveFiles(spark, base, v3).toSet --
+      SnapshotTable.liveFiles(spark, base, v2).toSet).toSeq
+    assert(spark.read.parquet(newFiles: _*).columns.contains("o_tag"))
+    // a merge omitting the renamed evolved column fails fast, naming
+    // the PHYSICAL column (the declared schema's name space)
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, base,
+        o.limit(2).select(col("o_orderkey"), lit("U").as("op"), col("o_price")),
+        "o_orderkey", numBuckets = 4)
+    }
+    assert(err.getMessage.contains("o_tag"), err.getMessage)
+  }
+
+  test("delete where (#295): null rows survive, stats-less tables rewrite everything, no-match bands publish nothing") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_delete").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"),
+        // null out a cohort's price: DELETE's three-valued WHERE must
+        // keep them (predicate UNKNOWN, not TRUE)
+        when(col("o_orderkey") % 17 === 0, lit(null))
+          .otherwise(Tables.money(col("o_totalprice")))
+          .cast("decimal(18,2)").as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    val nulls = o.where(col("o_price").isNull).count()
+    assert(nulls > 0)
+    val lo = new java.math.BigDecimal("0.00")
+    val hi = new java.math.BigDecimal("100000.00")
+    // stats-less table: every file is a candidate (skipped == 0),
+    // correctness unchanged
+    val (v1, rewritten, skipped) = SnapshotTable.deleteRange(
+      spark, base, "o_orderkey", "o_price", lo, hi, numBuckets = 4)
+    assert(v1 == 1 && skipped == 0 && rewritten > 0)
+    val head = SnapshotTable.asOf(spark, base, v1)
+    assert(head.where(col("o_price").isNull).count() == nulls,
+      "null-predicate rows must survive a DELETE WHERE")
+    assert(head.where(col("o_price").between(lit(lo), lit(hi))).count() == 0)
+    assert(head.count() ==
+      o.where(col("o_price").isNull ||
+        !col("o_price").between(lit(lo), lit(hi))).count())
+    // merge on top of the delete works (bucket addressing preserved)
+    val k = head.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .limit(1).collect()(0).getLong(0)
+    val v2 = SnapshotTable.mergeInto(spark, base,
+      head.where(col("o_orderkey") === k)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          lit(new java.math.BigDecimal("123456.00")).as("o_price")),
+      "o_orderkey", numBuckets = 4)
+    assert(SnapshotTable.asOf(spark, base, v2).count() == head.count())
+    // a band no live row can match: after OPTIMIZE the manifest stats
+    // prove it, so NOTHING is published and the version stands
+    val v3 = SnapshotTable.optimizeCluster(spark, base, "o_orderkey",
+      "o_price", numBuckets = 4, subFiles = 2)
+    val (v4, rw2, sk2) = SnapshotTable.deleteRange(
+      spark, base, "o_orderkey", "o_price",
+      new java.math.BigDecimal("-500.00"), new java.math.BigDecimal("-1.00"),
+      numBuckets = 4)
+    assert(v4 == v3 && rw2 == 0 && sk2 > 0,
+      s"no-match delete must be a no-op: v=$v4 rw=$rw2 sk=$sk2")
+    assert(SnapshotTable.latestVersion(spark, base) == v3)
+  }
 }

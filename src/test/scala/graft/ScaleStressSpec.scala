@@ -1760,4 +1760,70 @@ class ScaleStressSpec extends SparkSpec {
         s"#292 replay mismatch at $dir: ${rows.toSeq}")
     }
   }
+
+  test("round-17 cohort (#293-#295): snapshot restore/rename/delete hold at 1x AND 10x") {
+    // Same replay-equality form as the #291/#292 pin (key shifts move
+    // the modulo cohorts per replica, so exact ×10 pins don't apply):
+    // each op's graded rows must equal a direct Spark computation of
+    // the same version logic on that corpus, and the ops' inline
+    // requires (file-list identity, physical-name stability, skip/
+    // rewrite split, verbatim carry) must hold on a 1.5M-row table.
+    gated()
+    ensureScaled()
+    def tbl(dir: String): (DataFrame, DataFrame) = {
+      val o = Tables.orders(spark, dir).select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        Tables.money(col("o_totalprice")).as("price"))
+      val v0 = o.where(col("k") % 5 =!= 0)
+      val v1 = v0.where(col("k") % 7 =!= 2)
+        .select(col("k"),
+          when(col("k") % 7 === 1, lit("X")).otherwise(col("st")).as("st"),
+          when(col("k") % 7 === 1, (col("price") + lit(100)).cast("decimal(18,2)"))
+            .otherwise(col("price")).as("price"))
+        .unionAll(o.where(col("k") % 5 === 0 && col("k") % 7 === 3)
+          .select(col("k"), col("st"), col("price")))
+      (v0, v1)
+    }
+    Seq(dir1x, dir10x).foreach { dir =>
+      val (v0, v1) = tbl(dir)
+      def aggOf(df: DataFrame): (Long, Double, Long) = {
+        val r = df.agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("t"),
+          sum(when(col("st") === "X", 1L).otherwise(0L)).as("u")).collect()(0)
+        (r.getAs[Long]("n"), r.getAs[Double]("t"), r.getAs[Long]("u"))
+      }
+      val (n0, t0, u0) = aggOf(v0)
+      val (n1, t1, u1) = aggOf(v1)
+      // #293: version rows (0, 1, 2) with v2 == v0's content exactly
+      val rr = EtlOps.etlSnapshotRestore(spark, dir).collect()
+        .map(x => (x.getAs[Int]("version"), x.getAs[Long]("n_rows"),
+          x.getAs[Double]("total_price"), x.getAs[Long]("n_updated"))).toSeq
+      assert(rr == Seq((0, n0, t0, u0), (1, n1, t1, u1), (2, n0, t0, u0)),
+        s"#293 replay mismatch at $dir: $rr")
+      // #294: rename is content-invariant; the post-rename merge adds
+      // exactly +50 per %13-cohort row
+      val t3 = v1.agg(sum(when(col("k") % 13 === 0,
+          (col("price") + lit(50)).cast("decimal(18,2)"))
+          .otherwise(col("price"))).cast("double")).collect()(0).getDouble(0)
+      val rn = EtlOps.etlSnapshotRenameColumn(spark, dir).collect()
+        .map(x => (x.getAs[Int]("version"), x.getAs[String]("col_name"),
+          x.getAs[Long]("n_rows"), x.getAs[Double]("total_amount"))).toSeq
+      assert(rn == Seq((1, "o_price", n1, t1), (2, "o_amount", n1, t1),
+        (3, "o_amount", n1, t3)),
+        s"#294 replay mismatch at $dir: $rn")
+      // #295: survivors == the NOT-BETWEEN replay, zero in-band rows
+      val sv = v1.where(!col("price").between(lit(60000.00), lit(120000.00)))
+      val e = sv.agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("t"),
+        min(col("price")).cast("double").as("mn"),
+        max(col("price")).cast("double").as("mx")).collect()(0)
+      val dl = EtlOps.etlSnapshotDeleteWhere(spark, dir).collect()(0)
+      assert(dl.getAs[Long]("n_rows") == e.getAs[Long]("n") &&
+        dl.getAs[Double]("total_price") == e.getAs[Double]("t") &&
+        dl.getAs[Double]("min_price") == e.getAs[Double]("mn") &&
+        dl.getAs[Double]("max_price") == e.getAs[Double]("mx") &&
+        dl.getAs[Long]("n_in_band") == 0L,
+        s"#295 replay mismatch at $dir: $dl vs $e")
+    }
+  }
 }

@@ -562,6 +562,30 @@ object SnapshotTable {
   def liveFiles(spark: SparkSession, base: String, version: Int): Seq[String] =
     fileLines(spark, base, version).map(pathOf)
 
+  /** The table's bucket-addressing expression, public so callers can
+    * compute which buckets a key set touches (iceberg exposes its
+    * bucket transform for the same reason — point-lookup and
+    * guard-read planning belong to the CLIENT of the table too). */
+  def bucketExpr(keyCol: String, numBuckets: Int): org.apache.spark.sql.Column =
+    bucketOf(keyCol, numBuckets)
+
+  /** Manifest-pruned read of SPECIFIC BUCKETS of a committed version:
+    * only files whose manifest bucket id is in `buckets` are scanned —
+    * the point-lookup / guard-read path (a streaming upsert sink
+    * checking "is this batch's event newer than the stored row?" reads
+    * the batch's touched buckets, never the table). Schema-first and
+    * rename-mapped like [[asOf]]. */
+  def asOfBuckets(spark: SparkSession, base: String, version: Int,
+                  buckets: Set[Int]): DataFrame = {
+    val m = parsedManifestAll(spark, base, version)
+    val kept = m.fileLines.map(parseEntry)
+      .filter(e => buckets.contains(e.bucket)).map(_.path)
+    val df =
+      if (kept.nonEmpty || m.schema.isDefined) readFiles(spark, kept, m.schema)
+      else readFiles(spark, m.fileLines.map(pathOf), None).limit(0)
+    applyRenames(df, m.colMap)
+  }
+
   /** Snapshot read of a committed version: the file list is resolved
     * here, once — later commits cannot change what this plan reads.
     * Under a declared (evolved) schema the read is schema-first (see

@@ -216,6 +216,95 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** One micro-batch of the streaming→lakehouse upsert sink (#296) —
+    * shared VERBATIM by the graded chunked replay and the true
+    * `foreachBatch` streaming query in StreamingSpec, so the two
+    * surfaces cannot drift. Semantics: the batch's last event per
+    * user (exact (ts, event_id) order) upserts into the snapshot
+    * table; the delete event type writes a TOMBSTONE row (soft
+    * delete), never a physical delete, so the stored (ts, event_id)
+    * watermark survives and a LATE-arriving older event can never
+    * resurrect a deleted key — the sink is order-insensitive across
+    * micro-batches (the ADVICE-r16 CDC lesson applied at the sink).
+    * The newer-than guard reads ONLY the batch's touched buckets
+    * ([[graft.api.SnapshotTable.asOfBuckets]] prunes from the
+    * manifest), so per-batch cost is O(changed buckets) for both the
+    * guard read and the MERGE rewrite — at 100 TB the table never
+    * gets scanned per batch. An all-stale batch publishes nothing. */
+  def snapshotSinkApply(spark: SparkSession, base: String,
+                        batch: DataFrame, numBuckets: Int): Unit = {
+    import graft.api.SnapshotTable
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val last = batch
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        money(col("value")).as("last_value"), col("ts").as("last_ts"),
+        col("event_id").as("last_id"),
+        (col("event_type") === "error").as("deleted"))
+    val v = SnapshotTable.latestVersion(spark, base)
+    if (v < 0) {
+      if (!last.isEmpty)
+        SnapshotTable.create(spark, base, last, "user_id", numBuckets)
+    } else {
+      val touched = last
+        .select(SnapshotTable.bucketExpr("user_id", numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val cur = SnapshotTable.asOfBuckets(spark, base, v, touched)
+        .select(col("user_id"), col("last_ts").as("_cts"),
+          col("last_id").as("_cid"))
+      val fresh = last.join(cur, Seq("user_id"), "left")
+        .where(col("_cts").isNull || col("last_ts") > col("_cts") ||
+          (col("last_ts") === col("_cts") && col("last_id") > col("_cid")))
+        .drop("_cts", "_cid")
+      if (!fresh.isEmpty) {
+        SnapshotTable.mergeInto(spark, base,
+          fresh.withColumn("op", lit("U")), "user_id", numBuckets)
+        ()
+      }
+    }
+  }
+
+  /** #296 — streaming upsert sink into the snapshot table (round 17;
+    * the streaming→lakehouse bridge every production pipeline runs —
+    * Delta's `foreachBatch` + MERGE pattern: the event stream
+    * maintains a last-state-per-user TABLE, not a memory view, so
+    * consumers get time travel, CDC diff and snapshot isolation over
+    * the stream's result): the graded form replays the event log in
+    * four chronological time slices through [[snapshotSinkApply]] —
+    * the exact function the true `foreachBatch` query runs per
+    * micro-batch (StreamingSpec proves the streaming form equal under
+    * OUT-OF-ORDER residue-class delivery, the #287 shuffled-replay
+    * bar). Graded output = the final table's live view (tombstones
+    * filtered); oracle = last state per user off events. Scale: state
+    * lives in the TABLE (bounded by live keys); per batch the sink
+    * pays the guard read + MERGE of touched buckets only. */
+  def streamSnapshotSink(spark: SparkSession, sf: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val base = s"$tmp/graft_streamsink_$run"
+    graft.Tables.registerScratch(base)
+    val ev = events(spark, sf).select(col("user_id"), col("event_type"),
+      col("value"), col("ts"), col("event_id"))
+    val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).collect()(0)
+    val lo = mm.getLong(0)
+    val width = math.max(1L, (mm.getLong(1) - lo) / 4 + 1)
+    (0 until 4).foreach { i =>
+      snapshotSinkApply(spark, base,
+        ev.where(unix_micros(col("ts")) >= lo + i * width &&
+                 unix_micros(col("ts")) < lo + (i + 1) * width),
+        numBuckets = 8)
+    }
+    val vFinal = graft.api.SnapshotTable.latestVersion(spark, base)
+    require(vFinal >= 1, s"sink must commit one version per non-stale batch, got $vFinal")
+    graft.api.SnapshotTable.asOf(spark, base, vFinal)
+      .where(!col("deleted"))
+      .select(col("user_id"), col("last_type"),
+        col("last_value").cast("double").as("last_value"), col("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "stream_tumbling_window" -> (streamTumblingWindow _),
     "stream_sliding_window"  -> (streamSlidingWindow _),
@@ -227,9 +316,21 @@ object StreamOps {
     "stream_topk_windowed"   -> (streamTopkWindowed _),
     "stream_static_enrich"   -> (streamStaticEnrich _),
     "stream_cdc_upsert"      -> (streamCdcUpsert _),
+    "stream_snapshot_sink"   -> (streamSnapshotSink _),
   )
 
   val oracle: Map[String, String] = ListMap(
+    "stream_snapshot_sink" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+        |  CAST(ts AS TIMESTAMP) AS last_ts
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "stream_cdc_upsert" ->
       """WITH r AS (
         |  SELECT user_id, event_type, value, ts, event_id,

@@ -1826,4 +1826,36 @@ class ScaleStressSpec extends SparkSpec {
         s"#295 replay mismatch at $dir: $dl vs $e")
     }
   }
+
+  test("round-17 cohort (#296): the snapshot sink's table equals the last-state replay at 1x AND 10x") {
+    // The scaled events corpus shifts user ids per replica (each
+    // user's history is replica-local), so the sink's live view at
+    // 10× is EXACTLY 10 replicas of the 1× view: replay equality at
+    // each scale plus the exact ×10 row pin. Each invocation drives
+    // 4 chronological foreachBatch merges over a 1.5M/15M-event log —
+    // the guard-read + bucket-rewrite cost path at real volume.
+    gated()
+    ensureScaled()
+    def lastState(dir: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          Tables.money(col("value")).cast("double").as("last_value"),
+          col("ts").as("last_ts"))
+    }
+    val counts = Seq(dir1x, dir10x).map { dir =>
+      val got = StreamOps.streamSnapshotSink(spark, dir)
+      val exp = lastState(dir)
+      assert(got.exceptAll(exp).count() == 0 &&
+             exp.exceptAll(got).count() == 0,
+        s"#296 replay mismatch at $dir")
+      got.count()
+    }
+    assert(counts(1) == 10 * counts(0),
+      s"#296 live view must replicate exactly: ${counts(1)} vs 10x${counts(0)}")
+  }
 }

@@ -1049,6 +1049,70 @@ class StreamingSpec extends SparkSpec {
         s"stream-batch diff: ${(streamed diff batch) ++ (batch diff streamed)}")
     } finally q.stop()
   }
+
+  test("snapshot sink (#296): OUT-OF-ORDER foreachBatch upserts equal the batch fixpoint, with tombstone proof") {
+    // round 17: the streaming→lakehouse bridge. The TRUE streaming
+    // form — DataStreamWriter.foreachBatch running the SAME
+    // snapshotSinkApply the graded replay uses — is driven with
+    // event_id-residue chunks (every later micro-batch carries events
+    // OLDER than ones already processed), so the (ts, event_id)
+    // newer-than guard and the tombstone soft-delete must together
+    // make the final TABLE equal the batch last-state fixpoint. A
+    // memory-view proof would be weaker: this asserts the actual
+    // committed parquet table, versions and all.
+    val s = spark.newSession()
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val all = Tables.events(s, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow].collect().toSeq
+    val chunks = (0 until 3).map(r => all.filter(_.event_id % 3 == r))
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[EventRow]
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, _) => graft.ops.StreamOps.snapshotSinkApply(s, base, b.toDF(), 8)
+    val q = in.toDS().toDF().writeStream.foreachBatch(fn).start()
+    try {
+      chunks.foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val vFinal = graft.api.SnapshotTable.latestVersion(s, base)
+    assert(vFinal >= 1, "the sink must have committed merge versions")
+    val table = graft.api.SnapshotTable.asOf(s, base, vFinal)
+    val streamed = table.where(!col("deleted")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("last_type"),
+        r.getAs[java.math.BigDecimal]("last_value").doubleValue(),
+        r.getAs[java.sql.Timestamp]("last_ts"))).toSet
+    val batch = graft.ops.StreamOps.streamSnapshotSink(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("last_type"), r.getAs[Double]("last_value"),
+        r.getAs[java.sql.Timestamp]("last_ts"))).toSet
+    assert(streamed == batch && batch.nonEmpty,
+      s"stream-batch diff: ${(streamed diff batch).take(3)} / " +
+      s"${(batch diff streamed).take(3)}")
+    // tombstone proof: users whose GLOBAL last event is the delete
+    // type are present in the table as deleted=true rows (their
+    // watermark survives), absent from the live view
+    val deletedUsers = all.groupBy(_.user_id)
+      .filter { case (_, es) =>
+        es.maxBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          .event_type == "error" }.keySet
+    if (deletedUsers.nonEmpty) {
+      val stored = table.where(col("deleted")).collect()
+        .map(_.getAs[Long]("user_id")).toSet
+      assert(deletedUsers.subsetOf(stored),
+        s"missing tombstones for ${(deletedUsers diff stored).take(3)}")
+      assert(streamed.map(_._1).intersect(deletedUsers).isEmpty)
+    }
+    // effective exactly-once: a RETRIED micro-batch (foreachBatch's
+    // at-least-once delivery contract) re-applies rows the guard sees
+    // as stale — nothing is published, the version number stands
+    graft.ops.StreamOps.snapshotSinkApply(s, base,
+      all.toDS().toDF(), 8)
+    assert(graft.api.SnapshotTable.latestVersion(s, base) == vFinal,
+      "re-delivered batches must be no-ops (idempotent sink)")
+  }
 }
 
 /** Props-bearing event row for the #262 streaming replay (EventRow

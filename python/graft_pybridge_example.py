@@ -176,6 +176,22 @@ check("snapshotDeleteRange publishes and skips disjoint files",
       dl[0] == v_opt2 + 1 and dl[2] > 0, str(list(dl)))
 check("snapshotDeleteRange removes exactly the band",
       wrap(bridge.snapshotRead(jspark, base)).count() == before_rows - in_band)
+v_head = bridge.snapshotLatestVersion(jspark, base)
+follower = wrap(bridge.snapshotApplyDiff(
+    bridge.snapshotAsOf(jspark, base, v_head - 1),
+    bridge.snapshotDiff(jspark, base, v_head - 1, v_head, "o_orderkey"),
+    "o_orderkey"))
+head_df = wrap(bridge.snapshotAsOf(jspark, base, v_head))
+check("snapshotApplyDiff folds the delta to the head",
+      follower.exceptAll(head_df).count() == 0 and
+      head_df.exceptAll(follower).count() == 0)
+probe = head_df.select("o_orderkey").limit(3)
+bks = bridge.snapshotBucketsOf(probe._jdf, "o_orderkey", 4)
+looked = wrap(bridge.snapshotReadBuckets(jspark, base, v_head, bks))
+probe_keys = [r["o_orderkey"] for r in probe.collect()]
+check("snapshotReadBuckets serves the probed keys",
+      looked.where(looked.o_orderkey.isin(probe_keys)).count() == len(probe_keys),
+      str(list(bks)))
 
 # --- profileApprox: one-pass HLL profile ------------------------------
 pa = wrap(bridge.profileApprox(orders._jdf))

@@ -193,4 +193,25 @@ object PyBridge {
       new java.math.BigDecimal(lo), new java.math.BigDecimal(hi), numBuckets)
     Array(v, rw, sk)
   }
+
+  /** [[SnapshotTable.applyDiff]]: fold one CDC delta (from
+    * [[snapshotDiff]]) into a materialized state — the follower side
+    * of the change feed. */
+  def snapshotApplyDiff(state: DataFrame, delta: DataFrame,
+                        keyCol: String): DataFrame =
+    SnapshotTable.applyDiff(state, delta, keyCol)
+
+  /** [[SnapshotTable.asOfBuckets]]: manifest-pruned read of specific
+    * buckets — the point-lookup path. Bucket ids come from
+    * [[snapshotBucketsOf]] over the probe keys. */
+  def snapshotReadBuckets(spark: SparkSession, base: String, version: Int,
+                          buckets: Array[Int]): DataFrame =
+    SnapshotTable.asOfBuckets(spark, base, version, buckets.toSet)
+
+  /** The table's bucket ids for a frame of probe keys (column
+    * `keyCol`), computed with the table's own addressing. */
+  def snapshotBucketsOf(keys: DataFrame, keyCol: String,
+                        numBuckets: Int): Array[Int] =
+    keys.select(SnapshotTable.bucketExpr(keyCol, numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0))
 }

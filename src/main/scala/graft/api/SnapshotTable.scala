@@ -784,6 +784,25 @@ object SnapshotTable {
         col("_old").as("before"), col("_new").as("after"))
   }
 
+  /** Apply one [[diff]] delta to a materialized state: the CDC
+    * CONSUMER side of the contract — a follower that starts from any
+    * materialized version and folds each committed delta must arrive
+    * at exactly the head (proven as operator #298). 'removed' and
+    * 'changed' keys leave the state, 'added' and 'changed' rows enter
+    * with their after-image. Cost is O(state + delta); the anti-join
+    * broadcasts the delta's key set when it is small (AQE decides —
+    * no forced hint, a backfill-sized delta must be allowed to
+    * shuffle) and the follower never re-reads the source table. */
+  def applyDiff(state: DataFrame, delta: DataFrame,
+                keyCol: String): DataFrame = {
+    val gone = delta.where(col("change").isin("removed", "changed"))
+      .select(col(keyCol))
+    val entered = delta.where(col("change").isin("added", "changed"))
+      .select(col(keyCol), col("after.*"))
+    state.join(gone, Seq(keyCol), "left_anti")
+      .unionByName(entered)
+  }
+
   /** Retention GC: drop every version older than the newest
     * `keepVersions`, then delete every data file referenced by NO
     * surviving manifest (which also collects crashed writers'

@@ -382,4 +382,75 @@ class Round17OpsSpec extends SparkSpec {
       s"no-match delete must be a no-op: v=$v4 rw=$rw2 sk=$sk2")
     assert(SnapshotTable.latestVersion(spark, base) == v3)
   }
+
+  test("point lookup (#297): absent keys read empty through the same pruned path") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_lookup").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 8)
+    // keys that are certainly absent: above the max live key
+    val maxKey = o.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val ghosts = Seq(maxKey + 1, maxKey + 7, maxKey + 13)
+    val buckets = spark.createDataFrame(ghosts.map(Tuple1(_))).toDF("k")
+      .select(SnapshotTable.bucketExpr("k", 8).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val hit = SnapshotTable.asOfBuckets(spark, base, 0, buckets)
+      .where(col("o_orderkey").isin(ghosts: _*))
+    assert(hit.count() == 0, "ghost keys must read empty")
+    // and a real key read through its bucket equals the full-scan row
+    val k0 = o.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    val b0 = spark.createDataFrame(Seq(Tuple1(k0))).toDF("k")
+      .select(SnapshotTable.bucketExpr("k", 8).as("b"))
+      .collect()(0).getInt(0)
+    val viaBucket = SnapshotTable.asOfBuckets(spark, base, 0, Set(b0))
+      .where(col("o_orderkey") === k0).collect()
+    val viaScan = SnapshotTable.asOf(spark, base, 0)
+      .where(col("o_orderkey") === k0).collect()
+    assert(viaBucket.toSeq == viaScan.toSeq && viaScan.nonEmpty)
+  }
+
+  test("CDC follower (#298): deltas compose forwards AND rewind backwards across the whole history") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_follow").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 4)
+    // three commits: update, delete, insert-back
+    SnapshotTable.mergeInto(spark, base,
+      o.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          (col("o_price") + lit(5)).cast("decimal(18,2)").as("o_price")),
+      "o_orderkey", numBuckets = 4)
+    SnapshotTable.mergeInto(spark, base,
+      o.where(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), lit("D").as("op"),
+          lit(null).cast("decimal(18,2)").as("o_price")),
+      "o_orderkey", numBuckets = 4)
+    val vHead = SnapshotTable.mergeInto(spark, base,
+      o.where(col("o_orderkey") % 4 === 1 && col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          (col("o_price") * lit(2)).cast("decimal(18,2)").as("o_price")),
+      "o_orderkey", numBuckets = 4)
+    assert(vHead == 3)
+    // forwards: v0 + all deltas == head
+    val fwd = (1 to vHead).foldLeft(SnapshotTable.asOf(spark, base, 0)) {
+      (st, v) => SnapshotTable.applyDiff(st,
+        SnapshotTable.diff(spark, base, v - 1, v, "o_orderkey"), "o_orderkey")
+    }
+    val head = SnapshotTable.asOf(spark, base, vHead)
+    assert(fwd.exceptAll(head).isEmpty && head.exceptAll(fwd).isEmpty)
+    // backwards: head + reversed deltas == v0 (diff is directional,
+    // so a follower can REWIND through the same API)
+    val back = (vHead to 1 by -1).foldLeft(head) {
+      (st, v) => SnapshotTable.applyDiff(st,
+        SnapshotTable.diff(spark, base, v, v - 1, "o_orderkey"), "o_orderkey")
+    }
+    val v0 = SnapshotTable.asOf(spark, base, 0)
+    assert(back.exceptAll(v0).isEmpty && v0.exceptAll(back).isEmpty)
+    // an empty delta is the identity fold
+    val same = SnapshotTable.applyDiff(head,
+      SnapshotTable.diff(spark, base, vHead, vHead, "o_orderkey"), "o_orderkey")
+    assert(same.exceptAll(head).isEmpty && head.exceptAll(same).isEmpty)
+  }
 }

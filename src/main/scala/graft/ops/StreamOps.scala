@@ -253,15 +253,20 @@ object StreamOps {
       val cur = SnapshotTable.asOfBuckets(spark, base, v, touched)
         .select(col("user_id"), col("last_ts").as("_cts"),
           col("last_id").as("_cid"))
+      // the survivor set is batch-key-bounded (small); cache it so
+      // the emptiness probe and the MERGE share one guard-join pass
       val fresh = last.join(cur, Seq("user_id"), "left")
         .where(col("_cts").isNull || col("last_ts") > col("_cts") ||
           (col("last_ts") === col("_cts") && col("last_id") > col("_cid")))
         .drop("_cts", "_cid")
-      if (!fresh.isEmpty) {
-        SnapshotTable.mergeInto(spark, base,
-          fresh.withColumn("op", lit("U")), "user_id", numBuckets)
-        ()
-      }
+        .persist()
+      try {
+        if (!fresh.isEmpty) {
+          SnapshotTable.mergeInto(spark, base,
+            fresh.withColumn("op", lit("U")), "user_id", numBuckets)
+          ()
+        }
+      } finally { fresh.unpersist(); () }
     }
   }
 

@@ -186,7 +186,8 @@ check("snapshotApplyDiff folds the delta to the head",
       follower.exceptAll(head_df).count() == 0 and
       head_df.exceptAll(follower).count() == 0)
 probe = head_df.select("o_orderkey").limit(3)
-bks = bridge.snapshotBucketsOf(probe._jdf, "o_orderkey", 4)
+bks = bridge.snapshotBucketsOf(jspark, base, v_head, probe._jdf,
+                               "o_orderkey", 4)
 looked = wrap(bridge.snapshotReadBuckets(jspark, base, v_head, bks))
 probe_keys = [r["o_orderkey"] for r in probe.collect()]
 check("snapshotReadBuckets serves the probed keys",

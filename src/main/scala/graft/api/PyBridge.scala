@@ -209,9 +209,12 @@ object PyBridge {
     SnapshotTable.asOfBuckets(spark, base, version, buckets.toSet)
 
   /** The table's bucket ids for a frame of probe keys (column
-    * `keyCol`), computed with the table's own addressing. */
-  def snapshotBucketsOf(keys: DataFrame, keyCol: String,
+    * `keyCol`), computed with the table's own addressing AND the
+    * table's key type (the bucket hash is type-sensitive — an int32
+    * probe against a bigint key would silently miss). */
+  def snapshotBucketsOf(spark: SparkSession, base: String, version: Int,
+                        keys: DataFrame, keyCol: String,
                         numBuckets: Int): Array[Int] =
-    keys.select(SnapshotTable.bucketExpr(keyCol, numBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0))
+    SnapshotTable.probeBuckets(spark, base, version, keys, keyCol,
+      numBuckets).toArray
 }

@@ -193,7 +193,10 @@ object SnapshotTable {
     * partition count or row order. Must be the same expression for
     * create and merge — it is the co-location contract. */
   private def bucketOf(keyCol: String, numBuckets: Int) =
-    pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int")
+    bucketOf0(col(keyCol), numBuckets)
+
+  private def bucketOf0(key: org.apache.spark.sql.Column, numBuckets: Int) =
+    pmod(xxhash64(key), lit(numBuckets)).cast("int")
 
   private def fs(spark: SparkSession, base: String): FileSystem =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -520,6 +523,25 @@ object SnapshotTable {
   private def toPhysical(name: String, colMap: Seq[(String, String)]): String =
     colMap.find(_._2 == name).map(_._1).getOrElse(name)
 
+  /** Physical→logical — the mirror of [[toPhysical]], shared by every
+    * site that surfaces stored names to the user (schema listings,
+    * CDC payload names) so the two directions cannot drift. */
+  private def toLogical(name: String, colMap: Seq[(String, String)]): String =
+    colMap.find(_._1 == name).map(_._2).getOrElse(name)
+
+  /** Column names that can survive the manifest header encodings:
+    * the `#colmap` pair list splits on ',' and '=', manifest lines on
+    * tabs/newlines. Enforced at EVERY point a name can enter the
+    * metadata (create-time schemas are parquet-validated; addColumn
+    * and renameColumn are the evolution doors) — a name that slipped
+    * through would serialize a header the parser cannot re-read,
+    * permanently bricking the table (review r17). */
+  private def requireHeaderSafe(name: String): Unit =
+    require(name.nonEmpty && !name.contains(',') && !name.contains('=') &&
+            !name.contains('\t') && !name.contains('\n'),
+      s"invalid column name '$name': must be nonempty and contain " +
+      "none of ',', '=', tab, newline (manifest header encoding)")
+
   /** Data-file lines of a manifest (metadata headers stripped). */
   private def fileLines(spark: SparkSession, base: String, version: Int): Seq[String] =
     parsedManifest(spark, base, version)._1
@@ -582,8 +604,33 @@ object SnapshotTable {
       .filter(e => buckets.contains(e.bucket)).map(_.path)
     val df =
       if (kept.nonEmpty || m.schema.isDefined) readFiles(spark, kept, m.schema)
-      else readFiles(spark, m.fileLines.map(pathOf), None).limit(0)
+      // empty-result schema from ONE file's footer, not a full-table
+      // listing — a lookup MISS must stay bucket-priced (review r17)
+      else readFiles(spark, m.fileLines.headOption.map(pathOf).toSeq, None)
+        .limit(0)
     applyRenames(df, m.colMap)
+  }
+
+  /** The distinct bucket ids a frame of probe keys touches, computed
+    * with the TABLE's own addressing and the table's own KEY TYPE:
+    * the probe column is cast to the stored column's type first,
+    * because the bucket hash is type-sensitive (an int32 probe
+    * against a bigint-keyed table would hash to different buckets
+    * and read back every existing key as absent — review r17).
+    * `keyCol` is the LOGICAL name. Driver-side result by design:
+    * bucket sets are metadata-scale and feed [[asOfBuckets]]. */
+  def probeBuckets(spark: SparkSession, base: String, version: Int,
+                   keys: DataFrame, keyCol: String,
+                   numBuckets: Int): Set[Int] = {
+    val m = parsedManifestAll(spark, base, version)
+    val phys = toPhysical(keyCol, m.colMap)
+    val schema = m.schema.getOrElse(
+      readFiles(spark, m.fileLines.headOption.map(pathOf).toSeq, None).schema)
+    val keyType = schema.fields.find(_.name == phys).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $keyCol on $base"))
+    keys.select(bucketOf0(col(keyCol).cast(keyType), numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
   }
 
   /** Snapshot read of a committed version: the file list is resolved
@@ -619,8 +666,8 @@ object SnapshotTable {
     // files (adding `a` after `a`→`b` was renamed would make new
     // files' physical `a` collide with old files' physical `a` of a
     // different logical column)
-    val logicalNames = cur.fieldNames.map(p =>
-      m.colMap.find(_._1 == p).map(_._2).getOrElse(p))
+    requireHeaderSafe(colName)
+    val logicalNames = cur.fieldNames.map(p => toLogical(p, m.colMap))
     require(!logicalNames.contains(colName) &&
             !cur.fieldNames.contains(colName),
       s"column $colName already exists on $base (as a logical or " +
@@ -650,18 +697,20 @@ object SnapshotTable {
   def renameColumn(spark: SparkSession, base: String, from: String,
                    to: String,
                    protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
-    require(!to.contains(',') && !to.contains('=') && !to.contains('\t') &&
-            !to.contains('\n') && to.nonEmpty,
-      s"invalid column name '$to'")
+    requireHeaderSafe(to)
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
     val m = parsedManifestAll(spark, base, v)
     val phys = m.schema.map(_.fieldNames.toSeq)
       .getOrElse(readFiles(spark, m.fileLines.map(pathOf), None)
         .schema.fieldNames.toSeq)
-    val logical = phys.map(p => m.colMap.find(_._1 == p).map(_._2).getOrElse(p))
+    val logical = phys.map(p => toLogical(p, m.colMap))
     require(logical.contains(from), s"no column $from on $base")
     val physName = toPhysical(from, m.colMap)
+    // the PHYSICAL side of the pair is serialized too — a create-time
+    // name the header encoding cannot carry must be refused here, not
+    // written and discovered at the next unreadable parse
+    requireHeaderSafe(physName)
     // `to` may equal THIS column's own physical name (rename-back,
     // which drops the mapping) but no other logical or physical name
     require(to == physName || (!logical.contains(to) && !phys.contains(to)),
@@ -735,8 +784,7 @@ object SnapshotTable {
         .map(_.dataType).getOrElse(StringType)
       val payloadStruct = declared
         .map(st => StructType(st.fields.filter(_.name != physKey).map(f =>
-          f.copy(name = laterMap.find(_._1 == f.name).map(_._2)
-            .getOrElse(f.name)))))
+          f.copy(name = toLogical(f.name, laterMap)))))
         .getOrElse(StructType(Nil))
       val s = StructType(Seq(
         StructField(keyCol, keyType), StructField("change", StringType),
@@ -768,7 +816,7 @@ object SnapshotTable {
       applyRenames(raw, laterMap)
     }
     val payload = schema.fieldNames
-      .map(p => laterMap.find(_._1 == p).map(_._2).getOrElse(p))
+      .map(p => toLogical(p, laterMap))
       .filter(_ != keyCol).toSeq
     val old = readSide(from -- to)
       .select(col(keyCol).as("_ko"), struct(payload.map(col): _*).as("_old"))
@@ -1122,7 +1170,9 @@ object SnapshotTable {
     val kept = pruneEntries(m.fileLines.map(parseEntry), phys, lo, hi)
     val df = applyRenames(
       if (kept.nonEmpty || m.schema.isDefined) readFiles(spark, kept, m.schema)
-      else readFiles(spark, m.fileLines.map(pathOf), None).limit(0),
+      // miss-path schema from ONE footer, not a full-table listing
+      else readFiles(spark, m.fileLines.headOption.map(pathOf).toSeq, None)
+        .limit(0),
       m.colMap)
     df.where(col(statsCol).between(lit(lo), lit(hi)))
   }

@@ -2182,10 +2182,10 @@ object EtlOps {
     val keys = SnapshotTable.asOf(spark, base, v)
       .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(5)
       .collect().map(_.getLong(0)).toSeq
-    val keyDf = spark.createDataFrame(keys.map(Tuple1(_))).toDF("k")
-    val buckets = keyDf
-      .select(SnapshotTable.bucketExpr("k", 16).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val keyDf = spark.createDataFrame(keys.map(Tuple1(_)))
+      .toDF("o_orderkey")
+    val buckets = SnapshotTable.probeBuckets(spark, base, v, keyDf,
+      "o_orderkey", 16)
     val allBuckets = SnapshotTable.fileEntries(spark, base, v)
       .map(_.bucket).toSet
     require(buckets.subsetOf(allBuckets) && buckets.size < allBuckets.size,

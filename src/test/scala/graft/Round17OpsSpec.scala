@@ -383,6 +383,34 @@ class Round17OpsSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(spark, base) == v3)
   }
 
+  test("review r17b: header-unsafe column names are refused at the evolution doors; probes cast to the table's key type") {
+    import graft.api.SnapshotTable
+    val base = java.nio.file.Files.createTempDirectory("graft_safety").toString
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, base, o, "o_orderkey", numBuckets = 8)
+    // a ',' or '=' in an evolved name would serialize a #colmap/#schema
+    // header the parser cannot re-read — refuse at the door
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addColumn(spark, base, "a,b", "STRING")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, base, "o_price", "a=b")
+    }
+    // probeBuckets casts the probe to the TABLE's key type: an int32
+    // probe frame against this bigint-keyed table must land in the
+    // same buckets as the stored rows (xxhash64 is type-sensitive)
+    val k0 = o.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    val intProbe = spark.createDataFrame(Seq(Tuple1(k0.toInt)))
+      .toDF("o_orderkey") // IntegerType on purpose
+    val bks = SnapshotTable.probeBuckets(spark, base, 0, intProbe,
+      "o_orderkey", 8)
+    val hit = SnapshotTable.asOfBuckets(spark, base, 0, bks)
+      .where(col("o_orderkey") === k0)
+    assert(hit.count() == 1,
+      s"int32 probe must resolve to the stored key's bucket (got $bks)")
+  }
+
   test("point lookup (#297): absent keys read empty through the same pruned path") {
     import graft.api.SnapshotTable
     val base = java.nio.file.Files.createTempDirectory("graft_lookup").toString

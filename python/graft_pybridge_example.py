@@ -193,6 +193,13 @@ probe_keys = [r["o_orderkey"] for r in probe.collect()]
 check("snapshotReadBuckets serves the probed keys",
       looked.where(looked.o_orderkey.isin(probe_keys)).count() == len(probe_keys),
       str(list(bks)))
+branch = base + "_branch"
+bv = bridge.snapshotCloneShallow(jspark, base, branch, v_head)
+head_n = head_df.count()
+check("snapshotCloneShallow is a zero-copy v0",
+      bv == 0 and wrap(bridge.snapshotAsOf(jspark, branch, 0)).count() == head_n)
+check("branch writes never advance the source",
+      bridge.snapshotLatestVersion(jspark, base) == v_head)
 
 # --- profileApprox: one-pass HLL profile ------------------------------
 pa = wrap(bridge.profileApprox(orders._jdf))

@@ -208,6 +208,14 @@ object PyBridge {
                           buckets: Array[Int]): DataFrame =
     SnapshotTable.asOfBuckets(spark, base, version, buckets.toSet)
 
+  /** [[SnapshotTable.cloneShallow]]: zero-copy table branching —
+    * `dstBase`'s v0 references the source version's files verbatim;
+    * branch writes land in the clone's own data directory. Source
+    * retention must cover live clones (see the Scala doc). */
+  def snapshotCloneShallow(spark: SparkSession, srcBase: String,
+                           dstBase: String, version: Int): Int =
+    SnapshotTable.cloneShallow(spark, srcBase, dstBase, version)
+
   /** The table's bucket ids for a frame of probe keys (column
     * `keyCol`), computed with the table's own addressing AND the
     * table's key type (the bucket hash is type-sensitive — an int32

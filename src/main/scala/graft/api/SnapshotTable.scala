@@ -832,6 +832,33 @@ object SnapshotTable {
         col("_old").as("before"), col("_new").as("after"))
   }
 
+  /** SHALLOW CLONE: create a NEW table at `dstBase` whose v0 manifest
+    * references the SOURCE version's data files — zero bytes copied,
+    * O(manifest), the Delta `CREATE TABLE … SHALLOW CLONE` /
+    * iceberg-snapshot branching primitive (try a risky backfill on a
+    * branch; the source never notices). Writes to the clone are
+    * copy-on-write into the CLONE's own data directory: a MERGE
+    * rewrites only its touched buckets there, everything else keeps
+    * pointing at source files. The clone's own [[vacuum]] can never
+    * delete source files (its candidate walk lists `dstBase/data`
+    * only). RETENTION CONTRACT (the documented Delta hazard, pinned
+    * by spec): the SOURCE's vacuum knows nothing of clone manifests —
+    * vacuuming the source past the cloned-from version deletes files
+    * the clone still references and breaks it, so source retention
+    * must cover the lifetime of any clone taken from it. */
+  def cloneShallow(spark: SparkSession, srcBase: String, dstBase: String,
+                   version: Int = -1,
+                   protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
+    require(latestVersion(spark, dstBase) < 0,
+      s"table already exists at $dstBase")
+    val v = if (version >= 0) version else latestVersion(spark, srcBase)
+    require(v >= 0, s"no table at $srcBase")
+    // verbatim carry — file lines (absolute paths), stats, schema and
+    // rename headers all transfer, exactly like [[restore]]
+    commit(spark, dstBase, 0, manifestLines(spark, srcBase, v), protocol)
+    0
+  }
+
   /** Apply one [[diff]] delta to a materialized state: the CDC
     * CONSUMER side of the contract — a follower that starts from any
     * materialized version and folds each committed delta must arrive

@@ -2031,6 +2031,49 @@ object EtlOps {
         col("min_price"), col("max_price"))
   }
 
+  /** #299 — SHALLOW CLONE table branching (round 17; Delta's
+    * `SHALLOW CLONE` / iceberg snapshot branching — the try-it-on-a-
+    * branch primitive every risky backfill wants:
+    * [[graft.api.SnapshotTable.cloneShallow]] creates a NEW table
+    * whose v0 manifest references the source's data files verbatim —
+    * zero bytes copied — and copy-on-write MERGEs into the clone land
+    * in the CLONE's own data directory, so the branch diverges while
+    * the source never notices): clone the merged orders table, merge
+    * a +9 price bump for the %17 cohort INTO THE BRANCH. Inline
+    * proofs: the clone's v0 file list is the source's v1 list
+    * verbatim (zero-copy); after the branch merge the source's
+    * manifest and version are untouched. Graded output = one row per
+    * table (source, branch) with the content aggregate — the branch
+    * diverged, the source did not. Scale: clone is O(manifest);
+    * divergence costs only the branch's touched buckets. Retention:
+    * the source's vacuum must cover live clones (spec pins the
+    * documented break when it does not). */
+  def etlSnapshotCloneBranch(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.SnapshotTable
+    val base = buildSnapshotOrders(spark, sf)
+    val dst = s"${base}_branch"
+    graft.Tables.registerScratch(dst)
+    SnapshotTable.cloneShallow(spark, base, dst)
+    require(SnapshotTable.liveFiles(spark, dst, 0) ==
+            SnapshotTable.liveFiles(spark, base, 1),
+      "shallow clone must reference the source's files verbatim")
+    val changes = SnapshotTable.asOf(spark, dst, 0)
+      .where(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        (col("o_price") + lit(9)).cast(DEC2).as("o_price"))
+    SnapshotTable.mergeInto(spark, dst, changes, "o_orderkey",
+      numBuckets = 16)
+    require(SnapshotTable.latestVersion(spark, base) == 1,
+      "a branch merge must never advance the source")
+    def snap(label: String, b: String, v: Int): DataFrame =
+      SnapshotTable.asOf(spark, b, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_price")).cast("double").as("total_price"))
+        .select(lit(label).as("table"), col("n_rows"), col("total_price"))
+    snap("branch", dst, 1).unionAll(snap("source", base, 1))
+      .orderBy(col("table"))
+  }
+
   /** #293 — RESTORE TABLE … VERSION AS OF on the snapshot table
     * (round 17; Delta's RESTORE — the bad-deploy undo every lakehouse
     * operator reaches for: [[graft.api.SnapshotTable.restore]]
@@ -2468,6 +2511,7 @@ object EtlOps {
     "etl_snapshot_delete_where" -> (etlSnapshotDeleteWhere _),
     "etl_snapshot_point_lookup" -> (etlSnapshotPointLookup _),
     "etl_snapshot_cdc_follow" -> (etlSnapshotCdcFollow _),
+    "etl_snapshot_clone_branch" -> (etlSnapshotCloneBranch _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -4694,6 +4738,30 @@ object EtlOps {
         |  CAST(max(price) AS DOUBLE) AS max_price
         |FROM v1
         |WHERE price BETWEEN 50000.00 AND 150000.00""".stripMargin,
+    "etl_snapshot_clone_branch" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |br AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 17 = 0 THEN CAST(price + 9 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v1)
+        |SELECT 'branch' AS "table", count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price
+        |FROM br
+        |UNION ALL
+        |SELECT 'source', count(*), CAST(sum(price) AS DOUBLE) FROM v1
+        |ORDER BY "table"""".stripMargin,
     "etl_snapshot_point_lookup" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -481,4 +481,52 @@ class Round17OpsSpec extends SparkSpec {
       SnapshotTable.diff(spark, base, vHead, vHead, "o_orderkey"), "o_orderkey")
     assert(same.exceptAll(head).isEmpty && head.exceptAll(same).isEmpty)
   }
+
+  test("shallow clone (#299): branch isolation, clone-side vacuum safety, and the source-retention hazard") {
+    import graft.api.SnapshotTable
+    val src = java.nio.file.Files.createTempDirectory("graft_clone_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_clone_dst").toString + "/t"
+    val o = Tables.orders(spark, sf001)
+      .select(col("o_orderkey"), Tables.money(col("o_totalprice")).as("o_price"))
+    SnapshotTable.create(spark, src, o, "o_orderkey", numBuckets = 4)
+    SnapshotTable.cloneShallow(spark, src, dst)
+    assert(SnapshotTable.liveFiles(spark, dst, 0) ==
+           SnapshotTable.liveFiles(spark, src, 0), "zero-copy clone")
+    // cloning over an existing table is refused
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cloneShallow(spark, src, dst)
+    }
+    // branch diverges; source never advances
+    val oneKey = o.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    SnapshotTable.mergeInto(spark, dst,
+      o.where(col("o_orderkey") === oneKey)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          (col("o_price") + lit(1)).cast("decimal(18,2)").as("o_price")),
+      "o_orderkey", numBuckets = 4)
+    assert(SnapshotTable.latestVersion(spark, src) == 0)
+    assert(SnapshotTable.asOf(spark, src, 0).exceptAll(o).isEmpty)
+    // CLONE-side vacuum can never touch source files: drop the
+    // clone's v0, vacuum it, and both tables stay fully readable
+    val (dropped, _) = SnapshotTable.vacuum(spark, dst, keepVersions = 1)
+    assert(dropped == 1)
+    assert(SnapshotTable.asOf(spark, dst, 1).count() == o.count())
+    assert(SnapshotTable.asOf(spark, src, 0).count() == o.count(),
+      "clone vacuum must not delete source data")
+    // SOURCE-retention hazard (the documented Delta clone contract):
+    // advance the source so v0's files become src-unreferenced, then
+    // vacuum the source past the cloned-from version — the clone's
+    // untouched buckets now dangle and its read breaks. Source
+    // retention must cover live clones; this pins the failure mode
+    // so the contract is tested, not just prose.
+    SnapshotTable.mergeInto(spark, src,
+      o.select(col("o_orderkey"), lit("U").as("op"),
+        (col("o_price") + lit(2)).cast("decimal(18,2)").as("o_price")),
+      "o_orderkey", numBuckets = 4) // rewrites every bucket
+    val (d2, deleted2) = SnapshotTable.vacuum(spark, src, keepVersions = 1)
+    assert(d2 == 1 && deleted2 > 0, s"dropped=$d2 deleted=$deleted2")
+    val broken = intercept[Exception] {
+      SnapshotTable.asOf(spark, dst, 1).count()
+    }
+    assert(broken != null)
+  }
 }

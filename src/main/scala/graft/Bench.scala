@@ -421,12 +421,23 @@ object Bench {
     val aqeOnTotal: Option[Double] =
       if (aqeOn.isEmpty || aqeOn.exists(_._2.isEmpty)) None
       else Some(aqeOn.flatMap(_._2).sum)
-    // Machine-checkable gate: BASELINE.md:33 pins the DuckDB 12-query
-    // suite total at 5.16 s (sf0.1); the envelope is 2x on the TOTAL.
-    // ratio/pass are emitted only when this run matches the graded
-    // shape (full suite at sf0.1) — a filtered or off-sf run reports
-    // null rather than a misleading verdict.
-    val baselineTotal = 5.16
+    // Machine-checkable gate (round 18 — VERDICT r17 item 1b): the
+    // denominator is BASELINE.md's round-17 threads=32 like-for-like
+    // re-measure of the 12 headline oracle texts in DuckDB — total
+    // 21.02 s at sf0.1 (the retired 5.16 s survey-time draft was
+    // measured at threads=4 with pre-final query texts). The envelope
+    // is 2x on the TOTAL. ratio/pass are emitted only when this run
+    // matches the graded shape (full suite at sf0.1) — a filtered or
+    // off-sf run reports null rather than a misleading verdict.
+    // Beside it, the JSON carries the round-17 data-path slope gate
+    // (BASELINE.md "(b)": t(sf0.1)-t(sf0.01) over the 10 slowest
+    // data-path ops, both engines, same session) — the reading that
+    // session constants cannot move. That gate is re-measured by
+    // graft.DatapathBench + scripts/baseline_datapath.py, not here;
+    // the value below is the committed BASELINE.md figure so the
+    // bench artifact always names both gates.
+    val baselineTotal = 21.02
+    val datapathGate = 1.64 // BASELINE.md round-17 slope comparator
     val graded = only.isEmpty && sfDir.endsWith("sf0.1")
     val totalOpt: Option[Double] =
       if (results.exists(_._2.isEmpty)) None else Some(results.flatMap(_._2).sum)
@@ -435,8 +446,10 @@ object Bench {
     println(s"""{"metric":"total","value":${totalOrNull(results)},"unit":"sec",""" +
       s""""queries":${toJson(results)},"secondary":${toJson(sec)},""" +
       s""""secondary_total":${totalOrNull(sec)},"failed":[${failed.mkString(",")}],""" +
-      s""""baseline_total":$baselineTotal,"ratio":${ratio.fold("null")(r => f"$r%.3f")},""" +
+      s""""baseline_total":$baselineTotal,"baseline":"BASELINE.md threads=32 oracle-text total",""" +
+      s""""ratio":${ratio.fold("null")(r => f"$r%.3f")},""" +
       s""""pass":${pass.fold("null")(_.toString)},""" +
+      s""""datapath_gate":$datapathGate,"datapath_gate_source":"BASELINE.md r17 slope comparator (graft.DatapathBench)",""" +
       s""""aqe_on":${toJson(aqeOn)},""" +
       s""""aqe_on_total":${aqeOnTotal.fold("null")(t => f"$t%.3f")},"sf":"$sfDir"}""")
     // Full-sweep artifact + dense line (round 14 — VERDICT r13 item 1):
@@ -458,17 +471,33 @@ object Bench {
         if (failedAll.nonEmpty) None else Some(names.flatMap(all(_)).sum)
       val slow10 = names.collect { case n if all(n).nonEmpty => n -> all(n).get }
         .sortBy(-_._2).take(10)
-      // Per-op regression tripwire (round 15 — VERDICT r14 item 5):
-      // the PREVIOUS round's committed FULLBENCH.json is read before
+      // Per-op regression tripwire (round 15 — VERDICT r14 item 5;
+      // boot-aware since round 18 — VERDICT r17 item 1a): the
+      // PREVIOUS round's committed FULLBENCH.json is read before
       // this run overwrites it; any op whose time grew >1.5× over a
       // ≥0.15 s prior time is NAMED in the artifact — per-op data
       // instead of prose jitter-band arguments. Both sweeps share the
       // min-of-two warm protocol, so a named growth is a plan
       // regression, a corpus change, or a host stall that survived
       // two passes — all worth a look.
+      //
+      // Round 18: the r16→r17 sweep showed ~80 uniform 1.5–3× "growths"
+      // with zero plan-fingerprint changes, straddling a host reboot —
+      // cross-boot wall times are not comparable (CPU governor, page
+      // cache, thermal state all reset). The tripwire now stamps
+      // /proc/sys/kernel/random/boot_id into the artifact and compares
+      // SAME-BOOT PAIRS ONLY: on a boot change the comparison is
+      // skipped with a named reason and this sweep becomes the new
+      // committed baseline for the next same-boot run.
+      val bootId: String =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id")),
+          "UTF-8").trim
+        catch { case _: Throwable => "unknown" }
+      var tripwireStatus = "compared"
       val (regressions, prevFps): (Seq[(String, Double, Double)], Map[String, String]) = {
         val p = java.nio.file.Paths.get("FULLBENCH.json")
-        if (!java.nio.file.Files.exists(p)) (Nil, Map.empty)
+        if (!java.nio.file.Files.exists(p)) { tripwireStatus = "no_prev"; (Nil, Map.empty) }
         else try {
           val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           // only compare like with like: a committed sweep from a
@@ -476,6 +505,16 @@ object Bench {
           // and balloon the stdout line past the driver's tail window
           require(txt.contains(s""""sf": "$sfDir""""),
             "previous FULLBENCH is from a different sf dir")
+          // same-boot gate: a prev artifact from another boot (or one
+          // predating boot stamping) yields no comparison, by design
+          val prevBoot = """"boot_id":\s*"([^"]*)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          require(prevBoot.contains(bootId), {
+            tripwireStatus =
+              if (prevBoot.isEmpty) "skipped_prev_unstamped"
+              else "skipped_boot_changed"
+            "previous FULLBENCH is from a different boot"
+          })
           val block = txt.substring(txt.indexOf("\"times_sec\""))
           val re = """"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
           val prev = re.findAllMatchIn(block)
@@ -498,7 +537,10 @@ object Bench {
               case _ => None
             }
           }, fps)
-        } catch { case _: Throwable => (Nil, Map.empty) }
+        } catch { case _: Throwable =>
+          if (tripwireStatus == "compared") tripwireStatus = "prev_unreadable"
+          (Nil, Map.empty)
+        }
       }
       val regJson = regressions.map { case (n, p0, t) =>
         // plan_changed: null when either side lacks a fingerprint
@@ -513,6 +555,8 @@ object Bench {
       val fileJson = new StringBuilder
       fileJson.append("{\n")
         .append(s"""  "sf": "$sfDir",\n""")
+        .append(s"""  "boot_id": "$bootId",\n""")
+        .append(s"""  "tripwire": "$tripwireStatus",\n""")
         .append(s"""  "cpus": $cpus,\n""")
         .append("""  "protocol": {"headline_secondary": "per-query min over two passes of warm best-of-3", "remainder": "per-query min over two passes of single warm runs"},""")
         .append("\n")
@@ -535,6 +579,7 @@ object Bench {
         .mkString("[", ",", "]")
       println(s"""{"metric":"fullsweep","n":${names.size},"n_failed":${failedAll.size},""" +
         s""""total":${fullTotal.fold("null")(t => f"$t%.2f")},""" +
+        s""""tripwire":"$tripwireStatus",""" +
         s""""n_regressions":${regressions.size},"regressions":$regJson,""" +
         s""""order":"sorted-query-names","unit":"centisec","t_cs":$denseCs,""" +
         s""""file":"FULLBENCH.json","sf":"$sfDir"}""")

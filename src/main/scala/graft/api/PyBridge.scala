@@ -225,4 +225,27 @@ object PyBridge {
                         numBuckets: Int): Array[Int] =
     SnapshotTable.probeBuckets(spark, base, version, keys, keyCol,
       numBuckets).toArray
+
+  /** [[SnapshotTable.mergeBack]]: fast-forward a branch (made with
+    * [[snapshotCloneShallow]]) onto its parent; raises
+    * VersionConflictException if the parent moved past the branch
+    * point. Returns the parent's new version. */
+  def snapshotMergeBack(spark: SparkSession, branchBase: String): Int =
+    SnapshotTable.mergeBack(spark, branchBase)
+
+  /** [[SnapshotTable.rebucket]]: change the table's bucket addressing
+    * (full rewrite; the one door past the recorded-count validation).
+    * Returns the new version. */
+  def snapshotRebucket(spark: SparkSession, base: String, keyCol: String,
+                       newNumBuckets: Int): Int =
+    SnapshotTable.rebucket(spark, base, keyCol, newNumBuckets)
+
+  /** The bucket addressing `[numBuckets, logicalKeyCol]` recorded in a
+    * version's manifest, or null for pre-r18 manifests (caller-trusted
+    * legacy contract). Arrays cross py4j cleanly; the count parses
+    * back with int(). */
+  def snapshotRecordedBuckets(spark: SparkSession, base: String,
+                              version: Int): Array[String] =
+    SnapshotTable.recordedBuckets(spark, base, version)
+      .map { case (n, k) => Array(n.toString, k) }.orNull
 }

@@ -221,6 +221,19 @@ check("snapshotMergeBack fast-forwards the parent",
       wrap(bridge.snapshotRead(jspark, base)).count() ==
       wrap(bridge.snapshotAsOf(jspark, branch2, 0)).count())
 
+# --- round 18: CHECK constraints --------------------------------------
+v_ck = bridge.snapshotAddCheckConstraint(jspark, base, "amt_nonneg",
+                                         "o_totalprice >= 0")
+cks = bridge.snapshotCheckConstraints(jspark, base, v_ck)
+check("snapshotCheckConstraints lists the recorded rule",
+      len(cks) == 1 and list(cks[0]) == ["amt_nonneg", "o_totalprice >= 0"],
+      str([list(c) for c in cks]))
+check("pre-constraint versions carry no rules",
+      len(bridge.snapshotCheckConstraints(jspark, base, v_ck - 1)) == 0)
+v_dk = bridge.snapshotDropCheckConstraint(jspark, base, "amt_nonneg")
+check("snapshotDropCheckConstraint removes it",
+      len(bridge.snapshotCheckConstraints(jspark, base, v_dk)) == 0)
+
 # --- profileApprox: one-pass HLL profile ------------------------------
 pa = wrap(bridge.profileApprox(orders._jdf))
 check("profileApprox rows == profiled columns",

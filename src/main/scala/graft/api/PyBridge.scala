@@ -248,4 +248,24 @@ object PyBridge {
                               version: Int): Array[String] =
     SnapshotTable.recordedBuckets(spark, base, version)
       .map { case (n, k) => Array(n.toString, k) }.orNull
+
+  /** [[SnapshotTable.addCheckConstraint]]: record a CHECK constraint
+    * every future merge enforces; refuses (ConstraintViolationException)
+    * if existing rows violate. Returns the new version. */
+  def snapshotAddCheckConstraint(spark: SparkSession, base: String,
+                                 name: String, checkExpr: String): Int =
+    SnapshotTable.addCheckConstraint(spark, base, name, checkExpr)
+
+  /** [[SnapshotTable.dropCheckConstraint]]: remove a named CHECK
+    * constraint (loud on an unknown name). Returns the new version. */
+  def snapshotDropCheckConstraint(spark: SparkSession, base: String,
+                                  name: String): Int =
+    SnapshotTable.dropCheckConstraint(spark, base, name)
+
+  /** [[SnapshotTable.checkConstraints]] as `[name, expr]` pairs —
+    * nested arrays cross py4j cleanly. */
+  def snapshotCheckConstraints(spark: SparkSession, base: String,
+                               version: Int): Array[Array[String]] =
+    SnapshotTable.checkConstraints(spark, base, version)
+      .map { case (n, e) => Array(n, e) }.toArray
 }

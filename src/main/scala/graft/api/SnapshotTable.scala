@@ -54,6 +54,15 @@ object SnapshotTable {
 
   final class VersionConflictException(msg: String) extends RuntimeException(msg)
 
+  /** A CHECK constraint refused a write (or an ADD CONSTRAINT found
+    * existing rows in violation). Deliberately NOT a
+    * [[VersionConflictException]]: [[retryingCommit]] retries
+    * conflicts, but a constraint violation is deterministic — the
+    * same change set fails every rebase, so it must surface to the
+    * caller, not spin the retry loop. */
+  final class ConstraintViolationException(msg: String)
+      extends RuntimeException(msg)
+
   /** How a fully-composed manifest payload becomes version N — the
     * pluggable single-winner publish step (round 16, VERDICT r15 ask
     * 5: the documented S3 caveat as code, not prose). The contract
@@ -479,16 +488,56 @@ object SnapshotTable {
     * contract, so existing tables stay readable. */
   private val BucketsHeader = "#buckets\t"
 
+  /** Header for a CHECK constraint (round 18; Delta's `ALTER TABLE …
+    * ADD CONSTRAINT name CHECK (expr)`): `#check\t<name>\t<expr>`,
+    * one line per constraint, expr in LOGICAL column names and Spark
+    * SQL syntax. Enforcement points: [[addCheckConstraint]] scans the
+    * CURRENT head (existing rows must already satisfy — the Delta
+    * contract), and [[mergeInto]] validates every non-delete change
+    * row BEFORE writing anything. SQL CHECK three-valued semantics:
+    * only rows where the expr is literally FALSE violate — NULL
+    * passes. Maintenance rewrites (compact/optimize/rebucket/delete)
+    * are content-preserving or row-dropping, so they cannot introduce
+    * a violation and only carry the header forward. [[renameColumn]]
+    * refuses to rename a column a constraint references (drop the
+    * constraint first) so stored exprs never go stale. */
+  private val CheckHeader = "#check\t"
+
+  /** CHANGE DATA FEED flag (round 18; Delta's
+    * `delta.enableChangeDataFeed` table property): `#cdf\ton`, carried
+    * by every commit once [[enableChangeFeed]] sets it. While on,
+    * [[mergeInto]] and [[deleteRange]] MATERIALIZE their change set as
+    * cdc parquet files at commit time — the scalable CDC architecture
+    * (Delta CDF's): the writer already holds the delta, so persisting
+    * it costs O(change set); readers ([[changeFeed]], the streaming
+    * source) then just scan files and never re-diff two table
+    * versions. The manifest references each commit's cdc files via
+    * [[CdcFileHeader]] lines, so a commit and its change record are
+    * ATOMIC — a loser of a commit race leaves only unreferenced cdc
+    * files, which [[vacuum]] collects like any orphan. */
+  private val CdfHeader = "#cdf\ton"
+
+  /** Per-commit cdc file reference: `#cdcfile\t<path>`. Unlike
+    * schema/colmap/buckets/checks these are NOT carried forward —
+    * each manifest references only the cdc files of ITS OWN commit
+    * (metadata/maintenance commits reference none: their logical
+    * delta is empty). */
+  private val CdcFileHeader = "#cdcfile\t"
+
   /** Parsed manifest metadata: raw data-file lines, the declared
     * (evolved) schema in PHYSICAL column names, the physical→logical
-    * rename mapping (empty = identity), and the recorded bucket
+    * rename mapping (empty = identity), the recorded bucket
     * addressing (numBuckets, physical key column) when the table was
-    * written by an r18+ writer. */
+    * written by an r18+ writer, the CHECK constraints in force, the
+    * change-feed flag, and THIS commit's cdc file references. */
   private[graft] final case class ManifestMeta(
       fileLines: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       colMap: Seq[(String, String)],
-      buckets: Option[(Int, String)] = None)
+      buckets: Option[(Int, String)] = None,
+      checks: Seq[(String, String)] = Nil,
+      cdf: Boolean = false,
+      cdcFiles: Seq[String] = Nil)
 
   /** One manifest read, fully parsed. Every operation below derives
     * what it needs from ONE of these instead of re-reading the
@@ -514,7 +563,16 @@ object SnapshotTable {
       val parts = l.stripPrefix(BucketsHeader).split('\t')
       (parts(0).toInt, parts(1))
     }
-    ManifestMeta(all.filterNot(_.startsWith("#")), schema, cm, bk)
+    val cks = all.filter(_.startsWith(CheckHeader)).map { l =>
+      val body = l.stripPrefix(CheckHeader)
+      val i = body.indexOf('\t')
+      (body.substring(0, i), body.substring(i + 1))
+    }
+    val cdf = all.contains(CdfHeader)
+    val cdcF = all.filter(_.startsWith(CdcFileHeader))
+      .map(_.stripPrefix(CdcFileHeader))
+    ManifestMeta(all.filterNot(_.startsWith("#")), schema, cm, bk, cks,
+      cdf, cdcF)
   }
 
   private def parsedManifest(spark: SparkSession, base: String, version: Int)
@@ -530,12 +588,16 @@ object SnapshotTable {
   private def headersOf(
       schema: Option[org.apache.spark.sql.types.StructType],
       colMap: Seq[(String, String)],
-      buckets: Option[(Int, String)] = None): Seq[String] =
+      buckets: Option[(Int, String)] = None,
+      checks: Seq[(String, String)] = Nil,
+      cdf: Boolean = false): Seq[String] =
     schemaHeaderOf(schema) ++ (
       if (colMap.isEmpty) Nil
       else Seq(ColMapHeader + colMap.map { case (p, l) => s"$p=$l" }
         .mkString(","))) ++
-    buckets.map { case (n, k) => s"$BucketsHeader$n\t$k" }.toSeq
+    buckets.map { case (n, k) => s"$BucketsHeader$n\t$k" }.toSeq ++
+    checks.map { case (n, e) => s"$CheckHeader$n\t$e" } ++
+    (if (cdf) Seq(CdfHeader) else Nil)
 
   /** Validate a caller-supplied bucket count against the manifest's
     * recorded addressing (no-op for pre-r18 manifests, which carry
@@ -734,7 +796,8 @@ object SnapshotTable {
         colName, org.apache.spark.sql.types.DataType.fromDDL(ddlType),
         nullable = true))
     commit(spark, base, v + 1,
-      headersOf(Some(widened), m.colMap, m.buckets) ++ m.fileLines, protocol)
+      headersOf(Some(widened), m.colMap, m.buckets, m.checks, m.cdf) ++
+        m.fileLines, protocol)
     v + 1
   }
 
@@ -772,11 +835,183 @@ object SnapshotTable {
     // which drops the mapping) but no other logical or physical name
     require(to == physName || (!logical.contains(to) && !phys.contains(to)),
       s"column $to already exists on $base (as a logical or physical name)")
+    // a CHECK constraint stores its expr in logical names; renaming a
+    // referenced column would silently stale every future enforcement
+    // — refuse (Delta's contract: drop the constraint, rename, re-add)
+    m.checks.foreach { case (n, e) =>
+      val idents = e.split("[^A-Za-z0-9_]+").toSet
+      require(!idents.contains(from),
+        s"cannot rename $from on $base: referenced by CHECK " +
+        s"constraint $n ($e) — drop the constraint first")
+    }
     val newMap = m.colMap.filterNot(_._1 == physName) ++
       (if (to == physName) Nil else Seq((physName, to)))
     commit(spark, base, v + 1,
-      headersOf(m.schema, newMap, m.buckets) ++ m.fileLines, protocol)
+      headersOf(m.schema, newMap, m.buckets, m.checks, m.cdf) ++
+        m.fileLines, protocol)
     v + 1
+  }
+
+  /** ADD CONSTRAINT … CHECK (round 18; Delta's `ALTER TABLE … ADD
+    * CONSTRAINT name CHECK (expr)`): publish v+1 recording a CHECK
+    * constraint every future [[mergeInto]] enforces on its change set
+    * BEFORE writing anything — the write-side data-quality gate a
+    * lakehouse needs so bad rows are refused at the door, not found
+    * by a downstream audit. The Delta contract is enforced here too:
+    * EXISTING rows must already satisfy the expr (one scan of the
+    * head; a violation refuses the ADD with
+    * [[ConstraintViolationException]] and commits nothing). `expr` is
+    * Spark SQL over LOGICAL column names; SQL three-valued CHECK
+    * semantics apply (NULL passes, only FALSE violates).
+    * O(table) scan at ADD time, O(change set) per merge thereafter;
+    * the header rides every commit like schema/rename metadata, and
+    * time travel sees each version's own constraint set. */
+  def addCheckConstraint(spark: SparkSession, base: String, name: String,
+                         checkExpr: String,
+                         protocol: CommitProtocol = CommitProtocol.LinkRename)
+      : Int = {
+    requireHeaderSafe(name)
+    require(!checkExpr.contains('\t') && !checkExpr.contains('\n') &&
+            checkExpr.nonEmpty,
+      s"invalid CHECK expr '$checkExpr': must be nonempty and contain " +
+      "no tab or newline (manifest header encoding)")
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    val m = parsedManifestAll(spark, base, v)
+    require(!m.checks.exists(_._1 == name),
+      s"constraint $name already exists on $base")
+    val head = applyRenames(
+      readFiles(spark, m.fileLines.map(pathOf), m.schema), m.colMap)
+    val bad = head.where(!coalesce(expr(checkExpr), lit(true)))
+      .limit(1).count()
+    if (bad > 0) throw new ConstraintViolationException(
+      s"cannot add CHECK constraint $name ($checkExpr) to $base: " +
+      "existing rows violate it; no version was committed")
+    commit(spark, base, v + 1,
+      headersOf(m.schema, m.colMap, m.buckets,
+        m.checks :+ ((name, checkExpr)), m.cdf) ++ m.fileLines, protocol)
+    v + 1
+  }
+
+  /** DROP CONSTRAINT: publish v+1 without the named CHECK header — a
+    * pure metadata commit. Loud on an unknown name (a typo'd drop
+    * that "succeeds" leaves the caller believing enforcement ended). */
+  def dropCheckConstraint(spark: SparkSession, base: String, name: String,
+                          protocol: CommitProtocol = CommitProtocol.LinkRename)
+      : Int = {
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    val m = parsedManifestAll(spark, base, v)
+    require(m.checks.exists(_._1 == name),
+      s"no CHECK constraint $name on $base")
+    commit(spark, base, v + 1,
+      headersOf(m.schema, m.colMap, m.buckets,
+        m.checks.filterNot(_._1 == name), m.cdf) ++ m.fileLines, protocol)
+    v + 1
+  }
+
+  /** The CHECK constraints recorded in a committed version's manifest
+    * (name → expr, in force for every write past that version). */
+  def checkConstraints(spark: SparkSession, base: String,
+                       version: Int): Seq[(String, String)] =
+    parsedManifestAll(spark, base, version).checks
+
+  /** Enable the CHANGE DATA FEED (round 18; Delta's
+    * `delta.enableChangeDataFeed`): a pure metadata commit after which
+    * every [[mergeInto]]/[[deleteRange]] MATERIALIZES its change set
+    * as cdc parquet files referenced by its own manifest. Deltas are
+    * recorded only for commits made AFTER this one — a follower
+    * bootstraps from `asOf(enablingVersion)` and streams from there,
+    * exactly Delta CDF's contract. Write cost while on: O(change set)
+    * per commit; readers scan files and never re-diff versions. */
+  def enableChangeFeed(spark: SparkSession, base: String,
+                       protocol: CommitProtocol = CommitProtocol.LinkRename)
+      : Int = {
+    val v = latestVersion(spark, base)
+    require(v >= 0, s"no table at $base")
+    val m = parsedManifestAll(spark, base, v)
+    require(!m.cdf, s"change feed already enabled on $base")
+    commit(spark, base, v + 1,
+      headersOf(m.schema, m.colMap, m.buckets, m.checks, cdf = true) ++
+        m.fileLines, protocol)
+    v + 1
+  }
+
+  /** Whether the change feed is on at a committed version. */
+  def changeFeedEnabled(spark: SparkSession, base: String,
+                        version: Int): Boolean =
+    parsedManifestAll(spark, base, version).cdf
+
+  /** Persist a commit's change set as cdc parquet files and return
+    * their manifest reference lines (empty when the feed is off or
+    * the delta is empty). The `_SUCCESS` marker is dropped at write
+    * time so a fully-consumed commit dir can empty out and be swept
+    * by [[vacuum]]'s dir pass. */
+  private def writeCdcFiles(spark: SparkSession, base: String,
+                            meta: ManifestMeta,
+                            delta: DataFrame): Seq[String] =
+    if (!meta.cdf) Nil
+    else {
+      val dir = s"$base/cdc/" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      delta.write.parquet(dir)
+      val f = fs(spark, base)
+      try f.delete(new Path(s"$dir/_SUCCESS"), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+      f.listStatus(new Path(dir)).toSeq
+        .filter(s => !s.isDirectory &&
+          s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"$CdcFileHeader${s.getPath.toString}")
+    }
+
+  /** CHANGE FEED read — the materialized row deltas of versions
+    * (vFrom, vTo], one row per change-set row, in vTo's LOGICAL
+    * column names plus `op` ('U' = upsert after-image, 'D' = delete
+    * carrying the deleted row's values) and `_commit_version`. Loud
+    * when any version in the range predates [[enableChangeFeed]]
+    * (its delta was never materialized — re-diffing here would hide
+    * an O(two-version join) under a feed read; use [[diff]]
+    * explicitly if that is what you want). Versions with no cdc
+    * files (metadata/maintenance commits) contribute zero rows.
+    * Scale: a pruned parquet scan of exactly the change files —
+    * follower cost is O(delta), never O(table), and the per-version
+    * file lists are manifest metadata. */
+  def changeFeed(spark: SparkSession, base: String, vFrom: Int,
+                 vTo: Int): DataFrame = {
+    require(vFrom >= 0 && vTo >= vFrom,
+      s"bad change-feed range ($vFrom, $vTo]")
+    val latest = latestVersion(spark, base)
+    require(vTo <= latest,
+      s"version $vTo not committed at $base (latest is $latest)")
+    val metas = ((vFrom + 1) to vTo)
+      .map(v => (v, parsedManifestAll(spark, base, v)))
+    metas.find(!_._2.cdf).foreach { case (v, _) =>
+      throw new IllegalStateException(
+        s"change feed is not enabled at version $v of $base: deltas " +
+        "are materialized only for commits made after " +
+        "enableChangeFeed(); bootstrap from asOf and stream from there")
+    }
+    val mHead = metas.lastOption.map(_._2)
+      .getOrElse(parsedManifestAll(spark, base, vTo))
+    // target shape from the table itself (schema-first; one footer at
+    // most), so an all-metadata range still returns a typed empty feed
+    val payload = applyRenames(
+      readFiles(spark, mHead.fileLines.map(pathOf).take(1), mHead.schema)
+        .limit(0), mHead.colMap)
+    val empty = payload
+      .withColumn("op", lit(null).cast("string"))
+      .withColumn("_commit_version", lit(null).cast("int"))
+      .select(col("op") +: payload.columns.map(col) :+
+        col("_commit_version"): _*)
+    metas.filter(_._2.cdcFiles.nonEmpty).foldLeft(empty) {
+      case (acc, (v, m)) =>
+        val d = applyRenames(spark.read.parquet(m.cdcFiles: _*),
+            mHead.colMap)
+          .withColumn("_commit_version", lit(v))
+        // ADD COLUMN evolution: older deltas lack the new column and
+        // null-fill, the same read semantics as the table itself
+        acc.unionByName(d, allowMissingColumns = true)
+    }
   }
 
   /** RESTORE to an earlier version (Delta `RESTORE TABLE … VERSION AS
@@ -1148,6 +1383,38 @@ object SnapshotTable {
         catch { case scala.util.control.NonFatal(_) => () }
       }
     }
+    // change-feed files: same live-set rule — a cdc file referenced
+    // by any SURVIVING manifest stays (a follower may still be
+    // draining it); expired versions' deltas and lost-race orphans
+    // go. Emptied per-commit dirs are swept non-recursively after.
+    val cdcDir = new Path(s"$base/cdc")
+    if (f.exists(cdcDir)) {
+      val liveCdc: Set[String] = (math.max(0, cutoff) to latest)
+        .filter(v => f.exists(manifestPath(base, v)))
+        .flatMap(v => parsedManifestAll(spark, base, v).cdcFiles)
+        .toSet
+      def walkCdc(dir: Path): List[org.apache.hadoop.fs.FileStatus] =
+        (try f.listStatus(dir).toList
+         catch { case scala.util.control.NonFatal(_) => Nil })
+          .flatMap(s =>
+            if (s.isDirectory) walkCdc(s.getPath) else List(s))
+      walkCdc(cdcDir)
+        .filter(s => s.getPath.getName.endsWith(".parquet") &&
+          !liveCdc.contains(s.getPath.toString) &&
+          s.getModificationTime <= ageCutoff)
+        .foreach { s =>
+          val ok = try f.delete(s.getPath, false)
+                   catch { case scala.util.control.NonFatal(_) => false }
+          if (ok) deleted += 1
+        }
+      (try f.listStatus(cdcDir).toList
+       catch { case scala.util.control.NonFatal(_) => Nil })
+        .filter(_.isDirectory)
+        .foreach { d =>
+          try f.delete(d.getPath, false) // non-recursive: iff emptied
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+    }
     (dropped.size, deleted)
   }
 
@@ -1271,7 +1538,8 @@ object SnapshotTable {
       }
     // declared (evolved) schema + rename map ride every commit forward
     commit(spark, base, v + 1,
-      headersOf(schema0, meta.colMap, Some((numBuckets, keyCol))) ++ lines,
+      headersOf(schema0, meta.colMap, Some((numBuckets, keyCol)),
+        meta.checks, meta.cdf) ++ lines,
       protocol)
     v + 1
   }
@@ -1439,7 +1707,8 @@ object SnapshotTable {
     val physKey = toPhysical(keyCol, m.colMap)
     val rows = readFiles(spark, m.fileLines.map(pathOf), m.schema)
     commit(spark, base, v + 1,
-      headersOf(m.schema, m.colMap, Some((numBuckets, physKey))) ++
+      headersOf(m.schema, m.colMap, Some((numBuckets, physKey)),
+        m.checks, m.cdf) ++
       writeDataFiles(spark, base, rows, physKey, numBuckets), protocol)
     v + 1
   }
@@ -1514,6 +1783,22 @@ object SnapshotTable {
         s"table $base; missing: ${missing.mkString(", ")} " +
         s"(null-fill explicitly if that is intended)")
     }
+    // CHECK constraints gate the door, BEFORE any file is written:
+    // every non-delete change row must satisfy every recorded
+    // constraint (SQL three-valued CHECK — NULL passes, only FALSE
+    // violates). Validated on the LOGICAL-named change set, the name
+    // space constraints are written in. Existing rows need no
+    // re-check: they passed at their own write or at ADD CONSTRAINT
+    // time. One pass per constraint over the (small) change set;
+    // the per-constraint error names the violated rule.
+    meta.checks.foreach { case (name, checkExpr) =>
+      val bad = changes0.where(coalesce(col("op"), lit("")) =!= "D")
+        .where(!coalesce(expr(checkExpr), lit(true)))
+        .limit(1).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"MERGE into $base violates CHECK constraint $name " +
+        s"($checkExpr); no version was committed")
+    }
     // changed-bucket ids: metadata-scale (≤ numBuckets) — collected to
     // the driver to prune the MANIFEST, the same role as iceberg's
     // partition summary pruning
@@ -1549,9 +1834,15 @@ object SnapshotTable {
       writeDataFiles(spark, base, merged, keyCol, numBuckets)
         // an empty merged bucket writes nothing; deletes that empty a
         // bucket thus drop its file from the manifest, as they must
+    // change feed: the writer already holds the delta — persist it
+    // now (O(change set)) and reference it from THIS commit's
+    // manifest, so the commit and its change record are atomic; a
+    // lost commit race leaves only unreferenced files (vacuumable)
+    val cdcLines = writeCdcFiles(spark, base, meta, changes)
     commit(spark, base, v + 1,
       headersOf(declared, meta.colMap,
-        Some((numBuckets, keyCol))) ++ newLines, protocol)
+        Some((numBuckets, keyCol)), meta.checks, meta.cdf) ++
+        cdcLines ++ newLines, protocol)
     v + 1
   }
 
@@ -1598,9 +1889,17 @@ object SnapshotTable {
       !coalesce(col(physStats).between(lit(lo), lit(hi)), lit(false)))
     val newLines = skipped ++
       writeDataFiles(spark, base, survivors, physKey, numBuckets)
+    // change feed: deletes surface as 'D' rows carrying the deleted
+    // row's values (Delta CDF's delete pre-image) — a second pass
+    // over the candidate files, paid only when the feed is on
+    val cdcLines = writeCdcFiles(spark, base, m,
+      rows.where(coalesce(col(physStats).between(lit(lo), lit(hi)),
+          lit(false)))
+        .withColumn("op", lit("D")))
     commit(spark, base, v + 1,
       headersOf(m.schema, m.colMap,
-        Some((numBuckets, physKey))) ++ newLines, protocol)
+        Some((numBuckets, physKey)), m.checks, m.cdf) ++
+        cdcLines ++ newLines, protocol)
     (v + 1, candidates.size, skipped.size)
   }
 }

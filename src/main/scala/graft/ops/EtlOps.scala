@@ -2187,6 +2187,212 @@ object EtlOps {
     after.withColumn("num_buckets", lit(32)).orderBy(col("o_orderkey"))
   }
 
+  /** #302 — VACUUM as a graded round-trip (round 18; Delta's VACUUM /
+    * iceberg's expire_snapshots + remove_orphan_files — the retention
+    * GC without which a lakehouse table's storage grows monotonically
+    * with every copy-on-write commit): the merged orders table is
+    * compacted (v2 supersedes every v0/v1 file), a fake crashed-writer
+    * orphan is planted in the data directory, then
+    * [[graft.api.SnapshotTable.vacuum]] with keepVersions=1 runs. The
+    * op proves, inline: (a) both expired manifests dropped; (b) every
+    * superseded data file AND the unreferenced orphan physically
+    * deleted; (c) every file of the kept version survives and its
+    * content aggregate is bit-identical before/after (GC never touches
+    * live data); (d) reading an expired version now fails loudly
+    * instead of returning a file-not-found mid-scan. Graded output =
+    * the kept head's content aggregate (derivable from orders alone).
+    * Scale: the live set is ONE manifest-union (metadata), the
+    * candidate walk is a namespace listing — no data read; at 100 TB
+    * this runs as the off-peak maintenance job with the orphan age
+    * guard sized to the longest writer latency. */
+  def etlSnapshotVacuum(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.SnapshotTable
+    import org.apache.hadoop.fs.Path
+    val base = buildSnapshotOrders(spark, sf)
+    val v2 = SnapshotTable.compact(spark, base, "o_orderkey", numBuckets = 4)
+    val fsys = new Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new Path(s"$base/data/orphan-dead-writer.parquet")
+    val out = fsys.create(orphan, true)
+    try out.write(Array[Byte](80, 65, 82, 49)) finally out.close()
+    val liveV2 = SnapshotTable.liveFiles(spark, base, v2)
+    val oldOnly = SnapshotTable.liveFiles(spark, base, 0).toSet -- liveV2.toSet
+    require(oldOnly.nonEmpty, "fixture must leave superseded files to collect")
+    val headBefore = SnapshotTable.asOf(spark, base, v2)
+      .agg(count(lit(1)), sum(col("o_price")).cast("double")).collect()(0)
+    val (droppedManifests, deletedFiles) =
+      SnapshotTable.vacuum(spark, base, keepVersions = 1)
+    require(droppedManifests == 2,
+      s"keepVersions=1 must drop manifests v0 and v1, dropped $droppedManifests")
+    require(deletedFiles >= oldOnly.size + 1,
+      s"must collect the ${oldOnly.size} superseded files + the orphan, " +
+      s"deleted $deletedFiles")
+    require(liveV2.forall(p => fsys.exists(new Path(p))),
+      "every file of the kept version must survive the vacuum")
+    require(!fsys.exists(orphan), "the unreferenced orphan must be collected")
+    require(oldOnly.forall(p => !fsys.exists(new Path(p))),
+      "every superseded data file must be physically deleted")
+    val expiredLoud =
+      try { SnapshotTable.asOf(spark, base, 0); false }
+      catch { case scala.util.control.NonFatal(_) => true }
+    require(expiredLoud, "reading an expired version must fail loudly")
+    val headAfter = SnapshotTable.asOf(spark, base, v2)
+      .agg(count(lit(1)), sum(col("o_price")).cast("double")).collect()(0)
+    require(headBefore == headAfter,
+      "vacuum must not change the kept version's content")
+    SnapshotTable.asOf(spark, base, v2)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_price")).cast("double").as("total_price"),
+        sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L))
+          .as("n_updated"))
+      .select(lit(true).as("vacuumed"), lit(2).as("kept_version"),
+        col("n_rows"), col("total_price"), col("n_updated"))
+  }
+
+  /** #303 — CHECK constraint enforcement (round 18; Delta's `ALTER
+    * TABLE … ADD CONSTRAINT … CHECK` — the write-side data-quality
+    * gate: bad rows are refused at the commit door, not discovered by
+    * a downstream audit like #132/#288): adds `o_price >= 0` to the
+    * merged orders table and proves the full contract inline —
+    * (a) ADD scans existing rows and commits the metadata version;
+    * (b) an ADD the existing data violates refuses with
+    * ConstraintViolationException and commits NOTHING; (c) a valid
+    * MERGE passes the gate; (d) a violating MERGE is refused BEFORE
+    * any file is written and the version does not advance; (e) SQL
+    * three-valued CHECK — a NULL-valued row PASSES (only FALSE
+    * violates), proven by a null-price merge that commits; (f) the
+    * constraint set is versioned — time travel to v1 sees none.
+    * Graded output = the final head's content aggregate. Scale: ADD
+    * is one table scan (once); every merge pays O(change set) per
+    * constraint — the scan-free door a 100 TB table needs. */
+  def etlSnapshotCheckConstraint(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.SnapshotTable
+    val base = buildSnapshotOrders(spark, sf)
+    val v2 = SnapshotTable.addCheckConstraint(spark, base,
+      "price_nonneg", "o_price >= 0")
+    require(v2 == 2, s"ADD CONSTRAINT must commit latest+1, got $v2")
+    val refusedAdd =
+      try {
+        SnapshotTable.addCheckConstraint(spark, base,
+          "status_x_only", "o_orderstatus = 'X'"); false
+      } catch {
+        case _: SnapshotTable.ConstraintViolationException => true
+      }
+    require(refusedAdd && SnapshotTable.latestVersion(spark, base) == v2,
+      "an ADD existing rows violate must refuse and commit nothing")
+    val head = SnapshotTable.asOf(spark, base, v2)
+    val bump = head.where(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        (col("o_price") + lit(1)).cast(DEC2).as("o_price"))
+    val v3 = SnapshotTable.mergeInto(spark, base, bump, "o_orderkey",
+      numBuckets = 16)
+    val bad = head.where(col("o_orderkey") % 11 === 1)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        lit(-1).cast(DEC2).as("o_price"))
+    val refusedMerge =
+      try {
+        SnapshotTable.mergeInto(spark, base, bad, "o_orderkey",
+          numBuckets = 16); false
+      } catch {
+        case _: SnapshotTable.ConstraintViolationException => true
+      }
+    require(refusedMerge && SnapshotTable.latestVersion(spark, base) == v3,
+      "a violating MERGE must refuse before writing and not advance")
+    // SQL CHECK three-valued logic: NULL is not FALSE — this commits
+    val nullify = head.where(col("o_orderkey") % 1000 === 7)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        lit(null).cast(DEC2).as("o_price"))
+    val v4 = SnapshotTable.mergeInto(spark, base, nullify, "o_orderkey",
+      numBuckets = 16)
+    require(SnapshotTable.checkConstraints(spark, base, 1).isEmpty &&
+      SnapshotTable.checkConstraints(spark, base, v4)
+        .map(_._1) == Seq("price_nonneg"),
+      "the constraint set must be versioned with the manifest")
+    SnapshotTable.asOf(spark, base, v4)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_price")).cast("double").as("total_price"),
+        sum(when(col("o_price").isNull, 1L).otherwise(0L))
+          .as("n_null_price"),
+        sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L))
+          .as("n_updated"))
+      .select(lit(true).as("enforced"), lit(4).as("version"),
+        col("n_rows"), col("total_price"), col("n_null_price"),
+        col("n_updated"))
+  }
+
+  /** #304 — CONCURRENT writers through optimistic-commit retry as a
+    * graded round-trip (round 18; the lakehouse ACID claim exercised
+    * under real contention, not just spec'd: two writers race
+    * [[graft.api.SnapshotTable.mergeInto]] on the same table through
+    * [[graft.api.SnapshotTable.retryingCommit]], the loser REBASES —
+    * recomputes its change set from the new head — and re-merges, the
+    * iceberg/delta commit-retry contract): writer A bumps price +5
+    * for the %3=1 cohort, writer B sets status 'C' for the %3=2
+    * cohort, both released from the same latch so the commit race is
+    * real. Disjoint cohorts make the outcome ORDER-INDEPENDENT, so a
+    * deterministic oracle can grade a genuinely concurrent schedule.
+    * Inline proofs: both writers land (versions {2,3} exactly, no
+    * lost update), and the final head EQUALS the sequential fold of
+    * both changes over v1 (exceptAll both ways — serializability, not
+    * just row counts). Graded output = the head's content aggregate.
+    * Scale: conflicts cost O(changed buckets) re-merge, not a table
+    * rewrite; at 1000 executors this is the many-writer ingestion
+    * posture (per-table commit serialization, bucket-priced work). */
+  def etlSnapshotConcurrentMerge(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.SnapshotTable
+    val base = buildSnapshotOrders(spark, sf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    def writer(mk: DataFrame => DataFrame): scala.concurrent.Future[Int] =
+      scala.concurrent.Future {
+        gate.countDown(); gate.await() // line both up: race the commit
+        SnapshotTable.retryingCommit() {
+          // rebase each attempt from the CURRENT head — the loser of
+          // a commit race must recompute, not just re-publish
+          val head = SnapshotTable.asOf(spark, base,
+            SnapshotTable.latestVersion(spark, base))
+          SnapshotTable.mergeInto(spark, base, mk(head), "o_orderkey",
+            numBuckets = 16)
+        }
+      }
+    val fa = writer(h => h.where(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        (col("o_price") + lit(5)).cast(DEC2).as("o_price")))
+    val fb = writer(h => h.where(col("o_orderkey") % 3 === 2)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit("C").as("o_orderstatus"), col("o_price")))
+    val timeout = scala.concurrent.duration.Duration(5, "min")
+    val (va, vb) =
+      try (scala.concurrent.Await.result(fa, timeout),
+           scala.concurrent.Await.result(fb, timeout))
+      finally pool.shutdown()
+    require(Set(va, vb) == Set(2, 3),
+      s"both writers must land as versions 2 and 3, got $va/$vb")
+    val head = SnapshotTable.asOf(spark, base, 3)
+    val expected = SnapshotTable.asOf(spark, base, 1).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 2, lit("C"))
+        .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(col("o_orderkey") % 3 === 1,
+        (col("o_price") + lit(5)).cast(DEC2))
+        .otherwise(col("o_price")).as("o_price"))
+    require(head.exceptAll(expected).isEmpty &&
+            expected.exceptAll(head).isEmpty,
+      "the concurrent schedule must equal the sequential fold of both " +
+      "changes (serializability)")
+    head
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_price")).cast("double").as("total_price"),
+        sum(when(col("o_orderstatus") === "C", 1L).otherwise(0L))
+          .as("n_status_c"),
+        sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L))
+          .as("n_updated"))
+      .select(lit(3).as("version"), col("n_rows"), col("total_price"),
+        col("n_status_c"), col("n_updated"))
+  }
+
   /** #293 — RESTORE TABLE … VERSION AS OF on the snapshot table
     * (round 17; Delta's RESTORE — the bad-deploy undo every lakehouse
     * operator reaches for: [[graft.api.SnapshotTable.restore]]
@@ -2633,6 +2839,9 @@ object EtlOps {
     "etl_snapshot_clone_branch" -> (etlSnapshotCloneBranch _),
     "etl_snapshot_branch_mergeback" -> (etlSnapshotBranchMergeback _),
     "etl_snapshot_rebucket" -> (etlSnapshotRebucket _),
+    "etl_snapshot_vacuum" -> (etlSnapshotVacuum _),
+    "etl_snapshot_check_constraint" -> (etlSnapshotCheckConstraint _),
+    "etl_snapshot_concurrent_merge" -> (etlSnapshotConcurrentMerge _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -4922,6 +5131,79 @@ object EtlOps {
         |FROM v1
         |WHERE k IN (SELECT k FROM v1 ORDER BY k LIMIT 5)
         |ORDER BY o_orderkey""".stripMargin,
+    "etl_snapshot_vacuum" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3)
+        |SELECT TRUE AS vacuumed, 2 AS kept_version, count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM v1""".stripMargin,
+    "etl_snapshot_check_constraint" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |v3 AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 11 = 0 THEN CAST(price + 1 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v1),
+        |v4 AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 1000 = 7 THEN NULL ELSE price END AS price
+        |  FROM v3)
+        |SELECT TRUE AS enforced, 4 AS version, count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_price,
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM v4""".stripMargin,
+    "etl_snapshot_concurrent_merge" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |vf AS (
+        |  SELECT k,
+        |    CASE WHEN k % 3 = 2 THEN 'C' ELSE st END AS st,
+        |    CASE WHEN k % 3 = 1 THEN CAST(price + 5 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v1)
+        |SELECT 3 AS version, count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(sum(CASE WHEN st = 'C' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_status_c,
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_updated
+        |FROM vf""".stripMargin,
     "etl_snapshot_point_lookup" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -229,4 +229,97 @@ class Round18OpsSpec extends SparkSpec {
       s"batch rows diverged: ${(gotBatch diff expectedBatch).take(3)} / " +
       s"${(expectedBatch diff gotBatch).take(3)}")
   }
+
+  // ── #303 CHECK constraints ──────────────────────────────────────
+
+  test("CHECK constraints: versioned set, drop re-opens the door, rename of a referenced column refuses") {
+    val base = freshBase("chk")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    val v1 = SnapshotTable.addCheckConstraint(spark, base,
+      "v_nonneg", "v >= 0")
+    assert(v1 == 1)
+    import spark.implicits._
+    val bad = Seq((5L, "U", -1L, "neg")).toDF("k", "op", "v", "grp")
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.mergeInto(spark, base, bad, "k", numBuckets = 8)
+    }
+    assert(SnapshotTable.latestVersion(spark, base) == v1,
+      "a refused merge must not advance the version")
+    // deletes of violating rows are NOT gated (op='D' rows carry no
+    // new values — a tombstone is never a constraint violation)
+    val del = Seq((5L, "D", -99L, "x")).toDF("k", "op", "v", "grp")
+    val vDel = SnapshotTable.mergeInto(spark, base, del, "k", numBuckets = 8)
+    // the constraint set is versioned; drop re-opens the door
+    assert(SnapshotTable.checkConstraints(spark, base, 0).isEmpty)
+    assert(SnapshotTable.checkConstraints(spark, base, vDel)
+      .map(_._1) == Seq("v_nonneg"))
+    // renaming a referenced column would stale the stored expr
+    intercept[IllegalArgumentException] {
+      SnapshotTable.renameColumn(spark, base, "v", "val")
+    }
+    val vDrop = SnapshotTable.dropCheckConstraint(spark, base, "v_nonneg")
+    assert(SnapshotTable.checkConstraints(spark, base, vDrop).isEmpty)
+    val vBad = SnapshotTable.mergeInto(spark, base,
+      Seq((6L, "U", -1L, "neg")).toDF("k", "op", "v", "grp"),
+      "k", numBuckets = 8)
+    assert(SnapshotTable.asOf(spark, base, vBad)
+      .where(col("v") < 0).count() == 1,
+      "after DROP the formerly-violating merge must commit")
+    // and with the constraint gone, the rename goes through
+    SnapshotTable.renameColumn(spark, base, "v", "val")
+    // unknown-name drop is loud, not a silent no-op
+    intercept[IllegalArgumentException] {
+      SnapshotTable.dropCheckConstraint(spark, base, "nope")
+    }
+  }
+
+  test("CHECK constraints ride maintenance commits: still enforced after compact, and an ADD existing rows violate refuses") {
+    val base = freshBase("chkm")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 8)
+    SnapshotTable.addCheckConstraint(spark, base, "v_nonneg", "v >= 0")
+    // existing rows violate 'grp = 2' for two thirds of keys
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.addCheckConstraint(spark, base, "grp2", "grp = '2'")
+    }
+    val vc = SnapshotTable.compact(spark, base, "k", numBuckets = 2)
+    assert(SnapshotTable.checkConstraints(spark, base, vc)
+      .map(_._1) == Seq("v_nonneg"),
+      "compact must carry the #check header forward")
+    import spark.implicits._
+    intercept[SnapshotTable.ConstraintViolationException] {
+      SnapshotTable.mergeInto(spark, base,
+        Seq((5L, "U", -1L, "neg")).toDF("k", "op", "v", "grp"),
+        "k", numBuckets = 2)
+    }
+    // NULL passes — SQL three-valued CHECK
+    val vn = SnapshotTable.mergeInto(spark, base,
+      Seq((5L, "U", null.asInstanceOf[java.lang.Long], "z"))
+        .toDF("k", "op", "v", "grp"), "k", numBuckets = 2)
+    assert(SnapshotTable.asOf(spark, base, vn)
+      .where(col("k") === 5L && col("v").isNull).count() == 1)
+  }
+
+  // ── #302 vacuum × restore interplay ─────────────────────────────
+
+  test("vacuum after RESTORE keeps the restored (re-referenced) old files — the live set is the union of surviving manifests") {
+    val base = freshBase("vacres")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 4)
+    import spark.implicits._
+    // v1 rewrites every bucket (keys 0..99 touch all 4 buckets)
+    SnapshotTable.mergeInto(spark, base,
+      (0L until 100L by 7L).map(k => (k, "U", k * 100L, "w")).toDF(
+        "k", "op", "v", "grp"), "k", numBuckets = 4)
+    val v2 = SnapshotTable.restore(spark, base, 0)
+    val v0Files = SnapshotTable.liveFiles(spark, base, 0)
+    assert(SnapshotTable.liveFiles(spark, base, v2) == v0Files)
+    val (dropped, _) = SnapshotTable.vacuum(spark, base, keepVersions = 1)
+    assert(dropped == 2, s"keep=1 must drop manifests v0,v1: $dropped")
+    val fsys = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(v0Files.forall(p =>
+      fsys.exists(new org.apache.hadoop.fs.Path(p))),
+      "files re-referenced by the restored head must survive retention GC")
+    assert(content(SnapshotTable.asOf(spark, base, v2)) == content(fixture()),
+      "the restored head must still read the original content")
+  }
 }

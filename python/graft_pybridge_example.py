@@ -234,6 +234,27 @@ v_dk = bridge.snapshotDropCheckConstraint(jspark, base, "amt_nonneg")
 check("snapshotDropCheckConstraint removes it",
       len(bridge.snapshotCheckConstraints(jspark, base, v_dk)) == 0)
 
+# --- round 18: change data feed (batch read; streaming = readStream) --
+v_cdf = bridge.snapshotEnableChangeFeed(jspark, base)
+cdf_changes = spark.createDataFrame(
+    [(999999003, "U", 77.0)], ["o_orderkey", "op", "o_totalprice"])
+v_fed = bridge.snapshotMerge(jspark, base, cdf_changes._jdf, "o_orderkey", 8)
+feed = wrap(bridge.snapshotChangeFeed(jspark, base, v_cdf, v_fed))
+check("snapshotChangeFeed returns the fed merge's delta",
+      feed.count() == 1 and
+      feed.head()["op"] == "U" and
+      feed.head()["_commit_version"] == v_fed and
+      feed.head()["o_orderkey"] == 999999003,
+      str(feed.collect()))
+stream_rows = (
+    spark.readStream.format("snapshot-cdc")
+    .option("path", base).option("startingVersion", str(v_fed)).load()
+)
+check("snapshot-cdc readStream binds with the cdc schema",
+      stream_rows.isStreaming and
+      set(["op", "_commit_version"]).issubset(set(stream_rows.columns)),
+      str(stream_rows.columns))
+
 # --- profileApprox: one-pass HLL profile ------------------------------
 pa = wrap(bridge.profileApprox(orders._jdf))
 check("profileApprox rows == profiled columns",

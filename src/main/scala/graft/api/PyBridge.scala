@@ -268,4 +268,18 @@ object PyBridge {
                                version: Int): Array[Array[String]] =
     SnapshotTable.checkConstraints(spark, base, version)
       .map { case (n, e) => Array(n, e) }.toArray
+
+  /** [[SnapshotTable.enableChangeFeed]]: from the next commit on,
+    * merges/deletes materialize their change set as cdc files (Delta
+    * CDF). Returns the enabling version. */
+  def snapshotEnableChangeFeed(spark: SparkSession, base: String): Int =
+    SnapshotTable.enableChangeFeed(spark, base)
+
+  /** [[SnapshotTable.changeFeed]]: the row deltas of versions
+    * (vFrom, vTo] with `op` and `_commit_version` columns. The
+    * streaming form is `spark.readStream.format("snapshot-cdc")
+    * .option("path", base)` — plain PySpark, no bridge needed. */
+  def snapshotChangeFeed(spark: SparkSession, base: String,
+                         vFrom: Int, vTo: Int): DataFrame =
+    SnapshotTable.changeFeed(spark, base, vFrom, vTo)
 }

@@ -312,6 +312,98 @@ object StreamOps {
       .orderBy(col("user_id"))
   }
 
+  /** #305 — CHANGE DATA FEED, graded end-to-end (round 18; Delta CDF
+    * — `delta.enableChangeDataFeed` + `readStream.readChangeFeed` —
+    * the consumer half of the lakehouse streaming loop: #296 streams
+    * INTO the table, this streams OUT): the WRITER materializes each
+    * commit's change set as cdc parquet files referenced by that
+    * commit's own manifest (atomic — a lost commit race leaves only
+    * vacuumable orphans), so followers scan O(delta) files and never
+    * re-diff two table versions; offsets for the true streaming form
+    * ([[graft.streaming.SnapshotCdcSource]], format "snapshot-cdc")
+    * are TABLE VERSIONS. Fixture: create → un-fed merge →
+    * enableChangeFeed → fed MERGE (price+7 for the %13 cohort) → fed
+    * DELETE WHERE (price ≤ 10000 — 'D' rows carry the deleted
+    * pre-image). Inline proofs: (a) a range crossing a pre-enable
+    * version refuses loudly (its delta was never materialized);
+    * (b) the enabling metadata commit contributes zero rows;
+    * (c) REPLAY — folding the feed version-by-version onto
+    * asOf(enable) reproduces asOf(head) exactly (exceptAll both
+    * ways): the feed IS the table's derivative. Graded output = the
+    * feed aggregated per (commit_version, op), both derivable from
+    * orders. Scale: a 100 TB table with GB-scale churn streams its
+    * churn, not its size; per-version file lists are manifest
+    * metadata. */
+  def streamSnapshotChangeFeed(spark: SparkSession, sf: String): DataFrame = {
+    import graft.api.SnapshotTable
+    val tmp = System.getProperty("java.io.tmpdir")
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val base = s"$tmp/graft_cdf_$run"
+    graft.Tables.registerScratch(base)
+    val o = orders(spark, sf).select(col("o_orderkey"),
+      col("o_orderstatus"), money(col("o_totalprice")).as("o_price"))
+    val v0rows = o.where(col("o_orderkey") % 5 =!= 0)
+    SnapshotTable.create(spark, base, v0rows, "o_orderkey",
+      numBuckets = 16)
+    // v1: the standard upd/del/ins merge — BEFORE the feed is on
+    val upd = v0rows.where(col("o_orderkey") % 7 === 1)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        lit("X").as("o_orderstatus"),
+        (col("o_price") + lit(100)).cast(DEC2).as("o_price"))
+    val del = v0rows.where(col("o_orderkey") % 7 === 2)
+      .select(col("o_orderkey"), lit("D").as("op"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast(DEC2).as("o_price"))
+    val ins = o.where(col("o_orderkey") % 5 === 0 &&
+        col("o_orderkey") % 7 === 3)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        col("o_orderstatus"), col("o_price"))
+    SnapshotTable.mergeInto(spark, base, upd.unionAll(del).unionAll(ins),
+      "o_orderkey", numBuckets = 16)
+    val vOn = SnapshotTable.enableChangeFeed(spark, base)
+    require(vOn == 2, s"enable must commit latest+1, got $vOn")
+    // (a) v1's delta was never materialized — crossing it must refuse
+    val preEnableLoud =
+      try { SnapshotTable.changeFeed(spark, base, 0, vOn); false }
+      catch { case _: IllegalStateException => true }
+    require(preEnableLoud,
+      "a feed range crossing a pre-enable version must refuse loudly")
+    // (b) the enabling commit itself is an empty delta
+    require(SnapshotTable.changeFeed(spark, base, vOn - 1, vOn)
+      .count() == 0, "a metadata commit must contribute zero feed rows")
+    // v3: fed MERGE; v4: fed DELETE WHERE (the 'D' pre-image path)
+    val bump = SnapshotTable.asOf(spark, base, vOn)
+      .where(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), lit("U").as("op"), col("o_orderstatus"),
+        (col("o_price") + lit(7)).cast(DEC2).as("o_price"))
+    val v3 = SnapshotTable.mergeInto(spark, base, bump, "o_orderkey",
+      numBuckets = 16)
+    val (v4, _, _) = SnapshotTable.deleteRange(spark, base, "o_orderkey",
+      "o_price", java.math.BigDecimal.ZERO,
+      java.math.BigDecimal.valueOf(10000), numBuckets = 16)
+    require(v3 == 3 && v4 == 4, s"unexpected versions $v3/$v4")
+    // (c) replay: fold the feed onto asOf(enable) — must equal head
+    def fold(state: DataFrame, delta: DataFrame): DataFrame = {
+      val keys = delta.select(col("o_orderkey")).distinct()
+      state.join(keys, Seq("o_orderkey"), "left_anti")
+        .unionByName(delta.where(col("op") === "U")
+          .select(state.columns.map(col).toIndexedSeq: _*))
+    }
+    val replay = (vOn + 1 to v4).foldLeft(
+      SnapshotTable.asOf(spark, base, vOn)) { (st, v) =>
+      fold(st, SnapshotTable.changeFeed(spark, base, v - 1, v))
+    }
+    val head = SnapshotTable.asOf(spark, base, v4)
+    require(replay.exceptAll(head).isEmpty &&
+            head.exceptAll(replay).isEmpty,
+      "folding the change feed must reproduce the table head exactly")
+    SnapshotTable.changeFeed(spark, base, vOn, v4)
+      .groupBy(col("_commit_version").as("commit_version"), col("op"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("commit_version"), col("op"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     "stream_tumbling_window" -> (streamTumblingWindow _),
     "stream_sliding_window"  -> (streamSlidingWindow _),
@@ -324,9 +416,35 @@ object StreamOps {
     "stream_static_enrich"   -> (streamStaticEnrich _),
     "stream_cdc_upsert"      -> (streamCdcUpsert _),
     "stream_snapshot_sink"   -> (streamSnapshotSink _),
+    "stream_snapshot_change_feed" -> (streamSnapshotChangeFeed _),
   )
 
   val oracle: Map[String, String] = ListMap(
+    "stream_snapshot_change_feed" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |v3 AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 13 = 0 THEN CAST(price + 7 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v1)
+        |SELECT 3 AS commit_version, 'U' AS op, count(*) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS key_sum
+        |FROM v1 WHERE k % 13 = 0
+        |UNION ALL
+        |SELECT 4, 'D', count(*), CAST(sum(k) AS BIGINT)
+        |FROM v3 WHERE price BETWEEN 0 AND 10000
+        |ORDER BY commit_version""".stripMargin,
     "stream_snapshot_sink" ->
       """WITH r AS (
         |  SELECT user_id, event_type, value, ts,

@@ -1113,6 +1113,46 @@ class StreamingSpec extends SparkSpec {
     assert(graft.api.SnapshotTable.latestVersion(s, base) == vFinal,
       "re-delivered batches must be no-ops (idempotent sink)")
   }
+
+  test("snapshot-cdc streaming source (#305): version offsets, per-commit batches, incremental pickup, no redelivery") {
+    import graft.api.SnapshotTable
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cdcsrc_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    graft.Tables.registerScratch(base)
+    import spark.implicits._
+    SnapshotTable.create(spark,
+      base, spark.range(0, 50).select(col("id").as("k"),
+        (col("id") * 2).as("v")), "k", numBuckets = 4)
+    SnapshotTable.enableChangeFeed(spark, base) // v1
+    SnapshotTable.mergeInto(spark, base,
+      Seq((1L, "U", 111L), (100L, "U", 200L), (2L, "D", 0L))
+        .toDF("k", "op", "v"), "k", numBuckets = 4) // v2
+    // short name resolution proves the DataSourceRegister service file
+    val q = spark.readStream.format("snapshot-cdc")
+      .option("path", base).option("startingVersion", "2").load()
+      .writeStream.format("memory").queryName("t_cdc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("t_cdc").collect()
+        .map(r => (r.getAs[Int]("_commit_version"), r.getAs[String]("op"),
+          r.getAs[Long]("k"))).toSet
+      assert(b1 == Set((2, "U", 1L), (2, "U", 100L), (2, "D", 2L)),
+        s"first batch must be exactly v2's delta: $b1")
+      // a new commit is picked up incrementally (no restart)
+      SnapshotTable.mergeInto(spark, base,
+        Seq((3L, "U", 333L)).toDF("k", "op", "v"), "k", numBuckets = 4)
+      // a metadata commit advances the offset with zero rows
+      SnapshotTable.addCheckConstraint(spark, base, "v_any", "v >= -1")
+      q.processAllAvailable()
+      val all = spark.table("t_cdc").collect()
+        .map(r => (r.getAs[Int]("_commit_version"), r.getAs[String]("op"),
+          r.getAs[Long]("k")))
+      assert(all.length == 4, s"no redelivery: ${all.toSeq}")
+      assert(all.count(_._1 == 3) == 1 &&
+        all.contains((3, "U", 3L)), s"v3's delta must arrive: ${all.toSeq}")
+    } finally q.stop()
+  }
 }
 
 /** Props-bearing event row for the #262 streaming replay (EventRow

@@ -2393,6 +2393,87 @@ object EtlOps {
         col("n_status_c"), col("n_updated"))
   }
 
+  /** #306 — WRITE-AUDIT-PUBLISH as a graded round-trip (round 18;
+    * iceberg's WAP workflow — `spark.wap.branch` + audit + publish —
+    * the staging discipline production lakehouse pipelines run so a
+    * bad batch can NEVER become readable: land the batch on a
+    * BRANCH ([[graft.api.SnapshotTable.cloneShallow]] — O(manifest),
+    * zero copy), run the audit suite against the staged head, and
+    * only a passing audit fast-forwards the parent
+    * ([[graft.api.SnapshotTable.mergeBack]] — one atomic metadata
+    * commit); a failing audit leaves the parent UNTOUCHED and the
+    * quarantined branch inspectable. Complements #303: CHECK
+    * constraints gate per-row at the door, WAP audits gate
+    * whole-batch invariants (row-count drift, aggregate sanity) that
+    * no row predicate can express. Both arms proven inline: the GOOD
+    * batch (price+3 for the %19 cohort) audits clean and publishes;
+    * the BAD batch (price −7: negative prices) fails the audit, is
+    * NOT published, and the parent's content is bit-identical before/
+    * after the refusal. Graded output = the parent head after the
+    * good publish. Scale: staging is O(manifest) + the batch's
+    * touched buckets; audits read the STAGED delta-touched state,
+    * never the production table; publish is metadata-only. */
+  def etlSnapshotWriteAuditPublish(spark: SparkSession, sf: String)
+      : DataFrame = {
+    import graft.api.SnapshotTable
+    val base = buildSnapshotOrders(spark, sf)
+    // audit suite: whole-batch invariants over a staged head
+    def audit(stage: String): Seq[(String, Boolean)] = {
+      val r = SnapshotTable.asOf(spark, stage,
+        SnapshotTable.latestVersion(spark, stage))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nullk"),
+          sum(when(col("o_price") < 0, 1L).otherwise(0L)).as("neg"))
+        .collect()(0)
+      val parentN = SnapshotTable.asOf(spark, base,
+        SnapshotTable.latestVersion(spark, base)).count()
+      Seq(
+        "no_null_keys" -> (r.getLong(1) == 0L),
+        "no_negative_prices" -> (r.getLong(2) == 0L),
+        "row_drift_bounded" ->
+          (math.abs(r.getLong(0) - parentN) <= parentN / 5))
+    }
+    def stageAuditPublish(tag: String, mk: DataFrame => DataFrame)
+        : Boolean = {
+      val br = s"${base}_wap_$tag"
+      graft.Tables.registerScratch(br)
+      SnapshotTable.cloneShallow(spark, base, br)
+      SnapshotTable.mergeInto(spark, br,
+        mk(SnapshotTable.asOf(spark, br, 0)), "o_orderkey",
+        numBuckets = 16)
+      val failed = audit(br).filterNot(_._2)
+      if (failed.isEmpty) { SnapshotTable.mergeBack(spark, br); true }
+      else false // quarantined: branch kept for inspection, never read
+    }
+    val beforeBad = SnapshotTable.asOf(spark, base,
+      SnapshotTable.latestVersion(spark, base))
+    val badPublished = stageAuditPublish("bad", h =>
+      h.where(col("o_orderkey") % 23 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          col("o_orderstatus"), lit(-7).cast(DEC2).as("o_price")))
+    require(!badPublished, "a failing audit must never publish")
+    val afterBad = SnapshotTable.asOf(spark, base,
+      SnapshotTable.latestVersion(spark, base))
+    require(afterBad.exceptAll(beforeBad).isEmpty &&
+            beforeBad.exceptAll(afterBad).isEmpty,
+      "a refused batch must leave the parent bit-identical")
+    val goodPublished = stageAuditPublish("good", h =>
+      h.where(col("o_orderkey") % 19 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          col("o_orderstatus"),
+          (col("o_price") + lit(3)).cast(DEC2).as("o_price")))
+    require(goodPublished &&
+      SnapshotTable.latestVersion(spark, base) == 2,
+      "a passing audit must fast-forward the parent")
+    SnapshotTable.asOf(spark, base, 2)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_price")).cast("double").as("total_price"),
+        sum(when(col("o_orderkey") % 19 === 0, 1L).otherwise(0L))
+          .as("n_audited_cohort"))
+      .select(lit(true).as("published"), lit(false).as("bad_published"),
+        col("n_rows"), col("total_price"), col("n_audited_cohort"))
+  }
+
   /** #293 — RESTORE TABLE … VERSION AS OF on the snapshot table
     * (round 17; Delta's RESTORE — the bad-deploy undo every lakehouse
     * operator reaches for: [[graft.api.SnapshotTable.restore]]
@@ -2842,6 +2923,7 @@ object EtlOps {
     "etl_snapshot_vacuum" -> (etlSnapshotVacuum _),
     "etl_snapshot_check_constraint" -> (etlSnapshotCheckConstraint _),
     "etl_snapshot_concurrent_merge" -> (etlSnapshotConcurrentMerge _),
+    "etl_snapshot_write_audit_publish" -> (etlSnapshotWriteAuditPublish _),
   )
 
   /** #192 — additive seasonal decomposition (the classical
@@ -5204,6 +5286,30 @@ object EtlOps {
         |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_updated
         |FROM vf""".stripMargin,
+    "etl_snapshot_write_audit_publish" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |v0 AS (SELECT * FROM o WHERE k % 5 <> 0),
+        |v1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 1 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(price + 100 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v0 WHERE k % 7 <> 2
+        |  UNION ALL
+        |  SELECT k, st, price FROM o WHERE k % 5 = 0 AND k % 7 = 3),
+        |wap AS (
+        |  SELECT k, st,
+        |    CASE WHEN k % 19 = 0 THEN CAST(price + 3 AS DECIMAL(18,2))
+        |         ELSE price END AS price
+        |  FROM v1)
+        |SELECT TRUE AS published, FALSE AS bad_published,
+        |  count(*) AS n_rows,
+        |  CAST(sum(price) AS DOUBLE) AS total_price,
+        |  CAST(sum(CASE WHEN k % 19 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_audited_cohort
+        |FROM wap""".stripMargin,
     "etl_snapshot_point_lookup" ->
       """WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -322,4 +322,34 @@ class Round18OpsSpec extends SparkSpec {
     assert(content(SnapshotTable.asOf(spark, base, v2)) == content(fixture()),
       "the restored head must still read the original content")
   }
+
+  // ── #306 write-audit-publish ────────────────────────────────────
+
+  test("WAP: a quarantined branch stays inspectable, and a stale branch cannot publish after the parent moved") {
+    val base = freshBase("wap")
+    SnapshotTable.create(spark, base, fixture(), "k", numBuckets = 4)
+    import spark.implicits._
+    // stage a bad batch on a branch; audit (v >= 0) fails → quarantine
+    val bad = freshBase("wap_bad")
+    SnapshotTable.cloneShallow(spark, base, bad)
+    SnapshotTable.mergeInto(spark, bad,
+      Seq((5L, "U", -1L, "neg")).toDF("k", "op", "v", "grp"),
+      "k", numBuckets = 4)
+    assert(SnapshotTable.asOf(spark, bad, 1).where(col("v") < 0)
+      .count() == 1, "the quarantined branch must stay inspectable")
+    assert(SnapshotTable.latestVersion(spark, base) == 0,
+      "a quarantined batch must never touch the parent")
+    // meanwhile a good batch publishes on a second branch
+    val good = freshBase("wap_good")
+    SnapshotTable.cloneShallow(spark, base, good)
+    SnapshotTable.mergeInto(spark, good,
+      Seq((6L, "U", 600L, "ok")).toDF("k", "op", "v", "grp"),
+      "k", numBuckets = 4)
+    SnapshotTable.mergeBack(spark, good)
+    // the stale quarantined branch can never sneak in afterwards —
+    // even if someone "fixed" it, its branch point is gone
+    intercept[SnapshotTable.VersionConflictException] {
+      SnapshotTable.mergeBack(spark, bad)
+    }
+  }
 }

@@ -993,16 +993,23 @@ object SnapshotTable {
     }
     val mHead = metas.lastOption.map(_._2)
       .getOrElse(parsedManifestAll(spark, base, vTo))
-    // target shape from the table itself (schema-first; one footer at
-    // most), so an all-metadata range still returns a typed empty feed
-    val payload = applyRenames(
+    // target shape from the table itself — ONE driver-side footer read
+    // at most, then a LocalRelation empty frame: the feed's PLAN must
+    // reference only cdc files (delta-bounded scan, spec-pinned), and
+    // an all-metadata range still returns a typed empty feed
+    val payloadSchema = applyRenames(
       readFiles(spark, mHead.fileLines.map(pathOf).take(1), mHead.schema)
-        .limit(0), mHead.colMap)
-    val empty = payload
-      .withColumn("op", lit(null).cast("string"))
-      .withColumn("_commit_version", lit(null).cast("int"))
-      .select(col("op") +: payload.columns.map(col) :+
-        col("_commit_version"): _*)
+        .limit(0), mHead.colMap).schema
+    // local-list constructor → a LocalRelation leaf: no RDD, no file,
+    // and the streaming shim can mark it for the DSv1 source path
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("op",
+          org.apache.spark.sql.types.StringType, nullable = true) +:
+        payloadSchema.fields.map(_.copy(nullable = true)) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType, nullable = true)))
     metas.filter(_._2.cdcFiles.nonEmpty).foldLeft(empty) {
       case (acc, (v, m)) =>
         val d = applyRenames(spark.read.parquet(m.cdcFiles: _*),

@@ -352,4 +352,34 @@ class Round18OpsSpec extends SparkSpec {
       SnapshotTable.mergeBack(spark, bad)
     }
   }
+
+  // ── #305 change feed: delta-bounded scan ────────────────────────
+
+  test("change-feed plans scan ONLY cdc files — follower cost is O(delta), structurally") {
+    val base = freshBase("cdfscan")
+    SnapshotTable.create(spark, base,
+      spark.range(0, 10000).select(col("id").as("k"),
+        (col("id") * 3).as("v"), lit("a").as("grp")),
+      "k", numBuckets = 4)
+    SnapshotTable.enableChangeFeed(spark, base)
+    import spark.implicits._
+    SnapshotTable.mergeInto(spark, base,
+      (0L until 5L).map(k => (k, "U", k + 1000L, "w"))
+        .toDF("k", "op", "v", "grp"), "k", numBuckets = 4)
+    val feed = SnapshotTable.changeFeed(spark, base, 1, 2)
+    // the structural scale proof: a 5-row delta over a 10k-row table
+    // plans a scan of cdc files ONLY — table size never enters the
+    // follower's cost, which is the whole point of write-side CDC
+    val scanned = feed.inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/cdc/")),
+      s"feed must scan only cdc files, got ${scanned.take(3).toSeq}")
+    assert(feed.count() == 5)
+    // an all-metadata span is an EMPTY feed with the right schema and
+    // zero files scanned
+    SnapshotTable.addCheckConstraint(spark, base, "v_pos", "v >= 0")
+    val emptySpan = SnapshotTable.changeFeed(spark, base, 2, 3)
+    assert(emptySpan.inputFiles.isEmpty && emptySpan.count() == 0)
+    assert(emptySpan.columns.head == "op" &&
+      emptySpan.columns.last == "_commit_version")
+  }
 }

@@ -1318,4 +1318,27 @@ object Transforms {
         ((col("sv").cast("double") + lit(priorStrength) * m) /
           (col("n").cast("double") + lit(priorStrength))).as("shrunk_mean"))
   }
+
+  /** Multiset equality of two same-schema frames in ONE pass and ONE
+    * action: tag each side ±1, aggregate the net count per distinct
+    * row value, and look for any nonzero remainder. Equivalent to
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` (Spark
+    * rewrites EACH exceptAll into a union + counting aggregate +
+    * replicate — two full unioned passes and two actions for the
+    * double-direction proof; this is the same counting aggregate run
+    * once). NULLs and NaNs group the way exceptAll matches them, so
+    * the verdict is identical. Used by the lakehouse round-trip
+    * proofs, whose two frames are table-scale. */
+  def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    require(a.columns.sameElements(b.columns),
+      s"multisetEqual needs matching columns: " +
+        s"${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    val names = a.columns.toIndexedSeq
+    val tagged = a.select(names.map(col) :+ lit(1L).as("__side"): _*)
+      .unionAll(b.select(names.map(col) :+ lit(-1L).as("__side"): _*))
+    tagged.groupBy(names.map(col): _*)
+      .agg(sum(col("__side")).as("__net"))
+      .where(col("__net") =!= 0L)
+      .isEmpty
+  }
 }

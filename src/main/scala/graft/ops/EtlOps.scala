@@ -2083,7 +2083,7 @@ object EtlOps {
     * [[graft.api.SnapshotTable.mergeBack]] fast-forwards the parent
     * to the branch head. Inline proofs, both arms: (a) ROUND-TRIP —
     * the parent's post-merge content equals the branch head exactly
-    * (both exceptAll directions empty), i.e. the history is as if
+    * (one-pass multiset equality), i.e. the history is as if
     * every branch commit had been made on the parent directly;
     * (b) CONFLICT — a second branch taken at the same branch point
     * must REFUSE to merge after the parent moved
@@ -2112,8 +2112,7 @@ object EtlOps {
     require(v2 == 2, s"fast-forward must publish parent latest+1, got $v2")
     val parentHead = SnapshotTable.asOf(spark, base, v2)
     val branchHead = SnapshotTable.asOf(spark, dst, 1)
-    require(parentHead.exceptAll(branchHead).isEmpty &&
-            branchHead.exceptAll(parentHead).isEmpty,
+    require(Transforms.multisetEqual(parentHead, branchHead),
       "merge-back must land the branch head on the parent exactly")
     // the parent moved (v1 -> v2): the second branch's fast-forward is
     // now impossible and must refuse loudly, never silently merge
@@ -2182,7 +2181,7 @@ object EtlOps {
     }
     val before = lookup(1, 16)
     val after = lookup(v2, 32)
-    require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+    require(Transforms.multisetEqual(after, before),
       "rebucket must preserve every row's content")
     after.withColumn("num_buckets", lit(32)).orderBy(col("o_orderkey"))
   }
@@ -2333,7 +2332,7 @@ object EtlOps {
     * deterministic oracle can grade a genuinely concurrent schedule.
     * Inline proofs: both writers land (versions {2,3} exactly, no
     * lost update), and the final head EQUALS the sequential fold of
-    * both changes over v1 (exceptAll both ways — serializability, not
+    * both changes over v1 (multiset equality — serializability, not
     * just row counts). Graded output = the head's content aggregate.
     * Scale: conflicts cost O(changed buckets) re-merge, not a table
     * rewrite; at 1000 executors this is the many-writer ingestion
@@ -2378,8 +2377,7 @@ object EtlOps {
       when(col("o_orderkey") % 3 === 1,
         (col("o_price") + lit(5)).cast(DEC2))
         .otherwise(col("o_price")).as("o_price"))
-    require(head.exceptAll(expected).isEmpty &&
-            expected.exceptAll(head).isEmpty,
+    require(Transforms.multisetEqual(head, expected),
       "the concurrent schedule must equal the sequential fold of both " +
       "changes (serializability)")
     head
@@ -2454,8 +2452,7 @@ object EtlOps {
     require(!badPublished, "a failing audit must never publish")
     val afterBad = SnapshotTable.asOf(spark, base,
       SnapshotTable.latestVersion(spark, base))
-    require(afterBad.exceptAll(beforeBad).isEmpty &&
-            beforeBad.exceptAll(afterBad).isEmpty,
+    require(Transforms.multisetEqual(afterBad, beforeBad),
       "a refused batch must leave the parent bit-identical")
     val goodPublished = stageAuditPublish("good", h =>
       h.where(col("o_orderkey") % 19 === 0)
@@ -2656,8 +2653,8 @@ object EtlOps {
     * cohort, delete of the %9==5 cohort), then a follower starts from
     * the materialized v0 and folds both deltas via
     * [[graft.api.SnapshotTable.applyDiff]]. The op PROVES the
-    * fixpoint inline (reconstruction == head, both directions of
-    * exceptAll); the graded output is the reconstruction's content
+    * fixpoint inline (reconstruction == head, one-pass multiset
+    * equality); the graded output is the reconstruction's content
     * aggregate. Scale: each fold is O(state + delta) — the follower
     * never re-reads the source table, the entire point of a change
     * feed at 100 TB. */
@@ -2675,18 +2672,16 @@ object EtlOps {
     val v2 = SnapshotTable.mergeInto(spark, base, upd.unionAll(del),
       "o_orderkey", numBuckets = 16)
     // the fold lineage (3 diffs + anti-join/union chain) is consumed
-    // by BOTH direction proofs — persist so each delta is computed
-    // once, not once per action
+    // by ONE multiset-equality action (was: two exceptAll directions
+    // under a persist) — single pass, no cache residency
     val rebuilt = (1 to v2).foldLeft(SnapshotTable.asOf(spark, base, 0)) {
       (state, v) => SnapshotTable.applyDiff(state,
         SnapshotTable.diff(spark, base, v - 1, v, "o_orderkey"),
         "o_orderkey")
-    }.persist()
+    }
     val head = SnapshotTable.asOf(spark, base, v2)
-    try
-      require(rebuilt.exceptAll(head).isEmpty && head.exceptAll(rebuilt).isEmpty,
-        "folded deltas must reconstruct the head exactly")
-    finally { rebuilt.unpersist(); () }
+    require(Transforms.multisetEqual(rebuilt, head),
+      "folded deltas must reconstruct the head exactly")
     // graded output reads the HEAD (one scan): the requires above
     // prove it equals the reconstruction, so the oracle grades the
     // fold without re-running its lineage

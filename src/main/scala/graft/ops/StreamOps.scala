@@ -236,12 +236,17 @@ object StreamOps {
     import graft.api.SnapshotTable
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
+    // batch-key-bounded; persist so the bucket probe, the guard join
+    // and (first batch) the emptiness probe + create share ONE window
+    // pass over the batch instead of recomputing it per consumer
     val last = batch
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("user_id"), col("event_type").as("last_type"),
         money(col("value")).as("last_value"), col("ts").as("last_ts"),
         col("event_id").as("last_id"),
         (col("event_type") === "error").as("deleted"))
+      .persist()
+    try {
     val v = SnapshotTable.latestVersion(spark, base)
     if (v < 0) {
       if (!last.isEmpty)
@@ -267,6 +272,7 @@ object StreamOps {
         }
       } finally { fresh.unpersist(); () }
     }
+    } finally { last.unpersist(); () }
   }
 
   /** #296 — streaming upsert sink into the snapshot table (round 17;
@@ -328,8 +334,8 @@ object StreamOps {
     * version refuses loudly (its delta was never materialized);
     * (b) the enabling metadata commit contributes zero rows;
     * (c) REPLAY — folding the feed version-by-version onto
-    * asOf(enable) reproduces asOf(head) exactly (exceptAll both
-    * ways): the feed IS the table's derivative. Graded output = the
+    * asOf(enable) reproduces asOf(head) exactly (one-pass
+    * multiset equality): the feed IS the table's derivative. Graded output = the
     * feed aggregated per (commit_version, op), both derivable from
     * orders. Scale: a 100 TB table with GB-scale churn streams its
     * churn, not its size; per-version file lists are manifest
@@ -394,8 +400,7 @@ object StreamOps {
       fold(st, SnapshotTable.changeFeed(spark, base, v - 1, v))
     }
     val head = SnapshotTable.asOf(spark, base, v4)
-    require(replay.exceptAll(head).isEmpty &&
-            head.exceptAll(replay).isEmpty,
+    require(graft.api.Transforms.multisetEqual(replay, head),
       "folding the change feed must reproduce the table head exactly")
     SnapshotTable.changeFeed(spark, base, vOn, v4)
       .groupBy(col("_commit_version").as("commit_version"), col("op"))

@@ -609,4 +609,34 @@ class TransformsSpec extends SparkSpec {
     assert(shrunkA < rawA && shrunkA > globalMean)
     assert(math.abs(shrunkB - rawB) < math.abs(shrunkA - rawA))
   }
+
+  test("multisetEqual agrees with double exceptAll on nulls, NaN and multiplicity") {
+    import spark.implicits._
+    def both(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): Unit = {
+      val viaExcept = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      assert(Transforms.multisetEqual(a, b) === viaExcept)
+      assert(Transforms.multisetEqual(b, a) === viaExcept)
+    }
+    val base = Seq(("x", Some(1.0)), ("x", Some(1.0)), ("y", None),
+      ("z", Some(Double.NaN))).toDF("k", "v")
+    // equal multisets (order scrambled)
+    both(base, Seq(("y", None), ("z", Some(Double.NaN)), ("x", Some(1.0)),
+      ("x", Some(1.0))).toDF("k", "v"))
+    // multiplicity mismatch: one copy of the duplicated row missing
+    both(base, Seq(("x", Some(1.0)), ("y", None),
+      ("z", Some(Double.NaN))).toDF("k", "v"))
+    // null vs value, NaN vs value mismatches
+    both(base, Seq(("x", Some(1.0)), ("x", Some(1.0)), ("y", Some(0.0)),
+      ("z", Some(Double.NaN))).toDF("k", "v"))
+    both(base, Seq(("x", Some(1.0)), ("x", Some(1.0)), ("y", None),
+      ("z", Some(2.0))).toDF("k", "v"))
+    // both empty, and empty vs non-empty
+    both(base.where(lit(false)), base.where(lit(false)))
+    both(base, base.where(lit(false)))
+    // mismatched column sets refuse loudly instead of comparing
+    intercept[IllegalArgumentException] {
+      Transforms.multisetEqual(base, base.withColumnRenamed("v", "w"))
+    }
+  }
 }

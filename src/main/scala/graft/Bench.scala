@@ -552,12 +552,23 @@ object Bench {
         }
         f""""$n": {"prev": $p0%.3f, "now": $t%.3f, "ratio": ${t / p0}%.2f, "plan_changed": $pc}"""
       }.mkString("{", ",", "}")
+      // staged-read disclosure (round 19 — VERDICT r18 bench-integrity
+      // item): these ops read the graph-family memo staged by
+      // graph_family_stage (its own timed row carries the build cost —
+      // the op invalidates and rebuilds the memo every invocation), so
+      // their per-op rows measure the staged-read consumer, NOT the
+      // edge/degree/wedge lineage. Disclosed here so nobody mistakes a
+      // staged-read row for the full lineage cost.
+      val stagedRead = Seq("graph_adamic_adar", "graph_jaccard_links",
+        "graph_kcore", "graph_degree_assortativity",
+        "graph_clustering_coefficient")
       val fileJson = new StringBuilder
       fileJson.append("{\n")
         .append(s"""  "sf": "$sfDir",\n""")
         .append(s"""  "boot_id": "$bootId",\n""")
         .append(s"""  "tripwire": "$tripwireStatus",\n""")
         .append(s"""  "cpus": $cpus,\n""")
+        .append(s"""  "staged_read": {"stage_row": "graph_family_stage", "ops": [${stagedRead.map("\"" + _ + "\"").mkString(",")}]},\n""")
         .append("""  "protocol": {"headline_secondary": "per-query min over two passes of warm best-of-3", "remainder": "per-query min over two passes of single warm runs"},""")
         .append("\n")
         .append(s"""  "n": ${names.size},\n""")

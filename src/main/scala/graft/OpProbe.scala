@@ -62,9 +62,17 @@ object OpProbe {
         val df = qs(name)(spark, sfDir)
         df.count()
         val t = (System.nanoTime() - t0) / 1e9
-        // the listener posts asynchronously; give the bus a beat so
-        // the counters cover every job this invocation scheduled
-        Thread.sleep(200)
+        // the listener posts asynchronously; poll until the counters
+        // stop moving (two consecutive identical reads 100 ms apart)
+        // instead of one fixed sleep that under-reports on a loaded
+        // host (ADVICE r18) — waitUntilEmpty is private[spark]
+        var prev = (-1, -1)
+        var cur = (jobs.get(), stages.get())
+        var spins = 20
+        while (prev != cur && spins > 0) {
+          Thread.sleep(100); prev = cur
+          cur = (jobs.get(), stages.get()); spins -= 1
+        }
         (t, jobs.get(), stages.get(), df)
       }
       val best = runs.map(_._1).min

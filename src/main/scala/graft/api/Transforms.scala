@@ -1333,6 +1333,10 @@ object Transforms {
     require(a.columns.sameElements(b.columns),
       s"multisetEqual needs matching columns: " +
         s"${a.columns.mkString(",")} vs ${b.columns.mkString(",")}")
+    // the tag/net columns must not collide with input columns — an
+    // input named __side would make the groupBy ambiguous (ADVICE r18)
+    require(!a.columns.contains("__side") && !a.columns.contains("__net"),
+      "multisetEqual inputs must not carry columns named __side/__net")
     val names = a.columns.toIndexedSeq
     val tagged = a.select(names.map(col) :+ lit(1L).as("__side"): _*)
       .unionAll(b.select(names.map(col) :+ lit(-1L).as("__side"): _*))

@@ -321,6 +321,39 @@ object GraphOps {
     memoized(spark, s"copurchase_wedges:$sf")(
       adamicAdarCandidates(edgesM(spark, sf)))
 
+  /** #307 — the co-purchase family STAGING pass, graded and timed as
+    * its own operator (round 19 — VERDICT r18 bench-integrity item:
+    * the round-18 memoization moved the edge/degree/wedge build out
+    * of the five graph ops' timed windows, so their bench rows no
+    * longer measured the lineage they depend on). This op IS that
+    * lineage: it drops this (session, corpus)'s memo entries first,
+    * so EVERY invocation — bench warm-up, both timed passes, Verify —
+    * pays the full lineitem fan-out + pair aggregate + degree count +
+    * Σ deg² wedge self-join, and the bench's row for it is the real
+    * staging cost the five staged-read consumers (graph_adamic_adar,
+    * graph_jaccard_links, graph_kcore, graph_degree_assortativity,
+    * graph_clustering_coefficient — flagged `staged_read` in
+    * FULLBENCH.json) amortize. Graded output = one summary row over
+    * all three staged tables (edge count / support mass, node count /
+    * degree mass, wedge count), each value derivable from lineitem
+    * alone, so the oracle pins the staged content — a memo that
+    * staged wrong data fails HERE, loudly. At 100 TB this is the
+    * "stage the edge list once, let every graph metric read it"
+    * production pattern priced as the parquet-stage write it would
+    * be, instead of hidden inside whichever consumer runs first. */
+  def graphFamilyStage(spark: SparkSession, sf: String): DataFrame = {
+    Seq("copurchase_edges", "copurchase_deg", "copurchase_wedges")
+      .foreach(k => derivedMemo.remove((spark, s"$k:$sf")))
+    val e = edgesM(spark, sf)
+    val d = degM(spark, sf)
+    val w = wedgesM(spark, sf)
+    e.agg(count(lit(1)).as("n_edges"),
+        sum(col("w")).as("support_sum"))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d")).as("degree_sum"))))
+      .crossJoin(broadcast(w.agg(count(lit(1)).as("n_wedges"))))
+  }
+
   def graphAdamicAdar(spark: SparkSession, sf: String): DataFrame = {
     val e = edgesM(spark, sf)
     val deg = degM(spark, sf)
@@ -614,6 +647,7 @@ object GraphOps {
     "graph_degree_assortativity" -> (graphDegreeAssortativity _),
     "graph_clustering_coefficient" -> (graphClusteringCoefficient _),
     "graph_shortest_paths" -> (graphShortestPaths _),
+    "graph_family_stage"   -> (graphFamilyStage _),
   )
 
   /** Shared oracle CTE: the trade edge list. */
@@ -694,6 +728,25 @@ object GraphOps {
   }
 
   val oracle: Map[String, String] = ListMap(
+    "graph_family_stage" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |edges AS (
+        |  SELECT a.p AS u, b.p AS v, count(*) AS w
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT u AS x, v AS y FROM edges
+        |        UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT x, count(*) AS d FROM und GROUP BY x),
+        |cand AS (
+        |  SELECT a.x AS cu, b.x AS cv
+        |  FROM und a JOIN und b ON a.y = b.y AND a.x < b.x)
+        |SELECT
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  (SELECT CAST(sum(w) AS BIGINT) FROM edges) AS support_sum,
+        |  (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT CAST(sum(d) AS BIGINT) FROM deg) AS degree_sum,
+        |  (SELECT count(*) FROM cand) AS n_wedges""".stripMargin,
     "graph_shortest_paths" -> shortestPathsOracle,
     "graph_clustering_coefficient" ->
       """WITH op AS (

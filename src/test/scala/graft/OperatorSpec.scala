@@ -26,15 +26,15 @@ class OperatorSpec extends SparkSpec {
       s"unexpected oracle-less queries: $noOracle")
   }
 
-  test("SURVEY §2 count guard: 292 declared operators, 290 oracle-checked") {
+  test("SURVEY §2 count guard: 307 declared operators, 305 oracle-checked") {
     // SURVEY.md §2's count line is hand-maintained; this pin makes a
     // family-map edit that drops (or double-adds) a binding fail in
     // CI instead of in the driver's correctness run. Update BOTH this
     // test and the SURVEY count line when adding an operator.
-    assert(SparkEntry.queries.size == 306,
-      s"queries.size=${SparkEntry.queries.size} drifted from SURVEY §2's declared 306")
-    assert(SparkEntry.oracleSql.size == 304,
-      s"oracleSql.size=${SparkEntry.oracleSql.size} drifted from SURVEY §2's oracle-checked 304")
+    assert(SparkEntry.queries.size == 307,
+      s"queries.size=${SparkEntry.queries.size} drifted from SURVEY §2's declared 307")
+    assert(SparkEntry.oracleSql.size == 305,
+      s"oracleSql.size=${SparkEntry.oracleSql.size} drifted from SURVEY §2's oracle-checked 305")
   }
 
   test("csv roundtrip preserves the nation aggregation") {

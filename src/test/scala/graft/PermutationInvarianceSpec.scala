@@ -34,9 +34,12 @@ class PermutationInvarianceSpec extends SparkSpec {
     s1.conf.set("spark.sql.shuffle.partitions", "1")
     val s32 = spark.newSession()
     s32.conf.set("spark.sql.shuffle.partitions", "32")
-    // 4 queries in flight (the Verify pattern): ops are independent —
-    // distinct temp dirs/views, per-invocation table names
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // 12 queries in flight (the Verify pattern; raised from 4 in the
+    // round-19 gate-budget pass — the sweep is the suite's single
+    // largest row at 132 s and its ops are independent: distinct temp
+    // dirs/views, per-invocation table names; each op's own jobs are
+    // small at sf0.001, so spare cores were idle at 4-wide)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>

@@ -130,14 +130,33 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("every registered operator obeys the nested-loop contract (no cartesian; BNLJ build sides metadata-scale)") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val vs = try violations(fn(spark, sf001)) catch {
-          case e: Throwable =>
-            Seq(s"construction failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    // 12 plans in flight (round-19 gate-budget pass; the same pattern
+    // as the PermutationInvariance sweep): the sweep is plan ANALYSIS
+    // per op — driver-side Catalyst work plus the occasional rule-2
+    // bounded execute — and ran serially at 67 s; ops are independent
+    // (distinct temp dirs/views) and Catalyst planning is thread-safe
+    // on one session, so the wall time is cut without losing coverage.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val offenders = try {
+      val futures = SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) => Future {
+          // pool threads lack the thread-local active session; rule 2's
+          // bounded execute (SQLConf.get, codegen) needs it — without
+          // it an execution failure reads as Long.MaxValue and flags a
+          // legitimate keyed-aggregate build as a false violation
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          val vs = try violations(fn(spark, sf001)) catch {
+            case e: Throwable =>
+              Seq(s"construction failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          vs.map(v => s"$name: $v")
         }
-        vs.map(v => s"$name: $v")
-    }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf).flatten
+    } finally pool.shutdown()
     assert(offenders.isEmpty,
       s"${offenders.size} nested-loop contract violation(s):\n" +
         offenders.mkString("\n---\n"))

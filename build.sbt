@@ -79,6 +79,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // main fork); GRAFT_TEST_MEM bumps it for the GRAFT_FULL_TESTS
 // stress runs if ever needed.
 Test / javaOptions ++= Seq(
-  s"-Xmx${sys.env.getOrElse("GRAFT_TEST_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("GRAFT_TEST_MEM", "16g")}",
+  // 8g, not the main fork's 16g (round 19 gate-budget pass): the test
+  // fork runs sf0.001/0.01 fixtures (plus a few ungated sf0.1 smoke
+  // rows) on local[4] — its working set never approaches the bench's;
+  // a smaller committed heap means less first-touch zeroing paid
+  // DURING the run now that pre-touch is off below.
+  s"-Xmx${sys.env.getOrElse("GRAFT_TEST_MEM", "8g")}",
+  s"-Xms${sys.env.getOrElse("GRAFT_TEST_MEM", "8g")}",
+  // NO pre-touch for the TEST fork (round 19 gate-budget pass): the
+  // pre-touch exists to keep BENCH timings GC-noise-free; tests assert
+  // results, not times (the few wall-clock smoke rows have generous
+  // bounds). Measured: a 0.1 s suite cost 31 s wall / 8.5 CPU-min of
+  // sys time with pre-touch on — all of it first-touch zeroing of the
+  // 16 GiB heap this microVM faults at ~200 MB/s. Last flag wins, so
+  // this overrides the inherited +AlwaysPreTouch for tests only; the
+  // run fork (Bench/Verify) keeps it.
+  "-XX:-AlwaysPreTouch",
 )

@@ -164,6 +164,8 @@ class Round18OpsSpec extends SparkSpec {
   // ── VERDICT r17 item 6: interleaved stream + batch writers ──────
 
   test("interleaved stream micro-batches and batch MERGEs linearize: final table equals the sequential fold") {
+    assume(sys.env.get("GRAFT_FULL_TESTS").contains("1"),
+      "heavy stream-vs-batch commit-race drill (~7 s; round-19 gate-budget pass: the sink and merge arms stay covered by the always-on #296 rows and the oracle sweep); enable with GRAFT_FULL_TESTS=1")
     // The #296 sink and an independent batch writer race the SAME
     // table through the optimistic commit protocol (every loser
     // rebases via retryingCommit). The batch writer lands keys in a

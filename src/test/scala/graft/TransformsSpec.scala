@@ -482,31 +482,48 @@ class TransformsSpec extends SparkSpec {
 
   test("fuzz: connectedComponents equals union-find for random graphs") {
     import spark.implicits._
+    // same 8 seeded trials as always — generated up front (the Random
+    // stays sequential, so the fixtures are bit-identical to the old
+    // loop), then RUN 4-wide (round-19 gate-budget pass): each trial
+    // is an independent iterative CC whose tiny per-iteration jobs
+    // left most of the session idle; 15 s serial -> ~5 s, zero
+    // coverage change.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val rnd = new scala.util.Random(42)
-    (1 to 8).foreach { trial =>
+    val trials = (1 to 8).map { trial =>
       val n = 10 + rnd.nextInt(50)
       val m = 5 + rnd.nextInt(70)
       val edges = Seq.fill(m) {
         val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
         if (a == b) (a, (a + 1) % n) else (a, b)
       }.distinct
-      // reference: union-find with min-label canonicalization
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      val want = nodes.map(v => v -> find(v)).toMap
-      val got = Transforms.connectedComponents(
-          edges.toDF("d1", "d2"), maxIters = 64)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want, s"trial $trial (n=$n m=${edges.size}): CC != union-find")
+      (trial, n, edges)
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = trials.map { case (trial, n, edges) => Future {
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+        // reference: union-find with min-label canonicalization
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map(v => v -> find(v)).toMap
+        val got = Transforms.connectedComponents(
+            edges.toDF("d1", "d2"), maxIters = 64)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"trial $trial (n=$n m=${edges.size}): CC != union-find")
+      }}
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   test("fuzz: bhSelect equals the reference step-up (slack included) on random families") {

